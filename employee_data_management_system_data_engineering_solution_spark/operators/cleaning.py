@@ -1,0 +1,91 @@
+"""Cleaning & dedup operators (SURVEY.md §2.6 W1/W2, §2.7 O3/O5, §2.8).
+
+Covers the reference's two dedup strategies plus the epoch/status
+derivations that precede them:
+
+* W1 "keep best": among duplicate open periods keep the highest-salary
+  row (``clean_load_2_tf_staging.py:78-84`` — window ``row_number`` over
+  ``(emp_id, end_date)`` ordered by salary desc, then ``exceptAll`` the
+  losers out of the batch).
+* W2 "last write wins": one row per ``(emp_id, date)``, latest arrival
+  wins (``clean_load_3_ld_staging.py:54-63``).
+
+Scale notes: each window is ONE hash-partition shuffle on the partition
+keys — there is no cheaper way to express "pick one row per key with a
+specific winner" and Catalyst pushes the ``rn = 1`` filter into the
+window via ``WindowGroupLimit`` (top-k pushdown), so only the winning
+row per key survives the sort buffer. Determinism: callers must pass a
+total order (tie-break on a unique column) or results are
+nondeterministic under retries — the reference gets this wrong by
+ordering on salary alone.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def epoch_seconds_to_timestamp(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Epoch-seconds → TimestampType (reference ``clean_load_2_tf_staging.py:73-74``,
+    which used ``from_unixtime`` + LEGACY parser; ``timestamp_seconds`` is
+    the modern, timezone-stable equivalent)."""
+    for c in cols:
+        df = df.withColumn(c, F.timestamp_seconds(F.col(c).cast("bigint")))
+    return df
+
+
+def derive_status(
+    df: DataFrame,
+    end_col: str = "end_date",
+    out_col: str = "status",
+    active: str = "Active",
+    inactive: str = "Inactive",
+) -> DataFrame:
+    """NULL end ⇒ open/Active period (reference ``clean_load_2_tf_staging.py:76``)."""
+    return df.withColumn(
+        out_col, F.when(F.col(end_col).isNull(), F.lit(active)).otherwise(F.lit(inactive))
+    )
+
+
+def _rn(partition_cols: list[str], order_cols: list[Column]) -> Column:
+    w = Window.partitionBy(*partition_cols).orderBy(*order_cols)
+    return F.row_number().over(w)
+
+
+def dedup_keep_best(
+    df: DataFrame, partition_cols: list[str], order_cols: list[Column]
+) -> DataFrame:
+    """W1: keep exactly one row per key, the first under ``order_cols``.
+
+    Reference keeps the highest-salary open period per
+    ``(emp_id, end_date)`` (``clean_load_2_tf_staging.py:78-82``).
+    """
+    return (
+        df.withColumn("__rn", _rn(partition_cols, order_cols))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def dedup_last_write_wins(
+    df: DataFrame, key_cols: list[str], arrival_col: str
+) -> DataFrame:
+    """W2: one row per key, the latest ``arrival_col`` wins
+    (reference ``clean_load_3_ld_staging.py:57-63``, which synthesized
+    arrival order with ``monotonically_increasing_id``; callers here
+    must supply a real, totally-ordered column for determinism)."""
+    return dedup_keep_best(df, key_cols, [F.col(arrival_col).desc()])
+
+
+def remove_dupes_except_all(
+    df: DataFrame, partition_cols: list[str], order_cols: list[Column]
+) -> DataFrame:
+    """The reference's literal W1+O3 flow: identify ``row_number > 1``
+    losers, then multiset-subtract them (``clean_load_2_tf_staging.py:80-84``
+    uses ``exceptAll``). Kept for bag-semantics parity — result equals
+    :func:`dedup_keep_best` when the order is total, but preserves exact
+    duplicate multiplicity the way ``exceptAll`` does."""
+    with_rn = df.withColumn("__rn", _rn(partition_cols, order_cols))
+    dupes = with_rn.filter(F.col("__rn") > 1).drop("__rn")
+    return df.exceptAll(dupes)

@@ -1,0 +1,144 @@
+"""Embedding similarity search (north-star; BASELINE.json).
+
+Vectors are ``array<float>`` columns. All math happens JVM-side with
+higher-order functions (``zip_with`` + ``aggregate``) in double
+precision — no UDF, so the dot products run inside codegen.
+
+Two paths:
+
+* ``cosine_topk_bruteforce`` — queries × corpus equi-free join. The
+  query side is small (top-k lookups), so it is BROADCAST: cost is one
+  pass over the corpus per batch of queries, embarrassingly parallel,
+  no shuffle of the corpus. This is the correctness baseline.
+* ``ivf_topk`` — IVF-style two-stage ANN: assign every vector to its
+  nearest pivot (broadcast pivots), then search only the query's
+  cluster. The corpus pass emits (cluster, vec) once; the search join
+  is pruned to matching clusters. At 100 TB this turns "scan all" into
+  "scan 1/n_pivots" per query at some recall cost.
+
+Cosines are rounded to 6 dp before ranking so rankings are stable
+across engines/summation orders (ties then break on vec id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(v: Column) -> Column:
+    return F.transform(v, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    da, db = _as_double(a), _as_double(b)
+    return dot(da, db) / (norm(da) * norm(db))
+
+
+def cosine_topk_bruteforce(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector.
+
+    Output: (query_id, neighbor_id, cosine_sim, rank) — excludes self.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("__qvec"), F.col("__cvec")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def assign_clusters(
+    corpus: DataFrame,
+    pivots: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF assignment: each vector → nearest pivot by cosine
+    (deterministic tie-break on pivot id). Pivots are broadcast; the
+    corpus is scanned once, no shuffle."""
+    p = pivots.select(
+        F.col(id_col).alias("pivot_id"), F.col(vec_col).alias("__pvec")
+    )
+    scored = corpus.crossJoin(F.broadcast(p)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("pivot_id"),
+        F.round(cosine(F.col(vec_col), F.col("__pvec")), 6).alias("__sim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("__sim").desc(), F.col("pivot_id").asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(F.col(id_col), F.col(vec_col), F.col("pivot_id").alias("cluster_id"))
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    pivots: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Approximate top-k: search only within the query's IVF cluster.
+
+    Output: (query_id, neighbor_id, cosine_sim, rank). Recall < 1.0 by
+    design; nprobe>1 is a straightforward extension (keep rn <= nprobe
+    in the assignment)."""
+    assigned = assign_clusters(corpus, pivots, id_col, vec_col)
+    q = assigned.join(
+        queries.select(F.col(id_col).alias("query_id")),
+        assigned[id_col] == F.col("query_id"),
+    ).select("query_id", F.col(vec_col).alias("__qvec"), F.col("cluster_id"))
+    c = assigned.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"), "cluster_id"
+    )
+    scored = (
+        c.join(F.broadcast(q), on="cluster_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("__qvec"), F.col("__cvec")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

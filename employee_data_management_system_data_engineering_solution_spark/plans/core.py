@@ -1,0 +1,537 @@
+"""Reference-parity queries (SURVEY.md §2) over the driver's tables.
+
+Stand-in mapping (FIXTURES.md §2): ``orders`` plays the employee
+timeframe/SCD-2 dim (custkey→emp_id, orderdate→start_date,
+totalprice→salary, orderpriority→designation); ``lineitem`` plays the
+leave fact (suppkey→emp_id, shipdate→leave date, returnflag→status);
+``events`` plays the communication stream.
+
+All analytic dates are anchored at fixed literals (not
+``current_date()``) so results are reproducible against the historical
+test data — the operator shapes are identical to the reference's.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import cleaning, scd
+from ..operators.reports import count_by, pct_of_quota, top_k_per_group, upcoming_pct_report
+from ..sources.io import read_table
+from ..streaming.strikes import strike_report
+from .registry import register
+
+ANCHOR = "1995-06-01"
+HORIZON = "1995-12-31"
+
+
+def _d(c: str) -> F.Column:
+    return F.col(c).cast("date")
+
+
+# --------------------------------------------------------------------------
+# Flagship: TPC-H-Q1-shaped pricing summary (A-class aggs + arithmetic P16)
+# --------------------------------------------------------------------------
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                        AS sum_qty,
+           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           round(avg(l_quantity), 4)                                        AS avg_qty,
+           round(avg(l_extendedprice), 4)                                   AS avg_price,
+           round(avg(l_discount), 4)                                        AS avg_disc,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(_d("l_shipdate") <= F.to_date(F.lit("1998-09-02")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# 3-way join + agg (J2 shape at scale): shipping-priority revenue
+# --------------------------------------------------------------------------
+@register(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR)        AS orderdate,
+           o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND CAST(o_orderdate AS DATE) < DATE '1996-03-15'
+      AND CAST(l_shipdate AS DATE)  > DATE '1996-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = read_table(spark, sf_dir, "orders").filter(_d("o_orderdate") < F.to_date(F.lit("1996-03-15")))
+    li = read_table(spark, sf_dir, "lineitem").filter(_d("l_shipdate") > F.to_date(F.lit("1996-03-15")))
+    # customer side is small after the segment filter: broadcast it;
+    # orders⋈lineitem is the big shuffle join, on the join key only.
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            _d("o_orderdate").cast("string").alias("orderdate"),
+            "o_orderpriority",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# A1: active employees per designation (Task_4_generate_active_table.py:27-30)
+# --------------------------------------------------------------------------
+@register(
+    "active_count_by_designation",
+    """
+    SELECT o_orderpriority AS designation, count(*) AS active_count
+    FROM orders WHERE o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    """,
+)
+def active_count_by_designation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    return count_by(
+        orders.withColumnRenamed("o_orderpriority", "designation"),
+        "designation",
+        predicate=F.col("o_orderstatus") == "O",
+        alias="active_count",
+    )
+
+
+# --------------------------------------------------------------------------
+# W1: keep-best dedup (clean_load_2_tf_staging.py:78-82)
+# --------------------------------------------------------------------------
+@register(
+    "dedup_keep_best",
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             row_number() OVER (
+               PARTITION BY o_custkey, o_orderstatus
+               ORDER BY o_totalprice DESC, o_orderkey ASC
+             ) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    return cleaning.dedup_keep_best(
+        orders,
+        ["o_custkey", "o_orderstatus"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+    )
+
+
+# --------------------------------------------------------------------------
+# W2: last-write-wins dedup (clean_load_3_ld_staging.py:54-63)
+# --------------------------------------------------------------------------
+@register(
+    "dedup_last_write_wins",
+    """
+    SELECT l_orderkey, l_partkey, l_linenumber, l_quantity, l_returnflag
+    FROM (
+      SELECT l_orderkey, l_partkey, l_linenumber, l_quantity, l_returnflag,
+             row_number() OVER (
+               PARTITION BY l_orderkey, l_partkey ORDER BY l_linenumber DESC
+             ) AS rn
+      FROM lineitem
+    ) WHERE rn = 1
+    """,
+)
+def dedup_last_write_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+    return cleaning.dedup_last_write_wins(li, ["l_orderkey", "l_partkey"], "l_linenumber")
+
+
+# --------------------------------------------------------------------------
+# O3: exceptAll-based dupe removal (clean_load_2_tf_staging.py:80-84)
+# --------------------------------------------------------------------------
+@register(
+    "except_all_dupes",
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+    EXCEPT ALL
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             row_number() OVER (
+               PARTITION BY o_custkey, o_orderstatus
+               ORDER BY o_totalprice DESC, o_orderkey ASC
+             ) AS rn
+      FROM orders
+    ) WHERE rn > 1
+    """,
+)
+def except_all_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    return cleaning.remove_dupes_except_all(
+        orders,
+        ["o_custkey", "o_orderstatus"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+    )
+
+
+# --------------------------------------------------------------------------
+# J1/A5/P17/O4: SCD-2 close-out merge (merge2_tf_dim_staging.py:32-48)
+# --------------------------------------------------------------------------
+_SCD2_SHAPE = """
+      SELECT o_custkey            AS emp_id,
+             o_orderkey           AS period_id,
+             CAST(o_orderdate AS DATE) AS start_date,
+             CAST(NULL AS DATE)   AS end_date,
+             'Active'             AS status,
+             o_totalprice         AS salary
+      FROM orders WHERE o_orderstatus = '{st}'
+"""
+
+
+@register(
+    "scd2_merge",
+    f"""
+    WITH dim AS ({_SCD2_SHAPE.format(st="O")}),
+         stg AS ({_SCD2_SHAPE.format(st="F")}),
+         mins AS (SELECT emp_id, min(start_date) AS min_start FROM stg GROUP BY emp_id)
+    SELECT d.emp_id, d.period_id,
+           CAST(d.start_date AS VARCHAR) AS start_date,
+           CAST(CASE WHEN d.end_date IS NULL AND m.min_start IS NOT NULL
+                     THEN m.min_start ELSE d.end_date END AS VARCHAR) AS end_date,
+           CASE WHEN d.end_date IS NULL AND m.min_start IS NOT NULL
+                THEN 'Inactive' ELSE d.status END AS status,
+           d.salary
+    FROM dim d LEFT JOIN mins m USING (emp_id)
+    UNION ALL
+    SELECT emp_id, period_id, CAST(start_date AS VARCHAR), CAST(end_date AS VARCHAR),
+           status, salary
+    FROM stg
+    """,
+)
+def scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+
+    def shape(status: str) -> DataFrame:
+        return orders.filter(F.col("o_orderstatus") == status).select(
+            F.col("o_custkey").alias("emp_id"),
+            F.col("o_orderkey").alias("period_id"),
+            _d("o_orderdate").alias("start_date"),
+            F.lit(None).cast("date").alias("end_date"),
+            F.lit("Active").alias("status"),
+            F.col("o_totalprice").alias("salary"),
+        )
+
+    merged = scd.scd2_close_out(shape("O"), shape("F"), key="emp_id")
+    return merged.select(
+        "emp_id",
+        "period_id",
+        F.col("start_date").cast("string").alias("start_date"),
+        F.col("end_date").cast("string").alias("end_date"),
+        "status",
+        "salary",
+    )
+
+
+# --------------------------------------------------------------------------
+# K6/J4: keyed upsert / MERGE (daily_dag.py:198-210)
+# --------------------------------------------------------------------------
+@register(
+    "keyed_upsert",
+    """
+    WITH dim AS (
+      SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_linestatus
+      FROM lineitem WHERE CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+    ),
+    stg AS (
+      SELECT l_orderkey, l_linenumber, l_quantity + 100 AS l_quantity,
+             l_extendedprice, l_linestatus
+      FROM lineitem WHERE l_returnflag = 'R'
+    )
+    SELECT COALESCE(d.l_orderkey, s.l_orderkey)     AS l_orderkey,
+           COALESCE(d.l_linenumber, s.l_linenumber) AS l_linenumber,
+           COALESCE(s.l_quantity, d.l_quantity)     AS l_quantity,
+           COALESCE(s.l_extendedprice, d.l_extendedprice) AS l_extendedprice,
+           COALESCE(s.l_linestatus, d.l_linestatus) AS l_linestatus
+    FROM dim d FULL OUTER JOIN stg s
+      ON d.l_orderkey = s.l_orderkey AND d.l_linenumber = s.l_linenumber
+    """,
+)
+def keyed_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    cols = ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_linestatus"]
+    dim = li.filter(_d("l_shipdate") < F.to_date(F.lit("1997-01-01"))).select(*cols)
+    stg = (
+        li.filter(F.col("l_returnflag") == "R")
+        .withColumn("l_quantity", F.col("l_quantity") + 100)
+        .select(*cols)
+    )
+    return scd.keyed_upsert(dim, stg, keys=["l_orderkey", "l_linenumber"])
+
+
+# --------------------------------------------------------------------------
+# Task_4_80perc.py: upcoming-leave >8% of working days (calendar arithmetic)
+# --------------------------------------------------------------------------
+@register(
+    "upcoming_leave_pct",
+    f"""
+    WITH wk_hol AS (
+      SELECT DISTINCT CAST(o_orderdate AS DATE) AS holiday_date
+      FROM orders
+      WHERE o_orderpriority = '1-URGENT'
+        AND isodow(CAST(o_orderdate AS DATE)) BETWEEN 1 AND 5
+    ),
+    cal AS (
+      SELECT CAST(unnest(generate_series(DATE '{ANCHOR}' + INTERVAL 1 DAY,
+                                         DATE '{HORIZON}', INTERVAL 1 DAY)) AS DATE) AS d
+    ),
+    wdays AS (
+      SELECT count(*) AS total_working_days FROM cal
+      WHERE isodow(d) BETWEEN 1 AND 5
+        AND d NOT IN (SELECT holiday_date FROM wk_hol)
+    ),
+    leaves AS (
+      SELECT DISTINCT l_suppkey AS emp_id, CAST(l_shipdate AS DATE) AS leave_date
+      FROM lineitem
+      WHERE CAST(l_shipdate AS DATE) >  DATE '{ANCHOR}'
+        AND CAST(l_shipdate AS DATE) <= DATE '{HORIZON}'
+        AND l_returnflag <> 'R'
+        AND isodow(CAST(l_shipdate AS DATE)) BETWEEN 1 AND 5
+        AND CAST(l_shipdate AS DATE) NOT IN (SELECT holiday_date FROM wk_hol)
+    ),
+    per_emp AS (SELECT emp_id, count(*) AS upcoming_leaves FROM leaves GROUP BY emp_id)
+    SELECT emp_id, upcoming_leaves, total_working_days,
+           round(upcoming_leaves / total_working_days * 100, 2) AS percentage
+    FROM per_emp, wdays
+    WHERE round(upcoming_leaves / total_working_days * 100, 2) > 8
+    """,
+)
+def upcoming_leave_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    leaves = li.select(
+        F.col("l_suppkey").alias("emp_id"),
+        _d("l_shipdate").alias("leave_date"),
+        F.col("l_returnflag").alias("status"),
+    )
+    holidays = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(_d("o_orderdate").alias("holiday_date"))
+        .distinct()
+    )
+    return upcoming_pct_report(
+        spark,
+        leaves,
+        emp_col="emp_id",
+        date_col="leave_date",
+        status_col="status",
+        cancelled="R",
+        anchor=ANCHOR,
+        horizon=HORIZON,
+        holidays=holidays,
+        threshold_pct=8.0,
+    )
+
+
+# --------------------------------------------------------------------------
+# Task_4_monthly_80_percent.py: percent-of-quota report (J2+A3+A4)
+# --------------------------------------------------------------------------
+@register(
+    "pct_of_quota",
+    """
+    WITH quota AS (
+      SELECT l_suppkey AS emp_id, round(sum(l_quantity), 2) AS leave_available
+      FROM lineitem WHERE year(CAST(l_shipdate AS DATE)) = 1995
+      GROUP BY l_suppkey
+    ),
+    availed AS (
+      SELECT l_suppkey AS emp_id, count(*) AS leave_availed
+      FROM lineitem
+      WHERE year(CAST(l_shipdate AS DATE)) = 1995 AND l_returnflag = 'A'
+      GROUP BY l_suppkey
+    )
+    SELECT q.emp_id, q.leave_available, a.leave_availed,
+           round(a.leave_availed / q.leave_available * 100, 2) AS percentage
+    FROM quota q JOIN availed a ON q.emp_id = a.emp_id
+    WHERE round(a.leave_availed / q.leave_available * 100, 2) > 1
+    """,
+)
+def pct_of_quota_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem").filter(F.year(_d("l_shipdate")) == 1995)
+    quota = li.groupBy(F.col("l_suppkey").alias("emp_id")).agg(
+        F.round(F.sum("l_quantity"), 2).alias("leave_available")
+    )
+    availed = (
+        li.filter(F.col("l_returnflag") == "A")
+        .groupBy(F.col("l_suppkey").alias("emp_id"))
+        .agg(F.count("*").alias("leave_availed"))
+    )
+    return pct_of_quota(
+        quota, availed, key="emp_id",
+        quota_col="leave_available", availed_col="leave_availed",
+        threshold=1.0,
+    )
+
+
+# --------------------------------------------------------------------------
+# Cleaning: epoch→timestamp + status derivation (clean_load_2_tf_staging.py:73-90)
+# --------------------------------------------------------------------------
+@register(
+    "epoch_status_clean",
+    """
+    WITH base AS (
+      SELECT event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS start_date,
+             CASE WHEN event_type <> 'signup'
+                  THEN CAST(floor(epoch(ts)) AS BIGINT) + CAST(floor(value) AS BIGINT) * 3600
+             END AS end_date
+      FROM events
+    )
+    SELECT event_id,
+           make_timestamp(start_date * 1000000) AS start_date,
+           make_timestamp(end_date * 1000000)   AS end_date,
+           CASE WHEN end_date IS NULL THEN 'Active' ELSE 'Inactive' END AS status,
+           0 AS strike_count,
+           CAST(CAST(NULL AS DATE) AS VARCHAR) AS cooldown_start_date
+    FROM base
+    """,
+)
+def epoch_status_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        F.unix_timestamp("ts").alias("start_date"),
+        F.when(
+            F.col("event_type") != "signup",
+            F.unix_timestamp("ts") + F.floor("value").cast("bigint") * 3600,
+        ).alias("end_date"),
+    )
+    converted = cleaning.epoch_seconds_to_timestamp(base, ["start_date", "end_date"])
+    return cleaning.derive_status(converted, end_col="end_date").select(
+        "event_id",
+        "start_date",
+        "end_date",
+        "status",
+        F.lit(0).alias("strike_count"),
+        F.lit(None).cast("date").cast("string").alias("cooldown_start_date"),
+    )
+
+
+# --------------------------------------------------------------------------
+# O4: union-by-name entity list
+# --------------------------------------------------------------------------
+@register(
+    "union_entities",
+    """
+    SELECT c_custkey AS entity_id, c_name AS entity_name, 'customer' AS src FROM customer
+    UNION ALL
+    SELECT s_suppkey AS entity_id, s_name AS entity_name, 'supplier' AS src FROM supplier
+    """,
+)
+def union_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("entity_id"),
+        F.col("c_name").alias("entity_name"),
+        F.lit("customer").alias("src"),
+    )
+    supp = read_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("entity_id"),
+        F.col("s_name").alias("entity_name"),
+        F.lit("supplier").alias("src"),
+    )
+    return cust.unionByName(supp)
+
+
+# --------------------------------------------------------------------------
+# O5: distinct keys (dropDuplicates on a projection)
+# --------------------------------------------------------------------------
+@register(
+    "distinct_order_supp_pairs",
+    "SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem",
+)
+def distinct_order_supp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .dropDuplicates(["l_orderkey", "l_suppkey"])
+    )
+
+
+# --------------------------------------------------------------------------
+# Top-k per group (window; WindowGroupLimit pushdown)
+# --------------------------------------------------------------------------
+@register(
+    "top3_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rank_in_group
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (
+               PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC
+             ) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    return top_k_per_group(
+        orders, ["o_custkey"], [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()], 3
+    ).select("o_custkey", "o_orderkey", "o_totalprice", "rank_in_group")
+
+
+# --------------------------------------------------------------------------
+# §2.9 batch-equivalent: strike report (README.md:101-105 semantics)
+# --------------------------------------------------------------------------
+@register(
+    "strike_report_batch",
+    """
+    WITH s AS (
+      SELECT user_id AS emp_id, count(*) AS strike_count
+      FROM events WHERE event_type = 'error' GROUP BY user_id
+    )
+    SELECT emp_id, strike_count,
+           CASE WHEN strike_count >= 10 THEN 'INACTIVE' ELSE 'ACTIVE' END AS status,
+           round(100000 * pow(0.9, least(strike_count, 10)), 2) AS updated_salary
+    FROM s
+    """,
+)
+def strike_report_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return strike_report(read_table(spark, sf_dir, "events"))

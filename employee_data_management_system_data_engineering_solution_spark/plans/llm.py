@@ -1,0 +1,328 @@
+"""LLM-training-data pipeline queries (north-star; BASELINE.json) over
+``documents`` and ``embeddings``.
+
+Oracle-parity notes: md5 is the cross-engine hash everywhere (Spark and
+DuckDB produce identical hex); regexes stay in the portable
+Java∩RE2 subset; DuckDB ``regexp_replace`` needs the explicit ``'g'``
+flag to match Spark's replace-all semantics; cosines are computed in
+double precision on both sides and rounded to 6 dp before ranking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as tx
+from ..operators import dedup, multimodal, similarity
+from ..sources.io import read_table
+from ..streaming.strikes import run_strike_stream
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+@register(
+    "text_stats",
+    r"""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE length(regexp_split_to_array(trim(text), '\s+')) END AS n_words,
+           length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tokens,
+           round(length(regexp_extract_all(text, '[^A-Za-z0-9\s]'))
+                 / greatest(length(text), 1), 4) AS punct_ratio,
+           round(length(regexp_replace(text, '\s+', '', 'g'))
+                 / greatest(CASE WHEN length(trim(text)) = 0 THEN 0
+                                 ELSE length(regexp_split_to_array(trim(text), '\s+')) END, 1),
+                 4) AS avg_word_len
+    FROM documents
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_words = tx.word_count(t)
+    return docs.select(
+        "doc_id",
+        F.length(t).alias("n_chars"),
+        n_words.alias("n_words"),
+        tx.token_count(t).alias("n_tokens"),
+        tx.punct_ratio(t).alias("punct_ratio"),
+        F.round(
+            F.length(F.regexp_replace(t, r"\s+", "")) / F.greatest(n_words, F.lit(1)), 4
+        ).alias("avg_word_len"),
+    )
+
+
+@register(
+    "quality_score",
+    r"""
+    WITH stats AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE length(regexp_split_to_array(trim(text), '\s+')) END AS wc,
+             length(regexp_extract_all(lower(text),
+               '\b(the|and|of|to|in|is|that|with|for|was)\b')) AS hits,
+             round(length(regexp_extract_all(text, '[^A-Za-z0-9\s]'))
+                   / greatest(length(text), 1), 4) AS pr
+      FROM documents
+    )
+    SELECT doc_id, wc AS n_words,
+           round((least(wc / 100.0, 1.0)
+                  + least(hits / greatest(wc, 1) * 5, 1.0)
+                  + (1.0 - least(pr * 4, 1.0))) / 3, 4) AS quality
+    FROM stats
+    """,
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        tx.word_count(t).alias("n_words"),
+        tx.quality_score(t).alias("quality"),
+    )
+
+
+@register(
+    "lang_id",
+    r"""
+    SELECT doc_id, lang,
+           length(regexp_extract_all(lower(text),
+             '\b(the|and|of|to|in|is|that|with|for|was)\b')) AS en_hits,
+           CASE WHEN length(regexp_extract_all(lower(text),
+             '\b(the|and|of|to|in|is|that|with|for|was)\b')) >= 3
+                THEN 'en' ELSE 'other' END AS predicted_lang
+    FROM documents
+    """,
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    hits = tx.stopword_hits(F.col("text"))
+    return docs.select(
+        "doc_id",
+        "lang",
+        hits.alias("en_hits"),
+        F.when(hits >= 3, F.lit("en")).otherwise(F.lit("other")).alias("predicted_lang"),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    r"""
+    SELECT doc_id,
+           md5(array_to_string(
+             list_sort(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))),
+             ' ')) AS fingerprint
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", tx.fingerprint(F.col("text")).alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+@register(
+    "exact_dedup",
+    r"""
+    SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_md5,
+           min(doc_id) AS keep_id,
+           count(*)    AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs, "doc_id", "text")
+
+
+def _duck_minhash_sig() -> str:
+    """DuckDB expressions mirroring functions.text.minhash_signature."""
+    cols = []
+    for i in range(8):
+        cols.append(
+            f"coalesce(list_min(list_transform(ws, x -> md5('{i}:' || x))), repeat('z', 32)) AS mh_{i}"
+        )
+    return ",\n             ".join(cols)
+
+
+@register(
+    "minhash_lsh_groups",
+    rf"""
+    WITH w AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))
+             END AS ws
+      FROM documents
+    ),
+    sig AS (
+      SELECT doc_id,
+             {_duck_minhash_sig()}
+      FROM w
+    ),
+    banded AS (
+      SELECT doc_id, 0 AS band_no,
+             md5(mh_0 || '|' || mh_1 || '|' || mh_2 || '|' || mh_3) AS bucket FROM sig
+      UNION ALL
+      SELECT doc_id, 1 AS band_no,
+             md5(mh_4 || '|' || mh_5 || '|' || mh_6 || '|' || mh_7) AS bucket FROM sig
+    )
+    SELECT band_no, bucket, count(*) AS n_docs, min(doc_id) AS keep_id
+    FROM banded GROUP BY band_no, bucket HAVING count(*) > 1
+    """,
+)
+def minhash_lsh_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_groups(docs, "doc_id", "text", n_hashes=8, bands=2)
+
+
+@register(
+    "ngram_jaccard_pairs",
+    r"""
+    WITH base AS (
+      SELECT doc_id,
+             substring(norm, 1, 32) AS block,
+             list_distinct(list_transform(
+               generate_series(0, greatest(length(norm) - 5, 0)),
+               i -> substring(norm, i + 1, 5))) AS grams
+      FROM (SELECT doc_id,
+                   regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+            FROM documents)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(length(list_intersect(a.grams, b.grams))
+                 / greatest(length(list_distinct(list_concat(a.grams, b.grams))), 1),
+                 4) AS jaccard
+    FROM base a JOIN base b ON a.block = b.block AND a.doc_id < b.doc_id
+    WHERE round(length(list_intersect(a.grams, b.grams))
+                / greatest(length(list_distinct(list_concat(a.grams, b.grams))), 1), 4)
+          >= 0.5
+    """,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=5, min_jaccard=0.5)
+
+
+@register("simhash_signatures", None)  # Pandas-UDF op: rows-only check
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup.simhash(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+_COS = (
+    "round(list_dot_product(qv, cv)"
+    " / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6)"
+)
+
+
+@register(
+    "embedding_topk",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 5
+    ),
+    c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id, {_COS} AS cosine_sim
+      FROM q, c WHERE neighbor_id <> query_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rn AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
+      FROM scored
+    ) WHERE rn <= 10
+    """,
+)
+def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.cosine_topk_bruteforce(queries, emb, k=10)
+
+
+@register(
+    "ivf_topk",
+    f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    p AS (SELECT vec_id AS pivot_id, e AS pv FROM v WHERE vec_id < 8),
+    assign_scored AS (
+      SELECT v.vec_id, v.e, p.pivot_id,
+             round(list_dot_product(v.e, p.pv)
+                   / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(p.pv, p.pv))),
+                   6) AS sim
+      FROM v, p
+    ),
+    assigned AS (
+      SELECT vec_id, e, pivot_id AS cluster_id
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY vec_id ORDER BY sim DESC, pivot_id ASC) AS rn
+            FROM assign_scored)
+      WHERE rn = 1
+    ),
+    q AS (
+      SELECT vec_id AS query_id, e AS qv, cluster_id
+      FROM assigned WHERE vec_id >= 100 AND vec_id < 105
+    ),
+    scored AS (
+      SELECT q.query_id, a.vec_id AS neighbor_id, {_COS.replace('cv', 'a.e')} AS cosine_sim
+      FROM assigned a JOIN q ON a.cluster_id = q.cluster_id
+      WHERE a.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rn AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
+      FROM scored
+    ) WHERE rn <= 10
+    """,
+)
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    pivots = emb.filter(F.col("vec_id") < 8)
+    queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105))
+    return similarity.ivf_topk(queries, emb, pivots, k=10)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+@register(
+    "binary_metadata",
+    """
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           'application/octet-stream' AS media_type
+    FROM documents
+    """,
+)
+def binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return multimodal.with_binary_payload(docs, "doc_id", "text").select(
+        "doc_id", "n_bytes", "media_type"
+    )
+
+
+@register("multimodal_decode", None)  # mapInPandas decode stub: rows-only check
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    payloads = multimodal.with_binary_payload(docs, "doc_id", "text")
+    return multimodal.decode_features(payloads)
+
+
+# ---------------------------------------------------------------------------
+# Stateful streaming (applyInPandasWithState): rows-only check
+# ---------------------------------------------------------------------------
+@register("strike_stream_stateful", None)
+def strike_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_strike_stream(spark, sf_dir)

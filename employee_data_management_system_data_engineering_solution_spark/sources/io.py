@@ -1,0 +1,102 @@
+"""Sources & sinks (SURVEY.md §2.1 S1-S6, §2.2 K1-K6).
+
+The reference reads the newest CSV from S3 (boto3 ``list_objects_v2``
+sorted by LastModified — ``clean_load_2_tf_staging.py:35-44``,
+4 copies) and writes via JDBC to Postgres. This engine is
+Parquet-native: columnar scans get predicate pushdown + column pruning
+from Catalyst for free; "staging/dim tables" are parquet directories or
+temp views. A JDBC path is kept behind options for external RDBMS use.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def normalize_nanos(df: DataFrame) -> DataFrame:
+    """TIMESTAMP(NANOS) parquet columns arrive as long (see the
+    ``nanosAsLong`` session conf); convert to TimestampType (micros).
+    Integer ``div`` keeps the arithmetic exact on int64."""
+    from pyspark.sql import functions as F
+
+    for field in df.schema.fields:
+        if field.name == "ts" and isinstance(field.dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one warehouse table (parquet). Column pruning / filter
+    pushdown happen in Catalyst — callers just select/filter."""
+    return normalize_nanos(spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")))
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
+    """Register every table as a temp view so queries can use spark.sql."""
+    for name in names:
+        read_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    header: bool = True,
+) -> DataFrame:
+    """CSV scan (reference S1, ``clean_load_2_tf_staging.py:56-57``).
+
+    Production callers pass an explicit schema — ``inferSchema`` does a
+    full extra pass over the data, which is unacceptable at scale; it is
+    only used when no schema is supplied (parity with the reference).
+    """
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        return reader.schema(schema).csv(path)
+    return reader.option("inferSchema", "true").csv(path)
+
+
+def latest_file(path: str, suffix: str = "") -> str | None:
+    """Newest-file discovery (reference S4, ``daily_dag.py:129-137``):
+    the reference lists S3 objects and sorts by LastModified. Local/HDFS
+    equivalent: sort directory entries by mtime descending."""
+    if not os.path.isdir(path):
+        return None
+    entries = [
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(suffix) and not f.startswith(("_", "."))
+    ]
+    if not entries:
+        return None
+    return max(entries, key=os.path.getmtime)
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
+    """Replaces JDBC overwrite/append sinks (reference K1/K2,
+    ``clean_load_2_tf_staging.py:92-100``). ``partition_by`` enables
+    partition pruning for downstream date/key-filtered scans."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True) -> None:
+    """Report publishing sink (reference K3, ``Task_4_generate_active_table.py:32-35``)."""
+    df.write.mode(mode).option("header", str(header).lower()).csv(path)

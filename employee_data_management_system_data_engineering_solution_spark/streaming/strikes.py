@@ -1,0 +1,174 @@
+"""Communication-monitoring strike pipeline (SURVEY.md §2.9).
+
+The reference specifies this in ``README.md:101-105`` (real-time Kafka
+messages; flag against reserved words; strike accumulation; salary
+deduction per strike; >= 10 strikes ⇒ INACTIVE; monthly cooldown reset)
+but ships no code — only the prepared columns ``strike_count``,
+``updated_salary``, ``cooldown_start_date``
+(``clean_load_2_tf_staging.py:87-90``). This module implements those
+semantics on Structured Streaming, with the driver's ``events`` table
+standing in for the Kafka feed (``user_id``→emp_id, ``event_type`` ==
+'error' → flagged message; a reserved-word ``rlike`` over a message
+column is the production path and is exposed via ``flag_messages``).
+
+Scale notes: the stateful path keeps one small state row per employee
+(``applyInPandasWithState``), partitioned by key — state size is
+O(#employees), not O(#messages). The batch-equivalent aggregation is a
+single partial-agg shuffle used for the DuckDB oracle and backfills.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+RESERVED_WORDS = ["confidential", "secret", "prohibited", "error"]
+BASE_SALARY = 100000.0
+STRIKE_LIMIT = 10
+DEDUCTION_RATE = 0.10  # salary multiplier per strike: *(1 - 0.10)
+
+
+def flag_messages(df: DataFrame, message_col: str, words: list[str] | None = None) -> DataFrame:
+    """Per-message reserved-word flag (``README.md:104``): word-boundary
+    regex against the reserved list, JVM-side."""
+    pattern = r"\b(" + "|".join(words or RESERVED_WORDS) + r")\b"
+    return df.withColumn("flagged", F.lower(F.col(message_col)).rlike(pattern))
+
+
+def flagged_expr(event_type_col: str = "event_type") -> Column:
+    """Stand-in flag for the driver's ``events`` table: 'error' events
+    are the flagged communications."""
+    return F.col(event_type_col) == "error"
+
+
+def strike_report(events: DataFrame, emp_col: str = "user_id") -> DataFrame:
+    """Batch-equivalent of the stream state: strikes per employee,
+    INACTIVE at >= STRIKE_LIMIT, compounded salary deduction.
+
+    Output: (emp_id, strike_count, status, updated_salary).
+    """
+    strikes = (
+        events.filter(flagged_expr())
+        .groupBy(F.col(emp_col).alias("emp_id"))
+        .agg(F.count("*").alias("strike_count"))
+    )
+    return strikes.select(
+        "emp_id",
+        "strike_count",
+        F.when(F.col("strike_count") >= STRIKE_LIMIT, F.lit("INACTIVE"))
+        .otherwise(F.lit("ACTIVE"))
+        .alias("status"),
+        F.round(
+            F.lit(BASE_SALARY)
+            * F.pow(F.lit(1.0 - DEDUCTION_RATE), F.least(F.col("strike_count"), F.lit(STRIKE_LIMIT))),
+            2,
+        ).alias("updated_salary"),
+    )
+
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("strikes", IntegerType()),
+        StructField("month", StringType()),
+    ]
+)
+_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("emp_id", LongType()),
+        StructField("strike_count", IntegerType()),
+        StructField("status", StringType()),
+        StructField("month", StringType()),
+    ]
+)
+
+
+def _strike_state_fn(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-employee strike accumulator with monthly cooldown: strikes
+    reset at a new month unless the INACTIVE threshold was already hit
+    (``README.md:105``)."""
+    (emp_id,) = key
+    strikes, month = state.get if state.exists else (0, "")
+    for pdf in pdfs:
+        flagged = pdf[pdf["flagged"]]
+        for m in sorted(flagged["month"].unique()):
+            if m != month and strikes < STRIKE_LIMIT:
+                strikes = 0  # cooldown: new month, threshold not hit
+            month = max(month, m)
+            strikes += int((flagged["month"] == m).sum())
+    state.update((strikes, month))
+    status = "INACTIVE" if strikes >= STRIKE_LIMIT else "ACTIVE"
+    yield pd.DataFrame(
+        [{"emp_id": emp_id, "strike_count": strikes, "status": status, "month": month}]
+    )
+
+
+def run_strike_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive the stateful strike pipeline over the ``events`` table
+    replayed as a file-source micro-batch stream; returns the final
+    per-employee state as a batch DataFrame.
+
+    In production the source line changes to
+    ``spark.readStream.format("kafka")`` — the rest of the plan is
+    identical.
+    """
+    import os
+    import tempfile
+    import uuid
+
+    from ..sources.io import normalize_nanos
+
+    # the file source requires a directory: stage the table into one
+    stage_dir = tempfile.mkdtemp(prefix="eds_stream_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stage_dir}/events.parquet")
+
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage_dir)
+    )
+    prepared = normalize_nanos(stream).select(
+        F.col("user_id").alias("emp_id"),
+        flagged_expr().alias("flagged"),
+        F.date_format("ts", "yyyy-MM").alias("month"),
+    )
+    result = prepared.groupBy("emp_id").applyInPandasWithState(
+        _strike_state_fn,
+        outputStructType=_OUTPUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"strikes_{uuid.uuid4().hex[:8]}"
+    q = (
+        result.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # latest state per employee (update mode may emit once per batch)
+    out = spark.table(name)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("emp_id").orderBy(F.col("month").desc(), F.col("strike_count").desc())
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("emp_id", "strike_count", "status")
+    )

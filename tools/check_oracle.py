@@ -1,0 +1,107 @@
+"""Local mirror of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin
+on DuckDB at the given scale factor, then compares row count, column
+names, and an order-insensitive value comparison (exact on strings/
+ints, tolerant-then-exact report on floats so rounding hazards
+surface before the real gate).
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+import traceback
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+from __spark_entry__ import oracle_sql, queries  # noqa: E402
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # canonical string form, stable across engines for equal values
+    out = pd.DataFrame()
+    for c in df.columns:
+        col = df[c]
+        if col.dtype == object:
+            out[c] = col.map(lambda v: "NULL" if v is None else str(v))
+        elif str(col.dtype).startswith(("float", "Float")):
+            out[c] = col.map(lambda v: "NULL" if pd.isna(v) else repr(float(v)))
+        elif str(col.dtype).startswith("datetime"):
+            out[c] = col.map(lambda v: "NULL" if pd.isna(v) else v.isoformat())
+        else:
+            out[c] = col.map(lambda v: "NULL" if pd.isna(v) else str(v))
+    return out.sort_values(by=list(out.columns), kind="mergesort").reset_index(drop=True)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    from employee_data_management_system_data_engineering_solution_spark import get_session
+
+    spark = get_session("oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs, oracles = queries(), oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception:
+            print(f"FAIL {name}: spark error\n{traceback.format_exc()}")
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"ok   {name}: rows-only, {len(sdf)} rows ({time.time()-t0:.1f}s)")
+            continue
+        try:
+            ddf = con.execute(oracles[name]).df()
+        except Exception:
+            print(f"FAIL {name}: duckdb error\n{traceback.format_exc()}")
+            failures.append(name)
+            continue
+
+        problems = []
+        if len(sdf) != len(ddf):
+            problems.append(f"rowcount spark={len(sdf)} duck={len(ddf)}")
+        if sorted(sdf.columns) != sorted(ddf.columns):
+            problems.append(f"cols spark={sorted(sdf.columns)} duck={sorted(ddf.columns)}")
+        if not problems:
+            ns, nd = normalize(sdf), normalize(ddf)
+            if not ns.equals(nd):
+                diff_cols = [c for c in ns.columns if not ns[c].equals(nd[c])]
+                problems.append(f"values differ in {diff_cols}")
+                for c in diff_cols[:3]:
+                    mask = ns[c] != nd[c]
+                    ex = pd.DataFrame(
+                        {"spark": ns[c][mask].head(3), "duck": nd[c][mask].head(3)}
+                    )
+                    problems.append(f"  {c}:\n{ex.to_string()}")
+        if problems:
+            print(f"FAIL {name} ({time.time()-t0:.1f}s): " + "\n".join(problems))
+            failures.append(name)
+        else:
+            print(f"PASS {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
+
+    print(f"\n{len(qs) - len(failures)}/{len(qs)} ok; failures: {failures or 'none'}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
