@@ -69,13 +69,19 @@ def dedup_keep_best(
 
 
 def dedup_last_write_wins(
-    df: DataFrame, key_cols: list[str], arrival_col: str
+    df: DataFrame,
+    key_cols: list[str],
+    arrival_col: str,
+    tie_breakers: list[Column] | None = None,
 ) -> DataFrame:
     """W2: one row per key, the latest ``arrival_col`` wins
     (reference ``clean_load_3_ld_staging.py:57-63``, which synthesized
     arrival order with ``monotonically_increasing_id``; callers here
-    must supply a real, totally-ordered column for determinism)."""
-    return dedup_keep_best(df, key_cols, [F.col(arrival_col).desc()])
+    must supply a real, totally-ordered column for determinism).
+    ``tie_breakers`` extend the order when ``arrival_col`` alone is not
+    unique within a key group."""
+    order = [F.col(arrival_col).desc(), *(tie_breakers or [])]
+    return dedup_keep_best(df, key_cols, order)
 
 
 def remove_dupes_except_all(

@@ -167,17 +167,26 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (
       SELECT l_orderkey, l_partkey, l_linenumber, l_quantity, l_returnflag,
              row_number() OVER (
-               PARTITION BY l_orderkey, l_partkey ORDER BY l_linenumber DESC
+               PARTITION BY l_orderkey, l_partkey
+               ORDER BY l_linenumber DESC, l_quantity DESC, l_returnflag ASC
              ) AS rn
       FROM lineitem
     ) WHERE rn = 1
     """,
 )
 def dedup_last_write_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # (orderkey, partkey, linenumber) is NOT unique in the testdata, so
+    # the arrival order needs tie-breakers to be total — without them
+    # Spark and the oracle pick different winners (round-1 hash miss).
     li = read_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_linenumber", "l_quantity", "l_returnflag"
     )
-    return cleaning.dedup_last_write_wins(li, ["l_orderkey", "l_partkey"], "l_linenumber")
+    return cleaning.dedup_last_write_wins(
+        li,
+        ["l_orderkey", "l_partkey"],
+        "l_linenumber",
+        tie_breakers=[F.col("l_quantity").desc(), F.col("l_returnflag").asc()],
+    )
 
 
 # --------------------------------------------------------------------------

@@ -317,7 +317,16 @@ def binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     payloads = multimodal.with_binary_payload(docs, "doc_id", "text")
-    return multimodal.decode_features(payloads)
+    decoded = multimodal.decode_features(payloads)
+    # the driver's canonicalizer sorts rows in pandas, which cannot hash
+    # list cells — serialize the vector for the contract surface; real
+    # callers use decode_features() directly and keep the array type
+    return decoded.select(
+        "doc_id",
+        "n_bytes",
+        "media_type",
+        F.concat_ws(",", F.transform("feature", lambda x: x.cast("string"))).alias("feature_csv"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -5,7 +5,8 @@ sorted by LastModified — ``clean_load_2_tf_staging.py:35-44``,
 4 copies) and writes via JDBC to Postgres. This engine is
 Parquet-native: columnar scans get predicate pushdown + column pruning
 from Catalyst for free; "staging/dim tables" are parquet directories or
-temp views. A JDBC path is kept behind options for external RDBMS use.
+temp views. No JDBC connector is bundled — an external RDBMS caller
+would use stock ``spark.read.jdbc`` directly.
 """
 
 from __future__ import annotations
@@ -43,7 +44,14 @@ def normalize_nanos(df: DataFrame) -> DataFrame:
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one warehouse table (parquet). Column pruning / filter
-    pushdown happen in Catalyst — callers just select/filter."""
+    pushdown happen in Catalyst — callers just select/filter.
+
+    ``events.parquet`` carries TIMESTAMP(NANOS) columns, which Spark
+    rejects unless the legacy nanos-as-long conf is on. The conf is a
+    runtime SQL conf, so set it here (idempotent) rather than relying on
+    the session factory — callers may hand us any SparkSession.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return normalize_nanos(spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")))
 
 

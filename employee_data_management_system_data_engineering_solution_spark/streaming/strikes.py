@@ -126,49 +126,63 @@ def run_strike_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical.
     """
     import os
+    import shutil
     import tempfile
-    import uuid
 
     from ..sources.io import normalize_nanos
 
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
     # the file source requires a directory: stage the table into one
     stage_dir = tempfile.mkdtemp(prefix="eds_stream_")
-    os.symlink(f"{sf_dir}/events.parquet", f"{stage_dir}/events.parquet")
+    name = "strikes_stream_sink"
+    q = None
+    try:
+        os.symlink(f"{sf_dir}/events.parquet", f"{stage_dir}/events.parquet")
 
-    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
-    stream = (
-        spark.readStream.schema(batch.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(stage_dir)
-    )
-    prepared = normalize_nanos(stream).select(
-        F.col("user_id").alias("emp_id"),
-        flagged_expr().alias("flagged"),
-        F.date_format("ts", "yyyy-MM").alias("month"),
-    )
-    result = prepared.groupBy("emp_id").applyInPandasWithState(
-        _strike_state_fn,
-        outputStructType=_OUTPUT_SCHEMA,
-        stateStructType=_STATE_SCHEMA,
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
-    )
-    name = f"strikes_{uuid.uuid4().hex[:8]}"
-    q = (
-        result.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    # latest state per employee (update mode may emit once per batch)
-    out = spark.table(name)
-    from pyspark.sql import Window
+        batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+        stream = (
+            spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage_dir)
+        )
+        prepared = normalize_nanos(stream).select(
+            F.col("user_id").alias("emp_id"),
+            flagged_expr().alias("flagged"),
+            F.date_format("ts", "yyyy-MM").alias("month"),
+        )
+        result = prepared.groupBy("emp_id").applyInPandasWithState(
+            _strike_state_fn,
+            outputStructType=_OUTPUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        q = (
+            result.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # latest state per employee (update mode may emit once per batch);
+        # materialize before tearing the memory sink down
+        out = spark.table(name)
+        from pyspark.sql import Window
 
-    w = Window.partitionBy("emp_id").orderBy(F.col("month").desc(), F.col("strike_count").desc())
-    return (
-        out.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("emp_id", "strike_count", "status")
-    )
+        w = Window.partitionBy("emp_id").orderBy(
+            F.col("month").desc(), F.col("strike_count").desc()
+        )
+        rows = (
+            out.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("emp_id", "strike_count", "status")
+        )
+        final = spark.createDataFrame(rows.collect(), schema=rows.schema)
+        return final
+    finally:
+        if q is not None:
+            q.stop()
+        spark.catalog.dropTempView(name)
+        shutil.rmtree(stage_dir, ignore_errors=True)
