@@ -25,7 +25,80 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import char_ngrams, minhash_signature, normalized
+from ..functions.text import MINHASH_PRIME, minhash_signature, normalized
+
+
+def char_ngram_rows(df: DataFrame, id_col: str, text_col: str, n: int = 5) -> DataFrame:
+    """(id, gram) rows of char n-grams over normalized text.
+
+    Normalization is materialized in its own projection BEFORE the
+    position explode, so the regex runs once per doc; the per-gram work
+    is a substr on an attribute. (Putting the normalize expression
+    inside a ``transform`` lambda re-evaluates it per element — lambda
+    bodies are excluded from codegen subexpression elimination;
+    measured 8× slower at sf0.1.) Duplicate grams are kept: downstream
+    MIN-aggregation is multiset-insensitive.
+    """
+    ex = df.select(F.col(id_col), normalized(F.col(text_col)).alias("__norm")).select(
+        id_col,
+        "__norm",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(F.length("__norm") - n, F.lit(0)))
+        ).alias("__i"),
+    )
+    return ex.select(id_col, F.col("__norm").substr(F.col("__i") + 1, F.lit(n)).alias("gram"))
+
+
+def with_char_ngrams(df: DataFrame, id_col: str, text_col: str, n: int = 5) -> DataFrame:
+    """(id, grams array<string>) — distinct char n-gram set per doc,
+    with the same normalize-once projection barrier as
+    :func:`char_ngram_rows`."""
+    step = df.select(F.col(id_col), normalized(F.col(text_col)).alias("__norm"))
+    return step.select(
+        id_col,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.length("__norm") - n, F.lit(0))),
+                lambda i: F.col("__norm").substr(i + 1, F.lit(n)),
+            )
+        ).alias("grams"),
+    )
+
+
+def gram_minhash(
+    rows: DataFrame,
+    id_col: str,
+    gram_col: str = "gram",
+    n_hashes: int = 8,
+    prime: int = MINHASH_PRIME,
+) -> DataFrame:
+    """MinHash signature over (id, feature) rows (e.g. from
+    :func:`char_ngram_rows`). Output: one row per id, columns
+    ``gmh_0..n-1``.
+
+    One md5 per feature; the hash family is derived arithmetically from
+    the digest halves — h_i(g) = (a(g) + i·b(g)) mod P with
+    a = hex[0:15], b = hex[16:31] of md5(g) — so cost is 1 digest per
+    feature instead of ``n_hashes``. Both halves parse portably in
+    DuckDB (``('0x'||substr)::BIGINT``) for oracle parity.
+
+    Shape: narrow hash → groupBy(id).agg(min×n). Spark's partial
+    (map-side) aggregation reduces each partition to one row per id
+    before the exchange, so the shuffle payload is n_hashes longs per
+    doc — NOT per feature.
+    """
+    h = rows.select(F.col(id_col), F.md5(F.col(gram_col)).alias("__h"))
+    ab = h.select(
+        id_col,
+        (F.conv(F.substring("__h", 1, 15), 16, 10).cast("long") % prime).alias("__a"),
+        (F.conv(F.substring("__h", 17, 15), 16, 10).cast("long") % prime).alias("__b"),
+    )
+    return ab.groupBy(id_col).agg(
+        *[
+            F.min((F.col("__a") + F.lit(i) * F.col("__b")) % prime).alias(f"gmh_{i}")
+            for i in range(n_hashes)
+        ]
+    )
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -44,21 +117,16 @@ def with_minhash(df: DataFrame, id_col: str, text_col: str, n_hashes: int = 8) -
     return df.select(F.col(id_col), *minhash_signature(F.col(text_col), n_hashes))
 
 
-def minhash_lsh_groups(
+def lsh_banded(
     df: DataFrame,
     id_col: str,
     text_col: str,
     n_hashes: int = 8,
     bands: int = 2,
 ) -> DataFrame:
-    """LSH candidate groups: split the signature into ``bands`` bands,
-    md5 each band into a bucket key, explode doc→(band, bucket), and
-    keep buckets holding >1 doc. Output: one row per colliding bucket
-    with the member count and representative (min) ids.
-
-    Scale: explode multiplies rows by ``bands`` (small constant); the
-    groupBy shuffles 32-byte bucket keys. No cross join anywhere.
-    """
+    """Doc → (band_no, bucket) LSH rows: split the MinHash signature
+    into ``bands`` bands and md5 each band into a bucket key. Narrow
+    map + explode (rows × ``bands``, a small constant) — no shuffle."""
     rows_per_band = n_hashes // bands
     sig = with_minhash(df, id_col, text_col, n_hashes)
     band_cols = [
@@ -68,7 +136,7 @@ def minhash_lsh_groups(
         for b in range(bands)
     ]
     banded = sig.select(F.col(id_col), *band_cols)
-    exploded = banded.select(
+    return banded.select(
         F.col(id_col),
         F.explode(
             F.array(*[
@@ -77,6 +145,23 @@ def minhash_lsh_groups(
             ])
         ).alias("bb"),
     ).select(id_col, F.col("bb.band_no").alias("band_no"), F.col("bb.bucket").alias("bucket"))
+
+
+def minhash_lsh_groups(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 8,
+    bands: int = 2,
+) -> DataFrame:
+    """LSH candidate groups: keep buckets holding >1 doc. Output: one
+    row per colliding bucket with the member count and representative
+    (min) ids.
+
+    Scale: candidate generation is ONE groupBy shuffle on 32-byte
+    bucket keys. No cross join anywhere.
+    """
+    exploded = lsh_banded(df, id_col, text_col, n_hashes, bands)
     return (
         exploded.groupBy("band_no", "bucket")
         .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keep_id"))
@@ -90,27 +175,59 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 5,
     min_jaccard: float = 0.8,
-    prefilter_chars: int = 32,
+    n_hashes: int = 8,
+    bands: int = 2,
 ) -> DataFrame:
-    """Exact char-n-gram Jaccard over candidate pairs.
+    """Exact char-n-gram Jaccard verification over LSH candidate pairs.
 
-    Candidates are blocked on the first ``prefilter_chars`` chars of the
-    normalized text (a cheap stand-in for LSH when signatures aren't
-    materialized) so the self-join is per-block, never full cross.
+    Candidates come from the MinHash LSH buckets (:func:`lsh_banded`) —
+    the only pairwise work happens inside colliding buckets, so cost is
+    O(corpus) for signatures + O(Σ bucket²) for pairing, never a
+    block-quadratic self-join. (The earlier prefix-block candidate
+    scheme went near-quadratic on boilerplate-prefixed corpora.)
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
     """
-    base = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.substring(normalized(F.col(text_col)), 1, prefilter_chars).alias("block"),
-        char_ngrams(F.col(text_col), n).alias("grams"),
+    # MinHash over the SAME char-n-gram sets the verification uses, so
+    # the LSH collision probability approximates exactly the Jaccard
+    # being verified (word-level signatures degenerate on small-vocab
+    # corpora: every doc shares the word set and buckets go quadratic)
+    rows_per_band = n_hashes // bands
+    sig = gram_minhash(char_ngram_rows(df, id_col, text_col, n), id_col, n_hashes=n_hashes)
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|", *[F.col(f"gmh_{bd * rows_per_band + r}") for r in range(rows_per_band)]
+            )
+        ).alias(f"band_{bd}")
+        for bd in range(bands)
+    ]
+    banded = sig.select(F.col(id_col), *band_cols).select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(bd).alias("band_no"), F.col(f"band_{bd}").alias("bucket"))
+                for bd in range(bands)
+            ])
+        ).alias("bb"),
+    ).select(id_col, F.col("bb.band_no").alias("band_no"), F.col("bb.bucket").alias("bucket"))
+    a = banded.select(
+        F.col(id_col).alias("id_a"), "band_no", "bucket"
     )
-    a = base.select(
-        F.col("doc_id").alias("id_a"), F.col("block"), F.col("grams").alias("grams_a")
+    b = banded.select(
+        F.col(id_col).alias("id_b"), "band_no", "bucket"
     )
-    b = base.select(
-        F.col("doc_id").alias("id_b"), F.col("block"), F.col("grams").alias("grams_b")
+    # same-bucket pairs, deduped across bands: one shuffle on the
+    # bucket key, one on the (id_a, id_b) pair
+    cand = (
+        a.join(b, on=["band_no", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
     )
-    pairs = a.join(b, on="block").filter(F.col("id_a") < F.col("id_b"))
+    grams = with_char_ngrams(df, id_col, text_col, n)
+    ga = grams.select(F.col(id_col).alias("id_a"), F.col("grams").alias("grams_a"))
+    gb = grams.select(F.col(id_col).alias("id_b"), F.col("grams").alias("grams_b"))
+    pairs = cand.join(ga, on="id_a").join(gb, on="id_b")
     inter = F.size(F.array_intersect(F.col("grams_a"), F.col("grams_b")))
     union = F.size(F.array_union(F.col("grams_a"), F.col("grams_b")))
     return (
@@ -135,24 +252,50 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """
     import hashlib
 
+    import numpy as np
+
     def _batches(it):
         for pdf in it:
-            out_ids, out_sigs = [], []
-            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
-                counts = [0] * 64
-                for w in (text or "").lower().split():
-                    h = int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
-                    for bit in range(64):
-                        counts[bit] += 1 if (h >> bit) & 1 else -1
-                sig = 0
-                for bit in range(64):
-                    if counts[bit] > 0:
-                        sig |= 1 << bit
-                # store as signed int64
-                if sig >= 1 << 63:
-                    sig -= 1 << 64
-                out_ids.append(doc_id)
-                out_sigs.append(sig)
-            yield pd.DataFrame({"doc_id": out_ids, "simhash": out_sigs})
+            word_lists = pdf[text_col].fillna("").str.lower().str.split()
+            lens = word_lists.str.len().to_numpy(dtype=np.int64)
+            flat = [w for ws in word_lists for w in ws]
+            n_docs = len(pdf)
+            if not flat:
+                yield pd.DataFrame(
+                    {"doc_id": pdf[id_col].to_numpy(), "simhash": np.zeros(n_docs, dtype=np.int64)}
+                )
+                continue
+            # hash only DISTINCT words (big win: stopwords repeat), then
+            # fan out per occurrence via the inverse index
+            uniq, inv = np.unique(np.array(flat, dtype=object), return_inverse=True)
+            digests = b"".join(
+                hashlib.blake2b(w.encode(), digest_size=8).digest() for w in uniq
+            )
+            # big-endian bit layout: column j == bit (63-j) of the int,
+            # matching int.from_bytes(digest, "big") semantics
+            bits = np.unpackbits(
+                np.frombuffer(digests, dtype=np.uint8).reshape(-1, 8), axis=1
+            )
+            contrib = bits.astype(np.int32) * 2 - 1  # (n_uniq, 64) of ±1
+            # per-doc word-occurrence counts × contrib, chunked so the
+            # dense occurrence matrix stays within a fixed memory budget
+            n_uniq = len(uniq)
+            ends = np.cumsum(lens)
+            starts = ends - lens
+            counts = np.empty((n_docs, 64), dtype=np.int32)
+            chunk = max(1, 16_000_000 // max(n_uniq, 1))
+            for lo in range(0, n_docs, chunk):
+                hi = min(lo + chunk, n_docs)
+                seg = inv[starts[lo]:ends[hi - 1]] if ends[hi - 1] > starts[lo] else inv[:0]
+                doc_idx = np.repeat(np.arange(hi - lo), lens[lo:hi])
+                occ = np.bincount(
+                    doc_idx * n_uniq + seg, minlength=(hi - lo) * n_uniq
+                ).reshape(hi - lo, n_uniq)
+                counts[lo:hi] = occ.astype(np.int32) @ contrib
+            sig_bits = (counts > 0).astype(np.uint8)
+            packed = np.packbits(sig_bits, axis=1)  # big-endian bytes
+            u64 = packed.view(">u8").ravel().astype(np.uint64)
+            sigs = u64.view(np.int64)  # two's-complement reinterpret
+            yield pd.DataFrame({"doc_id": pdf[id_col].to_numpy(), "simhash": sigs})
 
     return df.select(F.col(id_col), F.col(text_col)).mapInPandas(_batches, _SIMHASH_SCHEMA)

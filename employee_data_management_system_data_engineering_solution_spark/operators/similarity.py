@@ -89,22 +89,41 @@ def assign_clusters(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """IVF assignment: each vector → nearest pivot by cosine
-    (deterministic tie-break on pivot id). Pivots are broadcast; the
-    corpus is scanned once, no shuffle."""
-    p = pivots.select(
-        F.col(id_col).alias("pivot_id"), F.col(vec_col).alias("__pvec")
+    (deterministic tie-break on smallest pivot id).
+
+    Zero-shuffle narrow map: the pivot set is tiny by construction
+    (IVF centroids), so it is embedded as a literal array-of-structs
+    and the argmax runs per row inside codegen via ``array_max`` over
+    ``(sim, -pivot_id)`` structs — no corpus×P row amplification, no
+    exchange, no window. The previous formulation (cross join + window
+    argmax) shuffled P copies of every vector; at 100 TB that shuffle
+    IS the job, while this version is pure scan."""
+    pivot_rows = pivots.select(id_col, vec_col).collect()  # bounded: P centroids
+    plit = F.array(
+        *[
+            F.struct(
+                F.lit(int(r[0])).alias("pivot_id"),
+                F.array(*[F.lit(float(x)) for x in r[1]]).alias("pv"),
+            )
+            for r in pivot_rows
+        ]
     )
-    scored = corpus.crossJoin(F.broadcast(p)).select(
+    v = _as_double(F.col(vec_col))
+    # struct comparison is field-order lexicographic: max sim first,
+    # then max(-pivot_id) == min pivot_id for ties
+    best = F.array_max(
+        F.transform(
+            plit,
+            lambda p: F.struct(
+                F.round(dot(v, p["pv"]) / (norm(v) * norm(p["pv"])), 6).alias("sim"),
+                (-p["pivot_id"]).alias("neg_pivot_id"),
+            ),
+        )
+    )
+    return corpus.select(
         F.col(id_col),
         F.col(vec_col),
-        F.col("pivot_id"),
-        F.round(cosine(F.col(vec_col), F.col("__pvec")), 6).alias("__sim"),
-    )
-    w = Window.partitionBy(id_col).orderBy(F.col("__sim").desc(), F.col("pivot_id").asc())
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(F.col(id_col), F.col(vec_col), F.col("pivot_id").alias("cluster_id"))
+        (-best["neg_pivot_id"]).cast("long").alias("cluster_id"),
     )
 
 

@@ -323,6 +323,7 @@ def keyed_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT CAST(o_orderdate AS DATE) AS holiday_date
       FROM orders
       WHERE o_orderpriority = '1-URGENT'
+        AND day(CAST(o_orderdate AS DATE)) = 13
         AND isodow(CAST(o_orderdate AS DATE)) BETWEEN 1 AND 5
     ),
     cal AS (
@@ -347,7 +348,7 @@ def keyed_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT emp_id, upcoming_leaves, total_working_days,
            round(upcoming_leaves / total_working_days * 100, 2) AS percentage
     FROM per_emp, wdays
-    WHERE round(upcoming_leaves / total_working_days * 100, 2) > 8
+    WHERE round(upcoming_leaves / total_working_days * 100, 2) > 4
     """,
 )
 def upcoming_leave_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -358,8 +359,14 @@ def upcoming_leave_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
         _d("l_shipdate").alias("leave_date"),
         F.col("l_returnflag").alias("status"),
     )
+    # day-of-month == 13 keeps the holiday dim SPARSE at every scale
+    # factor: without it, a bigger orders table eventually covers every
+    # weekday in the window and the working-day denominator hits zero
     holidays = (
-        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        orders.filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.dayofmonth(_d("o_orderdate")) == 13)
+        )
         .select(_d("o_orderdate").alias("holiday_date"))
         .distinct()
     )
@@ -373,7 +380,7 @@ def upcoming_leave_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
         anchor=ANCHOR,
         horizon=HORIZON,
         holidays=holidays,
-        threshold_pct=8.0,
+        threshold_pct=4.0,
     )
 
 

@@ -182,26 +182,61 @@ def minhash_lsh_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_groups(docs, "doc_id", "text", n_hashes=8, bands=2)
 
 
+def _duck_gram_minhash_sig(n_hashes: int = 8, prime: int = 2_147_483_647) -> str:
+    """DuckDB expressions mirroring functions.text.gram_minhash_sigs."""
+    a = f"(CAST(('0x' || substring(h, 1, 15)) AS BIGINT) % {prime})"
+    b = f"(CAST(('0x' || substring(h, 17, 15)) AS BIGINT) % {prime})"
+    cols = [
+        f"coalesce(list_min(list_transform(hexes, h -> ({a} + {i} * {b}) % {prime})), {prime}) AS gmh_{i}"
+        for i in range(n_hashes)
+    ]
+    return ",\n             ".join(cols)
+
+
 @register(
     "ngram_jaccard_pairs",
-    r"""
-    WITH base AS (
+    rf"""
+    WITH grams0 AS (
       SELECT doc_id,
-             substring(norm, 1, 32) AS block,
              list_distinct(list_transform(
                generate_series(0, greatest(length(norm) - 5, 0)),
                i -> substring(norm, i + 1, 5))) AS grams
       FROM (SELECT doc_id,
                    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
             FROM documents)
+    ),
+    hx AS (
+      SELECT doc_id, list_transform(grams, g -> md5(g)) AS hexes FROM grams0
+    ),
+    sig AS (
+      SELECT doc_id,
+             {_duck_gram_minhash_sig()}
+      FROM hx
+    ),
+    banded AS (
+      SELECT doc_id, 0 AS band_no,
+             md5(gmh_0::VARCHAR || '|' || gmh_1::VARCHAR || '|' ||
+                 gmh_2::VARCHAR || '|' || gmh_3::VARCHAR) AS bucket FROM sig
+      UNION ALL
+      SELECT doc_id, 1 AS band_no,
+             md5(gmh_4::VARCHAR || '|' || gmh_5::VARCHAR || '|' ||
+                 gmh_6::VARCHAR || '|' || gmh_7::VARCHAR) AS bucket FROM sig
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a
+      JOIN banded b ON a.band_no = b.band_no AND a.bucket = b.bucket
+                   AND a.doc_id < b.doc_id
     )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           round(length(list_intersect(a.grams, b.grams))
-                 / greatest(length(list_distinct(list_concat(a.grams, b.grams))), 1),
+    SELECT id_a, id_b,
+           round(length(list_intersect(ga.grams, gb.grams))
+                 / greatest(length(list_distinct(list_concat(ga.grams, gb.grams))), 1),
                  4) AS jaccard
-    FROM base a JOIN base b ON a.block = b.block AND a.doc_id < b.doc_id
-    WHERE round(length(list_intersect(a.grams, b.grams))
-                / greatest(length(list_distinct(list_concat(a.grams, b.grams))), 1), 4)
+    FROM cand
+    JOIN grams0 ga ON ga.doc_id = id_a
+    JOIN grams0 gb ON gb.doc_id = id_b
+    WHERE round(length(list_intersect(ga.grams, gb.grams))
+                / greatest(length(list_distinct(list_concat(ga.grams, gb.grams))), 1), 4)
           >= 0.5
     """,
 )

@@ -116,7 +116,9 @@ def _strike_state_fn(
     )
 
 
-def run_strike_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def run_strike_stream(
+    spark: SparkSession, sf_dir: str, state_partitions: int = 8
+) -> DataFrame:
     """Drive the stateful strike pipeline over the ``events`` table
     replayed as a file-source micro-batch stream; returns the final
     per-employee state as a batch DataFrame.
@@ -124,6 +126,14 @@ def run_strike_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     In production the source line changes to
     ``spark.readStream.format("kafka")`` — the rest of the plan is
     identical.
+
+    ``state_partitions`` sizes the stateful exchange: each shuffle
+    partition carries an HDFS-backed state store + an Arrow python
+    worker, a fixed per-partition setup cost that dwarfs per-row work
+    on all but huge key spaces (32 partitions measured 5× slower than
+    8 on a 1,500-key batch). Size it to key cardinality / executor
+    count in production. The session's shuffle-partition conf is
+    restored afterwards.
     """
     import os
     import shutil
@@ -132,6 +142,8 @@ def run_strike_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.io import normalize_nanos
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    prior_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
 
     # the file source requires a directory: stage the table into one
     stage_dir = tempfile.mkdtemp(prefix="eds_stream_")
@@ -182,6 +194,7 @@ def run_strike_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         final = spark.createDataFrame(rows.collect(), schema=rows.schema)
         return final
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior_parts)
         if q is not None:
             q.stop()
         spark.catalog.dropTempView(name)
