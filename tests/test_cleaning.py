@@ -1,0 +1,73 @@
+"""Cleaning/dedup operator semantics (SURVEY.md §5 item 3; reference
+``clean_load_2_tf_staging.py:73-90`` and ``clean_load_3_ld_staging.py:54-63``).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from employee_data_management_system_data_engineering_solution_spark.operators.cleaning import (
+    dedup_keep_best,
+    dedup_last_write_wins,
+    derive_status,
+    epoch_seconds_to_timestamp,
+    remove_dupes_except_all,
+)
+
+
+def test_epoch_seconds_to_timestamp(spark):
+    df = spark.createDataFrame([Row(a=0, b=1609459200)])  # 2021-01-01T00:00:00Z
+    out = epoch_seconds_to_timestamp(df, ["a", "b"]).collect()[0]
+    assert out.a == dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc).astimezone().replace(tzinfo=None)
+    assert out.b.year == 2021 and out.b.month == 1
+
+
+def test_derive_status(spark):
+    df = spark.createDataFrame([Row(end_date=None), Row(end_date="2021-01-01")])
+    out = [r.status for r in derive_status(df).collect()]
+    assert sorted(out) == ["Active", "Inactive"]
+
+
+def test_dedup_keep_best_picks_winner(spark):
+    df = spark.createDataFrame(
+        [(1, None, 100), (1, None, 200), (2, None, 50)],  # winner: highest salary per key
+        "emp_id long, end_date date, salary long",
+    )
+    out = dedup_keep_best(df, ["emp_id", "end_date"], [F.col("salary").desc()])
+    got = {(r.emp_id, r.salary) for r in out.collect()}
+    assert got == {(1, 200), (2, 50)}
+
+
+def test_dedup_last_write_wins_with_tie_breakers(spark):
+    df = spark.createDataFrame(
+        [
+            Row(emp_id=1, day="d1", arrival=1, status="A"),
+            Row(emp_id=1, day="d1", arrival=2, status="B"),  # latest arrival wins
+            # tied arrival: tie-breaker decides deterministically
+            Row(emp_id=2, day="d1", arrival=1, status="X"),
+            Row(emp_id=2, day="d1", arrival=1, status="Y"),
+        ]
+    )
+    out = dedup_last_write_wins(
+        df, ["emp_id", "day"], "arrival", tie_breakers=[F.col("status").desc()]
+    )
+    got = {(r.emp_id, r.status) for r in out.collect()}
+    assert got == {(1, "B"), (2, "Y")}
+
+
+def test_remove_dupes_except_all_keeps_multiplicity(spark):
+    # two IDENTICAL rows: the window marks one as rn>1, exceptAll must
+    # remove exactly one copy (bag semantics), keeping the other
+    df = spark.createDataFrame(
+        [
+            Row(emp_id=1, salary=100),
+            Row(emp_id=1, salary=100),
+            Row(emp_id=3, salary=50),
+        ]
+    )
+    out = remove_dupes_except_all(df, ["emp_id"], [F.col("salary").desc()])
+    got = sorted((r.emp_id, r.salary) for r in out.collect())
+    assert got == [(1, 100), (3, 50)]

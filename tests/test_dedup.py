@@ -1,0 +1,122 @@
+"""Deduplication operators: exact, MinHash-LSH, n-gram Jaccard, SimHash."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from employee_data_management_system_data_engineering_solution_spark.operators.dedup import (
+    char_ngram_rows,
+    exact_dedup,
+    gram_minhash,
+    lsh_banded,
+    minhash_lsh_groups,
+    ngram_jaccard_pairs,
+    simhash,
+    with_char_ngrams,
+)
+
+LOREM = (
+    "the quick brown fox jumps over the lazy dog while the rain in spain "
+    "falls mainly on the plain and every good boy deserves fudge"
+)
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            Row(doc_id=1, text=LOREM),
+            Row(doc_id=2, text=LOREM),  # exact dup of 1
+            Row(doc_id=3, text=LOREM.replace("fox", "cat")),  # near-dup of 1
+            Row(doc_id=4, text="completely different content about databases and engines"),
+        ]
+    )
+
+
+def test_exact_dedup_groups_normalized_copies(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="Hello  World"),
+            Row(doc_id=2, text="  hello world "),
+            Row(doc_id=3, text="bye"),
+        ]
+    )
+    out = {r.keep_id: r.n_copies for r in exact_dedup(docs, "doc_id", "text").collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_minhash_lsh_groups_buckets_identical_docs(spark):
+    out = minhash_lsh_groups(_docs(spark), "doc_id", "text").collect()
+    # docs 1 and 2 share every band bucket; each colliding bucket keeps min id
+    assert len(out) >= 1
+    assert all(r.keep_id == 1 and r.n_docs >= 2 for r in out)
+
+
+def test_char_ngram_rows_and_array_agree(spark):
+    docs = _docs(spark)
+    arr = {
+        r.doc_id: sorted(set(r.grams))
+        for r in with_char_ngrams(docs, "doc_id", "text").collect()
+    }
+    rows = (
+        char_ngram_rows(docs, "doc_id", "text")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.array_distinct(F.collect_list("gram"))).alias("g"))
+        .collect()
+    )
+    assert {r.doc_id: list(r.g) for r in rows} == arr
+
+
+def test_gram_minhash_identical_for_identical_grams(spark):
+    sig = {
+        r.doc_id: tuple(r)[1:]
+        for r in gram_minhash(char_ngram_rows(_docs(spark), "doc_id", "text"), "doc_id").collect()
+    }
+    assert sig[1] == sig[2]
+    assert sig[1] != sig[4]
+
+
+def test_ngram_jaccard_pairs_finds_planted_dups(spark):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(_docs(spark), "doc_id", "text", min_jaccard=0.5).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and 0.5 <= pairs[(1, 3)] < 1.0
+    assert not any(4 in p for p in pairs)
+
+
+def test_simhash_near_dups_have_small_hamming_distance(spark):
+    sigs = {r.doc_id: r.simhash for r in simhash(_docs(spark), "doc_id", "text").collect()}
+
+    def ham(a, b):
+        return bin((a & (2**64 - 1)) ^ (b & (2**64 - 1))).count("1")
+
+    assert sigs[1] == sigs[2]
+    assert ham(sigs[1], sigs[3]) < 16
+    assert ham(sigs[1], sigs[4]) > 16
+
+
+def test_simhash_matches_scalar_reference(spark):
+    # independent scalar recomputation of the vectorized path
+    def ref(text):
+        counts = [0] * 64
+        for w in text.lower().split():
+            h = int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
+            for bit in range(64):
+                counts[bit] += 1 if (h >> bit) & 1 else -1
+        sig = sum(1 << b for b in range(64) if counts[b] > 0)
+        return sig - (1 << 64) if sig >= 1 << 63 else sig
+
+    docs = _docs(spark)
+    got = {r.doc_id: r.simhash for r in simhash(docs, "doc_id", "text").collect()}
+    want = {r.doc_id: ref(r.text) for r in docs.collect()}
+    assert got == want
+
+
+def test_lsh_banded_emits_bands_per_doc(spark):
+    out = lsh_banded(_docs(spark), "doc_id", "text", n_hashes=8, bands=2).collect()
+    assert len(out) == 4 * 2
+    assert {r.band_no for r in out} == {0, 1}

@@ -1,0 +1,95 @@
+"""Source/sink round trips (SURVEY.md §2.1 S1/S4, §2.2 K1-K3) — the
+round-1 verdict flagged these as implemented-but-never-exercised."""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import Row
+from pyspark.sql import types as T
+
+from employee_data_management_system_data_engineering_solution_spark.sources.io import (
+    latest_file,
+    read_csv,
+    read_table,
+    write_csv,
+    write_parquet,
+)
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [Row(emp_id=1, name="a", salary=100), Row(emp_id=2, name="b", salary=200)]
+    )
+
+
+def test_parquet_round_trip_overwrite_and_append(spark, tmp_path):
+    p = str(tmp_path / "t.parquet")
+    write_parquet(_df(spark), p)
+    assert spark.read.parquet(p).count() == 2
+    write_parquet(_df(spark), p, mode="append")
+    assert spark.read.parquet(p).count() == 4
+    write_parquet(_df(spark), p, mode="overwrite")
+    assert spark.read.parquet(p).count() == 2
+
+
+def test_parquet_partition_by(spark, tmp_path):
+    p = str(tmp_path / "part.parquet")
+    write_parquet(_df(spark), p, partition_by=["emp_id"])
+    assert os.path.isdir(os.path.join(p, "emp_id=1"))
+    got = spark.read.parquet(p)
+    assert got.count() == 2 and "emp_id" in got.columns
+
+
+def test_csv_round_trip_with_schema(spark, tmp_path):
+    p = str(tmp_path / "t.csv")
+    write_csv(_df(spark), p)
+    schema = T.StructType(
+        [
+            T.StructField("emp_id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("salary", T.LongType()),
+        ]
+    )
+    back = read_csv(spark, p, schema=schema)
+    assert sorted((r.emp_id, r.name, r.salary) for r in back.collect()) == [
+        (1, "a", 100),
+        (2, "b", 200),
+    ]
+
+
+def test_csv_infer_schema_path(spark, tmp_path):
+    p = str(tmp_path / "t2.csv")
+    write_csv(_df(spark), p)
+    back = read_csv(spark, p)  # inferSchema parity path (reference S1)
+    assert back.count() == 2
+    assert dict(back.dtypes)["salary"] in ("int", "bigint")
+
+
+def test_latest_file(tmp_path):
+    a, b = tmp_path / "a.csv", tmp_path / "b.csv"
+    a.write_text("x")
+    time.sleep(0.05)
+    b.write_text("y")
+    assert latest_file(str(tmp_path)) == str(b)
+    assert latest_file(str(tmp_path), suffix=".csv") == str(b)
+    os.utime(a)  # touch a → newest
+    assert latest_file(str(tmp_path)) == str(a)
+    assert latest_file(str(tmp_path), suffix=".nope") is None
+    assert latest_file(str(tmp_path / "missing")) is None
+
+
+def test_latest_file_skips_hidden_and_meta(tmp_path):
+    (tmp_path / "_SUCCESS").write_text("")
+    (tmp_path / ".hidden").write_text("")
+    (tmp_path / "real.csv").write_text("x")
+    assert latest_file(str(tmp_path)) == str(tmp_path / "real.csv")
+
+
+def test_read_table_handles_nanos_with_confless_session(spark, tmp_path):
+    # events.parquet is TIMESTAMP(NANOS); read_table must work without
+    # relying on session-factory confs (the driver builds its own session)
+    ev = read_table(spark, "/root/testdata/sf0.001", "events")
+    assert ev.count() > 0
+    assert dict(ev.dtypes)["ts"] == "timestamp"

@@ -1,0 +1,126 @@
+"""Strike state machine (SURVEY.md §5 item 5; reference semantics at
+``README.md:101-105``: reserved-word flag → strikes → ≥10 ⇒ INACTIVE,
+salary deduction per strike, monthly cooldown reset)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import glob
+import os
+import shutil
+
+import pandas as pd
+from pyspark.sql import Row
+
+from employee_data_management_system_data_engineering_solution_spark.streaming.strikes import (
+    STRIKE_LIMIT,
+    _strike_state_fn,
+    flag_messages,
+    run_strike_stream,
+    strike_report,
+)
+
+
+def test_flag_messages_word_boundary(spark):
+    df = spark.createDataFrame(
+        [
+            Row(id=1, msg="this is CONFIDENTIAL data"),
+            Row(id=2, msg="nothing to see"),
+            Row(id=3, msg="secretive"),  # substring must NOT match (\b boundary)
+            Row(id=4, msg="a secret plan"),
+        ]
+    )
+    got = {r.id: r.flagged for r in flag_messages(df, "msg").collect()}
+    assert got == {1: True, 2: False, 3: False, 4: True}
+
+
+def test_strike_report_threshold_and_salary(spark):
+    rows = [Row(user_id=1, event_type="error")] * 3 + [Row(user_id=2, event_type="error")] * 12 + [
+        Row(user_id=3, event_type="click")
+    ]
+    out = {r.emp_id: r for r in strike_report(spark.createDataFrame(rows)).collect()}
+    assert out[1].status == "ACTIVE" and out[1].strike_count == 3
+    assert out[1].updated_salary == round(100000 * 0.9**3, 2)
+    assert out[2].status == "INACTIVE" and out[2].strike_count == 12
+    # deduction caps at the limit
+    assert out[2].updated_salary == round(100000 * 0.9**STRIKE_LIMIT, 2)
+    assert 3 not in out  # unflagged employees don't appear
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for unit-testing the state fn."""
+
+    def __init__(self, value=None):
+        self._v = value
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+
+def _run_state(months_flags, state=None):
+    pdf = pd.DataFrame(
+        {"flagged": [f for _, f in months_flags], "month": [m for m, _ in months_flags]}
+    )
+    st = _FakeState(state)
+    out = list(_strike_state_fn((7,), iter([pdf]), st))
+    return out[0].iloc[0], st._v
+
+
+def test_state_fn_accumulates_within_month(erase=None):
+    row, state = _run_state([("2021-01", True)] * 4)
+    assert row.strike_count == 4 and row.status == "ACTIVE"
+    assert state == (4, "2021-01")
+
+
+def test_state_fn_monthly_cooldown_resets_below_limit():
+    # 4 strikes in Jan, then 2 in Feb → Feb starts fresh (cooldown)
+    row, state = _run_state([("2021-02", True)] * 2, state=(4, "2021-01"))
+    assert row.strike_count == 2 and row.status == "ACTIVE"
+
+
+def test_state_fn_no_reset_once_inactive():
+    # ≥10 strikes: the INACTIVE flag survives the month rollover
+    row, state = _run_state([("2021-02", True)] * 1, state=(11, "2021-01"))
+    assert row.strike_count == 12 and row.status == "INACTIVE"
+
+
+def test_state_fn_ignores_unflagged():
+    row, state = _run_state([("2021-01", False)] * 5)
+    assert row.strike_count == 0 and row.status == "ACTIVE"
+
+
+def test_run_strike_stream_matches_state_semantics(spark, tmp_path):
+    # hand-built events replayed through the real Structured Streaming
+    # pipeline: emp 1 → 3 in Jan + 2 in Feb ⇒ cooldown ⇒ 2 ACTIVE;
+    # emp 2 → 12 in Jan + 3 in Feb ⇒ INACTIVE, no reset ⇒ 15
+    rows = []
+    for _ in range(3):
+        rows.append(Row(user_id=1, event_type="error", ts=dt.datetime(2021, 1, 5)))
+    for _ in range(2):
+        rows.append(Row(user_id=1, event_type="error", ts=dt.datetime(2021, 2, 5)))
+    for _ in range(12):
+        rows.append(Row(user_id=2, event_type="error", ts=dt.datetime(2021, 1, 6)))
+    for _ in range(3):
+        rows.append(Row(user_id=2, event_type="error", ts=dt.datetime(2021, 2, 6)))
+    rows.append(Row(user_id=3, event_type="click", ts=dt.datetime(2021, 1, 1)))
+
+    out_dir = str(tmp_path / "stage")
+    spark.createDataFrame(rows).coalesce(1).write.parquet(out_dir)
+    part = glob.glob(os.path.join(out_dir, "part-*.parquet"))[0]
+    shutil.move(part, str(tmp_path / "events.parquet"))
+
+    got = {
+        r.emp_id: r
+        for r in run_strike_stream(spark, str(tmp_path), state_partitions=2).collect()
+    }
+    assert got[1].strike_count == 2 and got[1].status == "ACTIVE"
+    assert got[2].strike_count == 15 and got[2].status == "INACTIVE"
+    assert 3 in got and got[3].strike_count == 0

@@ -1,0 +1,60 @@
+"""Text-analysis expression semantics (north-star operators)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from employee_data_management_system_data_engineering_solution_spark.functions import text as tx
+
+
+def _one(spark, text, col):
+    df = spark.createDataFrame([Row(t=text)])
+    return df.select(col(F.col("t")).alias("v")).collect()[0].v
+
+
+def test_word_count(spark):
+    assert _one(spark, "one two  three", tx.word_count) == 3
+    assert _one(spark, "", tx.word_count) == 0
+    assert _one(spark, "   ", tx.word_count) == 0
+
+
+def test_token_count_words_numbers_punct(spark):
+    # "ab, 12!" → [ab][,][12][!]
+    assert _one(spark, "ab, 12!", tx.token_count) == 4
+
+
+def test_punct_ratio(spark):
+    assert _one(spark, "ab!!", tx.punct_ratio) == 0.5
+    assert _one(spark, "abcd", tx.punct_ratio) == 0.0
+
+
+def test_normalized(spark):
+    assert _one(spark, "  Hello   WORLD ", tx.normalized) == "hello world"
+
+
+def test_fingerprint_is_word_order_insensitive(spark):
+    a = _one(spark, "alpha beta gamma", tx.fingerprint)
+    b = _one(spark, "gamma   alpha beta beta", tx.fingerprint)
+    c = _one(spark, "alpha beta delta", tx.fingerprint)
+    assert a == b and a != c
+
+
+def test_stopword_hits(spark):
+    assert _one(spark, "the cat and the hat", tx.stopword_hits) == 3
+    assert _one(spark, "cat hat", tx.stopword_hits) == 0
+
+
+def test_quality_score_range(spark):
+    v = _one(spark, "the quick brown fox jumps over the lazy dog " * 20, tx.quality_score)
+    assert 0.0 <= v <= 1.0
+
+
+def test_minhash_signature_identical_texts_match(spark):
+    df = spark.createDataFrame(
+        [Row(id=1, t="alpha beta gamma"), Row(id=2, t="beta  gamma   ALPHA"), Row(id=3, t="")]
+    )
+    sig = df.select("id", *tx.minhash_signature(F.col("t"), 4)).collect()
+    by_id = {r.id: tuple(r)[1:] for r in sig}
+    assert by_id[1] == by_id[2]  # same word set ⇒ same signature
+    assert by_id[3] == ("z" * 32,) * 4  # empty doc sentinel
