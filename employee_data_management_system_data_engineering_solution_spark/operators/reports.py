@@ -114,6 +114,27 @@ def upcoming_pct_report(
     )
 
 
+def ordered_with_rank(
+    df: DataFrame, order_cols: list[Column], rank_col: str = "position"
+) -> DataFrame:
+    """Ordered output (SURVEY §2.7 O1/O2, reference
+    ``clean_load_2_tf_staging.py:85``, ``Task_4_monthly_80_percent.py:51,66``)
+    with the ordering made hash-visible: a global ``row_number`` stamps
+    each row's position so an order-insensitive comparison still proves
+    the sort.
+
+    The rank window is a single-partition sort — use ONLY on small
+    report outputs (the reference's sorted writes are final reports).
+    Large ordered exports should use ``df.orderBy`` alone, which Spark
+    executes as a range-partitioned parallel sort without the window
+    bottleneck.
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy(*order_cols)
+    return df.orderBy(*order_cols).withColumn(rank_col, F.row_number().over(w))
+
+
 def top_k_per_group(
     df: DataFrame, group_cols: list[str], order_cols: list[Column], k: int
 ) -> DataFrame:

@@ -1,0 +1,227 @@
+"""Composed end-to-end pipeline + production-path queries.
+
+``daily_pipeline`` mirrors the reference's daily chain
+(``daily_dag.py:238``: file-arrival gate → clean → stage → merge →
+publish) as ONE invocable flow over real sinks: newest-file discovery,
+CSV staging read, W1 keep-best dedup, SCD-2 close-out, parquet dim
+write, read-back. The oracle recomputes the same result straight from
+the warehouse tables, so the whole loop — including both sinks and the
+file-discovery gate — is hash-checked.
+
+``strike_report_rlike`` exercises the PRODUCTION reserved-word path
+(``README.md:104``): a word-boundary regex over the message payload,
+not the ``event_type == 'error'`` stand-in.
+
+``ordered_designation_report`` covers SURVEY §2.7 O1/O2 with the sort
+made hash-visible via a position stamp.
+
+``strike_window_counts`` is SURVEY §2.9's watermark + tumbling-window
+carrier, driven through real Structured Streaming.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators import cleaning, scd
+from ..operators.reports import ordered_with_rank
+from ..sources.io import latest_file, read_csv, read_table, write_csv, write_parquet
+from ..streaming.strikes import RESERVED_WORDS, flag_messages, run_windowed_flag_stream
+from .registry import register
+
+_STAGING_SCHEMA = T.StructType(
+    [
+        T.StructField("emp_id", T.LongType()),
+        T.StructField("period_id", T.LongType()),
+        T.StructField("start_date", T.DateType()),
+        T.StructField("end_date", T.DateType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("salary", T.DoubleType()),
+    ]
+)
+
+
+def _scd_shape(orders: DataFrame, order_status: str) -> DataFrame:
+    return orders.filter(F.col("o_orderstatus") == order_status).select(
+        F.col("o_custkey").alias("emp_id"),
+        F.col("o_orderkey").alias("period_id"),
+        F.col("o_orderdate").cast("date").alias("start_date"),
+        F.lit(None).cast("date").alias("end_date"),
+        F.lit("Active").alias("status"),
+        F.col("o_totalprice").alias("salary"),
+    )
+
+
+@register(
+    "daily_pipeline",
+    """
+    WITH dim AS (
+      SELECT o_custkey AS emp_id, o_orderkey AS period_id,
+             CAST(o_orderdate AS DATE) AS start_date,
+             CAST(NULL AS DATE) AS end_date, 'Active' AS status,
+             o_totalprice AS salary
+      FROM orders WHERE o_orderstatus = 'O'
+    ),
+    stg_raw AS (
+      SELECT o_custkey AS emp_id, o_orderkey AS period_id,
+             CAST(o_orderdate AS DATE) AS start_date,
+             CAST(NULL AS DATE) AS end_date, 'Active' AS status,
+             o_totalprice AS salary
+      FROM orders WHERE o_orderstatus = 'F'
+    ),
+    stg AS (
+      SELECT emp_id, period_id, start_date, end_date, status, salary
+      FROM (
+        SELECT *, row_number() OVER (
+                 PARTITION BY emp_id ORDER BY salary DESC, period_id ASC) AS rn
+        FROM stg_raw
+      ) WHERE rn = 1
+    ),
+    mins AS (SELECT emp_id, min(start_date) AS min_start FROM stg GROUP BY emp_id)
+    SELECT d.emp_id, d.period_id,
+           CAST(d.start_date AS VARCHAR) AS start_date,
+           CAST(CASE WHEN d.end_date IS NULL AND m.min_start IS NOT NULL
+                     THEN m.min_start ELSE d.end_date END AS VARCHAR) AS end_date,
+           CASE WHEN d.end_date IS NULL AND m.min_start IS NOT NULL
+                THEN 'Inactive' ELSE d.status END AS status,
+           d.salary
+    FROM dim d LEFT JOIN mins m USING (emp_id)
+    UNION ALL
+    SELECT emp_id, period_id, CAST(start_date AS VARCHAR), CAST(end_date AS VARCHAR),
+           status, salary
+    FROM stg
+    """,
+)
+def daily_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's daily chain end-to-end (``daily_dag.py:238``):
+    stage CSV drop → newest-file gate → schema'd CSV read → W1 dedup →
+    SCD-2 close-out → ordered parquet dim write → read-back.
+
+    Deterministic paths under the system temp dir, overwrite mode — a
+    rerun replaces, never accumulates.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    base = os.path.join(
+        tempfile.gettempdir(), f"eds_pipeline_{os.path.basename(sf_dir.rstrip(os.sep))}"
+    )
+    in_dir = os.path.join(base, "incoming")
+
+    # simulate the S3 drop zone: an older decoy batch plus the real
+    # newest batch; the newest-file gate must pick the latter
+    decoy = _scd_shape(orders, "P").limit(10)
+    batch = _scd_shape(orders, "F")
+    old_path = os.path.join(in_dir, "batch_old.csv")
+    new_path = os.path.join(in_dir, "batch_new.csv")
+    write_csv(decoy, old_path)
+    write_csv(batch, new_path)
+    now = os.path.getmtime(old_path)
+    os.utime(new_path, (now + 60, now + 60))  # unambiguous arrival order
+
+    newest = latest_file(in_dir, suffix=".csv")
+    staged = read_csv(spark, newest, schema=_STAGING_SCHEMA)
+
+    # W1 keep-best: one open period per employee, highest salary wins
+    # (clean_load_2_tf_staging.py:78-82), tie-broken for determinism
+    cleaned = cleaning.dedup_keep_best(
+        staged, ["emp_id"], [F.col("salary").desc(), F.col("period_id").asc()]
+    )
+    merged = scd.scd2_close_out(_scd_shape(orders, "O"), cleaned, key="emp_id")
+
+    out_dir = os.path.join(base, "dim_out")
+    write_parquet(merged.orderBy("emp_id", "start_date"), out_dir)
+
+    return spark.read.parquet(out_dir).select(
+        "emp_id",
+        "period_id",
+        F.col("start_date").cast("string").alias("start_date"),
+        F.col("end_date").cast("string").alias("end_date"),
+        "status",
+        "salary",
+    )
+
+
+@register(
+    "strike_report_rlike",
+    rf"""
+    WITH s AS (
+      SELECT user_id AS emp_id, count(*) AS strike_count
+      FROM events
+      WHERE regexp_matches(lower(event_type || ' ' || props),
+                           '\b({'|'.join(RESERVED_WORDS)})\b')
+      GROUP BY user_id
+    )
+    SELECT emp_id, strike_count,
+           CASE WHEN strike_count >= 10 THEN 'INACTIVE' ELSE 'ACTIVE' END AS status
+    FROM s
+    """,
+)
+def strike_report_rlike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production reserved-word path (``README.md:104``): word-boundary
+    regex over the message payload via :func:`flag_messages` — not the
+    ``event_type`` equality stand-in."""
+    ev = read_table(spark, sf_dir, "events")
+    msgs = ev.select(
+        F.col("user_id").alias("emp_id"),
+        F.concat_ws(" ", F.col("event_type"), F.col("props")).alias("message"),
+    )
+    strikes = (
+        flag_messages(msgs, "message")
+        .filter(F.col("flagged"))
+        .groupBy("emp_id")
+        .agg(F.count("*").alias("strike_count"))
+    )
+    return strikes.select(
+        "emp_id",
+        "strike_count",
+        F.when(F.col("strike_count") >= 10, F.lit("INACTIVE"))
+        .otherwise(F.lit("ACTIVE"))
+        .alias("status"),
+    )
+
+
+@register(
+    "ordered_designation_report",
+    """
+    SELECT designation, n_orders, CAST(position AS INT) AS position
+    FROM (
+      SELECT o_orderpriority AS designation, count(*) AS n_orders,
+             row_number() OVER (ORDER BY count(*) DESC, o_orderpriority ASC) AS position
+      FROM orders GROUP BY o_orderpriority
+    )
+    """,
+)
+def ordered_designation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.7 O1/O2: ordered report output with the sort order
+    hash-visible through the position stamp."""
+    agg = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderpriority").alias("designation"))
+        .agg(F.count("*").alias("n_orders"))
+    )
+    return ordered_with_rank(
+        agg, [F.col("n_orders").desc(), F.col("designation").asc()]
+    )
+
+
+@register(
+    "strike_window_counts",
+    """
+    SELECT CAST(CAST(date_trunc('day', ts) AS TIMESTAMP) AS VARCHAR) AS window_start,
+           CAST(CAST(date_trunc('day', ts) + INTERVAL 1 DAY AS TIMESTAMP) AS VARCHAR) AS window_end,
+           user_id AS emp_id,
+           count(*) AS n_flagged
+    FROM events
+    WHERE event_type = 'error'
+    GROUP BY 1, 2, 3
+    """,
+)
+def strike_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.9 watermark + tumbling-window carrier, driven through
+    real Structured Streaming (1-day windows, 1-day late-data
+    tolerance); the oracle is the batch-equivalent day-bucket count."""
+    return run_windowed_flag_stream(spark, sf_dir)

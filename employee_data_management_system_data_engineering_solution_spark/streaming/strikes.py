@@ -116,6 +116,82 @@ def _strike_state_fn(
     )
 
 
+def run_windowed_flag_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    window_duration: str = "1 day",
+    watermark_delay: str = "1 day",
+    state_partitions: int = 8,
+) -> DataFrame:
+    """Watermarked tumbling-window flagged-message counts per employee
+    (SURVEY.md §2.9's standard carrier: ``withWatermark`` + ``window()``
+    — the idiomatic Structured Streaming shape for the strike counter,
+    tolerant of late data up to ``watermark_delay``).
+
+    Returns (window_start, window_end, emp_id, n_flagged) as a batch
+    DataFrame. Update-mode memory sink; the post-stream MAX collapse
+    keeps the latest emission per window should the replay ever split
+    into multiple micro-batches.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.io import normalize_nanos
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    prior_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+
+    stage_dir = tempfile.mkdtemp(prefix="eds_winstream_")
+    name = "flag_window_sink"
+    q = None
+    try:
+        os.symlink(f"{sf_dir}/events.parquet", f"{stage_dir}/events.parquet")
+        batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+        stream = (
+            spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage_dir)
+        )
+        flagged = (
+            normalize_nanos(stream)
+            .filter(flagged_expr())
+            .select(F.col("user_id").alias("emp_id"), "ts")
+        )
+        agg = (
+            flagged.withWatermark("ts", watermark_delay)
+            .groupBy(F.window("ts", window_duration).alias("w"), "emp_id")
+            .agg(F.count("*").alias("n_flagged"))
+        )
+        q = (
+            agg.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = (
+            spark.table(name)
+            .groupBy("w", "emp_id")
+            .agg(F.max("n_flagged").alias("n_flagged"))
+            .select(
+                F.col("w.start").cast("string").alias("window_start"),
+                F.col("w.end").cast("string").alias("window_end"),
+                "emp_id",
+                "n_flagged",
+            )
+        )
+        return spark.createDataFrame(out.collect(), schema=out.schema)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior_parts)
+        if q is not None:
+            q.stop()
+        spark.catalog.dropTempView(name)
+        shutil.rmtree(stage_dir, ignore_errors=True)
+
+
 def run_strike_stream(
     spark: SparkSession, sf_dir: str, state_partitions: int = 8
 ) -> DataFrame:

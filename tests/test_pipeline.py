@@ -1,0 +1,53 @@
+"""End-to-end daily pipeline, ordered reports, and the windowed
+streaming carrier."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from employee_data_management_system_data_engineering_solution_spark.operators.reports import (
+    ordered_with_rank,
+)
+from employee_data_management_system_data_engineering_solution_spark.plans import REGISTRY
+
+
+def test_ordered_with_rank_stamps_positions(spark):
+    df = spark.createDataFrame([Row(k="a", v=5), Row(k="b", v=9), Row(k="c", v=1)])
+    out = ordered_with_rank(df, [F.col("v").desc()]).collect()
+    assert [(r.k, r.position) for r in out] == [("b", 1), ("a", 2), ("c", 3)]
+
+
+def test_daily_pipeline_runs_and_merges(spark):
+    df = REGISTRY["daily_pipeline"].fn(spark, "/root/testdata/sf0.001")
+    rows = df.collect()
+    assert len(rows) > 0
+    by_status = {r.status for r in rows}
+    assert by_status == {"Active", "Inactive"}
+    # rerun overwrites, never accumulates
+    assert len(REGISTRY["daily_pipeline"].fn(spark, "/root/testdata/sf0.001").collect()) == len(rows)
+
+
+def test_windowed_flag_stream_matches_batch_counts(spark):
+    from employee_data_management_system_data_engineering_solution_spark.sources.io import (
+        read_table,
+    )
+    from employee_data_management_system_data_engineering_solution_spark.streaming.strikes import (
+        run_windowed_flag_stream,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = run_windowed_flag_stream(spark, sf, state_partitions=2)
+    want = (
+        read_table(spark, sf, "events")
+        .filter(F.col("event_type") == "error")
+        .groupBy(F.window("ts", "1 day").alias("w"), F.col("user_id").alias("emp_id"))
+        .agg(F.count("*").alias("n_flagged"))
+        .select(
+            F.col("w.start").cast("string").alias("window_start"),
+            F.col("w.end").cast("string").alias("window_end"),
+            "emp_id",
+            "n_flagged",
+        )
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
