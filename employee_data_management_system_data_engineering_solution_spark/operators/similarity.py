@@ -127,6 +127,45 @@ def assign_clusters(
     )
 
 
+def cosine_neardup_pairs(
+    corpus: DataFrame,
+    pivots: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.99,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, bucketed by IVF cluster.
+
+    The same LSH/bucket discipline as the text dedup path: vectors are
+    assigned to their nearest pivot with the shuffle-free narrow map
+    (:func:`assign_clusters`), and the pairwise cosine check runs ONLY
+    inside each cluster — one shuffle on the cluster id, never an
+    all-pairs cross join. With P pivots the expected pair work drops by
+    ~P×; near-identical vectors land in the same cluster by
+    construction (recall loss only for pairs straddling a Voronoi
+    boundary, the standard IVF trade).
+
+    Output: (id_a, id_b, cosine_sim) with id_a < id_b, sim ≥ threshold.
+    """
+    assigned = assign_clusters(corpus, pivots, id_col, vec_col)
+    a = assigned.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "cluster_id"
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "cluster_id"
+    )
+    return (
+        a.join(b, on="cluster_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -329,6 +329,50 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(queries, emb, pivots, k=10)
 
 
+@register(
+    "embedding_neardup_pairs",
+    f"""
+    WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    corpus AS (
+      SELECT vec_id, e FROM base
+      UNION ALL
+      SELECT vec_id + 100000 AS vec_id, e FROM base  -- planted exact dups
+    ),
+    p AS (SELECT vec_id AS pivot_id, e AS pv FROM base WHERE vec_id < 32),
+    assign_scored AS (
+      SELECT c.vec_id, c.e, p.pivot_id,
+             round(list_dot_product(c.e, p.pv)
+                   / (sqrt(list_dot_product(c.e, c.e)) * sqrt(list_dot_product(p.pv, p.pv))),
+                   6) AS sim
+      FROM corpus c, p
+    ),
+    assigned AS (
+      SELECT vec_id, e, pivot_id AS cluster_id
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY vec_id ORDER BY sim DESC, pivot_id ASC) AS rn
+            FROM assign_scored)
+      WHERE rn = 1
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_COS.replace('qv', 'a.e').replace('cv', 'b.e')} AS cosine_sim
+    FROM assigned a JOIN assigned b
+      ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+    WHERE {_COS.replace('qv', 'a.e').replace('cv', 'b.e')} >= 0.999
+    """,
+)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup detection, cluster-bucketed (never
+    all-pairs). The corpus is the embeddings table plus an id-shifted
+    copy, planting exact duplicates so the operator's output is
+    non-trivial on this corpus (natural max pairwise cosine ≈ 0.51)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    corpus = emb.select("vec_id", "embedding").unionByName(
+        emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    )
+    pivots = emb.filter(F.col("vec_id") < 32).select("vec_id", "embedding")
+    return similarity.cosine_neardup_pairs(corpus, pivots, threshold=0.999)
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------------

@@ -108,3 +108,19 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_b
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True) -> None:
     """Report publishing sink (reference K3, ``Task_4_generate_active_table.py:32-35``)."""
     df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+def promote_staging(spark: SparkSession, staging_path: str, dim_path: str) -> None:
+    """Staging → dim promotion (reference K5, ``daily_dag.py:159-166``:
+    ``INSERT INTO dim SELECT * FROM staging`` then ``TRUNCATE staging``):
+    parquet-native append of the staging rows to the dim directory, then
+    truncate staging by overwriting it with its own empty projection
+    (schema preserved so the next cycle's writers/readers agree).
+
+    The append is read→write between directories; the truncate writes
+    rows from a ``limit(0)`` plan, so both steps are safe to re-run.
+    """
+    stg = spark.read.parquet(staging_path)
+    write_parquet(stg, dim_path, mode="append")
+    empty = spark.createDataFrame([], schema=stg.schema)
+    write_parquet(empty, staging_path, mode="overwrite")

@@ -11,6 +11,7 @@ from pyspark.sql import types as T
 
 from employee_data_management_system_data_engineering_solution_spark.sources.io import (
     latest_file,
+    promote_staging,
     read_csv,
     read_table,
     write_csv,
@@ -85,6 +86,19 @@ def test_latest_file_skips_hidden_and_meta(tmp_path):
     (tmp_path / ".hidden").write_text("")
     (tmp_path / "real.csv").write_text("x")
     assert latest_file(str(tmp_path)) == str(tmp_path / "real.csv")
+
+
+def test_promote_staging_appends_then_truncates(spark, tmp_path):
+    stg_p, dim_p = str(tmp_path / "stg"), str(tmp_path / "dim")
+    write_parquet(_df(spark), stg_p)
+    write_parquet(_df(spark), dim_p)
+    promote_staging(spark, stg_p, dim_p)
+    assert spark.read.parquet(dim_p).count() == 4  # dim grew by staging rows
+    stg_after = spark.read.parquet(stg_p)
+    assert stg_after.count() == 0  # truncated...
+    assert stg_after.schema == _df(spark).schema  # ...but schema preserved
+    promote_staging(spark, stg_p, dim_p)  # idempotent on empty staging
+    assert spark.read.parquet(dim_p).count() == 4
 
 
 def test_read_table_handles_nanos_with_confless_session(spark, tmp_path):

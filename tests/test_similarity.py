@@ -8,6 +8,7 @@ from pyspark.sql import Row
 
 from employee_data_management_system_data_engineering_solution_spark.operators.similarity import (
     assign_clusters,
+    cosine_neardup_pairs,
     cosine_topk_bruteforce,
     ivf_topk,
 )
@@ -58,6 +59,18 @@ def test_assign_clusters_nearest_pivot(spark):
         assert got[i] == want, f"vec {i}"
     # a pivot is its own nearest pivot (cosine 1.0)
     assert all(got[p] == p for p in range(4))
+
+
+def test_cosine_neardup_pairs_finds_planted_dup(spark):
+    vecs = _vectors(20)
+    df = _df(spark, vecs)
+    # plant an exact duplicate of vec 5 as id 99
+    dup = spark.createDataFrame([Row(vec_id=99, embedding=[float(x) for x in vecs[5]])])
+    corpus = df.unionByName(dup)
+    pivots = df.filter(df.vec_id < 4)
+    out = cosine_neardup_pairs(corpus, pivots, threshold=0.999).collect()
+    assert {(r.id_a, r.id_b) for r in out} == {(5, 99)}
+    assert out[0].cosine_sim == 1.0
 
 
 def test_ivf_topk_subset_of_cluster(spark):

@@ -2,9 +2,13 @@
 
 Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin
 on DuckDB at the given scale factor, then compares row count, column
-names, and an order-insensitive value comparison (exact on strings/
-ints, tolerant-then-exact report on floats so rounding hazards
-surface before the real gate).
+names, and an order-insensitive value comparison. Float columns that
+fail the exact (repr) comparison get a second, tolerant pass
+(np.isclose after sorting) so the report distinguishes "rounding-edge
+hazard" from "genuinely different values". List-typed result columns
+are reported as gate hazards: the driver's canonicalizer crashes on
+them (pandas sort → unhashable 'list'), so they fail the REAL gate
+even though values may be fine.
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
 """
@@ -16,6 +20,7 @@ import time
 import traceback
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 sys.path.insert(0, "/root/repo")
@@ -25,6 +30,16 @@ from __spark_entry__ import oracle_sql, queries  # noqa: E402
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
+
+
+def list_columns(df: pd.DataFrame) -> list[str]:
+    """Columns holding list/array cells — these crash the driver's
+    canonicalizer and must be stringified in the registered query."""
+    return [
+        c
+        for c in df.columns
+        if df[c].map(lambda v: isinstance(v, (list, np.ndarray))).any()
+    ]
 
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
@@ -42,6 +57,19 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
         else:
             out[c] = col.map(lambda v: "NULL" if pd.isna(v) else str(v))
     return out.sort_values(by=list(out.columns), kind="mergesort").reset_index(drop=True)
+
+
+def float_close_report(sdf: pd.DataFrame, ddf: pd.DataFrame, col: str) -> str:
+    """Tolerant second pass on an exact-mismatched float column."""
+    a = np.sort(sdf[col].astype(float).to_numpy())
+    b = np.sort(ddf[col].astype(float).to_numpy())
+    if len(a) != len(b):
+        return "length mismatch"
+    close = np.isclose(a, b, rtol=1e-9, atol=1e-9, equal_nan=True)
+    if close.all():
+        return "all values within 1e-9 — rounding-edge hazard (fix round() parity)"
+    worst = float(np.nanmax(np.abs(a - b)))
+    return f"{int((~close).sum())}/{len(a)} beyond 1e-9, worst |Δ|={worst:g}"
 
 
 def main() -> int:
@@ -67,6 +95,14 @@ def main() -> int:
             print(f"FAIL {name}: spark error\n{traceback.format_exc()}")
             failures.append(name)
             continue
+        hazards = list_columns(sdf)
+        if hazards:
+            print(
+                f"FAIL {name}: list-typed columns {hazards} crash the driver "
+                "canonicalizer — stringify them in the registered query"
+            )
+            failures.append(name)
+            continue
         if name not in oracles:
             print(f"ok   {name}: rows-only, {len(sdf)} rows ({time.time()-t0:.1f}s)")
             continue
@@ -88,6 +124,8 @@ def main() -> int:
                 diff_cols = [c for c in ns.columns if not ns[c].equals(nd[c])]
                 problems.append(f"values differ in {diff_cols}")
                 for c in diff_cols[:3]:
+                    if str(sdf[c].dtype).startswith(("float", "Float")):
+                        problems.append(f"  {c} (float): {float_close_report(sdf, ddf, c)}")
                     mask = ns[c] != nd[c]
                     ex = pd.DataFrame(
                         {"spark": ns[c][mask].head(3), "duck": nd[c][mask].head(3)}
