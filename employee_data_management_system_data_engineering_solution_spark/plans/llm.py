@@ -245,6 +245,99 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=5, min_jaccard=0.5)
 
 
+@register(
+    "word_freq_topk",
+    r"""
+    WITH w AS (
+      SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+      FROM documents WHERE length(trim(text)) > 0
+    )
+    SELECT word, n, CAST(rnk AS INT) AS rank
+    FROM (
+      SELECT word, count(*) AS n,
+             row_number() OVER (ORDER BY count(*) DESC, word ASC) AS rnk
+      FROM w GROUP BY word
+    ) WHERE rnk <= 20
+    """,
+)
+def word_freq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics: global top-20 word frequencies —
+    the tokenizer-/vocab-building precursor. Explode → partial-agg
+    count (map-side combine ⇒ the shuffle carries one row per distinct
+    word per task, not per occurrence), then a rank stamp on the tiny
+    post-agg result."""
+    from ..operators.reports import ordered_with_rank
+
+    docs = read_table(spark, sf_dir, "documents")
+    words = (
+        docs.filter(F.length(F.trim("text")) > 0)
+        .select(F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("word"))
+    )
+    freq = words.groupBy("word").agg(F.count("*").alias("n"))
+    return ordered_with_rank(
+        freq, [F.col("n").desc(), F.col("word").asc()], rank_col="rank"
+    ).filter(F.col("rank") <= 20)
+
+
+@register(
+    "benchmark_contamination",
+    r"""
+    WITH grams AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               generate_series(0, greatest(length(norm) - 5, 0)),
+               i -> substring(norm, i + 1, 5)))) AS gram
+      FROM (SELECT doc_id,
+                   regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+            FROM documents)
+    ),
+    bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id < 10),
+    corpus AS (SELECT doc_id, gram FROM grams WHERE doc_id >= 10),
+    shared AS (
+      SELECT c.doc_id, count(*) AS n_shared
+      FROM corpus c JOIN bench b ON c.gram = b.gram
+      GROUP BY c.doc_id
+    ),
+    totals AS (SELECT doc_id, count(*) AS n_grams FROM corpus GROUP BY doc_id)
+    SELECT t.doc_id, coalesce(s.n_shared, 0) AS n_shared, t.n_grams,
+           round(coalesce(s.n_shared, 0) / t.n_grams, 4) AS overlap
+    FROM totals t LEFT JOIN shared s ON t.doc_id = s.doc_id
+    WHERE round(coalesce(s.n_shared, 0) / t.n_grams, 4) >= 0.5
+    """,
+)
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: flag corpus docs whose distinct
+    char-5-gram sets overlap a benchmark set (here: doc_id < 10) above
+    a threshold — the eval-decontamination pass of a training-data
+    pipeline. The benchmark gram set is BROADCAST (bounded by the eval
+    suite, tiny next to the corpus), so the corpus side never shuffles
+    for the membership probe — only for its own per-doc counts."""
+    from ..operators.dedup import with_char_ngrams
+
+    docs = read_table(spark, sf_dir, "documents")
+    grams = with_char_ngrams(docs, "doc_id", "text").select(
+        "doc_id", F.explode("grams").alias("gram")
+    )
+    bench = grams.filter(F.col("doc_id") < 10).select("gram").distinct()
+    corpus = grams.filter(F.col("doc_id") >= 10)
+    shared = (
+        corpus.join(F.broadcast(bench), on="gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    totals = corpus.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    return (
+        totals.join(shared, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+            "n_grams",
+            F.round(F.coalesce("n_shared", F.lit(0)) / F.col("n_grams"), 4).alias("overlap"),
+        )
+        .filter(F.col("overlap") >= 0.5)
+    )
+
+
 @register("simhash_signatures", None)  # Pandas-UDF op: rows-only check
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")

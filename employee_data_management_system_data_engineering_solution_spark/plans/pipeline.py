@@ -31,7 +31,12 @@ from pyspark.sql import types as T
 from ..operators import cleaning, scd
 from ..operators.reports import ordered_with_rank
 from ..sources.io import latest_file, read_csv, read_table, write_csv, write_parquet
-from ..streaming.strikes import RESERVED_WORDS, flag_messages, run_windowed_flag_stream
+from ..streaming.strikes import (
+    RESERVED_WORDS,
+    flag_messages,
+    run_dedup_stream,
+    run_windowed_flag_stream,
+)
 from .registry import register
 
 _STAGING_SCHEMA = T.StructType(
@@ -225,3 +230,42 @@ def strike_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     real Structured Streaming (1-day windows, 1-day late-data
     tolerance); the oracle is the batch-equivalent day-bucket count."""
     return run_windowed_flag_stream(spark, sf_dir)
+
+
+@register(
+    "stream_dedup_counts",
+    """
+    SELECT event_type, count(DISTINCT event_id) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact-once dedup (watermarked ``dropDuplicates`` on the
+    event id) → per-type counts, through real Structured Streaming; the
+    oracle is the batch COUNT(DISTINCT)."""
+    return run_dedup_stream(spark, sf_dir)
+
+
+@register(
+    "json_props_stats",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           round(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 4) AS avg_k,
+           max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payload parsing: extract a field from the JSON
+    ``props`` column (``get_json_object`` — JVM-side, codegen'd) and
+    aggregate per event type. The JSON-string-column pattern is the
+    bread and butter of log/training-data ingest."""
+    ev = read_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+        F.max(k).alias("max_k"),
+    )

@@ -129,67 +129,57 @@ def run_windowed_flag_stream(
     tolerant of late data up to ``watermark_delay``).
 
     Returns (window_start, window_end, emp_id, n_flagged) as a batch
-    DataFrame. Update-mode memory sink; the post-stream MAX collapse
-    keeps the latest emission per window should the replay ever split
-    into multiple micro-batches.
+    DataFrame. The post-stream MAX collapse keeps the latest emission
+    per window should the replay ever split into multiple micro-batches.
     """
-    import os
-    import shutil
-    import tempfile
+    from .replay import replayed_events
 
-    from ..sources.io import normalize_nanos
-
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    prior_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-
-    stage_dir = tempfile.mkdtemp(prefix="eds_winstream_")
-    name = "flag_window_sink"
-    q = None
-    try:
-        os.symlink(f"{sf_dir}/events.parquet", f"{stage_dir}/events.parquet")
-        batch = spark.read.parquet(f"{sf_dir}/events.parquet")
-        stream = (
-            spark.readStream.schema(batch.schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(stage_dir)
-        )
-        flagged = (
-            normalize_nanos(stream)
-            .filter(flagged_expr())
-            .select(F.col("user_id").alias("emp_id"), "ts")
+    with replayed_events(spark, sf_dir, state_partitions) as (stream, run):
+        flagged = stream.filter(flagged_expr()).select(
+            F.col("user_id").alias("emp_id"), "ts"
         )
         agg = (
             flagged.withWatermark("ts", watermark_delay)
             .groupBy(F.window("ts", window_duration).alias("w"), "emp_id")
             .agg(F.count("*").alias("n_flagged"))
         )
-        q = (
-            agg.writeStream.outputMode("update")
-            .format("memory")
-            .queryName(name)
-            .trigger(availableNow=True)
-            .start()
+        out = run(agg, "flag_window_sink")
+    return (
+        out.groupBy("w", "emp_id")
+        .agg(F.max("n_flagged").alias("n_flagged"))
+        .select(
+            F.col("w.start").cast("string").alias("window_start"),
+            F.col("w.end").cast("string").alias("window_end"),
+            "emp_id",
+            "n_flagged",
         )
-        q.awaitTermination()
-        out = (
-            spark.table(name)
-            .groupBy("w", "emp_id")
-            .agg(F.max("n_flagged").alias("n_flagged"))
-            .select(
-                F.col("w.start").cast("string").alias("window_start"),
-                F.col("w.end").cast("string").alias("window_end"),
-                "emp_id",
-                "n_flagged",
-            )
+    )
+
+
+def run_dedup_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    watermark_delay: str = "1 day",
+    state_partitions: int = 8,
+) -> DataFrame:
+    """Streaming exact-once deduplication: ``dropDuplicates`` on the
+    event id under a watermark, then per-type counts — the standard
+    at-least-once-source → effectively-once-pipeline shape (a training
+    -data ingest dedupe, run as a stream).
+
+    Returns (event_type, n_events) with duplicates collapsed.
+    """
+    from .replay import replayed_events
+
+    with replayed_events(spark, sf_dir, state_partitions) as (stream, run):
+        deduped = (
+            stream.select("event_id", "event_type", "ts")
+            .withWatermark("ts", watermark_delay)
+            .dropDuplicates(["event_id"])
         )
-        return spark.createDataFrame(out.collect(), schema=out.schema)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prior_parts)
-        if q is not None:
-            q.stop()
-        spark.catalog.dropTempView(name)
-        shutil.rmtree(stage_dir, ignore_errors=True)
+        agg = deduped.groupBy("event_type").agg(F.count("*").alias("n_events"))
+        out = run(agg, "dedup_stream_sink")
+    return out.groupBy("event_type").agg(F.max("n_events").alias("n_events"))
 
 
 def run_strike_stream(
@@ -208,33 +198,12 @@ def run_strike_stream(
     worker, a fixed per-partition setup cost that dwarfs per-row work
     on all but huge key spaces (32 partitions measured 5× slower than
     8 on a 1,500-key batch). Size it to key cardinality / executor
-    count in production. The session's shuffle-partition conf is
-    restored afterwards.
+    count in production.
     """
-    import os
-    import shutil
-    import tempfile
+    from .replay import replayed_events
 
-    from ..sources.io import normalize_nanos
-
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    prior_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-
-    # the file source requires a directory: stage the table into one
-    stage_dir = tempfile.mkdtemp(prefix="eds_stream_")
-    name = "strikes_stream_sink"
-    q = None
-    try:
-        os.symlink(f"{sf_dir}/events.parquet", f"{stage_dir}/events.parquet")
-
-        batch = spark.read.parquet(f"{sf_dir}/events.parquet")
-        stream = (
-            spark.readStream.schema(batch.schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(stage_dir)
-        )
-        prepared = normalize_nanos(stream).select(
+    with replayed_events(spark, sf_dir, state_partitions) as (stream, run):
+        prepared = stream.select(
             F.col("user_id").alias("emp_id"),
             flagged_expr().alias("flagged"),
             F.date_format("ts", "yyyy-MM").alias("month"),
@@ -246,32 +215,16 @@ def run_strike_stream(
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
-        q = (
-            result.writeStream.outputMode("update")
-            .format("memory")
-            .queryName(name)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        # latest state per employee (update mode may emit once per batch);
-        # materialize before tearing the memory sink down
-        out = spark.table(name)
-        from pyspark.sql import Window
+        out = run(result, "strikes_stream_sink")
 
-        w = Window.partitionBy("emp_id").orderBy(
-            F.col("month").desc(), F.col("strike_count").desc()
-        )
-        rows = (
-            out.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select("emp_id", "strike_count", "status")
-        )
-        final = spark.createDataFrame(rows.collect(), schema=rows.schema)
-        return final
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prior_parts)
-        if q is not None:
-            q.stop()
-        spark.catalog.dropTempView(name)
-        shutil.rmtree(stage_dir, ignore_errors=True)
+    # latest state per employee (update mode may emit once per batch)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("emp_id").orderBy(
+        F.col("month").desc(), F.col("strike_count").desc()
+    )
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("emp_id", "strike_count", "status")
+    )

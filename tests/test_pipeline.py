@@ -28,6 +28,33 @@ def test_daily_pipeline_runs_and_merges(spark):
     assert len(REGISTRY["daily_pipeline"].fn(spark, "/root/testdata/sf0.001").collect()) == len(rows)
 
 
+def test_stream_dedup_collapses_duplicate_event_ids(spark, tmp_path):
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+
+    from employee_data_management_system_data_engineering_solution_spark.streaming.strikes import (
+        run_dedup_stream,
+    )
+
+    rows = [
+        Row(event_id=1, event_type="click", ts=dt.datetime(2021, 1, 1)),
+        Row(event_id=1, event_type="click", ts=dt.datetime(2021, 1, 1)),  # dup
+        Row(event_id=2, event_type="click", ts=dt.datetime(2021, 1, 2)),
+        Row(event_id=3, event_type="view", ts=dt.datetime(2021, 1, 2)),
+    ]
+    out_dir = str(tmp_path / "stage")
+    spark.createDataFrame(rows).coalesce(1).write.parquet(out_dir)
+    part = glob.glob(os.path.join(out_dir, "part-*.parquet"))[0]
+    shutil.move(part, str(tmp_path / "events.parquet"))
+    got = {
+        r.event_type: r.n_events
+        for r in run_dedup_stream(spark, str(tmp_path), state_partitions=2).collect()
+    }
+    assert got == {"click": 2, "view": 1}
+
+
 def test_windowed_flag_stream_matches_batch_counts(spark):
     from employee_data_management_system_data_engineering_solution_spark.sources.io import (
         read_table,
