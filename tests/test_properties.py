@@ -1,0 +1,83 @@
+"""Property-based checks (SURVEY.md §5 item 4): invariants that must
+hold for arbitrary inputs, via hypothesis over small generated frames.
+
+Each property runs the full Spark plan per example, so example counts
+are kept low — these are semantic invariants, not fuzzing volume.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from employee_data_management_system_data_engineering_solution_spark.operators.cleaning import (
+    dedup_keep_best,
+    remove_dupes_except_all,
+)
+from employee_data_management_system_data_engineering_solution_spark.operators.scd import (
+    keyed_upsert,
+)
+
+_SETTINGS = settings(
+    max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+)
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),  # key
+        st.integers(min_value=0, max_value=50),  # value
+        st.sampled_from(["a", "b", "c"]),  # payload
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(rows=rows_strategy)
+@_SETTINGS
+def test_dedup_keep_best_key_uniqueness_and_winner(spark, rows):
+    df = spark.createDataFrame(rows, "k long, v long, p string")
+    out = dedup_keep_best(
+        df, ["k"], [F.col("v").desc(), F.col("p").asc()]
+    ).collect()
+    # one row per key
+    keys = [r.k for r in out]
+    assert len(keys) == len(set(keys)) == len({k for k, _, _ in rows})
+    # the winner is the max under the total order
+    want = {}
+    for k, v, p in rows:
+        cur = want.get(k)
+        if cur is None or (-v, p) < (-cur[0], cur[1]):
+            want[k] = (v, p)
+    assert {r.k: (r.v, r.p) for r in out} == want
+
+
+@given(rows=rows_strategy)
+@_SETTINGS
+def test_except_all_equals_keep_best_on_total_order(spark, rows):
+    # with a total order the reference's W1+O3 (exceptAll) flow and the
+    # window-filter dedup agree as SETS of surviving rows... except for
+    # exact duplicate rows, where exceptAll keeps one copy per key by
+    # multiset arithmetic. Compare against keep-best on the deduped bag.
+    df = spark.createDataFrame(rows, "k long, v long, p string").dropDuplicates()
+    order = [F.col("v").desc(), F.col("p").asc()]
+    a = sorted(map(tuple, remove_dupes_except_all(df, ["k"], order).collect()))
+    b = sorted(map(tuple, dedup_keep_best(df, ["k"], order).collect()))
+    assert a == b
+
+
+@given(
+    dim=st.lists(st.tuples(st.integers(0, 4), st.integers(0, 9)), max_size=8, unique_by=lambda t: t[0]),
+    stg=st.lists(st.tuples(st.integers(0, 4), st.integers(10, 19)), max_size=8, unique_by=lambda t: t[0]),
+)
+@_SETTINGS
+def test_keyed_upsert_key_set_is_union(spark, dim, stg):
+    dim_df = spark.createDataFrame(dim, "k long, v long") if dim else spark.createDataFrame([], "k long, v long")
+    stg_df = spark.createDataFrame(stg, "k long, v long") if stg else spark.createDataFrame([], "k long, v long")
+    out = {r.k: r.v for r in keyed_upsert(dim_df, stg_df, keys=["k"]).collect()}
+    dim_m, stg_m = dict(dim), dict(stg)
+    # key set is the union; staging wins on collisions
+    assert set(out) == set(dim_m) | set(stg_m)
+    for k, v in out.items():
+        assert v == (stg_m[k] if k in stg_m else dim_m[k])
