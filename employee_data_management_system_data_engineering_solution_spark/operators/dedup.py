@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import MINHASH_PRIME, minhash_signature, normalized
+from ..sources.io import fan_out
 
 
 def char_ngram_rows(df: DataFrame, id_col: str, text_col: str, n: int = 5) -> DataFrame:
@@ -39,7 +40,7 @@ def char_ngram_rows(df: DataFrame, id_col: str, text_col: str, n: int = 5) -> Da
     measured 8× slower at sf0.1.) Duplicate grams are kept: downstream
     MIN-aggregation is multiset-insensitive.
     """
-    ex = df.select(F.col(id_col), normalized(F.col(text_col)).alias("__norm")).select(
+    ex = fan_out(df.select(F.col(id_col), normalized(F.col(text_col)).alias("__norm"))).select(
         id_col,
         "__norm",
         F.explode(
@@ -53,7 +54,7 @@ def with_char_ngrams(df: DataFrame, id_col: str, text_col: str, n: int = 5) -> D
     """(id, grams array<string>) — distinct char n-gram set per doc,
     with the same normalize-once projection barrier as
     :func:`char_ngram_rows`."""
-    step = df.select(F.col(id_col), normalized(F.col(text_col)).alias("__norm"))
+    step = fan_out(df.select(F.col(id_col), normalized(F.col(text_col)).alias("__norm")))
     return step.select(
         id_col,
         F.array_distinct(
@@ -113,8 +114,11 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def with_minhash(df: DataFrame, id_col: str, text_col: str, n_hashes: int = 8) -> DataFrame:
-    """Attach an n-column MinHash signature (narrow map, no shuffle)."""
-    return df.select(F.col(id_col), *minhash_signature(F.col(text_col), n_hashes))
+    """Attach an n-column MinHash signature (narrow map over a
+    fanned-out compact input — 8 digests per word is compute-bound)."""
+    return fan_out(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), *minhash_signature(F.col(text_col), n_hashes)
+    )
 
 
 def lsh_banded(
@@ -298,4 +302,4 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             sigs = u64.view(np.int64)  # two's-complement reinterpret
             yield pd.DataFrame({"doc_id": pdf[id_col].to_numpy(), "simhash": sigs})
 
-    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(_batches, _SIMHASH_SCHEMA)
+    return fan_out(df.select(F.col(id_col), F.col(text_col))).mapInPandas(_batches, _SIMHASH_SCHEMA)

@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..sources.io import fan_out
+
 
 def _as_double(v: Column) -> Column:
     return F.transform(v, lambda x: x.cast("double"))
@@ -61,7 +63,7 @@ def cosine_topk_bruteforce(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
     )
-    c = corpus.select(
+    c = fan_out(corpus).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
     )
     scored = (
@@ -120,7 +122,7 @@ def assign_clusters(
             ),
         )
     )
-    return corpus.select(
+    return fan_out(corpus).select(
         F.col(id_col),
         F.col(vec_col),
         (-best["neg_pivot_id"]).cast("long").alias("cluster_id"),

@@ -30,6 +30,20 @@ TABLES = (
 )
 
 
+def fan_out(df: DataFrame, parallelism: int | None = None) -> DataFrame:
+    """Round-robin repartition of a COMPACT input ahead of a
+    compute-bound narrow map (n-gram explode, signature hashing, vector
+    math). A small table often arrives as one parquet file ⇒ one
+    partition, serializing all downstream per-row compute on one core;
+    shuffling the compact rows first costs far less than it saves.
+    At scale, inputs with enough splits make this a near-no-op
+    rebalance — and fan-out operators (explode ~200× rows) still want
+    partition sizing based on pre-explosion data, which is exactly
+    what a pre-explode repartition provides."""
+    n = parallelism or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n)
+
+
 def normalize_nanos(df: DataFrame) -> DataFrame:
     """TIMESTAMP(NANOS) parquet columns arrive as long (see the
     ``nanosAsLong`` session conf); convert to TimestampType (micros).
