@@ -44,13 +44,24 @@ def main() -> int:
 
     qs = queries()
 
-    # warm-up: JVM, codegen, parquet footer caches (non-fatal — a broken
-    # warm-up must still leave a parseable JSON line on stdout)
-    try:
-        spark.range(1_000_000).selectExpr("sum(id)").collect()
-        qs["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
-    except Exception as exc:
-        print(f"bench: warm-up failed: {exc}", file=sys.stderr)
+    # warm-up: JVM codegen, parquet reader, Arrow python workers, and the
+    # Structured Streaming machinery — all at the smallest sf so their
+    # one-time startup isn't billed to the first timed query. Non-fatal:
+    # a broken warm-up must still leave a parseable JSON line on stdout.
+    warm_sf = "/root/testdata/sf0.001"
+    for warm in (
+        lambda: spark.range(1_000_000).selectExpr("sum(id)").collect(),
+        lambda: qs["q1_pricing_summary"](spark, sf_dir)
+        .write.format("noop").mode("overwrite").save(),
+        lambda: qs["simhash_signatures"](spark, warm_sf)
+        .write.format("noop").mode("overwrite").save(),
+        lambda: qs["strike_stream_stateful"](spark, warm_sf)
+        .write.format("noop").mode("overwrite").save(),
+    ):
+        try:
+            warm()
+        except Exception as exc:
+            print(f"bench: warm-up step failed: {exc}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     for name, fn in qs.items():
