@@ -100,15 +100,39 @@ def assign_clusters(
     exchange, no window. The previous formulation (cross join + window
     argmax) shuffled P copies of every vector; at 100 TB that shuffle
     IS the job, while this version is pure scan."""
+    import math
+
     pivot_rows = pivots.select(id_col, vec_col).collect()  # bounded: P centroids
+
+    def _pnorm(vec) -> float:
+        # sequential left fold, matching the JVM aggregate()'s operation
+        # order bit-for-bit (do NOT use math.fsum / sum(generator))
+        acc = 0.0
+        for x in vec:
+            acc += float(x) * float(x)
+        return math.sqrt(acc)
+
     plit = F.array(
         *[
             F.struct(
                 F.lit(int(r[0])).alias("pivot_id"),
                 F.array(*[F.lit(float(x)) for x in r[1]]).alias("pv"),
+                F.lit(_pnorm(r[1])).alias("pnorm"),
             )
             for r in pivot_rows
         ]
+    )
+    # higher-order functions evaluate interpreted (outside codegen), so
+    # redundant math inside the lambda is P× real cost: the vector's own
+    # norm is materialized ONCE per row in a projection behind the
+    # repartition barrier (CollapseProject would otherwise inline it
+    # back into the lambda), and pivot norms are baked into the literal.
+    pre = fan_out(
+        corpus.select(
+            F.col(id_col),
+            F.col(vec_col),
+            norm(_as_double(F.col(vec_col))).alias("__vnorm"),
+        )
     )
     v = _as_double(F.col(vec_col))
     # struct comparison is field-order lexicographic: max sim first,
@@ -117,14 +141,15 @@ def assign_clusters(
         F.transform(
             plit,
             lambda p: F.struct(
-                F.round(dot(v, p["pv"]) / (norm(v) * norm(p["pv"])), 6).alias("sim"),
+                F.round(dot(v, p["pv"]) / (F.col("__vnorm") * p["pnorm"]), 6).alias("sim"),
                 (-p["pivot_id"]).alias("neg_pivot_id"),
             ),
         )
     )
-    return fan_out(corpus).select(
+    return pre.select(
         F.col(id_col),
         F.col(vec_col),
+        F.col("__vnorm"),
         (-best["neg_pivot_id"]).cast("long").alias("cluster_id"),
     )
 
@@ -151,19 +176,28 @@ def cosine_neardup_pairs(
     """
     assigned = assign_clusters(corpus, pivots, id_col, vec_col)
     a = assigned.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "cluster_id"
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+        F.col("__vnorm").alias("__na"),
+        "cluster_id",
     )
     b = assigned.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "cluster_id"
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+        F.col("__vnorm").alias("__nb"),
+        "cluster_id",
+    )
+    # norms ride along from the assignment, so the per-pair interpreted
+    # work is one dot product, not dot + two norms
+    sim = F.round(
+        dot(_as_double(F.col("__va")), _as_double(F.col("__vb")))
+        / (F.col("__na") * F.col("__nb")),
+        6,
     )
     return (
         a.join(b, on="cluster_id")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cosine_sim"),
-        )
+        .select("id_a", "id_b", sim.alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
     )
 
@@ -185,9 +219,17 @@ def ivf_topk(
     q = assigned.join(
         queries.select(F.col(id_col).alias("query_id")),
         assigned[id_col] == F.col("query_id"),
-    ).select("query_id", F.col(vec_col).alias("__qvec"), F.col("cluster_id"))
+    ).select(
+        "query_id",
+        F.col(vec_col).alias("__qvec"),
+        F.col("__vnorm").alias("__qnorm"),
+        F.col("cluster_id"),
+    )
     c = assigned.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"), "cluster_id"
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        F.col("__vnorm").alias("__cnorm"),
+        "cluster_id",
     )
     scored = (
         c.join(F.broadcast(q), on="cluster_id")
@@ -195,7 +237,11 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("__qvec"), F.col("__cvec")), 6).alias("cosine_sim"),
+            F.round(
+                dot(_as_double(F.col("__qvec")), _as_double(F.col("__cvec")))
+                / (F.col("__qnorm") * F.col("__cnorm")),
+                6,
+            ).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
