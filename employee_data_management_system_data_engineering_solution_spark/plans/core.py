@@ -534,6 +534,94 @@ def top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Rollup aggregation (engine capability beyond the reference's flat GROUP BY)
+# --------------------------------------------------------------------------
+@register(
+    "rollup_revenue",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           round(sum(l_extendedprice), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals in ONE pass: ``rollup`` computes (flag,
+    status), (flag), and grand-total levels through a single partial-agg
+    shuffle — replacing three separate scans+aggs. NULL level markers
+    are labeled 'ALL' on both engines so the hash comparison is
+    representation-stable."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "revenue",
+            "n_items",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Semi / anti joins as named capabilities (the reference only hand-rolls
+# an anti via collect+isin — Task_4_80perc.py:59,65)
+# --------------------------------------------------------------------------
+@register(
+    "customers_with_urgent_orders",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def customers_with_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join: membership probe without row duplication — the
+    EXISTS shape. One shuffle on the key; the probe side carries only
+    the key column."""
+    cust = read_table(spark, sf_dir, "customer")
+    urgent = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return cust.join(
+        urgent, cust.c_custkey == urgent.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "customers_without_urgent_orders",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def customers_without_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join: the NOT EXISTS shape (the idiom that replaces the
+    reference's collect+isin holiday exclusion at scale). Filtered to
+    the urgent-priority subset so the complement is non-empty at every
+    scale factor — an anti-join against ALL orders matches no one in
+    this testdata."""
+    cust = read_table(spark, sf_dir, "customer")
+    urgent = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return cust.join(
+        urgent, cust.c_custkey == urgent.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+# --------------------------------------------------------------------------
 # §2.9 batch-equivalent: strike report (README.md:101-105 semantics)
 # --------------------------------------------------------------------------
 @register(
