@@ -233,6 +233,43 @@ def strike_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "partition_pruned_report",
+    """
+    SELECT l_returnflag,
+           round(sum(l_extendedprice), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_returnflag IN ('A', 'R')
+    GROUP BY l_returnflag
+    """,
+)
+def partition_pruned_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned warehouse layout + partition pruning end-to-end:
+    a lineitem projection is written ``partitionBy(l_returnflag)`` and
+    the report filter then prunes to 2 of the 3 flag directories — the
+    scan never touches the third partition's files (visible as
+    PartitionFilters in the physical plan). At 100 TB this directory
+    pruning is the difference between reading part of the table and all
+    of it before the first filter runs."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    base = os.path.join(
+        tempfile.gettempdir(), f"eds_part_{os.path.basename(sf_dir.rstrip(os.sep))}"
+    )
+    write_parquet(li, base, partition_by=["l_returnflag"])
+    return (
+        spark.read.parquet(base)
+        .filter(F.col("l_returnflag").isin("A", "R"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
     "stream_dedup_counts",
     """
     SELECT event_type, count(DISTINCT event_id) AS n_events
