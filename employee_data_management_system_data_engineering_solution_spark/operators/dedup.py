@@ -228,7 +228,13 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    grams = with_char_ngrams(df, id_col, text_col, n)
+    # verification grams are computed ONLY for docs that appear in some
+    # candidate pair — a semi-join prune, so the (expensive) gram-array
+    # construction scales with the candidate set, not the corpus
+    cand_ids = cand.select(
+        F.explode(F.array("id_a", "id_b")).alias(id_col)
+    ).distinct()
+    grams = with_char_ngrams(df.join(cand_ids, on=id_col, how="left_semi"), id_col, text_col, n)
     ga = grams.select(F.col(id_col).alias("id_a"), F.col("grams").alias("grams_a"))
     gb = grams.select(F.col(id_col).alias("id_b"), F.col("grams").alias("grams_b"))
     pairs = cand.join(ga, on="id_a").join(gb, on="id_b")

@@ -534,6 +534,99 @@ def top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Multi-join star query (TPC-H Q5 shape): fact ⋈ 5 dims, broadcast chain
+# --------------------------------------------------------------------------
+@register(
+    "region_supplier_volume",
+    """
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND CAST(o_orderdate AS DATE) >= DATE '1994-01-01'
+      AND CAST(o_orderdate AS DATE) <  DATE '1995-01-01'
+    GROUP BY n_name
+    """,
+)
+def region_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-supplier volume (TPC-H Q5 shape): the 6-table star with the
+    region filter riding down the dimension chain. region→nation→
+    supplier are broadcast (tiny after the filter); only the
+    orders⋈lineitem fact join shuffles. The compound condition
+    (``c_nationkey = s_nationkey``) makes this the classic
+    join-reorder/broadcast showcase."""
+    region = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = read_table(spark, sf_dir, "nation")
+    supplier = read_table(spark, sf_dir, "supplier")
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders").filter(
+        (_d("o_orderdate") >= F.to_date(F.lit("1994-01-01")))
+        & (_d("o_orderdate") < F.to_date(F.lit("1995-01-01")))
+    )
+    li = read_table(spark, sf_dir, "lineitem")
+    asia_supp = (
+        supplier.join(
+            F.broadcast(nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)),
+            supplier.s_nationkey == nation.n_nationkey,
+        )
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(
+            F.broadcast(asia_supp),
+            (li.l_suppkey == F.col("s_suppkey"))
+            & (customer.c_nationkey == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Conditional aggregation over a join (TPC-H Q14 shape)
+# --------------------------------------------------------------------------
+@register(
+    "promo_revenue_share",
+    """
+    SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct,
+           count(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE CAST(l_shipdate AS DATE) >= DATE '1995-09-01'
+      AND CAST(l_shipdate AS DATE) <  DATE '1995-10-01'
+    """,
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion revenue share (TPC-H Q14 shape): conditional aggregate
+    over a fact⋈dim join — the date filter prunes the fact scan, the
+    part side broadcasts under AQE, and the CASE rides inside the
+    single aggregation pass."""
+    part = read_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (_d("l_shipdate") >= F.to_date(F.lit("1995-09-01")))
+        & (_d("l_shipdate") < F.to_date(F.lit("1995-10-01")))
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), disc).otherwise(F.lit(0.0))
+    return li.join(part, li.l_partkey == part.p_partkey).agg(
+        F.round(F.lit(100.0) * F.sum(promo) / F.sum(disc), 4).alias("promo_pct"),
+        F.count("*").alias("n_items"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Rollup aggregation (engine capability beyond the reference's flat GROUP BY)
 # --------------------------------------------------------------------------
 @register(
