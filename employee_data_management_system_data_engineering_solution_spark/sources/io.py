@@ -124,6 +124,26 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = 
     df.write.mode(mode).option("header", str(header).lower()).csv(path)
 
 
+def publish_report(
+    df: DataFrame,
+    parquet_path: str | None = None,
+    csv_path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Multi-sink publish (reference pattern: the report jobs write BOTH
+    a warehouse table and a CSV — ``Task_4_generate_active_table.py:32-45``
+    — but re-run the whole plan per sink because nothing is cached;
+    SURVEY §4). Persist once, write every sink, unpersist."""
+    df.persist()
+    try:
+        if parquet_path is not None:
+            write_parquet(df, parquet_path, mode=mode)
+        if csv_path is not None:
+            write_csv(df, csv_path, mode=mode)
+    finally:
+        df.unpersist()
+
+
 def promote_staging(spark: SparkSession, staging_path: str, dim_path: str) -> None:
     """Staging → dim promotion (reference K5, ``daily_dag.py:159-166``:
     ``INSERT INTO dim SELECT * FROM staging`` then ``TRUNCATE staging``):

@@ -88,6 +88,19 @@ def test_latest_file_skips_hidden_and_meta(tmp_path):
     assert latest_file(str(tmp_path)) == str(tmp_path / "real.csv")
 
 
+def test_publish_report_writes_both_sinks(spark, tmp_path):
+    from employee_data_management_system_data_engineering_solution_spark.sources.io import (
+        publish_report,
+    )
+
+    pq, csv = str(tmp_path / "rep.parquet"), str(tmp_path / "rep.csv")
+    df = _df(spark)
+    publish_report(df, parquet_path=pq, csv_path=csv)
+    assert spark.read.parquet(pq).count() == 2
+    assert spark.read.option("header", "true").csv(csv).count() == 2
+    assert not df.is_cached  # unpersisted after publish
+
+
 def test_promote_staging_appends_then_truncates(spark, tmp_path):
     stg_p, dim_p = str(tmp_path / "stg"), str(tmp_path / "dim")
     write_parquet(_df(spark), stg_p)
