@@ -715,6 +715,99 @@ def customers_without_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 # --------------------------------------------------------------------------
+# Advanced windows: gaps-and-islands + lag deltas (beyond the reference's
+# row_number-only window usage, SURVEY §2.6)
+# --------------------------------------------------------------------------
+@register(
+    "longest_leave_streak",
+    """
+    WITH leaves AS (
+      SELECT DISTINCT l_suppkey AS emp_id, CAST(l_shipdate AS DATE) AS d
+      FROM lineitem WHERE l_returnflag = 'A'
+    ),
+    runs AS (
+      SELECT emp_id, d,
+             d - CAST(row_number() OVER (PARTITION BY emp_id ORDER BY d) AS INT) AS grp
+      FROM leaves
+    )
+    SELECT emp_id, max(run_len) AS longest_streak
+    FROM (SELECT emp_id, grp, count(*) AS run_len FROM runs GROUP BY emp_id, grp)
+    GROUP BY emp_id
+    HAVING max(run_len) >= 3
+    """,
+)
+def longest_leave_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day leave run per employee — the
+    gaps-and-islands idiom: ``date - row_number`` is constant within a
+    consecutive run, so runs group on it with NO self-join or iterative
+    logic; two window/agg shuffles total regardless of streak length."""
+    from pyspark.sql import Window
+
+    leaves = (
+        read_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "A")
+        .select(F.col("l_suppkey").alias("emp_id"), _d("l_shipdate").alias("d"))
+        .distinct()
+    )
+    w = Window.partitionBy("emp_id").orderBy("d")
+    runs = leaves.withColumn(
+        "grp", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    run_lens = runs.groupBy("emp_id", "grp").agg(F.count("*").alias("run_len"))
+    return (
+        run_lens.groupBy("emp_id")
+        .agg(F.max("run_len").alias("longest_streak"))
+        .filter(F.col("longest_streak") >= 3)
+    )
+
+
+@register(
+    "salary_change_deltas",
+    """
+    WITH seq AS (
+      SELECT o_custkey AS emp_id,
+             CAST(o_orderdate AS DATE) AS start_date,
+             o_totalprice AS salary,
+             lag(o_totalprice) OVER (
+               PARTITION BY o_custkey
+               ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS prev_salary
+      FROM orders
+    )
+    SELECT emp_id, CAST(start_date AS VARCHAR) AS start_date,
+           round(salary - prev_salary, 2) AS delta
+    FROM seq
+    WHERE prev_salary IS NOT NULL
+      AND abs(salary - prev_salary) > 100000
+    """,
+)
+def salary_change_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-employee period-over-period salary delta via ``lag`` — the
+    change-detection window shape (SURVEY notes the reference uses only
+    row_number; lag/lead come free from the same sort)."""
+    from pyspark.sql import Window
+
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(_d("o_orderdate"), F.col("o_orderkey"))
+    seq = orders.select(
+        F.col("o_custkey").alias("emp_id"),
+        _d("o_orderdate").alias("start_date"),
+        F.col("o_totalprice").alias("salary"),
+        F.lag("o_totalprice").over(w).alias("prev_salary"),
+    )
+    return (
+        seq.filter(
+            F.col("prev_salary").isNotNull()
+            & (F.abs(F.col("salary") - F.col("prev_salary")) > 100000)
+        )
+        .select(
+            "emp_id",
+            F.col("start_date").cast("string").alias("start_date"),
+            F.round(F.col("salary") - F.col("prev_salary"), 2).alias("delta"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # §2.9 batch-equivalent: strike report (README.md:101-105 semantics)
 # --------------------------------------------------------------------------
 @register(
