@@ -715,6 +715,34 @@ def customers_without_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 # --------------------------------------------------------------------------
+# Exact percentile aggregates (distribution reporting beyond count/sum/min)
+# --------------------------------------------------------------------------
+@register(
+    "salary_percentiles",
+    """
+    SELECT o_orderpriority AS designation,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS p50_salary,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90_salary,
+           count(*) AS n
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def salary_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (``percentile`` ==
+    DuckDB ``quantile_cont``). At very large groups the exact sort-based
+    aggregate gets expensive — ``approx_percentile`` (t-digest) is the
+    100 TB variant, kept out of the oracle-checked surface because its
+    sketch values aren't engine-portable."""
+    orders = read_table(spark, sf_dir, "orders")
+    return orders.groupBy(F.col("o_orderpriority").alias("designation")).agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50_salary"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90_salary"),
+        F.count("*").alias("n"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Advanced windows: gaps-and-islands + lag deltas (beyond the reference's
 # row_number-only window usage, SURVEY §2.6)
 # --------------------------------------------------------------------------

@@ -35,6 +35,7 @@ from ..streaming.strikes import (
     RESERVED_WORDS,
     flag_messages,
     run_dedup_stream,
+    run_session_stream,
     run_windowed_flag_stream,
 )
 from .registry import register
@@ -281,6 +282,38 @@ def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     event id) → per-type counts, through real Structured Streaming; the
     oracle is the batch COUNT(DISTINCT)."""
     return run_dedup_stream(spark, sf_dir)
+
+
+@register(
+    "session_window_counts",
+    """
+    WITH s AS (
+      SELECT user_id AS emp_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    OR ts > lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                            + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ),
+    g AS (
+      SELECT emp_id, ts,
+             sum(new_s) OVER (PARTITION BY emp_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM s
+    )
+    SELECT emp_id,
+           CAST(min(ts) AS VARCHAR) AS session_start,
+           CAST(max(ts) + INTERVAL 30 MINUTE AS VARCHAR) AS session_end,
+           count(*) AS n_events
+    FROM g GROUP BY emp_id, sid
+    """,
+)
+def session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity sessionization through real Structured Streaming
+    ``session_window`` (30-min gap); the oracle reproduces the exact
+    data-dependent boundaries with the gaps-and-islands idiom (break on
+    gap strictly exceeded; end = last event + gap)."""
+    return run_session_stream(spark, sf_dir)
 
 
 @register(

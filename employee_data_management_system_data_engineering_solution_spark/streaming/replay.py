@@ -29,8 +29,9 @@ def replayed_events(
     spark: SparkSession, sf_dir: str, state_partitions: int = 8
 ) -> Iterator[tuple[DataFrame, Callable[[DataFrame, str], DataFrame]]]:
     """Yield ``(stream_df, run)`` where ``stream_df`` is the streaming
-    view of ``{sf_dir}/events.parquet`` and ``run(result_df, name)``
-    executes the streaming plan through an update-mode memory sink
+    view of ``{sf_dir}/events.parquet`` and ``run(result_df, name, output_mode)``
+    executes the streaming plan through a memory sink (update mode by
+    default; session-window aggregations require complete/append)
     (availableNow trigger) and returns the sink table, materialized so
     it survives the cleanup that follows the ``with`` block."""
     from ..sources.io import normalize_nanos
@@ -51,9 +52,9 @@ def replayed_events(
             .parquet(stage_dir)
         )
 
-        def run(result: DataFrame, name: str) -> DataFrame:
+        def run(result: DataFrame, name: str, output_mode: str = "update") -> DataFrame:
             q = (
-                result.writeStream.outputMode("update")
+                result.writeStream.outputMode(output_mode)
                 .format("memory")
                 .queryName(name)
                 .trigger(availableNow=True)

@@ -182,6 +182,44 @@ def run_dedup_stream(
     return out.groupBy("event_type").agg(F.max("n_events").alias("n_events"))
 
 
+def run_session_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    gap: str = "30 minutes",
+    watermark_delay: str = "1 day",
+    state_partitions: int = 8,
+) -> DataFrame:
+    """Per-employee activity sessions via ``session_window`` — the
+    data-dependent-boundary window (merges events closer than ``gap``;
+    session end = last event + gap). Batch-equivalent: gaps-and-islands
+    with a strictly-greater-than-gap break, so a DuckDB oracle can
+    reproduce the exact sessions.
+
+    Returns (emp_id, session_start, session_end, n_events).
+    """
+    from .replay import replayed_events
+
+    with replayed_events(spark, sf_dir, state_partitions) as (stream, run):
+        agg = (
+            stream.select(F.col("user_id").alias("emp_id"), "ts")
+            .withWatermark("ts", watermark_delay)
+            .groupBy(F.session_window("ts", gap).alias("w"), "emp_id")
+            .agg(F.count("*").alias("n_events"))
+        )
+        out = run(agg, "session_stream_sink", output_mode="complete")
+    # sessions merge as batches arrive; keep the widest emission per start
+    return (
+        out.groupBy(F.col("w.start").alias("__start"), "emp_id")
+        .agg(F.max(F.col("w.end")).alias("__end"), F.max("n_events").alias("n_events"))
+        .select(
+            "emp_id",
+            F.col("__start").cast("string").alias("session_start"),
+            F.col("__end").cast("string").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def run_strike_stream(
     spark: SparkSession, sf_dir: str, state_partitions: int = 8
 ) -> DataFrame:

@@ -55,6 +55,40 @@ def test_stream_dedup_collapses_duplicate_event_ids(spark, tmp_path):
     assert got == {"click": 2, "view": 1}
 
 
+def test_session_stream_boundaries(spark, tmp_path):
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+
+    from employee_data_management_system_data_engineering_solution_spark.streaming.strikes import (
+        run_session_stream,
+    )
+
+    base = dt.datetime(2021, 1, 1, 0, 0, 0)
+    rows = [
+        # user 1: events at 0m, 30m (exactly the gap: merges), 61m (new session)
+        Row(user_id=1, ts=base),
+        Row(user_id=1, ts=base + dt.timedelta(minutes=30)),
+        Row(user_id=1, ts=base + dt.timedelta(minutes=61)),
+        # user 2: single event
+        Row(user_id=2, ts=base),
+    ]
+    out_dir = str(tmp_path / "stage")
+    spark.createDataFrame(rows).coalesce(1).write.parquet(out_dir)
+    part = glob.glob(os.path.join(out_dir, "part-*.parquet"))[0]
+    shutil.move(part, str(tmp_path / "events.parquet"))
+
+    got = sorted(
+        map(tuple, run_session_stream(spark, str(tmp_path), state_partitions=2).collect())
+    )
+    assert got == [
+        (1, "2021-01-01 00:00:00", "2021-01-01 01:00:00", 2),
+        (1, "2021-01-01 01:01:00", "2021-01-01 01:31:00", 1),
+        (2, "2021-01-01 00:00:00", "2021-01-01 00:30:00", 1),
+    ]
+
+
 def test_windowed_flag_stream_matches_batch_counts(spark):
     from employee_data_management_system_data_engineering_solution_spark.sources.io import (
         read_table,
