@@ -66,6 +66,41 @@ def _fake_feature(payload: bytes) -> list[float]:
     ]
 
 
+_FRAME_SCHEMA = "doc_id long, frame_no int, frame binary, frame_bytes int"
+
+
+def frame_sample(df: DataFrame, frame_bytes: int = 32, every_n: int = 1) -> DataFrame:
+    """Frame sampling over a binary media column: split each payload
+    into fixed-size frames and keep every ``every_n``-th (the
+    video-frame-extraction shape; a real decoder replaces the
+    byte-slicing with ffmpeg/PIL frame reads — the Spark plumbing,
+    Arrow batch shape, and output schema stay identical).
+
+    Input: (doc_id, payload, ...) from :func:`with_binary_payload`.
+    Output: one row per sampled frame (doc_id, frame_no, frame,
+    frame_bytes) — a narrow fan-out, no shuffle.
+    """
+    import pandas as pd
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nos, frames, sizes = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload) if payload is not None else b""
+                n = (len(data) + frame_bytes - 1) // frame_bytes
+                for i in range(0, n, every_n):
+                    chunk = data[i * frame_bytes:(i + 1) * frame_bytes]
+                    ids.append(doc_id)
+                    nos.append(i)
+                    frames.append(chunk)
+                    sizes.append(len(chunk))
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_no": nos, "frame": frames, "frame_bytes": sizes}
+            )
+
+    return df.mapInPandas(_frames, _FRAME_SCHEMA)
+
+
 def decode_features(df: DataFrame) -> DataFrame:
     """Arrow-batched decode/feature-extract over a binary column.
 

@@ -488,6 +488,36 @@ def binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_frame_stats",
+    """
+    SELECT doc_id,
+           CAST(ceil(octet_length(encode(text)) / 32.0) AS BIGINT) AS n_frames,
+           octet_length(encode(text)) AS total_bytes
+    FROM documents
+    WHERE octet_length(encode(text)) > 0
+    """,
+)
+def multimodal_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing end-to-end: payloads are split into
+    32-byte frames by the Arrow-batched sampler and the per-doc frame
+    accounting is verified against the closed-form oracle
+    (ceil(bytes/32)). The frame payloads themselves are exercised in
+    the unit suite; the gate surface aggregates them (binary cells
+    don't survive the driver canonicalizer)."""
+    docs = read_table(spark, sf_dir, "documents")
+    payloads = multimodal.with_binary_payload(docs, "doc_id", "text")
+    frames = multimodal.frame_sample(payloads, frame_bytes=32)
+    return (
+        frames.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_frames"),
+            F.sum("frame_bytes").alias("total_bytes"),
+        )
+        .filter(F.col("total_bytes") > 0)
+    )
+
+
 @register("multimodal_decode", None)  # mapInPandas decode stub: rows-only check
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
