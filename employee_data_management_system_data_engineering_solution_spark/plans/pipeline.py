@@ -294,6 +294,7 @@ def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                             + INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS new_s
       FROM events
+      WHERE event_type = 'error'
     ),
     g AS (
       SELECT emp_id, ts,

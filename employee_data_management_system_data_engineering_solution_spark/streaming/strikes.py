@@ -201,7 +201,8 @@ def run_session_stream(
 
     with replayed_events(spark, sf_dir, state_partitions) as (stream, run):
         agg = (
-            stream.select(F.col("user_id").alias("emp_id"), "ts")
+            stream.filter(flagged_expr())
+            .select(F.col("user_id").alias("emp_id"), "ts")
             .withWatermark("ts", watermark_delay)
             .groupBy(F.session_window("ts", gap).alias("w"), "emp_id")
             .agg(F.count("*").alias("n_events"))

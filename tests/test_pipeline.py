@@ -68,11 +68,12 @@ def test_session_stream_boundaries(spark, tmp_path):
     base = dt.datetime(2021, 1, 1, 0, 0, 0)
     rows = [
         # user 1: events at 0m, 30m (exactly the gap: merges), 61m (new session)
-        Row(user_id=1, ts=base),
-        Row(user_id=1, ts=base + dt.timedelta(minutes=30)),
-        Row(user_id=1, ts=base + dt.timedelta(minutes=61)),
-        # user 2: single event
-        Row(user_id=2, ts=base),
+        Row(user_id=1, event_type="error", ts=base),
+        Row(user_id=1, event_type="error", ts=base + dt.timedelta(minutes=30)),
+        Row(user_id=1, event_type="error", ts=base + dt.timedelta(minutes=61)),
+        # user 2: single flagged event; an unflagged one is excluded
+        Row(user_id=2, event_type="error", ts=base),
+        Row(user_id=2, event_type="click", ts=base + dt.timedelta(minutes=5)),
     ]
     out_dir = str(tmp_path / "stage")
     spark.createDataFrame(rows).coalesce(1).write.parquet(out_dir)
