@@ -1,0 +1,129 @@
+"""Ordered joins: as-of join and interval (range) join.
+
+The reference engine has no ordered joins (SURVEY §2.4 lists only
+equi-joins); these are north-star extensions for event/time-series
+processing at scale — attribution ("latest view before each purchase"),
+state lookup as-of a timestamp, and point-in-interval containment.
+
+Scale design
+------------
+``asof_join`` is the canonical distributed merge-as-of: both sides are
+unioned, hash-partitioned on the join key (ONE shuffle), sorted within
+each partition on the event time, and the most recent right-side payload
+is carried forward with a running ``last(ignorenulls=True)`` window.
+No range explosion, no per-key collect, no broadcast requirement —
+each key's timeline is processed in a single sorted pass, so the cost
+is the same as one sort-merge join regardless of time-gap distribution.
+
+``interval_bucket_join`` avoids the cross-join that a naive
+point-in-interval predicate would produce when there is NO equality
+key: intervals are exploded onto coarse time buckets (an interval of
+typical length ≈ bucket width lands in 1–2 buckets), points map to
+exactly one bucket, and the join becomes an equi-join on the bucket id
+with a residual range filter. Each (interval, point) pair can only meet
+in the point's single bucket, so no post-join dedup is needed. At 100 TB
+the bucket key distributes uniformly when event time does; hot buckets
+(flash-crowd seconds) can additionally be salted by the caller.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_TS = "__asof_ts"
+_SIDE = "__asof_side"
+_PAYLOAD = "__asof_payload"
+_BUCKET = "__range_bucket"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    payload: Sequence[str],
+    *,
+    strict: bool = False,
+    payload_prefix: str = "r_",
+) -> DataFrame:
+    """Backward as-of join: for every left row, attach the most recent
+    right row with ``right_ts <= left_ts`` (``< left_ts`` when
+    ``strict``) for the same key.
+
+    ``payload`` columns from the matched right row are appended to the
+    left row as ``{payload_prefix}{col}`` (NULL when no right row
+    precedes the left row). Right-side rows must be unique per
+    ``(key, right_ts)`` for a deterministic result — pre-dedup with a
+    total order otherwise (see ``cleaning.dedup_last_write_wins``).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    r = right.select(
+        *keys,
+        F.col(right_ts).alias(_TS),
+        F.struct(*[F.col(c) for c in payload]).alias(_PAYLOAD),
+    )
+    # At equal timestamps the right row must sort BEFORE the left row for
+    # inclusive (backward) semantics, AFTER it for strict semantics.
+    l_side, r_side = (1, 0) if not strict else (0, 1)
+    lhs = left.withColumn(_TS, F.col(left_ts)).withColumn(_SIDE, F.lit(l_side))
+    rhs = r.withColumn(_SIDE, F.lit(r_side))
+    unioned = lhs.unionByName(rhs, allowMissingColumns=True)
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(_TS, _SIDE)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_left = F.col(_SIDE) == F.lit(l_side)
+    matched = unioned.withColumn(_PAYLOAD, F.last(_PAYLOAD, ignorenulls=True).over(w))
+    return matched.filter(is_left).select(
+        *left.columns,
+        *[
+            F.col(f"{_PAYLOAD}.{c}").alias(f"{payload_prefix}{c}")
+            for c in payload
+        ],
+    )
+
+
+def interval_bucket_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_col: str,
+    end_col: str,
+    *,
+    bucket_seconds: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Join points to half-open intervals ``[start, end)`` with no
+    equality key, via time-bucket equi-join + residual range filter.
+
+    Returns ``intervals ⋈ points`` rows (all columns of both; callers
+    project/aggregate). ``bucket_seconds`` should be on the order of the
+    typical interval length; an interval spanning B buckets is
+    replicated B times (bounded, unlike a cross join).
+    """
+    b = int(bucket_seconds)
+    ivals = intervals.withColumn(
+        _BUCKET,
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(start_col)) / b).cast("long"),
+                # end is exclusive: last bucket that can contain a point < end
+                F.floor((F.unix_timestamp(F.col(end_col)) - 1) / b).cast("long"),
+            )
+        ),
+    )
+    pts = points.withColumn(
+        _BUCKET, F.floor(F.unix_timestamp(F.col(point_ts)) / b).cast("long")
+    )
+    cond: Column = (
+        (ivals[_BUCKET] == pts[_BUCKET])
+        & (pts[point_ts] >= ivals[start_col])
+        & (pts[point_ts] < ivals[end_col])
+    )
+    return ivals.join(pts, cond, how).drop(_BUCKET)

@@ -1,0 +1,100 @@
+"""Ordered-join queries (as-of, interval containment) over ``events``.
+
+North-star extensions (SURVEY §2.11.1): the reference has only
+equi-joins; event/time-series pipelines additionally need "latest state
+as of T" (attribution, dimension snapshot lookup) and
+point-in-interval containment, both implemented shuffle-lean in
+``operators/joins.py``.
+
+Timestamp parity convention: epoch seconds as BIGINT on both sides
+(Spark ``unix_timestamp`` ≡ DuckDB ``CAST(floor(epoch(ts)) AS
+BIGINT)``), and NULL-free sentinel ``-1`` for unmatched left-join
+payloads so integer columns stay integer-typed through pandas on both
+sides of the driver's canonicalizer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.joins import asof_join, interval_bucket_join
+from ..sources.io import read_table
+from .registry import register
+
+
+# --------------------------------------------------------------------------
+# As-of join: most recent 'view' at/before each 'purchase' per user
+# (attribution shape; distributed merge-as-of, one shuffle)
+# --------------------------------------------------------------------------
+@register(
+    "purchase_asof_view",
+    """
+    SELECT l.event_id,
+           l.user_id,
+           CAST(floor(epoch(l.ts)) AS BIGINT)                   AS purchase_ts,
+           round(l.value, 2)                                    AS amount,
+           COALESCE(r.event_id, -1)                             AS prior_view_id,
+           COALESCE(CAST(floor(epoch(r.ts)) AS BIGINT), -1)     AS prior_view_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def purchase_asof_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.round("value", 2).alias("amount")
+    )
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "event_id")
+    out = asof_join(
+        purchases,
+        views,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        payload=["event_id", "ts"],
+        payload_prefix="view_",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("purchase_ts"),
+        "amount",
+        F.coalesce(F.col("view_event_id"), F.lit(-1)).alias("prior_view_id"),
+        F.coalesce(F.unix_timestamp("view_ts"), F.lit(-1)).alias("prior_view_ts"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Interval (range) join with NO equality key: traffic inside the hour
+# after each high-severity error, via bucketed containment join
+# --------------------------------------------------------------------------
+@register(
+    "events_in_error_windows",
+    """
+    SELECT w.event_id                     AS window_id,
+           count(*)                       AS n_events,
+           round(sum(e.value), 2)         AS sum_value
+    FROM (SELECT event_id, ts, ts + INTERVAL 1 HOUR AS te
+          FROM events WHERE event_type = 'error' AND value > 150) w
+    JOIN events e ON e.ts >= w.ts AND e.ts < w.te
+    GROUP BY 1
+    """,
+)
+def events_in_error_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    windows = ev.filter((F.col("event_type") == "error") & (F.col("value") > 150)).select(
+        F.col("event_id").alias("window_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("w_end"),
+    )
+    points = ev.select(F.col("event_id").alias("p_id"), F.col("ts").alias("p_ts"), F.col("value").alias("p_value"))
+    joined = interval_bucket_join(
+        points, windows, "p_ts", "w_start", "w_end", bucket_seconds=3600
+    )
+    # every window contains its own error event, so inner join loses none
+    return joined.groupBy("window_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("p_value"), 2).alias("sum_value"),
+    )

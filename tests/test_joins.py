@@ -1,0 +1,94 @@
+"""Ordered-join semantics on hand-built frames (asof_join,
+interval_bucket_join)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from employee_data_management_system_data_engineering_solution_spark.operators.joins import (
+    asof_join,
+    interval_bucket_join,
+)
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_backward_inclusive(spark):
+    left = spark.createDataFrame(
+        [(1, "a", _ts("2024-01-01T10:00:00")),
+         (2, "a", _ts("2024-01-01T12:00:00")),
+         (3, "b", _ts("2024-01-01T09:00:00"))],
+        "id bigint, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("a", _ts("2024-01-01T09:30:00"), 100),
+         ("a", _ts("2024-01-01T12:00:00"), 200),  # equal ts → inclusive match
+         ("b", _ts("2024-01-01T09:30:00"), 300)],  # after left b → no match
+        "k string, ts timestamp, payload bigint",
+    )
+    out = asof_join(left, right, on="k", left_ts="ts", right_ts="ts", payload=["payload"])
+    got = {r["id"]: r["r_payload"] for r in out.collect()}
+    assert got == {1: 100, 2: 200, 3: None}
+
+
+def test_asof_strict_excludes_equal_ts(spark):
+    left = spark.createDataFrame(
+        [(1, "a", _ts("2024-01-01T12:00:00"))], "id bigint, k string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("a", _ts("2024-01-01T12:00:00"), 200),
+         ("a", _ts("2024-01-01T11:00:00"), 100)],
+        "k string, ts timestamp, payload bigint",
+    )
+    out = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="ts", payload=["payload"], strict=True
+    )
+    assert out.collect()[0]["r_payload"] == 100
+
+
+def test_asof_multi_key_and_prefix(spark):
+    left = spark.createDataFrame(
+        [(1, "a", 7, _ts("2024-01-01T10:00:00"))],
+        "id bigint, k string, k2 bigint, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("a", 7, _ts("2024-01-01T09:00:00"), 1),
+         ("a", 8, _ts("2024-01-01T09:30:00"), 2)],  # wrong k2 → not eligible
+        "k string, k2 bigint, ts timestamp, payload bigint",
+    )
+    out = asof_join(
+        left, right, on=["k", "k2"], left_ts="ts", right_ts="ts",
+        payload=["payload"], payload_prefix="m_",
+    )
+    assert out.collect()[0]["m_payload"] == 1
+
+
+def test_interval_bucket_join_boundaries(spark):
+    intervals = spark.createDataFrame(
+        [(10, _ts("2024-01-01T10:00:00"), _ts("2024-01-01T11:00:00"))],
+        "wid bigint, s timestamp, e timestamp",
+    )
+    points = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:00:00")),   # start inclusive
+         (2, _ts("2024-01-01T10:59:59")),   # inside
+         (3, _ts("2024-01-01T11:00:00")),   # end exclusive
+         (4, _ts("2024-01-01T09:59:59"))],  # before
+        "pid bigint, ts timestamp",
+    )
+    out = interval_bucket_join(points, intervals, "ts", "s", "e", bucket_seconds=600)
+    assert sorted(r["pid"] for r in out.collect()) == [1, 2]
+
+
+def test_interval_bucket_join_multibucket_no_dupes(spark):
+    """An interval spanning many buckets matches each point exactly once."""
+    intervals = spark.createDataFrame(
+        [(10, _ts("2024-01-01T10:00:00"), _ts("2024-01-01T13:00:00"))],
+        "wid bigint, s timestamp, e timestamp",
+    )
+    points = spark.createDataFrame(
+        [(1, _ts("2024-01-01T11:30:00"))], "pid bigint, ts timestamp"
+    )
+    out = interval_bucket_join(points, intervals, "ts", "s", "e", bucket_seconds=60)
+    assert out.count() == 1
