@@ -1,0 +1,105 @@
+"""Change-data-capture primitives: snapshot diff and deterministic
+hash-based dataset splitting.
+
+The reference's merge path (SCD-2 close-out + keyed upsert) consumes a
+pre-computed delta; ``snapshot_diff`` PRODUCES that delta from two full
+snapshots — the missing first stage of a warehouse CDC loop. North-star
+extension (SURVEY §2.11.1).
+
+Scale design: the diff is ONE full-outer shuffle join on the natural
+key (bucket both snapshots on the key to make it co-located/zero
+shuffle); classification is a narrow null-safe column comparison, no
+window, no collect. ``hash_split`` is a pure narrow map — a salted md5
+over the key, mod N — so a 100 TB corpus splits without a shuffle, and
+the assignment is stable across runs and cluster sizes (no
+``rand()``, no ``monotonically_increasing_id``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+CHANGE_COL = "change_type"
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare: Sequence[str] | None = None,
+    *,
+    keep_unchanged: bool = False,
+) -> DataFrame:
+    """Diff two snapshots of the same table into insert/update/delete
+    rows.
+
+    Output: key columns, ``change_type`` ∈ {insert, update, delete[,
+    unchanged]}, and the non-key ``compare`` columns valued from the NEW
+    snapshot (from the OLD one for deletes). Comparison is null-safe;
+    rows equal on every compare column are 'unchanged' and dropped
+    unless ``keep_unchanged``.
+    """
+    keys = list(keys)
+    compare = list(compare) if compare is not None else [c for c in new.columns if c not in keys]
+
+    o = old.select(*keys, *compare)
+    n = new.select(*keys, *compare)
+    o = reduce(lambda df, c: df.withColumnRenamed(c, f"__o_{c}"), keys + compare, o)
+    n = reduce(lambda df, c: df.withColumnRenamed(c, f"__n_{c}"), keys + compare, n)
+
+    cond = reduce(
+        lambda a, b: a & b,
+        [o[f"__o_{k}"].eqNullSafe(n[f"__n_{k}"]) for k in keys],
+    )
+    j = o.join(n, cond, "full_outer")
+
+    in_old = reduce(lambda a, b: a | b, [F.col(f"__o_{k}").isNotNull() for k in keys])
+    in_new = reduce(lambda a, b: a | b, [F.col(f"__n_{k}").isNotNull() for k in keys])
+    differs: Column = reduce(
+        lambda a, b: a | b,
+        [~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}")) for c in compare],
+    )
+    change = (
+        F.when(~in_old, F.lit("insert"))
+        .when(~in_new, F.lit("delete"))
+        .when(differs, F.lit("update"))
+        .otherwise(F.lit("unchanged"))
+    )
+    out = j.select(
+        *[F.coalesce(F.col(f"__n_{k}"), F.col(f"__o_{k}")).alias(k) for k in keys],
+        change.alias(CHANGE_COL),
+        *[F.coalesce(F.col(f"__n_{c}"), F.col(f"__o_{c}")).alias(c) for c in compare],
+    )
+    return out if keep_unchanged else out.filter(F.col(CHANGE_COL) != "unchanged")
+
+
+def hash_split(
+    df: DataFrame,
+    key: str,
+    *,
+    seed: str = "seed",
+    buckets: int = 100,
+    cuts: Sequence[tuple[str, int]] = (("train", 80), ("valid", 90), ("test", 100)),
+) -> DataFrame:
+    """Deterministic dataset split: bucket = md5(key ‖ seed) mod
+    ``buckets``; the first cut whose bound exceeds the bucket names the
+    split. Appends ``bucket`` and ``split`` columns.
+
+    DuckDB-parity form of the hash (see gate convention):
+    Spark ``conv(substring(md5(x), 1, 15), 16, 10)`` ≡ DuckDB
+    ``('0x' || substring(md5(x), 1, 15))::BIGINT``.
+    """
+    digest = F.md5(F.concat(F.col(key).cast("string"), F.lit(":" + seed)))
+    bucket = (F.conv(F.substring(digest, 1, 15), 16, 10).cast("bigint") % buckets).alias("bucket")
+    chain = None
+    for name, bound in cuts:
+        chain = (
+            F.when(F.col("bucket") < bound, F.lit(name))
+            if chain is None
+            else chain.when(F.col("bucket") < bound, F.lit(name))
+        )
+    return df.withColumn("bucket", bucket).withColumn("split", chain)

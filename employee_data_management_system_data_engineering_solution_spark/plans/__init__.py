@@ -15,7 +15,7 @@ flip low bits.
 
 from __future__ import annotations
 
-from . import core, llm, pipeline, temporal  # noqa: F401  (import populates REGISTRY)
+from . import core, curation, llm, pipeline, temporal  # noqa: F401  (import populates REGISTRY)
 from .registry import REGISTRY, register
 
 __all__ = ["REGISTRY", "register"]

@@ -1,0 +1,99 @@
+"""Warehouse-curation queries: CDC snapshot diff and deterministic
+dataset splitting (north-star extensions, SURVEY §2.11.1).
+
+``snapshot_diff_orders`` feeds the reference's merge stage
+(``merge2_tf_dim_staging.py`` consumes a prepared delta) by producing
+the delta itself from two full snapshots. The "new" snapshot is
+simulated deterministically from ``orders``: a later cut-off date
+(inserts), open orders repriced 2x (updates; x2 is exact in binary floating point, so Spark and DuckDB round identically), and urgent orders
+dropped (deletes).
+
+``train_test_split`` is the seeded, shuffle-free corpus split every
+training-data pipeline needs: stable under reruns, cluster resizes,
+and row order, because the assignment is a pure function of the key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.cdc import hash_split, snapshot_diff
+from ..sources.io import read_table
+from .registry import register
+
+_OLD_CUT = "1997-12-31"
+_NEW_CUT = "1998-06-30"
+
+
+@register(
+    "snapshot_diff_orders",
+    f"""
+    WITH snap_old AS (
+      SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS totalprice
+      FROM orders WHERE CAST(o_orderdate AS DATE) <= DATE '{_OLD_CUT}'
+    ),
+    snap_new AS (
+      SELECT o_orderkey, o_orderstatus,
+             round(CASE WHEN o_orderstatus = 'O' THEN o_totalprice * 2
+                        ELSE o_totalprice END, 2) AS totalprice
+      FROM orders
+      WHERE CAST(o_orderdate AS DATE) <= DATE '{_NEW_CUT}'
+        AND o_orderpriority <> '1-URGENT'
+    ),
+    diff AS (
+      SELECT COALESCE(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+             CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                  WHEN n.o_orderkey IS NULL THEN 'delete'
+                  WHEN (o.o_orderstatus IS DISTINCT FROM n.o_orderstatus)
+                    OR (o.totalprice   IS DISTINCT FROM n.totalprice) THEN 'update'
+                  ELSE 'unchanged' END            AS change_type,
+             COALESCE(n.o_orderstatus, o.o_orderstatus) AS o_orderstatus,
+             COALESCE(n.totalprice, o.totalprice)       AS totalprice
+      FROM snap_old o FULL OUTER JOIN snap_new n ON o.o_orderkey = n.o_orderkey
+    )
+    SELECT * FROM diff WHERE change_type <> 'unchanged'
+    """,
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderdate").cast("date") <= F.to_date(F.lit(_OLD_CUT))).select(
+        "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("totalprice")
+    )
+    new = (
+        orders.filter(
+            (F.col("o_orderdate").cast("date") <= F.to_date(F.lit(_NEW_CUT)))
+            & (F.col("o_orderpriority") != "1-URGENT")
+        ).select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.round(
+                F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice") * 2).otherwise(
+                    F.col("o_totalprice")
+                ),
+                2,
+            ).alias("totalprice"),
+        )
+    )
+    return snapshot_diff(old, new, keys=["o_orderkey"])
+
+
+@register(
+    "train_test_split",
+    """
+    WITH b AS (
+      SELECT doc_id, source,
+             ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':corpus-v1'), 1, 15))::BIGINT
+               % 100 AS bucket
+      FROM documents
+    )
+    SELECT doc_id, source, bucket,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+)
+def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return hash_split(docs, "doc_id", seed="corpus-v1")
