@@ -15,9 +15,10 @@ from pyspark.sql import functions as F
 
 from ..functions import text as tx
 from ..operators import dedup, multimodal, similarity
+from ..operators.graph import connected_components
 from ..sources.io import read_table
 from ..streaming.strikes import run_strike_stream
-from .registry import register
+from .registry import REGISTRY, register
 
 # ---------------------------------------------------------------------------
 # Text analysis
@@ -540,3 +541,47 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("strike_stream_stateful", None)
 def strike_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_strike_stream(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Transitive near-dup clustering: connected components over verified pairs
+# ---------------------------------------------------------------------------
+# The oracle nests the ngram_jaccard_pairs oracle as a CTE, then closes
+# it transitively with a recursive CTE (min reachable id = cluster id).
+_PAIRS_ORACLE = REGISTRY["ngram_jaccard_pairs"].oracle_sql
+
+
+@register(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE pairs AS ({_PAIRS_ORACLE}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach AS (
+      SELECT node, node AS r FROM nodes
+      UNION
+      SELECT re.node, e.dst AS r FROM reach re JOIN edges e ON e.src = re.r
+    ),
+    labeled AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node)
+    SELECT doc_id, cluster_id,
+           CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+    FROM labeled
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collapse pairwise near-dups (A≈B, B≈C) into transitive clusters
+    so one representative per cluster survives — the step between pair
+    verification and the actual de-duplicated corpus."""
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=5, min_jaccard=0.5)
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return comp.join(sizes, "component").select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        "cluster_size",
+    )
