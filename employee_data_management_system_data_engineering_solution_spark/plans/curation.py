@@ -97,3 +97,39 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "source")
     return hash_split(docs, "doc_id", seed="corpus-v1")
+
+
+_PROFILE_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+)
+
+_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"""
+    SELECT '{c}' AS col_name,
+           count(*)                      AS n_rows,
+           count({c})                    AS n_nonnull,
+           count(DISTINCT {c})           AS n_distinct,
+           CAST(min({c}) AS VARCHAR)     AS min_value,
+           CAST(max({c}) AS VARCHAR)     AS max_value
+    FROM (SELECT * REPLACE (CAST(o_orderdate AS DATE) AS o_orderdate) FROM orders)
+    """
+    for c in _PROFILE_COLS
+)
+
+
+@register("column_profile", _PROFILE_ORACLE)
+def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass ingest audit over ``orders`` (nulls, cardinality,
+    bounds per column). The timestamp column is pre-cast to DATE so the
+    stringified bounds are representation-stable across engines."""
+    from ..operators.quality import profile_columns
+
+    orders = read_table(spark, sf_dir, "orders").withColumn(
+        "o_orderdate", F.col("o_orderdate").cast("date")
+    )
+    return profile_columns(orders, _PROFILE_COLS)
