@@ -133,3 +133,71 @@ def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderdate", F.col("o_orderdate").cast("date")
     )
     return profile_columns(orders, _PROFILE_COLS)
+
+
+@register(
+    "price_decile_stats",
+    """
+    WITH d AS (
+      SELECT o_orderpriority,
+             o_totalprice,
+             ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+      FROM orders
+    )
+    SELECT decile,
+           count(*)                        AS n,
+           round(min(o_totalprice), 2)     AS lo,
+           round(max(o_totalprice), 2)     AS hi,
+           round(avg(o_totalprice), 4)     AS mean
+    FROM d GROUP BY decile
+    """,
+)
+def price_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE quantile binning (equal-frequency buckets) + per-bucket
+    stats. The global-order window needs a total sort; ntile over a
+    100 TB fact would instead use approx quantile cut points + a narrow
+    bucket map — this query keeps exact ntile for oracle parity and
+    documents the scale path (the tie-break on o_orderkey makes the
+    order total, so Spark and the oracle bin identically)."""
+    from pyspark.sql import Window
+
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    d = orders.select("o_orderpriority", "o_totalprice", F.ntile(10).over(w).alias("decile"))
+    return d.groupBy("decile").agg(
+        F.count("*").alias("n"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+        F.round(F.avg("o_totalprice"), 4).alias("mean"),
+    )
+
+
+@register(
+    "stratified_sample",
+    """
+    WITH b AS (
+      SELECT o_orderkey, o_orderpriority, o_totalprice,
+             ('0x' || substring(md5(CAST(o_orderkey AS VARCHAR) || ':strat-v1'), 1, 15))::BIGINT
+               % 100 AS bucket
+      FROM orders
+    )
+    SELECT o_orderkey, o_orderpriority, round(o_totalprice, 2) AS totalprice
+    FROM b
+    WHERE bucket < (CASE WHEN o_orderpriority = '1-URGENT' THEN 50 ELSE 10 END)
+    """,
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-stratum keep-fractions
+    applied via the seeded key hash (no rand(), so the sample is
+    reproducible across runs/executors and joinable downstream).
+    Urgent orders are oversampled 5x — the class-rebalancing shape a
+    training-data pipeline uses for rare classes."""
+    orders = read_table(spark, sf_dir, "orders")
+    sampled = hash_split(
+        orders, "o_orderkey", seed="strat-v1",
+        cuts=(("keep", 100),),  # single cut: we only need the bucket
+    )
+    frac = F.when(F.col("o_orderpriority") == "1-URGENT", F.lit(50)).otherwise(F.lit(10))
+    return sampled.filter(F.col("bucket") < frac).select(
+        "o_orderkey", "o_orderpriority", F.round("o_totalprice", 2).alias("totalprice")
+    )
