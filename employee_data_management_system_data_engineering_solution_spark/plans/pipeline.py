@@ -340,3 +340,55 @@ def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(k), 4).alias("avg_k"),
         F.max(k).alias("max_k"),
     )
+
+
+@register(
+    "bucketed_colocated_join",
+    """
+    SELECT c_mktsegment,
+           round(sum(o_totalprice), 2) AS revenue,
+           count(*)                    AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderstatus = 'O'
+    GROUP BY c_mktsegment
+    """,
+)
+def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-table co-location: both join sides are written
+    ``bucketBy(8, custkey).sortBy(custkey)``, so the sort-merge join
+    reads pre-hashed, pre-sorted buckets and needs NO exchange on
+    either side (bucket-pruned scan → SMJ directly; the only shuffle
+    left is the tiny post-join segment agg). This is the 100 TB answer
+    to a fact⋈dim join that repeats every load: pay the partitioning
+    once at write time, never again at read time. The ``merge`` hint
+    pins SMJ so the demo isn't silently converted to broadcast on the
+    small test dim."""
+    tag = os.path.basename(sf_dir.rstrip(os.sep)).replace(".", "_")
+    base = os.path.join(tempfile.gettempdir(), f"eds_bucketed_{tag}")
+    t_orders, t_cust = f"eds_b_orders_{tag}", f"eds_b_customer_{tag}"
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    (
+        orders.write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .option("path", os.path.join(base, "orders"))
+        .mode("overwrite").format("parquet").saveAsTable(t_orders)
+    )
+    (
+        cust.write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .option("path", os.path.join(base, "customer"))
+        .mode("overwrite").format("parquet").saveAsTable(t_cust)
+    )
+    bo, bc = spark.table(t_orders), spark.table(t_cust)
+    return (
+        bo.filter(F.col("o_orderstatus") == "O")
+        .hint("merge")
+        .join(bc, bo["o_custkey"] == bc["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
