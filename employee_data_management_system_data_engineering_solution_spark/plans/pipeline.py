@@ -392,3 +392,22 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_orders"),
         )
     )
+
+
+@register(
+    "streaming_upsert_dim",
+    """
+    SELECT user_id,
+           count(*)               AS n_events,
+           round(sum(value), 2)   AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def streaming_upsert_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch streaming merge into a keyed parquet dim; the
+    associative combine makes the final dim equal the one-shot batch
+    aggregate, which is what the oracle verifies."""
+    from ..streaming.upsert import run_upsert_stream
+
+    return run_upsert_stream(spark, sf_dir)

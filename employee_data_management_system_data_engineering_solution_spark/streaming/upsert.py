@@ -1,0 +1,109 @@
+"""Streaming upsert: ``foreachBatch`` merge of a micro-batched event
+stream into a keyed parquet dim — the streaming half of the
+reference's clean→stage→merge loop (its README describes Kafka
+messages updating the employee dim; SURVEY §2.9).
+
+Mechanics: the events table is split into deterministic micro-batch
+files (``event_id % n``), replayed through a file-source stream one
+file per trigger, and every micro-batch is MERGED into the dim with an
+associative combine (count/sum add), so the final dim state equals the
+one-shot batch aggregate regardless of batch boundaries — which is
+exactly what the oracle checks.
+
+Scale notes: ``foreachBatch`` + keyed merge is the idiomatic Spark
+pattern for streaming upserts onto table formats; the merge itself is
+one shuffle join per micro-batch on the dim key. The dim swap is
+write-new → atomic rename, never read-and-overwrite in place (a
+lazy-read overwrite of the same path loses data). State never lives in
+the stream (no ``applyInPandasWithState`` here): the dim IS the state,
+so micro-batch size bounds memory, not key cardinality.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _stage_batches(spark: SparkSession, sf_dir: str, stage_dir: str, n_batches: int) -> None:
+    """Split events into n deterministic single-file micro-batches."""
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    for i in range(n_batches):
+        part_dir = os.path.join(stage_dir, f"__part_{i}")
+        (
+            batch.filter(F.col("event_id") % n_batches == i)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(part_dir)
+        )
+        part_file = next(
+            f for f in os.listdir(part_dir) if f.endswith(".parquet") and f.startswith("part-")
+        )
+        os.replace(os.path.join(part_dir, part_file), os.path.join(stage_dir, f"batch_{i}.parquet"))
+        shutil.rmtree(part_dir, ignore_errors=True)
+
+
+def run_upsert_stream(spark: SparkSession, sf_dir: str, n_batches: int = 3) -> DataFrame:
+    """Replay events in ``n_batches`` micro-batches, foreachBatch-merge
+    per-user (n_events, total_value) into a parquet dim, return the
+    final dim. Deterministic and idempotent per invocation (staging and
+    dim dirs are rebuilt each call)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    tag = os.path.basename(sf_dir.rstrip(os.sep)).replace(".", "_")
+    root = os.path.join(tempfile.gettempdir(), f"eds_upsert_{tag}")
+    stage_dir, dim_dir = os.path.join(root, "stage"), os.path.join(root, "dim")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(stage_dir)
+
+    _stage_batches(spark, sf_dir, stage_dir, n_batches)
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage_dir)
+    )
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        agg = batch.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value")
+        )
+        if os.path.isdir(dim_dir):
+            cur = spark.read.parquet(dim_dir)
+            merged = (
+                cur.alias("c")
+                .join(agg.alias("a"), "user_id", "full_outer")
+                .select(
+                    "user_id",
+                    (
+                        F.coalesce(F.col("c.n_events"), F.lit(0))
+                        + F.coalesce(F.col("a.n_events"), F.lit(0))
+                    ).alias("n_events"),
+                    (
+                        F.coalesce(F.col("c.sum_value"), F.lit(0.0))
+                        + F.coalesce(F.col("a.sum_value"), F.lit(0.0))
+                    ).alias("sum_value"),
+                )
+            )
+        else:
+            merged = agg
+        nxt = dim_dir + ".next"
+        merged.write.mode("overwrite").parquet(nxt)
+        shutil.rmtree(dim_dir, ignore_errors=True)
+        os.replace(nxt, dim_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+
+    out = spark.read.parquet(dim_dir).select(
+        "user_id", "n_events", F.round("sum_value", 2).alias("total_value")
+    )
+    return spark.createDataFrame(out.collect(), schema=out.schema)

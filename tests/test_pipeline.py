@@ -113,3 +113,28 @@ def test_windowed_flag_stream_matches_batch_counts(spark):
         )
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_streaming_upsert_matches_batch_aggregate(spark):
+    """The foreachBatch merge must converge to the batch aggregate
+    regardless of micro-batch boundaries (associative combine)."""
+    from pyspark.sql import functions as F
+
+    from employee_data_management_system_data_engineering_solution_spark.streaming.upsert import (
+        run_upsert_stream,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in run_upsert_stream(spark, sf, n_batches=4).collect()
+    }
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    want = {
+        r["user_id"]: (r["n"], r["t"])
+        for r in spark.read.parquet(f"{sf}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("t"))
+        .collect()
+    }
+    assert got == want
