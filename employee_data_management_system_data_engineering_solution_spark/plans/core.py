@@ -888,3 +888,96 @@ def status_pivot_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .na.fill(0)
     )
     return out
+
+
+# --------------------------------------------------------------------------
+# Analytic window frames: trailing 30-day revenue per customer
+# --------------------------------------------------------------------------
+@register(
+    "trailing_revenue_90d",
+    """
+    WITH seq AS (
+      SELECT o_custkey AS emp_id,
+             CAST(o_orderdate AS DATE) AS d,
+             o_totalprice,
+             round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)
+               RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW
+             ), 2) AS trail_90d,
+             count(*) OVER (
+               PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)
+               RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW
+             ) AS n_in_window
+      FROM orders WHERE o_orderstatus = 'F'
+    )
+    SELECT emp_id, CAST(d AS VARCHAR) AS order_date, trail_90d, n_in_window
+    FROM seq WHERE n_in_window >= 2
+    """,
+)
+def trailing_revenue_90d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (value-based bounds, not row counts): per
+    customer, the trailing-90-day revenue at each order date. The frame
+    is expressed on unix days so ``rangeBetween`` gets a numeric
+    ordering — one shuffle on the partition key, sorted scan within.
+    Rows with the same date share one frame value (RANGE semantics),
+    so the result is deterministic without a total order."""
+    from pyspark.sql import Window
+
+    orders = read_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    day = F.datediff(_d("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    w = Window.partitionBy("o_custkey").orderBy(day.alias("day")).rangeBetween(-90, 0)
+    seq = orders.select(
+        F.col("o_custkey").alias("emp_id"),
+        _d("o_orderdate").alias("d"),
+        F.round(F.sum("o_totalprice").over(
+            Window.partitionBy("o_custkey")
+            .orderBy(F.datediff(_d("o_orderdate"), F.lit("1970-01-01").cast("date")))
+            .rangeBetween(-90, 0)
+        ), 2).alias("trail_90d"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy("o_custkey")
+            .orderBy(F.datediff(_d("o_orderdate"), F.lit("1970-01-01").cast("date")))
+            .rangeBetween(-90, 0)
+        ).alias("n_in_window"),
+    )
+    return seq.filter(F.col("n_in_window") >= 2).select(
+        "emp_id", F.col("d").cast("string").alias("order_date"), "trail_90d", "n_in_window"
+    )
+
+
+# --------------------------------------------------------------------------
+# CUBE aggregation with grouping_id (all 4 grouping combinations, one pass)
+# --------------------------------------------------------------------------
+@register(
+    "cube_order_stats",
+    """
+    SELECT coalesce(o_orderstatus, 'ALL')   AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
+           count(*)                         AS n,
+           round(sum(o_totalprice), 2)      AS revenue
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 2^k grouping combinations in ONE pass (Catalyst plans
+    an Expand, not 4 scans); ``grouping_id`` disambiguates real NULL
+    keys from subtotal rows — the reason the raw key columns are
+    coalesced only for display."""
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.grouping_id().alias("gid"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "gid",
+            "n",
+            "revenue",
+        )
+    )
