@@ -585,3 +585,54 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component").alias("cluster_id"),
         "cluster_size",
     )
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF: context-window chunking (one doc → N overlapping chunks)
+# ---------------------------------------------------------------------------
+@register(
+    "doc_chunks",
+    r"""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    starts AS (
+      SELECT doc_id, words, unnest(range(0, len(words), 10)) AS i FROM w
+    )
+    SELECT doc_id,
+           CAST(i // 10 AS INT)                                  AS chunk_no,
+           array_to_string(list_slice(words, i + 1, i + 20), ' ') AS chunk_text,
+           CAST(len(list_slice(words, i + 1, i + 20)) AS INT)     AS n_tokens
+    FROM starts
+    WHERE len(list_slice(words, i + 1, i + 20)) >= 5
+    """,
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking via a Python UDTF (one input row → N
+    output rows): 20-token windows, stride 10, tail chunks under 5
+    tokens dropped. The UDTF runs Arrow-batched per partition and the
+    chunker is pure per-row compute — embarrassingly parallel, no
+    shuffle; at 100 TB this is the narrow map that feeds tokenization.
+    (A built-in expression could explode precomputed slices, but the
+    UDTF keeps the chunking rule — stride, size, min-length — plain
+    Python that non-Spark callers reuse.)"""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="chunk_no int, chunk_text string, n_tokens int")
+    class ChunkDoc:
+        def eval(self, text: str, size: int, stride: int):
+            words = text.split() if text else []
+            for start in range(0, len(words), stride):
+                chunk = words[start : start + size]
+                if len(chunk) >= 5:
+                    yield start // stride, " ".join(chunk), len(chunk)
+
+    spark.udtf.register("eds_chunk_doc", ChunkDoc)
+    docs = read_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("eds_docs_to_chunk")
+    return spark.sql(
+        "SELECT d.doc_id, c.chunk_no, c.chunk_text, c.n_tokens "
+        "FROM eds_docs_to_chunk d, LATERAL eds_chunk_doc(d.text, 20, 10) c "
+        "WHERE length(trim(d.text)) > 0"
+    )

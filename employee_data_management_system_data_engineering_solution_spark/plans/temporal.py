@@ -98,3 +98,45 @@ def events_in_error_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.round(F.sum("p_value"), 2).alias("sum_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# Grouped Arrow UDAF (applyInPandas): per-user least-squares value trend
+# --------------------------------------------------------------------------
+@register(
+    "user_value_trend",
+    """
+    SELECT user_id,
+           count(*) AS n,
+           round(regr_slope(value, epoch_us(ts) / 86400000000.0), 4) AS slope
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key model fitting via ``applyInPandas`` — the grouped-UDAF
+    shape for logic the built-ins can't express (here OLS slope,
+    chosen BECAUSE it has a closed-form SQL oracle: regr_slope).
+    Arrow moves each key group to Python as one batch; numpy does the
+    math vectorized. One shuffle on the group key; group size bounds
+    worker memory, key cardinality does not. The time axis is exact
+    microseconds on both sides so the regression inputs are
+    bit-identical."""
+    import pandas as pd
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        (F.unix_micros("ts") / F.lit(86400000000.0)).alias("x_day"),
+        "value",
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["x_day"].to_numpy()
+        y = pdf["value"].to_numpy()
+        xc = x - x.mean()
+        slope = float((xc * (y - y.mean())).sum() / (xc * xc).sum())
+        return pd.DataFrame(
+            {"user_id": [int(pdf["user_id"].iloc[0])], "n": [len(pdf)], "slope": [round(slope, 4)]}
+        )
+
+    return ev.groupBy("user_id").applyInPandas(fit, "user_id bigint, n bigint, slope double")
