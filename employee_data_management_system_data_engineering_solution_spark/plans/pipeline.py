@@ -411,3 +411,74 @@ def streaming_upsert_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.upsert import run_upsert_stream
 
     return run_upsert_stream(spark, sf_dir)
+
+
+@register(
+    "salted_skew_join",
+    """
+    SELECT s_nationkey,
+           count(*)                       AS n_items,
+           round(sum(l_extendedprice), 2) AS revenue
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_nationkey
+    """,
+)
+def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key mitigation: the fact side is salted 8 ways (deterministic
+    row-hash salt) and the dim side replicated 8x, so one skewed
+    supplier key spreads over 8 shuffle partitions. Result is EXACTLY
+    the plain inner join — the oracle checks that equivalence. (AQE
+    skew-split handles most cases automatically; explicit salting is
+    the deterministic fallback — see operators/skew.py.)"""
+    from ..operators.skew import salted_join
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("suppkey"), "l_extendedprice"
+    )
+    sup = read_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("suppkey"), "s_nationkey"
+    )
+    return (
+        salted_join(li, sup, on=["suppkey"], salt=8)
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "published_report_roundtrip",
+    """
+    SELECT o_orderpriority AS designation, count(*) AS active_count
+    FROM orders WHERE o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    """,
+)
+def published_report_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-sink publish (X30) under the gate: the active-count report
+    is persisted ONCE and fanned out to parquet + CSV sinks
+    (reference shape: Task_4_generate_active_table.py writes both a
+    table and a CSV); the query returns the PARQUET read-back
+    inner-joined with the CSV read-back on equal values — so a
+    divergence between sinks breaks the row count, and the oracle
+    checks the values themselves."""
+    from ..sources.io import publish_report, read_csv
+
+    tag = os.path.basename(sf_dir.rstrip(os.sep)).replace(".", "_")
+    base = os.path.join(tempfile.gettempdir(), f"eds_publish_{tag}")
+    report = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .groupBy(F.col("o_orderpriority").alias("designation"))
+        .agg(F.count(F.lit(1)).alias("active_count"))
+    )
+    pq_path, csv_path = os.path.join(base, "report_pq"), os.path.join(base, "report_csv")
+    publish_report(report, parquet_path=pq_path, csv_path=csv_path)
+    pq = spark.read.parquet(pq_path)
+    cs = read_csv(spark, csv_path, schema=T.StructType([
+        T.StructField("designation", T.StringType()),
+        T.StructField("active_count", T.LongType()),
+    ]), header=True)
+    return pq.join(cs, on=["designation", "active_count"], how="inner")
