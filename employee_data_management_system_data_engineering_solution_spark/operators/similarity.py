@@ -248,3 +248,55 @@ def ivf_topk(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
     )
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def hyperplane_planes(nbits: int = 16, dim: int = 64, seed: int = 7) -> list[list[float]]:
+    """Deterministic random hyperplanes for sign-bit (SimHash-style)
+    cosine LSH, rounded to 6 dp so the same decimal literals feed both
+    the Spark plan and the SQL oracle (identical IEEE doubles)."""
+    import numpy as np
+
+    rs = np.random.RandomState(seed)
+    return [[round(float(x), 6) for x in row] for row in rs.standard_normal((nbits, dim))]
+
+
+def hyperplane_lsh(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: list[list[float]] | None = None,
+    bands: int = 2,
+) -> DataFrame:
+    """Random-hyperplane LSH over a vector column: bit i = sign of
+    ⟨v, h_i⟩; the bit string splits into ``bands`` band-buckets
+    (vectors colliding in ANY band are cosine-similar candidates —
+    P[bit match] = 1 − θ/π).
+
+    Scale: a pure narrow map — the hyperplanes are literal constants
+    (compiled into the plan, nothing broadcast), each vector computes
+    nbits dot products and leaves as (id, band_no, bucket) rows. The
+    ONLY shuffle in a dedup pipeline built on this is the groupBy on
+    the tiny (band_no, bucket) key — same shape as the MinHash path
+    (`dedup.lsh_banded`), which is what makes it a 100 TB candidate
+    generator where brute-force cosine is quadratic."""
+    planes = planes if planes is not None else hyperplane_planes()
+    nbits = len(planes)
+    per = nbits // bands
+    v = _as_double(F.col(vec_col))
+    bits = [
+        (dot(v, F.array(*[F.lit(x) for x in p])) >= 0).cast("int").alias(f"__bit{i}")
+        for i, p in enumerate(planes)
+    ]
+    sig = df.select(F.col(id_col), *bits)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_no"),
+            sum(
+                (F.col(f"__bit{b * per + i}") * F.lit(2**i)) for i in range(per)
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    return sig.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bb")
+    ).select(id_col, F.col("bb.band_no").alias("band_no"), F.col("bb.bucket").alias("bucket"))

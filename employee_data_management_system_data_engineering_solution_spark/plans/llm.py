@@ -636,3 +636,51 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM eds_docs_to_chunk d, LATERAL eds_chunk_doc(d.text, 20, 10) c "
         "WHERE length(trim(d.text)) > 0"
     )
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane (sign-bit) LSH over embeddings: candidate groups
+# ---------------------------------------------------------------------------
+from ..operators.similarity import hyperplane_lsh, hyperplane_planes  # noqa: E402
+
+_PLANES = hyperplane_planes(nbits=16, dim=64, seed=7)
+_PER = 8
+
+
+def _hp_oracle() -> str:
+    bit_cols = ",\n             ".join(
+        "(CASE WHEN list_dot_product(embedding, ["
+        + ", ".join(repr(x) for x in p)
+        + "]) >= 0 THEN 1 ELSE 0 END) AS bit{i}".format(i=i)
+        for i, p in enumerate(_PLANES)
+    )
+    band0 = " + ".join(f"bit{i} * {2**i}" for i in range(_PER))
+    band1 = " + ".join(f"bit{_PER + i} * {2**i}" for i in range(_PER))
+    return f"""
+    WITH sig AS (
+      SELECT vec_id,
+             {bit_cols}
+      FROM embeddings
+    ),
+    banded AS (
+      SELECT vec_id, 0 AS band_no, {band0} AS bucket FROM sig
+      UNION ALL
+      SELECT vec_id, 1 AS band_no, {band1} AS bucket FROM sig
+    )
+    SELECT band_no, bucket, count(*) AS n_vecs, min(vec_id) AS keep_id
+    FROM banded GROUP BY band_no, bucket HAVING count(*) > 1
+    """
+
+
+@register("hyperplane_lsh_groups", _hp_oracle())
+def hyperplane_lsh_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine-LSH candidate groups over the embedding corpus — the
+    vector-space twin of `minhash_lsh_groups`: same one-shuffle bucket
+    pattern, hyperplane sign bits instead of MinHash bands."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    banded = hyperplane_lsh(emb, "vec_id", "embedding", planes=_PLANES, bands=2)
+    return (
+        banded.groupBy("band_no", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_vecs"), F.min("vec_id").alias("keep_id"))
+        .filter(F.col("n_vecs") > 1)
+    )
