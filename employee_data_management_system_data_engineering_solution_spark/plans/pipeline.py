@@ -482,3 +482,49 @@ def published_report_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.StructField("active_count", T.LongType()),
     ]), header=True)
     return pq.join(cs, on=["designation", "active_count"], how="inner")
+
+
+@register(
+    "schema_evolution_read",
+    """
+    WITH evolved AS (
+      SELECT o_totalprice, CAST(NULL AS VARCHAR) AS o_orderstatus
+      FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+      UNION ALL
+      SELECT o_totalprice, o_orderstatus
+      FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+    )
+    SELECT coalesce(o_orderstatus, 'LEGACY') AS status,
+           count(*)                          AS n,
+           round(sum(o_totalprice), 2)       AS revenue
+    FROM evolved GROUP BY 1
+    """,
+)
+def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across parquet batches: an old batch written
+    WITHOUT ``o_orderstatus`` and a new batch WITH it land in the same
+    warehouse directory; ``mergeSchema`` unifies them on read
+    (missing column → NULL). The footer merge is an O(n_files)
+    metadata pass — at 100 TB pin the unified schema in a catalog and
+    skip per-read merging; the read-side semantics stay exactly
+    these."""
+    tag = os.path.basename(sf_dir.rstrip(os.sep)).replace(".", "_")
+    base = os.path.join(tempfile.gettempdir(), f"eds_evolve_{tag}")
+    orders = read_table(spark, sf_dir, "orders")
+    cut = F.col("o_orderdate").cast("date") >= F.to_date(F.lit("1997-01-01"))
+    orders.filter(~cut).select("o_totalprice").write.mode("overwrite").parquet(
+        os.path.join(base, "batch=old")
+    )
+    orders.filter(cut).select("o_totalprice", "o_orderstatus").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(base, "batch=new"))
+    evolved = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(base, "batch=old"), os.path.join(base, "batch=new")
+    )
+    return (
+        evolved.groupBy(F.coalesce("o_orderstatus", F.lit("LEGACY")).alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
