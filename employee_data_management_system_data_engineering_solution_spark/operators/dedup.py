@@ -214,6 +214,12 @@ def ngram_jaccard_pairs(
             ])
         ).alias("bb"),
     ).select(id_col, F.col("bb.band_no").alias("band_no"), F.col("bb.bucket").alias("bucket"))
+    # materialize the (tiny: corpus × bands rows) banded signatures ONCE:
+    # the self-join below references the frame twice and the verification
+    # path a third time — without a checkpoint Spark re-executes the full
+    # gram+md5 signature subtree per reference (measured 3× ≈ +6 s at
+    # sf0.1; on a cluster use persist() for fault-tolerant reuse)
+    banded = banded.localCheckpoint(eager=True)
     a = banded.select(
         F.col(id_col).alias("id_a"), "band_no", "bucket"
     )
@@ -221,12 +227,15 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("id_b"), "band_no", "bucket"
     )
     # same-bucket pairs, deduped across bands: one shuffle on the
-    # bucket key, one on the (id_a, id_b) pair
+    # bucket key, one on the (id_a, id_b) pair; the distinct pair set is
+    # small (bucket-bounded) and read twice (id prune + verification
+    # join), so it is pinned too
     cand = (
         a.join(b, on=["band_no", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     # verification grams are computed ONLY for docs that appear in some
     # candidate pair — a semi-join prune, so the (expensive) gram-array
