@@ -981,3 +981,51 @@ def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Window-analytics suite: rank family + distribution + frame navigation
+# --------------------------------------------------------------------------
+@register(
+    "salary_rank_analytics",
+    """
+    WITH w AS (
+      SELECT o_custkey AS emp_id,
+             o_orderkey AS period_id,
+             o_totalprice AS salary,
+             dense_rank()   OVER win                        AS drank,
+             round(percent_rank() OVER win, 4)              AS prank,
+             round(cume_dist()    OVER win, 4)              AS cdist,
+             first_value(o_orderkey) OVER (
+               PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+             )                                              AS best_period
+      FROM orders
+      WINDOW win AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    )
+    SELECT emp_id, period_id, round(salary, 2) AS salary, drank, prank, cdist, best_period
+    FROM w WHERE drank <= 2
+    """,
+)
+def salary_rank_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rank/distribution window family over one sorted pass:
+    dense_rank, percent_rank, cume_dist, and an unbounded-frame
+    first_value share a single window spec, so Catalyst evaluates all
+    four in ONE shuffle + sort (WindowGroupLimit prunes to the top
+    ranks before the filter at scale). Order is made total with the
+    period-id tie-break so both engines rank identically."""
+    from pyspark.sql import Window
+
+    orders = read_table(spark, sf_dir, "orders")
+    win = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    frame = win.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    w = orders.select(
+        F.col("o_custkey").alias("emp_id"),
+        F.col("o_orderkey").alias("period_id"),
+        F.round("o_totalprice", 2).alias("salary"),
+        F.dense_rank().over(win).alias("drank"),
+        F.round(F.percent_rank().over(win), 4).alias("prank"),
+        F.round(F.cume_dist().over(win), 4).alias("cdist"),
+        F.first("o_orderkey").over(frame).alias("best_period"),
+    )
+    return w.filter(F.col("drank") <= 2)
