@@ -214,26 +214,26 @@ def ngram_jaccard_pairs(
             ])
         ).alias("bb"),
     ).select(id_col, F.col("bb.band_no").alias("band_no"), F.col("bb.bucket").alias("bucket"))
-    # materialize the (tiny: corpus × bands rows) banded signatures ONCE:
-    # the self-join below references the frame twice and the verification
-    # path a third time — without a checkpoint Spark re-executes the full
-    # gram+md5 signature subtree per reference (measured 3× ≈ +6 s at
-    # sf0.1; on a cluster use persist() for fault-tolerant reuse)
-    banded = banded.localCheckpoint(eager=True)
-    a = banded.select(
-        F.col(id_col).alias("id_a"), "band_no", "bucket"
+    # within-bucket pairs WITHOUT a self-join: a self-join references the
+    # banded subtree twice and Spark re-executes the whole gram+md5
+    # signature pipeline per reference (no automatic CTE
+    # materialization; measured 3× ≈ +6 s at sf0.1). Instead, ONE
+    # groupBy collects each bucket's (bounded-size) id list and an
+    # array-combinations expression emits each unordered pair once.
+    # Only the resulting pair set — tiny, bucket-bounded — is pinned
+    # with localCheckpoint, because it is consumed twice downstream
+    # (id prune + verification join); pinning the full banded frame
+    # would accumulate heavy blocks across invocations.
+    pair_expr = F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS id_a, y AS id_b))))"
     )
-    b = banded.select(
-        F.col(id_col).alias("id_b"), "band_no", "bucket"
-    )
-    # same-bucket pairs, deduped across bands: one shuffle on the
-    # bucket key, one on the (id_a, id_b) pair; the distinct pair set is
-    # small (bucket-bounded) and read twice (id prune + verification
-    # join), so it is pinned too
     cand = (
-        a.join(b, on=["band_no", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        banded.groupBy("band_no", "bucket")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode(pair_expr).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
         .localCheckpoint(eager=True)
     )

@@ -49,14 +49,14 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
+    def propagate(cur: DataFrame) -> DataFrame:
         nbr_min = (
-            und.join(labels, und["dst"] == labels["node"])
+            und.join(cur, und["dst"] == cur["node"])
             .groupBy(und["src"].alias("node"))
             .agg(F.min("component").alias("nbr_component"))
         )
-        new_labels = (
-            labels.alias("l")
+        return (
+            cur.alias("l")
             .join(nbr_min.alias("n"), "node", "left")
             .select(
                 "node",
@@ -65,8 +65,14 @@ def connected_components(
                     F.coalesce(F.col("n.nbr_component"), F.col("l.component")),
                 ).alias("component"),
             )
-            .localCheckpoint(eager=True)
         )
+
+    for _ in range(max_iter):
+        # two propagation rounds per convergence check: the check is a
+        # full driver action (join + count), and near-dup graphs
+        # converge in 2-3 rounds — halving the actions matters more
+        # than the extra (cheap) round a tight loop would save
+        new_labels = propagate(propagate(labels)).localCheckpoint(eager=True)
         n_changed = (
             new_labels.alias("a")
             .join(labels.alias("b"), "node")
@@ -76,4 +82,4 @@ def connected_components(
         labels = new_labels
         if n_changed == 0:
             return labels
-    raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
+    raise RuntimeError(f"connected_components: no convergence in {2 * max_iter} rounds")
