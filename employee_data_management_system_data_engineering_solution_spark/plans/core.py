@@ -1029,3 +1029,33 @@ def salary_rank_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("o_orderkey").over(frame).alias("best_period"),
     )
     return w.filter(F.col("drank") <= 2)
+
+
+# --------------------------------------------------------------------------
+# Argmax aggregate (max_by shape, tie-proof via lexicographic struct max)
+# --------------------------------------------------------------------------
+@register(
+    "top_earner_per_designation",
+    """
+    SELECT o_orderpriority AS designation,
+           (max(struct_pack(p := o_totalprice, k := o_orderkey))).k          AS top_period,
+           round((max(struct_pack(p := o_totalprice, k := o_orderkey))).p, 2) AS top_salary,
+           count(*)                                                          AS n_periods
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def top_earner_per_designation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax without a window: ``max`` over a (value, key) struct is a
+    lexicographic max — ONE hash aggregate with map-side combine, where
+    the row_number()-window formulation would shuffle-sort every group.
+    The key inside the struct doubles as the tie-break, so the answer
+    is total-ordered on both engines (bare max_by/arg_max is
+    tie-nondeterministic)."""
+    orders = read_table(spark, sf_dir, "orders")
+    top = F.max(F.struct(F.col("o_totalprice").alias("p"), F.col("o_orderkey").alias("k")))
+    return orders.groupBy(F.col("o_orderpriority").alias("designation")).agg(
+        top.getField("k").alias("top_period"),
+        F.round(top.getField("p"), 2).alias("top_salary"),
+        F.count(F.lit(1)).alias("n_periods"),
+    )
