@@ -1,91 +1,55 @@
-"""Embedding similarity: brute-force top-k vs a numpy reference,
-shuffle-free IVF assignment, IVF search."""
+"""Similarity-operator semantics on hand-built vectors."""
 
 from __future__ import annotations
 
-import numpy as np
-from pyspark.sql import Row
-
 from employee_data_management_system_data_engineering_solution_spark.operators.similarity import (
     assign_clusters,
-    cosine_neardup_pairs,
     cosine_topk_bruteforce,
-    ivf_topk,
+    hyperplane_lsh,
+    hyperplane_planes,
 )
 
 
-def _vectors(n=30, dim=8, seed=7):
-    rng = np.random.default_rng(seed)
-    return rng.normal(size=(n, dim)).astype(np.float32)
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
 
 
-def _df(spark, vecs):
-    return spark.createDataFrame(
-        [Row(vec_id=i, embedding=[float(x) for x in v]) for i, v in enumerate(vecs)]
+def test_cosine_topk_orders_by_similarity(spark):
+    df = _vecs(
+        spark,
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0]), (4, [-1.0, 0.0])],
     )
-
-
-def test_bruteforce_topk_matches_numpy(spark):
-    vecs = _vectors()
-    df = _df(spark, vecs)
-    queries = df.filter(df.vec_id < 3)
-    got = cosine_topk_bruteforce(queries, df, k=5).collect()
-
-    v = vecs.astype(np.float64)
-    unit = v / np.linalg.norm(v, axis=1, keepdims=True)
-    sims = np.round(unit @ unit.T, 6)
-    for q in range(3):
-        order = sorted(
-            (i for i in range(len(vecs)) if i != q), key=lambda i: (-sims[q, i], i)
-        )[:5]
-        mine = sorted(
-            ((r.neighbor_id, r.rank) for r in got if r.query_id == q), key=lambda t: t[1]
-        )
-        assert [n for n, _ in mine] == order
+    out = cosine_topk_bruteforce(df.filter("vec_id = 1"), df, k=2).collect()
+    ranked = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert ranked == [2, 3]  # closest first; the antipode never makes top-2
 
 
 def test_assign_clusters_nearest_pivot(spark):
-    vecs = _vectors()
-    df = _df(spark, vecs)
-    pivots = df.filter(df.vec_id < 4)
-    got = {r.vec_id: r.cluster_id for r in assign_clusters(df, pivots).collect()}
-
-    v = vecs.astype(np.float64)
-    unit = v / np.linalg.norm(v, axis=1, keepdims=True)
-    sims = np.round(unit @ unit.T, 6)
-    for i in range(len(vecs)):
-        # max sim, tie-break min pivot id
-        want = min(range(4), key=lambda p: (-sims[i, p], p))
-        assert got[i] == want, f"vec {i}"
-    # a pivot is its own nearest pivot (cosine 1.0)
-    assert all(got[p] == p for p in range(4))
+    corpus = _vecs(spark, [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.7, 0.7])])
+    pivots = _vecs(spark, [(100, [1.0, 0.0]), (200, [0.0, 1.0])])
+    got = {r["vec_id"]: r["cluster_id"] for r in assign_clusters(corpus, pivots).collect()}
+    assert got[1] == 100 and got[2] == 200
+    assert got[3] == 100  # exact cosine tie -> deterministic min pivot id
 
 
-def test_cosine_neardup_pairs_finds_planted_dup(spark):
-    vecs = _vectors(20)
-    df = _df(spark, vecs)
-    # plant an exact duplicate of vec 5 as id 99
-    dup = spark.createDataFrame([Row(vec_id=99, embedding=[float(x) for x in vecs[5]])])
-    corpus = df.unionByName(dup)
-    pivots = df.filter(df.vec_id < 4)
-    out = cosine_neardup_pairs(corpus, pivots, threshold=0.999).collect()
-    assert {(r.id_a, r.id_b) for r in out} == {(5, 99)}
-    assert out[0].cosine_sim == 1.0
-
-
-def test_ivf_topk_subset_of_cluster(spark):
-    vecs = _vectors(50)
-    df = _df(spark, vecs)
-    pivots = df.filter(df.vec_id < 5)
-    queries = df.filter((df.vec_id >= 10) & (df.vec_id < 13))
-    rows = ivf_topk(queries, df, pivots, k=5).collect()
-    assigned = {r.vec_id: r.cluster_id for r in assign_clusters(df, pivots).collect()}
-    assert {r.query_id for r in rows} == {10, 11, 12}
+def test_hyperplane_lsh_identical_vectors_always_collide(spark):
+    planes = hyperplane_planes(nbits=16, dim=4, seed=3)
+    df = _vecs(
+        spark,
+        [(1, [0.3, -0.2, 0.9, 0.1]), (2, [0.3, -0.2, 0.9, 0.1]), (3, [-0.3, 0.2, -0.9, -0.1])],
+    )
+    rows = hyperplane_lsh(df, planes=planes, bands=2).collect()
+    buckets = {}
     for r in rows:
-        # neighbors must come from the query's own cluster, never itself
-        assert assigned[r.neighbor_id] == assigned[r.query_id]
-        assert r.neighbor_id != r.query_id
-    # ranks are 1..k contiguous per query
-    for q in (10, 11, 12):
-        ranks = sorted(r.rank for r in rows if r.query_id == q)
-        assert ranks == list(range(1, len(ranks) + 1))
+        buckets.setdefault(r["vec_id"], {})[r["band_no"]] = r["bucket"]
+    assert buckets[1] == buckets[2]          # identical vectors: every band collides
+    # an antipodal vector flips every sign bit: no band can collide
+    assert all(buckets[3][b] != buckets[1][b] for b in buckets[1])
+
+
+def test_hyperplane_lsh_band_count(spark):
+    planes = hyperplane_planes(nbits=8, dim=4, seed=1)
+    df = _vecs(spark, [(1, [1.0, 2.0, 3.0, 4.0])])
+    rows = hyperplane_lsh(df, planes=planes, bands=4).collect()
+    assert sorted(r["band_no"] for r in rows) == [0, 1, 2, 3]
+    assert all(0 <= r["bucket"] < 4 for r in rows)  # 2 bits per band
