@@ -528,3 +528,26 @@ def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("revenue"),
         )
     )
+
+
+@register(
+    "stream_purchase_view_join",
+    """
+    SELECT p.event_id AS purchase_id,
+           p.user_id  AS user_id,
+           count(*)   AS n_views
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON v.user_id = p.user_id
+     AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
+    GROUP BY 1, 2
+    """,
+)
+def stream_purchase_view_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream join (purchases ⋈ prior-hour views per
+    user) driven through real Structured Streaming; the oracle is the
+    batch-equivalent range join, so state eviction and join semantics
+    are value-checked, not just smoke-tested."""
+    from ..streaming.strikes import run_stream_stream_join
+
+    return run_stream_stream_join(spark, sf_dir)

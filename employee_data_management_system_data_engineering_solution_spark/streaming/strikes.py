@@ -267,3 +267,56 @@ def run_strike_stream(
         .filter(F.col("__rn") == 1)
         .select("emp_id", "strike_count", "status")
     )
+
+
+def run_stream_stream_join(
+    spark: SparkSession,
+    sf_dir: str,
+    join_window: str = "1 hour",
+    watermark_delay: str = "2 hours",
+    state_partitions: int = 8,
+) -> DataFrame:
+    """Stream-stream inner join with event-time range condition: each
+    'purchase' joins the same user's 'view' events from the preceding
+    ``join_window``. Both sides carry watermarks, so the join state
+    (buffered views waiting for possible purchases) is bounded and
+    evicted once the watermark passes — the canonical attribution
+    topology where BOTH sides arrive as streams.
+
+    Returns per-purchase view counts (purchase_id, user_id, n_views).
+    """
+    from .replay import replayed_events
+
+    with replayed_events(spark, sf_dir, state_partitions) as (stream, run):
+        views = (
+            stream.filter(F.col("event_type") == "view")
+            .select(
+                F.col("user_id").alias("v_user"),
+                F.col("ts").alias("view_ts"),
+                F.col("event_id").alias("view_id"),
+            )
+            .withWatermark("view_ts", watermark_delay)
+        )
+        purchases = (
+            stream.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"),
+                F.col("event_id").alias("purchase_id"),
+            )
+            .withWatermark("p_ts", watermark_delay)
+        )
+        pairs = purchases.join(
+            views,
+            F.expr(
+                f"p_user = v_user AND "
+                f"view_ts >= p_ts - INTERVAL {join_window} AND view_ts <= p_ts"
+            ),
+            "inner",
+        )
+        out = run(pairs, "stream_join_sink", output_mode="append")
+    # collapse to per-purchase counts batch-side; pair emissions are
+    # exactly-once within the replay, so count == distinct view count
+    return out.groupBy("purchase_id", F.col("p_user").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_views")
+    )
