@@ -201,3 +201,78 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampled.filter(F.col("bucket") < frac).select(
         "o_orderkey", "o_orderpriority", F.round("o_totalprice", 2).alias("totalprice")
     )
+
+
+@register(
+    "corpus_curation_pipeline",
+    r"""
+    WITH stats AS (
+      SELECT doc_id, text,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE length(regexp_split_to_array(trim(text), '\s+')) END AS wc,
+             length(regexp_extract_all(lower(text),
+               '\b(the|and|of|to|in|is|that|with|for|was)\b')) AS hits,
+             round(length(regexp_extract_all(text, '[^A-Za-z0-9\s]'))
+                   / greatest(length(text), 1), 4) AS pr
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, text,
+             round((least(wc / 100.0, 1.0)
+                    + least(hits / greatest(wc, 1) * 5, 1.0)
+                    + (1.0 - least(pr * 4, 1.0))) / 3, 4) AS quality
+      FROM stats
+    ),
+    kept AS (SELECT * FROM scored WHERE quality >= 0.6),
+    deduped AS (
+      SELECT doc_id, quality
+      FROM (
+        SELECT doc_id, quality,
+               row_number() OVER (
+                 PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+                 ORDER BY doc_id
+               ) AS rn
+        FROM kept
+      ) WHERE rn = 1
+    ),
+    assigned AS (
+      SELECT quality,
+             ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':corpus-v1'), 1, 15))::BIGINT
+               % 100 AS bucket
+      FROM deduped
+    )
+    SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'valid'
+                ELSE 'test' END   AS split,
+           count(*)               AS n_docs,
+           round(avg(quality), 4) AS avg_quality
+    FROM assigned
+    GROUP BY 1
+    """,
+)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation as ONE composed plan — the LLM-path
+    twin of ``daily_pipeline``: quality-score filter → exact dedup
+    (keep lowest doc id per normalized-content digest) → seeded hash
+    split → per-split stats. Every stage is a narrow map or one
+    bounded shuffle (dedup window on the 32-byte digest; final tiny
+    agg), so the whole pipeline is 2 shuffles regardless of corpus
+    size."""
+    from pyspark.sql import Window
+
+    from ..functions import text as tx
+    from ..operators.cdc import hash_split
+
+    docs = read_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    scored = docs.select("doc_id", t.alias("text"), tx.quality_score(t).alias("quality"))
+    kept = scored.filter(F.col("quality") >= 0.6)
+    w = Window.partitionBy(F.md5(tx.normalized(F.col("text")))).orderBy("doc_id")
+    deduped = (
+        kept.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn", "text")
+    )
+    assigned = hash_split(deduped, "doc_id", seed="corpus-v1")
+    return assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("quality"), 4).alias("avg_quality"),
+    )
