@@ -95,3 +95,27 @@ def remove_dupes_except_all(
     with_rn = df.withColumn("__rn", _rn(partition_cols, order_cols))
     dupes = with_rn.filter(F.col("__rn") > 1).drop("__rn")
     return df.exceptAll(dupes)
+
+
+def forward_fill(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    filled_alias: str | None = None,
+) -> DataFrame:
+    """Per-key forward fill (last-observation-carried-forward): NULLs
+    in ``value_col`` take the most recent non-null value in key order.
+    One shuffle on the key, sorted within partitions — the same
+    merge-pass shape as the as-of join, and the standard repair step
+    for gappy sensor/price/telemetry series. ``order_cols`` must be a
+    total order per key or ties make the fill nondeterministic."""
+    from pyspark.sql import Window
+
+    out = filled_alias or f"{value_col}_filled"
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(out, F.last(value_col, ignorenulls=True).over(w))

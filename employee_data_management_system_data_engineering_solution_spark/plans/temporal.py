@@ -140,3 +140,46 @@ def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return ev.groupBy("user_id").applyInPandas(fit, "user_id bigint, n bigint, slope double")
+
+
+# --------------------------------------------------------------------------
+# Gap-fill imputation: per-user forward fill over masked readings
+# --------------------------------------------------------------------------
+@register(
+    "forward_fill_values",
+    """
+    WITH masked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'error' THEN NULL ELSE round(value, 2) END AS v
+      FROM events
+    )
+    SELECT user_id, event_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+           coalesce(last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1) AS v_filled,
+           CASE WHEN v IS NULL THEN 1 ELSE 0 END AS was_imputed
+    FROM masked
+    """,
+)
+def forward_fill_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward repair: 'error' events mask
+    their reading to NULL and inherit the user's most recent healthy
+    value (leading NULLs → sentinel -1). Exercises
+    ``cleaning.forward_fill`` — one keyed sort pass."""
+    from ..operators.cleaning import forward_fill
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") != "error", F.round("value", 2)).alias("v"),
+    )
+    filled = forward_fill(ev, ["user_id"], ["ts", "event_id"], "v", filled_alias="vf")
+    return filled.select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").alias("ts_sec"),
+        F.coalesce(F.col("vf"), F.lit(-1.0)).alias("v_filled"),
+        F.when(F.col("v").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("was_imputed"),
+    )

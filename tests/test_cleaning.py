@@ -71,3 +71,19 @@ def test_remove_dupes_except_all_keeps_multiplicity(spark):
     out = remove_dupes_except_all(df, ["emp_id"], [F.col("salary").desc()])
     got = sorted((r.emp_id, r.salary) for r in out.collect())
     assert got == [(1, 100), (3, 50)]
+
+
+def test_forward_fill_carries_last_nonnull(spark):
+    from employee_data_management_system_data_engineering_solution_spark.operators.cleaning import (
+        forward_fill,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, None), ("a", 3, None), ("a", 4, 40.0), ("b", 1, None)],
+        "k string, i bigint, v double",
+    )
+    got = {
+        (r["k"], r["i"]): r["v_filled"]
+        for r in forward_fill(df, ["k"], ["i"], "v").collect()
+    }
+    assert got == {("a", 1): 10.0, ("a", 2): 10.0, ("a", 3): 10.0, ("a", 4): 40.0, ("b", 1): None}
