@@ -735,10 +735,21 @@ def salary_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB variant, kept out of the oracle-checked surface because its
     sketch values aren't engine-portable."""
     orders = read_table(spark, sf_dir, "orders")
-    return orders.groupBy(F.col("o_orderpriority").alias("designation")).agg(
-        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50_salary"),
-        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90_salary"),
-        F.count("*").alias("n"),
+    return (
+        orders.groupBy(F.col("o_orderpriority").alias("designation"))
+        .agg(
+            # One percentile state per group instead of two: the exact
+            # aggregate's value->count map is the expensive part, and the
+            # array form shares it across both requested quantiles.
+            F.expr("percentile(o_totalprice, array(0.5, 0.9))").alias("_ps"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "designation",
+            F.round(F.col("_ps")[0], 4).alias("p50_salary"),
+            F.round(F.col("_ps")[1], 4).alias("p90_salary"),
+            "n",
+        )
     )
 
 

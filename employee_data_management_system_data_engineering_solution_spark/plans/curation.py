@@ -262,8 +262,11 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..functions import text as tx
     from ..operators.cdc import hash_split
+    from ..sources.io import fan_out
 
-    docs = read_table(spark, sf_dir, "documents")
+    # Compact single-file input would serialize the regex-heavy scoring
+    # stage on one core; round-robin it across the cluster first.
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
     t = F.col("text")
     scored = docs.select("doc_id", t.alias("text"), tx.quality_score(t).alias("quality"))
     kept = scored.filter(F.col("quality") >= 0.6)
