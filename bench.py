@@ -1,5 +1,5 @@
 """Benchmark harness: times every registered query at the bench scale
-factor and prints ONE JSON line on stdout.
+factor and prints ONE compact JSON line on stdout.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32).
@@ -8,6 +8,13 @@ Each query is forced to full materialization through the no-op sink
 (``format("noop")``) so timings include the whole plan, not a
 count-optimized subset. One warm-up action runs first so JVM/codegen
 startup is not billed to the first query.
+
+The stdout line is kept well under 1,500 bytes (the harness capturing
+it may retain only a bounded stdout tail): it carries the suite total,
+query/failure counts, and the five slowest queries. The full per-query
+timing dict goes to ``BENCH_DETAIL.json`` next to this file and to
+stderr. A query that throws is counted in ``n_failed`` — a broken query
+must flag the run, never shrink the reported total into looking faster.
 """
 
 from __future__ import annotations
@@ -73,19 +80,50 @@ def main() -> int:
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
             timings[name] = -1.0
 
+    failed = sorted(name for name, t in timings.items() if t < 0)
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "suite_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+    slowest = dict(
+        sorted(
+            ((n, t) for n, t in timings.items() if t >= 0),
+            key=lambda kv: kv[1],
+            reverse=True,
+        )[:5]
     )
+
+    detail = {
+        "metric": "suite_total_sec",
+        "value": None if failed else total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_queries": len(timings),
+        "n_failed": len(failed),
+        "failed": failed,
+    }
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1)
+    print(json.dumps(detail), file=sys.stderr)
+
+    compact = {
+        "metric": "suite_total_sec",
+        # a run with failures reports a null total: a broken query must
+        # never make the suite look faster by dropping out of the sum
+        "value": None if failed else total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "n_failed": len(failed),
+        "queries": slowest,
+    }
+    line = json.dumps(compact)
+    if len(line) > 1500:  # hard guard: never exceed the capture window
+        compact.pop("queries", None)
+        line = json.dumps(compact)
+    print(line)
     spark.stop()
+    # rc stays 0 so the line is always captured; failures are flagged in
+    # the JSON itself (n_failed > 0, value = null).
     return 0
 
 

@@ -152,6 +152,61 @@ def daily_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "staging_promote_roundtrip",
+    """
+    WITH dim AS (
+      SELECT o_custkey AS emp_id, o_orderkey AS period_id,
+             CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS start_date,
+             'Active' AS status, o_totalprice AS salary
+      FROM orders WHERE o_orderstatus = 'O'
+    ),
+    stg AS (
+      SELECT o_custkey AS emp_id, o_orderkey AS period_id,
+             CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS start_date,
+             'Active' AS status, o_totalprice AS salary
+      FROM orders WHERE o_orderstatus = 'F'
+    )
+    SELECT emp_id, period_id, start_date, status, salary,
+           CAST(0 AS BIGINT) AS staging_left
+    FROM (SELECT * FROM dim UNION ALL SELECT * FROM stg)
+    """,
+)
+def staging_promote_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's K5/K2 promotion loop end-to-end
+    (``daily_dag.py:159-166``: ``INSERT INTO dim SELECT * FROM staging``
+    then ``TRUNCATE staging``): write a fresh dim and staging, run
+    :func:`promote_staging` (parquet append + schema-preserving
+    truncate), then read the dim back. The oracle is the dim∪staging
+    union, and ``staging_left`` carries the post-truncate staging row
+    count (must be 0) so the truncate is hash-checked too.
+
+    Both pre-writes are ``overwrite``, so a rerun starts from a clean
+    dim and the append can't accumulate across invocations.
+    """
+    from ..sources.io import promote_staging
+
+    orders = read_table(spark, sf_dir, "orders")
+    tag = os.path.basename(sf_dir.rstrip(os.sep)).replace(".", "_")
+    base = os.path.join(tempfile.gettempdir(), f"eds_promote_{tag}")
+    dim_path = os.path.join(base, "dim")
+    stg_path = os.path.join(base, "staging")
+
+    write_parquet(_scd_shape(orders, "O"), dim_path, mode="overwrite")
+    write_parquet(_scd_shape(orders, "F"), stg_path, mode="overwrite")
+    promote_staging(spark, stg_path, dim_path)
+
+    staging_left = spark.read.parquet(stg_path).count()  # 0 after truncate
+    return spark.read.parquet(dim_path).select(
+        "emp_id",
+        "period_id",
+        F.col("start_date").cast("string").alias("start_date"),
+        "status",
+        "salary",
+        F.lit(staging_left).cast("long").alias("staging_left"),
+    )
+
+
+@register(
     "strike_report_rlike",
     rf"""
     WITH s AS (

@@ -24,6 +24,40 @@ def test_oracle_keys_subset_of_queries(spark):
     }
 
 
+def test_check_window_covers_every_operator_family():
+    """External harnesses verify a bounded prefix of queries() (first
+    50 entries); the curated priority order must keep one carrier per
+    operator family inside that window, and everything outside it must
+    be a deliberate overflow (rows-only or multiply-covered/unit-tested
+    elsewhere)."""
+    window = list(queries())[:50]
+    carriers = {
+        # sources + all sink shapes
+        "daily_pipeline", "staging_promote_roundtrip",
+        "published_report_roundtrip", "partition_pruned_report",
+        "schema_evolution_read", "bucketed_colocated_join",
+        "salted_skew_join", "ordered_designation_report",
+        # scd / upsert / dedup / set ops
+        "keyed_upsert", "scd2_merge", "dedup_keep_best",
+        "dedup_last_write_wins", "except_all_dupes",
+        "distinct_order_supp_pairs", "upcoming_leave_pct",
+        # every streaming carrier
+        "strike_report_batch", "strike_report_rlike",
+        "strike_window_counts", "strike_stream_stateful",
+        "stream_dedup_counts", "session_window_counts",
+        "stream_purchase_view_join", "streaming_upsert_dim",
+        # temporal joins / repair + CDC
+        "purchase_asof_view", "events_in_error_windows",
+        "user_value_trend", "forward_fill_values", "snapshot_diff_orders",
+        # LLM dedup / ANN / multimodal stack
+        "exact_dedup", "minhash_lsh_groups", "ngram_jaccard_pairs",
+        "dedup_clusters", "doc_chunks", "hyperplane_lsh_groups",
+        "embedding_topk", "ivf_topk", "embedding_neardup_pairs",
+        "binary_metadata", "multimodal_frame_stats",
+    }
+    assert carriers <= set(window), sorted(carriers - set(window))
+
+
 def test_every_query_runs_at_smoke_sf(spark):
     # schema-stability pass at sf0.001: every registered query analyzes
     # and returns a DataFrame with at least one column (cheap: no action)
