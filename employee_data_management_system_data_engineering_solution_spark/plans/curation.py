@@ -135,40 +135,58 @@ def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_columns(orders, _PROFILE_COLS)
 
 
-@register(
-    "price_decile_stats",
-    """
-    WITH d AS (
-      SELECT o_orderpriority,
-             o_totalprice,
-             ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+_DECILE_PS = tuple(i / 10 for i in range(1, 10))
+
+_DECILE_ORACLE = f"""
+    WITH cuts AS (
+      SELECT {", ".join(f"round(quantile_cont(o_totalprice, {p}), 4) AS c{i}" for i, p in enumerate(_DECILE_PS, 1))}
       FROM orders
+    ),
+    binned AS (
+      SELECT o_totalprice,
+             CAST(CASE {" ".join(f"WHEN o_totalprice <= c{i} THEN {i}" for i in range(1, 10))}
+                  ELSE 10 END AS INT) AS decile
+      FROM orders CROSS JOIN cuts
     )
     SELECT decile,
            count(*)                        AS n,
            round(min(o_totalprice), 2)     AS lo,
            round(max(o_totalprice), 2)     AS hi,
            round(avg(o_totalprice), 4)     AS mean
-    FROM d GROUP BY decile
-    """,
-)
-def price_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NTILE quantile binning (equal-frequency buckets) + per-bucket
-    stats. The global-order window needs a total sort; ntile over a
-    100 TB fact would instead use approx quantile cut points + a narrow
-    bucket map — this query keeps exact ntile for oracle parity and
-    documents the scale path (the tie-break on o_orderkey makes the
-    order total, so Spark and the oracle bin identically)."""
-    from pyspark.sql import Window
+    FROM binned GROUP BY decile
+    """
 
-    orders = read_table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    d = orders.select("o_orderpriority", "o_totalprice", F.ntile(10).over(w).alias("decile"))
-    return d.groupBy("decile").agg(
-        F.count("*").alias("n"),
-        F.round(F.min("o_totalprice"), 2).alias("lo"),
-        F.round(F.max("o_totalprice"), 2).alias("hi"),
-        F.round(F.avg("o_totalprice"), 4).alias("mean"),
+
+@register("price_decile_stats", _DECILE_ORACLE)
+def price_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency decile binning + per-bucket stats, the
+    100 TB-safe way: ONE distributed percentile aggregate produces the
+    9 interior cut points (shared state across all 9 quantiles), the
+    1-row cut table is broadcast, and bucket assignment is a narrow
+    codegen'd CASE over the fact — no global-order window, no
+    single-partition total sort anywhere in the plan (the old ntile
+    formulation sorted the entire fact on one task).
+
+    Cut points are exact interpolated percentiles (Spark ``percentile``
+    == DuckDB ``quantile_cont``, rounded 4dp on both sides) so the
+    oracle bins identically. At 100 TB swap ``percentile`` for
+    ``approx_percentile(col, ps, 10000)`` — same plan shape, sketch
+    cuts, not portable to the oracle. Values equal to a cut land in the
+    lower bucket on both engines, so tie handling is deterministic;
+    bucket populations are within one tied-value group of n/10 rather
+    than exactly n/10, which is what any cut-point decile gives."""
+    from ..operators.quality import quantile_buckets
+
+    orders = read_table(spark, sf_dir, "orders").select("o_totalprice")
+    binned = quantile_buckets(orders, "o_totalprice", n=10, bucket_col="decile")
+    return (
+        binned.groupBy("decile")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+            F.round(F.avg("o_totalprice"), 4).alias("mean"),
+        )
     )
 
 

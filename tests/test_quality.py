@@ -33,3 +33,47 @@ def test_approx_distinct_close_to_exact(spark):
     row = approx_distinct(df, ["id", "m"], rsd=0.02).collect()[0]
     assert abs(row["id_approx"] - 10_000) / 10_000 < 0.1
     assert abs(row["m_approx"] - 137) / 137 < 0.1
+
+
+def test_quantile_buckets_match_exact_ntile(spark):
+    # Untied values, count divisible by n: cut-point binning must equal
+    # exact NTILE (the formulation it replaces at scale).
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from employee_data_management_system_data_engineering_solution_spark.operators.quality import (
+        quantile_buckets,
+    )
+
+    df = spark.range(1, 101).select((F.col("id") * 1.5).alias("v"))
+    got = {
+        r["v"]: r["bucket"]
+        for r in quantile_buckets(df, "v", n=10).collect()
+    }
+    want = {
+        r["v"]: r["nt"]
+        for r in df.select(
+            "v", F.ntile(10).over(Window.orderBy("v")).alias("nt")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_quantile_buckets_ties_land_low_and_cover_all_rows(spark):
+    from pyspark.sql import functions as F
+
+    from employee_data_management_system_data_engineering_solution_spark.operators.quality import (
+        quantile_buckets,
+    )
+
+    df = spark.range(0, 200).select((F.col("id") % 4).cast("double").alias("v"))
+    out = quantile_buckets(df, "v", n=4).groupBy("bucket").count().collect()
+    assert sum(r["count"] for r in out) == 200
+    # every row carrying an identical value gets the same bucket
+    per_val = (
+        quantile_buckets(df, "v", n=4)
+        .groupBy("v")
+        .agg(F.count_distinct("bucket").alias("nb"))
+        .collect()
+    )
+    assert all(r["nb"] == 1 for r in per_val)
