@@ -18,22 +18,59 @@ from __future__ import annotations
 import os
 import shutil
 import tempfile
-from collections.abc import Callable, Iterator
+from collections.abc import Callable, Iterator, Sequence
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 
+#: Event-time for watermark-advancing sentinel batches — far past any
+#: real event so `sentinel_ts(k) - delay` finalizes every data window.
+_SENTINEL_BASE_NS = 4_102_444_800 * 1_000_000_000  # 2100-01-01 UTC
+_SENTINEL_STEP_NS = 86_400 * 1_000_000_000  # +1 day per extra batch
+
+
+def _write_sentinel_file(src: str, path: str, rows: Sequence[dict], ts_ns: int) -> None:
+    """One tiny parquet file with the exact physical schema of the
+    events table (incl. TIMESTAMP(NANOS) ts) so the file stream reads
+    it interchangeably with the real file."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pq.read_schema(src).remove_metadata()
+    cols = {
+        "event_id": [int(r.get("event_id", -1)) for r in rows],
+        "ts": pa.array([ts_ns] * len(rows), type=pa.timestamp("ns")),
+        "user_id": [int(r.get("user_id", -1)) for r in rows],
+        "event_type": [str(r["event_type"]) for r in rows],
+        "value": [float(r.get("value", 0.0)) for r in rows],
+        "props": [str(r.get("props", "{}")) for r in rows],
+    }
+    table = pa.table({f.name: cols[f.name] for f in schema}, schema=schema)
+    pq.write_table(table, path)
+
 
 @contextmanager
 def replayed_events(
-    spark: SparkSession, sf_dir: str, state_partitions: int = 8
+    spark: SparkSession,
+    sf_dir: str,
+    state_partitions: int = 8,
+    sentinel_batches: Sequence[Sequence[dict]] = (),
 ) -> Iterator[tuple[DataFrame, Callable[[DataFrame, str], DataFrame]]]:
     """Yield ``(stream_df, run)`` where ``stream_df`` is the streaming
     view of ``{sf_dir}/events.parquet`` and ``run(result_df, name, output_mode)``
     executes the streaming plan through a memory sink (update mode by
     default; session-window aggregations require complete/append)
     (availableNow trigger) and returns the sink table, materialized so
-    it survives the cleanup that follows the ``with`` block."""
+    it survives the cleanup that follows the ``with`` block.
+
+    ``sentinel_batches``: optional extra micro-batches staged AFTER the
+    real file (ascending mtime), each a list of row dicts written at a
+    far-future event time. Append-mode plans only emit a finalized
+    group in the batch after the watermark passes it, so a carrier
+    whose sink must contain every data group stages two sentinel
+    batches: batch N advances the watermark past all real event time,
+    batch N+1 gives the engine a batch in which to emit. Sentinel rows
+    must be inert for the carrier's own logic (unmatchable keys)."""
     from ..sources.io import normalize_nanos
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -44,7 +81,13 @@ def replayed_events(
     queries = []
     names = []
     try:
-        os.symlink(f"{sf_dir}/events.parquet", f"{stage_dir}/events.parquet")
+        src = f"{sf_dir}/events.parquet"
+        os.symlink(src, f"{stage_dir}/events.parquet")
+        base_mtime = os.path.getmtime(f"{stage_dir}/events.parquet")
+        for i, rows in enumerate(sentinel_batches):
+            p = os.path.join(stage_dir, f"z_sentinel_{i}.parquet")
+            _write_sentinel_file(src, p, rows, _SENTINEL_BASE_NS + i * _SENTINEL_STEP_NS)
+            os.utime(p, (base_mtime + 60 * (i + 1), base_mtime + 60 * (i + 1)))
         batch = spark.read.parquet(f"{sf_dir}/events.parquet")
         stream = (
             spark.readStream.schema(batch.schema)

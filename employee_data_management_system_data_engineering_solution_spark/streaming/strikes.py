@@ -283,11 +283,28 @@ def run_stream_stream_join(
     evicted once the watermark passes — the canonical attribution
     topology where BOTH sides arrive as streams.
 
+    The per-purchase count happens INSIDE the stream (chained stateful
+    operators: time-interval join → windowed aggregation, append mode),
+    so the memory sink and the final collect carry ONE row per purchase
+    — never the raw join product, which at scale is a driver
+    bottleneck. Append-mode groups only emit once the watermark passes
+    their window, so the replay stages two inert far-future sentinel
+    batches: the first advances the watermark beyond all real event
+    time, the second gives the engine a batch in which to emit (the
+    sentinels use unmatchable user ids, so they join nothing and
+    produce no groups).
+
     Returns per-purchase view counts (purchase_id, user_id, n_views).
     """
     from .replay import replayed_events
 
-    with replayed_events(spark, sf_dir, state_partitions) as (stream, run):
+    sentinel = [
+        {"event_id": -1, "user_id": -1, "event_type": "view"},
+        {"event_id": -2, "user_id": -2, "event_type": "purchase"},
+    ]
+    with replayed_events(
+        spark, sf_dir, state_partitions, sentinel_batches=(sentinel, sentinel)
+    ) as (stream, run):
         views = (
             stream.filter(F.col("event_type") == "view")
             .select(
@@ -314,9 +331,13 @@ def run_stream_stream_join(
             ),
             "inner",
         )
-        out = run(pairs, "stream_join_sink", output_mode="append")
-    # collapse to per-purchase counts batch-side; pair emissions are
-    # exactly-once within the replay, so count == distinct view count
-    return out.groupBy("purchase_id", F.col("p_user").alias("user_id")).agg(
-        F.count(F.lit(1)).alias("n_views")
+        # in-stream per-purchase count; the window on the propagated
+        # purchase event time is what lets append mode finalize groups
+        per_purchase = pairs.groupBy(
+            F.window("p_ts", join_window).alias("__w"), "purchase_id", "p_user"
+        ).agg(F.count(F.lit(1)).alias("n_views"))
+        out = run(per_purchase, "stream_join_sink", output_mode="append")
+    # append mode emits each finalized group exactly once; just project
+    return out.select(
+        "purchase_id", F.col("p_user").alias("user_id"), "n_views"
     )
