@@ -42,12 +42,17 @@ def snapshot_diff(
     snapshot (from the OLD one for deletes). Comparison is null-safe;
     rows equal on every compare column are 'unchanged' and dropped
     unless ``keep_unchanged``.
+
+    Keys join null-safely, so a NULL-keyed row present in both
+    snapshots diffs as update/unchanged (a plain-SQL ``=`` join would
+    report it as delete + insert); presence on each side is tracked
+    with marker columns, never inferred from key nullness.
     """
     keys = list(keys)
     compare = list(compare) if compare is not None else [c for c in new.columns if c not in keys]
 
-    o = old.select(*keys, *compare)
-    n = new.select(*keys, *compare)
+    o = old.select(*keys, *compare).withColumn("__o_present", F.lit(1))
+    n = new.select(*keys, *compare).withColumn("__n_present", F.lit(1))
     o = reduce(lambda df, c: df.withColumnRenamed(c, f"__o_{c}"), keys + compare, o)
     n = reduce(lambda df, c: df.withColumnRenamed(c, f"__n_{c}"), keys + compare, n)
 
@@ -57,8 +62,8 @@ def snapshot_diff(
     )
     j = o.join(n, cond, "full_outer")
 
-    in_old = reduce(lambda a, b: a | b, [F.col(f"__o_{k}").isNotNull() for k in keys])
-    in_new = reduce(lambda a, b: a | b, [F.col(f"__n_{k}").isNotNull() for k in keys])
+    in_old = F.col("__o_present").isNotNull()
+    in_new = F.col("__n_present").isNotNull()
     differs: Column = reduce(
         lambda a, b: a | b,
         [~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}")) for c in compare],

@@ -181,6 +181,7 @@ def ngram_jaccard_pairs(
     min_jaccard: float = 0.8,
     n_hashes: int = 8,
     bands: int = 2,
+    max_clique_bucket: int = 256,
 ) -> DataFrame:
     """Exact char-n-gram Jaccard verification over LSH candidate pairs.
 
@@ -189,6 +190,16 @@ def ngram_jaccard_pairs(
     O(corpus) for signatures + O(Σ bucket²) for pairing, never a
     block-quadratic self-join. (The earlier prefix-block candidate
     scheme went near-quadratic on boilerplate-prefixed corpora.)
+
+    Degenerate buckets (> ``max_clique_bucket`` members — a corpus of
+    near-identical boilerplate collapsing into one bucket) would put
+    O(bucket²) pairs in a single task; those fall back to STAR
+    expansion (every member paired with the bucket's min id), bounding
+    per-task work at O(bucket) while keeping the bucket connected for
+    downstream clustering. Pairs between two non-hub members of an
+    oversized bucket are not emitted/verified — a documented recall
+    trade, standard for web-scale near-dedup.
+
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
     """
     # MinHash over the SAME char-n-gram sets the verification uses, so
@@ -228,11 +239,18 @@ def ngram_jaccard_pairs(
         "flatten(transform(ids, (x, i) -> "
         "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS id_a, y AS id_b))))"
     )
+    star_expr = F.expr(  # O(bucket) fallback for degenerate buckets
+        "transform(slice(ids, 2, size(ids)), y -> struct(ids[1] AS id_a, y AS id_b))"
+    )
     cand = (
         banded.groupBy("band_no", "bucket")
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
         .filter(F.size("ids") > 1)
-        .select(F.explode(pair_expr).alias("p"))
+        .select(
+            F.explode(
+                F.when(F.size("ids") <= max_clique_bucket, pair_expr).otherwise(star_expr)
+            ).alias("p")
+        )
         .select("p.id_a", "p.id_b")
         .distinct()
         .localCheckpoint(eager=True)

@@ -106,7 +106,17 @@ def interval_bucket_join(
     project/aggregate). ``bucket_seconds`` should be on the order of the
     typical interval length; an interval spanning B buckets is
     replicated B times (bounded, unlike a cross join).
+
+    Inner-join only: the bucket-replication scheme would emit one
+    unmatched row per spanned bucket under outer join types, so those
+    are rejected rather than silently returning duplicates.
     """
+    if how != "inner":
+        raise ValueError(
+            "interval_bucket_join supports how='inner' only: interval "
+            "replication across buckets would duplicate unmatched rows "
+            f"under outer join types (got {how!r})"
+        )
     b = int(bucket_seconds)
     ivals = intervals.withColumn(
         _BUCKET,

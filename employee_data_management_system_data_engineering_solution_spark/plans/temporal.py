@@ -173,7 +173,9 @@ def forward_fill_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ts",
         "event_id",
-        F.when(F.col("event_type") != "error", F.round("value", 2)).alias("v"),
+        # null-safe: NULL event_type must KEEP its value (mirrors the
+        # oracle's CASE WHEN event_type = 'error'), not be masked
+        F.when(~F.col("event_type").eqNullSafe("error"), F.round("value", 2)).alias("v"),
     )
     filled = forward_fill(ev, ["user_id"], ["ts", "event_id"], "v", filled_alias="vf")
     return filled.select(
