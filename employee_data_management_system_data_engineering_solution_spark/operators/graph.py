@@ -11,14 +11,26 @@ Algorithm: iterative min-label propagation. Every node starts labeled
 with itself; each round every node takes the min of its own label and
 its neighbors' labels; converged when no label changes. Rounds needed =
 graph diameter, which for near-dup clusters is tiny (dup groups are
-near-cliques, diameter ≤ 2–3). Each round is one shuffle join + one
-groupBy — both on the node id — and lineage is truncated with
+near-cliques, diameter ≤ 2–3). Lineage is truncated with
 ``localCheckpoint`` so the plan doesn't grow per iteration (on a real
 cluster, use ``spark.sparkContext.setCheckpointDir`` + ``checkpoint``
 for fault-tolerant truncation). For web-scale graphs with long chains,
 swap in large-star/small-star (Kiveris et al., "Connected Components
 in MapReduce and Beyond") — same DataFrame skeleton, different
 neighbor rule.
+
+Per-round cost engineering (iterative graph jobs die by fixed costs):
+
+* the adjacency carries SELF-LOOPS, so "min of self and neighbors" is
+  a single join + groupBy — no separate left-join with the previous
+  labels (3 shuffles/round → 2);
+* the adjacency is hash-partitioned on the join side ONCE before its
+  checkpoint, and ``localCheckpoint`` preserves the partitioning, so
+  each round only exchanges the (small) label frame;
+* convergence is detected by the label SUM, not a join-and-count:
+  min-propagation is monotone non-increasing per node, so the total is
+  strictly decreasing until the fixed point — an O(1)-output agg over
+  a checkpointed frame replaces a shuffle join per check.
 """
 
 from __future__ import annotations
@@ -37,49 +49,52 @@ def connected_components(
     """(node, component) for every node in ``edges``; ``component`` is
     the minimum node id reachable from the node. Undirected: each edge
     is used in both directions. Raises if not converged in
-    ``max_iter`` rounds (near-dup graphs converge in ≤ 3–4)."""
-    und = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    und = und.unionByName(
-        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct().localCheckpoint(eager=True)
-
-    labels = (
-        und.select(F.col("src").alias("node"))
+    ``max_iter`` propagation rounds (near-dup graphs converge in
+    ≤ 3–4). Node ids must be non-null numerics (label sum is the
+    convergence witness)."""
+    # pin the (possibly expensive) upstream edge plan FIRST: everything
+    # below references it several times (symmetrize + node set), and an
+    # un-pinned plan would re-execute per reference
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint(
+        eager=True
+    )
+    # size the per-round parallelism by edge volume (the count is free:
+    # ``e`` is pinned): an iterative job on a sparse dup graph must not
+    # pay 2 × rounds × default-partitions empty-task overhead, and at
+    # 100 TB the same formula scales the rounds back out
+    default_parts = int(e.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    n_parts = max(1, min(default_parts, e.count() // 25_000 + 1))
+    # symmetrize + SELF-LOOPS (so the neighborhood min includes the
+    # node's own label) in one job over the pinned edges
+    nodes = e.select(F.explode(F.array("src", "dst")).alias("node")).distinct()
+    adj = (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .unionByName(nodes.select(F.col("node").alias("src"), F.col("node").alias("dst")))
         .distinct()
-        .withColumn("component", F.col("node"))
+        .repartition(n_parts, F.col("dst"))
         .localCheckpoint(eager=True)
     )
+    # the self-loop rows ARE the node set — initial labels need no
+    # extra shuffle over a pinned frame
+    labels = adj.filter(F.col("src") == F.col("dst")).select(
+        F.col("src").alias("node"), F.col("src").alias("component")
+    )
+    prev_sum = labels.agg(F.sum("component")).first()[0]
+
     def propagate(cur: DataFrame) -> DataFrame:
-        nbr_min = (
-            und.join(cur, und["dst"] == cur["node"])
-            .groupBy(und["src"].alias("node"))
-            .agg(F.min("component").alias("nbr_component"))
-        )
         return (
-            cur.alias("l")
-            .join(nbr_min.alias("n"), "node", "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("l.component"),
-                    F.coalesce(F.col("n.nbr_component"), F.col("l.component")),
-                ).alias("component"),
-            )
+            adj.join(cur, adj["dst"] == cur["node"])
+            .groupBy(adj["src"].alias("node"))
+            .agg(F.min("component").alias("component"))
         )
 
     for _ in range(max_iter):
-        # two propagation rounds per convergence check: the check is a
-        # full driver action (join + count), and near-dup graphs
-        # converge in 2-3 rounds — halving the actions matters more
-        # than the extra (cheap) round a tight loop would save
-        new_labels = propagate(propagate(labels)).localCheckpoint(eager=True)
-        n_changed = (
-            new_labels.alias("a")
-            .join(labels.alias("b"), "node")
-            .filter(F.col("a.component") != F.col("b.component"))
-            .count()
-        )
-        labels = new_labels
-        if n_changed == 0:
+        # two propagation rounds per convergence probe: near-dup
+        # graphs converge in 2-3 rounds, so halving the driver
+        # actions beats probing after every round
+        labels = propagate(propagate(labels)).localCheckpoint(eager=True)
+        new_sum = labels.agg(F.sum("component")).first()[0]
+        if new_sum == prev_sum:
             return labels
+        prev_sum = new_sum
     raise RuntimeError(f"connected_components: no convergence in {2 * max_iter} rounds")
