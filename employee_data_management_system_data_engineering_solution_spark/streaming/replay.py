@@ -49,6 +49,21 @@ def _write_sentinel_file(src: str, path: str, rows: Sequence[dict], ts_ns: int) 
     pq.write_table(table, path)
 
 
+#: (applicationId, path) → StructType. Every carrier needs the events
+#: schema to declare the file stream; the footer-probe job is identical
+#: across the 7 streaming carriers in one session, so cache it.
+_SCHEMA_CACHE: dict[tuple[str, str], object] = {}
+
+
+def events_schema(spark: SparkSession, src: str):
+    """Schema of ``src`` under the session's active parquet confs,
+    cached per (session, path)."""
+    key = (spark.sparkContext.applicationId, src)
+    if key not in _SCHEMA_CACHE:
+        _SCHEMA_CACHE[key] = spark.read.parquet(src).schema
+    return _SCHEMA_CACHE[key]
+
+
 @contextmanager
 def replayed_events(
     spark: SparkSession,
@@ -66,11 +81,12 @@ def replayed_events(
     ``sentinel_batches``: optional extra micro-batches staged AFTER the
     real file (ascending mtime), each a list of row dicts written at a
     far-future event time. Append-mode plans only emit a finalized
-    group in the batch after the watermark passes it, so a carrier
-    whose sink must contain every data group stages two sentinel
-    batches: batch N advances the watermark past all real event time,
-    batch N+1 gives the engine a batch in which to emit. Sentinel rows
-    must be inert for the carrier's own logic (unmatchable keys)."""
+    group once the watermark passes it, so a carrier whose sink must
+    contain every data group stages ONE sentinel batch to advance the
+    watermark past all real event time; ``availableNow`` then runs a
+    no-data flush batch in which the finalized groups emit. Sentinel
+    rows must be inert for the carrier's own logic (unmatchable
+    keys)."""
     from ..sources.io import normalize_nanos
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -88,9 +104,8 @@ def replayed_events(
             p = os.path.join(stage_dir, f"z_sentinel_{i}.parquet")
             _write_sentinel_file(src, p, rows, _SENTINEL_BASE_NS + i * _SENTINEL_STEP_NS)
             os.utime(p, (base_mtime + 60 * (i + 1), base_mtime + 60 * (i + 1)))
-        batch = spark.read.parquet(f"{sf_dir}/events.parquet")
         stream = (
-            spark.readStream.schema(batch.schema)
+            spark.readStream.schema(events_schema(spark, src))
             .option("maxFilesPerTrigger", 1)
             .parquet(stage_dir)
         )

@@ -288,11 +288,11 @@ def run_stream_stream_join(
     so the memory sink and the final collect carry ONE row per purchase
     — never the raw join product, which at scale is a driver
     bottleneck. Append-mode groups only emit once the watermark passes
-    their window, so the replay stages two inert far-future sentinel
-    batches: the first advances the watermark beyond all real event
-    time, the second gives the engine a batch in which to emit (the
-    sentinels use unmatchable user ids, so they join nothing and
-    produce no groups).
+    their window, so the replay stages ONE inert far-future sentinel
+    batch that advances the watermark beyond all real event time;
+    ``availableNow`` then runs a no-data flush batch in which the
+    finalized groups emit (the sentinel uses unmatchable user ids, so
+    it joins nothing and produces no groups).
 
     Returns per-purchase view counts (purchase_id, user_id, n_views).
     """
@@ -303,7 +303,7 @@ def run_stream_stream_join(
         {"event_id": -2, "user_id": -2, "event_type": "purchase"},
     ]
     with replayed_events(
-        spark, sf_dir, state_partitions, sentinel_batches=(sentinel, sentinel)
+        spark, sf_dir, state_partitions, sentinel_batches=(sentinel,)
     ) as (stream, run):
         views = (
             stream.filter(F.col("event_type") == "view")

@@ -30,21 +30,27 @@ from pyspark.sql import functions as F
 
 
 def _stage_batches(spark: SparkSession, sf_dir: str, stage_dir: str, n_batches: int) -> None:
-    """Split events into n deterministic single-file micro-batches."""
-    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    """Split events into n deterministic single-file micro-batches in
+    ONE pass: ``partitionBy`` on the computed batch id writes every
+    split in a single job (n filtered re-scans of the source would cost
+    n × scan). ``repartition(n, batch)`` puts each batch id in exactly
+    one task, so each partition directory holds exactly one file."""
+    part_root = os.path.join(stage_dir, "__parts")
+    (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .withColumn("__b", F.col("event_id") % n_batches)
+        .repartition(n_batches, F.col("__b"))
+        .write.partitionBy("__b")
+        .mode("overwrite")
+        .parquet(part_root)
+    )
     for i in range(n_batches):
-        part_dir = os.path.join(stage_dir, f"__part_{i}")
-        (
-            batch.filter(F.col("event_id") % n_batches == i)
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(part_dir)
-        )
+        part_dir = os.path.join(part_root, f"__b={i}")
         part_file = next(
             f for f in os.listdir(part_dir) if f.endswith(".parquet") and f.startswith("part-")
         )
         os.replace(os.path.join(part_dir, part_file), os.path.join(stage_dir, f"batch_{i}.parquet"))
-        shutil.rmtree(part_dir, ignore_errors=True)
+    shutil.rmtree(part_root, ignore_errors=True)
 
 
 def run_upsert_stream(spark: SparkSession, sf_dir: str, n_batches: int = 3) -> DataFrame:
@@ -61,7 +67,9 @@ def run_upsert_stream(spark: SparkSession, sf_dir: str, n_batches: int = 3) -> D
 
     _stage_batches(spark, sf_dir, stage_dir, n_batches)
 
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    from .replay import events_schema
+
+    schema = events_schema(spark, f"{sf_dir}/events.parquet")
     stream = (
         spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage_dir)
     )
