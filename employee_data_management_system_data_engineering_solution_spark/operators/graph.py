@@ -15,9 +15,8 @@ near-cliques, diameter ≤ 2–3). Lineage is truncated with
 ``localCheckpoint`` so the plan doesn't grow per iteration (on a real
 cluster, use ``spark.sparkContext.setCheckpointDir`` + ``checkpoint``
 for fault-tolerant truncation). For web-scale graphs with long chains,
-swap in large-star/small-star (Kiveris et al., "Connected Components
-in MapReduce and Beyond") — same DataFrame skeleton, different
-neighbor rule.
+use :func:`connected_components_star` (alternating large-star/
+small-star) — diameter-independent round count, same output contract.
 
 Per-round cost engineering (iterative graph jobs die by fixed costs):
 
@@ -98,3 +97,120 @@ def connected_components(
             return labels
         prev_sum = new_sum
     raise RuntimeError(f"connected_components: no convergence in {2 * max_iter} rounds")
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    max_iter: int = 30,
+) -> DataFrame:
+    """Alternating large-star/small-star connected components — the
+    web-scale path for graphs whose diameter is NOT small.
+
+    Same contract as :func:`connected_components` ((node, component),
+    component = min reachable id), different round complexity:
+    min-label propagation needs diameter rounds (a 1M-hop chain never
+    finishes), while star contraction converges in O(log² n) rounds
+    regardless of diameter (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", ACM SoCC 2014 — public algorithm, described
+    from the paper, no code derived).
+
+    Each round is two half-steps over a canonical larger→smaller edge
+    list (one join + groupBy each — the same 2-shuffle shape as a
+    propagation round):
+
+    * large-star: every node links its LARGER neighbors to the min of
+      its closed neighborhood — long chains fold in half;
+    * small-star: every node links its smaller-or-equal neighbors and
+      itself to that min — stars flatten to depth 1.
+
+    Convergence: the canonical edge multiset is a fixed point exactly
+    when every tree is a depth-1 star; witnessed by
+    (count, Σsrc, Σdst, Σ xxhash64(src, dst)) of the pinned frame —
+    four O(1)-output aggs in one job, no join-and-count. Use this over min-label when clusters can chain
+    (transcript/session dedup, citation graphs); near-clique dup
+    groups converge in 1-2 rounds under either algorithm.
+    """
+    # canonical orientation: src strictly larger than dst
+    e = (
+        edges.select(
+            F.greatest(F.col(src), F.col(dst)).alias("u"),
+            F.least(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") > F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    singletons = (
+        edges.filter(F.col(src) == F.col(dst))
+        .select(F.col(src).alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _sig(df: DataFrame) -> tuple:
+        row = df.agg(
+            F.count(F.lit(1)),
+            F.sum("u"),
+            F.sum("v"),
+            # pmod-bounded so the ANSI-mode sum can't overflow long
+            F.sum(F.pmod(F.xxhash64("u", "v"), F.lit(1_000_000_007))),
+        ).first()
+        return tuple(row)
+
+    def _large_star(cur: DataFrame) -> DataFrame:
+        # symmetric neighborhoods; m = min(Γ(x) ∪ {x}); for every
+        # neighbor y > x emit (y, m). m ≤ x < y keeps orientation.
+        sym = cur.select("u", "v").unionByName(
+            cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("__mn"))
+            .select("u", F.least(F.col("__mn"), F.col("u")).alias("m"))
+        )
+        return (
+            sym.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+
+    def _small_star(cur: DataFrame) -> DataFrame:
+        # per larger-endpoint x over its smaller neighbors N⁻(x):
+        # m = min(N⁻(x)); link every y ∈ N⁻(x) ∪ {x}, y ≠ m, to m
+        m = cur.groupBy("u").agg(F.min("v").alias("m"))
+        linked = cur.join(m, "u").select(
+            F.col("v").alias("y"), F.col("m")
+        ).unionByName(m.select(F.col("u").alias("y"), F.col("m")))
+        return (
+            linked.filter(F.col("y") != F.col("m"))
+            .select(F.col("y").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+
+    prev = _sig(e)
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        cur_sig = _sig(e)
+        if cur_sig == prev:
+            break
+        prev = cur_sig
+    else:
+        raise RuntimeError(f"connected_components_star: no convergence in {max_iter} rounds")
+
+    # fixed point = depth-1 stars: (u, v) reads "node u in component v";
+    # centers and self-loop singletons label themselves
+    centers = e.select(F.col("v").alias("node")).distinct()
+    members = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    return members.unionByName(
+        centers.join(members, "node", "left_anti").select(
+            "node", F.col("node").alias("component")
+        )
+    ).unionByName(
+        singletons.join(
+            members.select("node").unionByName(centers), "node", "left_anti"
+        ).select("node", F.col("node").alias("component"))
+    )

@@ -174,7 +174,10 @@ def cosine_neardup_pairs(
 
     Output: (id_a, id_b, cosine_sim) with id_a < id_b, sim ≥ threshold.
     """
-    assigned = assign_clusters(corpus, pivots, id_col, vec_col)
+    # pin the assignment: both pair sides reference it, and the narrow
+    # argmax map (P × dim multiply-adds per row) is the expensive part
+    # of the plan — unpinned it would execute once per side
+    assigned = assign_clusters(corpus, pivots, id_col, vec_col).localCheckpoint(eager=False)
     a = assigned.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("__va"),

@@ -549,8 +549,8 @@ def top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN nation   ON s_nationkey = n_nationkey
     JOIN region   ON n_regionkey = r_regionkey
     WHERE r_name = 'ASIA'
-      AND CAST(o_orderdate AS DATE) >= DATE '1994-01-01'
-      AND CAST(o_orderdate AS DATE) <  DATE '1995-01-01'
+      AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(o_orderdate AS DATE) <  DATE '1997-01-01'
     GROUP BY n_name
     """,
 )
@@ -566,8 +566,8 @@ def region_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier = read_table(spark, sf_dir, "supplier")
     customer = read_table(spark, sf_dir, "customer")
     orders = read_table(spark, sf_dir, "orders").filter(
-        (_d("o_orderdate") >= F.to_date(F.lit("1994-01-01")))
-        & (_d("o_orderdate") < F.to_date(F.lit("1995-01-01")))
+        (_d("o_orderdate") >= F.to_date(F.lit("1996-01-01")))
+        & (_d("o_orderdate") < F.to_date(F.lit("1997-01-01")))
     )
     li = read_table(spark, sf_dir, "lineitem")
     asia_supp = (

@@ -30,7 +30,7 @@ from pyspark.sql import types as T
 
 from ..operators import cleaning, scd
 from ..operators.reports import ordered_with_rank
-from ..sources.io import latest_file, read_csv, read_table, write_csv, write_parquet
+from ..sources.io import fan_out, latest_file, read_csv, read_table, write_csv, write_parquet
 from ..streaming.strikes import (
     RESERVED_WORDS,
     flag_messages,
@@ -226,9 +226,13 @@ def strike_report_rlike(spark: SparkSession, sf_dir: str) -> DataFrame:
     regex over the message payload via :func:`flag_messages` — not the
     ``event_type`` equality stand-in."""
     ev = read_table(spark, sf_dir, "events")
-    msgs = ev.select(
-        F.col("user_id").alias("emp_id"),
-        F.concat_ws(" ", F.col("event_type"), F.col("props")).alias("message"),
+    # the alternation regex is the expensive narrow map here — fan the
+    # compact projection out first or a single-file scan serializes it
+    msgs = fan_out(
+        ev.select(
+            F.col("user_id").alias("emp_id"),
+            F.concat_ws(" ", F.col("event_type"), F.col("props")).alias("message"),
+        )
     )
     strikes = (
         flag_messages(msgs, "message")

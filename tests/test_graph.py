@@ -1,17 +1,22 @@
-"""connected_components semantics on hand-built edge lists."""
+"""connected_components semantics on hand-built edge lists, and
+large-star/small-star equivalence (including the long-chain case where
+min-label propagation's round count explodes)."""
 
 from __future__ import annotations
+
+import random
 
 import pytest
 
 from employee_data_management_system_data_engineering_solution_spark.operators.graph import (
     connected_components,
+    connected_components_star,
 )
 
 
-def _cc(spark, edges):
+def _cc(spark, edges, fn=connected_components, **kw):
     df = spark.createDataFrame(edges, "src bigint, dst bigint")
-    return {r["node"]: r["component"] for r in connected_components(df).collect()}
+    return {r["node"]: r["component"] for r in fn(df, **kw).collect()}
 
 
 def test_two_components_transitive(spark):
@@ -34,3 +39,40 @@ def test_max_iter_raises(spark):
     df = spark.createDataFrame([(i, i + 1) for i in range(1, 8)], "src bigint, dst bigint")
     with pytest.raises(RuntimeError):
         connected_components(df, max_iter=1)
+
+
+# ---------------------------------------------------------------------------
+# large-star/small-star
+# ---------------------------------------------------------------------------
+def test_star_matches_minlabel_basic(spark):
+    edges = [(1, 2), (2, 3), (10, 11)]
+    assert _cc(spark, edges, connected_components_star) == _cc(spark, edges)
+
+
+def test_star_long_chain_few_rounds(spark):
+    # a 40-hop path: min-label would need ~40 propagation rounds;
+    # star contraction must finish within its (logarithmic) budget
+    edges = [(i, i + 1) for i in range(1, 41)]
+    got = _cc(spark, edges, connected_components_star, max_iter=12)
+    assert set(got.values()) == {1}
+    assert len(got) == 41
+
+
+def test_star_self_loops_and_singletons(spark):
+    # self-loop-only nodes are their own component; a self-loop inside
+    # a component changes nothing
+    got = _cc(spark, [(7, 7), (1, 2), (2, 2)], connected_components_star)
+    assert got == {7: 7, 1: 1, 2: 1}
+
+
+def test_star_matches_minlabel_random(spark):
+    rng = random.Random(17)
+    nodes = list(range(1, 61))
+    edges = [
+        (rng.choice(nodes), rng.choice(nodes))
+        for _ in range(70)
+    ]
+    edges = [(a, b) for a, b in edges if a != b] or [(1, 2)]
+    assert _cc(spark, edges, connected_components_star) == _cc(
+        spark, edges, connected_components, max_iter=40
+    )
