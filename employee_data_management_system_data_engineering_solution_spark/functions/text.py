@@ -115,3 +115,35 @@ def char_ngrams(text: Column, n: int = 5) -> Column:
             lambda i: t.substr(i + 1, F.lit(n)),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (training-data curation: redact before training)
+# ---------------------------------------------------------------------------
+#: name → (pattern, replacement token). Patterns are RE2-safe (no
+#: backrefs / lookaround) so the SAME regex runs in Spark (Java) and
+#: DuckDB (RE2) for oracle parity.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "phone": (r"\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b", "<PHONE>"),
+    "ipv4": (r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+}
+
+
+def pii_counts(text: Column) -> list[Column]:
+    """One ``n_{kind}`` count column per PII pattern (codegen'd
+    ``regexp_count``, no UDF)."""
+    return [
+        F.regexp_count(text, F.lit(pat)).alias(f"n_{kind}")
+        for kind, (pat, _) in PII_PATTERNS.items()
+    ]
+
+
+def scrub_pii(text: Column) -> Column:
+    """Replace every PII match with its typed placeholder. Email runs
+    first (an email contains no phone/IP match but ordering is pinned
+    so the composition is deterministic)."""
+    out = text
+    for pat, repl in (v for v in PII_PATTERNS.values()):
+        out = F.regexp_replace(out, pat, repl)
+    return out

@@ -684,3 +684,155 @@ def hyperplane_lsh_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_vecs"), F.min("vec_id").alias("keep_id"))
         .filter(F.col("n_vecs") > 1)
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (redact-before-training curation step)
+# ---------------------------------------------------------------------------
+@register(
+    "pii_scrub",
+    r"""
+    WITH aug AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 7 = 0
+                     THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+                     ELSE '' END
+             || CASE WHEN doc_id % 11 = 0 THEN ' call 555-867-5309 ok' ELSE '' END
+             || CASE WHEN doc_id % 13 = 0
+                     THEN ' from 10.0.0.' || CAST(doc_id % 256 AS VARCHAR) || ' host'
+                     ELSE '' END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(text,
+               '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b')) AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(text,
+               '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ipv4,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b', '<PHONE>', 'g'),
+               '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g')) AS scrub_md5
+    FROM aug
+    """,
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redact PII before training (``functions.text.PII_PATTERNS``):
+    typed placeholders per match class plus per-doc match counts. The
+    synthetic corpus carries no organic PII, so the carrier injects a
+    deterministic email/phone/IP per doc-id residue class on BOTH
+    engines — the scrub itself is generic ``scrub_pii``/``pii_counts``.
+
+    Scale: pure narrow map (regexp_count + regexp_replace, codegen'd,
+    no UDF), fanned out so a single-file scan can't serialize the
+    regex work. At 100 TB this is the shape you want: no shuffle, no
+    Python, proportional to bytes scanned."""
+    from ..sources.io import fan_out
+
+    docs = fan_out(read_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0, F.lit(" call 555-867-5309 ok")).otherwise(
+                F.lit("")
+            ),
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.concat(
+                    F.lit(" from 10.0.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(" host"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    t = F.col("text")
+    return aug.select(
+        "doc_id",
+        *tx.pii_counts(t),
+        F.md5(tx.scrub_pii(t)).alias("scrub_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repeated-passage (boilerplate) detection across the corpus
+# ---------------------------------------------------------------------------
+@register(
+    "repeated_passages",
+    r"""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    w10 AS (SELECT * FROM w WHERE len(words) >= 10),
+    shingles AS (
+      SELECT doc_id,
+             md5(array_to_string(list_slice(words, i + 1, i + 10), ' ')) AS passage_md5
+      FROM w10, unnest(range(0, len(words) - 9, 10)) AS t(i)
+    )
+    SELECT passage_md5,
+           count(*) AS n_occurrences,
+           count(DISTINCT doc_id) AS n_docs,
+           min(doc_id) AS first_doc_id
+    FROM shingles
+    GROUP BY passage_md5
+    HAVING count(*) > 1
+    """,
+)
+def repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate/repetition detection (the MassiveText-style
+    repetition filter): fingerprint NON-overlapping 10-word passages
+    with md5 and surface every passage occurring more than once in the
+    corpus, with occurrence/document counts and the first containing
+    doc.
+
+    Scale: fan-out → narrow shingle explode (≈ n_words/10 rows per
+    doc) → ONE hash-agg shuffle on 32-byte digests with map-side
+    combine. No joins, no windows; the natural pre-stage for
+    passage-level dedup at 100 TB."""
+    from ..sources.io import fan_out
+
+    docs = fan_out(
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", F.trim(F.col("text")).alias("t"))
+        .filter(F.length("t") > 0)
+    )
+    words = docs.select("doc_id", F.split(F.col("t"), r"\s+").alias("words")).filter(
+        F.size("words") >= 10  # sub-passage docs emit nothing (oracle parity)
+    )
+    shingles = words.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.size("words") - 10, F.lit(0)),
+                F.lit(10),
+            )
+        ).alias("i"),
+        "words",
+    ).select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.slice(F.col("words"), F.col("i") + 1, 10))).alias(
+            "passage_md5"
+        ),
+    )
+    return (
+        shingles.groupBy("passage_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+        .filter(F.col("n_occurrences") > 1)
+    )

@@ -58,3 +58,22 @@ def test_minhash_signature_identical_texts_match(spark):
     by_id = {r.id: tuple(r)[1:] for r in sig}
     assert by_id[1] == by_id[2]  # same word set ⇒ same signature
     assert by_id[3] == ("z" * 32,) * 4  # empty doc sentinel
+
+
+def test_scrub_pii_all_kinds(spark):
+    msg = "mail a.b+c@test.org or call 555-123-4567 from 192.168.1.1 today"
+    got = _one(spark, msg, tx.scrub_pii)
+    assert got == "mail <EMAIL> or call <PHONE> from <IP> today"
+
+
+def test_scrub_pii_counts(spark):
+    df = spark.createDataFrame(
+        [Row(t="x@y.io and z@w.net"), Row(t="no pii here"), Row(t="10.0.0.1 9.9.9.9")]
+    )
+    rows = df.select(*tx.pii_counts(F.col("t"))).collect()
+    assert [tuple(r) for r in rows] == [(2, 0, 0), (0, 0, 0), (0, 0, 2)]
+
+
+def test_scrub_pii_leaves_clean_text(spark):
+    msg = "version 1.2 costs 12.50 at 3pm"  # dotted numbers that are NOT IPs
+    assert _one(spark, msg, tx.scrub_pii) == msg
