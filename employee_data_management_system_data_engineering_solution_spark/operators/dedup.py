@@ -277,6 +277,38 @@ def ngram_jaccard_pairs(
     )
 
 
+def passage_fingerprint_rows(
+    df: DataFrame, id_col: str, text_col: str, width: int = 10
+) -> DataFrame:
+    """(id, passage_md5) rows — md5 fingerprints of NON-overlapping
+    ``width``-word passages (whitespace tokens). Docs with fewer than
+    ``width`` words emit nothing; a trailing partial passage is not
+    fingerprinted. The fan-out → explode → narrow-hash shape mirrors
+    :func:`char_ngram_rows`; downstream grouping is one hash-agg
+    shuffle on 32-byte digests."""
+    words = (
+        fan_out(
+            df.select(F.col(id_col), F.trim(F.col(text_col)).alias("__t")).filter(
+                F.length("__t") > 0
+            )
+        )
+        .select(id_col, F.split(F.col("__t"), r"\s+").alias("__words"))
+        .filter(F.size("__words") >= width)
+    )
+    return words.select(
+        id_col,
+        F.explode(
+            F.sequence(F.lit(0), F.size("__words") - width, F.lit(width))
+        ).alias("__i"),
+        "__words",
+    ).select(
+        id_col,
+        F.md5(F.concat_ws(" ", F.slice(F.col("__words"), F.col("__i") + 1, width))).alias(
+            "passage_md5"
+        ),
+    )
+
+
 _SIMHASH_SCHEMA = "doc_id long, simhash long"
 
 

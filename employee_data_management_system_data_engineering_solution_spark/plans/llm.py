@@ -801,31 +801,8 @@ def repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc) → ONE hash-agg shuffle on 32-byte digests with map-side
     combine. No joins, no windows; the natural pre-stage for
     passage-level dedup at 100 TB."""
-    from ..sources.io import fan_out
-
-    docs = fan_out(
-        read_table(spark, sf_dir, "documents")
-        .select("doc_id", F.trim(F.col("text")).alias("t"))
-        .filter(F.length("t") > 0)
-    )
-    words = docs.select("doc_id", F.split(F.col("t"), r"\s+").alias("words")).filter(
-        F.size("words") >= 10  # sub-passage docs emit nothing (oracle parity)
-    )
-    shingles = words.select(
-        "doc_id",
-        F.explode(
-            F.sequence(
-                F.lit(0),
-                F.greatest(F.size("words") - 10, F.lit(0)),
-                F.lit(10),
-            )
-        ).alias("i"),
-        "words",
-    ).select(
-        "doc_id",
-        F.md5(F.concat_ws(" ", F.slice(F.col("words"), F.col("i") + 1, 10))).alias(
-            "passage_md5"
-        ),
+    shingles = dedup.passage_fingerprint_rows(
+        read_table(spark, sf_dir, "documents"), "doc_id", "text", width=10
     )
     return (
         shingles.groupBy("passage_md5")

@@ -185,3 +185,73 @@ def forward_fill_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("vf"), F.lit(-1.0)).alias("v_filled"),
         F.when(F.col("v").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("was_imputed"),
     )
+
+
+# --------------------------------------------------------------------------
+# Batch sessionization: gaps-and-islands over per-user event timelines
+# --------------------------------------------------------------------------
+@register(
+    "event_sessions",
+    """
+    WITH t AS (
+      SELECT user_id, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_id, ts_sec,
+             CASE WHEN ts_sec - lag(ts_sec) OVER w > 1800
+                    OR lag(ts_sec) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM t
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)
+    ),
+    numbered AS (
+      SELECT user_id, event_id, ts_sec,
+             CAST(sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts_sec, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS session_no
+      FROM flagged
+    )
+    SELECT user_id,
+           session_no,
+           count(*)                    AS n_events,
+           min(ts_sec)                 AS first_sec,
+           max(ts_sec)                 AS last_sec,
+           max(ts_sec) - min(ts_sec)   AS duration_sec
+    FROM numbered
+    GROUP BY user_id, session_no
+    """,
+)
+def event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): a session breaks after
+    a >30-minute silence per user; one row per session with event count
+    and span. The batch twin of the streaming ``session_window_counts``
+    carrier — same boundary rule, windowed instead of stateful.
+
+    Scale: one shuffle on ``user_id`` shared by BOTH window functions
+    and the final aggregate (same partitioning key), so the plan is
+    sort-once within partitions; no joins, no collect. Tie-break on
+    ``event_id`` makes the running session numbering a total order
+    (engine-portable)."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("ts_sec")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.col("ts_sec") - F.lag("ts_sec").over(w) > 1800, F.lit(1)
+        ).when(F.lag("ts_sec").over(w).isNull(), F.lit(1)).otherwise(F.lit(0)),
+    )
+    numbered = flagged.withColumn("session_no", F.sum("new_session").over(run))
+    return numbered.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_sec").alias("first_sec"),
+        F.max("ts_sec").alias("last_sec"),
+        (F.max("ts_sec") - F.min("ts_sec")).alias("duration_sec"),
+    )

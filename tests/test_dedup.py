@@ -120,3 +120,31 @@ def test_lsh_banded_emits_bands_per_doc(spark):
     out = lsh_banded(_docs(spark), "doc_id", "text", n_hashes=8, bands=2).collect()
     assert len(out) == 4 * 2
     assert {r.band_no for r in out} == {0, 1}
+
+
+def test_passage_fingerprint_rows(spark):
+    from employee_data_management_system_data_engineering_solution_spark.operators.dedup import (
+        passage_fingerprint_rows,
+    )
+
+    w10 = " ".join(f"w{i}" for i in range(10))
+    other = " ".join(f"x{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [
+            (1, w10 + " " + other),      # two passages
+            (2, w10 + " tail words"),    # one passage + ignored partial tail
+            (3, "too short"),            # < width -> nothing
+            (4, other),                  # one passage, shared with doc 1
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = passage_fingerprint_rows(df, "doc_id", "text", width=10).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r.passage_md5)
+    assert len(by_doc.get(1, [])) == 2
+    assert len(by_doc.get(2, [])) == 1
+    assert 3 not in by_doc
+    # doc 4's only passage equals doc 1's second passage
+    assert by_doc[4][0] in by_doc[1]
+    assert by_doc[2][0] == by_doc[1][0]
