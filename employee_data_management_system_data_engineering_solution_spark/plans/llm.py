@@ -551,9 +551,10 @@ def strike_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PAIRS_ORACLE = REGISTRY["ngram_jaccard_pairs"].oracle_sql
 
 
-@register(
-    "dedup_clusters",
-    f"""
+#: recursive-CTE closure over the verified pair set — shared by BOTH
+#: cluster queries (min-label and star contraction compute the same
+#: components, so one oracle checks either engine)
+_CLUSTERS_ORACLE = f"""
     WITH RECURSIVE pairs AS ({_PAIRS_ORACLE}),
     edges AS (
       SELECT id_a AS src, id_b AS dst FROM pairs
@@ -570,21 +571,39 @@ _PAIRS_ORACLE = REGISTRY["ngram_jaccard_pairs"].oracle_sql
     SELECT doc_id, cluster_id,
            CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
     FROM labeled
-    """,
-)
-def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Collapse pairwise near-dups (A≈B, B≈C) into transitive clusters
-    so one representative per cluster survives — the step between pair
-    verification and the actual de-duplicated corpus."""
-    docs = read_table(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=5, min_jaccard=0.5)
-    comp = connected_components(pairs, src="id_a", dst="id_b")
+    """
+
+
+def _cluster_report(comp: DataFrame) -> DataFrame:
     sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
     return comp.join(sizes, "component").select(
         F.col("node").alias("doc_id"),
         F.col("component").alias("cluster_id"),
         "cluster_size",
     )
+
+
+@register("dedup_clusters", _CLUSTERS_ORACLE)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collapse pairwise near-dups (A≈B, B≈C) into transitive clusters
+    so one representative per cluster survives — the step between pair
+    verification and the actual de-duplicated corpus."""
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=5, min_jaccard=0.5)
+    return _cluster_report(connected_components(pairs, src="id_a", dst="id_b"))
+
+
+@register("dedup_clusters_star", _CLUSTERS_ORACLE)
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clusters via alternating large-star/small-star contraction
+    (``operators.graph.connected_components_star``) — the
+    diameter-independent engine for graphs that chain. Identical
+    oracle: both algorithms must produce the same components."""
+    from ..operators.graph import connected_components_star
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=5, min_jaccard=0.5)
+    return _cluster_report(connected_components_star(pairs, src="id_a", dst="id_b"))
 
 
 # ---------------------------------------------------------------------------

@@ -610,3 +610,75 @@ def stream_purchase_view_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.strikes import run_stream_stream_join
 
     return run_stream_stream_join(spark, sf_dir)
+
+
+@register(
+    "json_lines_roundtrip",
+    """
+    SELECT o_orderpriority AS priority,
+           count(*)                     AS n,
+           round(sum(o_totalprice), 2)  AS revenue
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+)
+def json_lines_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source/sink round-trip: the filtered orders slice is
+    written as newline-delimited JSON and read back with an EXPLICIT
+    schema (schema inference over JSON is a full extra pass at 100 TB
+    — never rely on it), then aggregated. The oracle aggregates the
+    original table, so a lossy round-trip (type drift, dropped rows)
+    breaks the hash. Covers the JSON source format alongside
+    parquet/CSV (SURVEY §2.1 breadth)."""
+    tag = os.path.basename(sf_dir.rstrip(os.sep)).replace(".", "_")
+    path = os.path.join(tempfile.gettempdir(), f"eds_jsonl_{tag}")
+    slim = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    )
+    slim.write.mode("overwrite").json(path)
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_orderpriority", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+        ]
+    )
+    back = spark.read.schema(schema).json(path)
+    return back.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+@register(
+    "orc_roundtrip",
+    """
+    SELECT l_linestatus                AS linestatus,
+           count(*)                    AS n,
+           round(sum(l_quantity), 2)   AS sum_qty
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+    GROUP BY l_linestatus
+    """,
+)
+def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink round-trip (columnar alternative to parquet,
+    same predicate-pushdown/column-pruning story): write the filtered
+    lineitem slice as ORC, read it back, aggregate; oracle runs on the
+    original table so any round-trip loss breaks the hash."""
+    tag = os.path.basename(sf_dir.rstrip(os.sep)).replace(".", "_")
+    path = os.path.join(tempfile.gettempdir(), f"eds_orc_{tag}")
+    slim = (
+        read_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") >= F.to_date(F.lit("1997-01-01")))
+        .select("l_linestatus", "l_quantity")
+    )
+    slim.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy(F.col("l_linestatus").alias("linestatus")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )

@@ -92,3 +92,17 @@ def test_interval_bucket_join_multibucket_no_dupes(spark):
     )
     out = interval_bucket_join(points, intervals, "ts", "s", "e", bucket_seconds=60)
     assert out.count() == 1
+
+
+def test_interval_bucket_join_rejects_outer(spark):
+    import pytest
+    from employee_data_management_system_data_engineering_solution_spark.operators.joins import (
+        interval_bucket_join,
+    )
+
+    pts = spark.createDataFrame([(1,)], "p bigint").selectExpr("timestamp'2024-01-01' AS ts")
+    ivs = spark.createDataFrame([(1,)], "i bigint").selectExpr(
+        "timestamp'2024-01-01' AS s", "timestamp'2024-01-02' AS e"
+    )
+    with pytest.raises(ValueError, match="inner"):
+        interval_bucket_join(pts, ivs, "ts", "s", "e", bucket_seconds=3600, how="left")
