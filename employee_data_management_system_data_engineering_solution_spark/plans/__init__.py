@@ -55,9 +55,10 @@ _PRIORITY: tuple[str, ...] = (
     "pct_of_quota",
     "epoch_status_clean",
     "active_count_by_designation",
-    # streaming (ST1-ST6): batch + rlike strike paths, stateful,
-    # windowed, dedup, session, stream-stream join, foreachBatch upsert
-    "strike_report_batch",
+    # streaming (ST1-ST6): rlike strike path (carries the full ST2+ST4
+    # contract; the event_type stand-in variant rides the tail),
+    # stateful, windowed, dedup, session, stream-stream join,
+    # foreachBatch upsert
     "strike_report_rlike",
     "strike_window_counts",
     "strike_stream_stateful",
@@ -88,8 +89,11 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_topk",
     "ivf_topk",
     "embedding_neardup_pairs",
-    "binary_metadata",
-    "multimodal_frame_stats",
+    # composed family carriers: one slot covers several SURVEY rows
+    # (text X1-X5; multimodal X16+X33; formats X61+X62)
+    "text_profile",
+    "multimodal_profile",
+    "format_roundtrips",
 )
 
 

@@ -124,6 +124,64 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", tx.fingerprint(F.col("text")).alias("fingerprint"))
 
 
+@register(
+    "text_profile",
+    r"""
+    WITH stats AS (
+      SELECT doc_id, lang, text,
+             length(text) AS n_chars,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE length(regexp_split_to_array(trim(text), '\s+')) END AS n_words,
+             length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tokens,
+             length(regexp_extract_all(lower(text),
+               '\b(the|and|of|to|in|is|that|with|for|was)\b')) AS en_hits,
+             round(length(regexp_extract_all(text, '[^A-Za-z0-9\s]'))
+                   / greatest(length(text), 1), 4) AS punct_ratio
+      FROM documents
+    )
+    SELECT doc_id, n_chars, n_words, n_tokens, punct_ratio,
+           round(length(regexp_replace(text, '\s+', '', 'g'))
+                 / greatest(n_words, 1), 4) AS avg_word_len,
+           round((least(n_words / 100.0, 1.0)
+                  + least(en_hits / greatest(n_words, 1) * 5, 1.0)
+                  + (1.0 - least(punct_ratio * 4, 1.0))) / 3, 4) AS quality,
+           lang, en_hits,
+           CASE WHEN en_hits >= 3 THEN 'en' ELSE 'other' END AS predicted_lang,
+           md5(array_to_string(
+             list_sort(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))),
+             ' ')) AS fingerprint
+    FROM stats
+    """,
+)
+def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass text curation profile: stats (X1), token count (X5),
+    quality (X2), language-ID (X3), and bag fingerprint (X4) in a
+    single narrow codegen'd select — the gate carrier for the whole
+    text-function family (each measure also stays registered as its own
+    query for piecemeal use). At 100 TB this is the shape that matters:
+    one scan of the ``text`` column computes every per-doc curation
+    signal instead of five passes."""
+    docs = read_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_words = tx.word_count(t)
+    hits = tx.stopword_hits(t)
+    return docs.select(
+        "doc_id",
+        F.length(t).alias("n_chars"),
+        n_words.alias("n_words"),
+        tx.token_count(t).alias("n_tokens"),
+        tx.punct_ratio(t).alias("punct_ratio"),
+        F.round(
+            F.length(F.regexp_replace(t, r"\s+", "")) / F.greatest(n_words, F.lit(1)), 4
+        ).alias("avg_word_len"),
+        tx.quality_score(t).alias("quality"),
+        "lang",
+        hits.alias("en_hits"),
+        F.when(hits >= 3, F.lit("en")).otherwise(F.lit("other")).alias("predicted_lang"),
+        tx.fingerprint(t).alias("fingerprint"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deduplication
 # ---------------------------------------------------------------------------
@@ -516,6 +574,50 @@ def multimodal_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("frame_bytes").alias("total_bytes"),
         )
         .filter(F.col("total_bytes") > 0)
+    )
+
+
+@register(
+    "multimodal_profile",
+    """
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           'application/octet-stream' AS media_type,
+           CAST(ceil(octet_length(encode(text)) / 32.0) AS BIGINT) AS n_frames,
+           CAST(octet_length(encode(text)) AS BIGINT) AS frame_bytes_total
+    FROM documents
+    """,
+)
+def multimodal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed multimodal carrier: typed payload metadata (X16) joined
+    with the Arrow-batched frame sampler's per-doc accounting (X33) —
+    one gate row checks both the binary-column contract and the
+    mapInPandas frame plumbing against the closed-form oracle
+    (ceil(bytes/32) frames, byte-sum identity). Both sides of the join
+    shuffle on ``doc_id`` only; the frame fan-out itself is a narrow
+    map."""
+    docs = read_table(spark, sf_dir, "documents")
+    payloads = multimodal.with_binary_payload(docs, "doc_id", "text")
+    per_doc = (
+        multimodal.frame_sample(payloads, frame_bytes=32)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_frames"),
+            F.sum("frame_bytes").alias("frame_bytes_total"),
+        )
+    )
+    return (
+        payloads.select("doc_id", "n_bytes", "media_type")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_bytes",
+            "media_type",
+            F.coalesce("n_frames", F.lit(0)).cast("long").alias("n_frames"),
+            F.coalesce("frame_bytes_total", F.lit(0))
+            .cast("long")
+            .alias("frame_bytes_total"),
+        )
     )
 
 

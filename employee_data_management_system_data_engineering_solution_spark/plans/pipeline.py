@@ -217,14 +217,17 @@ def staging_promote_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY user_id
     )
     SELECT emp_id, strike_count,
-           CASE WHEN strike_count >= 10 THEN 'INACTIVE' ELSE 'ACTIVE' END AS status
+           CASE WHEN strike_count >= 10 THEN 'INACTIVE' ELSE 'ACTIVE' END AS status,
+           round(100000 * pow(0.9, least(strike_count, 10)), 2) AS updated_salary
     FROM s
     """,
 )
 def strike_report_rlike(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production reserved-word path (``README.md:104``): word-boundary
     regex over the message payload via :func:`flag_messages` — not the
-    ``event_type`` equality stand-in."""
+    ``event_type`` equality stand-in. Carries the full ST2+ST4 contract
+    (flagging, ≥10 ⇒ INACTIVE, 10%-per-strike deduction) so it stands
+    alone as the reserved-word report's gate carrier."""
     ev = read_table(spark, sf_dir, "events")
     # the alternation regex is the expensive narrow map here — fan the
     # compact projection out first or a single-file scan serializes it
@@ -246,6 +249,10 @@ def strike_report_rlike(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("strike_count") >= 10, F.lit("INACTIVE"))
         .otherwise(F.lit("ACTIVE"))
         .alias("status"),
+        F.round(
+            F.lit(100000) * F.pow(F.lit(0.9), F.least(F.col("strike_count"), F.lit(10))),
+            2,
+        ).alias("updated_salary"),
     )
 
 
@@ -682,3 +689,38 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
     )
+
+
+@register(
+    "format_roundtrips",
+    """
+    SELECT 'jsonl' AS fmt, o_orderpriority AS grp,
+           count(*) AS n, round(sum(o_totalprice), 2) AS val
+    FROM orders WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    UNION ALL
+    SELECT 'orc' AS fmt, l_linestatus AS grp,
+           count(*) AS n, round(sum(l_quantity), 2) AS val
+    FROM lineitem WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+    GROUP BY l_linestatus
+    """,
+)
+def format_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed non-parquet format carrier: the JSON-lines (X61) and
+    ORC (X62) write→read→aggregate round-trips in one gate row, tagged
+    by format. The oracle aggregates the ORIGINAL tables, so any
+    round-trip loss in either format (type drift, dropped rows, schema
+    skew) breaks the hash."""
+    j = json_lines_roundtrip(spark, sf_dir).select(
+        F.lit("jsonl").alias("fmt"),
+        F.col("priority").alias("grp"),
+        "n",
+        F.col("revenue").alias("val"),
+    )
+    o = orc_roundtrip(spark, sf_dir).select(
+        F.lit("orc").alias("fmt"),
+        F.col("linestatus").alias("grp"),
+        "n",
+        F.col("sum_qty").alias("val"),
+    )
+    return j.unionByName(o)

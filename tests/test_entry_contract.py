@@ -41,8 +41,9 @@ def test_check_window_covers_every_operator_family():
         "keyed_upsert", "scd2_merge", "dedup_keep_best",
         "dedup_last_write_wins", "except_all_dupes",
         "distinct_order_supp_pairs", "upcoming_leave_pct",
-        # every streaming carrier
-        "strike_report_batch", "strike_report_rlike",
+        # every streaming carrier (rlike carries ST2+ST4 in full; the
+        # event_type stand-in variant rides the tail)
+        "strike_report_rlike",
         "strike_window_counts", "strike_stream_stateful",
         "stream_dedup_counts", "session_window_counts",
         "stream_purchase_view_join", "streaming_upsert_dim",
@@ -53,7 +54,9 @@ def test_check_window_covers_every_operator_family():
         "exact_dedup", "minhash_lsh_groups", "ngram_jaccard_pairs",
         "dedup_clusters", "doc_chunks", "hyperplane_lsh_groups",
         "embedding_topk", "ivf_topk", "embedding_neardup_pairs",
-        "binary_metadata", "multimodal_frame_stats",
+        # composed family carriers (text X1-X5, multimodal X16+X33,
+        # formats X61+X62)
+        "text_profile", "multimodal_profile", "format_roundtrips",
     }
     assert carriers <= set(window), sorted(carriers - set(window))
 
