@@ -70,6 +70,7 @@ def replayed_events(
     sf_dir: str,
     state_partitions: int = 8,
     sentinel_batches: Sequence[Sequence[dict]] = (),
+    max_files_per_trigger: int | None = 1,
 ) -> Iterator[tuple[DataFrame, Callable[[DataFrame, str], DataFrame]]]:
     """Yield ``(stream_df, run)`` where ``stream_df`` is the streaming
     view of ``{sf_dir}/events.parquet`` and ``run(result_df, name, output_mode)``
@@ -86,7 +87,15 @@ def replayed_events(
     watermark past all real event time; ``availableNow`` then runs a
     no-data flush batch in which the finalized groups emit. Sentinel
     rows must be inert for the carrier's own logic (unmatchable
-    keys)."""
+    keys).
+
+    ``max_files_per_trigger``: 1 (default) replays file-per-micro-batch
+    — the multi-batch semantics the stateful carriers exist to
+    demonstrate. ``None`` lets one batch ingest every staged file:
+    correct for carriers whose per-batch cadence doesn't matter (the
+    watermark still finalizes in the trailing no-data flush batch), and
+    each dropped batch saves a full stateful-commit cycle across every
+    state partition and operator."""
     from ..sources.io import normalize_nanos
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -104,11 +113,10 @@ def replayed_events(
             p = os.path.join(stage_dir, f"z_sentinel_{i}.parquet")
             _write_sentinel_file(src, p, rows, _SENTINEL_BASE_NS + i * _SENTINEL_STEP_NS)
             os.utime(p, (base_mtime + 60 * (i + 1), base_mtime + 60 * (i + 1)))
-        stream = (
-            spark.readStream.schema(events_schema(spark, src))
-            .option("maxFilesPerTrigger", 1)
-            .parquet(stage_dir)
-        )
+        reader = spark.readStream.schema(events_schema(spark, src))
+        if max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        stream = reader.parquet(stage_dir)
 
         def run(result: DataFrame, name: str, output_mode: str = "update") -> DataFrame:
             q = (

@@ -303,7 +303,15 @@ def run_stream_stream_join(
         {"event_id": -2, "user_id": -2, "event_type": "purchase"},
     ]
     with replayed_events(
-        spark, sf_dir, state_partitions, sentinel_batches=(sentinel,)
+        spark,
+        sf_dir,
+        state_partitions,
+        sentinel_batches=(sentinel,),
+        # one batch may ingest data + sentinel together: the join pairs
+        # within the batch, the watermark jumps at batch end, and the
+        # no-data flush emits every finalized group — identical output,
+        # one fewer stateful-commit cycle across both operators
+        max_files_per_trigger=None,
     ) as (stream, run):
         views = (
             stream.filter(F.col("event_type") == "view")
