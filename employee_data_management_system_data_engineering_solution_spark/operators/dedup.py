@@ -102,6 +102,85 @@ def gram_minhash(
     )
 
 
+#: polynomial rolling-hash bases for the gram hash pair (a, b). Powers
+#: are precomputed literals so the per-gram hash is pure 64-bit
+#: arithmetic — max term ≈ 1.1e6 (codepoint) × 2.9e8 (base^4) ≈ 3e14,
+#: summed ×5 ≈ 1.5e15, far under 2^63.
+_POLY_BASE_A = 31
+_POLY_BASE_B = 131
+
+
+def gram_poly_minhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    n_hashes: int = 8,
+    prime: int = MINHASH_PRIME,
+) -> DataFrame:
+    """MinHash signature over char-``n``-gram sets via a pure-arithmetic
+    polynomial hash pair — no digest, no base-16 string parsing.
+
+    Per doc the codepoint array is computed ONCE (one ``transform`` over
+    ``split``); each gram position then evaluates
+    a(g) = Σ code_k·A^k mod P and b(g) = Σ code_k·B^k mod P as plain
+    64-bit multiply-adds over ``element_at`` lookups — all inside one
+    whole-stage-codegen span (the hash sits in a projection, NOT a
+    lambda body: higher-order-function lambdas are interpreted per
+    element and measured 3× slower than this shape at sf0.1). This
+    replaces the earlier md5-per-gram + double-``conv`` family, whose
+    digest + hex parse dominated the suite. ``groupBy(id).min`` runs
+    partial (map-side) aggregation, so the exchange moves ``n_hashes``
+    longs per doc, never per gram.
+
+    Polynomial gram hashes are weaker than md5 (structured collisions
+    exist) but LSH only needs similar gram SETS to yield similar
+    minima; the exact Jaccard verification downstream never trusts the
+    hash. Every expression mirrors 1:1 into ANSI SQL (``ascii``, list
+    ops, modular arithmetic), so a DuckDB oracle replays the exact
+    signature family.
+
+    Output: one row per id, columns ``gmh_0..n_hashes-1`` (long).
+    """
+    pa = [_POLY_BASE_A**k % prime for k in range(n)]
+    pb = [_POLY_BASE_B**k % prime for k in range(n)]
+
+    def poly(powers: list[int]) -> F.Column:
+        # __i is the 0-based gram start; try_element_at is 1-based and
+        # yields NULL past the end (plain element_at THROWS under ANSI
+        # semantics on short/empty docs), which null-coalesces to 0
+        # exactly as the SQL mirror does. Cast to long BEFORE the
+        # multiply: codepoint × base^4 ≈ 3e14 overflows 32-bit.
+        def at(k: int):
+            return F.coalesce(
+                F.try_element_at(F.col("__codes"), F.col("__i") + F.lit(k + 1)), F.lit(0)
+            ).cast("long")
+
+        return sum(at(k) * F.lit(powers[k]) for k in range(n)) % F.lit(prime)
+
+    codes = fan_out(
+        df.select(F.col(id_col), normalized(F.col(text_col)).alias("__norm"))
+    ).select(
+        id_col,
+        F.transform(F.split(F.col("__norm"), ""), lambda c: F.ascii(c)).alias("__codes"),
+        F.length("__norm").alias("__len"),
+    )
+    ex = codes.select(
+        id_col,
+        "__codes",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(F.col("__len") - n, F.lit(0)))
+        ).alias("__i"),
+    )
+    ab = ex.select(id_col, poly(pa).alias("__a"), poly(pb).alias("__b"))
+    return ab.groupBy(id_col).agg(
+        *[
+            F.min((F.col("__a") + F.lit(i) * F.col("__b")) % prime).alias(f"gmh_{i}")
+            for i in range(n_hashes)
+        ]
+    )
+
+
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Group identical (normalized) texts: one representative (min id)
     plus the duplicate count. Single hash-agg shuffle on the digest —
@@ -205,14 +284,16 @@ def ngram_jaccard_pairs(
     # MinHash over the SAME char-n-gram sets the verification uses, so
     # the LSH collision probability approximates exactly the Jaccard
     # being verified (word-level signatures degenerate on small-vocab
-    # corpora: every doc shares the word set and buckets go quadratic)
+    # corpora: every doc shares the word set and buckets go quadratic).
+    # Signatures come from the shuffle-free polynomial family
+    # (:func:`gram_poly_minhash`); bucket keys are the plain
+    # concatenated signature slice — no digest needed, the groupBy
+    # hashes the key anyway.
     rows_per_band = n_hashes // bands
-    sig = gram_minhash(char_ngram_rows(df, id_col, text_col, n), id_col, n_hashes=n_hashes)
+    sig = gram_poly_minhash(df, id_col, text_col, n, n_hashes=n_hashes)
     band_cols = [
-        F.md5(
-            F.concat_ws(
-                "|", *[F.col(f"gmh_{bd * rows_per_band + r}") for r in range(rows_per_band)]
-            )
+        F.concat_ws(
+            "|", *[F.col(f"gmh_{bd * rows_per_band + r}") for r in range(rows_per_band)]
         ).alias(f"band_{bd}")
         for bd in range(bands)
     ]

@@ -246,51 +246,83 @@ def minhash_lsh_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_groups(docs, "doc_id", "text", n_hashes=8, bands=2)
 
 
-def _duck_gram_minhash_sig(n_hashes: int = 8, prime: int = 2_147_483_647) -> str:
-    """DuckDB expressions mirroring functions.text.gram_minhash_sigs."""
-    a = f"(CAST(('0x' || substring(h, 1, 15)) AS BIGINT) % {prime})"
-    b = f"(CAST(('0x' || substring(h, 17, 15)) AS BIGINT) % {prime})"
+def _duck_gram_poly_sig(n_hashes: int = 8, prime: int = 2_147_483_647) -> str:
+    """DuckDB expressions mirroring ``operators.dedup.gram_poly_minhash``:
+    gmh_i = min over gram positions of (a + i·b) mod P, with a/b the
+    precomputed polynomial-hash arrays (two-arg list lambda: j is the
+    1-based position index, matching a_arr/b_arr alignment)."""
     cols = [
-        f"coalesce(list_min(list_transform(hexes, h -> ({a} + {i} * {b}) % {prime})), {prime}) AS gmh_{i}"
+        f"list_min(list_transform(a_arr, (a, j) -> (a + {i} * b_arr[j]) % {prime})) AS gmh_{i}"
         for i in range(n_hashes)
     ]
     return ",\n             ".join(cols)
 
 
+def _duck_poly_arr(base: int, n: int = 5, prime: int = 2_147_483_647) -> str:
+    """One polynomial-hash-per-gram-position list expression."""
+    terms = " + ".join(
+        f"coalesce(cs[p + {k + 1}], 0)::BIGINT * {base**k % prime}" for k in range(n)
+    )
+    return (
+        f"list_transform(generate_series(0, greatest(length(norm) - {n}, 0)), "
+        f"p -> ({terms}) % {prime})"
+    )
+
+
 @register(
     "ngram_jaccard_pairs",
     rf"""
-    WITH grams0 AS (
+    WITH nrm AS (
+      SELECT doc_id,
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+      FROM documents
+    ),
+    grams0 AS (
       SELECT doc_id,
              list_distinct(list_transform(
                generate_series(0, greatest(length(norm) - 5, 0)),
                i -> substring(norm, i + 1, 5))) AS grams
-      FROM (SELECT doc_id,
-                   regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
-            FROM documents)
+      FROM nrm
     ),
-    hx AS (
-      SELECT doc_id, list_transform(grams, g -> md5(g)) AS hexes FROM grams0
+    cod AS (
+      SELECT doc_id, norm,
+             list_transform(string_split(norm, ''), c -> ascii(c)) AS cs
+      FROM nrm
+    ),
+    ab AS (
+      SELECT doc_id,
+             {_duck_poly_arr(31)} AS a_arr,
+             {_duck_poly_arr(131)} AS b_arr
+      FROM cod
     ),
     sig AS (
       SELECT doc_id,
-             {_duck_gram_minhash_sig()}
-      FROM hx
+             {_duck_gram_poly_sig()}
+      FROM ab
     ),
     banded AS (
       SELECT doc_id, 0 AS band_no,
-             md5(gmh_0::VARCHAR || '|' || gmh_1::VARCHAR || '|' ||
-                 gmh_2::VARCHAR || '|' || gmh_3::VARCHAR) AS bucket FROM sig
+             gmh_0::VARCHAR || '|' || gmh_1::VARCHAR || '|' ||
+             gmh_2::VARCHAR || '|' || gmh_3::VARCHAR AS bucket FROM sig
       UNION ALL
       SELECT doc_id, 1 AS band_no,
-             md5(gmh_4::VARCHAR || '|' || gmh_5::VARCHAR || '|' ||
-                 gmh_6::VARCHAR || '|' || gmh_7::VARCHAR) AS bucket FROM sig
+             gmh_4::VARCHAR || '|' || gmh_5::VARCHAR || '|' ||
+             gmh_6::VARCHAR || '|' || gmh_7::VARCHAR AS bucket FROM sig
+    ),
+    bsz AS (
+      -- mirror of the engine's degenerate-bucket STAR fallback: buckets
+      -- above 256 members only pair each member with the bucket hub
+      -- (min id), exactly as operators/dedup.py does
+      SELECT band_no, bucket, count(*) AS n_members, min(doc_id) AS hub
+      FROM banded GROUP BY band_no, bucket
     ),
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM banded a
       JOIN banded b ON a.band_no = b.band_no AND a.bucket = b.bucket
                    AND a.doc_id < b.doc_id
+      JOIN bsz s ON s.band_no = a.band_no AND s.bucket = a.bucket
+      WHERE s.n_members <= 256 OR a.doc_id = s.hub
     )
     SELECT id_a, id_b,
            round(length(list_intersect(ga.grams, gb.grams))
@@ -312,11 +344,28 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: registered queries (ngram_jaccard_pairs, dedup_clusters,
 #: dedup_clusters_star) consume the identical (n=5, j>=0.5) pair set;
 #: re-running the LSH+verify pipeline per query triples the most
-#: expensive stage in the suite. The pair frame is tiny (bucket-bounded
-#: candidates after verification), so pinning it with localCheckpoint
-#: is cheap; keyed by (Spark application, data dir) so a new session or
-#: a different scale factor recomputes from scratch.
+#: expensive stage in the suite. TIMING SEMANTICS: whichever consumer
+#: runs first in a session pays the full pipeline; later consumers
+#: measure amortized (memo-read) cost — bench.py documents this and
+#: charges the pipeline to the first pass. The pair frame is tiny
+#: (bucket-bounded candidates after verification), so pinning it with
+#: localCheckpoint is cheap; keyed by (Spark application, data dir) so
+#: a new session or a different scale factor recomputes from scratch.
+#: Checkpoint blocks live until the entry is dropped —
+#: :func:`clear_pairs_cache` unpersists them explicitly (bench resets
+#: between warm-up and the timed passes; long-lived sessions juggling
+#: many sf dirs should call it when done with a corpus).
 _PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def clear_pairs_cache() -> None:
+    """Drop every memoized pair frame and free its checkpoint blocks."""
+    for df in _PAIRS_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped; blocks died with it
+    _PAIRS_CACHE.clear()
 
 
 def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

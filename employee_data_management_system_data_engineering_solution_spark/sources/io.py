@@ -45,14 +45,28 @@ def fan_out(df: DataFrame, parallelism: int | None = None) -> DataFrame:
 
 
 def normalize_nanos(df: DataFrame) -> DataFrame:
-    """TIMESTAMP(NANOS) parquet columns arrive as long (see the
-    ``nanosAsLong`` session conf); convert to TimestampType (micros).
-    Integer ``div`` keeps the arithmetic exact on int64."""
+    """Normalize a TIMESTAMP(NANOS) parquet ``ts`` column to plain
+    TimestampType (micros, LTZ), across Spark versions:
+
+    * Spark ≤ 4.0 honors ``spark.sql.legacy.parquet.nanosAsLong`` —
+      ``ts`` arrives as long epoch-nanos; integer ``div`` converts
+      exactly to epoch-micros.
+    * Spark 4.1+ dropped that conf and reads NANOS natively as
+      TIMESTAMP_NTZ (UTC wall time). Event-time streaming
+      (``withWatermark``), ``unix_micros`` etc. require LTZ, so convert
+      via ``to_utc_timestamp(ts, 'UTC')`` — the NTZ wall time IS the
+      UTC instant, making the conversion timezone-independent and the
+      resulting values identical to the legacy long path.
+    """
     from pyspark.sql import functions as F
 
     for field in df.schema.fields:
-        if field.name == "ts" and isinstance(field.dataType, T.LongType):
+        if field.name != "ts":
+            continue
+        if isinstance(field.dataType, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(field.dataType, T.TimestampNTZType):
+            df = df.withColumn("ts", F.to_utc_timestamp("ts", "UTC"))
     return df
 
 

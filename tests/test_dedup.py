@@ -8,9 +8,11 @@ from pyspark.sql import Row
 from pyspark.sql import functions as F
 
 from employee_data_management_system_data_engineering_solution_spark.operators.dedup import (
+    MINHASH_PRIME,
     char_ngram_rows,
     exact_dedup,
     gram_minhash,
+    gram_poly_minhash,
     lsh_banded,
     minhash_lsh_groups,
     ngram_jaccard_pairs,
@@ -67,6 +69,40 @@ def test_char_ngram_rows_and_array_agree(spark):
         .collect()
     )
     assert {r.doc_id: list(r.g) for r in rows} == arr
+
+
+def test_gram_poly_minhash_matches_reference_fold(spark):
+    """The polynomial signature equals a plain-Python re-derivation:
+    normalize, enumerate char-5-gram positions (clamped to one for
+    short docs, missing chars coded 0), min over (a + i·b) mod P."""
+
+    def py_sig(text: str, n=5, n_hashes=8, p=MINHASH_PRIME):
+        import re
+
+        norm = re.sub(r"\s+", " ", text.strip().lower())
+        hs = []
+        for start in range(max(len(norm) - n, 0) + 1):
+            codes = [
+                ord(norm[start + k]) if start + k < len(norm) else 0 for k in range(n)
+            ]
+            a = sum(c * 31**k for k, c in enumerate(codes)) % p
+            b = sum(c * 131**k for k, c in enumerate(codes)) % p
+            hs.append((a, b))
+        return tuple(min((a + i * b) % p for a, b in hs) for i in range(n_hashes))
+
+    docs = _docs(spark).unionByName(
+        _docs(spark).sparkSession.createDataFrame(
+            [Row(doc_id=5, text="abc"), Row(doc_id=6, text="  ")]  # short + blank
+        )
+    )
+    got = {
+        r.doc_id: tuple(r)[1:]
+        for r in gram_poly_minhash(docs, "doc_id", "text").collect()
+    }
+    want = {r.doc_id: py_sig(r.text) for r in docs.collect()}
+    assert got == want
+    assert got[1] == got[2]  # identical docs, identical signatures
+    assert got[1] != got[4]
 
 
 def test_gram_minhash_identical_for_identical_grams(spark):
