@@ -31,6 +31,16 @@ from .registry import REGISTRY, register
 # least from the window: rows-only entries (no oracle anyway), text
 # statistics locked down by unit tests, and core analytics whose
 # operator families are already multiply covered by prefix entries.
+#
+# ROTATION POLICY (round 4+): any query that has never held a green row
+# in a driver CORRECTNESS file rotates INTO the prefix next round,
+# displacing entries that have been stable for 2+ driver rounds; a
+# full local run of tools/check_oracle.py (all queries, no filter)
+# guards the displaced tail before each round's snapshot. Rotated out
+# this round after 2-3 green driver rounds: epoch_status_clean,
+# active_count_by_designation, except_all_dupes,
+# distinct_order_supp_pairs, ordered_designation_report,
+# json_props_stats.
 # ---------------------------------------------------------------------------
 _PRIORITY: tuple[str, ...] = (
     # flagship + composed pipeline and every sink shape (S1-S6, K1-K5)
@@ -43,18 +53,15 @@ _PRIORITY: tuple[str, ...] = (
     "schema_evolution_read",
     "bucketed_colocated_join",
     "salted_skew_join",
-    "ordered_designation_report",
+    "json_lines_roundtrip",
+    "orc_roundtrip",
     # SCD / upsert / dedup / set ops (J1-J4, K6, W1-W2, O3-O5)
     "keyed_upsert",
     "scd2_merge",
     "dedup_keep_best",
     "dedup_last_write_wins",
-    "except_all_dupes",
-    "distinct_order_supp_pairs",
     "upcoming_leave_pct",
     "pct_of_quota",
-    "epoch_status_clean",
-    "active_count_by_designation",
     # streaming (ST1-ST6): rlike strike path (carries the full ST2+ST4
     # contract; the event_type stand-in variant rides the tail),
     # stateful, windowed, dedup, session, stream-stream join,
@@ -66,29 +73,32 @@ _PRIORITY: tuple[str, ...] = (
     "session_window_counts",
     "stream_purchase_view_join",
     "streaming_upsert_dim",
-    # temporal joins / repair
+    # temporal joins / repair / sessionization
     "purchase_asof_view",
     "events_in_error_windows",
     "user_value_trend",
     "forward_fill_values",
-    "json_props_stats",
+    "event_sessions",
     # CDC + curation
     "snapshot_diff_orders",
     "train_test_split",
     "column_profile",
     "price_decile_stats",
     "corpus_curation_pipeline",
-    # LLM dedup / similarity / multimodal stack
+    # LLM dedup / similarity / multimodal / text-scrub stack
     "exact_dedup",
     "minhash_lsh_groups",
     "ngram_jaccard_pairs",
     "dedup_clusters",
+    "dedup_clusters_star",
     "benchmark_contamination",
     "doc_chunks",
     "hyperplane_lsh_groups",
     "embedding_topk",
     "ivf_topk",
     "embedding_neardup_pairs",
+    "pii_scrub",
+    "repeated_passages",
     # composed family carriers: one slot covers several SURVEY rows
     # (text X1-X5; multimodal X16+X33; formats X61+X62)
     "text_profile",

@@ -714,9 +714,46 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Stateful streaming (applyInPandasWithState): rows-only check
+# Stateful streaming (applyInPandasWithState), with a batch-SQL oracle
 # ---------------------------------------------------------------------------
-@register("strike_stream_stateful", None)
+@register(
+    "strike_stream_stateful",
+    # The per-key fold (streaming/strikes._strike_state_fn) is
+    # deterministic in event-time order, so it has a closed form the
+    # oracle can replay: with monthly flag counts c_1..c_k (ascending
+    # months), strikes reset at each month boundary while the running
+    # state is < 10, and accumulate forever once a single month reaches
+    # >= 10 (the cooldown stops applying). Hence the final state is
+    #   sum(c_i for months >= the FIRST month with c >= 10)  if any,
+    #   else c_k (the last month's count).
+    # Employees present in the stream with no flagged messages hold
+    # state 0 / ACTIVE.
+    """
+    WITH f AS (
+      SELECT user_id AS emp_id, strftime(ts, '%Y-%m') AS month, count(*) AS c
+      FROM events WHERE event_type = 'error'
+      GROUP BY 1, 2
+    ),
+    fb AS (
+      SELECT emp_id, min(month) AS m0 FROM f WHERE c >= 10 GROUP BY emp_id
+    ),
+    agg AS (
+      SELECT f.emp_id,
+             CASE WHEN fb.m0 IS NOT NULL
+                  THEN sum(f.c) FILTER (WHERE f.month >= fb.m0)
+                  ELSE arg_max(f.c, f.month)
+             END AS strikes
+      FROM f LEFT JOIN fb ON f.emp_id = fb.emp_id
+      GROUP BY f.emp_id, fb.m0
+    ),
+    everyone AS (SELECT DISTINCT user_id AS emp_id FROM events)
+    SELECT e.emp_id,
+           CAST(coalesce(a.strikes, 0) AS INT) AS strike_count,
+           CASE WHEN coalesce(a.strikes, 0) >= 10 THEN 'INACTIVE' ELSE 'ACTIVE' END
+             AS status
+    FROM everyone e LEFT JOIN agg a ON e.emp_id = a.emp_id
+    """,
+)
 def strike_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_strike_stream(spark, sf_dir)
 

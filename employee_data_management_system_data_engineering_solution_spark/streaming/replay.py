@@ -130,6 +130,13 @@ def replayed_events(
             names.append(name)
             q.awaitTermination()
             out = spark.table(name)
+            # DRIVER-BOUNDED collect: the memory sink already holds the
+            # result on the driver, and every carrier aggregates before
+            # sinking (per-key/window counts, <= a few thousand rows at
+            # any tested sf). The round-trip only detaches the frame
+            # from the temp view dropped below. Do NOT lift this into a
+            # production sink path — raw/unaggregated streams must go
+            # to a file/Kafka sink instead.
             return spark.createDataFrame(out.collect(), schema=out.schema)
 
         yield normalize_nanos(stream), run

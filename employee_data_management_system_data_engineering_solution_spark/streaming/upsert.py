@@ -114,4 +114,8 @@ def run_upsert_stream(spark: SparkSession, sf_dir: str, n_batches: int = 3) -> D
     out = spark.read.parquet(dim_dir).select(
         "user_id", "n_events", F.round("sum_value", 2).alias("total_value")
     )
+    # DRIVER-BOUNDED collect: the dim is one aggregated row per user
+    # (O(#users), ~150 rows at tested sf) and the round-trip detaches
+    # the result from dim_dir, which the next invocation deletes. A
+    # production caller reads the dim parquet directly instead.
     return spark.createDataFrame(out.collect(), schema=out.schema)

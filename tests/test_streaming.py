@@ -97,6 +97,42 @@ def test_state_fn_ignores_unflagged():
     assert row.strike_count == 0 and row.status == "ACTIVE"
 
 
+def test_state_fn_matches_oracle_closed_form():
+    """The registered DuckDB oracle replays the fold via a closed form:
+    final = sum(counts from the first month with count >= 10) if any,
+    else the last month's count. Exhaustive check over random monthly
+    count profiles keeps the two in lock-step."""
+    import itertools
+    import random
+
+    def closed_form(counts):  # counts: list per ascending month
+        for j, c in enumerate(counts):
+            if c >= STRIKE_LIMIT:
+                return sum(counts[j:])
+        return counts[-1] if counts else 0
+
+    rng = random.Random(7)
+    months = [f"2021-{m:02d}" for m in range(1, 8)]
+    profiles = [
+        [3, 4, 2],
+        [12],
+        [9, 10, 1],
+        [10, 0, 5],  # 0-count months emit no rows: skip zeros below
+        [1, 1, 15, 2, 2],
+    ] + [[rng.randint(1, 13) for _ in range(rng.randint(1, 7))] for _ in range(40)]
+    for counts in profiles:
+        pairs = list(
+            itertools.chain.from_iterable(
+                [(m, True)] * c for m, c in zip(months, counts) if c > 0
+            )
+        )
+        nz = [c for c in counts if c > 0]
+        if not pairs:
+            continue
+        row, _ = _run_state(pairs)
+        assert row.strike_count == closed_form(nz), (counts, row.strike_count)
+
+
 def test_run_strike_stream_matches_state_semantics(spark, tmp_path):
     # hand-built events replayed through the real Structured Streaming
     # pipeline: emp 1 → 3 in Jan + 2 in Feb ⇒ cooldown ⇒ 2 ACTIVE;

@@ -85,9 +85,11 @@ def main() -> int:
 
     qs, oracles = queries(), oracle_sql()
     failures = []
+    n_run = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        n_run += 1
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir).toPandas()
@@ -137,7 +139,13 @@ def main() -> int:
         else:
             print(f"PASS {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
 
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} ok; failures: {failures or 'none'}")
+    # denominator is EXECUTED queries, not the registry — a filtered run
+    # of 3 queries must say "3/3 ok", never "82/82 ok"
+    print(f"\n{n_run - len(failures)}/{n_run} ok; failures: {failures or 'none'}")
+    if only:
+        skipped = only - set(qs)
+        if skipped:
+            print(f"WARNING: {sorted(skipped)} not in the registry — not run")
     return 1 if failures else 0
 
 
