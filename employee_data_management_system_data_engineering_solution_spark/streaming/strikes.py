@@ -121,7 +121,7 @@ def run_windowed_flag_stream(
     sf_dir: str,
     window_duration: str = "1 day",
     watermark_delay: str = "1 day",
-    state_partitions: int = 8,
+    state_partitions: int = 4,
 ) -> DataFrame:
     """Watermarked tumbling-window flagged-message counts per employee
     (SURVEY.md §2.9's standard carrier: ``withWatermark`` + ``window()``
@@ -160,7 +160,7 @@ def run_dedup_stream(
     spark: SparkSession,
     sf_dir: str,
     watermark_delay: str = "1 day",
-    state_partitions: int = 8,
+    state_partitions: int = 4,
 ) -> DataFrame:
     """Streaming exact-once deduplication: ``dropDuplicates`` on the
     event id under a watermark, then per-type counts — the standard
@@ -187,7 +187,7 @@ def run_session_stream(
     sf_dir: str,
     gap: str = "30 minutes",
     watermark_delay: str = "1 day",
-    state_partitions: int = 8,
+    state_partitions: int = 4,
 ) -> DataFrame:
     """Per-employee activity sessions via ``session_window`` — the
     data-dependent-boundary window (merges events closer than ``gap``;
@@ -222,7 +222,7 @@ def run_session_stream(
 
 
 def run_strike_stream(
-    spark: SparkSession, sf_dir: str, state_partitions: int = 8
+    spark: SparkSession, sf_dir: str, state_partitions: int = 4
 ) -> DataFrame:
     """Drive the stateful strike pipeline over the ``events`` table
     replayed as a file-source micro-batch stream; returns the final
@@ -236,8 +236,9 @@ def run_strike_stream(
     partition carries an HDFS-backed state store + an Arrow python
     worker, a fixed per-partition setup cost that dwarfs per-row work
     on all but huge key spaces (32 partitions measured 5× slower than
-    8 on a 1,500-key batch). Size it to key cardinality / executor
-    count in production.
+    8 on a 1,500-key batch; 4 is another ~15-30% cheaper across the
+    carriers at sf0.1 with identical results). Size it to key
+    cardinality / executor count in production.
     """
     from .replay import replayed_events
 
@@ -274,7 +275,7 @@ def run_stream_stream_join(
     sf_dir: str,
     join_window: str = "1 hour",
     watermark_delay: str = "2 hours",
-    state_partitions: int = 8,
+    state_partitions: int = 4,
 ) -> DataFrame:
     """Stream-stream inner join with event-time range condition: each
     'purchase' joins the same user's 'view' events from the preceding

@@ -53,11 +53,17 @@ def _stage_batches(spark: SparkSession, sf_dir: str, stage_dir: str, n_batches: 
     shutil.rmtree(part_root, ignore_errors=True)
 
 
-def run_upsert_stream(spark: SparkSession, sf_dir: str, n_batches: int = 3) -> DataFrame:
+def run_upsert_stream(spark: SparkSession, sf_dir: str, n_batches: int = 2) -> DataFrame:
     """Replay events in ``n_batches`` micro-batches, foreachBatch-merge
     per-user (n_events, total_value) into a parquet dim, return the
     final dim. Deterministic and idempotent per invocation (staging and
-    dim dirs are rebuilt each call)."""
+    dim dirs are rebuilt each call).
+
+    Two batches are the minimum that still exercises BOTH merge paths
+    (batch 0 inserts its keys; batch 1 updates the users it shares with
+    batch 0 and inserts any it doesn't), and each extra batch costs a
+    full read-dim→union→rewrite cycle — ~0.8 s at sf0.1 — so the
+    default stays at 2; raise it to stress repeated-merge behavior."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     tag = os.path.basename(sf_dir.rstrip(os.sep)).replace(".", "_")
     root = os.path.join(tempfile.gettempdir(), f"eds_upsert_{tag}")
