@@ -65,8 +65,13 @@ def quantile_buckets(
 
     Values equal to a cut land in the lower bucket; with untied values
     and ``n | count`` the result is exactly NTILE's (unit-tested).
+    NULL values get a NULL bucket (they are not ranked — the earlier
+    behavior silently sent them to the top bucket because
+    ``NULL <= cut`` is NULL and fell through to ``otherwise``).
     At 100 TB swap ``percentile`` for ``approx_percentile``: same plan,
     sketch-based cuts."""
+    if n < 2:
+        raise ValueError(f"quantile_buckets needs n >= 2 buckets, got {n}")
     ps = ", ".join(str(i / n) for i in range(1, n))
     cuts = df.agg(
         F.expr(
@@ -74,8 +79,8 @@ def quantile_buckets(
         ).alias("__cuts")
     )
     binned = df.crossJoin(F.broadcast(cuts))
-    bucket = F.when(F.col(col) <= F.col("__cuts")[0], 1)
-    for i in range(1, n - 1):
+    bucket = F.when(F.col(col).isNull(), F.lit(None))
+    for i in range(n - 1):
         bucket = bucket.when(F.col(col) <= F.col("__cuts")[i], i + 1)
     return binned.withColumn(bucket_col, bucket.otherwise(n).cast("int")).drop("__cuts")
 

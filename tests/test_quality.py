@@ -77,3 +77,24 @@ def test_quantile_buckets_ties_land_low_and_cover_all_rows(spark):
         .collect()
     )
     assert all(r["nb"] == 1 for r in per_val)
+
+
+def test_quantile_buckets_null_bucket_and_n_validation(spark):
+    import pytest
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from employee_data_management_system_data_engineering_solution_spark.operators.quality import (
+        quantile_buckets,
+    )
+
+    df = spark.createDataFrame(
+        [Row(v=float(x)) for x in range(1, 9)] + [Row(v=None), Row(v=None)]
+    )
+    out = quantile_buckets(df, "v", n=4).collect()
+    # NULL values are unranked: NULL bucket, never the top bucket
+    assert sum(1 for r in out if r.bucket is None) == 2
+    assert all(r.bucket is not None for r in out if r.v is not None)
+    assert {r.bucket for r in out if r.v is not None} == {1, 2, 3, 4}
+    with pytest.raises(ValueError):
+        quantile_buckets(df, "v", n=1)
