@@ -17,10 +17,10 @@ def test_oracle_keys_subset_of_queries(spark):
     qs, oracles = queries(), oracle_sql()
     assert set(oracles) <= set(qs)
     # non-SQL-expressible ops are known and deliberate
+    # (strike_stream_stateful gained a closed-form batch oracle in r4)
     assert set(qs) - set(oracles) == {
         "simhash_signatures",
         "multimodal_decode",
-        "strike_stream_stateful",
     }
 
 
@@ -32,28 +32,31 @@ def test_check_window_covers_every_operator_family():
     elsewhere)."""
     window = list(queries())[:50]
     carriers = {
-        # sources + all sink shapes
+        # sources + all sink shapes + format round-trips
         "daily_pipeline", "staging_promote_roundtrip",
         "published_report_roundtrip", "partition_pruned_report",
         "schema_evolution_read", "bucketed_colocated_join",
-        "salted_skew_join", "ordered_designation_report",
-        # scd / upsert / dedup / set ops
+        "salted_skew_join", "json_lines_roundtrip", "orc_roundtrip",
+        # scd / upsert / dedup (sorts ride q3/ordered reports; the r4
+        # rotation moved 2-3-round-stable set-op carriers to the tail,
+        # guarded by the full local oracle run before each snapshot)
         "keyed_upsert", "scd2_merge", "dedup_keep_best",
-        "dedup_last_write_wins", "except_all_dupes",
-        "distinct_order_supp_pairs", "upcoming_leave_pct",
+        "dedup_last_write_wins", "upcoming_leave_pct",
         # every streaming carrier (rlike carries ST2+ST4 in full; the
         # event_type stand-in variant rides the tail)
         "strike_report_rlike",
         "strike_window_counts", "strike_stream_stateful",
         "stream_dedup_counts", "session_window_counts",
         "stream_purchase_view_join", "streaming_upsert_dim",
-        # temporal joins / repair + CDC
+        # temporal joins / repair / sessionization + CDC
         "purchase_asof_view", "events_in_error_windows",
-        "user_value_trend", "forward_fill_values", "snapshot_diff_orders",
-        # LLM dedup / ANN / multimodal stack
+        "user_value_trend", "forward_fill_values", "event_sessions",
+        "snapshot_diff_orders",
+        # LLM dedup / ANN / multimodal / text-scrub stack
         "exact_dedup", "minhash_lsh_groups", "ngram_jaccard_pairs",
-        "dedup_clusters", "doc_chunks", "hyperplane_lsh_groups",
-        "embedding_topk", "ivf_topk", "embedding_neardup_pairs",
+        "dedup_clusters", "dedup_clusters_star", "doc_chunks",
+        "hyperplane_lsh_groups", "embedding_topk", "ivf_topk",
+        "embedding_neardup_pairs", "pii_scrub", "repeated_passages",
         # composed family carriers (text X1-X5, multimodal X16+X33,
         # formats X61+X62)
         "text_profile", "multimodal_profile", "format_roundtrips",
