@@ -40,7 +40,10 @@ from .registry import REGISTRY, register
 # this round after 2-3 green driver rounds: epoch_status_clean,
 # active_count_by_designation, except_all_dupes,
 # distinct_order_supp_pairs, ordered_designation_report,
-# json_props_stats.
+# json_props_stats, published_report_roundtrip (K3 CSV publish still
+# carried in-window by daily_pipeline), salted_skew_join (join family
+# multiply covered; unit-tested) — the last two displaced by the
+# round-4 additions context_pack_bins and tfidf_top_terms.
 # ---------------------------------------------------------------------------
 _PRIORITY: tuple[str, ...] = (
     # flagship + composed pipeline and every sink shape (S1-S6, K1-K5)
@@ -48,11 +51,9 @@ _PRIORITY: tuple[str, ...] = (
     "q3_shipping_priority",
     "daily_pipeline",
     "staging_promote_roundtrip",
-    "published_report_roundtrip",
     "partition_pruned_report",
     "schema_evolution_read",
     "bucketed_colocated_join",
-    "salted_skew_join",
     "json_lines_roundtrip",
     "orc_roundtrip",
     # SCD / upsert / dedup / set ops (J1-J4, K6, W1-W2, O3-O5)
@@ -99,6 +100,8 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_neardup_pairs",
     "pii_scrub",
     "repeated_passages",
+    "context_pack_bins",
+    "tfidf_top_terms",
     # composed family carriers: one slot covers several SURVEY rows
     # (text X1-X5; multimodal X16+X33; formats X61+X62)
     "text_profile",

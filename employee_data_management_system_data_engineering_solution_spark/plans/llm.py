@@ -1048,3 +1048,125 @@ def repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_occurrences") > 1)
     )
+
+
+# ---------------------------------------------------------------------------
+# Context-window sequence packing (concat-and-chop over a global order)
+# ---------------------------------------------------------------------------
+@register(
+    "context_pack_bins",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE length(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+      FROM documents
+    ),
+    scanned AS (
+      SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens AS start_tok
+      FROM toks
+    )
+    SELECT doc_id, n_tokens,
+           CAST(start_tok // 2048 AS BIGINT)      AS bin_id,
+           CAST(start_tok % 2048 AS BIGINT)       AS bin_offset,
+           (start_tok % 2048) + n_tokens > 2048   AS crosses_boundary
+    FROM scanned
+    """,
+)
+def context_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for pretraining (concat-and-chop): documents
+    are concatenated in doc_id order and chopped into fixed 2048-token
+    context windows; each doc reports its bin, intra-bin offset, and
+    whether it straddles a window boundary (the packing-efficiency /
+    attention-masking signal).
+
+    Scale: the global running token total comes from
+    ``operators.prefix.prefix_sum`` — a two-level distributed scan
+    (bucket subtotals + broadcast offsets + within-bucket windows) —
+    NOT from the single-task ``sum() OVER (ORDER BY)`` window the
+    oracle uses; both produce identical totals, only the physical plan
+    differs."""
+    from ..operators.prefix import prefix_sum
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tx.word_count(F.col("text")).alias("n_tokens"))
+    capacity = 2048
+    scanned = prefix_sum(toks, "doc_id", "n_tokens", out_col="__run")
+    start = F.col("__run") - F.col("n_tokens")
+    return scanned.select(
+        "doc_id",
+        "n_tokens",
+        F.floor(start / capacity).cast("long").alias("bin_id"),
+        (start % capacity).cast("long").alias("bin_offset"),
+        ((start % capacity) + F.col("n_tokens") > capacity).alias("crosses_boundary"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document
+# ---------------------------------------------------------------------------
+@register(
+    "tfidf_top_terms",
+    r"""
+    WITH w AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2),
+    idf AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM w GROUP BY term
+    ),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM w),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * ln(n.n_docs / idf.df), 4) AS tfidf
+      FROM tf JOIN idf USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf, CAST(rnk AS INT) AS rank
+    FROM (
+      SELECT doc_id, term, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term ASC) AS rnk
+      FROM scored
+    ) WHERE rnk <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document — the classic keyword/topic
+    signal a curation pipeline uses for domain tagging and
+    near-duplicate triage.
+
+    Scale shape: one explode → two partial-agg shuffles (term
+    frequency keyed on (doc, term); document frequency keyed on term)
+    → a shuffle join on term (both sides vocabulary-sized after
+    aggregation, never occurrence-sized) → per-doc top-k window
+    partitioned by doc_id. The corpus-size scalar rides a broadcast
+    cross join, and ln() rounds to 4 dp on both engines so libm ulp
+    differences cannot flip the hash."""
+    docs = read_table(spark, sf_dir, "documents")
+    w = docs.filter(F.length(F.trim("text")) > 0).select(
+        "doc_id", F.explode(tx.words(F.lower(F.col("text")))).alias("term")
+    )
+    tf = w.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    idf = w.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n = w.agg(F.count_distinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(idf, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 4).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window
+
+    rnk = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    )
+    return (
+        scored.withColumn("rank", rnk)
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tfidf", "rank")
+    )

@@ -32,11 +32,14 @@ def test_check_window_covers_every_operator_family():
     elsewhere)."""
     window = list(queries())[:50]
     carriers = {
-        # sources + all sink shapes + format round-trips
+        # sources + all sink shapes + format round-trips (K3 CSV publish
+        # rides daily_pipeline; published_report_roundtrip and
+        # salted_skew_join rotated to the tail in r4, displaced by the
+        # two new LLM operators below)
         "daily_pipeline", "staging_promote_roundtrip",
-        "published_report_roundtrip", "partition_pruned_report",
+        "partition_pruned_report",
         "schema_evolution_read", "bucketed_colocated_join",
-        "salted_skew_join", "json_lines_roundtrip", "orc_roundtrip",
+        "json_lines_roundtrip", "orc_roundtrip",
         # scd / upsert / dedup (sorts ride q3/ordered reports; the r4
         # rotation moved 2-3-round-stable set-op carriers to the tail,
         # guarded by the full local oracle run before each snapshot)
@@ -57,6 +60,7 @@ def test_check_window_covers_every_operator_family():
         "dedup_clusters", "dedup_clusters_star", "doc_chunks",
         "hyperplane_lsh_groups", "embedding_topk", "ivf_topk",
         "embedding_neardup_pairs", "pii_scrub", "repeated_passages",
+        "context_pack_bins", "tfidf_top_terms",
         # composed family carriers (text X1-X5, multimodal X16+X33,
         # formats X61+X62)
         "text_profile", "multimodal_profile", "format_roundtrips",
