@@ -1170,3 +1170,94 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("doc_id", "term", "tfidf", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram collocations (PMI) — phrase mining for tokenizer/vocab prep
+# ---------------------------------------------------------------------------
+@register(
+    "bigram_collocations",
+    r"""
+    WITH ws AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+      FROM documents WHERE length(trim(text)) = 0 IS FALSE
+    ),
+    bg AS (
+      SELECT w[i] AS a, w[i + 1] AS b
+      FROM ws, unnest(generate_series(1, len(w) - 1)) AS t(i)
+      WHERE len(w) >= 2
+    ),
+    uni AS (
+      SELECT unnest(w) AS term FROM ws
+    ),
+    uc AS (SELECT term, count(*) AS c FROM uni GROUP BY term),
+    bc AS (SELECT a, b, count(*) AS c_ab FROM bg GROUP BY a, b),
+    tot AS (
+      SELECT (SELECT count(*) FROM uni) AS t_uni,
+             (SELECT count(*) FROM bg)  AS t_bg
+    )
+    SELECT a, b, c_ab,
+           round(ln((c_ab / t_bg) / ((ua.c / t_uni) * (ub.c / t_uni))), 4) AS pmi
+    FROM bc
+    JOIN uc ua ON ua.term = a
+    JOIN uc ub ON ub.term = b
+    CROSS JOIN tot
+    WHERE c_ab >= 5
+    QUALIFY row_number() OVER (ORDER BY pmi DESC, a ASC, b ASC) <= 20
+    """,
+)
+def bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 bigram collocations by pointwise mutual information with
+    a min-support of 5 — the phrase-mining pass that seeds multi-word
+    vocabulary entries and detects templated text.
+
+    Scale shape: bigrams come from a narrow position explode (no
+    self-join); unigram and bigram counts are partial-agg shuffles
+    bounded by vocabulary size; the two unigram joins run on the
+    aggregated (vocab-sized) tables; corpus totals ride one broadcast;
+    the final top-k window sees only min-support survivors. PMI is
+    rounded to 4 dp on both engines so libm ulp differences cannot
+    flip the hash."""
+    docs = read_table(spark, sf_dir, "documents")
+    ws = docs.filter(F.length(F.trim("text")) > 0).select(
+        "doc_id", tx.words(F.lower(F.col("text"))).alias("w")
+    )
+    bg = (
+        ws.filter(F.size("w") >= 2)
+        .select(
+            F.explode(
+                F.expr("transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS a, w[i] AS b))")
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+    )
+    uni = ws.select(F.explode("w").alias("term"))
+    uc = uni.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    bc = bg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    tot = uni.agg(F.count(F.lit(1)).alias("t_uni")).crossJoin(
+        bg.agg(F.count(F.lit(1)).alias("t_bg"))
+    )
+    scored = (
+        bc.filter(F.col("c_ab") >= 5)
+        .join(uc.select(F.col("term").alias("a"), F.col("c").alias("__ca")), "a")
+        .join(uc.select(F.col("term").alias("b"), F.col("c").alias("__cb")), "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "a",
+            "b",
+            "c_ab",
+            F.round(
+                F.log(
+                    (F.col("c_ab") / F.col("t_bg"))
+                    / ((F.col("__ca") / F.col("t_uni")) * (F.col("__cb") / F.col("t_uni")))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )
+    from pyspark.sql import Window
+
+    rnk = F.row_number().over(
+        Window.orderBy(F.col("pmi").desc(), F.col("a").asc(), F.col("b").asc())
+    )
+    return scored.withColumn("__r", rnk).filter(F.col("__r") <= 20).drop("__r")
