@@ -209,6 +209,10 @@ def main() -> int:
         "sf": sf,
         "n_queries": len(timings),
         "n_failed": len(failed),
+        # pass-1 (cold-er, single-pass) total alongside the best-of-2
+        # headline so round-over-round trends stay apples-to-apples
+        # with pre-r4 single-pass rounds
+        "pass1_total_sec": None if failed else detail["pass_totals"]["pass1"],
         "queries": slowest,
     }
     line = json.dumps(compact)

@@ -42,7 +42,9 @@ def prefix_sum(
     make "inclusive" ambiguous and break oracle determinism) and
     numeric, since buckets come from integer-dividing it. NULL order
     keys are rejected by the floor() arithmetic upstream of the join —
-    callers filter them first.
+    callers filter them first. The output column keeps ``sum()``'s
+    natural type for the input (long for integral ``value_col``,
+    double for fractional) — no narrowing cast.
     """
     bkt = F.floor(F.col(order_col) / bucket_width)
     with_b = df.withColumn("__bkt", bkt)
@@ -56,6 +58,6 @@ def prefix_sum(
     w_in = Window.partitionBy("__bkt").orderBy(order_col)
     return (
         with_b.join(F.broadcast(offsets), "__bkt")
-        .withColumn(out_col, (F.col("__off") + F.sum(value_col).over(w_in)).cast("long"))
+        .withColumn(out_col, F.col("__off") + F.sum(value_col).over(w_in))
         .drop("__bkt", "__off")
     )

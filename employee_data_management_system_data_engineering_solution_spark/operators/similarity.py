@@ -218,7 +218,11 @@ def ivf_topk(
     Output: (query_id, neighbor_id, cosine_sim, rank). Recall < 1.0 by
     design; nprobe>1 is a straightforward extension (keep rn <= nprobe
     in the assignment)."""
-    assigned = assign_clusters(corpus, pivots, id_col, vec_col)
+    # pin the assignment: both the query side and the corpus side
+    # reference it, and the interpreted P×dim argmax map is the
+    # expensive part of the plan — unpinned, Spark replays it once per
+    # reference (same hazard cosine_neardup_pairs pins above)
+    assigned = assign_clusters(corpus, pivots, id_col, vec_col).localCheckpoint(eager=False)
     q = assigned.join(
         queries.select(F.col(id_col).alias("query_id")),
         assigned[id_col] == F.col("query_id"),

@@ -44,6 +44,11 @@ from .registry import REGISTRY, register
 # carried in-window by daily_pipeline), salted_skew_join (join family
 # multiply covered; unit-tested) — the last two displaced by the
 # round-4 additions context_pack_bins and tfidf_top_terms.
+# Round 5 rotation: bigram_collocations IN (the last oracle-bearing
+# query never inside a driver window), orc_roundtrip OUT after 3 green
+# driver rounds (ORC read/write stays carried in-window by
+# format_roundtrips, which round-trips the same table through orc
+# among its 7 formats).
 # ---------------------------------------------------------------------------
 _PRIORITY: tuple[str, ...] = (
     # flagship + composed pipeline and every sink shape (S1-S6, K1-K5)
@@ -55,7 +60,6 @@ _PRIORITY: tuple[str, ...] = (
     "schema_evolution_read",
     "bucketed_colocated_join",
     "json_lines_roundtrip",
-    "orc_roundtrip",
     # SCD / upsert / dedup / set ops (J1-J4, K6, W1-W2, O3-O5)
     "keyed_upsert",
     "scd2_merge",
@@ -102,6 +106,7 @@ _PRIORITY: tuple[str, ...] = (
     "repeated_passages",
     "context_pack_bins",
     "tfidf_top_terms",
+    "bigram_collocations",
     # composed family carriers: one slot covers several SURVEY rows
     # (text X1-X5; multimodal X16+X33; formats X61+X62)
     "text_profile",

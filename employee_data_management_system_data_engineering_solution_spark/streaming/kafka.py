@@ -89,6 +89,15 @@ def kafka_source_options(
         if min_partitions <= 0:
             raise ValueError("min_partitions must be positive")
         opts["minPartitions"] = str(min_partitions)
+    # extras may add passthrough options (kafka.* client confs etc.)
+    # but must not silently override the validated core options above —
+    # that would bypass the validation this function advertises
+    clash = sorted(k for k in (extra or {}) if k in opts)
+    if clash:
+        raise ValueError(
+            f"extra options would override validated core options: {clash}; "
+            "pass these through the named parameters instead"
+        )
     for k, v in (extra or {}).items():
         opts[k] = v
     return opts
