@@ -53,14 +53,18 @@ def decode_image_stub(payload: bytes) -> "object":
 
 def _fake_feature(payload: bytes) -> list[float]:
     """Deterministic stand-in for a decoded-media feature vector:
-    4 byte-statistics of the payload. Replaces model inference."""
+    4 byte-statistics of the payload. Replaces model inference.
+
+    Every component is an integer-valued float (length, byte sum,
+    first byte, last byte) so the vector survives the float32 array
+    round-trip bit-exactly and a SQL oracle can reproduce it with no
+    floating-point rounding anywhere (sum <= 2^24 for payloads up to
+    ~65 KiB of 0xFF — far above any test payload)."""
     if not payload:
         return [0.0] * FEATURE_DIM
-    n = len(payload)
-    s = sum(payload)
     return [
-        float(n),
-        round(s / n, 4),
+        float(len(payload)),
+        float(sum(payload)),
         float(payload[0]),
         float(payload[-1]),
     ]

@@ -697,19 +697,49 @@ def multimodal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_decode", None)  # mapInPandas decode stub: rows-only check
+@register(
+    "multimodal_decode",
+    # The stub feature extractor (operators/multimodal._fake_feature)
+    # is 4 integer-valued byte statistics of the UTF-8 payload, so the
+    # oracle replays the exact derivation in SQL. The documents corpus
+    # is pure ASCII at every generated sf (verified), so per-character
+    # codepoints ARE the payload bytes; every component is an exact
+    # integer in float32, so no rounding exists on either side.
+    """
+    WITH b AS (
+      SELECT doc_id,
+             octet_length(encode(text)) AS n_bytes,
+             list_transform(range(1, length(text) + 1),
+                            i -> ascii(substr(text, i, 1))) AS bytes
+      FROM documents
+    )
+    SELECT doc_id,
+           n_bytes,
+           'application/octet-stream' AS media_type,
+           CAST(n_bytes AS BIGINT) AS f_len,
+           CAST(coalesce(list_sum(bytes), 0) AS BIGINT) AS f_sum,
+           CAST(coalesce(bytes[1], 0) AS BIGINT) AS f_first,
+           CAST(coalesce(bytes[-1], 0) AS BIGINT) AS f_last
+    FROM b
+    """,
+)
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     payloads = multimodal.with_binary_payload(docs, "doc_id", "text")
     decoded = multimodal.decode_features(payloads)
     # the driver's canonicalizer sorts rows in pandas, which cannot hash
-    # list cells — serialize the vector for the contract surface; real
-    # callers use decode_features() directly and keep the array type
+    # list cells — project the vector to scalar columns for the
+    # contract surface; real callers use decode_features() directly and
+    # keep the array type. All four components are integer-valued by
+    # construction, so the long casts are lossless.
     return decoded.select(
         "doc_id",
         "n_bytes",
         "media_type",
-        F.concat_ws(",", F.transform("feature", lambda x: x.cast("string"))).alias("feature_csv"),
+        decoded["feature"][0].cast("long").alias("f_len"),
+        decoded["feature"][1].cast("long").alias("f_sum"),
+        decoded["feature"][2].cast("long").alias("f_first"),
+        decoded["feature"][3].cast("long").alias("f_last"),
     )
 
 

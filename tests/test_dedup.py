@@ -152,6 +152,33 @@ def test_simhash_matches_scalar_reference(spark):
     assert got == want
 
 
+def test_simhash_matches_scalar_reference_on_corpus_slice(spark):
+    """Bit-exact independent check on REAL corpus text (blake2b is not
+    SQL-expressible, so this pytest oracle stands in for the DuckDB
+    oracle the other dedup queries get): a deterministic slice of the
+    generated documents table, vectorized path vs a scalar pure-Python
+    reimplementation."""
+
+    def ref(text):
+        counts = [0] * 64
+        for w in (text or "").lower().split():
+            h = int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
+            for bit in range(64):
+                counts[bit] += 1 if (h >> bit) & 1 else -1
+        sig = sum(1 << b for b in range(64) if counts[b] > 0)
+        return sig - (1 << 64) if sig >= 1 << 63 else sig
+
+    from employee_data_management_system_data_engineering_solution_spark.sources.io import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents").filter(
+        F.col("doc_id") < 64
+    )
+    got = {r.doc_id: r.simhash for r in simhash(docs, "doc_id", "text").collect()}
+    want = {r.doc_id: ref(r.text) for r in docs.select("doc_id", "text").collect()}
+    assert len(got) == 64
+    assert got == want
+
+
 def test_lsh_banded_emits_bands_per_doc(spark):
     out = lsh_banded(_docs(spark), "doc_id", "text", n_hashes=8, bands=2).collect()
     assert len(out) == 4 * 2

@@ -17,10 +17,12 @@ def test_oracle_keys_subset_of_queries(spark):
     qs, oracles = queries(), oracle_sql()
     assert set(oracles) <= set(qs)
     # non-SQL-expressible ops are known and deliberate
-    # (strike_stream_stateful gained a closed-form batch oracle in r4)
+    # (strike_stream_stateful gained a closed-form batch oracle in r4;
+    # multimodal_decode a byte-statistics oracle in r5 — simhash's
+    # blake2b stays SQL-inexpressible and is pinned by a pure-Python
+    # reference implementation in test_dedup.py instead)
     assert set(qs) - set(oracles) == {
         "simhash_signatures",
-        "multimodal_decode",
     }
 
 
@@ -35,11 +37,14 @@ def test_check_window_covers_every_operator_family():
         # sources + all sink shapes + format round-trips (K3 CSV publish
         # rides daily_pipeline; published_report_roundtrip and
         # salted_skew_join rotated to the tail in r4, displaced by the
-        # two new LLM operators below)
+        # two new LLM operators below; orc_roundtrip rotated out in r5
+        # — ORC read/write stays carried by format_roundtrips — to make
+        # room for bigram_collocations, the last never-driver-checked
+        # oracle-bearing query)
         "daily_pipeline", "staging_promote_roundtrip",
         "partition_pruned_report",
         "schema_evolution_read", "bucketed_colocated_join",
-        "json_lines_roundtrip", "orc_roundtrip",
+        "json_lines_roundtrip",
         # scd / upsert / dedup (sorts ride q3/ordered reports; the r4
         # rotation moved 2-3-round-stable set-op carriers to the tail,
         # guarded by the full local oracle run before each snapshot)
@@ -60,7 +65,7 @@ def test_check_window_covers_every_operator_family():
         "dedup_clusters", "dedup_clusters_star", "doc_chunks",
         "hyperplane_lsh_groups", "embedding_topk", "ivf_topk",
         "embedding_neardup_pairs", "pii_scrub", "repeated_passages",
-        "context_pack_bins", "tfidf_top_terms",
+        "context_pack_bins", "tfidf_top_terms", "bigram_collocations",
         # composed family carriers (text X1-X5, multimodal X16+X33,
         # formats X61+X62)
         "text_profile", "multimodal_profile", "format_roundtrips",

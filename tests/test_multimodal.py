@@ -25,8 +25,9 @@ def test_decode_features_deterministic_fake(spark):
     out = {
         r.doc_id: r for r in decode_features(with_binary_payload(df, "doc_id", "text")).collect()
     }
-    # fake feature: [len, mean byte, first byte, last byte]
-    assert out[1].feature == [3.0, pytest.approx((97 + 98 + 99) / 3, abs=1e-3), 97.0, 99.0]
+    # fake feature: [len, byte sum, first byte, last byte] — all
+    # integer-valued so the float32 round-trip is bit-exact
+    assert out[1].feature == [3.0, float(97 + 98 + 99), 97.0, 99.0]
     assert out[2].feature == [0.0, 0.0, 0.0, 0.0]
 
 
