@@ -24,16 +24,34 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def profile_columns(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+def profile_columns(
+    df: DataFrame,
+    cols: Sequence[str] | None = None,
+    approx: bool = False,
+    rsd: float = 0.05,
+) -> DataFrame:
     """Long-format audit: one row per column with
     ``(col_name, n_rows, n_nonnull, n_distinct, min_value, max_value)``.
-    Bounds are stringified so mixed-type tables fit one schema."""
+    Bounds are stringified so mixed-type tables fit one schema.
+
+    ``approx=True`` swaps exact ``count_distinct`` for HyperLogLog++
+    (``approx_count_distinct`` at relative standard deviation ``rsd``)
+    — the 100 TB path: the exact multi-distinct expands the scan per
+    distinct column and moves every distinct value through the
+    aggregation, while the sketch is constant-size per column and keeps
+    the audit a narrow single pass. Every other statistic is identical
+    and exact under both modes (pinned by test_quality.py)."""
     cols = list(cols) if cols is not None else list(df.columns)
+    distinct = (
+        (lambda c: F.approx_count_distinct(F.col(c), rsd))
+        if approx
+        else (lambda c: F.count_distinct(F.col(c)))
+    )
     aggs = [F.count(F.lit(1)).alias("__n_rows")]
     for c in cols:
         aggs += [
             F.count(F.col(c)).alias(f"{c}__nonnull"),
-            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            distinct(c).alias(f"{c}__distinct"),
             F.min(F.col(c)).cast("string").alias(f"{c}__min"),
             F.max(F.col(c)).cast("string").alias(f"{c}__max"),
         ]

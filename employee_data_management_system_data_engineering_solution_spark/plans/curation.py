@@ -135,6 +135,24 @@ def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_columns(orders, _PROFILE_COLS)
 
 
+@register("column_profile_approx", None)  # HLL++ values are engine-specific: no cross-engine oracle
+def column_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documented 100 TB profiling path, exercised as a first-class
+    carrier: the same one-pass audit as ``column_profile`` with
+    HyperLogLog++ cardinality instead of exact ``count_distinct``.
+    Sketch estimates are engine-specific, so the driver records the
+    weaker rows-only verdict here; ``tests/test_quality.py`` asserts
+    the strong properties instead — every non-distinct statistic equals
+    the exact profile's, and each estimate lands within the configured
+    relative-error bound of the exact cardinality."""
+    from ..operators.quality import profile_columns
+
+    orders = read_table(spark, sf_dir, "orders").withColumn(
+        "o_orderdate", F.col("o_orderdate").cast("date")
+    )
+    return profile_columns(orders, _PROFILE_COLS, approx=True)
+
+
 _DECILE_PS = tuple(i / 10 for i in range(1, 10))
 
 _DECILE_ORACLE = f"""

@@ -32,6 +32,17 @@ from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 
+#: The at-scale state store: RocksDB keeps state off-heap on local
+#: disk, bounding executor memory by the working set instead of the
+#: full key space — the standard choice for production stateful
+#: streams (large key cardinality, changelog checkpointing). The
+#: default HDFS-backed provider keeps every key in executor memory.
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+_PROVIDER_CONF = "spark.sql.streaming.stateStore.providerClass"
+
 #: Event-time for watermark-advancing sentinel batches — far past any
 #: real event so `sentinel_ts(k) - delay` finalizes every data window.
 _SENTINEL_BASE_NS = 4_102_444_800 * 1_000_000_000  # 2100-01-01 UTC
@@ -80,6 +91,7 @@ def replayed_events(
     state_partitions: int = 4,
     sentinel_batches: Sequence[Sequence[dict]] = (),
     max_files_per_trigger: int | None = 1,
+    state_store_provider: str | None = None,
 ) -> Iterator[tuple[DataFrame, Callable[[DataFrame, str], DataFrame]]]:
     """Yield ``(stream_df, run)`` where ``stream_df`` is the streaming
     view of ``{sf_dir}/events.parquet`` and ``run(result_df, name, output_mode)``
@@ -104,12 +116,20 @@ def replayed_events(
     correct for carriers whose per-batch cadence doesn't matter (the
     watermark still finalizes in the trailing no-data flush batch), and
     each dropped batch saves a full stateful-commit cycle across every
-    state partition and operator."""
+    state partition and operator.
+
+    ``state_store_provider``: fully-qualified provider class for the
+    stateful operators' state store (``ROCKSDB_PROVIDER`` for the
+    at-scale RocksDB store); ``None`` keeps the session default
+    (HDFS-backed in-memory). Restored on exit either way."""
     from ..sources.io import normalize_nanos
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     prior_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    prior_provider = spark.conf.get(_PROVIDER_CONF, None)
+    if state_store_provider is not None:
+        spark.conf.set(_PROVIDER_CONF, state_store_provider)
 
     stage_dir = tempfile.mkdtemp(prefix="eds_stream_")
     queries = []
@@ -151,6 +171,11 @@ def replayed_events(
         yield normalize_nanos(stream), run
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prior_parts)
+        if state_store_provider is not None:
+            if prior_provider is None:
+                spark.conf.unset(_PROVIDER_CONF)
+            else:
+                spark.conf.set(_PROVIDER_CONF, prior_provider)
         for q in queries:
             q.stop()
         for name in names:

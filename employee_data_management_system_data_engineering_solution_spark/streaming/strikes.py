@@ -222,7 +222,10 @@ def run_session_stream(
 
 
 def run_strike_stream(
-    spark: SparkSession, sf_dir: str, state_partitions: int = 4
+    spark: SparkSession,
+    sf_dir: str,
+    state_partitions: int = 4,
+    state_store_provider: str | None = None,
 ) -> DataFrame:
     """Drive the stateful strike pipeline over the ``events`` table
     replayed as a file-source micro-batch stream; returns the final
@@ -239,10 +242,16 @@ def run_strike_stream(
     8 on a 1,500-key batch; 4 is another ~15-30% cheaper across the
     carriers at sf0.1 with identical results). Size it to key
     cardinality / executor count in production.
+
+    ``state_store_provider``: state-store implementation for the
+    stateful operator (``replay.ROCKSDB_PROVIDER`` is the at-scale
+    choice); ``None`` keeps the default HDFS-backed store.
     """
     from .replay import replayed_events
 
-    with replayed_events(spark, sf_dir, state_partitions) as (stream, run):
+    with replayed_events(
+        spark, sf_dir, state_partitions, state_store_provider=state_store_provider
+    ) as (stream, run):
         prepared = stream.select(
             F.col("user_id").alias("emp_id"),
             flagged_expr().alias("flagged"),
@@ -349,4 +358,100 @@ def run_stream_stream_join(
     # append mode emits each finalized group exactly once; just project
     return out.select(
         "purchase_id", F.col("p_user").alias("user_id"), "n_views"
+    )
+
+
+def run_strike_pass(
+    spark: SparkSession,
+    stage_dir: str,
+    ckpt_dir: str,
+    out_dir: str,
+    state_partitions: int = 4,
+    state_store_provider: str | None = None,
+) -> None:
+    """ONE availableNow pass of the stateful strike pipeline over the
+    files currently staged in ``stage_dir``, with a DURABLE checkpoint.
+
+    This is the restart/recovery contract the memory-sink carriers
+    cannot exercise: re-invoking after staging more files resumes from
+    ``ckpt_dir`` (file-source offset log + state store), processes ONLY
+    the not-yet-committed files, and folds them into the RECOVERED
+    per-employee state. Each micro-batch's emissions append to
+    ``out_dir`` as parquet via ``foreachBatch`` (a restart-safe sink:
+    committed batch ids are not re-run), tagged with the batch id so
+    :func:`strike_final_state` can take the latest emission per key.
+
+    Kill-and-restart is the same code path: a stream stopped mid-pass
+    replays its last uncommitted batch from the offset log on the next
+    invocation, and the state store restores the last committed
+    version — exactly-once state, at-least-once sink appends
+    deduplicated by batch id downstream.
+    """
+    from ..sources.io import normalize_nanos
+    from .replay import _PROVIDER_CONF, events_schema
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    prior_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    prior_provider = spark.conf.get(_PROVIDER_CONF, None)
+    if state_store_provider is not None:
+        spark.conf.set(_PROVIDER_CONF, state_store_provider)
+    try:
+        import glob as _glob
+        import os as _os
+
+        staged = sorted(_glob.glob(_os.path.join(stage_dir, "*.parquet")))
+        if not staged:
+            raise ValueError(f"no parquet files staged in {stage_dir}")
+        stream = normalize_nanos(
+            spark.readStream.schema(events_schema(spark, staged[0]))
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage_dir)
+        )
+        prepared = stream.select(
+            F.col("user_id").alias("emp_id"),
+            flagged_expr().alias("flagged"),
+            F.date_format("ts", "yyyy-MM").alias("month"),
+        )
+        result = prepared.groupBy("emp_id").applyInPandasWithState(
+            _strike_state_fn,
+            outputStructType=_OUTPUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+        def _sink(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df.withColumn("__batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(out_dir)
+
+        q = (
+            result.writeStream.foreachBatch(_sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior_parts)
+        if state_store_provider is not None:
+            if prior_provider is None:
+                spark.conf.unset(_PROVIDER_CONF)
+            else:
+                spark.conf.set(_PROVIDER_CONF, prior_provider)
+
+
+def strike_final_state(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Latest per-employee state from a :func:`run_strike_pass` output
+    directory: one emission per key per batch, newest batch wins."""
+    from pyspark.sql import Window
+
+    out = spark.read.parquet(out_dir)
+    w = Window.partitionBy("emp_id").orderBy(F.col("__batch_id").desc())
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("emp_id", "strike_count", "status")
     )

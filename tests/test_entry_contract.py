@@ -21,8 +21,11 @@ def test_oracle_keys_subset_of_queries(spark):
     # multimodal_decode a byte-statistics oracle in r5 — simhash's
     # blake2b stays SQL-inexpressible and is pinned by a pure-Python
     # reference implementation in test_dedup.py instead)
+    # column_profile_approx: HLL++ estimates are engine-specific; its
+    # exact-statistics parity and error bounds are pytest-asserted
     assert set(qs) - set(oracles) == {
         "simhash_signatures",
+        "column_profile_approx",
     }
 
 

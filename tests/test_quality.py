@@ -98,3 +98,28 @@ def test_quantile_buckets_null_bucket_and_n_validation(spark):
     assert {r.bucket for r in out if r.v is not None} == {1, 2, 3, 4}
     with pytest.raises(ValueError):
         quantile_buckets(df, "v", n=1)
+
+
+def test_profile_columns_approx_bounds_vs_exact(spark):
+    """The approx profile (column_profile_approx's operator) must agree
+    with the exact profile on every non-distinct statistic, and each
+    HLL++ cardinality estimate must land within the error bound."""
+    from employee_data_management_system_data_engineering_solution_spark.sources.io import read_table
+
+    orders = read_table(spark, "/root/testdata/sf0.001", "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    rsd = 0.05
+    exact = {r.col_name: r for r in profile_columns(orders, cols).collect()}
+    approx = {r.col_name: r for r in profile_columns(orders, cols, approx=True, rsd=rsd).collect()}
+    assert set(exact) == set(approx) == set(cols)
+    for c in cols:
+        e, a = exact[c], approx[c]
+        assert (a.n_rows, a.n_nonnull, a.min_value, a.max_value) == (
+            e.n_rows,
+            e.n_nonnull,
+            e.min_value,
+            e.max_value,
+        )
+        # 5-sigma bound on the relative standard deviation: loose
+        # enough to be flake-free, tight enough to catch a wrong sketch
+        assert abs(a.n_distinct - e.n_distinct) <= max(5 * rsd * e.n_distinct, 2), c

@@ -11,6 +11,7 @@ import shutil
 
 import pandas as pd
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from employee_data_management_system_data_engineering_solution_spark.streaming.strikes import (
     STRIKE_LIMIT,
@@ -160,3 +161,98 @@ def test_run_strike_stream_matches_state_semantics(spark, tmp_path):
     assert got[1].strike_count == 2 and got[1].status == "ACTIVE"
     assert got[2].strike_count == 15 and got[2].status == "INACTIVE"
     assert 3 in got and got[3].strike_count == 0
+
+
+def _stage_file(spark, tmp_path, rows, dest):
+    work = str(tmp_path / "__writer")
+    spark.createDataFrame(rows).coalesce(1).write.mode("overwrite").parquet(work)
+    part = glob.glob(os.path.join(work, "part-*.parquet"))[0]
+    shutil.move(part, dest)
+
+
+def _jan_feb_rows():
+    # emp 1: 3 in Jan + 2 in Feb ⇒ cooldown reset ⇒ 2 ACTIVE
+    # emp 2: 12 in Jan (INACTIVE latch) + 3 in Feb ⇒ 15 INACTIVE
+    # emp 3: first seen in Feb ⇒ 1 ACTIVE
+    jan = [Row(user_id=1, event_type="error", ts=dt.datetime(2021, 1, 5))] * 3
+    jan += [Row(user_id=2, event_type="error", ts=dt.datetime(2021, 1, 6))] * 12
+    feb = [Row(user_id=1, event_type="error", ts=dt.datetime(2021, 2, 5))] * 2
+    feb += [Row(user_id=2, event_type="error", ts=dt.datetime(2021, 2, 6))] * 3
+    feb += [Row(user_id=3, event_type="error", ts=dt.datetime(2021, 2, 7))]
+    return jan, feb
+
+
+def test_strike_pass_checkpoint_recovery(spark, tmp_path):
+    """Stop/restart contract: a second availableNow pass from the same
+    checkpoint must RECOVER per-key state (cooldown month, INACTIVE
+    latch) and process only the newly staged file — reprocessing would
+    double-count and diverge from the single-run reference."""
+    from employee_data_management_system_data_engineering_solution_spark.streaming.strikes import (
+        run_strike_pass,
+        strike_final_state,
+    )
+
+    jan, feb = _jan_feb_rows()
+    stage_dir = tmp_path / "stage"
+    stage_dir.mkdir()
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+
+    _stage_file(spark, tmp_path, jan, str(stage_dir / "a_jan.parquet"))
+    run_strike_pass(spark, str(stage_dir), ckpt, out, state_partitions=2)
+    p1 = {r.emp_id: r for r in strike_final_state(spark, out).collect()}
+    assert p1[1].strike_count == 3 and p1[1].status == "ACTIVE"
+    assert p1[2].strike_count == 12 and p1[2].status == "INACTIVE"
+    assert 3 not in p1
+
+    _stage_file(spark, tmp_path, feb, str(stage_dir / "b_feb.parquet"))
+    run_strike_pass(spark, str(stage_dir), ckpt, out, state_partitions=2)
+    got = {r.emp_id: r for r in strike_final_state(spark, out).collect()}
+    assert got[1].strike_count == 2 and got[1].status == "ACTIVE"
+    assert got[2].strike_count == 15 and got[2].status == "INACTIVE"
+    assert got[3].strike_count == 1 and got[3].status == "ACTIVE"
+
+    # sink-level recovery proof: the restarted pass appended exactly one
+    # new batch, containing only the keys present in the new file
+    batches = spark.read.parquet(out)
+    ids = sorted(r["__batch_id"] for r in batches.select("__batch_id").distinct().collect())
+    assert ids == [0, 1]
+    phase2_keys = {
+        r.emp_id for r in batches.filter(F.col("__batch_id") == 1).collect()
+    }
+    assert phase2_keys == {1, 2, 3}
+
+    # single-run reference: both files staged up front, fresh checkpoint
+    ckpt2, out2 = str(tmp_path / "ckpt2"), str(tmp_path / "out2")
+    run_strike_pass(spark, str(stage_dir), ckpt2, out2, state_partitions=2)
+    ref = {r.emp_id: r for r in strike_final_state(spark, out2).collect()}
+    assert {k: (v.strike_count, v.status) for k, v in got.items()} == {
+        k: (v.strike_count, v.status) for k, v in ref.items()
+    }
+
+
+def test_strike_stream_rocksdb_provider_matches_default(spark, tmp_path):
+    """The documented at-scale state store (RocksDB) must produce
+    identical results to the default HDFS-backed store on the same
+    replay."""
+    from employee_data_management_system_data_engineering_solution_spark.streaming.replay import (
+        ROCKSDB_PROVIDER,
+    )
+
+    jan, feb = _jan_feb_rows()
+    _stage_file(spark, tmp_path, jan + feb, str(tmp_path / "events.parquet"))
+
+    base = {
+        r.emp_id: (r.strike_count, r.status)
+        for r in run_strike_stream(spark, str(tmp_path), state_partitions=2).collect()
+    }
+    rocks = {
+        r.emp_id: (r.strike_count, r.status)
+        for r in run_strike_stream(
+            spark,
+            str(tmp_path),
+            state_partitions=2,
+            state_store_provider=ROCKSDB_PROVIDER,
+        ).collect()
+    }
+    assert rocks == base
+    assert rocks[2] == (15, "INACTIVE")
