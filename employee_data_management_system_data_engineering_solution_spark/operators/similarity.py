@@ -307,3 +307,57 @@ def hyperplane_lsh(
     return sig.select(
         F.col(id_col), F.explode(F.array(*band_structs)).alias("bb")
     ).select(id_col, F.col("bb.band_no").alias("band_no"), F.col("bb.bucket").alias("bucket"))
+
+
+def kmeans_iterate(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Lloyd's k-means for IVF pivot TRAINING (cosine assignment,
+    per-dimension mean recompute) — turns the ANN stack's "first k
+    vectors" pivots into data-fitted centroids that ``ivf_topk`` /
+    ``cosine_neardup_pairs`` consume unchanged.
+
+    Returns the centroid table ``(id_col = cluster id, vec_col =
+    array<double>)`` after ``iters`` assign+recompute rounds, seeded
+    with the k lowest-id vectors (deterministic, mirrors the untrained
+    pivot convention).
+
+    Scale shape per iteration: one narrow zero-shuffle assignment pass
+    over the corpus (:func:`assign_clusters` embeds the k centroids as
+    literals) + one groupBy whose map-side partial aggregation reduces
+    every partition to <= k rows of k x dim running sums — the shuffle
+    moves O(k x dim x partitions) bytes, never corpus rows. The driver
+    holds only the k x dim centroid table between iterations (the
+    per-iteration collect is THE standard Lloyd's barrier). Centroid
+    components round to ``round_digits`` so the trained pivots are
+    reproducible across engines and summation orders.
+    """
+    first = corpus.select(vec_col).first()
+    if first is None:
+        raise ValueError("kmeans_iterate: empty corpus")
+    dim = len(first[0])
+    spark = corpus.sparkSession
+    pivots = corpus.filter(F.col(id_col) < k).select(id_col, vec_col)
+    for _ in range(iters):
+        assigned = assign_clusters(corpus, pivots, id_col, vec_col)
+        aggs = [
+            F.round(F.avg(F.col(vec_col)[i].cast("double")), round_digits).alias(f"__c{i}")
+            for i in range(dim)
+        ]
+        # materialize the k-row centroid table and cut lineage: left
+        # lazy, iteration N's plan would re-run every earlier
+        # iteration's corpus pass (1+2+..+N scans); collected, each
+        # scan happens exactly once. Driver holds k x dim doubles —
+        # the standard Lloyd's barrier, bounded regardless of corpus
+        # size.
+        cent_rows = assigned.groupBy("cluster_id").agg(*aggs).collect()
+        pivots = spark.createDataFrame(
+            [(int(r["cluster_id"]), [r[f"__c{i}"] for i in range(dim)]) for r in cent_rows],
+            f"{id_col} long, {vec_col} array<double>",
+        )
+    return pivots

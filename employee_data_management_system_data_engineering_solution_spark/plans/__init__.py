@@ -48,7 +48,16 @@ from .registry import REGISTRY, register
 # query never inside a driver window), orc_roundtrip OUT after 3 green
 # driver rounds (ORC read/write stays carried in-window by
 # format_roundtrips, which round-trips the same table through orc
-# among its 7 formats).
+# among its 7 formats). The three operators NEW in round 5 also enter
+# the window so they get driver verdicts in their first round —
+# kmeans_ivf_assign (IVF pivot training), lm_doc_score (bigram-LM
+# quality score), value_outliers (per-key z-score anomalies) —
+# displacing three 3-round-stable carriers whose families stay
+# in-window elsewhere: json_lines_roundtrip (JSON leg of
+# format_roundtrips), pct_of_quota (J2 inner equi-join carried by
+# q3_shipping_priority), dedup_last_write_wins (row_number dedup
+# family carried by dedup_keep_best). The full local check_oracle run
+# before each snapshot guards every displaced query.
 # ---------------------------------------------------------------------------
 _PRIORITY: tuple[str, ...] = (
     # flagship + composed pipeline and every sink shape (S1-S6, K1-K5)
@@ -59,14 +68,11 @@ _PRIORITY: tuple[str, ...] = (
     "partition_pruned_report",
     "schema_evolution_read",
     "bucketed_colocated_join",
-    "json_lines_roundtrip",
     # SCD / upsert / dedup / set ops (J1-J4, K6, W1-W2, O3-O5)
     "keyed_upsert",
     "scd2_merge",
     "dedup_keep_best",
-    "dedup_last_write_wins",
     "upcoming_leave_pct",
-    "pct_of_quota",
     # streaming (ST1-ST6): rlike strike path (carries the full ST2+ST4
     # contract; the event_type stand-in variant rides the tail),
     # stateful, windowed, dedup, session, stream-stream join,
@@ -84,6 +90,7 @@ _PRIORITY: tuple[str, ...] = (
     "user_value_trend",
     "forward_fill_values",
     "event_sessions",
+    "value_outliers",
     # CDC + curation
     "snapshot_diff_orders",
     "train_test_split",
@@ -107,6 +114,8 @@ _PRIORITY: tuple[str, ...] = (
     "context_pack_bins",
     "tfidf_top_terms",
     "bigram_collocations",
+    "kmeans_ivf_assign",
+    "lm_doc_score",
     # composed family carriers: one slot covers several SURVEY rows
     # (text X1-X5; multimodal X16+X33; formats X61+X62)
     "text_profile",

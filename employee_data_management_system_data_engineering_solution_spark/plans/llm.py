@@ -604,6 +604,67 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_neardup_pairs(corpus, pivots, threshold=0.999)
 
 
+def _km_assign_cte(vtab: str, ctab: str, out: str) -> str:
+    """One Lloyd's assignment round as a CTE: nearest centroid by
+    rounded cosine, ties to the smallest pivot id — the SQL mirror of
+    ``operators.similarity.assign_clusters``."""
+    return f"""
+    {out} AS (
+      SELECT vec_id, e, cluster_id
+      FROM (SELECT v.vec_id, v.e, c.pivot_id AS cluster_id,
+                   row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                     round(list_dot_product(v.e, c.pv)
+                           / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c.pv, c.pv))), 6) DESC,
+                     c.pivot_id ASC) AS rn
+            FROM {vtab} v CROSS JOIN {ctab} c)
+      WHERE rn = 1
+    )"""
+
+
+def _km_recompute_cte(atab: str, out: str, dim: int = 64) -> str:
+    """Centroid recompute as a CTE: per-dimension mean rounded to 6 dp,
+    reassembled in position order — the SQL mirror of
+    ``kmeans_iterate``'s groupBy/avg round."""
+    return f"""
+    {out} AS (
+      SELECT cluster_id AS pivot_id, list(av ORDER BY i) AS pv
+      FROM (SELECT cluster_id, i, round(avg(e[i]), 6) AS av
+            FROM {atab} CROSS JOIN range(1, {dim + 1}) t(i)
+            GROUP BY cluster_id, i)
+      GROUP BY cluster_id
+    )"""
+
+
+_KMEANS_ORACLE = f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    c1 AS (SELECT vec_id AS pivot_id, e AS pv FROM v WHERE vec_id < 8),
+    {_km_assign_cte("v", "c1", "a1")},
+    {_km_recompute_cte("a1", "c2")},
+    {_km_assign_cte("v", "c2", "a2")},
+    {_km_recompute_cte("a2", "c3")},
+    {_km_assign_cte("v", "c3", "af")}
+    SELECT vec_id, cluster_id FROM af
+"""
+
+
+@register("kmeans_ivf_assign", _KMEANS_ORACLE)
+def kmeans_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index TRAINING: two Lloyd's iterations (cosine assignment,
+    rounded per-dimension mean recompute) seeded with the k lowest-id
+    vectors, then the final cluster assignment under the trained
+    centroids — the pivots `ivf_topk`/`embedding_neardup_pairs` consume,
+    fitted to the data instead of sampled from it.
+
+    Scale: each iteration is one zero-shuffle narrow assignment pass
+    (centroids embedded as literals) plus one map-side-combined groupBy
+    that moves only k x dim partial sums per partition; the driver
+    holds the k x dim centroid table between iterations. The oracle
+    unrolls both iterations in SQL (same rounding at every step)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = similarity.kmeans_iterate(emb, k=8, iters=2)
+    return similarity.assign_clusters(emb, cents).select("vec_id", "cluster_id")
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------------
@@ -1291,3 +1352,82 @@ def bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.orderBy(F.col("pmi").desc(), F.col("a").asc(), F.col("b").asc())
     )
     return scored.withColumn("__r", rnk).filter(F.col("__r") <= 20).drop("__r")
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM document scoring — perplexity-style quality signal
+# ---------------------------------------------------------------------------
+@register(
+    "lm_doc_score",
+    r"""
+    WITH ws AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    bg AS (
+      SELECT doc_id, w[i] AS a, w[i + 1] AS b
+      FROM ws, unnest(generate_series(1, len(w) - 1)) AS t(i)
+      WHERE len(w) >= 2
+    ),
+    uni AS (SELECT unnest(w) AS term FROM ws),
+    uc AS (SELECT term, count(*) AS c FROM uni GROUP BY term),
+    bc AS (SELECT a, b, count(*) AS c_ab FROM bg GROUP BY a, b),
+    v AS (SELECT count(*) AS vocab FROM uc)
+    SELECT bg.doc_id,
+           count(*) AS n_bigrams,
+           round(avg(ln((bc.c_ab + 1.0) / (ua.c + v.vocab))), 4) AS lm_score
+    FROM bg
+    JOIN bc ON bc.a = bg.a AND bc.b = bg.b
+    JOIN uc ua ON ua.term = bg.a
+    CROSS JOIN v
+    GROUP BY bg.doc_id
+    """,
+)
+def lm_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean log-likelihood under an add-one-smoothed
+    corpus bigram model — the perplexity-style fluency/quality signal
+    a curation pipeline uses to rank docs for filtering (templated or
+    natural text scores high; shuffled or noisy text scores low).
+
+    score(doc) = avg over the doc's bigram occurrences of
+    ln((C(a,b) + 1) / (C(a) + |V|)), with counts from the whole corpus.
+
+    Scale shape: bigrams come from the same narrow position explode as
+    ``bigram_collocations`` (no self-join); the model tables (bigram
+    counts, unigram counts) are vocabulary-sized partial-agg shuffles;
+    the per-occurrence probability lookup joins occurrence rows against
+    those aggregated tables on their natural keys; |V| rides one
+    broadcast scalar; the per-doc average is a single doc-keyed
+    partial-agg shuffle. Rounded to 4 dp on both engines so libm ulp
+    differences cannot flip the hash."""
+    docs = read_table(spark, sf_dir, "documents")
+    ws = docs.filter(F.length(F.trim("text")) > 0).select(
+        "doc_id", tx.words(F.lower(F.col("text"))).alias("w")
+    )
+    bg = (
+        ws.filter(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr("transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS a, w[i] AS b))")
+            ).alias("p"),
+        )
+        .select("doc_id", "p.a", "p.b")
+    )
+    uni = ws.select(F.explode("w").alias("term"))
+    uc = uni.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    bc = bg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    v = uc.agg(F.count(F.lit(1)).alias("vocab"))
+    return (
+        bg.join(bc, ["a", "b"])
+        .join(uc.select(F.col("term").alias("a"), F.col("c").alias("__ca")), "a")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.avg(F.log((F.col("c_ab") + F.lit(1.0)) / (F.col("__ca") + F.col("vocab")))),
+                4,
+            ).alias("lm_score"),
+        )
+    )

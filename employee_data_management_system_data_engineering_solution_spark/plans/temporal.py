@@ -255,3 +255,56 @@ def event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts_sec").alias("last_sec"),
         (F.max("ts_sec") - F.min("ts_sec")).alias("duration_sec"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-key z-score outliers — metric anomaly pass
+# ---------------------------------------------------------------------------
+@register(
+    "value_outliers",
+    """
+    WITH stats AS (
+      SELECT user_id,
+             avg(value)    AS mu,
+             stddev(value) AS sigma,
+             count(*)      AS n
+      FROM events GROUP BY user_id
+    )
+    SELECT e.event_id, e.user_id,
+           round(e.value, 4)                    AS value,
+           round((e.value - s.mu) / s.sigma, 4) AS z
+    FROM events e JOIN stats s ON e.user_id = s.user_id
+    WHERE s.n >= 2 AND s.sigma > 0
+      AND abs((e.value - s.mu) / s.sigma) >= 2.5
+    """,
+)
+def value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user z-score outliers over the event value metric: events
+    more than 2.5 sample standard deviations from their user's mean —
+    the standard per-entity anomaly pass of a metrics/quality pipeline.
+
+    Scale shape: one partial-agg shuffle builds the per-key stats table
+    (one row per user — entity-bounded, far smaller than the event
+    log), the probability lookup is an equi-join of events against that
+    aggregated table (broadcast when the key space is small, shuffle
+    join otherwise — Spark picks via AQE), and the z filter is a narrow
+    codegen'd map. No window over the raw events, so nothing ever
+    single-partitions. The unrounded z feeds the threshold on both
+    engines; rounding to 4 dp happens only at projection."""
+    ev = read_table(spark, sf_dir, "events")
+    stats = ev.groupBy("user_id").agg(
+        F.avg("value").alias("__mu"),
+        F.stddev("value").alias("__sigma"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    z = (F.col("value") - F.col("__mu")) / F.col("__sigma")
+    return (
+        ev.join(stats, "user_id")
+        .filter((F.col("__n") >= 2) & (F.col("__sigma") > 0) & (F.abs(z) >= 2.5))
+        .select(
+            "event_id",
+            "user_id",
+            F.round("value", 4).alias("value"),
+            F.round(z, 4).alias("z"),
+        )
+    )

@@ -161,21 +161,35 @@ def run_dedup_stream(
     sf_dir: str,
     watermark_delay: str = "1 day",
     state_partitions: int = 4,
+    within_watermark: bool = False,
 ) -> DataFrame:
     """Streaming exact-once deduplication: ``dropDuplicates`` on the
     event id under a watermark, then per-type counts — the standard
     at-least-once-source → effectively-once-pipeline shape (a training
     -data ingest dedupe, run as a stream).
 
+    ``within_watermark=True`` switches to
+    ``dropDuplicatesWithinWatermark``: dedup state is evicted once the
+    watermark passes an id's event time, so state size is bounded by
+    the watermark window instead of growing with every key ever seen —
+    the production choice for unbounded streams (plain
+    ``dropDuplicates`` keeps ALL keys forever; on an infinite feed that
+    is an unbounded state store). Results are identical whenever true
+    duplicates arrive within ``watermark_delay`` of each other — the
+    at-least-once-redelivery case the operator exists for.
+
     Returns (event_type, n_events) with duplicates collapsed.
     """
     from .replay import replayed_events
 
     with replayed_events(spark, sf_dir, state_partitions) as (stream, run):
+        keyed = stream.select("event_id", "event_type", "ts").withWatermark(
+            "ts", watermark_delay
+        )
         deduped = (
-            stream.select("event_id", "event_type", "ts")
-            .withWatermark("ts", watermark_delay)
-            .dropDuplicates(["event_id"])
+            keyed.dropDuplicatesWithinWatermark(["event_id"])
+            if within_watermark
+            else keyed.dropDuplicates(["event_id"])
         )
         agg = deduped.groupBy("event_type").agg(F.count("*").alias("n_events"))
         out = run(agg, "dedup_stream_sink")

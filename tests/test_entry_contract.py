@@ -43,32 +43,35 @@ def test_check_window_covers_every_operator_family():
         # two new LLM operators below; orc_roundtrip rotated out in r5
         # — ORC read/write stays carried by format_roundtrips — to make
         # room for bigram_collocations, the last never-driver-checked
-        # oracle-bearing query)
+        # oracle-bearing query; json_lines_roundtrip followed for the
+        # same reason, its JSON leg carried by format_roundtrips)
         "daily_pipeline", "staging_promote_roundtrip",
         "partition_pruned_report",
         "schema_evolution_read", "bucketed_colocated_join",
-        "json_lines_roundtrip",
-        # scd / upsert / dedup (sorts ride q3/ordered reports; the r4
-        # rotation moved 2-3-round-stable set-op carriers to the tail,
-        # guarded by the full local oracle run before each snapshot)
+        # scd / upsert / dedup (sorts ride q3/ordered reports; the r4-r5
+        # rotations moved 2-3-round-stable carriers to the tail —
+        # dedup_last_write_wins rides dedup_keep_best's row_number
+        # family, pct_of_quota's inner equi-join rides q3 — guarded by
+        # the full local oracle run before each snapshot)
         "keyed_upsert", "scd2_merge", "dedup_keep_best",
-        "dedup_last_write_wins", "upcoming_leave_pct",
+        "upcoming_leave_pct",
         # every streaming carrier (rlike carries ST2+ST4 in full; the
         # event_type stand-in variant rides the tail)
         "strike_report_rlike",
         "strike_window_counts", "strike_stream_stateful",
         "stream_dedup_counts", "session_window_counts",
         "stream_purchase_view_join", "streaming_upsert_dim",
-        # temporal joins / repair / sessionization + CDC
+        # temporal joins / repair / sessionization / anomalies + CDC
         "purchase_asof_view", "events_in_error_windows",
         "user_value_trend", "forward_fill_values", "event_sessions",
-        "snapshot_diff_orders",
+        "value_outliers", "snapshot_diff_orders",
         # LLM dedup / ANN / multimodal / text-scrub stack
         "exact_dedup", "minhash_lsh_groups", "ngram_jaccard_pairs",
         "dedup_clusters", "dedup_clusters_star", "doc_chunks",
         "hyperplane_lsh_groups", "embedding_topk", "ivf_topk",
         "embedding_neardup_pairs", "pii_scrub", "repeated_passages",
         "context_pack_bins", "tfidf_top_terms", "bigram_collocations",
+        "kmeans_ivf_assign", "lm_doc_score",
         # composed family carriers (text X1-X5, multimodal X16+X33,
         # formats X61+X62)
         "text_profile", "multimodal_profile", "format_roundtrips",

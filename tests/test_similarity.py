@@ -53,3 +53,33 @@ def test_hyperplane_lsh_band_count(spark):
     rows = hyperplane_lsh(df, planes=planes, bands=4).collect()
     assert sorted(r["band_no"] for r in rows) == [0, 1, 2, 3]
     assert all(0 <= r["bucket"] < 4 for r in rows)  # 2 bits per band
+
+
+def test_kmeans_iterate_separates_obvious_groups(spark):
+    from employee_data_management_system_data_engineering_solution_spark.operators.similarity import (
+        assign_clusters,
+        kmeans_iterate,
+    )
+
+    # two tight angular groups around [1,0] and [0,1]; seeds = ids 0,1
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),
+        (2, [0.9, 0.1]),
+        (3, [0.95, 0.05]),
+        (4, [0.1, 0.9]),
+        (5, [0.05, 0.95]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = kmeans_iterate(df, k=2, iters=2)
+    got = cents.collect()
+    assert len(got) == 2
+    # cluster 0's trained centroid stays in the x-dominant half-plane
+    by_id = {r.vec_id: list(r.embedding) for r in got}
+    assert by_id[0][0] > by_id[0][1] and by_id[1][1] > by_id[1][0]
+    assigned = {
+        r.vec_id: r.cluster_id
+        for r in assign_clusters(df, cents).select("vec_id", "cluster_id").collect()
+    }
+    assert {k for k, v in assigned.items() if v == 0} == {0, 2, 3}
+    assert {k for k, v in assigned.items() if v == 1} == {1, 4, 5}

@@ -256,3 +256,22 @@ def test_strike_stream_rocksdb_provider_matches_default(spark, tmp_path):
     }
     assert rocks == base
     assert rocks[2] == (15, "INACTIVE")
+
+
+def test_dedup_within_watermark_matches_plain_dedup(spark):
+    """dropDuplicatesWithinWatermark (state bounded by the watermark
+    window — the unbounded-stream production variant) must agree with
+    plain dropDuplicates when duplicates arrive inside the window."""
+    from employee_data_management_system_data_engineering_solution_spark.streaming.strikes import (
+        run_dedup_stream,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    plain = {
+        r.event_type: r.n_events for r in run_dedup_stream(spark, sf).collect()
+    }
+    bounded = {
+        r.event_type: r.n_events
+        for r in run_dedup_stream(spark, sf, within_watermark=True).collect()
+    }
+    assert bounded == plain and sum(plain.values()) > 0

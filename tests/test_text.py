@@ -77,3 +77,59 @@ def test_scrub_pii_counts(spark):
 def test_scrub_pii_leaves_clean_text(spark):
     msg = "version 1.2 costs 12.50 at 3pm"  # dotted numbers that are NOT IPs
     assert _one(spark, msg, tx.scrub_pii) == msg
+
+
+def test_lm_doc_score_matches_hand_model(spark):
+    """lm_doc_score: per-doc mean ln((C(a,b)+1)/(C(a)+|V|)) with
+    corpus-wide add-one-smoothed bigram counts, checked against an
+    independent scalar recomputation."""
+    import math
+
+    from employee_data_management_system_data_engineering_solution_spark.plans.registry import (
+        REGISTRY,
+    )
+
+    texts = {1: "a b a b c", 2: "a b", 3: "z q z"}
+    # independent model
+    from collections import Counter
+
+    uni, bi = Counter(), Counter()
+    doc_bigrams = {}
+    for d, t in texts.items():
+        w = t.split()
+        uni.update(w)
+        pairs = list(zip(w, w[1:]))
+        bi.update(pairs)
+        doc_bigrams[d] = pairs
+    vocab = len(uni)
+    want = {
+        d: round(
+            sum(math.log((bi[p] + 1) / (uni[p[0]] + vocab)) for p in pairs) / len(pairs),
+            4,
+        )
+        for d, pairs in doc_bigrams.items()
+    }
+
+    import glob
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="lm_docs_")
+    try:
+        df = spark.createDataFrame(
+            [(d, t) for d, t in texts.items()], "doc_id long, text string"
+        )
+        df.coalesce(1).write.parquet(f"{tmp}/stage")
+        part = glob.glob(f"{tmp}/stage/part-*.parquet")[0]
+        shutil.move(part, f"{tmp}/documents.parquet")
+        got = {
+            r.doc_id: (r.n_bigrams, r.lm_score)
+            for r in REGISTRY["lm_doc_score"].fn(spark, tmp).collect()
+        }
+        assert got == {
+            1: (4, want[1]),
+            2: (1, want[2]),
+            3: (2, want[3]),
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
