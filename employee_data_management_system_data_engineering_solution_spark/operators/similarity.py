@@ -316,6 +316,7 @@ def kmeans_iterate(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    dim: int | None = None,
 ) -> DataFrame:
     """Lloyd's k-means for IVF pivot TRAINING (cosine assignment,
     per-dimension mean recompute) — turns the ANN stack's "first k
@@ -337,10 +338,13 @@ def kmeans_iterate(
     components round to ``round_digits`` so the trained pivots are
     reproducible across engines and summation orders.
     """
-    first = corpus.select(vec_col).first()
-    if first is None:
-        raise ValueError("kmeans_iterate: empty corpus")
-    dim = len(first[0])
+    if dim is None:
+        # vector width probe — one tiny job; pass dim explicitly to
+        # skip it when the embedding dimension is known
+        first = corpus.select(vec_col).first()
+        if first is None:
+            raise ValueError("kmeans_iterate: empty corpus")
+        dim = len(first[0])
     spark = corpus.sparkSession
     pivots = corpus.filter(F.col(id_col) < k).select(id_col, vec_col)
     for _ in range(iters):

@@ -661,7 +661,7 @@ def kmeans_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     holds the k x dim centroid table between iterations. The oracle
     unrolls both iterations in SQL (same rounding at every step)."""
     emb = read_table(spark, sf_dir, "embeddings")
-    cents = similarity.kmeans_iterate(emb, k=8, iters=2)
+    cents = similarity.kmeans_iterate(emb, k=8, iters=2, dim=64)
     return similarity.assign_clusters(emb, cents).select("vec_id", "cluster_id")
 
 

@@ -1,0 +1,103 @@
+"""Physical-plan regression suite (SURVEY.md §4).
+
+Correctness oracles prove the ANSWERS are right; these tests pin the
+PLANS — predicate pushdown reaching the parquet scan, broadcast joins
+where a side is known-small, zero-exchange bucketed joins, bounded
+shuffle counts on the dedup path. A refactor that silently turns a
+narrow map into a shuffle, or un-pushes a filter, fails here long
+before it shows up as a 100 TB incident. Assertions use conservative
+substrings of Spark 4.x explain output.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from employee_data_management_system_data_engineering_solution_spark.plans.registry import REGISTRY
+from employee_data_management_system_data_engineering_solution_spark.sources.io import read_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def test_q1_filter_pushed_to_parquet_scan(spark):
+    df = REGISTRY["q1_pricing_summary"].fn(spark, SF)
+    plan = plan_of(df)
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters", 1)[1][:400]
+    # the whole pipeline stays JVM-side: no Python evaluation anywhere
+    assert "Python" not in plan
+    # aggregation must run inside whole-stage codegen — visible on the
+    # FINAL adaptive plan, so execute once then re-explain
+    df.collect()
+    assert "codegen id" in plan_of(df)
+
+
+def test_q1_scan_prunes_columns(spark):
+    plan = plan_of(REGISTRY["q1_pricing_summary"].fn(spark, SF))
+    # ReadSchema must not include columns the query never touches
+    read_schema = plan.split("ReadSchema", 1)[1].splitlines()[0]
+    assert "l_comment" not in read_schema and "l_partkey" not in read_schema
+
+
+def test_q3_broadcasts_filtered_dimension(spark):
+    plan = plan_of(REGISTRY["q3_shipping_priority"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_bucketed_join_has_no_exchange_before_smj(spark):
+    plan = plan_of(REGISTRY["bucketed_colocated_join"].fn(spark, SF))
+    assert "SortMergeJoin" in plan
+    # the join inputs are bucketed: SelectedBucketsCount appears and the
+    # only exchange in the whole plan is the tiny post-join segment agg
+    assert "SelectedBucketsCount" in plan
+    assert plan.count("Exchange") <= 2  # final agg + AQE reads
+
+
+def test_exact_dedup_single_shuffle(spark):
+    plan = plan_of(REGISTRY["exact_dedup"].fn(spark, SF), mode="simple")
+    assert plan.count("Exchange") == 1
+
+
+def test_assign_clusters_is_narrow_after_fanout(spark):
+    from employee_data_management_system_data_engineering_solution_spark.operators.similarity import (
+        assign_clusters,
+    )
+
+    emb = read_table(spark, SF, "embeddings")
+    piv = emb.filter(F.col("vec_id") < 8).select("vec_id", "embedding")
+    plan = plan_of(assign_clusters(emb, piv), mode="simple")
+    # one round-robin fan-out exchange, then pure map — the argmax adds
+    # no join, no aggregation, no further exchange
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan and "Aggregate" not in plan
+
+
+def test_partition_pruned_scan_reads_selected_partitions(spark):
+    plan = plan_of(REGISTRY["partition_pruned_report"].fn(spark, SF))
+    # the sink is hive-partitioned by l_returnflag; the report's read
+    # must prune to the two requested partition values at the scan
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters", 1)[1][:300]
+    assert "l_returnflag" in seg and "IN (A,R)" in seg
+
+
+def test_context_pack_bins_no_global_single_partition_window(spark):
+    plan = plan_of(REGISTRY["context_pack_bins"].fn(spark, SF), mode="simple")
+    # the distributed prefix scan's only SinglePartition exchange is the
+    # bucket-subtotal table (bounded: n/bucket_width rows), never the
+    # document stream itself
+    assert plan.count("Exchange SinglePartition") <= 1
+
+
+def test_upcoming_leave_uses_broadcast_not_collect_join(spark):
+    plan = plan_of(REGISTRY["upcoming_leave_pct"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
