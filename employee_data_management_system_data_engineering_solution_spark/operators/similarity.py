@@ -365,3 +365,132 @@ def kmeans_iterate(
             f"{id_col} long, {vec_col} array<double>",
         )
     return pivots
+
+
+def assign_clusters_multi(
+    corpus: DataFrame,
+    pivots: DataFrame,
+    nprobe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-``nprobe`` pivot assignment (the query-side half of
+    multi-probe IVF): each vector maps to its ``nprobe`` nearest pivots
+    by cosine, ties to the smaller pivot id.
+
+    Same zero-shuffle discipline as :func:`assign_clusters` — pivots
+    ride as literals, and the per-row top-n comes from sorting the
+    P-element (sim, -pivot_id) struct array descending and slicing,
+    still a narrow map (P is tiny by construction). Output: one row per
+    (vector, probe) with ``probe_rank`` 1..nprobe.
+    """
+    import math
+
+    if nprobe < 1:
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
+    pivot_rows = pivots.select(id_col, vec_col).collect()  # bounded: P centroids
+
+    def _pnorm(vec) -> float:
+        acc = 0.0
+        for x in vec:
+            acc += float(x) * float(x)
+        return math.sqrt(acc)
+
+    plit = F.array(
+        *[
+            F.struct(
+                F.lit(int(r[0])).alias("pivot_id"),
+                F.array(*[F.lit(float(x)) for x in r[1]]).alias("pv"),
+                F.lit(_pnorm(r[1])).alias("pnorm"),
+            )
+            for r in pivot_rows
+        ]
+    )
+    pre = fan_out(
+        corpus.select(
+            F.col(id_col),
+            F.col(vec_col),
+            norm(_as_double(F.col(vec_col))).alias("__vnorm"),
+        )
+    )
+    v = _as_double(F.col(vec_col))
+    scored = F.transform(
+        plit,
+        lambda p: F.struct(
+            F.round(dot(v, p["pv"]) / (F.col("__vnorm") * p["pnorm"]), 6).alias("sim"),
+            (-p["pivot_id"]).alias("neg_pivot_id"),
+        ),
+    )
+    # descending struct sort == best-first: (sim desc, pivot_id asc)
+    top = F.slice(F.reverse(F.array_sort(scored)), 1, nprobe)
+    exploded = pre.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("__vnorm"),
+        F.posexplode(top).alias("__pos", "__probe"),
+    )
+    return exploded.select(
+        id_col,
+        vec_col,
+        "__vnorm",
+        (-F.col("__probe.neg_pivot_id")).cast("long").alias("cluster_id"),
+        (F.col("__pos") + 1).alias("probe_rank"),
+    )
+
+
+def ivf_topk_multiprobe(
+    queries: DataFrame,
+    corpus: DataFrame,
+    pivots: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Multi-probe IVF top-k: each query searches its ``nprobe``
+    nearest clusters instead of one, recovering most of the recall an
+    nprobe=1 search loses at Voronoi boundaries for ~nprobe× the probe
+    cost (still 1/(P/nprobe) of the corpus per query).
+
+    The corpus side keeps single-assignment (each vector lives in ONE
+    inverted list — the index invariant); only the query fans out, so a
+    (query, neighbor) pair arises at most once and needs no dedup.
+    Output: (query_id, neighbor_id, cosine_sim, rank).
+    """
+    assigned = assign_clusters(corpus, pivots, id_col, vec_col).localCheckpoint(eager=False)
+    q = assign_clusters_multi(
+        assigned.join(queries.select(F.col(id_col).alias("__qid")),
+                      assigned[id_col] == F.col("__qid")).select(id_col, vec_col),
+        pivots,
+        nprobe,
+        id_col,
+        vec_col,
+    ).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        F.col("__vnorm").alias("__qnorm"),
+        "cluster_id",
+    )
+    c = assigned.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        F.col("__vnorm").alias("__cnorm"),
+        "cluster_id",
+    )
+    scored = (
+        c.join(F.broadcast(q), on="cluster_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(_as_double(F.col("__qvec")), _as_double(F.col("__cvec")))
+                / (F.col("__qnorm") * F.col("__cnorm")),
+                6,
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -561,6 +561,58 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ivf_topk_multiprobe",
+    f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    p AS (SELECT vec_id AS pivot_id, e AS pv FROM v WHERE vec_id < 8),
+    assign_scored AS (
+      SELECT v.vec_id, v.e, p.pivot_id,
+             round(list_dot_product(v.e, p.pv)
+                   / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(p.pv, p.pv))),
+                   6) AS sim
+      FROM v, p
+    ),
+    assigned AS (
+      SELECT vec_id, e, pivot_id AS cluster_id
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY vec_id ORDER BY sim DESC, pivot_id ASC) AS rn
+            FROM assign_scored)
+      WHERE rn = 1
+    ),
+    q AS (
+      SELECT vec_id AS query_id, e AS qv, pivot_id AS cluster_id
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY vec_id ORDER BY sim DESC, pivot_id ASC) AS rn
+            FROM assign_scored)
+      WHERE rn <= 2 AND vec_id >= 100 AND vec_id < 105
+    ),
+    scored AS (
+      SELECT q.query_id, a.vec_id AS neighbor_id, {_COS.replace('cv', 'a.e')} AS cosine_sim
+      FROM assigned a JOIN q ON a.cluster_id = q.cluster_id
+      WHERE a.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rn AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
+      FROM scored
+    ) WHERE rn <= 10
+    """,
+)
+def ivf_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF (nprobe=2): each query searches its two nearest
+    inverted lists, recovering Voronoi-boundary recall the nprobe=1
+    search loses. The corpus keeps single-assignment (the index
+    invariant), so (query, neighbor) pairs arise at most once and need
+    no dedup; the oracle's only change from ivf_topk is rn <= 2 on the
+    QUERY-side assignment window."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    pivots = emb.filter(F.col("vec_id") < 8)
+    queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105))
+    return similarity.ivf_topk_multiprobe(queries, emb, pivots, k=10, nprobe=2)
+
+
+@register(
     "embedding_neardup_pairs",
     f"""
     WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

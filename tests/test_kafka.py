@@ -143,3 +143,22 @@ def test_parsed_frame_feeds_strike_pipeline(spark):
     parsed = parse_kafka_events(_wire_frame(spark, payloads))
     got = {r.event_id: r.flagged for r in flag_messages(parsed, "props").collect()}
     assert got == {1: True, 2: False}
+
+
+def test_extra_options_cannot_override_validated_core():
+    import pytest
+
+    from employee_data_management_system_data_engineering_solution_spark.streaming.kafka import (
+        kafka_source_options,
+    )
+
+    with pytest.raises(ValueError, match="override validated core"):
+        kafka_source_options(
+            "broker:9092", "events", extra={"subscribe": "other_topic"}
+        )
+    # non-colliding extras still pass through
+    opts = kafka_source_options(
+        "broker:9092", "events", extra={"kafka.security.protocol": "SSL"}
+    )
+    assert opts["kafka.security.protocol"] == "SSL"
+    assert opts["subscribe"] == "events"

@@ -37,3 +37,15 @@ def test_prefix_sum_sparse_keys_and_tiny_buckets(spark):
     rows = [(0, 5), (1, 0), (7, 3), (4_096, 2), (1_000_000, 9)]
     _check(spark, rows, bucket_width=1)
     _check(spark, rows, bucket_width=4096)
+
+
+def test_prefix_sum_keeps_fractional_value_type(spark):
+    # double value column: the running total must stay double (no long
+    # truncation) and match the serial fold exactly
+    rows = [(1, 0.5), (2, 0.25), (3, 1.75), (4, 0.5)]
+    df = spark.createDataFrame(rows, "k long, v double")
+    got = {
+        r.k: r.running_total
+        for r in prefix_sum(df, "k", "v", bucket_width=2).collect()
+    }
+    assert got == {1: 0.5, 2: 0.75, 3: 2.5, 4: 3.0}

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from employee_data_management_system_data_engineering_solution_spark.operators.similarity import (
     assign_clusters,
     cosine_topk_bruteforce,
@@ -83,3 +85,28 @@ def test_kmeans_iterate_separates_obvious_groups(spark):
     }
     assert {k for k, v in assigned.items() if v == 0} == {0, 2, 3}
     assert {k for k, v in assigned.items() if v == 1} == {1, 4, 5}
+
+
+def test_multiprobe_recall_not_below_single_probe(spark):
+    """nprobe=2 must never lose recall vs nprobe=1 (it searches a
+    superset of the inverted lists), and both measure against the
+    brute-force exact top-k."""
+    from employee_data_management_system_data_engineering_solution_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        ivf_topk,
+        ivf_topk_multiprobe,
+    )
+    from employee_data_management_system_data_engineering_solution_spark.sources.io import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105))
+    pivots = emb.filter(F.col("vec_id") < 8)
+
+    def pairs(df):
+        return {(r.query_id, r.neighbor_id) for r in df.collect()}
+
+    exact = pairs(cosine_topk_bruteforce(queries, emb, k=10))
+    p1 = pairs(ivf_topk(queries, emb, pivots, k=10))
+    p2 = pairs(ivf_topk_multiprobe(queries, emb, pivots, k=10, nprobe=2))
+    assert len(p2 & exact) >= len(p1 & exact)
+    assert len(p2) == len(p1) == 50
