@@ -56,8 +56,11 @@ from .registry import REGISTRY, register
 # in-window elsewhere: json_lines_roundtrip (JSON leg of
 # format_roundtrips), pct_of_quota (J2 inner equi-join carried by
 # q3_shipping_priority), dedup_last_write_wins (row_number dedup
-# family carried by dedup_keep_best). The full local check_oracle run
-# before each snapshot guards every displaced query.
+# family carried by dedup_keep_best). neardup_prune (the composed
+# fuzzy-dedup corpus prune, also new in r5) displaces dedup_clusters,
+# whose oracle and algorithm family stay in-window via
+# dedup_clusters_star (identical _CLUSTERS_ORACLE). The full local
+# check_oracle run before each snapshot guards every displaced query.
 # ---------------------------------------------------------------------------
 _PRIORITY: tuple[str, ...] = (
     # flagship + composed pipeline and every sink shape (S1-S6, K1-K5)
@@ -101,8 +104,8 @@ _PRIORITY: tuple[str, ...] = (
     "exact_dedup",
     "minhash_lsh_groups",
     "ngram_jaccard_pairs",
-    "dedup_clusters",
     "dedup_clusters_star",
+    "neardup_prune",
     "benchmark_contamination",
     "doc_chunks",
     "hyperplane_lsh_groups",

@@ -965,6 +965,64 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cluster_report(connected_components_star(pairs, src="id_a", dst="id_b"))
 
 
+@register(
+    "neardup_prune",
+    f"""
+    WITH RECURSIVE pairs AS ({_PAIRS_ORACLE}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach AS (
+      SELECT node, node AS r FROM nodes
+      UNION
+      SELECT re.node, e.dst AS r FROM reach re JOIN edges e ON e.src = re.r
+    ),
+    labeled AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node)
+    SELECT d.doc_id,
+           coalesce(l.doc_id IS NOT NULL, FALSE) AS is_cluster_rep
+    FROM documents d
+    LEFT JOIN (SELECT doc_id FROM labeled WHERE doc_id = cluster_id) l
+      ON d.doc_id = l.doc_id
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM labeled WHERE doc_id <> cluster_id)
+    """,
+)
+def neardup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fuzzy-dedup END: the de-duplicated corpus itself. Composes
+    the whole pipeline — LSH candidates → n-gram Jaccard verification
+    (the session pair memo) → min-label connected components → keep the
+    smallest-id document per cluster, drop the rest.
+
+    Output: every surviving doc_id plus whether it survived as a
+    cluster representative (vs. never having a near-dup at all).
+
+    Scale shape: everything upstream is the already-bucketed pair
+    pipeline; the prune itself is two joins of the corpus against the
+    CLUSTER MEMBERSHIP table, which is duplicate-bounded (|members| <<
+    corpus). Join strategy is left to AQE: at test scale it broadcasts;
+    at 100 TB with a large dup fraction it degrades gracefully to a
+    shuffle join rather than OOMing a forced broadcast."""
+    from ..operators.graph import connected_components
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = _verified_pairs(spark, sf_dir)
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    non_reps = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    reps = comp.filter(F.col("node") == F.col("component")).select(
+        F.col("node").alias("doc_id"), F.lit(True).alias("is_cluster_rep")
+    )
+    return (
+        docs.select("doc_id")
+        .join(non_reps, "doc_id", "left_anti")
+        .join(reps, "doc_id", "left")
+        .select("doc_id", F.coalesce("is_cluster_rep", F.lit(False)).alias("is_cluster_rep"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Python UDTF: context-window chunking (one doc → N overlapping chunks)
 # ---------------------------------------------------------------------------

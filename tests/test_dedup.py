@@ -211,3 +211,25 @@ def test_passage_fingerprint_rows(spark):
     # doc 4's only passage equals doc 1's second passage
     assert by_doc[4][0] in by_doc[1]
     assert by_doc[2][0] == by_doc[1][0]
+
+
+def test_neardup_prune_keeps_one_rep_per_cluster(spark, tmp_path):
+    """End-to-end fuzzy-dedup prune: docs 1,2 (exact dups) and 3
+    (near-dup) collapse into one cluster whose smallest id survives as
+    representative; the unrelated doc survives un-flagged."""
+    import glob
+    import shutil
+
+    from employee_data_management_system_data_engineering_solution_spark.plans.registry import (
+        REGISTRY,
+    )
+
+    _docs(spark).coalesce(1).write.parquet(str(tmp_path / "stage"))
+    part = glob.glob(str(tmp_path / "stage" / "part-*.parquet"))[0]
+    shutil.move(part, str(tmp_path / "documents.parquet"))
+
+    got = {
+        r.doc_id: r.is_cluster_rep
+        for r in REGISTRY["neardup_prune"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got == {1: True, 4: False}

@@ -66,8 +66,11 @@ def test_check_window_covers_every_operator_family():
         "user_value_trend", "forward_fill_values", "event_sessions",
         "value_outliers", "snapshot_diff_orders",
         # LLM dedup / ANN / multimodal / text-scrub stack
+        # (dedup_clusters rotated out in r5: identical oracle and
+        # algorithm family carried by dedup_clusters_star; the composed
+        # corpus prune neardup_prune took its slot)
         "exact_dedup", "minhash_lsh_groups", "ngram_jaccard_pairs",
-        "dedup_clusters", "dedup_clusters_star", "doc_chunks",
+        "dedup_clusters_star", "neardup_prune", "doc_chunks",
         "hyperplane_lsh_groups", "embedding_topk", "ivf_topk",
         "embedding_neardup_pairs", "pii_scrub", "repeated_passages",
         "context_pack_bins", "tfidf_top_terms", "bigram_collocations",
