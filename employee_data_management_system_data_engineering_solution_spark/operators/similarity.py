@@ -84,6 +84,43 @@ def cosine_topk_bruteforce(
     )
 
 
+def _pivot_literal(pivot_rows) -> Column:
+    """The collected pivot set as ONE literal array-of-structs column,
+    built via a single SQL ``expr`` string instead of P x dim nested
+    ``F.lit`` calls — plan CONSTRUCTION was measured at 2-4x the
+    EXECUTION cost of an assignment pass at test scale because every
+    ``lit``/``struct``/``array`` call is a py4j round-trip; one expr
+    string is one round-trip. Doubles render via ``repr`` (shortest
+    round-trip decimal), which Spark's double-literal parser maps back
+    to the identical IEEE value, so plans are bit-identical to the
+    lit-built form."""
+    import math
+
+    def _pnorm(vec) -> float:
+        # sequential left fold, matching the JVM aggregate()'s operation
+        # order bit-for-bit (do NOT use math.fsum / sum(generator))
+        acc = 0.0
+        for x in vec:
+            acc += float(x) * float(x)
+        return math.sqrt(acc)
+
+    def _d(x: float) -> str:
+        r = repr(float(x))
+        # exponent forms ('1e-05') are already double literals in Spark
+        # SQL; plain decimals need the D suffix to avoid DECIMAL typing
+        return r + "D" if ("e" not in r and "E" not in r) else r
+
+    structs = [
+        "named_struct('pivot_id', {id}L, 'pv', array({pv}), 'pnorm', {pn})".format(
+            id=int(r[0]),
+            pv=", ".join(_d(x) for x in r[1]),
+            pn=_d(_pnorm(r[1])),
+        )
+        for r in pivot_rows
+    ]
+    return F.expr("array(" + ", ".join(structs) + ")")
+
+
 def assign_clusters(
     corpus: DataFrame,
     pivots: DataFrame,
@@ -100,28 +137,8 @@ def assign_clusters(
     exchange, no window. The previous formulation (cross join + window
     argmax) shuffled P copies of every vector; at 100 TB that shuffle
     IS the job, while this version is pure scan."""
-    import math
-
     pivot_rows = pivots.select(id_col, vec_col).collect()  # bounded: P centroids
-
-    def _pnorm(vec) -> float:
-        # sequential left fold, matching the JVM aggregate()'s operation
-        # order bit-for-bit (do NOT use math.fsum / sum(generator))
-        acc = 0.0
-        for x in vec:
-            acc += float(x) * float(x)
-        return math.sqrt(acc)
-
-    plit = F.array(
-        *[
-            F.struct(
-                F.lit(int(r[0])).alias("pivot_id"),
-                F.array(*[F.lit(float(x)) for x in r[1]]).alias("pv"),
-                F.lit(_pnorm(r[1])).alias("pnorm"),
-            )
-            for r in pivot_rows
-        ]
-    )
+    plit = _pivot_literal(pivot_rows)
     # higher-order functions evaluate interpreted (outside codegen), so
     # redundant math inside the lambda is P× real cost: the vector's own
     # norm is materialized ONCE per row in a projection behind the
@@ -384,28 +401,10 @@ def assign_clusters_multi(
     still a narrow map (P is tiny by construction). Output: one row per
     (vector, probe) with ``probe_rank`` 1..nprobe.
     """
-    import math
-
     if nprobe < 1:
         raise ValueError(f"nprobe must be >= 1, got {nprobe}")
     pivot_rows = pivots.select(id_col, vec_col).collect()  # bounded: P centroids
-
-    def _pnorm(vec) -> float:
-        acc = 0.0
-        for x in vec:
-            acc += float(x) * float(x)
-        return math.sqrt(acc)
-
-    plit = F.array(
-        *[
-            F.struct(
-                F.lit(int(r[0])).alias("pivot_id"),
-                F.array(*[F.lit(float(x)) for x in r[1]]).alias("pv"),
-                F.lit(_pnorm(r[1])).alias("pnorm"),
-            )
-            for r in pivot_rows
-        ]
-    )
+    plit = _pivot_literal(pivot_rows)
     pre = fan_out(
         corpus.select(
             F.col(id_col),
