@@ -493,3 +493,38 @@ def ivf_topk_multiprobe(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
     )
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def quantize_int8(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "qvec",
+    scale_col: str = "qscale",
+) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization: each component
+    maps to round(127 * x / max|x|), stored alongside the scale needed
+    to dequantize (x ≈ q * scale / 127).
+
+    This is the standard 4x storage/bandwidth compression for ANN
+    corpora — at 100 TB of float32 embeddings the index shrinks to
+    ~25 TB with recall loss typically <1% for cosine search. A pure
+    narrow map (two higher-order passes per row: max-abs fold, then
+    transform), no UDF, no shuffle; zero vectors quantize to all-zero
+    with scale 0 rather than dividing by zero.
+    """
+    v = _as_double(F.col(vec_col))
+    amax = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+    )
+    q = F.when(
+        F.col(scale_col) > 0,
+        F.transform(
+            v, lambda x: F.round(x * 127.0 / F.col(scale_col)).cast("int")
+        ),
+    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    return (
+        corpus.select(F.col(id_col), F.col(vec_col), amax.alias(scale_col))
+        .withColumn(out_col, q)
+        .select(id_col, scale_col, out_col)
+    )

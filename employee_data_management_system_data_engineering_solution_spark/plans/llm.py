@@ -613,6 +613,41 @@ def ivf_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_quantize",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    s AS (
+      SELECT vec_id, e,
+             list_max(list_transform(e, x -> abs(x))) AS qscale
+      FROM v
+    )
+    SELECT vec_id,
+           round(qscale, 6) AS qscale,
+           array_to_string(
+             CASE WHEN qscale > 0
+                  THEN list_transform(e, x -> CAST(round(x * 127.0 / qscale) AS INT))
+                  ELSE list_transform(e, x -> 0)
+             END, ',') AS qvec_csv
+    FROM s
+    """,
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization of the embedding
+    corpus — the standard 4x ANN storage/bandwidth compression (at
+    100 TB of float32 vectors the index drops to ~25 TB, recall loss
+    typically <1% for cosine). Pure narrow map (max-abs fold +
+    transform), no UDF, no shuffle; the driver surface stringifies the
+    int array and rounds the scale to 6 dp on both engines."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = similarity.quantize_int8(emb)
+    return q.select(
+        "vec_id",
+        F.round("qscale", 6).alias("qscale"),
+        F.concat_ws(",", F.transform("qvec", lambda x: x.cast("string"))).alias("qvec_csv"),
+    )
+
+
+@register(
     "embedding_neardup_pairs",
     f"""
     WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

@@ -81,3 +81,31 @@ def test_keyed_upsert_key_set_is_union(spark, dim, stg):
     assert set(out) == set(dim_m) | set(stg_m)
     for k, v in out.items():
         assert v == (stg_m[k] if k in stg_m else dim_m[k])
+
+
+@given(
+    values=st.lists(
+        st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=60
+    ),
+    bucket_width=st.integers(min_value=1, max_value=16),
+)
+@_SETTINGS
+def test_prefix_sum_equals_serial_fold_property(spark, values, bucket_width):
+    """prefix_sum over arbitrary ints and bucket widths == the serial
+    cumulative fold, independent of bucketing."""
+    from employee_data_management_system_data_engineering_solution_spark.operators.prefix import (
+        prefix_sum,
+    )
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(values)], "k long, v long"
+    )
+    got = {
+        r.k: r.running_total
+        for r in prefix_sum(df, "k", "v", bucket_width=bucket_width).collect()
+    }
+    acc, want = 0, {}
+    for i, v in enumerate(values):
+        acc += v
+        want[i] = acc
+    assert got == want

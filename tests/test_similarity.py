@@ -110,3 +110,39 @@ def test_multiprobe_recall_not_below_single_probe(spark):
     p2 = pairs(ivf_topk_multiprobe(queries, emb, pivots, k=10, nprobe=2))
     assert len(p2 & exact) >= len(p1 & exact)
     assert len(p2) == len(p1) == 50
+
+
+def test_quantize_int8_exact_values_and_zero_vector(spark):
+    from employee_data_management_system_data_engineering_solution_spark.operators.similarity import (
+        quantize_int8,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, -0.5, 0.25, 0.0]),
+            (2, [0.0, 0.0, 0.0, 0.0]),  # zero vector: scale 0, all-zero codes
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r.vec_id: (r.qscale, list(r.qvec)) for r in quantize_int8(df).collect()}
+    # scale = max|x| = 1.0; codes = round(127 * x)
+    assert got[1] == (1.0, [127, -64, 32, 0])
+    assert got[2] == (0.0, [0, 0, 0, 0])
+
+
+def test_quantize_int8_dequant_error_bounded(spark):
+    from employee_data_management_system_data_engineering_solution_spark.operators.similarity import (
+        quantize_int8,
+    )
+    from employee_data_management_system_data_engineering_solution_spark.sources.io import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings").limit(50)
+    joined = quantize_int8(emb).join(emb, "vec_id")
+    rows = joined.collect()
+    assert len(rows) == 50
+    for r in rows:
+        scale = r.qscale
+        assert scale > 0
+        for q, x in zip(r.qvec, r.embedding):
+            # symmetric quantization: |dequant - x| <= half a step
+            assert abs(q * scale / 127.0 - float(x)) <= scale / 254.0 + 1e-9
