@@ -528,3 +528,85 @@ def quantize_int8(
         .withColumn(out_col, q)
         .select(id_col, scale_col, out_col)
     )
+
+
+def quantized_topk_rescore(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    rescore_factor: int = 3,
+) -> DataFrame:
+    """Two-stage search over the int8-quantized corpus: a cheap coarse
+    top-(k x rescore_factor) by quantized cosine, then EXACT float
+    rescoring of only those candidates — the standard
+    compress-search-rescore loop that makes a 4x-smaller index serve
+    full-precision results.
+
+    Cosine is scale-invariant, so the per-vector quantization scales
+    cancel and the coarse score is cos(qvec_a, qvec_b) on the int8
+    codes — integer dot products and integer norms, exact in both
+    engines (no float summation hazard until the final division). The
+    rescore joins only ~k x rescore_factor rows per query back to the
+    float vectors.
+
+    Output: (query_id, neighbor_id, cosine_sim, rank) — cosine_sim is
+    the EXACT rounded float cosine, rank over the rescored candidates.
+    """
+    q8 = quantize_int8(queries, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("qvec").alias("__qq")
+    )
+    c8 = quantize_int8(corpus, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("qvec").alias("__qc")
+    )
+    idot = F.aggregate(
+        F.zip_with("__qq", "__qc", lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    inorm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: (x * x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).cast("double")
+    )
+    coarse = (
+        c8.crossJoin(F.broadcast(q8))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                idot / (inorm(F.col("__qq")) * inorm(F.col("__qc"))), 6
+            ).alias("qcos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qcos").desc(), F.col("neighbor_id").asc()
+    )
+    cands = coarse.withColumn("__crank", F.row_number().over(w)).filter(
+        F.col("__crank") <= k * rescore_factor
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+    )
+    rescored = (
+        cands.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("__qvec"), F.col("__cvec")), 6).alias("cosine_sim"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return rescored.withColumn("rank", F.row_number().over(w2)).filter(
+        F.col("rank") <= k
+    )

@@ -146,3 +146,31 @@ def test_quantize_int8_dequant_error_bounded(spark):
         for q, x in zip(r.qvec, r.embedding):
             # symmetric quantization: |dequant - x| <= half a step
             assert abs(q * scale / 127.0 - float(x)) <= scale / 254.0 + 1e-9
+
+
+def test_quantized_rescore_tracks_exact_search(spark):
+    """The compress→coarse→rescore loop must (a) score kept pairs with
+    the EXACT float cosine and (b) keep recall high — int8 cosine on
+    64-dim vectors is a tight approximation."""
+    from employee_data_management_system_data_engineering_solution_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        quantized_topk_rescore,
+    )
+    from employee_data_management_system_data_engineering_solution_spark.sources.io import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105))
+
+    exact = {
+        (r.query_id, r.neighbor_id): r.cosine_sim
+        for r in cosine_topk_bruteforce(queries, emb, k=10).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id): r.cosine_sim
+        for r in quantized_topk_rescore(queries, emb, k=10, rescore_factor=3).collect()
+    }
+    assert len(got) == 50
+    hits = set(got) & set(exact)
+    assert len(hits) >= 45  # >= 90% recall
+    # rescored values are the exact cosine, not the quantized one
+    assert all(got[p] == exact[p] for p in hits)
