@@ -60,7 +60,13 @@ from .registry import REGISTRY, register
 # fuzzy-dedup corpus prune, also new in r5) displaces dedup_clusters,
 # whose oracle and algorithm family stay in-window via
 # dedup_clusters_star (identical _CLUSTERS_ORACLE). The full local
-# check_oracle run before each snapshot guards every displaced query.
+# check_oracle run before each snapshot guards every displaced query
+# (committed as CHECK_ORACLE_r05.txt: 93/93).
+# ROUND 6 ROTATION QUEUE (oracle-bearing, no driver verdict yet):
+# ivf_topk_multiprobe, embedding_quantize, quantized_topk_rescore —
+# registered late in r5, landed in the tail because the window was
+# already carrying six first-round entrants; rotate them in next
+# round, displacing the then-longest-stable carriers.
 # ---------------------------------------------------------------------------
 _PRIORITY: tuple[str, ...] = (
     # flagship + composed pipeline and every sink shape (S1-S6, K1-K5)
