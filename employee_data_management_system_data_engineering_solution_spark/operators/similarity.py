@@ -110,6 +110,16 @@ def _pivot_literal(pivot_rows) -> Column:
         # SQL; plain decimals need the D suffix to avoid DECIMAL typing
         return r + "D" if ("e" not in r and "E" not in r) else r
 
+    # guard BEFORE rendering: repr(nan)/repr(inf) would emit bare
+    # 'nan'/'inf' tokens into the expr string and surface as a
+    # confusing SQL parse/resolution error far from the cause
+    for r in pivot_rows:
+        if any(not math.isfinite(float(x)) for x in r[1]):
+            raise ValueError(
+                f"pivot {r[0]!r} contains a non-finite component; "
+                "clean or drop it before building the pivot literal"
+            )
+
     structs = [
         "named_struct('pivot_id', {id}L, 'pv', array({pv}), 'pnorm', {pn})".format(
             id=int(r[0]),
@@ -326,6 +336,35 @@ def hyperplane_lsh(
     ).select(id_col, F.col("bb.band_no").alias("band_no"), F.col("bb.bucket").alias("bucket"))
 
 
+def _farthest_vectors(
+    corpus: DataFrame,
+    centroid_rows: list,
+    n: int,
+    id_col: str,
+    vec_col: str,
+) -> list:
+    """The ``n`` corpus vectors LEAST similar to any current centroid
+    (lowest max-cosine, ties to the smallest id) — the deterministic
+    farthest-point reseed pool for emptied k-means clusters. One narrow
+    scan (centroids ride as literals, same as :func:`assign_clusters`)
+    + a global top-n; ``orderBy().limit(n)`` plans as TakeOrdered, so
+    each partition ships at most n rows to the driver."""
+    plit = _pivot_literal(centroid_rows)
+    v = _as_double(F.col(vec_col))
+    best = F.array_max(
+        F.transform(
+            plit,
+            lambda p: F.round(dot(v, p["pv"]) / (norm(v) * p["pnorm"]), 6),
+        )
+    )
+    return (
+        corpus.select(F.col(id_col), F.col(vec_col), best.alias("__best_sim"))
+        .orderBy(F.col("__best_sim").asc(), F.col(id_col).asc())
+        .limit(n)
+        .collect()
+    )
+
+
 def kmeans_iterate(
     corpus: DataFrame,
     k: int = 8,
@@ -342,8 +381,18 @@ def kmeans_iterate(
 
     Returns the centroid table ``(id_col = cluster id, vec_col =
     array<double>)`` after ``iters`` assign+recompute rounds, seeded
-    with the k lowest-id vectors (deterministic, mirrors the untrained
-    pivot convention).
+    with the k lowest-id vectors — by ``orderBy(id_col).limit(k)``, so
+    the guarantee holds for ANY id domain (non-contiguous or
+    non-zero-based ids seed correctly); fewer than k corpus vectors is
+    an error, never a silent shrink.
+
+    k stays CONSTANT across iterations: a cluster that captures no
+    vectors in an assignment round is reseeded deterministically with
+    the farthest-point rule (the corpus vector with the lowest
+    max-cosine to the surviving centroids, ties to the smallest id) —
+    Lloyd's otherwise silently drops empty clusters and every later
+    iteration runs with shrunk k. Seeding near-duplicate vectors makes
+    empties likely on clustered real data, so the guard matters.
 
     Scale shape per iteration: one narrow zero-shuffle assignment pass
     over the corpus (:func:`assign_clusters` embeds the k centroids as
@@ -351,9 +400,10 @@ def kmeans_iterate(
     every partition to <= k rows of k x dim running sums — the shuffle
     moves O(k x dim x partitions) bytes, never corpus rows. The driver
     holds only the k x dim centroid table between iterations (the
-    per-iteration collect is THE standard Lloyd's barrier). Centroid
-    components round to ``round_digits`` so the trained pivots are
-    reproducible across engines and summation orders.
+    per-iteration collect is THE standard Lloyd's barrier); the reseed
+    pass (one extra TakeOrdered scan) runs only on the empty-cluster
+    path. Centroid components round to ``round_digits`` so the trained
+    pivots are reproducible across engines and summation orders.
     """
     if dim is None:
         # vector width probe — one tiny job; pass dim explicitly to
@@ -363,7 +413,19 @@ def kmeans_iterate(
             raise ValueError("kmeans_iterate: empty corpus")
         dim = len(first[0])
     spark = corpus.sparkSession
-    pivots = corpus.filter(F.col(id_col) < k).select(id_col, vec_col)
+    schema = f"{id_col} long, {vec_col} array<double>"
+    seed_rows = corpus.select(id_col, vec_col).orderBy(F.col(id_col).asc()).limit(k).collect()
+    if len(seed_rows) != k:
+        raise ValueError(
+            f"kmeans_iterate: corpus has {len(seed_rows)} vectors, need k={k} seeds"
+        )
+    # the cluster-id set is fixed for the whole run: the ids of the k
+    # seed vectors (on 0-based contiguous ids this is 0..k-1, matching
+    # the SQL oracle's `vec_id < k` seed)
+    pivot_ids = [int(r[0]) for r in seed_rows]
+    pivots = spark.createDataFrame(
+        [(int(r[0]), [float(x) for x in r[1]]) for r in seed_rows], schema
+    )
     for _ in range(iters):
         assigned = assign_clusters(corpus, pivots, id_col, vec_col)
         aggs = [
@@ -377,10 +439,16 @@ def kmeans_iterate(
         # the standard Lloyd's barrier, bounded regardless of corpus
         # size.
         cent_rows = assigned.groupBy("cluster_id").agg(*aggs).collect()
-        pivots = spark.createDataFrame(
-            [(int(r["cluster_id"]), [r[f"__c{i}"] for i in range(dim)]) for r in cent_rows],
-            f"{id_col} long, {vec_col} array<double>",
-        )
+        cents = {
+            int(r["cluster_id"]): [r[f"__c{i}"] for i in range(dim)] for r in cent_rows
+        }
+        missing = sorted(cid for cid in pivot_ids if cid not in cents)
+        if missing:
+            surviving = [(cid, cents[cid]) for cid in sorted(cents)]
+            far = _farthest_vectors(corpus, surviving, len(missing), id_col, vec_col)
+            for cid, row in zip(missing, far):
+                cents[cid] = [round(float(x), round_digits) for x in row[1]]
+        pivots = spark.createDataFrame([(cid, cents[cid]) for cid in pivot_ids], schema)
     return pivots
 
 
@@ -501,6 +569,7 @@ def quantize_int8(
     vec_col: str = "embedding",
     out_col: str = "qvec",
     scale_col: str = "qscale",
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Symmetric per-vector int8 scalar quantization: each component
     maps to round(127 * x / max|x|), stored alongside the scale needed
@@ -511,7 +580,10 @@ def quantize_int8(
     ~25 TB with recall loss typically <1% for cosine search. A pure
     narrow map (two higher-order passes per row: max-abs fold, then
     transform), no UDF, no shuffle; zero vectors quantize to all-zero
-    with scale 0 rather than dividing by zero.
+    with scale 0 rather than dividing by zero. ``keep`` names extra
+    input columns to carry through unchanged (e.g. an IVF
+    ``cluster_id``, so the code table doubles as the inverted list
+    without a re-join).
     """
     v = _as_double(F.col(vec_col))
     amax = F.aggregate(
@@ -524,9 +596,9 @@ def quantize_int8(
         ),
     ).otherwise(F.transform(v, lambda x: F.lit(0)))
     return (
-        corpus.select(F.col(id_col), F.col(vec_col), amax.alias(scale_col))
+        corpus.select(F.col(id_col), F.col(vec_col), *keep, amax.alias(scale_col))
         .withColumn(out_col, q)
-        .select(id_col, scale_col, out_col)
+        .select(id_col, scale_col, out_col, *keep)
     )
 
 
@@ -574,6 +646,107 @@ def quantized_topk_rescore(
     )
     coarse = (
         c8.crossJoin(F.broadcast(q8))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                idot / (inorm(F.col("__qq")) * inorm(F.col("__qc"))), 6
+            ).alias("qcos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qcos").desc(), F.col("neighbor_id").asc()
+    )
+    cands = coarse.withColumn("__crank", F.row_number().over(w)).filter(
+        F.col("__crank") <= k * rescore_factor
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+    )
+    rescored = (
+        cands.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("__qvec"), F.col("__cvec")), 6).alias("cosine_sim"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return rescored.withColumn("rank", F.row_number().over(w2)).filter(
+        F.col("rank") <= k
+    )
+
+
+def quantized_ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    pivots: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    rescore_factor: int = 3,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-SQ8: the composed 100 TB ANN index shape — int8-quantized
+    coarse search restricted to each query's ``nprobe`` nearest IVF
+    clusters, then exact float rescoring of the survivors.
+
+    :func:`quantized_topk_rescore` compresses the corpus 4x but still
+    scans ALL of it per query batch; :func:`ivf_topk_multiprobe` prunes
+    the scan to nprobe/P of the corpus but reads full-precision floats.
+    This operator stacks both: the coarse stage reads int8 codes from
+    only the probed inverted lists (~P/nprobe x less data x 4x smaller
+    elements), and full-precision vectors are touched for just
+    k x rescore_factor candidate rows per query.
+
+    Plan shape: one pinned single-assignment pass builds the inverted
+    lists (each corpus vector lives in exactly ONE list — the index
+    invariant, so a (query, neighbor) pair arises at most once and
+    needs no dedup); quantization rides the same scan as a narrow map.
+    The query side (tiny) fans out to nprobe lists and broadcasts into
+    the cluster-pruned join. Integer dot products and norms are exact
+    in both engines, so the coarse ranking is reproducible.
+
+    Output: (query_id, neighbor_id, cosine_sim, rank) — cosine_sim is
+    the EXACT rounded float cosine over rescored candidates.
+    """
+    assigned = assign_clusters(corpus, pivots, id_col, vec_col).localCheckpoint(eager=False)
+    # corpus code table doubles as the inverted list: (id, codes, list)
+    c8 = quantize_int8(assigned, id_col, vec_col, keep=("cluster_id",)).select(
+        F.col(id_col).alias("neighbor_id"), F.col("qvec").alias("__qc"), "cluster_id"
+    )
+    qsub = assigned.join(
+        queries.select(F.col(id_col).alias("__qid")),
+        assigned[id_col] == F.col("__qid"),
+    ).select(id_col, vec_col)
+    qprobe = assign_clusters_multi(qsub, pivots, nprobe, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), "cluster_id"
+    )
+    q8 = quantize_int8(qsub, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("qvec").alias("__qq")
+    )
+    qside = q8.join(qprobe, "query_id")
+    idot = F.aggregate(
+        F.zip_with("__qq", "__qc", lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    inorm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: (x * x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).cast("double")
+    )
+    coarse = (
+        c8.join(F.broadcast(qside), on="cluster_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",

@@ -275,7 +275,7 @@ def event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
            round((e.value - s.mu) / s.sigma, 4) AS z
     FROM events e JOIN stats s ON e.user_id = s.user_id
     WHERE s.n >= 2 AND s.sigma > 0
-      AND abs((e.value - s.mu) / s.sigma) >= 2.5
+      AND abs(round((e.value - s.mu) / s.sigma, 6)) >= 2.5
     """,
 )
 def value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -289,8 +289,11 @@ def value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregated table (broadcast when the key space is small, shuffle
     join otherwise — Spark picks via AQE), and the z filter is a narrow
     codegen'd map. No window over the raw events, so nothing ever
-    single-partitions. The unrounded z feeds the threshold on both
-    engines; rounding to 4 dp happens only at projection."""
+    single-partitions. The threshold applies to z ROUNDED to 6 dp on
+    both engines (repo convention for cross-engine comparisons): the
+    raw z carries avg/stddev summation-order ulp noise, and an
+    unrounded >= 2.5 test could flip a borderline event's membership
+    between Spark and the oracle; projection rounds to 4 dp."""
     ev = read_table(spark, sf_dir, "events")
     stats = ev.groupBy("user_id").agg(
         F.avg("value").alias("__mu"),
@@ -300,7 +303,11 @@ def value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = (F.col("value") - F.col("__mu")) / F.col("__sigma")
     return (
         ev.join(stats, "user_id")
-        .filter((F.col("__n") >= 2) & (F.col("__sigma") > 0) & (F.abs(z) >= 2.5))
+        .filter(
+            (F.col("__n") >= 2)
+            & (F.col("__sigma") > 0)
+            & (F.abs(F.round(z, 6)) >= 2.5)
+        )
         .select(
             "event_id",
             "user_id",

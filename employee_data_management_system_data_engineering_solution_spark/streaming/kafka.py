@@ -91,8 +91,20 @@ def kafka_source_options(
         opts["minPartitions"] = str(min_partitions)
     # extras may add passthrough options (kafka.* client confs etc.)
     # but must not silently override the validated core options above —
-    # that would bypass the validation this function advertises
-    clash = sorted(k for k in (extra or {}) if k in opts)
+    # that would bypass the validation this function advertises. The
+    # clash check runs against the FULL core option-name set, not just
+    # the keys present in this call's opts dict: leaving
+    # max_offsets_per_trigger unset must not open a side door for
+    # extra={"maxOffsetsPerTrigger": "0"} to skip the positivity check.
+    core = {
+        "kafka.bootstrap.servers",
+        "subscribe",
+        "startingOffsets",
+        "failOnDataLoss",
+        "maxOffsetsPerTrigger",
+        "minPartitions",
+    }
+    clash = sorted(k for k in (extra or {}) if k in core)
     if clash:
         raise ValueError(
             f"extra options would override validated core options: {clash}; "

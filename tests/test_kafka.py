@@ -162,3 +162,19 @@ def test_extra_options_cannot_override_validated_core():
     )
     assert opts["kafka.security.protocol"] == "SSL"
     assert opts["subscribe"] == "events"
+
+
+def test_extras_cannot_smuggle_unset_core_options():
+    """The clash guard checks the FULL core option-name set: leaving
+    max_offsets_per_trigger/min_partitions unset must not let extras
+    inject those keys and bypass the positivity validation."""
+    import pytest
+
+    from employee_data_management_system_data_engineering_solution_spark.streaming.kafka import (
+        kafka_source_options,
+    )
+
+    with pytest.raises(ValueError, match="override validated core"):
+        kafka_source_options("broker:9092", "events", extra={"maxOffsetsPerTrigger": "0"})
+    with pytest.raises(ValueError, match="override validated core"):
+        kafka_source_options("broker:9092", "events", extra={"minPartitions": "-5"})

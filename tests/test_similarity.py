@@ -174,3 +174,126 @@ def test_quantized_rescore_tracks_exact_search(spark):
     assert len(hits) >= 45  # >= 90% recall
     # rescored values are the exact cosine, not the quantized one
     assert all(got[p] == exact[p] for p in hits)
+
+
+def test_kmeans_reseeds_empty_cluster_and_keeps_k_constant(spark):
+    """Near-duplicate seeds empty a cluster on the first assignment
+    round (every vector ties to the lower pivot id); the farthest-point
+    reseed must keep k constant and recover a sensible split instead of
+    silently shrinking to k-1 for the rest of the run."""
+    from employee_data_management_system_data_engineering_solution_spark.operators.similarity import (
+        assign_clusters,
+        kmeans_iterate,
+    )
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [1.0, 0.0]),  # identical to seed 0 -> cluster 1 captures nothing
+        (2, [0.95, 0.05]),
+        (3, [0.9, 0.1]),
+        (4, [0.05, 0.95]),
+        (5, [0.1, 0.9]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = kmeans_iterate(df, k=2, iters=2)
+    got = {r.vec_id: list(r.embedding) for r in cents.collect()}
+    assert sorted(got) == [0, 1]  # k stayed 2, cluster ids stable
+    # reseed pulled cluster 1 into the y-dominant group
+    assert got[0][0] > got[0][1]
+    assert got[1][1] > got[1][0]
+    assigned = {
+        r.vec_id: r.cluster_id
+        for r in assign_clusters(df, cents).select("vec_id", "cluster_id").collect()
+    }
+    assert {k for k, v in assigned.items() if v == 0} == {0, 1, 2, 3}
+    assert {k for k, v in assigned.items() if v == 1} == {4, 5}
+
+
+def test_kmeans_seeds_lowest_ids_on_any_id_domain(spark):
+    """Seeding is 'the k lowest-id vectors' by ORDER, not by id VALUE:
+    non-zero-based ids must seed correctly (the old filter(id < k)
+    formulation silently produced zero seeds here)."""
+    from employee_data_management_system_data_engineering_solution_spark.operators.similarity import (
+        kmeans_iterate,
+    )
+
+    rows = [
+        (1000, [1.0, 0.0]),
+        (2000, [0.0, 1.0]),
+        (3000, [0.9, 0.1]),
+        (4000, [0.1, 0.9]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = kmeans_iterate(df, k=2, iters=1)
+    got = {r.vec_id: list(r.embedding) for r in cents.collect()}
+    assert sorted(got) == [1000, 2000]
+    assert got[1000][0] > got[1000][1] and got[2000][1] > got[2000][0]
+
+
+def test_kmeans_raises_when_corpus_smaller_than_k(spark):
+    import pytest
+
+    from employee_data_management_system_data_engineering_solution_spark.operators.similarity import (
+        kmeans_iterate,
+    )
+
+    df = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="need k=2 seeds"):
+        kmeans_iterate(df, k=2, iters=1)
+
+
+def test_pivot_literal_rejects_non_finite_components(spark):
+    """A NaN/inf pivot component must fail fast with the pivot id in
+    the message, not surface later as an opaque SQL parse error from a
+    bare 'nan' token in the expr string."""
+    import math
+
+    import pytest
+
+    from employee_data_management_system_data_engineering_solution_spark.operators.similarity import (
+        assign_clusters,
+    )
+
+    corpus = _vecs(spark, [(1, [1.0, 0.0])])
+    pivots = spark.createDataFrame(
+        [(7, [float("nan"), 1.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="pivot 7"):
+        assign_clusters(corpus, pivots)
+    assert math.isfinite(1.0)  # noqa: S101 — keeps the math import honest
+
+
+def test_quantize_cosine_perturbation_within_analytic_bound(spark):
+    """int8 quantization contract on random vectors: the cosine of the
+    dequantized pair stays within the analytic bound
+    |Δcos| <= 2(||δa||/||a|| + ||δb||/||b||) that follows from the
+    per-component half-step error (|δ_i| <= scale/254)."""
+    import numpy as np
+
+    from employee_data_management_system_data_engineering_solution_spark.operators.similarity import (
+        quantize_int8,
+    )
+
+    rs = np.random.RandomState(11)
+    dim, n = 32, 24
+    mat = rs.standard_normal((n, dim))
+    rows = [(i, [float(x) for x in mat[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.vec_id: (r.qscale, np.array(r.qvec, dtype=np.float64)) for r in quantize_int8(df).collect()}
+
+    def cos(a, b):
+        return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    for i in range(0, n, 2):
+        a, b = mat[i], mat[i + 1]
+        sa, qa = got[i]
+        sb, qb = got[i + 1]
+        da, db_ = qa * sa / 127.0, qb * sb / 127.0
+        # per-component contract first (re-asserted on random data)
+        assert np.all(np.abs(da - a) <= sa / 254.0 + 1e-12)
+        assert np.all(np.abs(db_ - b) <= sb / 254.0 + 1e-12)
+        bound = 2.0 * (
+            np.linalg.norm(da - a) / np.linalg.norm(a)
+            + np.linalg.norm(db_ - b) / np.linalg.norm(b)
+        )
+        assert abs(cos(da, db_) - cos(a, b)) <= bound + 1e-12
