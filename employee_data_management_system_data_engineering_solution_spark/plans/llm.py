@@ -705,6 +705,243 @@ def quantized_topk_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.quantized_topk_rescore(queries, emb, k=10, rescore_factor=3)
 
 
+# Shared CTE fragments for the composed ANN oracles (IVF-SQ8 and the
+# recall report). Every fragment mirrors the corresponding Spark
+# operator step with identical rounding, so the composed oracles stay
+# textually in sync with the per-operator ones above.
+_ANN_BASE_CTES = """
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    p AS (SELECT vec_id AS pivot_id, e AS pv FROM v WHERE vec_id < 8),
+    assign_scored AS (
+      SELECT v.vec_id, v.e, p.pivot_id,
+             round(list_dot_product(v.e, p.pv)
+                   / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(p.pv, p.pv))),
+                   6) AS sim
+      FROM v, p
+    ),
+    assigned AS (
+      SELECT vec_id, e, pivot_id AS cluster_id
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY vec_id ORDER BY sim DESC, pivot_id ASC) AS rn
+            FROM assign_scored)
+      WHERE rn = 1
+    ),
+    qprobe AS (
+      SELECT vec_id AS query_id, pivot_id AS cluster_id, rn AS probe_rank
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY vec_id ORDER BY sim DESC, pivot_id ASC) AS rn
+            FROM assign_scored)
+      WHERE rn <= 2 AND vec_id >= 100 AND vec_id < 105
+    ),
+    q8all AS (
+      SELECT vec_id,
+             CASE WHEN s > 0
+                  THEN list_transform(e, x -> CAST(round(x * 127.0 / s) AS BIGINT))
+                  ELSE list_transform(e, x -> CAST(0 AS BIGINT))
+             END AS qv
+      FROM (SELECT vec_id, e,
+                   list_max(list_transform(e, x -> abs(x))) AS s
+            FROM v)
+    )"""
+
+_SQ8_IVF_CTES = """
+    qivf_coarse AS (
+      SELECT qp.query_id, a.vec_id AS neighbor_id,
+             round(list_dot_product(qq.qv, cq.qv)
+                   / (sqrt(list_dot_product(qq.qv, qq.qv)) * sqrt(list_dot_product(cq.qv, cq.qv))),
+                   6) AS qcos
+      FROM qprobe qp
+      JOIN assigned a ON a.cluster_id = qp.cluster_id
+      JOIN q8all qq ON qq.vec_id = qp.query_id
+      JOIN q8all cq ON cq.vec_id = a.vec_id
+      WHERE a.vec_id <> qp.query_id
+    ),
+    qivf_cands AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY qcos DESC, neighbor_id ASC) AS rn
+        FROM qivf_coarse
+      ) WHERE rn <= 30
+    ),
+    qivf_rescored AS (
+      SELECT c.query_id, c.neighbor_id,
+             round(list_dot_product(qe.e, ne.e)
+                   / (sqrt(list_dot_product(qe.e, qe.e)) * sqrt(list_dot_product(ne.e, ne.e))),
+                   6) AS cosine_sim
+      FROM qivf_cands c
+      JOIN v qe ON qe.vec_id = c.query_id
+      JOIN v ne ON ne.vec_id = c.neighbor_id
+    )"""
+
+
+@register(
+    "quantized_ivf_topk",
+    f"""
+    WITH {_ANN_BASE_CTES},
+    {_SQ8_IVF_CTES}
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rn AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
+          FROM qivf_rescored)
+    WHERE rn <= 10
+    """,
+)
+def quantized_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-SQ8, the composed 100 TB ANN index shape: the int8 coarse
+    search runs only inside each query's nprobe=2 nearest inverted
+    lists (~nprobe/P of the corpus, reading 4x-smaller codes), then
+    exact float rescoring of the ~30 survivors per query. Composes the
+    two halves that ivf_topk_multiprobe and quantized_topk_rescore
+    exercise separately — P× scan reduction × 4× compression."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    pivots = emb.filter(F.col("vec_id") < 8)
+    queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105))
+    return similarity.quantized_ivf_topk(
+        queries, emb, pivots, k=10, rescore_factor=3, nprobe=2
+    )
+
+
+@register(
+    "ann_recall_report",
+    f"""
+    WITH {_ANN_BASE_CTES},
+    {_SQ8_IVF_CTES},
+    truth AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round(list_dot_product(q.e, c.e)
+                       / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))),
+                       6) DESC, c.vec_id ASC) AS rn
+        FROM (SELECT * FROM v WHERE vec_id >= 100 AND vec_id < 105) q
+        JOIN v c ON c.vec_id <> q.vec_id
+      ) WHERE rn <= 10
+    ),
+    ivf_scored AS (
+      SELECT qp.query_id, a.vec_id AS neighbor_id, qp.probe_rank,
+             round(list_dot_product(qe.e, a.e)
+                   / (sqrt(list_dot_product(qe.e, qe.e)) * sqrt(list_dot_product(a.e, a.e))),
+                   6) AS cosine_sim
+      FROM qprobe qp
+      JOIN assigned a ON a.cluster_id = qp.cluster_id
+      JOIN v qe ON qe.vec_id = qp.query_id
+      WHERE a.vec_id <> qp.query_id
+    ),
+    m_ivf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
+        FROM ivf_scored WHERE probe_rank = 1
+      ) WHERE rn <= 10
+    ),
+    m_multi AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
+        FROM ivf_scored
+      ) WHERE rn <= 10
+    ),
+    sq8_coarse AS (
+      SELECT qq.vec_id AS query_id, cq.vec_id AS neighbor_id,
+             round(list_dot_product(qq.qv, cq.qv)
+                   / (sqrt(list_dot_product(qq.qv, qq.qv)) * sqrt(list_dot_product(cq.qv, cq.qv))),
+                   6) AS qcos
+      FROM (SELECT * FROM q8all WHERE vec_id >= 100 AND vec_id < 105) qq
+      JOIN q8all cq ON cq.vec_id <> qq.vec_id
+    ),
+    sq8_cands AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY qcos DESC, neighbor_id ASC) AS rn
+        FROM sq8_coarse
+      ) WHERE rn <= 30
+    ),
+    m_sq8 AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT c.query_id, c.neighbor_id,
+               row_number() OVER (
+                 PARTITION BY c.query_id
+                 ORDER BY round(list_dot_product(qe.e, ne.e)
+                       / (sqrt(list_dot_product(qe.e, qe.e)) * sqrt(list_dot_product(ne.e, ne.e))),
+                       6) DESC, c.neighbor_id ASC) AS rn
+        FROM sq8_cands c
+        JOIN v qe ON qe.vec_id = c.query_id
+        JOIN v ne ON ne.vec_id = c.neighbor_id
+      ) WHERE rn <= 10
+    ),
+    m_sq8ivf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
+        FROM qivf_rescored
+      ) WHERE rn <= 10
+    ),
+    allm AS (
+      SELECT 'ivf' AS method, query_id, neighbor_id FROM m_ivf
+      UNION ALL SELECT 'ivf_multiprobe', query_id, neighbor_id FROM m_multi
+      UNION ALL SELECT 'sq8_flat', query_id, neighbor_id FROM m_sq8
+      UNION ALL SELECT 'sq8_ivf', query_id, neighbor_id FROM m_sq8ivf
+    )
+    SELECT m.method, m.query_id,
+           count(t.neighbor_id) AS hits,
+           round(count(t.neighbor_id) / 10.0, 4) AS recall_at_10
+    FROM allm m LEFT JOIN truth t
+      ON t.query_id = m.query_id AND t.neighbor_id = m.neighbor_id
+    GROUP BY m.method, m.query_id
+    """,
+)
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of every approximate search path against the
+    brute-force exact top-10 — turns the ANN stack's knobs (nprobe,
+    rescore factor, quantization) into MEASURED quantities instead of
+    docstring claims. All four methods and the ground truth are
+    deterministic (rounded cosines, total-order tie-breaks), so the
+    whole report is hash-checkable cross-engine.
+
+    Scale: each method is its own bounded search over the broadcast
+    query batch (the expensive corpus passes are the methods' own,
+    already-audited plans); the report join touches only 4 methods x
+    |queries| x k rows."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    pivots = emb.filter(F.col("vec_id") < 8)
+    queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105))
+    truth = (
+        similarity.cosine_topk_bruteforce(queries, emb, k=10)
+        .select("query_id", "neighbor_id")
+        .withColumn("__hit", F.lit(1))
+    )
+    methods = [
+        ("ivf", similarity.ivf_topk(queries, emb, pivots, k=10)),
+        (
+            "ivf_multiprobe",
+            similarity.ivf_topk_multiprobe(queries, emb, pivots, k=10, nprobe=2),
+        ),
+        ("sq8_flat", similarity.quantized_topk_rescore(queries, emb, k=10, rescore_factor=3)),
+        (
+            "sq8_ivf",
+            similarity.quantized_ivf_topk(
+                queries, emb, pivots, k=10, rescore_factor=3, nprobe=2
+            ),
+        ),
+    ]
+    un = None
+    for nm, df in methods:
+        cur = df.select(F.lit(nm).alias("method"), "query_id", "neighbor_id")
+        un = cur if un is None else un.unionByName(cur)
+    return (
+        un.join(F.broadcast(truth), ["query_id", "neighbor_id"], "left")
+        .groupBy("method", "query_id")
+        .agg(F.count("__hit").alias("hits"))
+        .select(
+            "method",
+            "query_id",
+            "hits",
+            F.round(F.col("hits") / 10.0, 4).alias("recall_at_10"),
+        )
+    )
+
+
 @register(
     "embedding_neardup_pairs",
     f"""

@@ -297,3 +297,34 @@ def test_quantize_cosine_perturbation_within_analytic_bound(spark):
             + np.linalg.norm(db_ - b) / np.linalg.norm(b)
         )
         assert abs(cos(da, db_) - cos(a, b)) <= bound + 1e-12
+
+
+def test_quantized_ivf_matches_multiprobe_pairs(spark):
+    """IVF-SQ8 with a generous rescore budget must recover exactly the
+    pairs full-precision multi-probe IVF finds on the same inverted
+    lists: the int8 coarse ranking is tight enough that the true
+    per-list top-10 always survives the top-30 candidate cut, and the
+    rescore scores pairs with the exact float cosine."""
+    from employee_data_management_system_data_engineering_solution_spark.operators.similarity import (
+        ivf_topk_multiprobe,
+        quantized_ivf_topk,
+    )
+    from employee_data_management_system_data_engineering_solution_spark.sources.io import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105))
+    pivots = emb.filter(F.col("vec_id") < 8)
+
+    multi = {
+        (r.query_id, r.neighbor_id): r.cosine_sim
+        for r in ivf_topk_multiprobe(queries, emb, pivots, k=10, nprobe=2).collect()
+    }
+    sq8 = {
+        (r.query_id, r.neighbor_id): r.cosine_sim
+        for r in quantized_ivf_topk(
+            queries, emb, pivots, k=10, rescore_factor=3, nprobe=2
+        ).collect()
+    }
+    assert len(sq8) == 50
+    assert set(sq8) == set(multi)
+    assert all(sq8[p] == multi[p] for p in sq8)  # exact float rescore
