@@ -15,6 +15,9 @@ flip low bits.
 
 from __future__ import annotations
 
+import json
+import pathlib
+
 from . import core, curation, llm, pipeline, temporal  # noqa: F401  (import populates REGISTRY)
 from .registry import REGISTRY, register
 
@@ -27,50 +30,46 @@ from .registry import REGISTRY, register
 # below is curated so every operator family — sources, all six sink
 # shapes, joins, window/dedup, every streaming carrier, temporal joins,
 # and the LLM dedup/ANN/multimodal stack — has at least one carrier
-# inside the window. The overflow is deliberately the queries that gain
-# least from the window: rows-only entries (no oracle anyway), text
-# statistics locked down by unit tests, and core analytics whose
-# operator families are already multiply covered by prefix entries.
+# inside the window.
 #
-# ROTATION POLICY (round 4+): any query that has never held a green row
-# in a driver CORRECTNESS file rotates INTO the prefix next round,
-# displacing entries that have been stable for 2+ driver rounds; a
-# full local run of tools/check_oracle.py (all queries, no filter)
-# guards the displaced tail before each round's snapshot. Rotated out
-# this round after 2-3 green driver rounds: epoch_status_clean,
-# active_count_by_designation, except_all_dupes,
-# distinct_order_supp_pairs, ordered_designation_report,
-# json_props_stats, published_report_roundtrip (K3 CSV publish still
-# carried in-window by daily_pipeline), salted_skew_join (join family
-# multiply covered; unit-tested) — the last two displaced by the
-# round-4 additions context_pack_bins and tfidf_top_terms.
-# Round 5 rotation: bigram_collocations IN (the last oracle-bearing
-# query never inside a driver window), orc_roundtrip OUT after 3 green
-# driver rounds (ORC read/write stays carried in-window by
-# format_roundtrips, which round-trips the same table through orc
-# among its 7 formats). The three operators NEW in round 5 also enter
-# the window so they get driver verdicts in their first round —
-# kmeans_ivf_assign (IVF pivot training), lm_doc_score (bigram-LM
-# quality score), value_outliers (per-key z-score anomalies) —
-# displacing three 3-round-stable carriers whose families stay
-# in-window elsewhere: json_lines_roundtrip (JSON leg of
-# format_roundtrips), pct_of_quota (J2 inner equi-join carried by
-# q3_shipping_priority), dedup_last_write_wins (row_number dedup
-# family carried by dedup_keep_best). neardup_prune (the composed
-# fuzzy-dedup corpus prune, also new in r5) displaces dedup_clusters,
-# whose oracle and algorithm family stay in-window via
-# dedup_clusters_star (identical _CLUSTERS_ORACLE). The full local
-# check_oracle run before each snapshot guards every displaced query
-# (committed as CHECK_ORACLE_r05.txt: 93/93).
-# ROUND 6 ROTATION QUEUE (oracle-bearing, no driver verdict yet):
-# ivf_topk_multiprobe, embedding_quantize, quantized_topk_rescore —
-# registered late in r5, landed in the tail because the window was
-# already carrying six first-round entrants; rotate them in next
-# round, displacing the then-longest-stable carriers.
+# ROTATION POLICY: any oracle-bearing query that has never held a
+# hash-green row in a driver CORRECTNESS file rotates INTO the prefix
+# next round, displacing the longest-stable carriers whose operator
+# families remain covered by other in-window entries; a full local run
+# of tools/check_oracle.py (all queries, no filter) guards the
+# displaced tail before each round's snapshot (committed as
+# CHECK_ORACLE_r{N}.txt).
+#
+# The per-query verdict history lives in driver_history.json —
+# regenerated from the CORRECTNESS_r*.json files by
+# tools/build_driver_history.py after each driver round — and the
+# policy is enforced mechanically by tests/test_entry_contract.py:
+# every registered oracle-bearing query with no recorded green round
+# must sit inside the window (rows-only-by-contract entries are
+# exempt). driver_green_rounds()/never_green() below are the audit's
+# data source.
+#
+# Round 6 swap (each IN has no driver verdict yet; each OUT is
+# 5-round green r1-r5 with its family still carried in-window):
+#   IN  ivf_topk_multiprobe, embedding_quantize, quantized_topk_rescore
+#       (r5 tail latecomers), multimodal_decode (hash oracle new in
+#       r5), quantized_ivf_topk + ann_recall_report (new in r6)
+#   OUT ivf_topk            (IVF family: ivf_topk_multiprobe,
+#                            quantized_ivf_topk, kmeans_ivf_assign)
+#       embedding_topk      (exact top-k is the ground-truth stage
+#                            inside ann_recall_report)
+#       q1_pricing_summary  (flagship still smoke-checked by entry()
+#                            every round; agg family: price_decile_
+#                            stats, column_profile, corpus_curation)
+#       exact_dedup         (dedup family: neardup_prune,
+#                            dedup_clusters_star, repeated_passages)
+#       minhash_lsh_groups  (MinHash-LSH is the candidate stage inside
+#                            neardup_prune)
+#       ngram_jaccard_pairs (Jaccard verify is the filter stage inside
+#                            neardup_prune)
 # ---------------------------------------------------------------------------
 _PRIORITY: tuple[str, ...] = (
-    # flagship + composed pipeline and every sink shape (S1-S6, K1-K5)
-    "q1_pricing_summary",
+    # composed pipeline and every sink shape (S1-S6, K1-K5)
     "q3_shipping_priority",
     "daily_pipeline",
     "staging_promote_roundtrip",
@@ -107,16 +106,16 @@ _PRIORITY: tuple[str, ...] = (
     "price_decile_stats",
     "corpus_curation_pipeline",
     # LLM dedup / similarity / multimodal / text-scrub stack
-    "exact_dedup",
-    "minhash_lsh_groups",
-    "ngram_jaccard_pairs",
     "dedup_clusters_star",
     "neardup_prune",
     "benchmark_contamination",
     "doc_chunks",
     "hyperplane_lsh_groups",
-    "embedding_topk",
-    "ivf_topk",
+    "ivf_topk_multiprobe",
+    "embedding_quantize",
+    "quantized_topk_rescore",
+    "quantized_ivf_topk",
+    "ann_recall_report",
     "embedding_neardup_pairs",
     "pii_scrub",
     "repeated_passages",
@@ -125,12 +124,45 @@ _PRIORITY: tuple[str, ...] = (
     "bigram_collocations",
     "kmeans_ivf_assign",
     "lm_doc_score",
+    "multimodal_decode",
     # composed family carriers: one slot covers several SURVEY rows
     # (text X1-X5; multimodal X16+X33; formats X61+X62)
     "text_profile",
     "multimodal_profile",
     "format_roundtrips",
 )
+
+#: Queries whose driver check is rows-only BY CONTRACT (no SQL oracle
+#: exists); exempt from the "never-green must be in-window" audit.
+#: simhash_signatures: blake2b is SQL-inexpressible (pinned by a
+#: pure-Python bit-exact reference test in tests/test_dedup.py).
+#: column_profile_approx: HLL++ estimates are engine-specific (pinned
+#: by error-bound tests in tests/test_quality.py against the exact
+#: column_profile).
+ROWS_ONLY_BY_CONTRACT: frozenset[str] = frozenset(
+    {"simhash_signatures", "column_profile_approx"}
+)
+
+_HISTORY_PATH = pathlib.Path(__file__).with_name("driver_history.json")
+
+
+def driver_green_rounds() -> dict[str, list[int]]:
+    """Per-query driver hash-green rounds, from driver_history.json
+    (regenerate with tools/build_driver_history.py). Queries absent
+    from the file have never appeared in any driver check window."""
+    return json.loads(_HISTORY_PATH.read_text())
+
+
+def never_green() -> list[str]:
+    """Registered oracle-bearing queries with NO driver hash-green
+    verdict in any recorded round — the rotation policy requires every
+    one of these to sit inside the priority window."""
+    hist = driver_green_rounds()
+    return sorted(
+        name
+        for name in REGISTRY
+        if name not in ROWS_ONLY_BY_CONTRACT and not hist.get(name)
+    )
 
 
 def _reorder() -> None:
@@ -146,4 +178,10 @@ def _reorder() -> None:
 
 _reorder()
 
-__all__ = ["REGISTRY", "register"]
+__all__ = [
+    "REGISTRY",
+    "ROWS_ONLY_BY_CONTRACT",
+    "driver_green_rounds",
+    "never_green",
+    "register",
+]

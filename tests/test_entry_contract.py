@@ -65,21 +65,55 @@ def test_check_window_covers_every_operator_family():
         "purchase_asof_view", "events_in_error_windows",
         "user_value_trend", "forward_fill_values", "event_sessions",
         "value_outliers", "snapshot_diff_orders",
-        # LLM dedup / ANN / multimodal / text-scrub stack
-        # (dedup_clusters rotated out in r5: identical oracle and
-        # algorithm family carried by dedup_clusters_star; the composed
-        # corpus prune neardup_prune took its slot)
-        "exact_dedup", "minhash_lsh_groups", "ngram_jaccard_pairs",
+        # LLM dedup / ANN / multimodal / text-scrub stack. The r6
+        # rotation displaced five 5-round-green carriers whose stages
+        # live on inside in-window compositions: exact_dedup /
+        # minhash_lsh_groups / ngram_jaccard_pairs ride neardup_prune
+        # (hash -> LSH -> Jaccard-verify stages), embedding_topk is the
+        # ground-truth stage of ann_recall_report, ivf_topk's inverted-
+        # list family is carried by ivf_topk_multiprobe /
+        # quantized_ivf_topk / kmeans_ivf_assign.
         "dedup_clusters_star", "neardup_prune", "doc_chunks",
-        "hyperplane_lsh_groups", "embedding_topk", "ivf_topk",
+        "hyperplane_lsh_groups", "ivf_topk_multiprobe",
+        "embedding_quantize", "quantized_topk_rescore",
+        "quantized_ivf_topk", "ann_recall_report",
         "embedding_neardup_pairs", "pii_scrub", "repeated_passages",
         "context_pack_bins", "tfidf_top_terms", "bigram_collocations",
-        "kmeans_ivf_assign", "lm_doc_score",
+        "kmeans_ivf_assign", "lm_doc_score", "multimodal_decode",
         # composed family carriers (text X1-X5, multimodal X16+X33,
         # formats X61+X62)
         "text_profile", "multimodal_profile", "format_roundtrips",
     }
     assert carriers <= set(window), sorted(carriers - set(window))
+
+
+def test_rotation_policy_is_mechanically_satisfied():
+    """The rotation policy as data: every registered oracle-bearing
+    query that has never earned a driver hash-green verdict (per
+    driver_history.json, regenerated each round by
+    tools/build_driver_history.py) must sit INSIDE the 50-slot check
+    window so it gets its verdict this round; rows-only-by-contract
+    entries are exempt. Guards against new queries silently parking in
+    the unchecked tail."""
+    from employee_data_management_system_data_engineering_solution_spark.plans import (
+        ROWS_ONLY_BY_CONTRACT,
+        driver_green_rounds,
+        never_green,
+    )
+
+    window = set(list(queries())[:50])
+    pending = never_green()
+    outside = sorted(set(pending) - window)
+    assert not outside, f"never-driver-green queries stuck in the tail: {outside}"
+    # the exemption list must stay honest: every exempt name is
+    # registered and genuinely oracle-less
+    oracles = oracle_sql()
+    for name in ROWS_ONLY_BY_CONTRACT:
+        assert name in queries() and name not in oracles, name
+    # sanity: the history file tracks at least every in-window query
+    # that predates this round
+    hist = driver_green_rounds()
+    assert len(hist) >= 80
 
 
 def test_every_query_runs_at_smoke_sf(spark):
