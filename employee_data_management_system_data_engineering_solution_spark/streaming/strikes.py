@@ -469,3 +469,93 @@ def strike_final_state(spark: SparkSession, out_dir: str) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .select("emp_id", "strike_count", "status")
     )
+
+
+def run_windowed_pass(
+    spark: SparkSession,
+    stage_dir: str,
+    ckpt_dir: str,
+    out_dir: str,
+    window_duration: str = "1 day",
+    watermark_delay: str = "1 day",
+    state_partitions: int = 4,
+) -> None:
+    """ONE availableNow pass of the WATERMARK + TUMBLING-WINDOW flagged
+    counter over the files staged in ``stage_dir``, with a durable
+    checkpoint — the window-state sibling of :func:`run_strike_pass`.
+
+    Recovery contract: re-invoking after staging more files resumes
+    from ``ckpt_dir``, restores the windowed aggregation state (open
+    windows whose watermark has not passed), folds the new files'
+    events INTO those recovered windows, and emits updated counts —
+    NOT fresh counts computed from only the new files. This is the
+    restart guarantee for the built-in windowed-agg state machine,
+    complementing the applyInPandasWithState guarantee the strike pass
+    proves. Each micro-batch's updates append to ``out_dir`` tagged
+    with the batch id; :func:`windowed_final_counts` takes the newest
+    emission per (window, employee).
+    """
+    from ..sources.io import normalize_nanos
+    from .replay import events_schema
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    prior_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        import glob as _glob
+        import os as _os
+
+        staged = sorted(_glob.glob(_os.path.join(stage_dir, "*.parquet")))
+        if not staged:
+            raise ValueError(f"no parquet files staged in {stage_dir}")
+        stream = normalize_nanos(
+            spark.readStream.schema(events_schema(spark, staged[0]))
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage_dir)
+        )
+        agg = (
+            stream.filter(flagged_expr())
+            .select(F.col("user_id").alias("emp_id"), "ts")
+            .withWatermark("ts", watermark_delay)
+            .groupBy(F.window("ts", window_duration).alias("w"), "emp_id")
+            .agg(F.count("*").alias("n_flagged"))
+            .select(
+                F.col("w.start").cast("string").alias("window_start"),
+                F.col("w.end").cast("string").alias("window_end"),
+                "emp_id",
+                "n_flagged",
+            )
+        )
+
+        def _sink(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df.withColumn("__batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(out_dir)
+
+        q = (
+            agg.writeStream.foreachBatch(_sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior_parts)
+
+
+def windowed_final_counts(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Latest count per (window, employee) from a
+    :func:`run_windowed_pass` output directory — newest batch wins, the
+    update-mode mirror of :func:`strike_final_state`."""
+    from pyspark.sql import Window
+
+    out = spark.read.parquet(out_dir)
+    w = Window.partitionBy("window_start", "emp_id").orderBy(
+        F.col("__batch_id").desc()
+    )
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("window_start", "window_end", "emp_id", "n_flagged")
+    )

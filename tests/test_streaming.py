@@ -275,3 +275,57 @@ def test_dedup_within_watermark_matches_plain_dedup(spark):
         for r in run_dedup_stream(spark, sf, within_watermark=True).collect()
     }
     assert bounded == plain and sum(plain.values()) > 0
+
+
+def test_windowed_pass_checkpoint_recovery(spark, tmp_path):
+    """Window-state restart contract: a second availableNow pass from
+    the same checkpoint must fold newly staged events INTO the
+    recovered open windows (counts continue from 3 -> 5), not restart
+    them — the windowed-agg sibling of the applyInPandasWithState
+    recovery proof above."""
+    from employee_data_management_system_data_engineering_solution_spark.streaming.strikes import (
+        run_windowed_pass,
+        windowed_final_counts,
+    )
+
+    # all events inside ONE tumbling day-window; watermark 1 day keeps
+    # the window open across the restart
+    d = dt.datetime(2021, 1, 5)
+    first = [Row(user_id=1, event_type="error", ts=d.replace(hour=h)) for h in (1, 2, 3)]
+    first += [Row(user_id=2, event_type="error", ts=d.replace(hour=4))]
+    first += [Row(user_id=2, event_type="click", ts=d.replace(hour=5))]  # unflagged
+    late = [Row(user_id=1, event_type="error", ts=d.replace(hour=6)) for _ in range(2)]
+    late += [Row(user_id=3, event_type="error", ts=d.replace(hour=7))]
+
+    stage_dir = tmp_path / "stage"
+    stage_dir.mkdir()
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+
+    _stage_file(spark, tmp_path, first, str(stage_dir / "a_first.parquet"))
+    run_windowed_pass(spark, str(stage_dir), ckpt, out, state_partitions=2)
+    p1 = {r.emp_id: r.n_flagged for r in windowed_final_counts(spark, out).collect()}
+    assert p1 == {1: 3, 2: 1}
+
+    _stage_file(spark, tmp_path, late, str(stage_dir / "b_late.parquet"))
+    run_windowed_pass(spark, str(stage_dir), ckpt, out, state_partitions=2)
+    rows = windowed_final_counts(spark, out).collect()
+    got = {r.emp_id: r.n_flagged for r in rows}
+    # emp 1's window count CONTINUED from recovered state (3+2), emp 2
+    # untouched by the second file keeps its recovered count, emp 3 new
+    assert got == {1: 5, 2: 1, 3: 1}
+    assert all(r.window_start.startswith("2021-01-05") for r in rows)
+
+    # update-mode sink discipline: the restarted pass's batch (the
+    # newest id — pass 1 may also commit an empty watermark-advance
+    # batch, so ids need not be consecutive) re-emitted only the
+    # windows the new file touched (emp 1 and 3, not emp 2)
+    batches = spark.read.parquet(out)
+    last = batches.agg(F.max("__batch_id")).collect()[0][0]
+    phase2 = {r.emp_id for r in batches.filter(F.col("__batch_id") == last).collect()}
+    assert phase2 == {1, 3}
+
+    # single-run reference: both files staged up front, fresh checkpoint
+    ckpt2, out2 = str(tmp_path / "ckpt2"), str(tmp_path / "out2")
+    run_windowed_pass(spark, str(stage_dir), ckpt2, out2, state_partitions=2)
+    ref = {r.emp_id: r.n_flagged for r in windowed_final_counts(spark, out2).collect()}
+    assert got == ref
