@@ -343,8 +343,20 @@ def ngram_jaccard_pairs(
         F.explode(F.array("id_a", "id_b")).alias(id_col)
     ).distinct()
     grams = with_char_ngrams(df.join(cand_ids, on=id_col, how="left_semi"), id_col, text_col, n)
-    ga = grams.select(F.col(id_col).alias("id_a"), F.col("grams").alias("grams_a"))
-    gb = grams.select(F.col(id_col).alias("id_b"), F.col("grams").alias("grams_b"))
+    # the gram frames MUST NOT be broadcast: Catalyst sizes them from
+    # the documents scan stats (KBs of parquet), but the computed
+    # n-gram arrays are ~n x the text bytes per row — at 10x corpus
+    # scale the underestimated broadcast build OOMs the driver
+    # (observed in the sf1 replica run; a shuffle_hash relation of the
+    # same arrays then overflows executor memory). merge (sort-merge)
+    # is the spill-safe strategy for join sides carrying heavy computed
+    # columns: sorts spill to disk, nothing must fit in one allocation.
+    ga = grams.select(F.col(id_col).alias("id_a"), F.col("grams").alias("grams_a")).hint(
+        "merge"
+    )
+    gb = grams.select(F.col(id_col).alias("id_b"), F.col("grams").alias("grams_b")).hint(
+        "merge"
+    )
     pairs = cand.join(ga, on="id_a").join(gb, on="id_b")
     inter = F.size(F.array_intersect(F.col("grams_a"), F.col("grams_b")))
     union = F.size(F.array_union(F.col("grams_a"), F.col("grams_b")))

@@ -1,0 +1,80 @@
+"""Scale-evidence run: time the most expensive registered queries at
+sf0.1 and at the ~10x replica (tools/make_scale_replica.py), print a
+markdown table for BENCH_SCALE.md.
+
+One cold pass per (query, scale) — the point is the growth FACTOR
+under a 10x data scale-up, not absolute numbers: a scan-bound plan
+should grow ~linearly, a fixed-cost-dominated plan (streaming
+micro-batch cycles, Python-worker spin-up) sublinearly, and anything
+superlinear is a red flag unless the operator is superlinear by design
+(duplicate-pair emission under a 10x-replicated corpus).
+
+Usage: python tools/bench_scale.py [base_sf_dir] [replica_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+TARGETS = [
+    "column_profile",
+    "column_profile_approx",
+    "ngram_jaccard_pairs",
+    "stream_purchase_view_join",
+    "kmeans_ivf_assign",
+    "user_value_trend",
+    "quantized_ivf_topk",
+    "ann_recall_report",
+]
+
+
+def main() -> None:
+    base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    replica = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.scale_sf1"
+    sys.path.insert(0, "/root/repo")
+    from pyspark.sql import SparkSession
+
+    from __spark_entry__ import queries
+
+    # a realistic heap for a 10x local run: the default 1g driver heap
+    # models nothing (a real executor gets GBs); 8g keeps 32 concurrent
+    # tasks' transient array allocations out of GC death spirals while
+    # still far below the machine's memory
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.driver.memory", "8g")
+        .appName("bench-scale")
+        .getOrCreate()
+    )
+    qs = queries()
+    # warm-up: run every target once at the smoke sf so codegen JIT,
+    # committer/metastore init, and streaming-session setup are not
+    # billed to whichever (query, scale) pair happens to run first —
+    # same methodology as bench.py
+    for name in TARGETS:
+        qs[name](spark, "/root/testdata/sf0.001").count()
+    rows = []
+    for name in TARGETS:
+        times = {}
+        counts = {}
+        for label, sf in (("sf0.1", base), ("sf1", replica)):
+            t0 = time.time()
+            counts[label] = qs[name](spark, sf).count()
+            times[label] = time.time() - t0
+        ratio = times["sf1"] / times["sf0.1"]
+        rows.append((name, times["sf0.1"], times["sf1"], ratio, counts["sf0.1"], counts["sf1"]))
+        print(
+            f"DONE {name}: {times['sf0.1']:.2f}s -> {times['sf1']:.2f}s "
+            f"(x{ratio:.1f}); rows {counts['sf0.1']} -> {counts['sf1']}"
+        )
+    print()
+    print("| query | sf0.1 (s) | ~sf1 (s) | time ratio | rows sf0.1 | rows ~sf1 |")
+    print("|---|---|---|---|---|---|")
+    for name, t1, t10, r, c1, c10 in rows:
+        print(f"| {name} | {t1:.2f} | {t10:.2f} | {r:.1f}x | {c1} | {c10} |")
+
+
+if __name__ == "__main__":
+    main()
