@@ -239,17 +239,25 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: search only within the query's IVF cluster.
 
     Output: (query_id, neighbor_id, cosine_sim, rank). Recall < 1.0 by
     design; nprobe>1 is a straightforward extension (keep rn <= nprobe
-    in the assignment)."""
+    in the assignment).
+
+    ``assigned`` optionally supplies a prebuilt (pinned) inverted list
+    from :func:`assign_clusters` — an ANN INDEX is built once and
+    served to many searches; callers comparing several methods over
+    the same corpus (e.g. the recall report) must not pay the
+    assignment pass per method."""
     # pin the assignment: both the query side and the corpus side
     # reference it, and the interpreted P×dim argmax map is the
     # expensive part of the plan — unpinned, Spark replays it once per
     # reference (same hazard cosine_neardup_pairs pins above)
-    assigned = assign_clusters(corpus, pivots, id_col, vec_col).localCheckpoint(eager=False)
+    if assigned is None:
+        assigned = assign_clusters(corpus, pivots, id_col, vec_col).localCheckpoint(eager=False)
     q = assigned.join(
         queries.select(F.col(id_col).alias("query_id")),
         assigned[id_col] == F.col("query_id"),
@@ -405,13 +413,6 @@ def kmeans_iterate(
     path. Centroid components round to ``round_digits`` so the trained
     pivots are reproducible across engines and summation orders.
     """
-    if dim is None:
-        # vector width probe — one tiny job; pass dim explicitly to
-        # skip it when the embedding dimension is known
-        first = corpus.select(vec_col).first()
-        if first is None:
-            raise ValueError("kmeans_iterate: empty corpus")
-        dim = len(first[0])
     spark = corpus.sparkSession
     schema = f"{id_col} long, {vec_col} array<double>"
     seed_rows = corpus.select(id_col, vec_col).orderBy(F.col(id_col).asc()).limit(k).collect()
@@ -419,6 +420,10 @@ def kmeans_iterate(
         raise ValueError(
             f"kmeans_iterate: corpus has {len(seed_rows)} vectors, need k={k} seeds"
         )
+    if dim is None:
+        # vector width comes free with the seed collect — no separate
+        # probe job; pass dim explicitly only to assert a known width
+        dim = len(seed_rows[0][1])
     # the cluster-id set is fixed for the whole run: the ids of the k
     # seed vectors (on 0-based contiguous ids this is 0..k-1, matching
     # the SQL oracle's `vec_id < k` seed)
@@ -513,6 +518,7 @@ def ivf_topk_multiprobe(
     vec_col: str = "embedding",
     k: int = 10,
     nprobe: int = 2,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Multi-probe IVF top-k: each query searches its ``nprobe``
     nearest clusters instead of one, recovering most of the recall an
@@ -522,9 +528,11 @@ def ivf_topk_multiprobe(
     The corpus side keeps single-assignment (each vector lives in ONE
     inverted list — the index invariant); only the query fans out, so a
     (query, neighbor) pair arises at most once and needs no dedup.
-    Output: (query_id, neighbor_id, cosine_sim, rank).
+    Output: (query_id, neighbor_id, cosine_sim, rank). ``assigned``
+    optionally reuses a prebuilt inverted list (see :func:`ivf_topk`).
     """
-    assigned = assign_clusters(corpus, pivots, id_col, vec_col).localCheckpoint(eager=False)
+    if assigned is None:
+        assigned = assign_clusters(corpus, pivots, id_col, vec_col).localCheckpoint(eager=False)
     q = assign_clusters_multi(
         assigned.join(queries.select(F.col(id_col).alias("__qid")),
                       assigned[id_col] == F.col("__qid")).select(id_col, vec_col),
@@ -693,10 +701,13 @@ def quantized_ivf_topk(
     k: int = 10,
     rescore_factor: int = 3,
     nprobe: int = 2,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-SQ8: the composed 100 TB ANN index shape — int8-quantized
     coarse search restricted to each query's ``nprobe`` nearest IVF
     clusters, then exact float rescoring of the survivors.
+    ``assigned`` optionally reuses a prebuilt inverted list (see
+    :func:`ivf_topk`).
 
     :func:`quantized_topk_rescore` compresses the corpus 4x but still
     scans ALL of it per query batch; :func:`ivf_topk_multiprobe` prunes
@@ -717,7 +728,8 @@ def quantized_ivf_topk(
     Output: (query_id, neighbor_id, cosine_sim, rank) — cosine_sim is
     the EXACT rounded float cosine over rescored candidates.
     """
-    assigned = assign_clusters(corpus, pivots, id_col, vec_col).localCheckpoint(eager=False)
+    if assigned is None:
+        assigned = assign_clusters(corpus, pivots, id_col, vec_col).localCheckpoint(eager=False)
     # corpus code table doubles as the inverted list: (id, codes, list)
     c8 = quantize_int8(assigned, id_col, vec_col, keep=("cluster_id",)).select(
         F.col(id_col).alias("neighbor_id"), F.col("qvec").alias("__qc"), "cluster_id"

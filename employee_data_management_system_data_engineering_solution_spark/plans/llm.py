@@ -899,10 +899,11 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic (rounded cosines, total-order tie-breaks), so the
     whole report is hash-checkable cross-engine.
 
-    Scale: each method is its own bounded search over the broadcast
-    query batch (the expensive corpus passes are the methods' own,
-    already-audited plans); the report join touches only 4 methods x
-    |queries| x k rows."""
+    Scale: the IVF inverted list is built and pinned ONCE and served
+    to all three index-based methods (an ANN index is built once, not
+    per search method); each method is then its own bounded search
+    over the broadcast query batch, and the report join touches only
+    4 methods x |queries| x k rows."""
     emb = read_table(spark, sf_dir, "embeddings")
     pivots = emb.filter(F.col("vec_id") < 8)
     queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105))
@@ -911,17 +912,20 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
         .withColumn("__hit", F.lit(1))
     )
+    index = similarity.assign_clusters(emb, pivots).localCheckpoint(eager=False)
     methods = [
-        ("ivf", similarity.ivf_topk(queries, emb, pivots, k=10)),
+        ("ivf", similarity.ivf_topk(queries, emb, pivots, k=10, assigned=index)),
         (
             "ivf_multiprobe",
-            similarity.ivf_topk_multiprobe(queries, emb, pivots, k=10, nprobe=2),
+            similarity.ivf_topk_multiprobe(
+                queries, emb, pivots, k=10, nprobe=2, assigned=index
+            ),
         ),
         ("sq8_flat", similarity.quantized_topk_rescore(queries, emb, k=10, rescore_factor=3)),
         (
             "sq8_ivf",
             similarity.quantized_ivf_topk(
-                queries, emb, pivots, k=10, rescore_factor=3, nprobe=2
+                queries, emb, pivots, k=10, rescore_factor=3, nprobe=2, assigned=index
             ),
         ),
     ]
