@@ -22,7 +22,7 @@ pattern over vector space).
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import MINHASH_PRIME, minhash_signature, normalized
@@ -321,7 +321,7 @@ def ngram_jaccard_pairs(
         "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS id_a, y AS id_b))))"
     )
     star_expr = F.expr(  # O(bucket) fallback for degenerate buckets
-        "transform(slice(ids, 2, size(ids)), y -> struct(ids[1] AS id_a, y AS id_b))"
+        "transform(slice(ids, 2, size(ids)), y -> struct(element_at(ids, 1) AS id_a, y AS id_b))"
     )
     cand = (
         banded.groupBy("band_no", "bucket")
@@ -367,6 +367,126 @@ def ngram_jaccard_pairs(
             F.round(inter / F.greatest(union, F.lit(1)), 4).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
+def winnow_fingerprint_rows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    window: int = 4,
+    prime: int = MINHASH_PRIME,
+) -> DataFrame:
+    """(id, fp) rows — the doc's DISTINCT winnowing fingerprints
+    (Schleimer/Wilkerson/Aiken, the MOSS local-document-fingerprinting
+    scheme): hash every char-``n``-gram, then keep the MINIMUM hash of
+    each ``window`` of consecutive gram positions. Winnowing guarantees
+    any shared substring of length ≥ n + window − 1 yields at least one
+    shared fingerprint, so overlap detection needs only an equi-join on
+    fingerprint values — never substring comparison.
+
+    Shape: the gram hash is the same pure-arithmetic polynomial family
+    as :func:`gram_poly_minhash`, evaluated in a PROJECTION after a
+    position explode (codegen'd; hash-in-a-transform-lambda is
+    interpreted per element). The window minimum is a per-DOC window
+    frame (``ROWS BETWEEN CURRENT ROW AND window-1 FOLLOWING``) — the
+    one shuffle partitions by doc id, so frame state is bounded by a
+    single document's gram count regardless of corpus size; there is no
+    global ordering anywhere. Trailing frames truncate at the doc edge,
+    and docs shorter than a full window still emit their (truncated)
+    position-0 fingerprint, so every non-empty doc is represented.
+    """
+    pa = [_POLY_BASE_A**k % prime for k in range(n)]
+
+    def at(k: int):
+        return F.coalesce(
+            F.try_element_at(F.col("__codes"), F.col("__i") + F.lit(k + 1)), F.lit(0)
+        ).cast("long")
+
+    poly_h = sum(at(k) * F.lit(pa[k]) for k in range(n)) % F.lit(prime)
+    codes = fan_out(
+        df.select(F.col(id_col), normalized(F.col(text_col)).alias("__norm"))
+    ).select(
+        id_col,
+        F.transform(F.split(F.col("__norm"), ""), lambda c: F.ascii(c)).alias("__codes"),
+        F.length("__norm").alias("__len"),
+    )
+    ex = codes.select(
+        id_col,
+        "__codes",
+        # __g = number of gram positions (last start index is __g - 1)
+        (F.greatest(F.col("__len") - n, F.lit(0)) + 1).alias("__g"),
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(F.col("__len") - n, F.lit(0)))
+        ).alias("__i"),
+    )
+    hashed = ex.select(id_col, "__g", "__i", poly_h.alias("__h"))
+    frame = (
+        Window.partitionBy(id_col)
+        .orderBy(F.col("__i").asc())
+        .rowsBetween(Window.currentRow, window - 1)
+    )
+    return (
+        hashed.select(
+            F.col(id_col),
+            F.col("__i"),
+            F.col("__g"),
+            F.min("__h").over(frame).alias("fp"),
+        )
+        # only full windows select fingerprints (positions 0..g-window);
+        # short docs (g < window) keep their single truncated window
+        .filter(F.col("__i") <= F.greatest(F.col("__g") - window, F.lit(0)))
+        .select(id_col, "fp")
+        .distinct()
+    )
+
+
+def winnow_shared_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    window: int = 4,
+    min_shared: int = 8,
+    max_clique_bucket: int = 256,
+) -> DataFrame:
+    """Near-dup pairs by SHARED winnowing fingerprints: docs are paired
+    per colliding fingerprint value and scored by how many distinct
+    fingerprints they share. Output: (id_a, id_b, n_shared) with
+    id_a < id_b and n_shared ≥ ``min_shared``.
+
+    Scale: candidate pairing is ONE groupBy shuffle on fingerprint
+    values; all pairwise work happens inside colliding fingerprint
+    buckets (same discipline as :func:`ngram_jaccard_pairs`, including
+    the STAR fallback bounding degenerate buckets — a boilerplate
+    fingerprint shared by thousands of docs pairs members with the hub
+    only, O(bucket) instead of O(bucket²)). The final count is a
+    hash-agg over emitted pair rows.
+    """
+    fps = winnow_fingerprint_rows(df, id_col, text_col, n, window)
+    pair_expr = F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS id_a, y AS id_b))))"
+    )
+    star_expr = F.expr(
+        "transform(slice(ids, 2, size(ids)), y -> struct(element_at(ids, 1) AS id_a, y AS id_b))"
+    )
+    shared = (
+        fps.groupBy("fp")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(
+            F.explode(
+                F.when(F.size("ids") <= max_clique_bucket, pair_expr).otherwise(star_expr)
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
+    )
+    return (
+        shared.groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
     )
 
 

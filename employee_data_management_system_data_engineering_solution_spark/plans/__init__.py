@@ -67,6 +67,11 @@ from .registry import REGISTRY, register
 #                            neardup_prune)
 #       ngram_jaccard_pairs (Jaccard verify is the filter stage inside
 #                            neardup_prune)
+#   IN  winnow_fingerprint_pairs (new in r6: MOSS winnowing dedup)
+#   OUT repeated_passages   (green r5; passage-fingerprint family now
+#                            carried by winnow_fingerprint_pairs, and
+#                            the dedup family by neardup_prune +
+#                            dedup_clusters_star)
 # ---------------------------------------------------------------------------
 _PRIORITY: tuple[str, ...] = (
     # composed pipeline and every sink shape (S1-S6, K1-K5)
@@ -118,7 +123,7 @@ _PRIORITY: tuple[str, ...] = (
     "ann_recall_report",
     "embedding_neardup_pairs",
     "pii_scrub",
-    "repeated_passages",
+    "winnow_fingerprint_pairs",
     "context_pack_bins",
     "tfidf_top_terms",
     "bigram_collocations",

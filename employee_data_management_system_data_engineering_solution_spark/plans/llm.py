@@ -340,6 +340,82 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _verified_pairs(spark, sf_dir)
 
 
+def _duck_winnow_fps(n: int = 8, window: int = 4) -> str:
+    """DuckDB expression mirroring
+    ``operators.dedup.winnow_fingerprint_rows``: per doc, the distinct
+    mins of each ``window`` of consecutive gram hashes (1-based list
+    slicing clamps at the doc edge exactly as the Spark window frame
+    truncates). Input CTE must provide ``harr``."""
+    return (
+        f"list_distinct(list_transform("
+        f"generate_series(1, greatest(len(harr) - {window}, 0) + 1), "
+        f"p -> list_min(harr[p : p + {window} - 1])))"
+    )
+
+
+@register(
+    "winnow_fingerprint_pairs",
+    rf"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text FROM documents
+    ),
+    nrm AS (
+      SELECT doc_id,
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+      FROM corpus
+    ),
+    cod AS (
+      SELECT doc_id, norm,
+             list_transform(string_split(norm, ''), c -> ascii(c)) AS cs
+      FROM nrm
+    ),
+    h AS (SELECT doc_id, {_duck_poly_arr(31, n=16)} AS harr FROM cod),
+    fpl AS (SELECT doc_id, {_duck_winnow_fps(n=16, window=8)} AS fps FROM h),
+    fpr AS (SELECT doc_id, unnest(fps) AS fp FROM fpl),
+    bsz AS (
+      SELECT fp, count(*) AS n_members, min(doc_id) AS hub
+      FROM fpr GROUP BY fp
+    ),
+    cand AS (
+      -- mirror of the engine's degenerate-bucket STAR fallback
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM fpr a
+      JOIN fpr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      JOIN bsz s ON s.fp = a.fp
+      WHERE s.n_members <= 256 OR a.doc_id = s.hub
+    )
+    SELECT id_a, id_b, count(*) AS n_shared
+    FROM cand GROUP BY id_a, id_b HAVING count(*) >= 16
+    """,
+)
+def winnow_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-fingerprint near-dup pairs (the MOSS scheme): docs
+    sharing ≥ 16 distinct window-min 16-gram hashes (guarantee: any
+    shared substring of ≥ 23 chars yields a shared fingerprint; the
+    tiny-vocabulary synthetic corpus needs the long gram to keep
+    random word-order collisions out of the pair set). The corpus is the
+    documents table plus an id-shifted exact copy, planting known
+    duplicate pairs so the operator's output is non-trivial.
+
+    Scale: one per-doc window frame for fingerprint selection (shuffle
+    partitioned by doc id, frame state bounded by one doc's grams), one
+    groupBy on fingerprint values for candidate pairing (bucketed,
+    star-capped — never all-pairs), one hash-agg for the shared count.
+    Reference parity: the reference dedups rows exactly by key
+    (reference: Task_4_80perc.py:69 ``dropDuplicates``); winnowing
+    extends that to shared-substring near-dup detection at the same
+    shuffle cost."""
+    docs = read_table(spark, sf_dir, "documents")
+    corpus = docs.select("doc_id", "text").unionByName(
+        docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    return dedup.winnow_shared_pairs(
+        corpus, "doc_id", "text", n=16, window=8, min_shared=16
+    )
+
+
 #: session-scoped memo of the verified near-dup pair set. THREE
 #: registered queries (ngram_jaccard_pairs, dedup_clusters,
 #: dedup_clusters_star) consume the identical (n=5, j>=0.5) pair set;

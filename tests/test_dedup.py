@@ -233,3 +233,64 @@ def test_neardup_prune_keeps_one_rep_per_cluster(spark, tmp_path):
         for r in REGISTRY["neardup_prune"].fn(spark, str(tmp_path)).collect()
     }
     assert got == {1: True, 4: False}
+
+
+def test_winnow_guarantee_shared_substring_yields_shared_fp(spark):
+    """Winnowing guarantee: any shared substring of length >= n + w - 1
+    produces at least one shared fingerprint, while disjoint texts
+    share none."""
+    from employee_data_management_system_data_engineering_solution_spark.operators.dedup import (
+        winnow_fingerprint_rows,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog"  # 43 chars >= 8+4-1
+    df = spark.createDataFrame(
+        [
+            (1, "prefix one " + shared + " suffix alpha"),
+            (2, "totally different lead " + shared),
+            (3, "no overlap here at all zzz qqq vvv"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = winnow_fingerprint_rows(df, "doc_id", "text", n=8, window=4).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2], "docs sharing a long substring must share a fingerprint"
+    # fingerprints are a subset of the doc's gram hashes -> deterministic
+    again = winnow_fingerprint_rows(df, "doc_id", "text", n=8, window=4).collect()
+    assert {(r.doc_id, r.fp) for r in again} == {(r.doc_id, r.fp) for r in rows}
+
+
+def test_winnow_short_doc_emits_truncated_fingerprint(spark):
+    from employee_data_management_system_data_engineering_solution_spark.operators.dedup import (
+        winnow_fingerprint_rows,
+    )
+
+    df = spark.createDataFrame([(1, "abc"), (2, "")], "doc_id bigint, text string")
+    rows = winnow_fingerprint_rows(df, "doc_id", "text", n=8, window=4).collect()
+    by_doc = {r.doc_id for r in rows}
+    assert 1 in by_doc  # shorter than one gram still fingerprints
+
+
+def test_winnow_star_fallback_pairs_with_min_id_hub(spark):
+    """Degenerate buckets must pair members with the MINIMUM id (the
+    hub), not the second element — regression for the 0-based ids[1]
+    indexing bug that paired with a non-hub member."""
+    from employee_data_management_system_data_engineering_solution_spark.operators.dedup import (
+        winnow_shared_pairs,
+    )
+
+    # 5 identical docs -> every fingerprint bucket holds all 5 ids;
+    # with max_clique_bucket=3 the star fallback kicks in and must emit
+    # ONLY (10, x) pairs: hub = min id = 10.
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [(i, text) for i in (10, 11, 12, 13, 14)], "doc_id bigint, text string"
+    )
+    pairs = winnow_shared_pairs(
+        df, "doc_id", "text", n=8, window=4, min_shared=1, max_clique_bucket=3
+    ).collect()
+    assert pairs, "identical docs must pair"
+    assert {p.id_a for p in pairs} == {10}
+    assert {p.id_b for p in pairs} == {11, 12, 13, 14}

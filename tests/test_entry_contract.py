@@ -77,7 +77,9 @@ def test_check_window_covers_every_operator_family():
         "hyperplane_lsh_groups", "ivf_topk_multiprobe",
         "embedding_quantize", "quantized_topk_rescore",
         "quantized_ivf_topk", "ann_recall_report",
-        "embedding_neardup_pairs", "pii_scrub", "repeated_passages",
+        # repeated_passages rotated out for winnow_fingerprint_pairs
+        # (same passage/substring-fingerprint family, green r5)
+        "embedding_neardup_pairs", "pii_scrub", "winnow_fingerprint_pairs",
         "context_pack_bins", "tfidf_top_terms", "bigram_collocations",
         "kmeans_ivf_assign", "lm_doc_score", "multimodal_decode",
         # composed family carriers (text X1-X5, multimodal X16+X33,
