@@ -1,0 +1,143 @@
+"""Bloom-filter join pruning — cut the big side's shuffle volume
+before a large-×-large join.
+
+The reference joins staged tables with plain equi-joins
+(reference: merge2_tf_dim_staging.py; SURVEY §2.4); at 100 TB the
+dominant cost of ``fact JOIN filtered_dim`` is shuffling fact rows
+whose keys can never match. A Bloom filter built from the (already
+filtered, much smaller) dim key set and applied map-side to the fact
+scan drops most non-matching rows BEFORE the exchange — the same idea
+as Spark's runtime row-level filtering, but explicit, tunable, and
+usable when the optimizer's own injection declines to fire.
+
+Correctness contract: a Bloom filter has NO false negatives, so
+pruning + exact join ≡ exact join — the final result is byte-identical
+whatever the false-positive rate, which only costs shuffle bytes. That
+is why the DuckDB oracle for a bloom-pruned query is the PLAIN join
+SQL: the filter is invisible in the result, visible only in the
+exchange volume.
+
+Scale shape: the build is one map-side-combined ``bit_or`` aggregation
+to ≤ ``num_bits``/64 rows collected to the driver (a 2^17-bit filter is
+2 KiB of longs — broadcast-trivial); the probe is a narrow filter of k
+``xxhash64`` evaluations per fact row against an array literal, fully
+inside whole-stage codegen. No Python in either path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: bits per filter; 2^17 (16 KiB) holds ~13k keys at ~10 bits/key
+#: (≈1% FP). Callers sizing for bigger key sets pass a bigger power.
+DEFAULT_NUM_BITS = 1 << 17
+DEFAULT_NUM_HASHES = 3
+
+
+def _bit_positions(key: Column, num_bits: int, num_hashes: int) -> list[Column]:
+    """The k probe positions for ``key``: independent hash functions
+    derived by pairing the key with a literal salt under ``xxhash64``
+    (Spark's seed is fixed, so the salt column provides the family)."""
+    return [
+        F.pmod(F.xxhash64(key, F.lit(i)), F.lit(num_bits)).cast("long")
+        for i in range(num_hashes)
+    ]
+
+
+def bloom_build(
+    keys: DataFrame,
+    key_col: str,
+    num_bits: int = DEFAULT_NUM_BITS,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+) -> list[int]:
+    """Build the filter: a dense ``num_bits/64``-long word list.
+
+    One explode (×k, tiny), one ``bit_or`` groupBy whose map-side
+    partial aggregation reduces every partition to ≤ num_bits/64 rows
+    before the exchange, one bounded collect. The returned list is the
+    whole filter — hand it to :func:`bloom_prune` (driver-side literal,
+    no broadcast variable or UDF anywhere).
+    """
+    if num_bits % 64:
+        raise ValueError(f"num_bits must be a multiple of 64, got {num_bits}")
+    pos = F.explode(
+        F.array(*_bit_positions(F.col(key_col), num_bits, num_hashes))
+    ).alias("__pos")
+    words = (
+        keys.select(pos)
+        .select(
+            (F.col("__pos") / 64).cast("long").alias("__word"),
+            # the PySpark shiftleft wrapper types numBits as a Python
+            # int; call_function passes the column shift through
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"), (F.col("__pos") % 64).cast("int")
+            ).alias("__mask"),
+        )
+        .groupBy("__word")
+        .agg(F.bit_or("__mask").alias("__bits"))
+        .collect()
+    )
+    dense = [0] * (num_bits // 64)
+    for r in words:
+        dense[int(r["__word"])] = int(r["__bits"])
+    return dense
+
+
+def bloom_words_literal(words: list[int]) -> Column:
+    """The filter as ONE array literal expression (the pivot-literal
+    trick from ``similarity._pivot_literal``: a single parsed SQL
+    string, not num_bits/64 nested ``lit`` calls)."""
+    return F.expr(f"array({','.join(f'{w}L' for w in words)})")
+
+
+def bloom_might_contain(
+    key: Column,
+    words: list[int],
+    num_bits: int = DEFAULT_NUM_BITS,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+) -> Column:
+    """True iff every probe bit is set — may be a false positive, never
+    a false negative. All probes are plain integer expressions over the
+    array literal; codegen keeps the whole predicate in the scan stage,
+    so the prune happens before any exchange."""
+    lit = bloom_words_literal(words)
+    checks = [
+        (
+            F.call_function(
+                "shiftright",
+                F.element_at(lit, ((p / 64).cast("long") + 1).cast("int")),
+                (p % 64).cast("int"),
+            )
+            % 2
+            != 0
+        )
+        for p in _bit_positions(key, num_bits, num_hashes)
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out & c
+    return out
+
+
+def bloom_pruned_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    num_bits: int = DEFAULT_NUM_BITS,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    how: str = "inner",
+) -> DataFrame:
+    """``fact ⋈ dim`` with the fact side Bloom-pruned first.
+
+    The dim side is consumed twice (filter build + join); callers with
+    an expensive dim pipeline should pin it. The join itself is left to
+    Catalyst/AQE — after pruning, the fact side is small enough that
+    AQE often converts the exchange to a local one anyway.
+    """
+    words = bloom_build(dim.select(dim_key), dim_key, num_bits, num_hashes)
+    pruned = fact.filter(
+        bloom_might_contain(F.col(fact_key), words, num_bits, num_hashes)
+    )
+    return pruned.join(dim, pruned[fact_key] == dim[dim_key], how)

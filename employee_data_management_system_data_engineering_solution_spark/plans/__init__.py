@@ -72,6 +72,9 @@ from .registry import REGISTRY, register
 #                            carried by winnow_fingerprint_pairs, and
 #                            the dedup family by neardup_prune +
 #                            dedup_clusters_star)
+#   IN  bloom_pruned_join   (new in r6: Bloom semi-join reduction)
+#   OUT event_sessions      (green r1-r5; sessionization family still
+#                            carried in-window by session_window_counts)
 # ---------------------------------------------------------------------------
 _PRIORITY: tuple[str, ...] = (
     # composed pipeline and every sink shape (S1-S6, K1-K5)
@@ -102,7 +105,7 @@ _PRIORITY: tuple[str, ...] = (
     "events_in_error_windows",
     "user_value_trend",
     "forward_fill_values",
-    "event_sessions",
+    "bloom_pruned_join",
     "value_outliers",
     # CDC + curation
     "snapshot_diff_orders",

@@ -62,8 +62,10 @@ def test_check_window_covers_every_operator_family():
         "stream_dedup_counts", "session_window_counts",
         "stream_purchase_view_join", "streaming_upsert_dim",
         # temporal joins / repair / sessionization / anomalies + CDC
+        # event_sessions rotated out for bloom_pruned_join (r6):
+        # sessionization stays carried by session_window_counts
         "purchase_asof_view", "events_in_error_windows",
-        "user_value_trend", "forward_fill_values", "event_sessions",
+        "user_value_trend", "forward_fill_values", "bloom_pruned_join",
         "value_outliers", "snapshot_diff_orders",
         # LLM dedup / ANN / multimodal / text-scrub stack. The r6
         # rotation displaced five 5-round-green carriers whose stages
