@@ -522,6 +522,121 @@ def passage_fingerprint_rows(
     )
 
 
+def simhash_arith(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    nbits: int = 48,
+) -> DataFrame:
+    """(id, simhash) — ``nbits``-wide SimHash from PURE built-in
+    expressions, the SQL-expressible sibling of :func:`simhash` (whose
+    64-bit blake2b family needs Python). Word hash = low ``nbits`` of
+    md5's first 15 hex chars (the cross-engine arithmetic family from
+    :func:`gram_minhash`), per-bit ±count majority vote, tie → 0.
+
+    Shape: explode to (doc, word), count duplicates FIRST (one md5 per
+    distinct word-in-doc, not per occurrence), then one groupBy(doc)
+    computing all ``nbits`` signed sums map-side — the shuffle moves
+    nbits longs per doc. The bit fan-out lives in PROJECTION/AGG
+    expressions, all codegen'd; this is exactly the "64-wide expression
+    fan-out" the Pandas variant avoids, traded here for oracle parity
+    and zero Python.
+    """
+    words = fan_out(
+        df.select(F.col(id_col), normalized(F.col(text_col)).alias("__norm"))
+    ).select(id_col, F.explode(F.split(F.col("__norm"), " ")).alias("__w"))
+    h = F.conv(F.substring(F.md5("__w"), 1, 15), 16, 10).cast("long") % F.lit(1 << nbits)
+    wh = (
+        words.groupBy(id_col, "__w")
+        .agg(F.count("*").alias("__cnt"))
+        .select(id_col, "__cnt", h.alias("__h"))
+    )
+    sums = wh.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.col("__cnt") * (F.shiftright(F.col("__h"), b) % 2 * 2 - 1)
+            ).alias(f"__s{b}")
+            for b in range(nbits)
+        ]
+    )
+    sig = sum(
+        (F.col(f"__s{b}") > 0).cast("long") * F.lit(1 << b) for b in range(nbits)
+    )
+    return sums.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    nbits: int = 48,
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_clique_bucket: int = 256,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, banded: signatures
+    split into ``bands`` equal bit-bands; docs sharing ANY band value
+    become candidates (pigeonhole: hamming ≤ bands−1 ⇒ some band is
+    equal, so recall is exact for ``max_hamming`` < bands); candidates
+    are verified with ``bit_count(sig_a XOR sig_b)``. Output:
+    (id_a, id_b, hamming), id_a < id_b, hamming ≤ ``max_hamming``.
+
+    Scale: candidate generation is ONE groupBy on (band_no, band_value)
+    — never all-pairs — with the same O(bucket) STAR fallback as
+    :func:`ngram_jaccard_pairs` for degenerate buckets; verification
+    joins the tiny pair set back to the 1-row-per-doc signature frame.
+    """
+    if nbits % bands:
+        raise ValueError(f"nbits={nbits} not divisible by bands={bands}")
+    width = nbits // bands
+    sig = simhash_arith(df, id_col, text_col, nbits).localCheckpoint(eager=False)
+    banded = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band_no"),
+                    (F.shiftright(F.col("simhash"), b * width) % F.lit(1 << width)).alias(
+                        "band_val"
+                    ),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select(id_col, "bb.band_no", "bb.band_val")
+    pair_expr = F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS id_a, y AS id_b))))"
+    )
+    star_expr = F.expr(
+        "transform(slice(ids, 2, size(ids)), y -> struct(element_at(ids, 1) AS id_a, y AS id_b))"
+    )
+    cand = (
+        banded.groupBy("band_no", "band_val")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(
+            F.explode(
+                F.when(F.size("ids") <= max_clique_bucket, pair_expr).otherwise(star_expr)
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+    sa = sig.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("__sa"))
+    sb = sig.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("__sb"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb"))).cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 _SIMHASH_SCHEMA = "doc_id long, simhash long"
 
 

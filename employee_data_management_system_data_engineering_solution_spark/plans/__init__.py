@@ -75,6 +75,10 @@ from .registry import REGISTRY, register
 #   IN  bloom_pruned_join   (new in r6: Bloom semi-join reduction)
 #   OUT event_sessions      (green r1-r5; sessionization family still
 #                            carried in-window by session_window_counts)
+#   IN  simhash_hamming_pairs (new in r6: hash-checked SimHash banding)
+#   OUT benchmark_contamination (green r2-r5; gram-set machinery still
+#                            carried by winnow/neardup_prune, guarded by
+#                            the full local run)
 # ---------------------------------------------------------------------------
 _PRIORITY: tuple[str, ...] = (
     # composed pipeline and every sink shape (S1-S6, K1-K5)
@@ -116,7 +120,7 @@ _PRIORITY: tuple[str, ...] = (
     # LLM dedup / similarity / multimodal / text-scrub stack
     "dedup_clusters_star",
     "neardup_prune",
-    "benchmark_contamination",
+    "simhash_hamming_pairs",
     "doc_chunks",
     "hyperplane_lsh_groups",
     "ivf_topk_multiprobe",

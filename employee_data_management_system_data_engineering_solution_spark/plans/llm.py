@@ -416,6 +416,89 @@ def winnow_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duck_simhash_sums(nbits: int = 48) -> str:
+    """Per-bit signed majority sums mirroring
+    ``operators.dedup.simhash_arith``."""
+    return ",\n             ".join(
+        f"sum(cnt * (((h >> {b}) & 1) * 2 - 1)) AS s{b}" for b in range(nbits)
+    )
+
+
+def _duck_simhash_sig(nbits: int = 48) -> str:
+    """Signature assembly: bit b set iff its signed sum is positive."""
+    return " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(nbits)
+    )
+
+
+@register(
+    "simhash_hamming_pairs",
+    rf"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text FROM documents
+    ),
+    nrm AS (
+      SELECT doc_id,
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+      FROM corpus
+    ),
+    w AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS w FROM nrm),
+    wc AS (SELECT doc_id, w, count(*) AS cnt FROM w GROUP BY doc_id, w),
+    wh AS (
+      SELECT doc_id, cnt,
+             ('0x' || substr(md5(w), 1, 15))::BIGINT % {1 << 48} AS h
+      FROM wc
+    ),
+    s AS (SELECT doc_id,
+             {_duck_simhash_sums()}
+          FROM wh GROUP BY doc_id),
+    sig AS (SELECT doc_id, {_duck_simhash_sig()} AS simhash FROM s),
+    banded AS (
+      SELECT doc_id, b.band_no, (simhash >> (b.band_no * 12)) % 4096 AS band_val
+      FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band_no) b
+    ),
+    bsz AS (
+      SELECT band_no, band_val, count(*) AS n_members, min(doc_id) AS hub
+      FROM banded GROUP BY band_no, band_val
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a
+      JOIN banded b ON a.band_no = b.band_no AND a.band_val = b.band_val
+                   AND a.doc_id < b.doc_id
+      JOIN bsz z ON z.band_no = a.band_no AND z.band_val = a.band_val
+      WHERE z.n_members <= 256 OR a.doc_id = z.hub
+    )
+    SELECT id_a, id_b,
+           bit_count(xor(sa.simhash, sb.simhash))::BIGINT AS hamming
+    FROM cand
+    JOIN sig sa ON sa.doc_id = id_a
+    JOIN sig sb ON sb.doc_id = id_b
+    WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
+    """,
+)
+def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with Hamming-band candidate generation —
+    the hash-checked sibling of ``simhash_signatures`` (whose blake2b
+    family is SQL-inexpressible by contract): a 48-bit arithmetic
+    signature from built-ins only, 4×12-bit bands for candidates
+    (pigeonhole-exact recall at hamming ≤ 3), ``bit_count(XOR)``
+    verification. The corpus is documents plus an id-shifted exact copy
+    (planted hamming-0 pairs).
+
+    Scale: one (doc, word) count shuffle, one nbits-sums-per-doc
+    groupBy (map-side combined — the shuffle moves 48 longs per doc),
+    one band groupBy with the star-capped bucket pairing, and a
+    signature re-join bounded by the candidate set."""
+    docs = read_table(spark, sf_dir, "documents")
+    corpus = docs.select("doc_id", "text").unionByName(
+        docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    return dedup.simhash_hamming_pairs(corpus, "doc_id", "text")
+
+
 #: session-scoped memo of the verified near-dup pair set. THREE
 #: registered queries (ngram_jaccard_pairs, dedup_clusters,
 #: dedup_clusters_star) consume the identical (n=5, j>=0.5) pair set;

@@ -294,3 +294,67 @@ def test_winnow_star_fallback_pairs_with_min_id_hub(spark):
     assert pairs, "identical docs must pair"
     assert {p.id_a for p in pairs} == {10}
     assert {p.id_b for p in pairs} == {11, 12, 13, 14}
+
+
+def test_simhash_arith_identical_docs_same_signature(spark):
+    from employee_data_management_system_data_engineering_solution_spark.operators.dedup import (
+        simhash_arith,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+         (3, "completely different words here")],
+        "doc_id bigint, text string",
+    )
+    sigs = {r.doc_id: r.simhash for r in simhash_arith(df, "doc_id", "text").collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[3]
+    assert all(0 <= s < (1 << 48) for s in sigs.values())
+
+
+def test_simhash_arith_matches_python_reference(spark):
+    """Bit-exact pure-Python replay of the arithmetic simhash family."""
+    import hashlib
+
+    from employee_data_management_system_data_engineering_solution_spark.operators.dedup import (
+        simhash_arith,
+    )
+
+    texts = {1: "the quick brown fox", 2: "pack my box with five dozen jugs", 3: ""}
+
+    def ref(text, nbits=48):
+        import re
+        norm = re.sub(r"\s+", " ", text.strip().lower())
+        words = norm.split(" ")
+        counts = {}
+        for w in words:
+            counts[w] = counts.get(w, 0) + 1
+        sums = [0] * nbits
+        for w, c in counts.items():
+            h = int(hashlib.md5(w.encode()).hexdigest()[:15], 16) % (1 << nbits)
+            for b in range(nbits):
+                sums[b] += c * (((h >> b) & 1) * 2 - 1)
+        return sum((1 << b) for b in range(nbits) if sums[b] > 0)
+
+    df = spark.createDataFrame(list(texts.items()), "doc_id bigint, text string")
+    got = {r.doc_id: r.simhash for r in simhash_arith(df, "doc_id", "text").collect()}
+    for i, t in texts.items():
+        assert got[i] == ref(t), f"doc {i}"
+
+
+def test_simhash_hamming_pairs_pigeonhole_recall(spark):
+    """hamming <= bands-1 guarantees a shared band, so every true
+    near-dup pair must be FOUND (no candidate-stage miss)."""
+    from employee_data_management_system_data_engineering_solution_spark.operators.dedup import (
+        simhash_hamming_pairs,
+    )
+
+    base = "one two three four five six seven eight nine ten " * 3
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, base + " eleven"), (4, "unrelated stuff entirely")],
+        "doc_id bigint, text string",
+    )
+    pairs = {(r.id_a, r.id_b): r.hamming for r in
+             simhash_hamming_pairs(df, "doc_id", "text").collect()}
+    assert pairs.get((1, 2)) == 0
+    assert all(4 not in p for p in pairs)

@@ -75,7 +75,10 @@ def test_check_window_covers_every_operator_family():
         # ground-truth stage of ann_recall_report, ivf_topk's inverted-
         # list family is carried by ivf_topk_multiprobe /
         # quantized_ivf_topk / kmeans_ivf_assign.
-        "dedup_clusters_star", "neardup_prune", "doc_chunks",
+        # benchmark_contamination rotated out for simhash_hamming_pairs
+        # (r6): gram-set machinery carried by winnow/neardup_prune
+        "dedup_clusters_star", "neardup_prune", "simhash_hamming_pairs",
+        "doc_chunks",
         "hyperplane_lsh_groups", "ivf_topk_multiprobe",
         "embedding_quantize", "quantized_topk_rescore",
         "quantized_ivf_topk", "ann_recall_report",
