@@ -795,3 +795,255 @@ def quantized_ivf_topk(
     return rescored.withColumn("rank", F.row_number().over(w2)).filter(
         F.col("rank") <= k
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) + asymmetric-distance (ADC) search
+# ---------------------------------------------------------------------------
+def _l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 distance between two double arrays — an index-ordered
+    left fold, matching DuckDB's ``list_sum(list_transform(...))`` so
+    oracle replays are bit-identical before rounding."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_codebook_literal(codebooks: dict[tuple[int, int], list[float]], m: int) -> Column:
+    """The trained codebooks as ONE parsed expression:
+    ``array_j( array_c( struct(code, cb array<double>) ) )`` — same
+    single-SQL-string discipline as :func:`_pivot_literal`. Codes are
+    listed in ascending order inside each subspace."""
+    import math
+
+    subs = []
+    for j in range(m):
+        entries = []
+        for (jj, code), vec in sorted(codebooks.items()):
+            if jj != j:
+                continue
+            for x in vec:
+                if not math.isfinite(x):
+                    raise ValueError(f"non-finite codebook component in sub {j} code {code}")
+            arr = ",".join(f"CAST({x!r} AS DOUBLE)" for x in vec)
+            entries.append(f"named_struct('code', {code}, 'cb', array({arr}))")
+        subs.append(f"array({','.join(entries)})")
+    return F.expr(f"array({','.join(subs)})")
+
+
+def _pq_assign_code(sv: Column, cands: Column) -> Column:
+    """Nearest codeword for one subvector: min rounded squared-L2, ties
+    to the smallest code (ascending struct sort on (dist, code))."""
+    scored = F.transform(
+        cands,
+        lambda p: F.struct(
+            F.round(_l2sq(sv, p["cb"]), 6).alias("d"), p["code"].alias("code")
+        ),
+    )
+    return F.array_sort(scored).getItem(0)["code"].cast("int")
+
+
+def pq_train_codebooks(
+    corpus: DataFrame,
+    m: int = 4,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    round_digits: int = 6,
+) -> dict[tuple[int, int], list[float]]:
+    """Train PQ codebooks: split each vector into ``m`` contiguous
+    subspaces and run ONE Lloyd's iteration of ``ksub``-means per
+    subspace (L2 assignment, per-dimension mean recompute, both rounded
+    to ``round_digits`` for cross-engine reproducibility), seeded with
+    the ``ksub`` lowest-id vectors' subvectors.
+
+    All m trainings share the SAME physical passes: one subspace-explode
+    scan assigns every (vector, subspace) row to its seed codeword (seed
+    codebooks ride as one literal), and one groupBy((sub, code)) with
+    map-side partial aggregation recomputes every codebook — the shuffle
+    moves m × ksub × dim/m running sums per partition, never corpus
+    rows. The driver holds m × ksub × dim/m doubles (the PQ analogue of
+    the Lloyd's centroid barrier). Codewords that capture no vectors
+    after the iteration are DROPPED (both engines mirror this; no
+    reseed — PQ quality degrades gracefully with a shorter codebook,
+    unlike IVF where ``kmeans_iterate`` keeps k constant).
+
+    Returns {(sub_no, code) -> codeword (dim/m doubles)}.
+    """
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    dsub = dim // m
+    seed_rows = (
+        corpus.select(id_col, vec_col).orderBy(F.col(id_col).asc()).limit(ksub).collect()
+    )
+    if len(seed_rows) != ksub:
+        raise ValueError(f"pq_train_codebooks: corpus has {len(seed_rows)} < ksub={ksub} vectors")
+    seeds: dict[tuple[int, int], list[float]] = {}
+    for rank, r in enumerate(seed_rows):
+        vec = [float(x) for x in r[1]]
+        for j in range(m):
+            seeds[(j, rank)] = vec[j * dsub : (j + 1) * dsub]
+    seed_lit = _pq_codebook_literal(seeds, m)
+    sub_structs = [
+        F.struct(
+            F.lit(j).alias("sub_no"),
+            F.slice(_as_double(F.col(vec_col)), j * dsub + 1, dsub).alias("sv"),
+        )
+        for j in range(m)
+    ]
+    subs = fan_out(corpus.select(id_col, vec_col)).select(
+        F.col(id_col), F.explode(F.array(*sub_structs)).alias("s")
+    ).select(id_col, F.col("s.sub_no").alias("sub_no"), F.col("s.sv").alias("sv"))
+    assigned = subs.select(
+        "sub_no",
+        "sv",
+        _pq_assign_code(
+            F.col("sv"), F.element_at(seed_lit, F.col("sub_no") + 1)
+        ).alias("code"),
+    )
+    aggs = [
+        F.round(F.avg(F.col("sv").getItem(i)), round_digits).alias(f"__c{i}")
+        for i in range(dsub)
+    ]
+    rows = assigned.groupBy("sub_no", "code").agg(*aggs).collect()
+    return {
+        (int(r["sub_no"]), int(r["code"])): [r[f"__c{i}"] for i in range(dsub)]
+        for r in rows
+    }
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: dict[tuple[int, int], list[float]],
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """(id, codes array<int>) — each vector compressed to ``m`` codeword
+    ids (64 floats → 4 bytes at m=4/ksub≤256: a 64× index compression).
+    One narrow map: all m argmins evaluate in a single projection over
+    the codebook literal; no explode, no shuffle."""
+    dsub = dim // m
+    cblit = _pq_codebook_literal(codebooks, m)
+    codes = F.array(*[
+        _pq_assign_code(
+            F.slice(_as_double(F.col(vec_col)), j * dsub + 1, dsub),
+            F.element_at(cblit, j + 1),
+        )
+        for j in range(m)
+    ])
+    return corpus.select(F.col(id_col), codes.alias("codes"))
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    codebooks: dict[tuple[int, int], list[float]],
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 10,
+    rescore_factor: int = 3,
+) -> DataFrame:
+    """PQ-ADC top-k: coarse search reads ONLY the m-byte PQ codes —
+    per (query, corpus-code) the reconstructed cosine comes from 2m
+    table lookups (the asymmetric-distance trick: each query
+    precomputes its dot product with every codeword ONCE; corpus rows
+    are then scored without touching any float vector) — followed by
+    exact float rescoring of the top k × rescore_factor survivors.
+
+    Plan shape: the query side (tiny) computes its m × ksub lookup
+    table in one projection over the codebook literal and broadcasts;
+    the corpus side streams codes through a narrow map — the scan reads
+    m ints per row instead of ``dim`` floats, the 100 TB win. Codeword
+    self-dots (reconstruction norms) are Python-computed literals.
+    Output: (query_id, neighbor_id, cosine_sim, rank) with EXACT
+    rounded float cosine, matching the other search operators.
+    """
+    dsub = dim // m
+    cblit = _pq_codebook_literal(codebooks, m)
+    # reconstruction-norm table: ||cb||^2 summed per code, python-exact
+    norm_entries = []
+    for j in range(m):
+        per = []
+        for (jj, code), vec in sorted(codebooks.items()):
+            if jj != j:
+                continue
+            s = 0.0
+            for x in vec:
+                s += x * x
+            per.append(f"named_struct('code', {code}, 'n2', CAST({s!r} AS DOUBLE))")
+        norm_entries.append(f"array({','.join(per)})")
+    normlit = F.expr(f"array({','.join(norm_entries)})")
+
+    codes = pq_encode(corpus, codebooks, m, id_col, vec_col, dim).select(
+        F.col(id_col).alias("neighbor_id"), "codes"
+    )
+    # per-query LUT: lut[j] = list of struct(code, dot(q_j, cb)) in the
+    # same code order as the codebook literal
+    qv = _as_double(F.col(vec_col))
+    lut = F.transform(
+        cblit,
+        lambda sub, j: F.transform(
+            sub,
+            lambda p: F.struct(
+                p["code"].alias("code"),
+                dot(F.slice(qv, j * dsub + 1, dsub), p["cb"]).alias("d"),
+            ),
+        ),
+    )
+    qside = queries.select(
+        F.col(id_col).alias("query_id"),
+        lut.alias("__lut"),
+        norm(qv).alias("__qnorm"),
+    )
+
+    def lookup(tab: Column, j: int, field: str) -> Column:
+        sub = F.element_at(tab, j + 1)
+        code = F.element_at(F.col("codes"), j + 1)
+        return F.element_at(
+            F.map_from_entries(
+                F.transform(sub, lambda p: F.struct(p["code"], p[field]))
+            ),
+            code,
+        )
+
+    rdot = sum(lookup(F.col("__lut"), j, "d") for j in range(m))
+    rnorm2 = sum(lookup(normlit, j, "n2") for j in range(m))
+    coarse = (
+        codes.crossJoin(F.broadcast(qside))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(rdot / (F.col("__qnorm") * F.sqrt(rnorm2)), 6).alias("qcos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qcos").desc(), F.col("neighbor_id").asc()
+    )
+    cands = coarse.withColumn("__crank", F.row_number().over(w)).filter(
+        F.col("__crank") <= k * rescore_factor
+    )
+    qvec = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec"))
+    cvec = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"))
+    rescored = (
+        cands.join(F.broadcast(qvec), "query_id")
+        .join(cvec, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("__qvec"), F.col("__cvec")), 6).alias("cosine_sim"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return rescored.withColumn("rank", F.row_number().over(w2)).filter(
+        F.col("rank") <= k
+    )

@@ -79,6 +79,9 @@ from .registry import REGISTRY, register
 #   OUT benchmark_contamination (green r2-r5; gram-set machinery still
 #                            carried by winnow/neardup_prune, guarded by
 #                            the full local run)
+#   IN  pq_adc_search       (new in r6: product-quantization ADC)
+#   OUT hyperplane_lsh_groups (green r3-r5; vector-ANN family carried by
+#                            the in-window IVF/SQ8/PQ/recall stack)
 # ---------------------------------------------------------------------------
 _PRIORITY: tuple[str, ...] = (
     # composed pipeline and every sink shape (S1-S6, K1-K5)
@@ -122,7 +125,7 @@ _PRIORITY: tuple[str, ...] = (
     "neardup_prune",
     "simhash_hamming_pairs",
     "doc_chunks",
-    "hyperplane_lsh_groups",
+    "pq_adc_search",
     "ivf_topk_multiprobe",
     "embedding_quantize",
     "quantized_topk_rescore",

@@ -1149,6 +1149,120 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_neardup_pairs(corpus, pivots, threshold=0.999)
 
 
+def _pq_oracle(m: int = 8, ksub: int = 16, dim: int = 64, k: int = 10, rf: int = 10) -> str:
+    """DuckDB mirror of ``similarity.pq_train_codebooks`` +
+    ``pq_encode`` + ``pq_adc_topk``: one Lloyd's iteration per subspace
+    (rounded L2² assignment, ties to smallest code, rounded means),
+    re-encode, ADC score with j-ordered summation, exact rescore."""
+    dsub = dim // m
+    l2 = (
+        f"round(list_sum(list_transform(range(1, {dsub + 1}), "
+        f"i -> (s.sv[i] - c.cb[i]) * (s.sv[i] - c.cb[i]))), 6)"
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    js AS (SELECT unnest(range(0, {m})) AS j),
+    subs AS (
+      SELECT vec_id, j, e[j * {dsub} + 1 : j * {dsub} + {dsub}] AS sv
+      FROM v CROSS JOIN js
+    ),
+    seed AS (
+      SELECT j, row_number() OVER (PARTITION BY j ORDER BY vec_id) - 1 AS code,
+             sv AS cb
+      FROM subs WHERE vec_id < {ksub}
+    ),
+    a1 AS (
+      SELECT vec_id, j, code FROM (
+        SELECT s.vec_id, s.j, c.code,
+               row_number() OVER (PARTITION BY s.vec_id, s.j
+                 ORDER BY {l2} ASC, c.code ASC) AS rn
+        FROM subs s JOIN seed c ON s.j = c.j)
+      WHERE rn = 1
+    ),
+    cb2 AS (
+      SELECT j, code, list(av ORDER BY i) AS cb FROM (
+        SELECT a1.j, a1.code, t.i, round(avg(s.sv[t.i]), 6) AS av
+        FROM a1
+        JOIN subs s ON s.vec_id = a1.vec_id AND s.j = a1.j
+        CROSS JOIN range(1, {dsub + 1}) t(i)
+        GROUP BY a1.j, a1.code, t.i)
+      GROUP BY j, code
+    ),
+    enc AS (
+      SELECT vec_id, j, code FROM (
+        SELECT s.vec_id, s.j, c.code,
+               row_number() OVER (PARTITION BY s.vec_id, s.j
+                 ORDER BY {l2} ASC, c.code ASC) AS rn
+        FROM subs s JOIN cb2 c ON s.j = c.j)
+      WHERE rn = 1
+    ),
+    q AS (
+      SELECT vec_id AS query_id, e, sqrt(list_dot_product(e, e)) AS qnorm
+      FROM v WHERE vec_id >= 100 AND vec_id < 105
+    ),
+    qsub AS (
+      SELECT query_id, j, e[j * {dsub} + 1 : j * {dsub} + {dsub}] AS qv, qnorm
+      FROM q CROSS JOIN js
+    ),
+    parts AS (
+      SELECT qs.query_id, enc.vec_id AS neighbor_id, enc.j, qs.qnorm,
+             list_dot_product(qs.qv, c.cb) AS d,
+             list_dot_product(c.cb, c.cb) AS n2
+      FROM enc
+      JOIN cb2 c ON c.j = enc.j AND c.code = enc.code
+      JOIN qsub qs ON qs.j = enc.j
+      WHERE enc.vec_id <> qs.query_id
+    ),
+    adc AS (
+      SELECT query_id, neighbor_id,
+             round(list_sum(list(d ORDER BY j))
+                   / (max(qnorm) * sqrt(list_sum(list(n2 ORDER BY j)))), 6) AS qcos
+      FROM parts GROUP BY query_id, neighbor_id
+    ),
+    cand AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id, row_number() OVER (
+                 PARTITION BY query_id ORDER BY qcos DESC, neighbor_id ASC) AS rn
+        FROM adc)
+      WHERE rn <= {k * rf}
+    ),
+    res AS (
+      SELECT c.query_id, c.neighbor_id,
+             round(list_dot_product(q.e, cv.e)
+                   / (q.qnorm * sqrt(list_dot_product(cv.e, cv.e))), 6) AS cosine_sim
+      FROM cand c
+      JOIN q ON q.query_id = c.query_id
+      JOIN v cv ON cv.vec_id = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rn AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
+      FROM res
+    ) WHERE rn <= {k}
+    """
+
+
+@register("pq_adc_search", _pq_oracle())
+def pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k: train 8 subspace codebooks (one
+    Lloyd's iteration each, all sharing two physical passes), compress
+    every vector to 8 codeword ids (64 floats → 8 bytes, 32× index
+    compression), coarse-search via per-query lookup tables (2m table
+    hits per corpus row — no float vector touched), then exact float
+    rescore of the top k×10 survivors.
+
+    This completes the ANN ladder (flat → IVF → multi-probe → SQ8 →
+    IVF-SQ8 → PQ-ADC): PQ is the standard memory-bound regime for
+    billion-vector indexes, where the scan reads m bytes per vector
+    instead of 4·dim. The oracle unrolls training, encoding, and the
+    j-ordered ADC summation in SQL."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    cbs = similarity.pq_train_codebooks(emb, m=8)
+    queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105))
+    return similarity.pq_adc_topk(queries, emb, cbs, m=8, k=10, rescore_factor=10)
+
+
 def _km_assign_cte(vtab: str, ctab: str, out: str) -> str:
     """One Lloyd's assignment round as a CTE: nearest centroid by
     rounded cosine, ties to the smallest pivot id — the SQL mirror of

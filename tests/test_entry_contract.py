@@ -79,7 +79,9 @@ def test_check_window_covers_every_operator_family():
         # (r6): gram-set machinery carried by winnow/neardup_prune
         "dedup_clusters_star", "neardup_prune", "simhash_hamming_pairs",
         "doc_chunks",
-        "hyperplane_lsh_groups", "ivf_topk_multiprobe",
+        # hyperplane_lsh_groups rotated out for pq_adc_search (r6):
+        # vector-ANN family carried by the IVF/SQ8/PQ/recall stack
+        "pq_adc_search", "ivf_topk_multiprobe",
         "embedding_quantize", "quantized_topk_rescore",
         "quantized_ivf_topk", "ann_recall_report",
         # repeated_passages rotated out for winnow_fingerprint_pairs

@@ -328,3 +328,76 @@ def test_quantized_ivf_matches_multiprobe_pairs(spark):
     assert len(sq8) == 50
     assert set(sq8) == set(multi)
     assert all(sq8[p] == multi[p] for p in sq8)  # exact float rescore
+
+
+def test_pq_train_codebooks_shapes_and_determinism(spark):
+    from employee_data_management_system_data_engineering_solution_spark.operators.similarity import (
+        pq_train_codebooks,
+    )
+    from employee_data_management_system_data_engineering_solution_spark.sources.io import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cbs = pq_train_codebooks(emb, m=4, ksub=8)
+    assert {j for j, _ in cbs} == {0, 1, 2, 3}
+    assert all(len(v) == 16 for v in cbs.values())  # dim/m components
+    assert all(0 <= c < 8 for _, c in cbs)
+    assert cbs == pq_train_codebooks(emb, m=4, ksub=8)  # deterministic
+
+
+def test_pq_encode_reconstruction_beats_random_codes(spark):
+    """The trained+encoded reconstruction must be closer to the input
+    than assigning every vector code 0 — i.e. the argmin actually
+    minimizes quantization error."""
+    from pyspark.sql import functions as F
+
+    from employee_data_management_system_data_engineering_solution_spark.operators.similarity import (
+        pq_encode,
+        pq_train_codebooks,
+    )
+    from employee_data_management_system_data_engineering_solution_spark.sources.io import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings").filter(
+        F.col("vec_id") < 200
+    )
+    m, dsub = 4, 16
+    cbs = pq_train_codebooks(emb, m=m, ksub=8)
+    codes = {r.vec_id: r.codes for r in pq_encode(emb, cbs, m=m).collect()}
+    vecs = {r.vec_id: [float(x) for x in r.embedding] for r in emb.collect()}
+
+    def err(vid, cds):
+        e = 0.0
+        for j in range(m):
+            cb = cbs[(j, cds[j])]
+            sub = vecs[vid][j * dsub : (j + 1) * dsub]
+            e += sum((a - b) ** 2 for a, b in zip(sub, cb))
+        return e
+
+    trained = sum(err(v, codes[v]) for v in vecs)
+    # compare against the all-code-0 assignment (codeword 0 exists in
+    # every subspace: seeds are the ksub lowest-id vectors)
+    fixed = sum(err(v, [0] * m) for v in vecs)
+    assert trained < fixed * 0.9
+
+
+def test_pq_adc_topk_contract(spark):
+    from pyspark.sql import functions as F
+
+    from employee_data_management_system_data_engineering_solution_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_train_codebooks,
+    )
+    from employee_data_management_system_data_engineering_solution_spark.sources.io import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cbs = pq_train_codebooks(emb, m=8)
+    q = emb.filter(F.col("vec_id") < 2)
+    out = pq_adc_topk(q, emb, cbs, m=8, k=5, rescore_factor=4).collect()
+    by_q = {}
+    for r in out:
+        assert r.neighbor_id != r.query_id
+        by_q.setdefault(r.query_id, []).append((r.rank, r.cosine_sim))
+    for qid, rows in by_q.items():
+        rows.sort()
+        assert [r[0] for r in rows] == [1, 2, 3, 4, 5]
+        sims = [r[1] for r in rows]
+        assert sims == sorted(sims, reverse=True)
