@@ -966,35 +966,51 @@ def pq_adc_topk(
     rounded float cosine, matching the other search operators.
     """
     dsub = dim // m
-    cblit = _pq_codebook_literal(codebooks, m)
-    # reconstruction-norm table: ||cb||^2 summed per code, python-exact
-    norm_entries = []
-    for j in range(m):
-        per = []
-        for (jj, code), vec in sorted(codebooks.items()):
-            if jj != j:
-                continue
-            s = 0.0
-            for x in vec:
-                s += x * x
-            per.append(f"named_struct('code', {code}, 'n2', CAST({s!r} AS DOUBLE))")
-        norm_entries.append(f"array({','.join(per)})")
-    normlit = F.expr(f"array({','.join(norm_entries)})")
+    # DENSE per-code tables (index = code + 1): codes are seed ranks
+    # 0..ksub-1 by construction, and a codeword dropped in training can
+    # never be EMITTED by pq_encode (its argmin runs over the surviving
+    # codebook only), so the zero placeholders below are unreachable —
+    # they exist purely to keep the hot-path lookup a plain array index
+    # (element_at on a literal, codegen'd) instead of a per-row
+    # map_from_entries build (interpreted; measured 2x slower at sf0.1).
+    max_code = max(code for _, code in codebooks)
+    dense: list[list[list[float]]] = [
+        [codebooks.get((j, c), [0.0] * dsub) for c in range(max_code + 1)]
+        for j in range(m)
+    ]
+    dense_lit = F.expr(
+        "array(%s)"
+        % ",".join(
+            "array(%s)"
+            % ",".join(
+                "array(%s)" % ",".join(f"CAST({x!r} AS DOUBLE)" for x in cb)
+                for cb in sub
+            )
+            for sub in dense
+        )
+    )
+    # reconstruction-norm table: ||cb||^2 per (sub, code), python-exact
+    normlit = F.expr(
+        "array(%s)"
+        % ",".join(
+            "array(%s)"
+            % ",".join(
+                "CAST(%r AS DOUBLE)" % sum((x * x for x in cb), 0.0) for cb in sub
+            )
+            for sub in dense
+        )
+    )
 
     codes = pq_encode(corpus, codebooks, m, id_col, vec_col, dim).select(
         F.col(id_col).alias("neighbor_id"), "codes"
     )
-    # per-query LUT: lut[j] = list of struct(code, dot(q_j, cb)) in the
-    # same code order as the codebook literal
+    # per-query LUT: lut[j][c] = dot(q_j, codeword c) — computed once
+    # per (tiny) query row, broadcast with it
     qv = _as_double(F.col(vec_col))
     lut = F.transform(
-        cblit,
+        dense_lit,
         lambda sub, j: F.transform(
-            sub,
-            lambda p: F.struct(
-                p["code"].alias("code"),
-                dot(F.slice(qv, j * dsub + 1, dsub), p["cb"]).alias("d"),
-            ),
+            sub, lambda cb: dot(F.slice(qv, j * dsub + 1, dsub), cb)
         ),
     )
     qside = queries.select(
@@ -1003,18 +1019,13 @@ def pq_adc_topk(
         norm(qv).alias("__qnorm"),
     )
 
-    def lookup(tab: Column, j: int, field: str) -> Column:
-        sub = F.element_at(tab, j + 1)
-        code = F.element_at(F.col("codes"), j + 1)
+    def lookup(tab: Column, j: int) -> Column:
         return F.element_at(
-            F.map_from_entries(
-                F.transform(sub, lambda p: F.struct(p["code"], p[field]))
-            ),
-            code,
+            F.element_at(tab, j + 1), F.element_at(F.col("codes"), j + 1) + 1
         )
 
-    rdot = sum(lookup(F.col("__lut"), j, "d") for j in range(m))
-    rnorm2 = sum(lookup(normlit, j, "n2") for j in range(m))
+    rdot = sum(lookup(F.col("__lut"), j) for j in range(m))
+    rnorm2 = sum(lookup(normlit, j) for j in range(m))
     coarse = (
         codes.crossJoin(F.broadcast(qside))
         .filter(F.col("neighbor_id") != F.col("query_id"))

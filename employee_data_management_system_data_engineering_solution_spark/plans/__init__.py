@@ -82,6 +82,10 @@ from .registry import REGISTRY, register
 #   IN  pq_adc_search       (new in r6: product-quantization ADC)
 #   OUT hyperplane_lsh_groups (green r3-r5; vector-ANN family carried by
 #                            the in-window IVF/SQ8/PQ/recall stack)
+#   IN  quality_weighted_sample (new in r6: importance resampling)
+#   OUT train_test_split    (green r2-r5; seeded-hash-sampling family
+#                            carried by quality_weighted_sample, which
+#                            uses the same hash-threshold machinery)
 # ---------------------------------------------------------------------------
 _PRIORITY: tuple[str, ...] = (
     # composed pipeline and every sink shape (S1-S6, K1-K5)
@@ -116,7 +120,7 @@ _PRIORITY: tuple[str, ...] = (
     "value_outliers",
     # CDC + curation
     "snapshot_diff_orders",
-    "train_test_split",
+    "quality_weighted_sample",
     "column_profile",
     "price_decile_stats",
     "corpus_curation_pipeline",

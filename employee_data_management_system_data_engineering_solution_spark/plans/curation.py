@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import text as tx
 from ..operators.cdc import hash_split, snapshot_diff
 from ..sources.io import read_table
 from .registry import register
@@ -204,6 +205,81 @@ def price_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("o_totalprice"), 2).alias("lo"),
             F.round(F.max("o_totalprice"), 2).alias("hi"),
             F.round(F.avg("o_totalprice"), 4).alias("mean"),
+        )
+    )
+
+
+@register(
+    "quality_weighted_sample",
+    r"""
+    WITH stats AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE length(regexp_split_to_array(trim(text), '\s+')) END AS wc,
+             length(regexp_extract_all(lower(text),
+               '\b(the|and|of|to|in|is|that|with|for|was)\b')) AS hits,
+             round(length(regexp_extract_all(text, '[^A-Za-z0-9\s]'))
+                   / greatest(length(text), 1), 4) AS pr
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id,
+             round((least(wc / 100.0, 1.0)
+                    + least(hits / greatest(wc, 1) * 5, 1.0)
+                    + (1.0 - least(pr * 4, 1.0))) / 3, 4) AS quality
+      FROM stats
+    ),
+    s AS (
+      SELECT doc_id, quality,
+             ('0x' || substring(md5(doc_id::VARCHAR || ':qws-v1'), 1, 15))::BIGINT
+               % 10000 AS bucket,
+             CAST(round(greatest(least(quality, 0.95), 0.05) * 10000) AS BIGINT)
+               AS thresh
+      FROM q
+    )
+    SELECT doc_id, quality, round(10000.0 / thresh, 4) AS sample_weight
+    FROM s WHERE bucket < thresh
+    """,
+)
+def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance resampling by quality: each document survives with
+    probability proportional to its (clamped) quality score, and
+    survivors carry the inverse-propensity ``sample_weight`` that keeps
+    downstream statistics unbiased — the continuous-probability sibling
+    of ``stratified_sample``'s per-class fractions, and the standard
+    shape for quality-upweighted training-data mixes.
+
+    Deterministic: the keep decision is seeded-hash-vs-threshold (no
+    ``rand()``), so the sample is reproducible across runs, executors,
+    and engines; the threshold is an INTEGER of basis points, so the
+    float quality score only enters through the same rounded value both
+    engines compute. One narrow scan, no shuffle."""
+    docs = read_table(spark, sf_dir, "documents")
+    quality = tx.quality_score(F.col("text"))
+    p_keep = F.greatest(F.least(quality, F.lit(0.95)), F.lit(0.05))
+    thresh = F.round(p_keep * 10000).cast("long")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":qws-v1"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10000
+    )
+    return (
+        docs.select(
+            "doc_id",
+            quality.alias("quality"),
+            thresh.alias("__thresh"),
+            bucket.alias("__bucket"),
+        )
+        .filter(F.col("__bucket") < F.col("__thresh"))
+        .select(
+            "doc_id",
+            "quality",
+            F.round(F.lit(10000.0) / F.col("__thresh"), 4).alias("sample_weight"),
         )
     )
 

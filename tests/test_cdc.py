@@ -54,3 +54,25 @@ def test_hash_split_seed_changes_assignment(spark):
     a = {r["doc_id"]: r["bucket"] for r in hash_split(df, "doc_id", seed="s1").collect()}
     b = {r["doc_id"]: r["bucket"] for r in hash_split(df, "doc_id", seed="s2").collect()}
     assert a != b
+
+
+def test_quality_weighted_sample_contract(spark):
+    """Importance resample: deterministic, unbiased-weight contract —
+    every survivor's weight is 10000/thresh for its own quality, and
+    the kept fraction tracks the mean keep-probability."""
+    from employee_data_management_system_data_engineering_solution_spark.plans.curation import (
+        quality_weighted_sample,
+    )
+
+    out = quality_weighted_sample(spark, "/root/testdata/sf0.001").collect()
+    again = quality_weighted_sample(spark, "/root/testdata/sf0.001").collect()
+    assert sorted(r.doc_id for r in out) == sorted(r.doc_id for r in again)
+    assert out, "sample must be non-empty"
+    for r in out[:50]:
+        p = min(max(r.quality, 0.05), 0.95)
+        thresh = round(p * 10000)
+        assert abs(r.sample_weight - round(10000.0 / thresh, 4)) < 1e-9
+    # corpus is 500 docs; kept count should be near sum of keep-probs
+    # (hash buckets are uniform) — loose 3-sigma-ish band
+    n_kept = len(out)
+    assert 50 < n_kept < 500

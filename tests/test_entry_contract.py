@@ -65,8 +65,10 @@ def test_check_window_covers_every_operator_family():
         # event_sessions rotated out for bloom_pruned_join (r6):
         # sessionization stays carried by session_window_counts
         "purchase_asof_view", "events_in_error_windows",
+        # train_test_split rotated out for quality_weighted_sample (r6):
+        # seeded-hash sampling family carried by the new query
         "user_value_trend", "forward_fill_values", "bloom_pruned_join",
-        "value_outliers", "snapshot_diff_orders",
+        "value_outliers", "snapshot_diff_orders", "quality_weighted_sample",
         # LLM dedup / ANN / multimodal / text-scrub stack. The r6
         # rotation displaced five 5-round-green carriers whose stages
         # live on inside in-window compositions: exact_dedup /

@@ -26,6 +26,11 @@ TARGETS = [
     "user_value_trend",
     "quantized_ivf_topk",
     "ann_recall_report",
+    # round-6 additions: the new heavyweights
+    "winnow_fingerprint_pairs",
+    "simhash_hamming_pairs",
+    "pq_adc_search",
+    "bloom_pruned_join",
 ]
 
 
