@@ -960,207 +960,18 @@ def quantized_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ann_recall_report",
-    f"""
-    WITH {_ANN_BASE_CTES},
-    {_SQ8_IVF_CTES},
-    truth AS (
-      SELECT query_id, neighbor_id FROM (
-        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-               row_number() OVER (
-                 PARTITION BY q.vec_id
-                 ORDER BY round(list_dot_product(q.e, c.e)
-                       / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))),
-                       6) DESC, c.vec_id ASC) AS rn
-        FROM (SELECT * FROM v WHERE vec_id >= 100 AND vec_id < 105) q
-        JOIN v c ON c.vec_id <> q.vec_id
-      ) WHERE rn <= 10
-    ),
-    ivf_scored AS (
-      SELECT qp.query_id, a.vec_id AS neighbor_id, qp.probe_rank,
-             round(list_dot_product(qe.e, a.e)
-                   / (sqrt(list_dot_product(qe.e, qe.e)) * sqrt(list_dot_product(a.e, a.e))),
-                   6) AS cosine_sim
-      FROM qprobe qp
-      JOIN assigned a ON a.cluster_id = qp.cluster_id
-      JOIN v qe ON qe.vec_id = qp.query_id
-      WHERE a.vec_id <> qp.query_id
-    ),
-    m_ivf AS (
-      SELECT query_id, neighbor_id FROM (
-        SELECT *, row_number() OVER (
-          PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
-        FROM ivf_scored WHERE probe_rank = 1
-      ) WHERE rn <= 10
-    ),
-    m_multi AS (
-      SELECT query_id, neighbor_id FROM (
-        SELECT *, row_number() OVER (
-          PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
-        FROM ivf_scored
-      ) WHERE rn <= 10
-    ),
-    sq8_coarse AS (
-      SELECT qq.vec_id AS query_id, cq.vec_id AS neighbor_id,
-             round(list_dot_product(qq.qv, cq.qv)
-                   / (sqrt(list_dot_product(qq.qv, qq.qv)) * sqrt(list_dot_product(cq.qv, cq.qv))),
-                   6) AS qcos
-      FROM (SELECT * FROM q8all WHERE vec_id >= 100 AND vec_id < 105) qq
-      JOIN q8all cq ON cq.vec_id <> qq.vec_id
-    ),
-    sq8_cands AS (
-      SELECT query_id, neighbor_id FROM (
-        SELECT *, row_number() OVER (
-          PARTITION BY query_id ORDER BY qcos DESC, neighbor_id ASC) AS rn
-        FROM sq8_coarse
-      ) WHERE rn <= 30
-    ),
-    m_sq8 AS (
-      SELECT query_id, neighbor_id FROM (
-        SELECT c.query_id, c.neighbor_id,
-               row_number() OVER (
-                 PARTITION BY c.query_id
-                 ORDER BY round(list_dot_product(qe.e, ne.e)
-                       / (sqrt(list_dot_product(qe.e, qe.e)) * sqrt(list_dot_product(ne.e, ne.e))),
-                       6) DESC, c.neighbor_id ASC) AS rn
-        FROM sq8_cands c
-        JOIN v qe ON qe.vec_id = c.query_id
-        JOIN v ne ON ne.vec_id = c.neighbor_id
-      ) WHERE rn <= 10
-    ),
-    m_sq8ivf AS (
-      SELECT query_id, neighbor_id FROM (
-        SELECT *, row_number() OVER (
-          PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
-        FROM qivf_rescored
-      ) WHERE rn <= 10
-    ),
-    allm AS (
-      SELECT 'ivf' AS method, query_id, neighbor_id FROM m_ivf
-      UNION ALL SELECT 'ivf_multiprobe', query_id, neighbor_id FROM m_multi
-      UNION ALL SELECT 'sq8_flat', query_id, neighbor_id FROM m_sq8
-      UNION ALL SELECT 'sq8_ivf', query_id, neighbor_id FROM m_sq8ivf
-    )
-    SELECT m.method, m.query_id,
-           count(t.neighbor_id) AS hits,
-           round(count(t.neighbor_id) / 10.0, 4) AS recall_at_10
-    FROM allm m LEFT JOIN truth t
-      ON t.query_id = m.query_id AND t.neighbor_id = m.neighbor_id
-    GROUP BY m.method, m.query_id
-    """,
-)
-def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@10 of every approximate search path against the
-    brute-force exact top-10 — turns the ANN stack's knobs (nprobe,
-    rescore factor, quantization) into MEASURED quantities instead of
-    docstring claims. All four methods and the ground truth are
-    deterministic (rounded cosines, total-order tie-breaks), so the
-    whole report is hash-checkable cross-engine.
-
-    Scale: the IVF inverted list is built and pinned ONCE and served
-    to all three index-based methods (an ANN index is built once, not
-    per search method); each method is then its own bounded search
-    over the broadcast query batch, and the report join touches only
-    4 methods x |queries| x k rows."""
-    emb = read_table(spark, sf_dir, "embeddings")
-    pivots = emb.filter(F.col("vec_id") < 8)
-    queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105))
-    truth = (
-        similarity.cosine_topk_bruteforce(queries, emb, k=10)
-        .select("query_id", "neighbor_id")
-        .withColumn("__hit", F.lit(1))
-    )
-    index = similarity.assign_clusters(emb, pivots).localCheckpoint(eager=False)
-    methods = [
-        ("ivf", similarity.ivf_topk(queries, emb, pivots, k=10, assigned=index)),
-        (
-            "ivf_multiprobe",
-            similarity.ivf_topk_multiprobe(
-                queries, emb, pivots, k=10, nprobe=2, assigned=index
-            ),
-        ),
-        ("sq8_flat", similarity.quantized_topk_rescore(queries, emb, k=10, rescore_factor=3)),
-        (
-            "sq8_ivf",
-            similarity.quantized_ivf_topk(
-                queries, emb, pivots, k=10, rescore_factor=3, nprobe=2, assigned=index
-            ),
-        ),
-    ]
-    un = None
-    for nm, df in methods:
-        cur = df.select(F.lit(nm).alias("method"), "query_id", "neighbor_id")
-        un = cur if un is None else un.unionByName(cur)
-    return (
-        un.join(F.broadcast(truth), ["query_id", "neighbor_id"], "left")
-        .groupBy("method", "query_id")
-        .agg(F.count("__hit").alias("hits"))
-        .select(
-            "method",
-            "query_id",
-            "hits",
-            F.round(F.col("hits") / 10.0, 4).alias("recall_at_10"),
-        )
-    )
-
-
-@register(
-    "embedding_neardup_pairs",
-    f"""
-    WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-    corpus AS (
-      SELECT vec_id, e FROM base
-      UNION ALL
-      SELECT vec_id + 100000 AS vec_id, e FROM base  -- planted exact dups
-    ),
-    p AS (SELECT vec_id AS pivot_id, e AS pv FROM base WHERE vec_id < 32),
-    assign_scored AS (
-      SELECT c.vec_id, c.e, p.pivot_id,
-             round(list_dot_product(c.e, p.pv)
-                   / (sqrt(list_dot_product(c.e, c.e)) * sqrt(list_dot_product(p.pv, p.pv))),
-                   6) AS sim
-      FROM corpus c, p
-    ),
-    assigned AS (
-      SELECT vec_id, e, pivot_id AS cluster_id
-      FROM (SELECT *, row_number() OVER (
-              PARTITION BY vec_id ORDER BY sim DESC, pivot_id ASC) AS rn
-            FROM assign_scored)
-      WHERE rn = 1
-    )
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           {_COS.replace('qv', 'a.e').replace('cv', 'b.e')} AS cosine_sim
-    FROM assigned a JOIN assigned b
-      ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
-    WHERE {_COS.replace('qv', 'a.e').replace('cv', 'b.e')} >= 0.999
-    """,
-)
-def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup detection, cluster-bucketed (never
-    all-pairs). The corpus is the embeddings table plus an id-shifted
-    copy, planting exact duplicates so the operator's output is
-    non-trivial on this corpus (natural max pairwise cosine ≈ 0.51)."""
-    emb = read_table(spark, sf_dir, "embeddings")
-    corpus = emb.select("vec_id", "embedding").unionByName(
-        emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
-    )
-    pivots = emb.filter(F.col("vec_id") < 32).select("vec_id", "embedding")
-    return similarity.cosine_neardup_pairs(corpus, pivots, threshold=0.999)
-
-
-def _pq_oracle(m: int = 8, ksub: int = 16, dim: int = 64, k: int = 10, rf: int = 10) -> str:
+def _pq_ctes(m: int = 8, ksub: int = 16, dim: int = 64, k: int = 10, rf: int = 10) -> str:
     """DuckDB mirror of ``similarity.pq_train_codebooks`` +
-    ``pq_encode`` + ``pq_adc_topk``: one Lloyd's iteration per subspace
-    (rounded L2² assignment, ties to smallest code, rounded means),
-    re-encode, ADC score with j-ordered summation, exact rescore."""
+    ``pq_encode`` + ``pq_adc_topk`` as a CTE chain (caller provides
+    ``v``): one Lloyd's iteration per subspace (rounded L2² assignment,
+    ties to smallest code, rounded means), re-encode, ADC score with
+    j-ordered summation, exact rescore into ``res``."""
     dsub = dim // m
     l2 = (
         f"round(list_sum(list_transform(range(1, {dsub + 1}), "
         f"i -> (s.sv[i] - c.cb[i]) * (s.sv[i] - c.cb[i]))), 6)"
     )
     return f"""
-    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
     js AS (SELECT unnest(range(0, {m})) AS j),
     subs AS (
       SELECT vec_id, j, e[j * {dsub} + 1 : j * {dsub} + {dsub}] AS sv
@@ -1233,7 +1044,223 @@ def _pq_oracle(m: int = 8, ksub: int = 16, dim: int = 64, k: int = 10, rf: int =
       FROM cand c
       JOIN q ON q.query_id = c.query_id
       JOIN v cv ON cv.vec_id = c.neighbor_id
+    )"""
+
+
+@register(
+    "ann_recall_report",
+    f"""
+    WITH {_ANN_BASE_CTES},
+    {_SQ8_IVF_CTES},
+    {_pq_ctes()},
+    truth AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round(list_dot_product(q.e, c.e)
+                       / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))),
+                       6) DESC, c.vec_id ASC) AS rn
+        FROM (SELECT * FROM v WHERE vec_id >= 100 AND vec_id < 105) q
+        JOIN v c ON c.vec_id <> q.vec_id
+      ) WHERE rn <= 10
+    ),
+    ivf_scored AS (
+      SELECT qp.query_id, a.vec_id AS neighbor_id, qp.probe_rank,
+             round(list_dot_product(qe.e, a.e)
+                   / (sqrt(list_dot_product(qe.e, qe.e)) * sqrt(list_dot_product(a.e, a.e))),
+                   6) AS cosine_sim
+      FROM qprobe qp
+      JOIN assigned a ON a.cluster_id = qp.cluster_id
+      JOIN v qe ON qe.vec_id = qp.query_id
+      WHERE a.vec_id <> qp.query_id
+    ),
+    m_ivf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
+        FROM ivf_scored WHERE probe_rank = 1
+      ) WHERE rn <= 10
+    ),
+    m_multi AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
+        FROM ivf_scored
+      ) WHERE rn <= 10
+    ),
+    sq8_coarse AS (
+      SELECT qq.vec_id AS query_id, cq.vec_id AS neighbor_id,
+             round(list_dot_product(qq.qv, cq.qv)
+                   / (sqrt(list_dot_product(qq.qv, qq.qv)) * sqrt(list_dot_product(cq.qv, cq.qv))),
+                   6) AS qcos
+      FROM (SELECT * FROM q8all WHERE vec_id >= 100 AND vec_id < 105) qq
+      JOIN q8all cq ON cq.vec_id <> qq.vec_id
+    ),
+    sq8_cands AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY qcos DESC, neighbor_id ASC) AS rn
+        FROM sq8_coarse
+      ) WHERE rn <= 30
+    ),
+    m_sq8 AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT c.query_id, c.neighbor_id,
+               row_number() OVER (
+                 PARTITION BY c.query_id
+                 ORDER BY round(list_dot_product(qe.e, ne.e)
+                       / (sqrt(list_dot_product(qe.e, qe.e)) * sqrt(list_dot_product(ne.e, ne.e))),
+                       6) DESC, c.neighbor_id ASC) AS rn
+        FROM sq8_cands c
+        JOIN v qe ON qe.vec_id = c.query_id
+        JOIN v ne ON ne.vec_id = c.neighbor_id
+      ) WHERE rn <= 10
+    ),
+    m_sq8ivf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
+        FROM qivf_rescored
+      ) WHERE rn <= 10
+    ),
+    m_pq AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
+        FROM res
+      ) WHERE rn <= 10
+    ),
+    allm AS (
+      SELECT 'ivf' AS method, query_id, neighbor_id FROM m_ivf
+      UNION ALL SELECT 'ivf_multiprobe', query_id, neighbor_id FROM m_multi
+      UNION ALL SELECT 'sq8_flat', query_id, neighbor_id FROM m_sq8
+      UNION ALL SELECT 'sq8_ivf', query_id, neighbor_id FROM m_sq8ivf
+      UNION ALL SELECT 'pq_adc', query_id, neighbor_id FROM m_pq
     )
+    SELECT m.method, m.query_id,
+           count(t.neighbor_id) AS hits,
+           round(count(t.neighbor_id) / 10.0, 4) AS recall_at_10
+    FROM allm m LEFT JOIN truth t
+      ON t.query_id = m.query_id AND t.neighbor_id = m.neighbor_id
+    GROUP BY m.method, m.query_id
+    """,
+)
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of every approximate search path against the
+    brute-force exact top-10 — turns the ANN stack's knobs (nprobe,
+    rescore factor, quantization) into MEASURED quantities instead of
+    docstring claims. All four methods and the ground truth are
+    deterministic (rounded cosines, total-order tie-breaks), so the
+    whole report is hash-checkable cross-engine.
+
+    Scale: the IVF inverted list is built and pinned ONCE and served
+    to all three index-based methods (an ANN index is built once, not
+    per search method); the PQ method trains its codebooks in its own
+    bounded Lloyd's barrier; each method is then its own bounded search
+    over the broadcast query batch, and the report join touches only
+    5 methods x |queries| x k rows."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    pivots = emb.filter(F.col("vec_id") < 8)
+    queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105))
+    truth = (
+        similarity.cosine_topk_bruteforce(queries, emb, k=10)
+        .select("query_id", "neighbor_id")
+        .withColumn("__hit", F.lit(1))
+    )
+    index = similarity.assign_clusters(emb, pivots).localCheckpoint(eager=False)
+    methods = [
+        ("ivf", similarity.ivf_topk(queries, emb, pivots, k=10, assigned=index)),
+        (
+            "ivf_multiprobe",
+            similarity.ivf_topk_multiprobe(
+                queries, emb, pivots, k=10, nprobe=2, assigned=index
+            ),
+        ),
+        ("sq8_flat", similarity.quantized_topk_rescore(queries, emb, k=10, rescore_factor=3)),
+        (
+            "sq8_ivf",
+            similarity.quantized_ivf_topk(
+                queries, emb, pivots, k=10, rescore_factor=3, nprobe=2, assigned=index
+            ),
+        ),
+        (
+            "pq_adc",
+            similarity.pq_adc_topk(
+                queries,
+                emb,
+                similarity.pq_train_codebooks(emb, m=8),
+                m=8,
+                k=10,
+                rescore_factor=10,
+            ),
+        ),
+    ]
+    un = None
+    for nm, df in methods:
+        cur = df.select(F.lit(nm).alias("method"), "query_id", "neighbor_id")
+        un = cur if un is None else un.unionByName(cur)
+    return (
+        un.join(F.broadcast(truth), ["query_id", "neighbor_id"], "left")
+        .groupBy("method", "query_id")
+        .agg(F.count("__hit").alias("hits"))
+        .select(
+            "method",
+            "query_id",
+            "hits",
+            F.round(F.col("hits") / 10.0, 4).alias("recall_at_10"),
+        )
+    )
+
+
+@register(
+    "embedding_neardup_pairs",
+    f"""
+    WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    corpus AS (
+      SELECT vec_id, e FROM base
+      UNION ALL
+      SELECT vec_id + 100000 AS vec_id, e FROM base  -- planted exact dups
+    ),
+    p AS (SELECT vec_id AS pivot_id, e AS pv FROM base WHERE vec_id < 32),
+    assign_scored AS (
+      SELECT c.vec_id, c.e, p.pivot_id,
+             round(list_dot_product(c.e, p.pv)
+                   / (sqrt(list_dot_product(c.e, c.e)) * sqrt(list_dot_product(p.pv, p.pv))),
+                   6) AS sim
+      FROM corpus c, p
+    ),
+    assigned AS (
+      SELECT vec_id, e, pivot_id AS cluster_id
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY vec_id ORDER BY sim DESC, pivot_id ASC) AS rn
+            FROM assign_scored)
+      WHERE rn = 1
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_COS.replace('qv', 'a.e').replace('cv', 'b.e')} AS cosine_sim
+    FROM assigned a JOIN assigned b
+      ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+    WHERE {_COS.replace('qv', 'a.e').replace('cv', 'b.e')} >= 0.999
+    """,
+)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup detection, cluster-bucketed (never
+    all-pairs). The corpus is the embeddings table plus an id-shifted
+    copy, planting exact duplicates so the operator's output is
+    non-trivial on this corpus (natural max pairwise cosine ≈ 0.51)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    corpus = emb.select("vec_id", "embedding").unionByName(
+        emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    )
+    pivots = emb.filter(F.col("vec_id") < 32).select("vec_id", "embedding")
+    return similarity.cosine_neardup_pairs(corpus, pivots, threshold=0.999)
+
+
+def _pq_oracle(m: int = 8, ksub: int = 16, dim: int = 64, k: int = 10, rf: int = 10) -> str:
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    {_pq_ctes(m, ksub, dim, k, rf)}
     SELECT query_id, neighbor_id, cosine_sim, CAST(rn AS INT) AS rank
     FROM (
       SELECT *, row_number() OVER (
