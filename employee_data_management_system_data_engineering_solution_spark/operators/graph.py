@@ -214,3 +214,64 @@ def connected_components_star(
             members.select("node").unionByName(centers), "node", "left_anti"
         ).select("node", F.col("node").alias("component"))
     )
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    iters: int = 3,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """PageRank over a directed edge list in FIXED-POINT integer
+    arithmetic: ranks live on a ``scale``-denominator grid and every
+    operation is integer (floor) division, so the result is bit-exact
+    across engines, partitionings, and summation orders — float
+    PageRank sums contributions in nondeterministic shuffle order, and
+    iterating amplifies ulp drift into rank flips; integer arithmetic
+    removes the hazard class entirely instead of rounding it down.
+    (The mass lost to floor division — < in-degree units of 1/scale per
+    node per round — is the explicit price of determinism.)
+
+    Per iteration: contribution = rank DIV out_degree shipped along
+    edges (one equi-join against the once-partitioned, pinned edge
+    frame), one groupBy(dst) integer sum (map-side combined), then
+    rank' = (100-damping)·scale/100 DIV n + damping·Σ DIV 100. Nodes
+    are the edge endpoints; isolated vertices never enter (no in- or
+    out-mass). Dangling nodes need no special handling when the caller
+    supplies a symmetric edge list (every out-degree > 0).
+
+    Output: (node, rank_fp) — rank_fp is the BIGINT numerator over
+    ``scale``. Lineage is truncated per round (``localCheckpoint``)
+    exactly as in :func:`connected_components`.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .repartition(F.col("src"))
+        .localCheckpoint(eager=True)
+    )
+    deg = e.groupBy("src").agg(F.count("*").alias("__deg"))
+    nodes = e.select(F.col("src").alias("node")).distinct()
+    n_nodes = nodes.count()  # bounded driver scalar, like the Lloyd's barrier
+    base = (100 - damping_pct) * scale // 100 // n_nodes
+    pr = nodes.select("node", F.lit(scale // n_nodes).cast("long").alias("rank_fp"))
+    for _ in range(iters):
+        contrib = (
+            pr.join(deg, pr.node == deg.src, "inner")
+            .select(
+                F.col("node").alias("__cs"),
+                F.expr("rank_fp div __deg").alias("__c"),
+            )
+            .join(e, F.col("__cs") == e.src)
+            .select(F.col("dst").alias("node"), F.col("__c"))
+        )
+        summed = contrib.groupBy("node").agg(F.sum("__c").alias("__in"))
+        pr = summed.select(
+            "node",
+            (F.lit(base) + F.expr(f"({damping_pct} * __in) div 100")).cast("long").alias(
+                "rank_fp"
+            ),
+        ).localCheckpoint(eager=True)
+    return pr

@@ -86,10 +86,15 @@ from .registry import REGISTRY, register
 #   OUT train_test_split    (green r2-r5; seeded-hash-sampling family
 #                            carried by quality_weighted_sample, which
 #                            uses the same hash-threshold machinery)
+#   IN  supplier_pagerank   (new in r6: fixed-point iterative PageRank)
+#   OUT q3_shipping_priority (green r1-r5, the longest-stable carrier;
+#                            its J2 inner-equi-join + agg family is
+#                            carried by bloom_pruned_join, which runs
+#                            the same orders x lineitem join shape)
 # ---------------------------------------------------------------------------
 _PRIORITY: tuple[str, ...] = (
     # composed pipeline and every sink shape (S1-S6, K1-K5)
-    "q3_shipping_priority",
+    "supplier_pagerank",
     "daily_pipeline",
     "staging_promote_roundtrip",
     "partition_pruned_report",

@@ -724,3 +724,87 @@ def format_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_qty").alias("val"),
     )
     return j.unionByName(o)
+
+
+def _pr_iter_cte(prev: str, out: str) -> str:
+    """One fixed-point PageRank round as a CTE: integer contribution
+    split along edges, integer damped recombination — the SQL mirror of
+    ``operators.graph.pagerank_fixed_point`` (// is DuckDB floor
+    division, matching Spark's ``div`` on positive BIGINTs)."""
+    return f"""
+    {out} AS (
+      SELECT e.dst AS node,
+             CAST((SELECT 150000000000 // n FROM nn)
+                  + (85 * sum(p.r // deg.d)) // 100 AS BIGINT) AS r
+      FROM {prev} p
+      JOIN deg ON deg.src = p.node
+      JOIN e ON e.src = p.node
+      GROUP BY e.dst
+    )"""
+
+
+@register(
+    "supplier_pagerank",
+    f"""
+    WITH su AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
+    e AS (
+      SELECT DISTINCT a.sk AS src, b.sk AS dst
+      FROM su a JOIN su b ON a.ok = b.ok AND a.sk <> b.sk
+    ),
+    deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+    nn AS (SELECT count(*) AS n FROM deg),
+    p0 AS (
+      SELECT src AS node, CAST(1000000000000 // (SELECT n FROM nn) AS BIGINT) AS r
+      FROM deg
+    ),
+    {_pr_iter_cte("p0", "p1")},
+    {_pr_iter_cte("p1", "p2")},
+    {_pr_iter_cte("p2", "p3")}
+    SELECT node AS supplier_id, r AS rank_fp, CAST(rn AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY r DESC, node ASC) AS rn FROM p3
+    ) WHERE rn <= 100
+    """,
+)
+def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier importance by PageRank over the co-supply graph
+    (suppliers are linked when they supplied the same order — the
+    entity-importance ranking a crawl/curation pipeline runs over
+    domain or author graphs; the reference has no iterative graph
+    analytics at all). Three fixed-point iterations
+    (``operators.graph.pagerank_fixed_point``): integer arithmetic on a
+    1e12 grid makes the iterative float-summation hazard structurally
+    impossible, so the DuckDB oracle unrolls the same three rounds and
+    matches bit-exactly. Output: top-100 suppliers.
+
+    Scale: edge construction is one distinct + a per-order self-join
+    bounded by suppliers-per-order; each iteration is one equi-join
+    against the once-partitioned pinned edge frame plus one map-side
+    combined integer-sum groupBy. The single-partition top-100 window
+    ranks an n_suppliers-sized frame (small by construction)."""
+    from ..operators.graph import pagerank_fixed_point
+
+    li = read_table(spark, sf_dir, "lineitem")
+    su = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk")
+    ).distinct()
+    a = su.select(F.col("ok"), F.col("sk").alias("src"))
+    b = su.select(F.col("ok"), F.col("sk").alias("dst"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+    )
+    pr = pagerank_fixed_point(edges, iters=3)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("rank_fp").desc(), F.col("node").asc())
+    return (
+        pr.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 100)
+        .select(
+            F.col("node").alias("supplier_id"),
+            "rank_fp",
+            "rank",
+        )
+    )

@@ -45,6 +45,9 @@ def test_check_window_covers_every_operator_family():
         # room for bigram_collocations, the last never-driver-checked
         # oracle-bearing query; json_lines_roundtrip followed for the
         # same reason, its JSON leg carried by format_roundtrips)
+        # q3_shipping_priority rotated out for supplier_pagerank (r6):
+        # its J2 inner-join family is carried by bloom_pruned_join
+        "supplier_pagerank",
         "daily_pipeline", "staging_promote_roundtrip",
         "partition_pruned_report",
         "schema_evolution_read", "bucketed_colocated_join",

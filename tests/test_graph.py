@@ -76,3 +76,24 @@ def test_star_matches_minlabel_random(spark):
     assert _cc(spark, edges, connected_components_star) == _cc(
         spark, edges, connected_components, max_iter=40
     )
+
+
+def test_pagerank_fixed_point_mass_and_hub(spark):
+    """Star graph: the hub must out-rank every leaf; total fixed-point
+    mass stays within floor-loss of the scale; reruns are bit-equal."""
+    from employee_data_management_system_data_engineering_solution_spark.operators.graph import (
+        pagerank_fixed_point,
+    )
+
+    # symmetric star: hub 1 <-> leaves 2..6
+    rows = [(1, i) for i in range(2, 7)] + [(i, 1) for i in range(2, 7)]
+    edges = spark.createDataFrame(rows, "src bigint, dst bigint")
+    pr = {r.node: r.rank_fp for r in pagerank_fixed_point(edges, iters=3).collect()}
+    assert set(pr) == {1, 2, 3, 4, 5, 6}
+    assert pr[1] > max(v for k, v in pr.items() if k != 1)
+    assert len({v for k, v in pr.items() if k != 1}) == 1  # leaves symmetric
+    total = sum(pr.values())
+    scale = 10**12
+    assert scale * 0.95 < total <= scale  # floor losses only shrink mass
+    again = {r.node: r.rank_fp for r in pagerank_fixed_point(edges, iters=3).collect()}
+    assert pr == again
