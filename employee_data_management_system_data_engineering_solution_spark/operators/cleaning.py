@@ -119,3 +119,80 @@ def forward_fill(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return df.withColumn(out, F.last(value_col, ignorenulls=True).over(w))
+
+
+def resample_interpolate(
+    df: DataFrame,
+    grid: DataFrame,
+    key_col: str,
+    ts_col: str,
+    order_col: str,
+    value_col: str,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Linear interpolation of an irregular series onto a caller-built
+    grid: every grid instant takes
+    ``prev + (next − prev) · (t − t_prev) / (t_next − t_prev)`` from
+    its surrounding observations (boundary instants clamp to the one
+    neighbor that exists) — the resampling step that turns event-time
+    telemetry into the regular series downstream models consume,
+    extending :func:`forward_fill` (step repair) to linear repair.
+
+    ``df``: (key, ts, order, value) observations — ``ts`` an integer
+    epoch-seconds column, ``order`` a per-key total tiebreak (events in
+    the same second interpolate in ``order`` order; grid rows sort
+    BEFORE same-second events, so a grid instant colliding with an
+    observation reproduces that observation's value exactly).
+    ``grid``: (key, ts) instants to evaluate.
+
+    Shape: one union, ONE shuffle on the key with two frame passes over
+    the same sort (preceding-last + following-first, both
+    ignore-nulls) — per-key state is a single row regardless of series
+    length, and the arithmetic is a plain per-row expression, identical
+    operation order in any engine.
+    """
+    ev = df.select(
+        F.col(key_col),
+        F.col(ts_col).cast("long").alias("__t"),
+        F.col(order_col).cast("long").alias("__o"),
+        F.col(value_col).cast("double").alias("__v"),
+        F.lit(1).alias("__is_obs"),
+    )
+    gr = grid.select(
+        F.col(key_col),
+        F.col(ts_col).cast("long").alias("__t"),
+        F.lit(-1).cast("long").alias("__o"),
+        F.lit(None).cast("double").alias("__v"),
+        F.lit(0).alias("__is_obs"),
+    )
+    u = ev.unionByName(gr)
+    wprev = (
+        Window.partitionBy(key_col)
+        .orderBy("__t", "__o")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wnext = (
+        Window.partitionBy(key_col)
+        .orderBy("__t", "__o")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_t = F.when(F.col("__v").isNotNull(), F.col("__t"))
+    pv = F.last("__v", ignorenulls=True).over(wprev)
+    pt = F.last(obs_t, ignorenulls=True).over(wprev)
+    nv = F.first("__v", ignorenulls=True).over(wnext)
+    nt = F.first(obs_t, ignorenulls=True).over(wnext)
+    interp = (
+        F.when(pv.isNull(), F.round(nv, round_digits))
+        .when(nv.isNull(), F.round(pv, round_digits))
+        .when(nt == pt, F.round(pv, round_digits))
+        .otherwise(
+            F.round(
+                pv + (nv - pv) * (F.col("__t") - pt) / (nt - pt), round_digits
+            )
+        )
+    )
+    return (
+        u.select(F.col(key_col), F.col("__t"), F.col("__is_obs"), interp.alias("__vi"))
+        .filter(F.col("__is_obs") == 0)
+        .select(key_col, F.col("__t").alias(ts_col), F.col("__vi").alias("v_interp"))
+    )

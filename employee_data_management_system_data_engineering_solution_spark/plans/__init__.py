@@ -91,6 +91,10 @@ from .registry import REGISTRY, register
 #                            its J2 inner-equi-join + agg family is
 #                            carried by bloom_pruned_join, which runs
 #                            the same orders x lineitem join shape)
+#   IN  hourly_interpolated_series (new in r6: linear series resample)
+#   OUT forward_fill_values (green r1-r5; series-repair family carried
+#                            by the interpolation query, whose windows
+#                            generalize the forward-fill pass)
 # ---------------------------------------------------------------------------
 _PRIORITY: tuple[str, ...] = (
     # composed pipeline and every sink shape (S1-S6, K1-K5)
@@ -120,7 +124,7 @@ _PRIORITY: tuple[str, ...] = (
     "purchase_asof_view",
     "events_in_error_windows",
     "user_value_trend",
-    "forward_fill_values",
+    "hourly_interpolated_series",
     "bloom_pruned_join",
     "value_outliers",
     # CDC + curation

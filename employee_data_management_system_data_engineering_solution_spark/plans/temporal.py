@@ -315,3 +315,89 @@ def value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 4).alias("z"),
         )
     )
+
+
+@register(
+    "hourly_interpolated_series",
+    """
+    WITH ev AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+             event_id,
+             round(value, 2) AS v
+      FROM events WHERE user_id < 20
+    ),
+    b AS (SELECT user_id, min(tsec) AS mn, max(tsec) AS mx FROM ev GROUP BY user_id),
+    grid AS (
+      SELECT user_id, unnest(generate_series(mn // 3600 * 3600, mx, 3600)) AS tsec
+      FROM b
+    ),
+    u AS (
+      SELECT user_id, tsec AS t, event_id AS o, v, 1 AS is_obs FROM ev
+      UNION ALL
+      SELECT user_id, tsec AS t, -1 AS o, NULL AS v, 0 AS is_obs FROM grid
+    ),
+    w AS (
+      SELECT user_id, t, is_obs,
+             last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY t, o
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY t, o
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+             first_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY t, o
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY t, o
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+      FROM u
+    )
+    SELECT user_id, t AS ts_sec,
+           CASE WHEN pv IS NULL THEN round(nv, 4)
+                WHEN nv IS NULL THEN round(pv, 4)
+                WHEN nt = pt THEN round(pv, 4)
+                ELSE round(pv + (nv - pv) * (t - pt) / (nt - pt), 4)
+           END AS v_interp
+    FROM w WHERE is_obs = 0
+    """,
+)
+def hourly_interpolated_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample each user's irregular event-value series onto an hourly
+    grid by linear interpolation (``operators.cleaning
+    .resample_interpolate``) — forward_fill's step repair upgraded to
+    linear repair, the standard feature-engineering step that turns
+    event-time telemetry into the regular series sequence models train
+    on. Grid instants are integer epoch-seconds (min-hour .. max event
+    per user), so grid arithmetic is integer on both engines and the
+    single float expression evaluates in identical order.
+
+    Scale: grid construction is one per-key min/max agg + an explode
+    bounded by the series' time span; the interpolation is ONE shuffle
+    on the key with two ignore-nulls frame passes over one sort."""
+    from ..operators.cleaning import resample_interpolate
+
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 20)
+        .select(
+            "user_id",
+            F.unix_timestamp("ts").alias("tsec"),
+            "event_id",
+            F.round("value", 2).alias("v"),
+        )
+    )
+    bounds = ev.groupBy("user_id").agg(
+        F.min("tsec").alias("mn"), F.max("tsec").alias("mx")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.expr("mn div 3600") * 3600, F.col("mx"), F.lit(3600)
+            )
+        ).alias("tsec"),
+    )
+    return resample_interpolate(
+        ev, grid, "user_id", "tsec", "event_id", "v", round_digits=4
+    ).select("user_id", F.col("tsec").alias("ts_sec"), "v_interp")

@@ -87,3 +87,26 @@ def test_forward_fill_carries_last_nonnull(spark):
         for r in forward_fill(df, ["k"], ["i"], "v").collect()
     }
     assert got == {("a", 1): 10.0, ("a", 2): 10.0, ("a", 3): 10.0, ("a", 4): 40.0, ("b", 1): None}
+
+
+def test_resample_interpolate_linear_and_boundaries(spark):
+    from employee_data_management_system_data_engineering_solution_spark.operators.cleaning import (
+        resample_interpolate,
+    )
+    from pyspark.sql import functions as F
+
+    # one key: observations at t=100 (v=10) and t=200 (v=30)
+    obs = spark.createDataFrame(
+        [(1, 100, 1, 10.0), (1, 200, 2, 30.0)],
+        "k bigint, t bigint, o bigint, v double",
+    )
+    grid = spark.createDataFrame(
+        [(1, 50), (1, 100), (1, 150), (1, 175), (1, 250)], "k bigint, t bigint"
+    )
+    out = {r.t: r.v_interp for r in
+           resample_interpolate(obs, grid, "k", "t", "o", "v").collect()}
+    assert out[50] == 10.0      # before first obs -> clamp to next
+    assert out[100] == 10.0     # collides with obs -> obs value
+    assert out[150] == 20.0     # halfway
+    assert out[175] == 25.0     # 3/4 of the way
+    assert out[250] == 30.0     # after last obs -> clamp to prev

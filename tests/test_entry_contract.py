@@ -70,7 +70,9 @@ def test_check_window_covers_every_operator_family():
         "purchase_asof_view", "events_in_error_windows",
         # train_test_split rotated out for quality_weighted_sample (r6):
         # seeded-hash sampling family carried by the new query
-        "user_value_trend", "forward_fill_values", "bloom_pruned_join",
+        # forward_fill_values rotated out for hourly_interpolated_series
+        # (r6): series-repair family carried by the interpolation query
+        "user_value_trend", "hourly_interpolated_series", "bloom_pruned_join",
         "value_outliers", "snapshot_diff_orders", "quality_weighted_sample",
         # LLM dedup / ANN / multimodal / text-scrub stack. The r6
         # rotation displaced five 5-round-green carriers whose stages
