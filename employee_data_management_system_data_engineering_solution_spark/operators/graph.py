@@ -268,10 +268,15 @@ def pagerank_fixed_point(
             .select(F.col("dst").alias("node"), F.col("__c"))
         )
         summed = contrib.groupBy("node").agg(F.sum("__c").alias("__in"))
+        # lazy checkpoint: truncates lineage (plan size stays O(1) per
+        # round) but defers computation, so the whole fixed-iteration
+        # loop runs as ONE job at the final action instead of one
+        # scheduled job per round — fixed rounds need no driver reads,
+        # unlike connected_components' convergence checks
         pr = summed.select(
             "node",
             (F.lit(base) + F.expr(f"({damping_pct} * __in) div 100")).cast("long").alias(
                 "rank_fp"
             ),
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     return pr

@@ -871,6 +871,13 @@ def pq_train_codebooks(
     reseed — PQ quality degrades gracefully with a shorter codebook,
     unlike IVF where ``kmeans_iterate`` keeps k constant).
 
+    At 100 TB, do NOT train on the full corpus: pass a deterministic
+    sample (e.g. ``corpus.filter(hash-bucket < p)``) — PQ codebooks
+    saturate at ~100k training vectors, which turns the one
+    linear-in-corpus stage of the PQ pipeline into a bounded one. The
+    demo queries train on the whole (tiny) test corpus only because it
+    is smaller than a realistic sample.
+
     Returns {(sub_no, code) -> codeword (dim/m doubles)}.
     """
     if dim % m:
