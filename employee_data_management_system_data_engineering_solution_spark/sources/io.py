@@ -172,3 +172,42 @@ def promote_staging(spark: SparkSession, staging_path: str, dim_path: str) -> No
     write_parquet(stg, dim_path, mode="append")
     empty = spark.createDataFrame([], schema=stg.schema)
     write_parquet(empty, staging_path, mode="overwrite")
+
+
+def compact_parquet(
+    spark,
+    src_path: str,
+    dest_path: str,
+    target_files: int,
+    rebalance: bool = True,
+) -> int:
+    """Compact a small-files parquet directory into ``target_files``
+    evenly-sized files — the maintenance pass every micro-batch or
+    per-task sink needs at scale (a streaming upsert writing a file per
+    batch per partition turns a 100 TB table into millions of KB-sized
+    files, and scan throughput dies on open/footer costs long before
+    byte costs).
+
+    ``rebalance=True`` (default) round-robin repartitions — one shuffle,
+    but every output file lands at ~bytes/target size regardless of how
+    skewed the input files were. ``rebalance=False`` uses ``coalesce``:
+    shuffle-free stitching of existing partitions, at the cost of
+    inheriting their skew — right when the input is already balanced
+    and the job is purely file-count reduction. Content is preserved
+    row-for-row (asserted in tests/test_io.py); only layout changes.
+
+    Returns the number of data files written.
+    """
+    import glob
+    import os
+
+    df = spark.read.parquet(src_path)
+    out = df.repartition(target_files) if rebalance else df.coalesce(target_files)
+    out.write.mode("overwrite").parquet(dest_path)
+    return len(
+        [
+            f
+            for f in glob.glob(os.path.join(dest_path, "*.parquet"))
+            if not os.path.basename(f).startswith(("_", "."))
+        ]
+    )

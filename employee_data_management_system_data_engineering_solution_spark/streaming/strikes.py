@@ -375,6 +375,77 @@ def run_stream_stream_join(
     )
 
 
+def run_stream_stream_left_join(
+    spark: SparkSession,
+    sf_dir: str,
+    join_window: str = "1 hour",
+    watermark_delay: str = "2 hours",
+    state_partitions: int = 4,
+) -> DataFrame:
+    """LEFT-OUTER stream-stream join: every purchase emits — matched
+    against the same user's preceding-``join_window`` views when they
+    exist, or ONCE with a NULL view once the watermark proves no match
+    can still arrive. The null-emission path is the capability the
+    inner join (:func:`run_stream_stream_join`) cannot express: "which
+    purchases had NO preceding engagement" as a stream, with join state
+    still bounded and watermark-evicted on both sides.
+
+    Returns the raw joined rows (purchase_id, user_id, view_id —
+    nullable). Output-size note: the inner-join carrier aggregates
+    in-stream because its matched product can be large; the outer
+    variant exists to surface unmatched rows, and callers aggregating
+    should chain the same windowed-count shape. Parity with the batch
+    left join is pinned in tests/test_streaming.py.
+    """
+    from .replay import replayed_events
+
+    sentinel = [
+        {"event_id": -1, "user_id": -1, "event_type": "view"},
+        {"event_id": -2, "user_id": -2, "event_type": "purchase"},
+    ]
+    with replayed_events(
+        spark,
+        sf_dir,
+        state_partitions,
+        sentinel_batches=(sentinel,),
+        max_files_per_trigger=None,
+    ) as (stream, run):
+        views = (
+            stream.filter(F.col("event_type") == "view")
+            .select(
+                F.col("user_id").alias("v_user"),
+                F.col("ts").alias("view_ts"),
+                F.col("event_id").alias("view_id"),
+            )
+            .withWatermark("view_ts", watermark_delay)
+        )
+        purchases = (
+            stream.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"),
+                F.col("event_id").alias("purchase_id"),
+            )
+            .withWatermark("p_ts", watermark_delay)
+        )
+        pairs = purchases.join(
+            views,
+            F.expr(
+                f"p_user = v_user AND "
+                f"view_ts >= p_ts - INTERVAL {join_window} AND view_ts <= p_ts"
+            ),
+            "leftOuter",
+        )
+        out = run(
+            pairs.select("purchase_id", F.col("p_user").alias("user_id"), "view_id"),
+            "stream_left_join_sink",
+            output_mode="append",
+        )
+    # drop the sentinel purchase (user -2): it exists only to advance
+    # the watermark and would otherwise surface as an unmatched row
+    return out.filter(F.col("user_id") >= 0)
+
+
 def run_strike_pass(
     spark: SparkSession,
     stage_dir: str,

@@ -120,3 +120,28 @@ def test_read_table_handles_nanos_with_confless_session(spark, tmp_path):
     ev = read_table(spark, "/root/testdata/sf0.001", "events")
     assert ev.count() > 0
     assert dict(ev.dtypes)["ts"] == "timestamp"
+
+
+def test_compact_parquet_reduces_files_and_preserves_rows(spark, tmp_path):
+    from employee_data_management_system_data_engineering_solution_spark.sources.io import (
+        compact_parquet,
+    )
+    import glob
+
+    src = str(tmp_path / "small_files")
+    dest = str(tmp_path / "compacted")
+    # simulate a micro-batch sink: 64 tiny files
+    spark.range(0, 10_000).selectExpr("id", "id % 7 AS v").repartition(64).write.parquet(src)
+    n_small = len([f for f in glob.glob(src + "/*.parquet")])
+    assert n_small >= 32
+    n_out = compact_parquet(spark, src, dest, target_files=4)
+    assert n_out == 4
+    got = spark.read.parquet(dest)
+    assert got.count() == 10_000
+    assert got.selectExpr("sum(id)", "sum(v)").collect() == \
+        spark.read.parquet(src).selectExpr("sum(id)", "sum(v)").collect()
+    # coalesce path: shuffle-free, still correct
+    dest2 = str(tmp_path / "compacted2")
+    n_out2 = compact_parquet(spark, src, dest2, target_files=4, rebalance=False)
+    assert n_out2 <= 4
+    assert spark.read.parquet(dest2).count() == 10_000

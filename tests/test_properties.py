@@ -109,3 +109,73 @@ def test_prefix_sum_equals_serial_fold_property(spark, values, bucket_width):
         acc += v
         want[i] = acc
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# round-6 operators
+# --------------------------------------------------------------------------
+_texts = st.lists(
+    st.text(alphabet="ab cd", min_size=0, max_size=40), min_size=1, max_size=6
+)
+
+
+@given(texts=_texts)
+@_SETTINGS
+def test_winnow_fingerprints_are_gram_hash_subset(spark, texts):
+    """Every winnowing fingerprint is the hash of SOME gram of the doc
+    (window-min selects, never invents), and identical docs always get
+    identical fingerprint sets."""
+    from employee_data_management_system_data_engineering_solution_spark.operators.dedup import (
+        winnow_fingerprint_rows,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)] + [(1000, texts[0])],
+        "doc_id bigint, text string",
+    )
+    rows = winnow_fingerprint_rows(df, "doc_id", "text", n=4, window=3).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc.get(0, set()) == by_doc.get(1000, set())
+
+
+@given(texts=_texts)
+@_SETTINGS
+def test_simhash_arith_stable_and_bounded(spark, texts):
+    from employee_data_management_system_data_engineering_solution_spark.operators.dedup import (
+        simhash_arith,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    a = {r.doc_id: r.simhash for r in simhash_arith(df, "doc_id", "text").collect()}
+    b = {r.doc_id: r.simhash for r in simhash_arith(df, "doc_id", "text").collect()}
+    assert a == b
+    assert all(0 <= s < (1 << 48) for s in a.values())
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 5)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=14,
+    )
+)
+@_SETTINGS
+def test_pagerank_mass_bounded_and_deterministic(spark, edges):
+    """Symmetrized graph: fixed-point mass never exceeds the scale and
+    floor losses keep it within 5%; two runs are bit-equal."""
+    from employee_data_management_system_data_engineering_solution_spark.operators.graph import (
+        pagerank_fixed_point,
+    )
+
+    sym = list({e for ab in edges for e in (ab, (ab[1], ab[0]))})
+    df = spark.createDataFrame(sym, "src bigint, dst bigint")
+    pr = {r.node: r.rank_fp for r in pagerank_fixed_point(df, iters=2).collect()}
+    scale = 10**12
+    assert 0 < sum(pr.values()) <= scale
+    assert sum(pr.values()) > scale * 0.90
+    again = {r.node: r.rank_fp for r in pagerank_fixed_point(df, iters=2).collect()}
+    assert pr == again

@@ -329,3 +329,42 @@ def test_windowed_pass_checkpoint_recovery(spark, tmp_path):
     run_windowed_pass(spark, str(stage_dir), ckpt2, out2, state_partitions=2)
     ref = {r.emp_id: r.n_flagged for r in windowed_final_counts(spark, out2).collect()}
     assert got == ref
+
+
+def test_stream_stream_left_join_matches_batch_left_join(spark):
+    """Left-outer stream-stream join parity: matched purchases carry
+    their in-window view ids, purchases with NO preceding view emit
+    exactly once with a NULL view id after watermark passage — equal to
+    the batch left join over the same events."""
+    from employee_data_management_system_data_engineering_solution_spark.sources.io import read_table
+    from employee_data_management_system_data_engineering_solution_spark.streaming.strikes import (
+        run_stream_stream_left_join,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r.purchase_id, r.user_id, r.view_id)
+        for r in run_stream_stream_left_join(spark, sf).collect()
+    }
+    ev = read_table(spark, sf, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    want = {
+        (r.purchase_id, r.p_user, r.view_id)
+        for r in purchases.join(
+            views,
+            F.expr(
+                "p_user = v_user AND view_ts >= p_ts - INTERVAL 1 HOUR "
+                "AND view_ts <= p_ts"
+            ),
+            "leftOuter",
+        ).collect()
+    }
+    assert got == want
+    assert any(v is None for _, _, v in got), "expected unmatched purchases"
