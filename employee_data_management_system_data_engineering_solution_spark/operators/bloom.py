@@ -125,17 +125,45 @@ def bloom_pruned_join(
     dim: DataFrame,
     fact_key: str,
     dim_key: str,
-    num_bits: int = DEFAULT_NUM_BITS,
+    num_bits: int | None = None,
     num_hashes: int = DEFAULT_NUM_HASHES,
     how: str = "inner",
 ) -> DataFrame:
     """``fact ⋈ dim`` with the fact side Bloom-pruned first.
+
+    Only inner and semi joins are accepted: the prune-then-join
+    identity relies on dropped fact rows being exactly those that
+    cannot match, which outer joins are REQUIRED to keep — a
+    left-outer bloom-pruned join would silently lose its unmatched
+    rows (modulo false positives), so it raises instead.
+
+    ``num_bits=None`` (default) sizes the filter from the dim key
+    count: the next power of two of 16 bits/key, floored at 2^17. A
+    fixed-size filter silently saturates when the key set grows — at
+    ~1.3 bits/key the "prune" passes ~90% of non-matching rows while
+    still paying the probe cost — so auto-sizing (one bounded count
+    over the already-filtered dim) is the default and a fixed size is
+    the opt-in.
 
     The dim side is consumed twice (filter build + join); callers with
     an expensive dim pipeline should pin it. The join itself is left to
     Catalyst/AQE — after pruning, the fact side is small enough that
     AQE often converts the exchange to a local one anyway.
     """
+    if how.replace("_", "").lower() not in {"inner", "semi", "leftsemi"}:
+        raise ValueError(
+            f"bloom_pruned_join supports inner/semi joins only, got how={how!r}: "
+            "outer joins must keep the unmatched rows the prune removes"
+        )
+    if num_bits is None:
+        n_keys = dim.select(dim_key).count()
+        num_bits = DEFAULT_NUM_BITS
+        # cap at 2^22 (64k-word literal, ~512 KiB of plan): past ~260k
+        # keys the false-positive rate degrades gracefully instead of
+        # the plan blowing up — at that point the dim side is usually
+        # big enough that a plain shuffle join is the right plan anyway
+        while num_bits < 16 * max(n_keys, 1) and num_bits < (1 << 22):
+            num_bits *= 2
     words = bloom_build(dim.select(dim_key), dim_key, num_bits, num_hashes)
     pruned = fact.filter(
         bloom_might_contain(F.col(fact_key), words, num_bits, num_hashes)

@@ -237,10 +237,13 @@ def pagerank_fixed_point(
     Per iteration: contribution = rank DIV out_degree shipped along
     edges (one equi-join against the once-partitioned, pinned edge
     frame), one groupBy(dst) integer sum (map-side combined), then
-    rank' = (100-damping)·scale/100 DIV n + damping·Σ DIV 100. Nodes
-    are the edge endpoints; isolated vertices never enter (no in- or
-    out-mass). Dangling nodes need no special handling when the caller
-    supplies a symmetric edge list (every out-degree > 0).
+    rank' = (100-damping)·scale/100 DIV n + damping·Σ DIV 100 — taken
+    over EVERY node (both edge endpoints): a node with no inbound
+    edges this round keeps the teleport term, it does not vanish.
+    Isolated vertices (in no edge at all) never enter. DANGLING nodes
+    (inbound but no outbound edges — possible in general directed
+    input) hold rank but contribute no outbound mass, the standard
+    mass-leaking simplification; a symmetric edge list has none.
 
     Output: (node, rank_fp) — rank_fp is the BIGINT numerator over
     ``scale``. Lineage is truncated per round (``localCheckpoint``)
@@ -253,7 +256,12 @@ def pagerank_fixed_point(
         .localCheckpoint(eager=True)
     )
     deg = e.groupBy("src").agg(F.count("*").alias("__deg"))
-    nodes = e.select(F.col("src").alias("node")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     n_nodes = nodes.count()  # bounded driver scalar, like the Lloyd's barrier
     base = (100 - damping_pct) * scale // 100 // n_nodes
     pr = nodes.select("node", F.lit(scale // n_nodes).cast("long").alias("rank_fp"))
@@ -272,11 +280,18 @@ def pagerank_fixed_point(
         # round) but defers computation, so the whole fixed-iteration
         # loop runs as ONE job at the final action instead of one
         # scheduled job per round — fixed rounds need no driver reads,
-        # unlike connected_components' convergence checks
-        pr = summed.select(
-            "node",
-            (F.lit(base) + F.expr(f"({damping_pct} * __in) div 100")).cast("long").alias(
-                "rank_fp"
-            ),
-        ).localCheckpoint(eager=False)
+        # unlike connected_components' convergence checks. The left
+        # join from the full node set keeps zero-in-degree nodes at
+        # the teleport term instead of silently dropping them.
+        pr = (
+            nodes.join(summed, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(f"({damping_pct} * coalesce(__in, 0L)) div 100")
+                ).cast("long").alias("rank_fp"),
+            )
+            .localCheckpoint(eager=False)
+        )
     return pr

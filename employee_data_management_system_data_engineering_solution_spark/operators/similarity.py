@@ -669,6 +669,24 @@ def quantized_topk_rescore(
     cands = coarse.withColumn("__crank", F.row_number().over(w)).filter(
         F.col("__crank") <= k * rescore_factor
     )
+    return _rescore_topk(cands, queries, corpus, id_col, vec_col, k)
+
+
+def _rescore_topk(
+    cands: DataFrame,
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+) -> DataFrame:
+    """The shared exact-rescore tail of every compressed-coarse search
+    (SQ8 flat, IVF-SQ8, PQ-ADC): join the (query_id, neighbor_id)
+    candidate set back to full-precision vectors, score the exact
+    rounded cosine, rank (sim DESC, neighbor ASC) and keep top-``k``.
+    ONE implementation so the tie-break and 6-dp rounding — both
+    load-bearing for oracle hash parity — cannot drift between the
+    three call sites."""
     qv = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
     )
@@ -774,27 +792,7 @@ def quantized_ivf_topk(
     cands = coarse.withColumn("__crank", F.row_number().over(w)).filter(
         F.col("__crank") <= k * rescore_factor
     )
-    qv = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
-    )
-    cv = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
-    )
-    rescored = (
-        cands.join(F.broadcast(qv), "query_id")
-        .join(cv, "neighbor_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine(F.col("__qvec"), F.col("__cvec")), 6).alias("cosine_sim"),
-        )
-    )
-    w2 = Window.partitionBy("query_id").orderBy(
-        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return rescored.withColumn("rank", F.row_number().over(w2)).filter(
-        F.col("rank") <= k
-    )
+    return _rescore_topk(cands, queries, corpus, id_col, vec_col, k)
 
 
 # ---------------------------------------------------------------------------
@@ -1048,20 +1046,4 @@ def pq_adc_topk(
     cands = coarse.withColumn("__crank", F.row_number().over(w)).filter(
         F.col("__crank") <= k * rescore_factor
     )
-    qvec = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec"))
-    cvec = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"))
-    rescored = (
-        cands.join(F.broadcast(qvec), "query_id")
-        .join(cvec, "neighbor_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine(F.col("__qvec"), F.col("__cvec")), 6).alias("cosine_sim"),
-        )
-    )
-    w2 = Window.partitionBy("query_id").orderBy(
-        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return rescored.withColumn("rank", F.row_number().over(w2)).filter(
-        F.col("rank") <= k
-    )
+    return _rescore_topk(cands, queries, corpus, id_col, vec_col, k)

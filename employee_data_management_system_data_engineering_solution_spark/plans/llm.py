@@ -340,12 +340,13 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _verified_pairs(spark, sf_dir)
 
 
-def _duck_winnow_fps(n: int = 8, window: int = 4) -> str:
+def _duck_winnow_fps(window: int = 4) -> str:
     """DuckDB expression mirroring
     ``operators.dedup.winnow_fingerprint_rows``: per doc, the distinct
     mins of each ``window`` of consecutive gram hashes (1-based list
     slicing clamps at the doc edge exactly as the Spark window frame
-    truncates). Input CTE must provide ``harr``."""
+    truncates). Input CTE must provide ``harr`` — the gram width is
+    fixed by the ``_duck_poly_arr`` call that builds it."""
     return (
         f"list_distinct(list_transform("
         f"generate_series(1, greatest(len(harr) - {window}, 0) + 1), "
@@ -372,7 +373,7 @@ def _duck_winnow_fps(n: int = 8, window: int = 4) -> str:
       FROM nrm
     ),
     h AS (SELECT doc_id, {_duck_poly_arr(31, n=16)} AS harr FROM cod),
-    fpl AS (SELECT doc_id, {_duck_winnow_fps(n=16, window=8)} AS fps FROM h),
+    fpl AS (SELECT doc_id, {_duck_winnow_fps(window=8)} AS fps FROM h),
     fpr AS (SELECT doc_id, unnest(fps) AS fp FROM fpl),
     bsz AS (
       SELECT fp, count(*) AS n_members, min(doc_id) AS hub
@@ -978,9 +979,12 @@ def _pq_ctes(m: int = 8, ksub: int = 16, dim: int = 64, k: int = 10, rf: int = 1
       FROM v CROSS JOIN js
     ),
     seed AS (
-      SELECT j, row_number() OVER (PARTITION BY j ORDER BY vec_id) - 1 AS code,
-             sv AS cb
-      FROM subs WHERE vec_id < {ksub}
+      -- the ksub lowest ids by ORDER (not id VALUE), matching the
+      -- engine's orderBy(id).limit(ksub) seed on ANY id domain
+      SELECT j, rn - 1 AS code, sv AS cb FROM (
+        SELECT j, sv, row_number() OVER (PARTITION BY j ORDER BY vec_id) AS rn
+        FROM subs)
+      WHERE rn <= {ksub}
     ),
     a1 AS (
       SELECT vec_id, j, code FROM (
@@ -1323,7 +1327,16 @@ def _km_recompute_cte(atab: str, out: str, dim: int = 64) -> str:
 
 _KMEANS_ORACLE = f"""
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-    c1 AS (SELECT vec_id AS pivot_id, e AS pv FROM v WHERE vec_id < 8),
+    -- seed = the 8 lowest ids by ORDER (not id VALUE), matching the
+    -- engine's orderBy(id).limit(k) on ANY id domain; pivot ids stay
+    -- the seed vectors' own ids. The engine's empty-cluster
+    -- farthest-point reseed has no SQL mirror: the oracle covers the
+    -- no-empty-cluster trajectory (which this data follows), and the
+    -- reseed path is pinned by tests/test_similarity.py instead.
+    c1 AS (SELECT pivot_id, pv FROM (
+      SELECT vec_id AS pivot_id, e AS pv,
+             row_number() OVER (ORDER BY vec_id) AS rn FROM v)
+      WHERE rn <= 8),
     {_km_assign_cte("v", "c1", "a1")},
     {_km_recompute_cte("a1", "c2")},
     {_km_assign_cte("v", "c2", "a2")},

@@ -728,18 +728,23 @@ def format_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pr_iter_cte(prev: str, out: str) -> str:
     """One fixed-point PageRank round as a CTE: integer contribution
-    split along edges, integer damped recombination — the SQL mirror of
-    ``operators.graph.pagerank_fixed_point`` (// is DuckDB floor
+    split along edges, integer damped recombination over the FULL node
+    set (zero-in-degree nodes keep the teleport term) — the SQL mirror
+    of ``operators.graph.pagerank_fixed_point`` (// is DuckDB floor
     division, matching Spark's ``div`` on positive BIGINTs)."""
     return f"""
     {out} AS (
-      SELECT e.dst AS node,
+      SELECT nd.node,
              CAST((SELECT 150000000000 // n FROM nn)
-                  + (85 * sum(p.r // deg.d)) // 100 AS BIGINT) AS r
-      FROM {prev} p
-      JOIN deg ON deg.src = p.node
-      JOIN e ON e.src = p.node
-      GROUP BY e.dst
+                  + (85 * coalesce(s.m, 0)) // 100 AS BIGINT) AS r
+      FROM nodes nd
+      LEFT JOIN (
+        SELECT e.dst AS node, sum(p.r // deg.d) AS m
+        FROM {prev} p
+        JOIN deg ON deg.src = p.node
+        JOIN e ON e.src = p.node
+        GROUP BY e.dst
+      ) s ON s.node = nd.node
     )"""
 
 
@@ -752,10 +757,11 @@ def _pr_iter_cte(prev: str, out: str) -> str:
       FROM su a JOIN su b ON a.ok = b.ok AND a.sk <> b.sk
     ),
     deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
-    nn AS (SELECT count(*) AS n FROM deg),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    nn AS (SELECT count(*) AS n FROM nodes),
     p0 AS (
-      SELECT src AS node, CAST(1000000000000 // (SELECT n FROM nn) AS BIGINT) AS r
-      FROM deg
+      SELECT node, CAST(1000000000000 // (SELECT n FROM nn) AS BIGINT) AS r
+      FROM nodes
     ),
     {_pr_iter_cte("p0", "p1")},
     {_pr_iter_cte("p1", "p2")},

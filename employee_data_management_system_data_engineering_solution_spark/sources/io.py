@@ -201,6 +201,12 @@ def compact_parquet(
     import glob
     import os
 
+    if os.path.abspath(src_path) == os.path.abspath(dest_path):
+        raise ValueError(
+            "compact_parquet: src and dest must differ — the overwrite "
+            "write would clear the directory the lazy scan is reading "
+            "(write to a work dir and swap for in-place compaction)"
+        )
     df = spark.read.parquet(src_path)
     out = df.repartition(target_files) if rebalance else df.coalesce(target_files)
     out.write.mode("overwrite").parquet(dest_path)

@@ -54,3 +54,22 @@ def test_bloom_prune_actually_cuts_rows(spark):
     kept = fact.filter(bloom_might_contain(F.col("fk"), words, num_bits=1 << 14)).count()
     assert kept < 2_000, f"prune kept {kept}/10000 rows — filter ineffective"
     assert kept >= 770  # every true match must survive
+
+
+def test_bloom_pruned_join_rejects_outer_joins(spark):
+    import pytest
+
+    fact = spark.range(3).select(F.col("id").alias("fk"))
+    dim = spark.range(2).select(F.col("id").alias("dk"))
+    with pytest.raises(ValueError, match="inner/semi"):
+        bloom_pruned_join(fact, dim, "fk", "dk", how="left")
+
+
+def test_bloom_auto_sizing_scales_with_key_count(spark):
+    from employee_data_management_system_data_engineering_solution_spark.operators import bloom
+
+    # the registered default: auto-size keeps >= 16 bits/key (pow2)
+    fact = spark.range(100).select(F.col("id").alias("fk"))
+    dim = spark.range(20_000).select(F.col("id").alias("dk"))
+    out = bloom.bloom_pruned_join(fact, dim, "fk", "dk")
+    assert out.count() == 100  # all match; correctness regardless of size

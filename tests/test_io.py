@@ -145,3 +145,16 @@ def test_compact_parquet_reduces_files_and_preserves_rows(spark, tmp_path):
     n_out2 = compact_parquet(spark, src, dest2, target_files=4, rebalance=False)
     assert n_out2 <= 4
     assert spark.read.parquet(dest2).count() == 10_000
+
+
+def test_compact_parquet_rejects_in_place(spark, tmp_path):
+    import pytest
+
+    from employee_data_management_system_data_engineering_solution_spark.sources.io import (
+        compact_parquet,
+    )
+
+    p = str(tmp_path / "t")
+    spark.range(10).write.parquet(p)
+    with pytest.raises(ValueError, match="src and dest"):
+        compact_parquet(spark, p, p, 2)

@@ -35,6 +35,17 @@ SHIFT: dict[str, list[str]] = {
     "documents": ["doc_id"],
     "embeddings": ["vec_id"],
 }
+#: foreign keys shift by the REFERENCED table's offset, not their own
+#: max: if any referenced key never appears in the referencing column
+#: (spec TPC-H guarantees this — custkeys divisible by 3 place no
+#: orders), a per-column max would shift the two sides by different
+#: amounts and every replica copy's FKs would dangle or cross copies.
+FK_REF: dict[str, tuple[str, str]] = {
+    "o_custkey": ("customer", "c_custkey"),
+    "l_orderkey": ("orders", "o_orderkey"),
+    "l_partkey": ("part", "p_partkey"),
+    "l_suppkey": ("supplier", "s_suppkey"),
+}
 COPY_ONLY = ("region", "nation")
 
 
@@ -51,10 +62,22 @@ def replicate(spark: SparkSession, src: str, dest: str, copies: int) -> None:
             dest.unlink()
         _shutil.copyfile(f"{src}/{table}.parquet", str(dest))
         print(f"{table}: copied 1x")
+    # primary-key offsets come from the key's OWN table; FK columns
+    # reuse the referenced key's offset so join alignment survives
+    pk_offset: dict[tuple[str, str], int] = {}
     for table, keys in SHIFT.items():
         df = spark.read.parquet(f"{src}/{table}.parquet")
-        maxes = df.agg(*[F.max(k).alias(k) for k in keys]).collect()[0]
-        offsets = {k: int(maxes[k]) + 1 for k in keys}
+        own = [k for k in keys if k not in FK_REF]
+        if own:
+            maxes = df.agg(*[F.max(k).alias(k) for k in own]).collect()[0]
+            for k in own:
+                pk_offset[(table, k)] = int(maxes[k]) + 1
+    for table, keys in SHIFT.items():
+        df = spark.read.parquet(f"{src}/{table}.parquet")
+        offsets = {
+            k: pk_offset[FK_REF[k]] if k in FK_REF else pk_offset[(table, k)]
+            for k in keys
+        }
         parts: list[DataFrame] = []
         for i in range(copies):
             cur = df
