@@ -120,6 +120,75 @@ def bloom_might_contain(
     return out
 
 
+def bloom_build_df(
+    keys: DataFrame,
+    key_col: str,
+    num_bits: int,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+) -> DataFrame:
+    """The filter as a (word_idx, bits) DataFrame — the large-filter
+    sibling of :func:`bloom_build`: nothing is collected, so the filter
+    size is bounded by executor memory, not by what a plan literal can
+    carry. Pin the (≤ num_bits/64-row) result before probing."""
+    if num_bits % 64:
+        raise ValueError(f"num_bits must be a multiple of 64, got {num_bits}")
+    pos = F.explode(
+        F.array(*_bit_positions(F.col(key_col), num_bits, num_hashes))
+    ).alias("__pos")
+    return (
+        keys.select(pos)
+        .select(
+            (F.col("__pos") / 64).cast("long").alias("word_idx"),
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"), (F.col("__pos") % 64).cast("int")
+            ).alias("__mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("__mask").alias("bits"))
+    )
+
+
+def bloom_prune_by_join(
+    fact: DataFrame,
+    fact_key: str,
+    words_df: DataFrame,
+    num_bits: int,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+) -> DataFrame:
+    """Probe via ``num_hashes`` broadcast-hash joins against the
+    (word_idx, bits) filter table instead of a plan literal. A 2^21-bit
+    filter is a ~350 KiB literal whose parse/analysis dominates the
+    query; as a broadcast relation the same words cost three hash
+    lookups per row inside codegen and the plan stays O(1). Missing
+    words coalesce to 0 (bit unset ⇒ row pruned)."""
+    out = fact
+    keep = F.lit(True)
+    for i in range(num_hashes):
+        p = F.pmod(F.xxhash64(F.col(fact_key), F.lit(i)), F.lit(num_bits)).cast("long")
+        w = words_df.select(
+            F.col("word_idx").alias(f"__wi{i}"), F.col("bits").alias(f"__b{i}")
+        )
+        out = out.withColumn(f"__p{i}", p).join(
+            F.broadcast(w), F.expr(f"__p{i} div 64") == F.col(f"__wi{i}"), "left"
+        )
+        keep = keep & (
+            F.call_function(
+                "shiftright",
+                F.coalesce(F.col(f"__b{i}"), F.lit(0).cast("long")),
+                (F.col(f"__p{i}") % 64).cast("int"),
+            )
+            % 2
+            != 0
+        )
+    drop = [c for i in range(num_hashes) for c in (f"__p{i}", f"__wi{i}", f"__b{i}")]
+    return out.filter(keep).drop(*drop)
+
+
+#: above this size the filter probes via broadcast join; below it, the
+#: cheaper literal path (no joins) wins
+LITERAL_MAX_BITS = 1 << 18
+
+
 def bloom_pruned_join(
     fact: DataFrame,
     dim: DataFrame,
@@ -158,14 +227,20 @@ def bloom_pruned_join(
     if num_bits is None:
         n_keys = dim.select(dim_key).count()
         num_bits = DEFAULT_NUM_BITS
-        # cap at 2^22 (64k-word literal, ~512 KiB of plan): past ~260k
-        # keys the false-positive rate degrades gracefully instead of
-        # the plan blowing up — at that point the dim side is usually
-        # big enough that a plain shuffle join is the right plan anyway
-        while num_bits < 16 * max(n_keys, 1) and num_bits < (1 << 22):
+        # cap at 2^26 (1 MiB of words as a broadcast relation): past
+        # ~4M keys the false-positive rate degrades gracefully — at
+        # that point the dim side is usually big enough that a plain
+        # shuffle join is the right plan anyway
+        while num_bits < 16 * max(n_keys, 1) and num_bits < (1 << 26):
             num_bits *= 2
-    words = bloom_build(dim.select(dim_key), dim_key, num_bits, num_hashes)
-    pruned = fact.filter(
-        bloom_might_contain(F.col(fact_key), words, num_bits, num_hashes)
-    )
+    if num_bits <= LITERAL_MAX_BITS:
+        words = bloom_build(dim.select(dim_key), dim_key, num_bits, num_hashes)
+        pruned = fact.filter(
+            bloom_might_contain(F.col(fact_key), words, num_bits, num_hashes)
+        )
+    else:
+        wdf = bloom_build_df(
+            dim.select(dim_key), dim_key, num_bits, num_hashes
+        ).localCheckpoint(eager=False)
+        pruned = bloom_prune_by_join(fact, fact_key, wdf, num_bits, num_hashes)
     return pruned.join(dim, pruned[fact_key] == dim[dim_key], how)

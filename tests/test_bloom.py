@@ -73,3 +73,23 @@ def test_bloom_auto_sizing_scales_with_key_count(spark):
     dim = spark.range(20_000).select(F.col("id").alias("dk"))
     out = bloom.bloom_pruned_join(fact, dim, "fk", "dk")
     assert out.count() == 100  # all match; correctness regardless of size
+
+
+def test_bloom_join_probe_path_matches_literal_path(spark):
+    """Above LITERAL_MAX_BITS the probe runs as broadcast joins; the
+    result must equal both the literal path and the plain join."""
+    from employee_data_management_system_data_engineering_solution_spark.operators import bloom
+
+    fact = spark.range(0, 5_000).select(F.col("id").alias("fk"))
+    dim = spark.range(0, 5_000, 7).select(F.col("id").alias("dk"))
+    big = 1 << 19  # forces the join-probe path
+    via_join = bloom.bloom_pruned_join(fact, dim, "fk", "dk", num_bits=big)
+    want = fact.join(dim, fact.fk == dim.dk)
+    assert sorted(r.fk for r in via_join.collect()) == sorted(
+        r.fk for r in want.collect()
+    )
+    # and the join-probe prune actually prunes
+    wdf = bloom.bloom_build_df(dim, "dk", big)
+    kept = bloom.bloom_prune_by_join(fact, "fk", wdf, big).count()
+    assert kept < 1_500
+    assert kept >= 715

@@ -31,6 +31,8 @@ TARGETS = [
     "simhash_hamming_pairs",
     "pq_adc_search",
     "bloom_pruned_join",
+    "supplier_pagerank",
+    "hourly_interpolated_series",
 ]
 
 
