@@ -179,3 +179,65 @@ def test_pagerank_mass_bounded_and_deterministic(spark, edges):
     assert sum(pr.values()) > scale * 0.90
     again = {r.node: r.rank_fp for r in pagerank_fixed_point(df, iters=2).collect()}
     assert pr == again
+
+
+@given(
+    keys=st.lists(st.integers(0, 10_000), min_size=1, max_size=30, unique=True),
+    probes=st.lists(st.integers(0, 10_000), min_size=1, max_size=30),
+)
+@_SETTINGS
+def test_bloom_never_false_negative_property(spark, keys, probes):
+    from employee_data_management_system_data_engineering_solution_spark.operators.bloom import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    kdf = spark.createDataFrame([(k,) for k in keys], "k bigint")
+    words = bloom_build(kdf, "k", num_bits=1 << 10)
+    pdf = spark.createDataFrame([(p,) for p in set(probes) | set(keys)], "k bigint")
+    hits = {
+        r.k
+        for r in pdf.filter(
+            bloom_might_contain(F.col("k"), words, num_bits=1 << 10)
+        ).collect()
+    }
+    assert set(keys) <= hits  # no false negatives, ever
+
+
+@given(
+    obs=st.lists(
+        st.tuples(st.integers(0, 100), st.integers(0, 1000)),
+        min_size=2,
+        max_size=8,
+    ).filter(lambda o: len({t for t, _ in o}) == len(o)),
+    grid_ts=st.lists(st.integers(0, 100), min_size=1, max_size=6, unique=True),
+)
+@_SETTINGS
+def test_resample_interpolate_between_neighbor_values(spark, obs, grid_ts):
+    """Interior grid values lie within [min, max] of the two
+    surrounding observations; boundary values equal the clamped
+    neighbor."""
+    from employee_data_management_system_data_engineering_solution_spark.operators.cleaning import (
+        resample_interpolate,
+    )
+
+    df = spark.createDataFrame(
+        [(1, t, i, float(v)) for i, (t, v) in enumerate(obs)],
+        "k bigint, t bigint, o bigint, v double",
+    )
+    grid = spark.createDataFrame([(1, t) for t in grid_ts], "k bigint, t bigint")
+    out = {r.t: r.v_interp for r in
+           resample_interpolate(df, grid, "k", "t", "o", "v").collect()}
+    ts = sorted(t for t, _ in obs)
+    vals = dict(obs)
+    for g, v in out.items():
+        prevs = [t for t in ts if t <= g]
+        nexts = [t for t in ts if t >= g]
+        if not prevs:
+            assert v == round(vals[nexts[0]], 4)
+        elif not nexts:
+            assert v == round(vals[prevs[-1]], 4)
+        else:
+            lo = min(vals[prevs[-1]], vals[nexts[0]])
+            hi = max(vals[prevs[-1]], vals[nexts[0]])
+            assert lo - 1e-6 <= v <= hi + 1e-6
