@@ -59,28 +59,10 @@ def bloom_build(
     whole filter — hand it to :func:`bloom_prune` (driver-side literal,
     no broadcast variable or UDF anywhere).
     """
-    if num_bits % 64:
-        raise ValueError(f"num_bits must be a multiple of 64, got {num_bits}")
-    pos = F.explode(
-        F.array(*_bit_positions(F.col(key_col), num_bits, num_hashes))
-    ).alias("__pos")
-    words = (
-        keys.select(pos)
-        .select(
-            (F.col("__pos") / 64).cast("long").alias("__word"),
-            # the PySpark shiftleft wrapper types numBits as a Python
-            # int; call_function passes the column shift through
-            F.call_function(
-                "shiftleft", F.lit(1).cast("long"), (F.col("__pos") % 64).cast("int")
-            ).alias("__mask"),
-        )
-        .groupBy("__word")
-        .agg(F.bit_or("__mask").alias("__bits"))
-        .collect()
-    )
+    rows = bloom_build_df(keys, key_col, num_bits, num_hashes).collect()
     dense = [0] * (num_bits // 64)
-    for r in words:
-        dense[int(r["__word"])] = int(r["__bits"])
+    for r in rows:
+        dense[int(r["word_idx"])] = int(r["bits"])
     return dense
 
 
@@ -214,8 +196,9 @@ def bloom_pruned_join(
     over the already-filtered dim) is the default and a fixed size is
     the opt-in.
 
-    The dim side is consumed twice (filter build + join); callers with
-    an expensive dim pipeline should pin it. The join itself is left to
+    The dim side is consumed twice (filter build + join), three times
+    with auto-sizing (plus the distinct key count); callers with an
+    expensive dim pipeline should pin it. The join itself is left to
     Catalyst/AQE — after pruning, the fact side is small enough that
     AQE often converts the exchange to a local one anyway.
     """
@@ -225,7 +208,10 @@ def bloom_pruned_join(
             "outer joins must keep the unmatched rows the prune removes"
         )
     if num_bits is None:
-        n_keys = dim.select(dim_key).count()
+        # DISTINCT keys (a dim with duplicated keys must not inflate
+        # the filter); this is the third evaluation of the dim pipeline
+        # (sizing count + build + join) — pin an expensive dim first
+        n_keys = dim.select(dim_key).distinct().count()
         num_bits = DEFAULT_NUM_BITS
         # cap at 2^26 (1 MiB of words as a broadcast relation): past
         # ~4M keys the false-positive rate degrades gracefully — at

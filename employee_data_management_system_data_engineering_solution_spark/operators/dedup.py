@@ -590,6 +590,12 @@ def simhash_hamming_pairs(
     """
     if nbits % bands:
         raise ValueError(f"nbits={nbits} not divisible by bands={bands}")
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs > {max_hamming} bands for the "
+            f"pigeonhole recall guarantee, got bands={bands}: a pair at that "
+            "distance can differ in every band and never become a candidate"
+        )
     width = nbits // bands
     sig = simhash_arith(df, id_col, text_col, nbits).localCheckpoint(eager=False)
     banded = sig.select(

@@ -263,6 +263,8 @@ def pagerank_fixed_point(
         .localCheckpoint(eager=False)
     )
     n_nodes = nodes.count()  # bounded driver scalar, like the Lloyd's barrier
+    if n_nodes == 0:
+        raise ValueError("pagerank_fixed_point: empty edge list (no nodes to rank)")
     base = (100 - damping_pct) * scale // 100 // n_nodes
     pr = nodes.select("node", F.lit(scale // n_nodes).cast("long").alias("rank_fp"))
     for _ in range(iters):

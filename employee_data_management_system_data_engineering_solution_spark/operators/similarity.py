@@ -663,30 +663,32 @@ def quantized_topk_rescore(
             ).alias("qcos"),
         )
     )
+    return _rescore_topk(coarse, queries, corpus, id_col, vec_col, k, rescore_factor)
+
+
+def _rescore_topk(
+    coarse: DataFrame,
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    rescore_factor: int,
+) -> DataFrame:
+    """The shared cut-and-rescore tail of every compressed-coarse
+    search (SQ8 flat, IVF-SQ8, PQ-ADC): rank the coarse frame's
+    ``qcos`` (DESC, neighbor ASC), keep the top k × rescore_factor
+    candidates, join them back to full-precision vectors, score the
+    exact rounded cosine, and rank again for the final top-``k``. ONE
+    implementation so BOTH tie-breaks and the 6-dp rounding — all
+    load-bearing for oracle hash parity — cannot drift between the
+    three call sites."""
     w = Window.partitionBy("query_id").orderBy(
         F.col("qcos").desc(), F.col("neighbor_id").asc()
     )
     cands = coarse.withColumn("__crank", F.row_number().over(w)).filter(
         F.col("__crank") <= k * rescore_factor
     )
-    return _rescore_topk(cands, queries, corpus, id_col, vec_col, k)
-
-
-def _rescore_topk(
-    cands: DataFrame,
-    queries: DataFrame,
-    corpus: DataFrame,
-    id_col: str,
-    vec_col: str,
-    k: int,
-) -> DataFrame:
-    """The shared exact-rescore tail of every compressed-coarse search
-    (SQ8 flat, IVF-SQ8, PQ-ADC): join the (query_id, neighbor_id)
-    candidate set back to full-precision vectors, score the exact
-    rounded cosine, rank (sim DESC, neighbor ASC) and keep top-``k``.
-    ONE implementation so the tie-break and 6-dp rounding — both
-    load-bearing for oracle hash parity — cannot drift between the
-    three call sites."""
     qv = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
     )
@@ -786,13 +788,7 @@ def quantized_ivf_topk(
             ).alias("qcos"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("qcos").desc(), F.col("neighbor_id").asc()
-    )
-    cands = coarse.withColumn("__crank", F.row_number().over(w)).filter(
-        F.col("__crank") <= k * rescore_factor
-    )
-    return _rescore_topk(cands, queries, corpus, id_col, vec_col, k)
+    return _rescore_topk(coarse, queries, corpus, id_col, vec_col, k, rescore_factor)
 
 
 # ---------------------------------------------------------------------------
@@ -1040,10 +1036,4 @@ def pq_adc_topk(
             F.round(rdot / (F.col("__qnorm") * F.sqrt(rnorm2)), 6).alias("qcos"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("qcos").desc(), F.col("neighbor_id").asc()
-    )
-    cands = coarse.withColumn("__crank", F.row_number().over(w)).filter(
-        F.col("__crank") <= k * rescore_factor
-    )
-    return _rescore_topk(cands, queries, corpus, id_col, vec_col, k)
+    return _rescore_topk(coarse, queries, corpus, id_col, vec_col, k, rescore_factor)

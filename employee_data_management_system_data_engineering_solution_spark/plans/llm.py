@@ -20,6 +20,22 @@ from ..sources.io import read_table
 from ..streaming.strikes import run_strike_stream
 from .registry import REGISTRY, register
 
+
+def _planted_dup_corpus(df, id_col: str, payload_col: str) -> DataFrame:
+    """The table plus an id-shifted exact copy — known duplicate pairs
+    for the dedup operators. The shift is max(id)+1, DERIVED FROM THE
+    DATA as a lazy 1-row broadcast cross join (no collect, no plan
+    barrier), so planted ids can never collide with live ids at any
+    corpus size — a fixed constant shift silently overlaps once the id
+    domain outgrows it. Oracles mirror with a scalar subquery."""
+    shift = F.broadcast(df.agg((F.max(id_col) + 1).alias("__shift")))
+    return df.select(id_col, payload_col).unionByName(
+        df.crossJoin(shift).select(
+            (F.col(id_col) + F.col("__shift")).alias(id_col), payload_col
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
@@ -360,7 +376,8 @@ def _duck_winnow_fps(window: int = 4) -> str:
     WITH corpus AS (
       SELECT doc_id, text FROM documents
       UNION ALL
-      SELECT doc_id + 100000 AS doc_id, text FROM documents
+      SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents) AS doc_id, text
+      FROM documents
     ),
     nrm AS (
       SELECT doc_id,
@@ -409,9 +426,7 @@ def winnow_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     extends that to shared-substring near-dup detection at the same
     shuffle cost."""
     docs = read_table(spark, sf_dir, "documents")
-    corpus = docs.select("doc_id", "text").unionByName(
-        docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
-    )
+    corpus = _planted_dup_corpus(docs, "doc_id", "text")
     return dedup.winnow_shared_pairs(
         corpus, "doc_id", "text", n=16, window=8, min_shared=16
     )
@@ -438,7 +453,8 @@ def _duck_simhash_sig(nbits: int = 48) -> str:
     WITH corpus AS (
       SELECT doc_id, text FROM documents
       UNION ALL
-      SELECT doc_id + 100000 AS doc_id, text FROM documents
+      SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents) AS doc_id, text
+      FROM documents
     ),
     nrm AS (
       SELECT doc_id,
@@ -494,9 +510,7 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     one band groupBy with the star-capped bucket pairing, and a
     signature re-join bounded by the candidate set."""
     docs = read_table(spark, sf_dir, "documents")
-    corpus = docs.select("doc_id", "text").unionByName(
-        docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
-    )
+    corpus = _planted_dup_corpus(docs, "doc_id", "text")
     return dedup.simhash_hamming_pairs(corpus, "doc_id", "text")
 
 
@@ -1224,7 +1238,8 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus AS (
       SELECT vec_id, e FROM base
       UNION ALL
-      SELECT vec_id + 100000 AS vec_id, e FROM base  -- planted exact dups
+      SELECT vec_id + (SELECT max(vec_id) + 1 FROM base) AS vec_id, e
+      FROM base  -- planted exact dups, shifted past the live id domain
     ),
     p AS (SELECT vec_id AS pivot_id, e AS pv FROM base WHERE vec_id < 32),
     assign_scored AS (
@@ -1254,9 +1269,7 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     copy, planting exact duplicates so the operator's output is
     non-trivial on this corpus (natural max pairwise cosine ≈ 0.51)."""
     emb = read_table(spark, sf_dir, "embeddings")
-    corpus = emb.select("vec_id", "embedding").unionByName(
-        emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
-    )
+    corpus = _planted_dup_corpus(emb, "vec_id", "embedding")
     pivots = emb.filter(F.col("vec_id") < 32).select("vec_id", "embedding")
     return similarity.cosine_neardup_pairs(corpus, pivots, threshold=0.999)
 

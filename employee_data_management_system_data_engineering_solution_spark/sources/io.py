@@ -201,7 +201,7 @@ def compact_parquet(
     import glob
     import os
 
-    if os.path.abspath(src_path) == os.path.abspath(dest_path):
+    if os.path.realpath(src_path) == os.path.realpath(dest_path):
         raise ValueError(
             "compact_parquet: src and dest must differ — the overwrite "
             "write would clear the directory the lazy scan is reading "
