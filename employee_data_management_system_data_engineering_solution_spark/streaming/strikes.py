@@ -446,6 +446,80 @@ def run_stream_stream_left_join(
     return out.filter(F.col("user_id") >= 0)
 
 
+def _run_checkpointed_pass(
+    spark: SparkSession,
+    stage_dir: str,
+    ckpt_dir: str,
+    out_dir: str,
+    plan_fn,
+    state_partitions: int = 4,
+    state_store_provider: str | None = None,
+) -> None:
+    """Shared scaffolding for every durable-checkpoint availableNow
+    pass: conf save/juggle/restore (nanos read, state-partition count,
+    optional state-store provider), staged-file gate, schema-pinned
+    file stream, batch-id-tagged parquet ``foreachBatch`` sink, and
+    checkpointed trigger. ``plan_fn(stream) -> DataFrame`` supplies the
+    per-carrier streaming plan — the ONLY part that differs between
+    the stateful strike pass and the windowed-aggregation pass, so the
+    restart/recovery contract cannot drift between them."""
+    from ..sources.io import normalize_nanos
+    from .replay import _PROVIDER_CONF, events_schema
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    prior_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    prior_provider = spark.conf.get(_PROVIDER_CONF, None)
+    if state_store_provider is not None:
+        spark.conf.set(_PROVIDER_CONF, state_store_provider)
+    try:
+        import glob as _glob
+        import os as _os
+
+        staged = sorted(_glob.glob(_os.path.join(stage_dir, "*.parquet")))
+        if not staged:
+            raise ValueError(f"no parquet files staged in {stage_dir}")
+        stream = normalize_nanos(
+            spark.readStream.schema(events_schema(spark, staged[0]))
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage_dir)
+        )
+        result = plan_fn(stream)
+
+        def _sink(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df.withColumn("__batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(out_dir)
+
+        q = (
+            result.writeStream.foreachBatch(_sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior_parts)
+        if state_store_provider is not None:
+            if prior_provider is None:
+                spark.conf.unset(_PROVIDER_CONF)
+            else:
+                spark.conf.set(_PROVIDER_CONF, prior_provider)
+
+
+def _latest_per_key(df: DataFrame, key_cols: list, out_cols: list) -> DataFrame:
+    """Newest-batch-wins projection over a batch-id-tagged pass output."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(F.col("__batch_id").desc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(*out_cols)
+    )
+
+
 def run_strike_pass(
     spark: SparkSession,
     stage_dir: str,
@@ -472,33 +546,13 @@ def run_strike_pass(
     version — exactly-once state, at-least-once sink appends
     deduplicated by batch id downstream.
     """
-    from ..sources.io import normalize_nanos
-    from .replay import _PROVIDER_CONF, events_schema
-
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    prior_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-    prior_provider = spark.conf.get(_PROVIDER_CONF, None)
-    if state_store_provider is not None:
-        spark.conf.set(_PROVIDER_CONF, state_store_provider)
-    try:
-        import glob as _glob
-        import os as _os
-
-        staged = sorted(_glob.glob(_os.path.join(stage_dir, "*.parquet")))
-        if not staged:
-            raise ValueError(f"no parquet files staged in {stage_dir}")
-        stream = normalize_nanos(
-            spark.readStream.schema(events_schema(spark, staged[0]))
-            .option("maxFilesPerTrigger", 1)
-            .parquet(stage_dir)
-        )
+    def _plan(stream: DataFrame) -> DataFrame:
         prepared = stream.select(
             F.col("user_id").alias("emp_id"),
             flagged_expr().alias("flagged"),
             F.date_format("ts", "yyyy-MM").alias("month"),
         )
-        result = prepared.groupBy("emp_id").applyInPandasWithState(
+        return prepared.groupBy("emp_id").applyInPandasWithState(
             _strike_state_fn,
             outputStructType=_OUTPUT_SCHEMA,
             stateStructType=_STATE_SCHEMA,
@@ -506,39 +560,19 @@ def run_strike_pass(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
 
-        def _sink(batch_df: DataFrame, batch_id: int) -> None:
-            batch_df.withColumn("__batch_id", F.lit(batch_id)).write.mode(
-                "append"
-            ).parquet(out_dir)
-
-        q = (
-            result.writeStream.foreachBatch(_sink)
-            .outputMode("update")
-            .option("checkpointLocation", ckpt_dir)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prior_parts)
-        if state_store_provider is not None:
-            if prior_provider is None:
-                spark.conf.unset(_PROVIDER_CONF)
-            else:
-                spark.conf.set(_PROVIDER_CONF, prior_provider)
+    _run_checkpointed_pass(
+        spark, stage_dir, ckpt_dir, out_dir, _plan,
+        state_partitions, state_store_provider,
+    )
 
 
 def strike_final_state(spark: SparkSession, out_dir: str) -> DataFrame:
     """Latest per-employee state from a :func:`run_strike_pass` output
     directory: one emission per key per batch, newest batch wins."""
-    from pyspark.sql import Window
-
-    out = spark.read.parquet(out_dir)
-    w = Window.partitionBy("emp_id").orderBy(F.col("__batch_id").desc())
-    return (
-        out.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("emp_id", "strike_count", "status")
+    return _latest_per_key(
+        spark.read.parquet(out_dir),
+        ["emp_id"],
+        ["emp_id", "strike_count", "status"],
     )
 
 
@@ -566,25 +600,8 @@ def run_windowed_pass(
     with the batch id; :func:`windowed_final_counts` takes the newest
     emission per (window, employee).
     """
-    from ..sources.io import normalize_nanos
-    from .replay import events_schema
-
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    prior_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-    try:
-        import glob as _glob
-        import os as _os
-
-        staged = sorted(_glob.glob(_os.path.join(stage_dir, "*.parquet")))
-        if not staged:
-            raise ValueError(f"no parquet files staged in {stage_dir}")
-        stream = normalize_nanos(
-            spark.readStream.schema(events_schema(spark, staged[0]))
-            .option("maxFilesPerTrigger", 1)
-            .parquet(stage_dir)
-        )
-        agg = (
+    def _plan(stream: DataFrame) -> DataFrame:
+        return (
             stream.filter(flagged_expr())
             .select(F.col("user_id").alias("emp_id"), "ts")
             .withWatermark("ts", watermark_delay)
@@ -598,35 +615,17 @@ def run_windowed_pass(
             )
         )
 
-        def _sink(batch_df: DataFrame, batch_id: int) -> None:
-            batch_df.withColumn("__batch_id", F.lit(batch_id)).write.mode(
-                "append"
-            ).parquet(out_dir)
-
-        q = (
-            agg.writeStream.foreachBatch(_sink)
-            .outputMode("update")
-            .option("checkpointLocation", ckpt_dir)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prior_parts)
+    _run_checkpointed_pass(
+        spark, stage_dir, ckpt_dir, out_dir, _plan, state_partitions
+    )
 
 
 def windowed_final_counts(spark: SparkSession, out_dir: str) -> DataFrame:
     """Latest count per (window, employee) from a
     :func:`run_windowed_pass` output directory — newest batch wins, the
     update-mode mirror of :func:`strike_final_state`."""
-    from pyspark.sql import Window
-
-    out = spark.read.parquet(out_dir)
-    w = Window.partitionBy("window_start", "emp_id").orderBy(
-        F.col("__batch_id").desc()
-    )
-    return (
-        out.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("window_start", "window_end", "emp_id", "n_flagged")
+    return _latest_per_key(
+        spark.read.parquet(out_dir),
+        ["window_start", "emp_id"],
+        ["window_start", "window_end", "emp_id", "n_flagged"],
     )
