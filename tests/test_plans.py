@@ -101,3 +101,61 @@ def test_context_pack_bins_no_global_single_partition_window(spark):
 def test_upcoming_leave_uses_broadcast_not_collect_join(spark):
     plan = plan_of(REGISTRY["upcoming_leave_pct"].fn(spark, SF))
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_bloom_probe_stays_jvm_side_and_pushed(spark):
+    """The literal-path Bloom probe must evaluate as plain expressions
+    in the scan stage — no Python, no extra exchange for the filter."""
+    plan = plan_of(REGISTRY["bloom_pruned_join"].fn(spark, SF))
+    assert "Python" not in plan
+    assert "PushedFilters" in plan  # dim-side priority/status filters
+
+
+def test_quality_weighted_sample_is_zero_shuffle(spark):
+    plan = plan_of(REGISTRY["quality_weighted_sample"].fn(spark, SF))
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+    # scan reads only the two touched columns
+    read_schema = plan.split("ReadSchema", 1)[1].splitlines()[0]
+    assert "lang" not in read_schema and "source" not in read_schema
+
+
+def test_winnow_single_keyed_window_shuffle(spark):
+    """Fingerprint selection: exactly one exchange feeds the per-doc
+    window sort; the gram hash itself is a projection (codegen), not a
+    transform-lambda."""
+    from employee_data_management_system_data_engineering_solution_spark.operators.dedup import (
+        winnow_fingerprint_rows,
+    )
+
+    docs = read_table(spark, SF, "documents").select("doc_id", "text")
+    plan = plan_of(winnow_fingerprint_rows(docs, "doc_id", "text"))
+    assert plan.count("Exchange hashpartitioning") <= 2  # window + distinct
+    assert "Python" not in plan
+    assert "Window" in plan
+
+
+def test_simhash_arith_no_python_and_mapside_agg(spark):
+    from employee_data_management_system_data_engineering_solution_spark.operators.dedup import (
+        simhash_arith,
+    )
+
+    docs = read_table(spark, SF, "documents").select("doc_id", "text")
+    plan = plan_of(simhash_arith(docs, "doc_id", "text"))
+    assert "Python" not in plan
+    # partial aggregation before the exchange (map-side combine of the
+    # 48 signed sums)
+    assert "partial" in plan.lower()
+
+
+def test_pq_encode_is_narrow(spark):
+    from employee_data_management_system_data_engineering_solution_spark.operators.similarity import (
+        pq_encode,
+        pq_train_codebooks,
+    )
+
+    emb = read_table(spark, SF, "embeddings")
+    cbs = pq_train_codebooks(emb, m=4, ksub=8)
+    plan = plan_of(pq_encode(emb, cbs, m=4))
+    assert "Exchange" not in plan
+    assert "Python" not in plan
