@@ -923,11 +923,14 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, codes array<int>) — each vector compressed to ``m`` codeword
-    ids (64 floats → 4 bytes at m=4/ksub≤256: a 64× index compression).
-    One narrow map: all m argmins evaluate in a single projection over
-    the codebook literal; no explode, no shuffle."""
+    """(id, codes array<int>, *keep) — each vector compressed to ``m``
+    codeword ids (64 floats → 4 bytes at m=4/ksub≤256: a 64× index
+    compression). One narrow map: all m argmins evaluate in a single
+    projection over the codebook literal; no explode, no shuffle.
+    ``keep`` carries extra columns (e.g. an IVF ``cluster_id``) through
+    the same scan so an IVF-PQ index never needs a second corpus pass."""
     dsub = dim // m
     cblit = _pq_codebook_literal(codebooks, m)
     codes = F.array(*[
@@ -937,7 +940,7 @@ def pq_encode(
         )
         for j in range(m)
     ])
-    return corpus.select(F.col(id_col), codes.alias("codes"))
+    return corpus.select(F.col(id_col), codes.alias("codes"), *[F.col(c) for c in keep])
 
 
 def pq_adc_topk(
@@ -967,13 +970,35 @@ def pq_adc_topk(
     rounded float cosine, matching the other search operators.
     """
     dsub = dim // m
-    # DENSE per-code tables (index = code + 1): codes are seed ranks
-    # 0..ksub-1 by construction, and a codeword dropped in training can
-    # never be EMITTED by pq_encode (its argmin runs over the surviving
-    # codebook only), so the zero placeholders below are unreachable —
-    # they exist purely to keep the hot-path lookup a plain array index
-    # (element_at on a literal, codegen'd) instead of a per-row
-    # map_from_entries build (interpreted; measured 2x slower at sf0.1).
+    dense_lit, normlit = _pq_dense_tables(codebooks, m, dsub)
+    codes = pq_encode(corpus, codebooks, m, id_col, vec_col, dim).select(
+        F.col(id_col).alias("neighbor_id"), "codes"
+    )
+    qside = _pq_query_lut(queries, dense_lit, m, dsub, id_col, vec_col)
+    coarse = (
+        codes.crossJoin(F.broadcast(qside))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _pq_adc_qcos(m, normlit).alias("qcos"),
+        )
+    )
+    return _rescore_topk(coarse, queries, corpus, id_col, vec_col, k, rescore_factor)
+
+
+def _pq_dense_tables(
+    codebooks: dict[tuple[int, int], list[float]], m: int, dsub: int
+) -> tuple[Column, Column]:
+    """DENSE per-code literal tables (index = code + 1) shared by the
+    flat and IVF ADC searches: codes are seed ranks 0..ksub-1 by
+    construction, and a codeword dropped in training can never be
+    EMITTED by pq_encode (its argmin runs over the surviving codebook
+    only), so the zero placeholders below are unreachable — they exist
+    purely to keep the hot-path lookup a plain array index (element_at
+    on a literal, codegen'd) instead of a per-row map_from_entries
+    build (interpreted; measured 2x slower at sf0.1). Returns
+    (codeword table, reconstruction-norm ||cb||² table, python-exact)."""
     max_code = max(code for _, code in codebooks)
     dense: list[list[list[float]]] = [
         [codebooks.get((j, c), [0.0] * dsub) for c in range(max_code + 1)]
@@ -990,7 +1015,6 @@ def pq_adc_topk(
             for sub in dense
         )
     )
-    # reconstruction-norm table: ||cb||^2 per (sub, code), python-exact
     normlit = F.expr(
         "array(%s)"
         % ",".join(
@@ -1001,12 +1025,15 @@ def pq_adc_topk(
             for sub in dense
         )
     )
+    return dense_lit, normlit
 
-    codes = pq_encode(corpus, codebooks, m, id_col, vec_col, dim).select(
-        F.col(id_col).alias("neighbor_id"), "codes"
-    )
-    # per-query LUT: lut[j][c] = dot(q_j, codeword c) — computed once
-    # per (tiny) query row, broadcast with it
+
+def _pq_query_lut(
+    queries: DataFrame, dense_lit: Column, m: int, dsub: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """(query_id, __lut, __qnorm): per-query ADC lookup table
+    lut[j][c] = dot(q_j, codeword c) — computed once per (tiny) query
+    row and broadcast with it into the coarse join."""
     qv = _as_double(F.col(vec_col))
     lut = F.transform(
         dense_lit,
@@ -1014,11 +1041,16 @@ def pq_adc_topk(
             sub, lambda cb: dot(F.slice(qv, j * dsub + 1, dsub), cb)
         ),
     )
-    qside = queries.select(
+    return queries.select(
         F.col(id_col).alias("query_id"),
         lut.alias("__lut"),
         norm(qv).alias("__qnorm"),
     )
+
+
+def _pq_adc_qcos(m: int, normlit: Column) -> Column:
+    """Reconstructed cosine from 2m table hits over the ``codes`` /
+    ``__lut`` / ``__qnorm`` columns — no float vector touched."""
 
     def lookup(tab: Column, j: int) -> Column:
         return F.element_at(
@@ -1027,13 +1059,68 @@ def pq_adc_topk(
 
     rdot = sum(lookup(F.col("__lut"), j) for j in range(m))
     rnorm2 = sum(lookup(normlit, j) for j in range(m))
+    return F.round(rdot / (F.col("__qnorm") * F.sqrt(rnorm2)), 6)
+
+
+def pq_ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    pivots: DataFrame,
+    codebooks: dict[tuple[int, int], list[float]],
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 10,
+    rescore_factor: int = 3,
+    nprobe: int = 2,
+    assigned: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ ADC top-k — the canonical billion-scale ANN index shape
+    (inverted lists for scan pruning × product quantization for
+    bandwidth): the ADC coarse search runs only inside each query's
+    ``nprobe`` nearest inverted lists, reading m-byte PQ codes instead
+    of ``dim`` floats, then exact float rescoring of the
+    k × rescore_factor survivors.
+
+    Completes the ladder flat → IVF → IVF-multiprobe → SQ8 → IVF-SQ8 →
+    PQ → IVF-PQ: relative to :func:`pq_adc_topk` the corpus scan drops
+    to ~nprobe/P of the lists; relative to :func:`quantized_ivf_topk`
+    each scanned row costs 2m table hits instead of a dim-long integer
+    dot product, and the code table is dim/m× smaller again.
+
+    Plan shape: one pinned single-assignment pass builds the inverted
+    lists; PQ encoding rides the same scan as a narrow map (``keep``
+    carries cluster_id — no second corpus pass, no join to re-attach
+    the list id). The query side (tiny) computes its LUT once, fans out
+    to ``nprobe`` lists, and broadcasts into the cluster-pruned join.
+    Single-assignment keeps (query, neighbor) pairs unique — no dedup.
+
+    Output: (query_id, neighbor_id, cosine_sim, rank) with EXACT
+    rounded float cosine, matching the other search operators.
+    """
+    dsub = dim // m
+    if assigned is None:
+        assigned = assign_clusters(corpus, pivots, id_col, vec_col).localCheckpoint(
+            eager=False
+        )
+    dense_lit, normlit = _pq_dense_tables(codebooks, m, dsub)
+    codes = pq_encode(
+        assigned, codebooks, m, id_col, vec_col, dim, keep=("cluster_id",)
+    ).select(F.col(id_col).alias("neighbor_id"), "codes", "cluster_id")
+    qprobe = assign_clusters_multi(queries, pivots, nprobe, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), "cluster_id"
+    )
+    qside = _pq_query_lut(queries, dense_lit, m, dsub, id_col, vec_col).join(
+        qprobe, "query_id"
+    )
     coarse = (
-        codes.crossJoin(F.broadcast(qside))
+        codes.join(F.broadcast(qside), on="cluster_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(rdot / (F.col("__qnorm") * F.sqrt(rnorm2)), 6).alias("qcos"),
+            _pq_adc_qcos(m, normlit).alias("qcos"),
         )
     )
     return _rescore_topk(coarse, queries, corpus, id_col, vec_col, k, rescore_factor)

@@ -59,8 +59,8 @@ from .registry import REGISTRY, register
 #       embedding_topk      (exact top-k is the ground-truth stage
 #                            inside ann_recall_report)
 #       q1_pricing_summary  (flagship still smoke-checked by entry()
-#                            every round; agg family: price_decile_
-#                            stats, column_profile, corpus_curation)
+#                            every round; agg family: column_profile,
+#                            corpus_curation, revenue_rollup_report)
 #       exact_dedup         (dedup family: neardup_prune,
 #                            dedup_clusters_star, repeated_passages)
 #       minhash_lsh_groups  (MinHash-LSH is the candidate stage inside
@@ -95,13 +95,29 @@ from .registry import REGISTRY, register
 #   OUT forward_fill_values (green r1-r5; series-repair family carried
 #                            by the interpolation query, whose windows
 #                            generalize the forward-fill pass)
+#   IN  pq_ivf_search      (new in r6: IVF-PQ composed ADC search)
+#   OUT embedding_neardup_pairs (green r2-r5; its assign_clusters
+#                            bucketing is the same machinery pinned by
+#                            the in-window IVF/kmeans queries, and the
+#                            near-dup family is carried by neardup_prune)
+#   IN  zorder_layout_stats (new in r6: Morton-key data layout)
+#   OUT partition_pruned_report (green r3-r5; the partitioned overwrite
+#                            sink K1 is carried by daily_pipeline, and
+#                            the scan-pruning layout family is carried
+#                            — and generalized to two dimensions — by
+#                            the z-order stats)
+#   IN  revenue_rollup_report (new in r6: ROLLUP super-aggregates)
+#   OUT price_decile_stats  (green r2-r5; grouped-aggregation family
+#                            carried by column_profile /
+#                            corpus_curation_pipeline, and the rollup
+#                            generalizes the grouped agg to multi-level)
 # ---------------------------------------------------------------------------
 _PRIORITY: tuple[str, ...] = (
     # composed pipeline and every sink shape (S1-S6, K1-K5)
     "supplier_pagerank",
     "daily_pipeline",
     "staging_promote_roundtrip",
-    "partition_pruned_report",
+    "zorder_layout_stats",
     "schema_evolution_read",
     "bucketed_colocated_join",
     # SCD / upsert / dedup / set ops (J1-J4, K6, W1-W2, O3-O5)
@@ -131,7 +147,7 @@ _PRIORITY: tuple[str, ...] = (
     "snapshot_diff_orders",
     "quality_weighted_sample",
     "column_profile",
-    "price_decile_stats",
+    "revenue_rollup_report",
     "corpus_curation_pipeline",
     # LLM dedup / similarity / multimodal / text-scrub stack
     "dedup_clusters_star",
@@ -144,7 +160,7 @@ _PRIORITY: tuple[str, ...] = (
     "quantized_topk_rescore",
     "quantized_ivf_topk",
     "ann_recall_report",
-    "embedding_neardup_pairs",
+    "pq_ivf_search",
     "pii_scrub",
     "winnow_fingerprint_pairs",
     "context_pack_bins",

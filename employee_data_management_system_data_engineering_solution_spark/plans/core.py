@@ -1116,3 +1116,67 @@ def top_earner_per_designation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(top.getField("p"), 2).alias("top_salary"),
         F.count(F.lit(1)).alias("n_periods"),
     )
+
+
+# --------------------------------------------------------------------------
+# Hierarchical aggregation: ROLLUP with grouping_id (super-aggregate rows)
+# --------------------------------------------------------------------------
+@register(
+    "revenue_rollup_report",
+    """
+    SELECT coalesce(r_name, 'ALL') AS region_name,
+           coalesce(n_name, 'ALL') AS nation_name,
+           CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS INT) AS gid,
+           round(sum(o_totalprice), 2) AS sum_revenue,
+           count(*) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP(r_name, n_name)
+    """,
+)
+def revenue_rollup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical super-aggregates in ONE pass: ``rollup(region,
+    nation)`` produces per-nation rows, per-region subtotals, and the
+    grand total without re-scanning the fact table per level (the
+    alternative — three groupBys unioned — is three shuffles of the
+    same data). ``grouping_id()`` disambiguates aggregation level the
+    same way on both engines (bit per grouping column, 1 = rolled up),
+    and NULL group keys are sentinel'd to 'ALL' so the hash compare is
+    representation-stable. ``cube``/GROUPING SETS are the same Expand
+    operator with a different mask list.
+
+    Scale: Expand multiplies rows ×3 BEFORE the exchange, but map-side
+    partial aggregation collapses them to (distinct keys × levels) per
+    partition, so the shuffle stays dimension-bounded; the dims
+    (customer/nation/region) broadcast into the fact scan."""
+    orders = read_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    customer = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey", "n_name"
+    )
+    region = read_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    # customer is NOT broadcast: at 100 TB it is a large dim (shuffle
+    # join on custkey, AQE free to upgrade it at small SFs); nation and
+    # region are constant-size and always broadcast.
+    joined = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_revenue"),
+            F.count("*").alias("n_orders"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region_name"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation_name"),
+            "gid",
+            "sum_revenue",
+            "n_orders",
+        )
+    )

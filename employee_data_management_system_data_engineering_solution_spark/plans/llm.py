@@ -978,9 +978,18 @@ def quantized_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pq_ctes(m: int = 8, ksub: int = 16, dim: int = 64, k: int = 10, rf: int = 10) -> str:
     """DuckDB mirror of ``similarity.pq_train_codebooks`` +
     ``pq_encode`` + ``pq_adc_topk`` as a CTE chain (caller provides
+    ``v``): the trained-index half (:func:`_pq_train_ctes`) plus the
+    flat ADC search half (:func:`_pq_search_ctes`) ending in ``res``."""
+    return f"{_pq_train_ctes(m, ksub, dim)},\n{_pq_search_ctes(k=k, rf=rf)}"
+
+
+def _pq_train_ctes(m: int = 8, ksub: int = 16, dim: int = 64) -> str:
+    """Index-construction half of the PQ oracle (caller provides
     ``v``): one Lloyd's iteration per subspace (rounded L2² assignment,
-    ties to smallest code, rounded means), re-encode, ADC score with
-    j-ordered summation, exact rescore into ``res``."""
+    ties to smallest code, rounded means) into ``cb2``, corpus
+    re-encode into ``enc``, query subvectors into ``qsub`` — shared by
+    the flat-ADC and IVF-PQ searches exactly as the engine shares one
+    trained codebook across both."""
     dsub = dim // m
     l2 = (
         f"round(list_sum(list_transform(range(1, {dsub + 1}), "
@@ -1032,34 +1041,55 @@ def _pq_ctes(m: int = 8, ksub: int = 16, dim: int = 64, k: int = 10, rf: int = 1
     qsub AS (
       SELECT query_id, j, e[j * {dsub} + 1 : j * {dsub} + {dsub}] AS qv, qnorm
       FROM q CROSS JOIN js
-    ),
-    parts AS (
+    )"""
+
+
+def _pq_search_ctes(k: int = 10, rf: int = 10, suffix: str = "", ivf: bool = False) -> str:
+    """ADC-search half of the PQ oracle over the trained index CTEs
+    (``cb2``/``enc``/``q``/``qsub`` from :func:`_pq_train_ctes`), ending
+    in ``res{suffix}``. With ``ivf=True`` the coarse scoring is
+    restricted to each query's probed inverted lists via the
+    ``assigned``/``qprobe`` CTEs of ``_ANN_BASE_CTES`` — mirroring
+    ``similarity.pq_ivf_topk``'s cluster-pruned join. ``suffix`` keeps
+    two searches name-disjoint inside one statement (the recall
+    report runs flat AND IVF off the same trained index)."""
+    s = suffix
+    ivf_joins = (
+        """
+      JOIN assigned a ON a.vec_id = enc.vec_id
+      JOIN qprobe qp ON qp.cluster_id = a.cluster_id
+                    AND qp.query_id = qs.query_id"""
+        if ivf
+        else ""
+    )
+    return f"""
+    parts{s} AS (
       SELECT qs.query_id, enc.vec_id AS neighbor_id, enc.j, qs.qnorm,
              list_dot_product(qs.qv, c.cb) AS d,
              list_dot_product(c.cb, c.cb) AS n2
       FROM enc
       JOIN cb2 c ON c.j = enc.j AND c.code = enc.code
-      JOIN qsub qs ON qs.j = enc.j
+      JOIN qsub qs ON qs.j = enc.j{ivf_joins}
       WHERE enc.vec_id <> qs.query_id
     ),
-    adc AS (
+    adc{s} AS (
       SELECT query_id, neighbor_id,
              round(list_sum(list(d ORDER BY j))
                    / (max(qnorm) * sqrt(list_sum(list(n2 ORDER BY j)))), 6) AS qcos
-      FROM parts GROUP BY query_id, neighbor_id
+      FROM parts{s} GROUP BY query_id, neighbor_id
     ),
-    cand AS (
+    cand{s} AS (
       SELECT query_id, neighbor_id FROM (
         SELECT query_id, neighbor_id, row_number() OVER (
                  PARTITION BY query_id ORDER BY qcos DESC, neighbor_id ASC) AS rn
-        FROM adc)
+        FROM adc{s})
       WHERE rn <= {k * rf}
     ),
-    res AS (
+    res{s} AS (
       SELECT c.query_id, c.neighbor_id,
              round(list_dot_product(q.e, cv.e)
                    / (q.qnorm * sqrt(list_dot_product(cv.e, cv.e))), 6) AS cosine_sim
-      FROM cand c
+      FROM cand{s} c
       JOIN q ON q.query_id = c.query_id
       JOIN v cv ON cv.vec_id = c.neighbor_id
     )"""
@@ -1070,7 +1100,9 @@ def _pq_ctes(m: int = 8, ksub: int = 16, dim: int = 64, k: int = 10, rf: int = 1
     f"""
     WITH {_ANN_BASE_CTES},
     {_SQ8_IVF_CTES},
-    {_pq_ctes()},
+    {_pq_train_ctes()},
+    {_pq_search_ctes()},
+    {_pq_search_ctes(suffix="_ivf", ivf=True)},
     truth AS (
       SELECT query_id, neighbor_id FROM (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -1149,12 +1181,20 @@ def _pq_ctes(m: int = 8, ksub: int = 16, dim: int = 64, k: int = 10, rf: int = 1
         FROM res
       ) WHERE rn <= 10
     ),
+    m_pqivf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
+        FROM res_ivf
+      ) WHERE rn <= 10
+    ),
     allm AS (
       SELECT 'ivf' AS method, query_id, neighbor_id FROM m_ivf
       UNION ALL SELECT 'ivf_multiprobe', query_id, neighbor_id FROM m_multi
       UNION ALL SELECT 'sq8_flat', query_id, neighbor_id FROM m_sq8
       UNION ALL SELECT 'sq8_ivf', query_id, neighbor_id FROM m_sq8ivf
       UNION ALL SELECT 'pq_adc', query_id, neighbor_id FROM m_pq
+      UNION ALL SELECT 'pq_ivf', query_id, neighbor_id FROM m_pqivf
     )
     SELECT m.method, m.query_id,
            count(t.neighbor_id) AS hits,
@@ -1168,16 +1208,17 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of every approximate search path against the
     brute-force exact top-10 — turns the ANN stack's knobs (nprobe,
     rescore factor, quantization) into MEASURED quantities instead of
-    docstring claims. All four methods and the ground truth are
+    docstring claims. All six methods and the ground truth are
     deterministic (rounded cosines, total-order tie-breaks), so the
     whole report is hash-checkable cross-engine.
 
     Scale: the IVF inverted list is built and pinned ONCE and served
-    to all three index-based methods (an ANN index is built once, not
-    per search method); the PQ method trains its codebooks in its own
-    bounded Lloyd's barrier; each method is then its own bounded search
-    over the broadcast query batch, and the report join touches only
-    5 methods x |queries| x k rows."""
+    to all four index-based methods (an ANN index is built once, not
+    per search method); the PQ codebooks likewise train ONCE in their
+    bounded Lloyd's barrier and serve both the flat-ADC and IVF-PQ
+    searches; each method is then its own bounded search over the
+    broadcast query batch, and the report join touches only
+    6 methods x |queries| x k rows."""
     emb = read_table(spark, sf_dir, "embeddings")
     pivots = emb.filter(F.col("vec_id") < 8)
     queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105))
@@ -1187,6 +1228,7 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("__hit", F.lit(1))
     )
     index = similarity.assign_clusters(emb, pivots).localCheckpoint(eager=False)
+    codebooks = similarity.pq_train_codebooks(emb, m=8)
     methods = [
         ("ivf", similarity.ivf_topk(queries, emb, pivots, k=10, assigned=index)),
         (
@@ -1207,10 +1249,24 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             similarity.pq_adc_topk(
                 queries,
                 emb,
-                similarity.pq_train_codebooks(emb, m=8),
+                codebooks,
                 m=8,
                 k=10,
                 rescore_factor=10,
+            ),
+        ),
+        (
+            "pq_ivf",
+            similarity.pq_ivf_topk(
+                queries,
+                emb,
+                pivots,
+                codebooks,
+                m=8,
+                k=10,
+                rescore_factor=10,
+                nprobe=2,
+                assigned=index,
             ),
         ),
     ]
@@ -1305,6 +1361,44 @@ def pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     cbs = similarity.pq_train_codebooks(emb, m=8)
     queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105))
     return similarity.pq_adc_topk(queries, emb, cbs, m=8, k=10, rescore_factor=10)
+
+
+def _pq_ivf_oracle(m: int = 8, ksub: int = 16, dim: int = 64, k: int = 10, rf: int = 10) -> str:
+    return f"""
+    WITH {_ANN_BASE_CTES},
+    {_pq_train_ctes(m, ksub, dim)},
+    {_pq_search_ctes(k=k, rf=rf, ivf=True)}
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rn AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
+      FROM res
+    ) WHERE rn <= {k}
+    """
+
+
+@register("pq_ivf_search", _pq_ivf_oracle())
+def pq_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ADC top-k — the canonical billion-scale ANN index shape
+    (nprobe=2 inverted-list pruning × 32× PQ code compression × exact
+    float rescore of k×10 survivors). Tops out the ANN ladder: the
+    coarse scan now reads ~nprobe/P of the corpus at m bytes per
+    vector, so at 100 TB of float32 embeddings the per-query scan
+    volume drops by P/nprobe × dim·4/m ≈ 4 × 32 = 128× versus the
+    brute-force baseline while the rescore keeps exact top-k ordering
+    among survivors.
+
+    The index is built in one pass (PQ encoding rides the cluster
+    assignment scan via ``pq_encode(keep=("cluster_id",))``); the
+    oracle reuses the shared IVF CTEs + trained-PQ CTEs with the
+    cluster-restricted ADC search."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    pivots = emb.filter(F.col("vec_id") < 8)
+    cbs = similarity.pq_train_codebooks(emb, m=8)
+    queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105))
+    return similarity.pq_ivf_topk(
+        queries, emb, pivots, cbs, m=8, k=10, rescore_factor=10, nprobe=2
+    )
 
 
 def _km_assign_cte(vtab: str, ctab: str, out: str) -> str:

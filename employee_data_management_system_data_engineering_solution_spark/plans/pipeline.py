@@ -814,3 +814,69 @@ def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Z-order (Morton) data layout: multi-dimensional clustering statistics
+# --------------------------------------------------------------------------
+def _zorder_oracle() -> str:
+    from ..operators.layout import morton_sql
+
+    return f"""
+    WITH keyed AS (
+      SELECT o_orderkey,
+             o_custkey % 1024 AS xb,
+             date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) % 1024 AS yb
+      FROM orders
+    ),
+    z AS (
+      SELECT o_orderkey, xb, yb, {morton_sql("xb", "yb", 10)} >> 14 AS file_bucket
+      FROM keyed
+    )
+    SELECT file_bucket,
+           count(*) AS n_rows,
+           min(xb) AS min_cust_bucket, max(xb) AS max_cust_bucket,
+           min(yb) AS min_date_bucket, max(yb) AS max_date_bucket
+    FROM z GROUP BY file_bucket
+    """
+
+
+@register("zorder_layout_stats", _zorder_oracle())
+def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout for two-dimensional scan pruning: every order maps
+    to a 20-bit Morton key over (custkey bucket, orderdate bucket); the
+    key's top 6 bits simulate the 64 output files of a
+    ``repartitionByRange(zkey).sortWithinPartitions(zkey)`` write. The
+    report is each file's row count and per-dimension min/max — the
+    exact statistics a parquet footer would carry — showing both
+    dimensions stay tightly bounded per file (a lexicographic
+    (custkey, date) sort would leave the date dimension unbounded in
+    every file, defeating min/max pruning for date-only predicates).
+
+    Scale: the key is a pure narrow map (shift/and/add in codegen, no
+    UDF); at 100 TB the real write is one range-repartition by zkey —
+    the same single shuffle a plain sorted write costs, so
+    two-dimensional pruning is free at write time. The stats agg is
+    map-side-combined into 64 groups."""
+    from ..operators.layout import morton_key
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_custkey") % 1024).alias("xb"),
+        (
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+            )
+            % 1024
+        ).alias("yb"),
+    )
+    z = orders.select(
+        "xb", "yb", F.shiftright(morton_key(F.col("xb"), F.col("yb"), 10), 14).alias("file_bucket")
+    )
+    return z.groupBy("file_bucket").agg(
+        F.count("*").alias("n_rows"),
+        F.min("xb").alias("min_cust_bucket"),
+        F.max("xb").alias("max_cust_bucket"),
+        F.min("yb").alias("min_date_bucket"),
+        F.max("yb").alias("max_date_bucket"),
+    )

@@ -47,9 +47,12 @@ def test_check_window_covers_every_operator_family():
         # same reason, its JSON leg carried by format_roundtrips)
         # q3_shipping_priority rotated out for supplier_pagerank (r6):
         # its J2 inner-join family is carried by bloom_pruned_join
+        # partition_pruned_report rotated out for zorder_layout_stats
+        # (r6): K1 partitioned sink carried by daily_pipeline, pruning
+        # layout family carried by the Morton-key stats
         "supplier_pagerank",
         "daily_pipeline", "staging_promote_roundtrip",
-        "partition_pruned_report",
+        "zorder_layout_stats",
         "schema_evolution_read", "bucketed_colocated_join",
         # scd / upsert / dedup (sorts ride q3/ordered reports; the r4-r5
         # rotations moved 2-3-round-stable carriers to the tail —
@@ -72,8 +75,12 @@ def test_check_window_covers_every_operator_family():
         # seeded-hash sampling family carried by the new query
         # forward_fill_values rotated out for hourly_interpolated_series
         # (r6): series-repair family carried by the interpolation query
+        # price_decile_stats rotated out for revenue_rollup_report
+        # (r6): grouped-agg family carried by column_profile and the
+        # rollup's own multi-level aggregation
         "user_value_trend", "hourly_interpolated_series", "bloom_pruned_join",
         "value_outliers", "snapshot_diff_orders", "quality_weighted_sample",
+        "revenue_rollup_report",
         # LLM dedup / ANN / multimodal / text-scrub stack. The r6
         # rotation displaced five 5-round-green carriers whose stages
         # live on inside in-window compositions: exact_dedup /
@@ -93,7 +100,10 @@ def test_check_window_covers_every_operator_family():
         "quantized_ivf_topk", "ann_recall_report",
         # repeated_passages rotated out for winnow_fingerprint_pairs
         # (same passage/substring-fingerprint family, green r5)
-        "embedding_neardup_pairs", "pii_scrub", "winnow_fingerprint_pairs",
+        # embedding_neardup_pairs rotated out for pq_ivf_search (r6):
+        # its assign_clusters bucketing rides the in-window IVF/kmeans
+        # stack, near-dup family carried by neardup_prune
+        "pq_ivf_search", "pii_scrub", "winnow_fingerprint_pairs",
         "context_pack_bins", "tfidf_top_terms", "bigram_collocations",
         "kmeans_ivf_assign", "lm_doc_score", "multimodal_decode",
         # composed family carriers (text X1-X5, multimodal X16+X33,

@@ -379,6 +379,49 @@ def test_pq_encode_reconstruction_beats_random_codes(spark):
     assert trained < fixed * 0.9
 
 
+def test_pq_ivf_topk_prunes_to_probed_lists_with_exact_rescore(spark):
+    """IVF-PQ invariants: every returned neighbor lives in one of the
+    query's nprobe probed inverted lists (the scan really is pruned),
+    ranks are dense per query, and cosine_sim is the EXACT float cosine
+    (matches the brute-force score for the same pair)."""
+    from employee_data_management_system_data_engineering_solution_spark.operators.similarity import (
+        assign_clusters,
+        assign_clusters_multi,
+        cosine_topk_bruteforce,
+        pq_ivf_topk,
+        pq_train_codebooks,
+    )
+    from employee_data_management_system_data_engineering_solution_spark.sources.io import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 103))
+    pivots = emb.filter(F.col("vec_id") < 8)
+    cbs = pq_train_codebooks(emb, m=8)
+
+    out = pq_ivf_topk(
+        queries, emb, pivots, cbs, m=8, k=5, rescore_factor=6, nprobe=2
+    ).collect()
+    corpus_list = {
+        r.vec_id: r.cluster_id for r in assign_clusters(emb, pivots).collect()
+    }
+    probed = {}
+    for r in assign_clusters_multi(queries, pivots, 2).collect():
+        probed.setdefault(r.vec_id, set()).add(r.cluster_id)
+    exact = {
+        (r.query_id, r.neighbor_id): r.cosine_sim
+        for r in cosine_topk_bruteforce(queries, emb, k=500).collect()
+    }
+    by_q = {}
+    for r in out:
+        assert r.neighbor_id != r.query_id
+        assert corpus_list[r.neighbor_id] in probed[r.query_id]
+        assert exact[(r.query_id, r.neighbor_id)] == r.cosine_sim
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    assert set(by_q) == {100, 101, 102}
+    for ranks in by_q.values():
+        assert sorted(ranks) == [1, 2, 3, 4, 5]
+
+
 def test_pq_adc_topk_contract(spark):
     from pyspark.sql import functions as F
 
