@@ -108,9 +108,13 @@ from .registry import REGISTRY, register
 #                            the z-order stats)
 #   IN  revenue_rollup_report (new in r6: ROLLUP super-aggregates)
 #   OUT price_decile_stats  (green r2-r5; grouped-aggregation family
-#                            carried by column_profile /
-#                            corpus_curation_pipeline, and the rollup
+#                            carried by column_profile, and the rollup
 #                            generalizes the grouped agg to multi-level)
+#   IN  balanced_strata_sample (new in r6: per-stratum cap sampling)
+#   OUT corpus_curation_pipeline (green r2-r5; its filter/dedup/split
+#                            stages are carried in-window by
+#                            text_profile, neardup_prune, and the two
+#                            hash_split-machinery sampling queries)
 # ---------------------------------------------------------------------------
 _PRIORITY: tuple[str, ...] = (
     # composed pipeline and every sink shape (S1-S6, K1-K5)
@@ -148,7 +152,7 @@ _PRIORITY: tuple[str, ...] = (
     "quality_weighted_sample",
     "column_profile",
     "revenue_rollup_report",
-    "corpus_curation_pipeline",
+    "balanced_strata_sample",
     # LLM dedup / similarity / multimodal / text-scrub stack
     "dedup_clusters_star",
     "neardup_prune",

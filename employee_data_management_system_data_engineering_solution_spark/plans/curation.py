@@ -391,3 +391,60 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.avg("quality"), 4).alias("avg_quality"),
     )
+
+
+# --------------------------------------------------------------------------
+# Balanced per-stratum sampling: cap each (lang, source) contribution
+# --------------------------------------------------------------------------
+@register(
+    "balanced_strata_sample",
+    """
+    WITH h AS (
+      SELECT lang, source, doc_id,
+             ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':strata-v1'), 1, 15))::BIGINT AS hnum
+      FROM documents
+    )
+    SELECT lang, source, doc_id, CAST(rn AS INT) AS samp_rank
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY lang, source ORDER BY hnum ASC, doc_id ASC) AS rn
+          FROM h)
+    WHERE rn <= 25
+    """,
+)
+def balanced_strata_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced training-mix construction: keep at most 25 documents
+    per (lang, source) stratum, chosen by seeded md5 order — the
+    anti-domination cap every multi-source corpus needs (one crawl
+    must not drown the rest), deterministic under reruns/cluster
+    resizes because the pick is a pure function of the key (no rand(),
+    same md5-parity hash as ``hash_split``).
+
+    Scale: Catalyst rewrites the rn<=k filter into WindowGroupLimit,
+    which runs in PARTIAL mode before the exchange — each map task
+    forwards at most k rows per stratum, so the shuffle moves
+    ≤ k × partitions rows per stratum regardless of stratum skew (the
+    plan shape is pinned in tests/test_plans.py)."""
+    from ..operators.reports import top_k_per_group
+
+    docs = read_table(spark, sf_dir, "documents").select("lang", "source", "doc_id")
+    hnum = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":strata-v1"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("hnum")
+    )
+    return top_k_per_group(
+        docs.withColumn("hnum", hnum),
+        ["lang", "source"],
+        [F.col("hnum").asc(), F.col("doc_id").asc()],
+        25,
+    ).select(
+        "lang", "source", "doc_id", F.col("rank_in_group").cast("int").alias("samp_rank")
+    )

@@ -159,3 +159,35 @@ def test_pq_encode_is_narrow(spark):
     plan = plan_of(pq_encode(emb, cbs, m=4))
     assert "Exchange" not in plan
     assert "Python" not in plan
+
+
+def test_balanced_strata_sample_has_partial_group_limit(spark):
+    # WindowGroupLimit must appear (and Spark runs it in Partial mode
+    # before the exchange), so a skewed stratum ships <= k rows per map
+    # task instead of its full population
+    plan = plan_of(REGISTRY["balanced_strata_sample"].fn(spark, SF))
+    assert "WindowGroupLimit" in plan
+    assert "Python" not in plan
+
+
+def test_rollup_expands_then_aggregates_map_side(spark):
+    plan = plan_of(REGISTRY["revenue_rollup_report"].fn(spark, SF))
+    assert "Expand" in plan
+    # partial + final hash aggregate around one exchange: the x3 Expand
+    # rows collapse map-side before shuffling
+    assert plan.count("HashAggregate") >= 2
+    assert "Python" not in plan
+
+
+def test_zorder_key_is_codegen_single_exchange(spark):
+    df = REGISTRY["zorder_layout_stats"].fn(spark, SF)
+    plan = plan_of(df, mode="simple")
+    assert "Python" not in plan
+    assert plan.count("Exchange") == 1  # only the 64-bucket stats agg
+
+
+def test_pq_ivf_search_broadcasts_query_side(spark):
+    plan = plan_of(REGISTRY["pq_ivf_search"].fn(spark, SF))
+    # coarse join: inverted-list side streams, LUT/probe side broadcast
+    assert "BroadcastHashJoin" in plan
+    assert "Python" not in plan
