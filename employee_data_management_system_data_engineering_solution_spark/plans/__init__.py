@@ -115,6 +115,17 @@ from .registry import REGISTRY, register
 #                            stages are carried in-window by
 #                            text_profile, neardup_prune, and the two
 #                            hash_split-machinery sampling queries)
+#   IN  funnel_conversion_report (new in r6: sequenced-funnel analytics)
+#   OUT dedup_keep_best     (green r1-r5, longest-stable; its W1
+#                            row_number keep-best machinery IS
+#                            top_k_per_group, exercised in-window by
+#                            balanced_strata_sample; dedup family
+#                            carried by neardup_prune/dedup_clusters_star)
+#   IN  weekly_cohort_retention (new in r6: cohort-retention analytics)
+#   OUT multimodal_profile  (green r3-r5; the multimodal family keeps
+#                            the in-window hash-checked
+#                            multimodal_decode; payload/frame stats
+#                            guarded by the full local run + pytest)
 # ---------------------------------------------------------------------------
 _PRIORITY: tuple[str, ...] = (
     # composed pipeline and every sink shape (S1-S6, K1-K5)
@@ -127,7 +138,7 @@ _PRIORITY: tuple[str, ...] = (
     # SCD / upsert / dedup / set ops (J1-J4, K6, W1-W2, O3-O5)
     "keyed_upsert",
     "scd2_merge",
-    "dedup_keep_best",
+    "funnel_conversion_report",
     "upcoming_leave_pct",
     # streaming (ST1-ST6): rlike strike path (carries the full ST2+ST4
     # contract; the event_type stand-in variant rides the tail),
@@ -174,9 +185,11 @@ _PRIORITY: tuple[str, ...] = (
     "lm_doc_score",
     "multimodal_decode",
     # composed family carriers: one slot covers several SURVEY rows
-    # (text X1-X5; multimodal X16+X33; formats X61+X62)
+    # (text X1-X5; formats X61+X62; multimodal decode carries X17 with
+    # X16+X33 guarded by the local run after multimodal_profile's r6
+    # rotation to the tail)
     "text_profile",
-    "multimodal_profile",
+    "weekly_cohort_retention",
     "format_roundtrips",
 )
 

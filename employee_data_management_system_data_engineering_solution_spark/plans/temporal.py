@@ -401,3 +401,134 @@ def hourly_interpolated_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resample_interpolate(
         ev, grid, "user_id", "tsec", "event_id", "v", round_digits=4
     ).select("user_id", F.col("tsec").alias("ts_sec"), "v_interp")
+
+
+# --------------------------------------------------------------------------
+# Product analytics: ordered funnel conversion + weekly cohort retention
+# --------------------------------------------------------------------------
+_EPOCH_2024 = 1704067200  # epoch seconds of 2024-01-01 UTC (data start)
+
+
+@register(
+    "funnel_conversion_report",
+    """
+    WITH e AS (
+      SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events
+    ),
+    v AS (SELECT user_id, min(es) AS t_view FROM e
+          WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(es) AS t_click
+          FROM e JOIN v ON e.user_id = v.user_id
+          WHERE event_type = 'click' AND es > t_view GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(es) AS t_purchase
+          FROM e JOIN c ON e.user_id = c.user_id
+          WHERE event_type = 'purchase' AND es > t_click GROUP BY e.user_id),
+    counts AS (
+      SELECT 1 AS step_no, '1_view' AS step, count(*) AS n_users FROM v
+      UNION ALL SELECT 2, '2_click', count(*) FROM c
+      UNION ALL SELECT 3, '3_purchase', count(*) FROM p
+    )
+    SELECT step_no, step, n_users,
+           round(n_users * 1.0 / (SELECT max(n_users) FROM counts WHERE step_no = 1), 4)
+             AS conv_from_view
+    FROM counts
+    """,
+)
+def funnel_conversion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view → click → purchase: each step counts users
+    whose FIRST qualifying event strictly follows their previous step's
+    first event (min-timestamp chaining — the standard sequenced-funnel
+    semantics, not mere per-type presence).
+
+    Scale: each stage is one event-type-filtered aggregation on
+    user_id; the per-step user sets shrink monotonically, so stages 2/3
+    join a shrinking keyed table against a pre-filtered event slice —
+    all three aggs hash-partition on the same key (co-partitioned under
+    one repartition at 100 TB), and no stage ever holds more than
+    (funnel-entry users) rows of state. The final report is 3 rows."""
+    e = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_timestamp("ts").alias("es")
+    )
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("es").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("es") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("es").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("es") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("es").alias("t_purchase"))
+    )
+    counts = (
+        v.agg(F.count("*").alias("n_users"))
+        .select(F.lit(1).alias("step_no"), F.lit("1_view").alias("step"), "n_users")
+        .unionByName(
+            c.agg(F.count("*").alias("n_users")).select(
+                F.lit(2).alias("step_no"), F.lit("2_click").alias("step"), "n_users"
+            )
+        )
+        .unionByName(
+            p.agg(F.count("*").alias("n_users")).select(
+                F.lit(3).alias("step_no"), F.lit("3_purchase").alias("step"), "n_users"
+            )
+        )
+    )
+    base = (
+        counts.filter(F.col("step_no") == 1)
+        .select(F.col("n_users").alias("__base"))
+    )
+    return counts.crossJoin(F.broadcast(base)).select(
+        "step_no",
+        "step",
+        "n_users",
+        F.round(F.col("n_users") / F.col("__base"), 4).alias("conv_from_view"),
+    )
+
+
+@register(
+    "weekly_cohort_retention",
+    f"""
+    WITH e AS (
+      SELECT user_id,
+             CAST(floor((floor(epoch(ts)) - {_EPOCH_2024}) / 604800) AS BIGINT) AS wk
+      FROM events
+    ),
+    firstwk AS (SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY user_id)
+    SELECT cohort_wk, wk - cohort_wk AS week_offset,
+           count(DISTINCT e.user_id) AS n_users
+    FROM e JOIN firstwk ON e.user_id = firstwk.user_id
+    GROUP BY cohort_wk, week_offset
+    """,
+)
+def weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-activity week
+    (epoch-week arithmetic, no calendar/timezone hazards), counted
+    distinct in each subsequent week offset — the standard
+    product-retention report.
+
+    Scale: one agg to find each user's cohort week, one shuffle-join
+    back (both sides partitioned on user_id — co-partitioned, no
+    broadcast needed at any SF), then a distinct-count whose key space
+    is (weeks × offsets) — tiny. The distinct dedup happens map-side
+    per (cohort, offset, user) before the final count shuffle."""
+    e = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor((F.unix_timestamp("ts") - _EPOCH_2024) / 604800)
+        .cast("bigint")
+        .alias("wk"),
+    )
+    first = e.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        e.join(first, "user_id")
+        .groupBy("cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("week_offset"))
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )

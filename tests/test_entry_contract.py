@@ -59,7 +59,10 @@ def test_check_window_covers_every_operator_family():
         # dedup_last_write_wins rides dedup_keep_best's row_number
         # family, pct_of_quota's inner equi-join rides q3 — guarded by
         # the full local oracle run before each snapshot)
-        "keyed_upsert", "scd2_merge", "dedup_keep_best",
+        # dedup_keep_best rotated out for funnel_conversion_report
+        # (r6): its row_number keep-best machinery IS top_k_per_group,
+        # exercised in-window by balanced_strata_sample
+        "keyed_upsert", "scd2_merge", "funnel_conversion_report",
         "upcoming_leave_pct",
         # every streaming carrier (rlike carries ST2+ST4 in full; the
         # event_type stand-in variant rides the tail)
@@ -109,9 +112,10 @@ def test_check_window_covers_every_operator_family():
         "pq_ivf_search", "pii_scrub", "winnow_fingerprint_pairs",
         "context_pack_bins", "tfidf_top_terms", "bigram_collocations",
         "kmeans_ivf_assign", "lm_doc_score", "multimodal_decode",
-        # composed family carriers (text X1-X5, multimodal X16+X33,
-        # formats X61+X62)
-        "text_profile", "multimodal_profile", "format_roundtrips",
+        # composed family carriers (text X1-X5, formats X61+X62);
+        # multimodal_profile rotated out for weekly_cohort_retention
+        # (r6) — multimodal keeps hash-checked multimodal_decode
+        "text_profile", "weekly_cohort_retention", "format_roundtrips",
     }
     assert carriers <= set(window), sorted(carriers - set(window))
 
