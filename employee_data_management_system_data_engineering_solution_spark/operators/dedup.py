@@ -704,3 +704,78 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf[id_col].to_numpy(), "simhash": sigs})
 
     return fan_out(df.select(F.col(id_col), F.col(text_col))).mapInPandas(_batches, _SIMHASH_SCHEMA)
+
+
+def deletion_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    max_len: int = 32,
+) -> DataFrame:
+    """Edit-distance-1 similarity join via SymSpell deletion-
+    neighborhood blocking: every string expands to its ≤ ``max_len``+1
+    single-deletion variants (plus itself); two strings within
+    Levenshtein distance 1 ALWAYS share a variant (substitution at j →
+    both delete j; insertion/deletion → the shorter string is itself a
+    variant of the longer), so an equi-join on the variant key has
+    perfect recall — no all-pairs comparison anywhere. Sharing a
+    variant only bounds the distance by 2, so survivors are verified
+    with the exact ``levenshtein`` (JVM built-in) before emission.
+
+    Scale: the expansion is a narrow ~L× explode; candidates meet in
+    ONE hash shuffle on the variant string (the classic blocking join
+    — skew bounded by how many strings share a variant, i.e. by real
+    near-duplicate density); verification touches only candidate
+    pairs. This is the same index SymSpell builds driver-side, laid
+    out as a distributed join. Strings longer than ``max_len`` raise:
+    silently truncating variants would break the recall guarantee.
+
+    Output: (id_a, id_b, name_a, name_b, edit_dist) with id_a < id_b,
+    one row per pair.
+    """
+    raw = F.col(name_col)
+    # lazy guard: raises inside the scan if any name exceeds max_len —
+    # no extra job at plan-construction time
+    nm = F.when(
+        F.length(raw) > max_len,
+        F.raise_error(
+            F.concat(
+                F.lit(f"deletion_neighborhood_pairs: {name_col} exceeds max_len={max_len}: "),
+                raw,
+            )
+        ),
+    ).otherwise(raw)
+    i = F.explode(
+        F.filter(
+            F.sequence(F.lit(0), F.lit(max_len)), lambda x: x <= F.length(nm)
+        )
+    ).alias("__i")
+    variants = df.select(
+        F.col(id_col).alias("__id"), nm.alias("__nm"), i
+    ).select(
+        "__id",
+        "__nm",
+        F.concat(
+            F.col("__nm").substr(F.lit(1), F.col("__i")),
+            F.col("__nm").substr(F.col("__i") + 2, F.lit(max_len)),
+        ).alias("__v"),
+    )
+    a, b = variants.alias("a"), variants.alias("b")
+    cands = (
+        a.join(b, F.col("a.__v") == F.col("b.__v"))
+        .filter(F.col("a.__id") < F.col("b.__id"))
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.__nm").alias("name_a"),
+            F.col("b.__nm").alias("name_b"),
+        )
+        .distinct()
+    )
+    return cands.select(
+        "id_a",
+        "id_b",
+        "name_a",
+        "name_b",
+        F.levenshtein("name_a", "name_b").alias("edit_dist"),
+    ).filter(F.col("edit_dist") <= 1)

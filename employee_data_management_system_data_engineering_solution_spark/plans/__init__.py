@@ -126,6 +126,10 @@ from .registry import REGISTRY, register
 #                            the in-window hash-checked
 #                            multimodal_decode; payload/frame stats
 #                            guarded by the full local run + pytest)
+#   IN  fuzzy_name_pairs    (new in r6: deletion-blocking edit join)
+#   OUT tfidf_top_terms     (green r4-r5; the vocab-bounded corpus-
+#                            statistics family is carried in-window by
+#                            lm_doc_score and bigram_collocations)
 # ---------------------------------------------------------------------------
 _PRIORITY: tuple[str, ...] = (
     # composed pipeline and every sink shape (S1-S6, K1-K5)
@@ -179,7 +183,7 @@ _PRIORITY: tuple[str, ...] = (
     "pii_scrub",
     "winnow_fingerprint_pairs",
     "context_pack_bins",
-    "tfidf_top_terms",
+    "fuzzy_name_pairs",
     "bigram_collocations",
     "kmeans_ivf_assign",
     "lm_doc_score",

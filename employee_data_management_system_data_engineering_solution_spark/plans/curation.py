@@ -448,3 +448,39 @@ def balanced_strata_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "lang", "source", "doc_id", F.col("rank_in_group").cast("int").alias("samp_rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Entity resolution: edit-distance-1 fuzzy match via deletion blocking
+# --------------------------------------------------------------------------
+@register(
+    "fuzzy_name_pairs",
+    """
+    WITH s AS (SELECT s_suppkey AS id, s_name AS nm FROM supplier),
+    var AS (
+      SELECT id, nm, substring(nm, 1, i) || substring(nm, i + 2, 32) AS v
+      FROM s CROSS JOIN range(0, 33) t(i)
+      WHERE i <= length(nm)
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.nm AS name_a, b.nm AS name_b
+      FROM var a JOIN var b ON a.v = b.v AND a.id < b.id
+    )
+    SELECT id_a, id_b, name_a, name_b,
+           levenshtein(name_a, name_b) AS edit_dist
+    FROM cand WHERE levenshtein(name_a, name_b) <= 1
+    """,
+)
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity matching: supplier-name pairs within Levenshtein
+    distance 1, found by SymSpell deletion-neighborhood blocking
+    (``operators.dedup.deletion_neighborhood_pairs``) — perfect-recall
+    candidate generation through ONE equi-join on deletion variants,
+    never an all-pairs scan, with exact JVM ``levenshtein``
+    verification of the bounded candidate set. The blocking/verify
+    split is the same shape as the MinHash-LSH → Jaccard pipeline, at
+    character granularity."""
+    from ..operators.dedup import deletion_neighborhood_pairs
+
+    sup = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return deletion_neighborhood_pairs(sup, "s_suppkey", "s_name")

@@ -358,3 +358,35 @@ def test_simhash_hamming_pairs_pigeonhole_recall(spark):
              simhash_hamming_pairs(df, "doc_id", "text").collect()}
     assert pairs.get((1, 2)) == 0
     assert all(4 not in p for p in pairs)
+
+
+def test_deletion_neighborhood_pairs_exact_ed1_semantics(spark):
+    from employee_data_management_system_data_engineering_solution_spark.operators.dedup import (
+        deletion_neighborhood_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "abc"), (2, "abd"), (3, "ab"), (4, "abcd"), (5, "xyz")],
+        "id LONG, nm STRING",
+    )
+    got = {
+        (r.id_a, r.id_b): r.edit_dist
+        for r in deletion_neighborhood_pairs(df, "id", "nm").collect()
+    }
+    # substitution, deletion, insertion each found; the distance-2
+    # pair (ab vs abcd) and the unrelated string never survive
+    assert got == {(1, 2): 1, (1, 3): 1, (1, 4): 1, (2, 3): 1, (2, 4): 1}
+
+
+def test_deletion_neighborhood_rejects_overlong_names(spark):
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    from employee_data_management_system_data_engineering_solution_spark.operators.dedup import (
+        deletion_neighborhood_pairs,
+    )
+
+    df = spark.createDataFrame([(1, "x" * 40), (2, "y")], "id LONG, nm STRING")
+    with pytest.raises((SparkRuntimeException, Py4JJavaError)):
+        deletion_neighborhood_pairs(df, "id", "nm", max_len=32).collect()

@@ -109,8 +109,11 @@ def test_check_window_covers_every_operator_family():
         # embedding_neardup_pairs rotated out for pq_ivf_search (r6):
         # its assign_clusters bucketing rides the in-window IVF/kmeans
         # stack, near-dup family carried by neardup_prune
+        # tfidf_top_terms rotated out for fuzzy_name_pairs (r6):
+        # vocab-bounded corpus statistics carried by lm_doc_score and
+        # bigram_collocations
         "pq_ivf_search", "pii_scrub", "winnow_fingerprint_pairs",
-        "context_pack_bins", "tfidf_top_terms", "bigram_collocations",
+        "context_pack_bins", "fuzzy_name_pairs", "bigram_collocations",
         "kmeans_ivf_assign", "lm_doc_score", "multimodal_decode",
         # composed family carriers (text X1-X5, formats X61+X62);
         # multimodal_profile rotated out for weekly_cohort_retention
