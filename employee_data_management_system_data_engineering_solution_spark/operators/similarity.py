@@ -953,6 +953,7 @@ def pq_adc_topk(
     dim: int = 64,
     k: int = 10,
     rescore_factor: int = 3,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """PQ-ADC top-k: coarse search reads ONLY the m-byte PQ codes —
     per (query, corpus-code) the reconstructed cosine comes from 2m
@@ -966,14 +967,17 @@ def pq_adc_topk(
     the corpus side streams codes through a narrow map — the scan reads
     m ints per row instead of ``dim`` floats, the 100 TB win. Codeword
     self-dots (reconstruction norms) are Python-computed literals.
+    ``codes`` optionally reuses a prebuilt ``pq_encode`` output
+    (id_col + codes; extra columns dropped) so several searches share
+    one encoded-corpus table.
     Output: (query_id, neighbor_id, cosine_sim, rank) with EXACT
     rounded float cosine, matching the other search operators.
     """
     dsub = dim // m
     dense_lit, normlit = _pq_dense_tables(codebooks, m, dsub)
-    codes = pq_encode(corpus, codebooks, m, id_col, vec_col, dim).select(
-        F.col(id_col).alias("neighbor_id"), "codes"
-    )
+    if codes is None:
+        codes = pq_encode(corpus, codebooks, m, id_col, vec_col, dim)
+    codes = codes.select(F.col(id_col).alias("neighbor_id"), "codes")
     qside = _pq_query_lut(queries, dense_lit, m, dsub, id_col, vec_col)
     coarse = (
         codes.crossJoin(F.broadcast(qside))
@@ -1075,6 +1079,7 @@ def pq_ivf_topk(
     rescore_factor: int = 3,
     nprobe: int = 2,
     assigned: DataFrame | None = None,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ ADC top-k — the canonical billion-scale ANN index shape
     (inverted lists for scan pruning × product quantization for
@@ -1095,6 +1100,8 @@ def pq_ivf_topk(
     the list id). The query side (tiny) computes its LUT once, fans out
     to ``nprobe`` lists, and broadcasts into the cluster-pruned join.
     Single-assignment keeps (query, neighbor) pairs unique — no dedup.
+    ``codes`` optionally reuses a prebuilt ``pq_encode(...,
+    keep=("cluster_id",))`` table (must carry cluster_id).
 
     Output: (query_id, neighbor_id, cosine_sim, rank) with EXACT
     rounded float cosine, matching the other search operators.
@@ -1105,9 +1112,11 @@ def pq_ivf_topk(
             eager=False
         )
     dense_lit, normlit = _pq_dense_tables(codebooks, m, dsub)
-    codes = pq_encode(
-        assigned, codebooks, m, id_col, vec_col, dim, keep=("cluster_id",)
-    ).select(F.col(id_col).alias("neighbor_id"), "codes", "cluster_id")
+    if codes is None:
+        codes = pq_encode(
+            assigned, codebooks, m, id_col, vec_col, dim, keep=("cluster_id",)
+        )
+    codes = codes.select(F.col(id_col).alias("neighbor_id"), "codes", "cluster_id")
     qprobe = assign_clusters_multi(queries, pivots, nprobe, id_col, vec_col).select(
         F.col(id_col).alias("query_id"), "cluster_id"
     )

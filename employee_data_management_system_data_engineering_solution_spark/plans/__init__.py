@@ -60,7 +60,7 @@ from .registry import REGISTRY, register
 #                            inside ann_recall_report)
 #       q1_pricing_summary  (flagship still smoke-checked by entry()
 #                            every round; agg family: column_profile,
-#                            corpus_curation, revenue_rollup_report)
+#                            corpus_curation, revenue_cube_report)
 #       exact_dedup         (dedup family: neardup_prune,
 #                            dedup_clusters_star, repeated_passages)
 #       minhash_lsh_groups  (MinHash-LSH is the candidate stage inside
@@ -106,9 +106,9 @@ from .registry import REGISTRY, register
 #                            the scan-pruning layout family is carried
 #                            — and generalized to two dimensions — by
 #                            the z-order stats)
-#   IN  revenue_rollup_report (new in r6: ROLLUP super-aggregates)
+#   IN  revenue_cube_report (new in r6: CUBE super-aggregates)
 #   OUT price_decile_stats  (green r2-r5; grouped-aggregation family
-#                            carried by column_profile, and the rollup
+#                            carried by column_profile, and the cube
 #                            generalizes the grouped agg to multi-level)
 #   IN  balanced_strata_sample (new in r6: per-stratum cap sampling)
 #   OUT corpus_curation_pipeline (green r2-r5; its filter/dedup/split
@@ -166,7 +166,7 @@ _PRIORITY: tuple[str, ...] = (
     "snapshot_diff_orders",
     "quality_weighted_sample",
     "column_profile",
-    "revenue_rollup_report",
+    "revenue_cube_report",
     "balanced_strata_sample",
     # LLM dedup / similarity / multimodal / text-scrub stack
     "dedup_clusters_star",

@@ -1119,10 +1119,12 @@ def top_earner_per_designation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Hierarchical aggregation: ROLLUP with grouping_id (super-aggregate rows)
+# Hierarchical aggregation: CUBE with grouping_id (all mask levels).
+# The single-table two-level ROLLUP lives at `rollup_revenue`; this one
+# exercises the full CUBE mask set + GROUPING() parity over a star join.
 # --------------------------------------------------------------------------
 @register(
-    "revenue_rollup_report",
+    "revenue_cube_report",
     """
     SELECT coalesce(r_name, 'ALL') AS region_name,
            coalesce(n_name, 'ALL') AS nation_name,
@@ -1133,24 +1135,26 @@ def top_earner_per_designation(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN customer ON o_custkey = c_custkey
     JOIN nation   ON c_nationkey = n_nationkey
     JOIN region   ON n_regionkey = r_regionkey
-    GROUP BY ROLLUP(r_name, n_name)
+    GROUP BY CUBE(r_name, n_name)
     """,
 )
-def revenue_rollup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hierarchical super-aggregates in ONE pass: ``rollup(region,
-    nation)`` produces per-nation rows, per-region subtotals, and the
-    grand total without re-scanning the fact table per level (the
-    alternative — three groupBys unioned — is three shuffles of the
-    same data). ``grouping_id()`` disambiguates aggregation level the
-    same way on both engines (bit per grouping column, 1 = rolled up),
-    and NULL group keys are sentinel'd to 'ALL' so the hash compare is
-    representation-stable. ``cube``/GROUPING SETS are the same Expand
-    operator with a different mask list.
+def revenue_cube_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All four aggregation levels in ONE pass: ``cube(region,
+    nation)`` produces (region, nation), per-region, per-NATION (the
+    cross-hierarchy level ROLLUP cannot emit), and grand-total rows
+    without re-scanning the fact table per level (the alternative —
+    four groupBys unioned — is four shuffles of the same data).
+    ``grouping_id()`` disambiguates aggregation level the same way on
+    both engines (bit per grouping column, 1 = rolled up) — necessary
+    here because a nation-level row and a region-level row are
+    otherwise ambiguous once keys are sentinel'd to 'ALL' for
+    representation-stable hashing. GROUPING SETS is this same Expand
+    operator with an arbitrary mask list.
 
-    Scale: Expand multiplies rows ×3 BEFORE the exchange, but map-side
+    Scale: Expand multiplies rows ×4 BEFORE the exchange, but map-side
     partial aggregation collapses them to (distinct keys × levels) per
-    partition, so the shuffle stays dimension-bounded; the dims
-    (customer/nation/region) broadcast into the fact scan."""
+    partition, so the shuffle stays dimension-bounded; nation/region
+    broadcast into the fact scan."""
     orders = read_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     customer = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     nation = read_table(spark, sf_dir, "nation").select(
@@ -1166,7 +1170,7 @@ def revenue_rollup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     )
     return (
-        joined.rollup("r_name", "n_name")
+        joined.cube("r_name", "n_name")
         .agg(
             F.grouping_id().cast("int").alias("gid"),
             F.round(F.sum("o_totalprice"), 2).alias("sum_revenue"),

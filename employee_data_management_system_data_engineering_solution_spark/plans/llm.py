@@ -1229,6 +1229,12 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     index = similarity.assign_clusters(emb, pivots).localCheckpoint(eager=False)
     codebooks = similarity.pq_train_codebooks(emb, m=8)
+    # ONE encoded-corpus table (codes + inverted-list id) pinned and
+    # served to both PQ methods — the PQ index is built once, same as
+    # the IVF inverted list above
+    pq_codes = similarity.pq_encode(
+        index, codebooks, m=8, keep=("cluster_id",)
+    ).localCheckpoint(eager=False)
     methods = [
         ("ivf", similarity.ivf_topk(queries, emb, pivots, k=10, assigned=index)),
         (
@@ -1253,6 +1259,7 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 m=8,
                 k=10,
                 rescore_factor=10,
+                codes=pq_codes,
             ),
         ),
         (
@@ -1267,6 +1274,7 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rescore_factor=10,
                 nprobe=2,
                 assigned=index,
+                codes=pq_codes,
             ),
         ),
     ]

@@ -78,15 +78,15 @@ def test_check_window_covers_every_operator_family():
         # seeded-hash sampling family carried by the new query
         # forward_fill_values rotated out for hourly_interpolated_series
         # (r6): series-repair family carried by the interpolation query
-        # price_decile_stats rotated out for revenue_rollup_report
+        # price_decile_stats rotated out for revenue_cube_report
         # (r6): grouped-agg family carried by column_profile and the
-        # rollup's own multi-level aggregation
+        # cube's own multi-level aggregation
         # corpus_curation_pipeline rotated out for balanced_strata_
         # sample (r6): its filter/dedup/split stages are carried by
         # text_profile, neardup_prune, and the sampling queries
         "user_value_trend", "hourly_interpolated_series", "bloom_pruned_join",
         "value_outliers", "snapshot_diff_orders", "quality_weighted_sample",
-        "revenue_rollup_report", "balanced_strata_sample",
+        "revenue_cube_report", "balanced_strata_sample",
         # LLM dedup / ANN / multimodal / text-scrub stack. The r6
         # rotation displaced five 5-round-green carriers whose stages
         # live on inside in-window compositions: exact_dedup /

@@ -170,10 +170,10 @@ def test_balanced_strata_sample_has_partial_group_limit(spark):
     assert "Python" not in plan
 
 
-def test_rollup_expands_then_aggregates_map_side(spark):
-    plan = plan_of(REGISTRY["revenue_rollup_report"].fn(spark, SF))
+def test_cube_expands_then_aggregates_map_side(spark):
+    plan = plan_of(REGISTRY["revenue_cube_report"].fn(spark, SF))
     assert "Expand" in plan
-    # partial + final hash aggregate around one exchange: the x3 Expand
+    # partial + final hash aggregate around one exchange: the x4 Expand
     # rows collapse map-side before shuffling
     assert plan.count("HashAggregate") >= 2
     assert "Python" not in plan
