@@ -297,3 +297,70 @@ def pagerank_fixed_point(
             .localCheckpoint(eager=False)
         )
     return pr
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts via degree-ordered edge orientation —
+    the classic distributed scheme (each undirected edge is stored once,
+    pointing from its lower-(degree, id) endpoint to the higher one;
+    every wedge is generated at its LOWEST-ranked vertex). The
+    orientation bounds out-degrees by O(sqrt(m)) on any graph, so the
+    wedge self-join — the only superlinear step — emits
+    sum(out_deg²) = O(m^1.5) candidates instead of the
+    sum(deg²) a naive neighbor pairing costs on skewed graphs; each
+    triangle is found exactly once (u→v, u→w, v→w with rank
+    u < v < w).
+
+    Plan shape: dedup + degree agg + orientation are single-shuffle
+    hash steps on vertex keys; the wedge join and the closing-edge join
+    both hash-partition on small keys; the final count explodes 3 rows
+    per triangle into a map-side-combined groupBy. The (degree, id)
+    rank is packed into one BIGINT (d·2³² + id) so the oracle compares
+    the identical scalar — ids must fit in 32 bits and degrees in 31
+    (guarded).
+
+    Output: (node, n_triangles) for every vertex in ≥1 triangle.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    guard = F.when(
+        (F.col("v") >= F.lit(2**32)) | (F.col("d") >= F.lit(2**31)),
+        F.raise_error(F.lit("triangle_counts: id/degree exceeds the 32/31-bit rank packing")),
+    ).otherwise(F.col("d") * F.lit(2**32) + F.col("v"))
+    key = deg.select("v", guard.alias("k"))
+    keyed = (
+        und.join(key.select(F.col("v").alias("a"), F.col("k").alias("ka")), "a")
+        .join(key.select(F.col("v").alias("b"), F.col("k").alias("kb")), "b")
+    )
+    lo = F.col("ka") < F.col("kb")
+    o = keyed.select(
+        F.when(lo, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lo, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(lo, F.col("kb")).otherwise(F.col("ka")).alias("kv"),
+    )
+    x, y = o.alias("x"), o.alias("y")
+    wedge = x.join(y, (F.col("x.u") == F.col("y.u")) & (F.col("x.kv") < F.col("y.kv"))).select(
+        F.col("x.u").alias("u"), F.col("x.v").alias("v"), F.col("y.v").alias("w")
+    )
+    closing = o.select(F.col("u").alias("v"), F.col("v").alias("w"))
+    tri = wedge.join(closing, ["v", "w"])
+    nodes = (
+        tri.select(F.col("u").alias("node"))
+        .unionAll(tri.select(F.col("v").alias("node")))
+        .unionAll(tri.select(F.col("w").alias("node")))
+    )
+    return nodes.groupBy("node").agg(F.count("*").alias("n_triangles"))

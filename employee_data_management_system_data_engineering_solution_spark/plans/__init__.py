@@ -130,6 +130,11 @@ from .registry import REGISTRY, register
 #   OUT tfidf_top_terms     (green r4-r5; the vocab-bounded corpus-
 #                            statistics family is carried in-window by
 #                            lm_doc_score and bigram_collocations)
+#   IN  supplier_triangles  (new in r6: degree-ordered triangle count)
+#   OUT dedup_clusters_star (green r4-r5; the large/small-star CC
+#                            machinery is the clustering stage inside
+#                            in-window neardup_prune; graph family
+#                            carried by supplier_pagerank + triangles)
 # ---------------------------------------------------------------------------
 _PRIORITY: tuple[str, ...] = (
     # composed pipeline and every sink shape (S1-S6, K1-K5)
@@ -169,7 +174,7 @@ _PRIORITY: tuple[str, ...] = (
     "revenue_cube_report",
     "balanced_strata_sample",
     # LLM dedup / similarity / multimodal / text-scrub stack
-    "dedup_clusters_star",
+    "supplier_triangles",
     "neardup_prune",
     "simhash_hamming_pairs",
     "doc_chunks",

@@ -880,3 +880,94 @@ def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("yb").alias("min_date_bucket"),
         F.max("yb").alias("max_date_bucket"),
     )
+
+
+# --------------------------------------------------------------------------
+# Triangle counting over the supplier co-supply graph
+# --------------------------------------------------------------------------
+@register(
+    "supplier_triangles",
+    """
+    WITH su AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
+    pw AS (
+      SELECT a.sk AS a, b.sk AS b, count(*) AS w
+      FROM su a JOIN su b ON a.ok = b.ok AND a.sk < b.sk
+      GROUP BY a.sk, b.sk
+    ),
+    und AS (
+      SELECT a, b FROM (
+        SELECT a, b, row_number() OVER (ORDER BY w DESC, a ASC, b ASC) AS rn
+        FROM pw)
+      WHERE rn <= 5000
+    ),
+    deg AS (
+      SELECT v, count(*) AS d FROM (
+        SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und)
+      GROUP BY v
+    ),
+    o AS (
+      SELECT CASE WHEN ka < kb THEN a ELSE b END AS u,
+             CASE WHEN ka < kb THEN b ELSE a END AS v,
+             CASE WHEN ka < kb THEN kb ELSE ka END AS kv
+      FROM (SELECT und.a, und.b,
+                   da.d * 4294967296 + und.a AS ka,
+                   db.d * 4294967296 + und.b AS kb
+            FROM und
+            JOIN deg da ON da.v = und.a
+            JOIN deg db ON db.v = und.b)
+    ),
+    wedge AS (
+      SELECT x.u AS u, x.v AS v, y.v AS w
+      FROM o x JOIN o y ON x.u = y.u AND x.kv < y.kv
+    ),
+    tri AS (
+      SELECT wedge.u, wedge.v, wedge.w
+      FROM wedge JOIN o ON o.u = wedge.v AND o.v = wedge.w
+    ),
+    nodes AS (
+      SELECT u AS node FROM tri
+      UNION ALL SELECT v FROM tri
+      UNION ALL SELECT w FROM tri
+    )
+    SELECT node AS supplier_id, count(*) AS n_triangles
+    FROM nodes GROUP BY node
+    """,
+)
+def supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle participation per supplier over the STRONG-TIES
+    backbone of the co-supply graph: pairs are weighted by how many
+    orders both supplied, and only the global top-5000 edges by
+    (weight, pair) enter the triangle count — co-occurrence graphs
+    densify toward completeness as data grows (91% complete at sf0.1
+    already), so the raw graph's triangle count is a combinatorial
+    blow-up with no analytic value, while the fixed-size backbone is
+    the standard community-structure signal (tightly-coupled supplier
+    cliques; on crawl/author graphs, link farms).
+
+    Scale: pair weighting is one map-side-combined groupBy; the
+    backbone selection is a distributed TakeOrderedAndProject (each
+    partition forwards its local top-5000 — never a single-partition
+    window over all pairs); triangle counting on the bounded backbone
+    uses degree-ordered orientation (``operators.graph.
+    triangle_counts``), whose wedge fan-out is O(sqrt(m)) per vertex —
+    O(m^1.5) total instead of O(sum deg²) on skewed graphs."""
+    from ..operators.graph import triangle_counts
+
+    li = read_table(spark, sf_dir, "lineitem")
+    su = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk")
+    ).distinct()
+    a = su.select(F.col("ok"), F.col("sk").alias("src"))
+    b = su.select(F.col("ok"), F.col("sk").alias("dst"))
+    backbone = (
+        a.join(b, "ok")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("w"))
+        .orderBy(F.col("w").desc(), F.col("src").asc(), F.col("dst").asc())
+        .limit(5000)
+        .select("src", "dst")
+    )
+    return triangle_counts(backbone).select(
+        F.col("node").alias("supplier_id"), "n_triangles"
+    )

@@ -97,7 +97,9 @@ def test_check_window_covers_every_operator_family():
         # quantized_ivf_topk / kmeans_ivf_assign.
         # benchmark_contamination rotated out for simhash_hamming_pairs
         # (r6): gram-set machinery carried by winnow/neardup_prune
-        "dedup_clusters_star", "neardup_prune", "simhash_hamming_pairs",
+        # dedup_clusters_star rotated out for supplier_triangles (r6):
+        # star-CC machinery is the clustering stage inside neardup_prune
+        "supplier_triangles", "neardup_prune", "simhash_hamming_pairs",
         "doc_chunks",
         # hyperplane_lsh_groups rotated out for pq_adc_search (r6):
         # vector-ANN family carried by the IVF/SQ8/PQ/recall stack

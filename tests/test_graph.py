@@ -97,3 +97,33 @@ def test_pagerank_fixed_point_mass_and_hub(spark):
     assert scale * 0.95 < total <= scale  # floor losses only shrink mass
     again = {r.node: r.rank_fp for r in pagerank_fixed_point(edges, iters=3).collect()}
     assert pr == again
+
+
+def test_triangle_counts_on_known_graph(spark):
+    from employee_data_management_system_data_engineering_solution_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    # K4 on {1,2,3,4} (4 triangles, each vertex in 3) plus a pendant
+    # edge 4-5 (no triangle) and a disconnected edge 6-7; duplicate and
+    # reversed input edges must not double-count
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (6, 7), (2, 1), (3, 1)]
+    df = spark.createDataFrame(edges, "src LONG, dst LONG")
+    got = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_counts_rejects_oversized_ids(spark):
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    from employee_data_management_system_data_engineering_solution_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    df = spark.createDataFrame(
+        [(2**33, 1), (1, 2), (2, 2**33)], "src LONG, dst LONG"
+    )
+    with pytest.raises((SparkRuntimeException, Py4JJavaError)):
+        triangle_counts(df).collect()

@@ -33,6 +33,14 @@ TARGETS = [
     "bloom_pruned_join",
     "supplier_pagerank",
     "hourly_interpolated_series",
+    # round-6 late additions
+    "pq_ivf_search",
+    "fuzzy_name_pairs",
+    "revenue_cube_report",
+    "funnel_conversion_report",
+    "weekly_cohort_retention",
+    "balanced_strata_sample",
+    "zorder_layout_stats",
 ]
 
 
