@@ -440,57 +440,63 @@ def funnel_conversion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     first event (min-timestamp chaining — the standard sequenced-funnel
     semantics, not mere per-type presence).
 
-    Scale: each stage is one event-type-filtered aggregation on
-    user_id; the per-step user sets shrink monotonically, so stages 2/3
-    join a shrinking keyed table against a pre-filtered event slice —
-    all three aggs hash-partition on the same key (co-partitioned under
-    one repartition at 100 TB), and no stage ever holds more than
-    (funnel-entry users) rows of state. The final report is 3 rows."""
+    Scale: ONE shuffle total. The three step timestamps are cascading
+    window minima over the SAME ``partitionBy(user_id)`` spec —
+    ``t_click = min(click es where es > t_view) over w`` can reference
+    the previous window column, and Spark chains the Window operators
+    over one Exchange (consecutive windows + the following
+    groupBy(user_id) all reuse the partitioning); the per-user frame
+    then collapses to three counts in a global agg whose input is one
+    row per user. (A first cut joined three per-step aggregations —
+    8 shuffles of the same key; the plan-audit shuffle count flagged
+    it.) The final report is 3 rows, reshaped via a literal explode."""
+    from pyspark.sql import Window
+
     e = read_table(spark, sf_dir, "events").select(
         "user_id", "event_type", F.unix_timestamp("ts").alias("es")
     )
-    v = (
-        e.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("es").alias("t_view"))
+    w = Window.partitionBy("user_id")
+    s1 = e.withColumn(
+        "t_view", F.min(F.when(F.col("event_type") == "view", F.col("es"))).over(w)
     )
-    c = (
-        e.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter(F.col("es") > F.col("t_view"))
-        .groupBy("user_id")
-        .agg(F.min("es").alias("t_click"))
-    )
-    p = (
-        e.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(F.col("es") > F.col("t_click"))
-        .groupBy("user_id")
-        .agg(F.min("es").alias("t_purchase"))
-    )
-    counts = (
-        v.agg(F.count("*").alias("n_users"))
-        .select(F.lit(1).alias("step_no"), F.lit("1_view").alias("step"), "n_users")
-        .unionByName(
-            c.agg(F.count("*").alias("n_users")).select(
-                F.lit(2).alias("step_no"), F.lit("2_click").alias("step"), "n_users"
+    s2 = s1.withColumn(
+        "t_click",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("es") > F.col("t_view")),
+                F.col("es"),
             )
-        )
-        .unionByName(
-            p.agg(F.count("*").alias("n_users")).select(
-                F.lit(3).alias("step_no"), F.lit("3_purchase").alias("step"), "n_users"
+        ).over(w),
+    )
+    s3 = s2.withColumn(
+        "t_purchase",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("es") > F.col("t_click")),
+                F.col("es"),
             )
-        )
+        ).over(w),
     )
-    base = (
-        counts.filter(F.col("step_no") == 1)
-        .select(F.col("n_users").alias("__base"))
+    per_user = s3.groupBy("user_id").agg(
+        F.first("t_view").alias("t_view"),
+        F.first("t_click").alias("t_click"),
+        F.first("t_purchase").alias("t_purchase"),
     )
-    return counts.crossJoin(F.broadcast(base)).select(
-        "step_no",
-        "step",
-        "n_users",
-        F.round(F.col("n_users") / F.col("__base"), 4).alias("conv_from_view"),
+    totals = per_user.agg(
+        F.count("t_view").alias("n1"),
+        F.count("t_click").alias("n2"),
+        F.count("t_purchase").alias("n3"),
+    )
+    steps = F.array(
+        F.struct(F.lit(1).alias("step_no"), F.lit("1_view").alias("step"), F.col("n1").alias("n_users")),
+        F.struct(F.lit(2).alias("step_no"), F.lit("2_click").alias("step"), F.col("n2").alias("n_users")),
+        F.struct(F.lit(3).alias("step_no"), F.lit("3_purchase").alias("step"), F.col("n3").alias("n_users")),
+    )
+    return totals.select(F.explode(steps).alias("s"), "n1").select(
+        F.col("s.step_no").alias("step_no"),
+        F.col("s.step").alias("step"),
+        F.col("s.n_users").alias("n_users"),
+        F.round(F.col("s.n_users") / F.col("n1"), 4).alias("conv_from_view"),
     )
 
 

@@ -191,3 +191,13 @@ def test_pq_ivf_search_broadcasts_query_side(spark):
     # coarse join: inverted-list side streams, LUT/probe side broadcast
     assert "BroadcastHashJoin" in plan
     assert "Python" not in plan
+
+
+def test_funnel_single_user_shuffle(spark):
+    # the three step minima are cascading windows over ONE
+    # partitionBy(user_id) exchange; only the final 1-row agg adds a
+    # second. A regression to per-step join/agg chains showed up as 8.
+    df = REGISTRY["funnel_conversion_report"].fn(spark, SF)
+    plan = plan_of(df, mode="simple")
+    assert plan.count("Exchange") <= 3
+    assert "Python" not in plan
