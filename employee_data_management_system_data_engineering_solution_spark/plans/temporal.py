@@ -521,20 +521,22 @@ def weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct in each subsequent week offset — the standard
     product-retention report.
 
-    Scale: one agg to find each user's cohort week, one shuffle-join
-    back (both sides partitioned on user_id — co-partitioned, no
-    broadcast needed at any SF), then a distinct-count whose key space
-    is (weeks × offsets) — tiny. The distinct dedup happens map-side
-    per (cohort, offset, user) before the final count shuffle."""
+    Scale: the cohort week is a window min over ONE
+    partitionBy(user_id) exchange (no separate first-touch agg joined
+    back — the join was a second shuffle of the same key), then a
+    distinct-count whose key space is (weeks × offsets) — tiny. The
+    distinct dedup happens map-side per (cohort, offset, user) before
+    the final count shuffle."""
+    from pyspark.sql import Window
+
     e = read_table(spark, sf_dir, "events").select(
         "user_id",
         F.floor((F.unix_timestamp("ts") - _EPOCH_2024) / 604800)
         .cast("bigint")
         .alias("wk"),
     )
-    first = e.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    e2 = e.withColumn("cohort_wk", F.min("wk").over(Window.partitionBy("user_id")))
     return (
-        e.join(first, "user_id")
-        .groupBy("cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("week_offset"))
+        e2.groupBy("cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("week_offset"))
         .agg(F.count_distinct("user_id").alias("n_users"))
     )
