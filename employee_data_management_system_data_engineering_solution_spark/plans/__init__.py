@@ -135,6 +135,12 @@ from .registry import REGISTRY, register
 #                            machinery is the clustering stage inside
 #                            in-window neardup_prune; graph family
 #                            carried by supplier_pagerank + triangles)
+#   IN  stream_static_enrich (new in r6: stream-static dim lookup)
+#   OUT snapshot_diff_orders (green r2-r5; the CDC delta-APPLY side is
+#                            carried in-window by keyed_upsert and
+#                            streaming_upsert_dim; diff-detection
+#                            semantics pinned by tests/test_cdc.py and
+#                            the full local run)
 # ---------------------------------------------------------------------------
 _PRIORITY: tuple[str, ...] = (
     # composed pipeline and every sink shape (S1-S6, K1-K5)
@@ -168,7 +174,7 @@ _PRIORITY: tuple[str, ...] = (
     "bloom_pruned_join",
     "value_outliers",
     # CDC + curation
-    "snapshot_diff_orders",
+    "stream_static_enrich",
     "quality_weighted_sample",
     "column_profile",
     "revenue_cube_report",

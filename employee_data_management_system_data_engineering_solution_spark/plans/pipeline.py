@@ -971,3 +971,33 @@ def supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(backbone).select(
         F.col("node").alias("supplier_id"), "n_triangles"
     )
+
+
+# --------------------------------------------------------------------------
+# Stream-static broadcast enrichment (dimension lookup inside a stream)
+# --------------------------------------------------------------------------
+@register(
+    "stream_static_enrich",
+    """
+    SELECT c.c_mktsegment AS mktsegment,
+           count(*) AS n_purchases,
+           round(sum(e.value), 2) AS total_value
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id
+    WHERE e.event_type = 'purchase'
+    GROUP BY c.c_mktsegment
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join driven through real Structured Streaming
+    (``streaming.strikes.run_stream_static_enrich``): purchases are
+    enriched against the broadcast customer dimension inside the
+    micro-batch and aggregated per market segment in the stream. The
+    oracle is the batch-equivalent join+agg, so the stream's join
+    semantics and running-aggregation state are value-checked. This is
+    the §2.9 topology the stream-stream and foreachBatch carriers
+    don't cover: a stateless dimension lookup (no join state at all)
+    feeding a stateful aggregation."""
+    from ..streaming.strikes import run_stream_static_enrich
+
+    return run_stream_static_enrich(spark, sf_dir)

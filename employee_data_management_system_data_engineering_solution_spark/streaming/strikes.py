@@ -196,6 +196,50 @@ def run_dedup_stream(
     return out.groupBy("event_type").agg(F.max("n_events").alias("n_events"))
 
 
+def run_stream_static_enrich(
+    spark: SparkSession,
+    sf_dir: str,
+    state_partitions: int = 4,
+) -> DataFrame:
+    """Stream-STATIC broadcast enrichment: the purchase stream joins
+    the customer dimension read as a plain batch table — the standard
+    dimension-lookup topology (clickstream x user profile). Unlike the
+    stream-stream join there is NO join state to buffer or evict: the
+    static side broadcasts into every micro-batch (Spark re-plans it
+    per batch, so a dim refresh between batches is picked up), and the
+    only stateful operator is the running per-segment aggregation.
+
+    Returns (mktsegment, n_purchases, total_value) — the post-sink
+    max() collapse keeps each segment's LAST update-mode emission, the
+    same convention as the other update-mode carriers.
+    """
+    from ..sources.io import read_table
+    from .replay import replayed_events
+
+    dim = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("mktsegment"),
+    )
+    with replayed_events(
+        spark, sf_dir, state_partitions, max_files_per_trigger=None
+    ) as (stream, run):
+        enriched = (
+            stream.filter(F.col("event_type") == "purchase")
+            .select("user_id", "value")
+            .join(F.broadcast(dim), "user_id")
+            .groupBy("mktsegment")
+            .agg(
+                F.count("*").alias("n_purchases"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+            )
+        )
+        out = run(enriched, "stream_static_enrich_sink")
+    return out.groupBy("mktsegment").agg(
+        F.max("n_purchases").alias("n_purchases"),
+        F.max("total_value").alias("total_value"),
+    )
+
+
 def run_session_stream(
     spark: SparkSession,
     sf_dir: str,

@@ -84,8 +84,10 @@ def test_check_window_covers_every_operator_family():
         # corpus_curation_pipeline rotated out for balanced_strata_
         # sample (r6): its filter/dedup/split stages are carried by
         # text_profile, neardup_prune, and the sampling queries
+        # snapshot_diff_orders rotated out for stream_static_enrich
+        # (r6): delta-apply carried by keyed_upsert/streaming_upsert_dim
         "user_value_trend", "hourly_interpolated_series", "bloom_pruned_join",
-        "value_outliers", "snapshot_diff_orders", "quality_weighted_sample",
+        "value_outliers", "stream_static_enrich", "quality_weighted_sample",
         "revenue_cube_report", "balanced_strata_sample",
         # LLM dedup / ANN / multimodal / text-scrub stack. The r6
         # rotation displaced five 5-round-green carriers whose stages
