@@ -141,6 +141,11 @@ from .registry import REGISTRY, register
 #                            streaming_upsert_dim; diff-detection
 #                            semantics pinned by tests/test_cdc.py and
 #                            the full local run)
+#   IN  boilerplate_scrub_stats (new in r6: block dedup + reassembly)
+#   OUT doc_chunks          (green r3-r5; the chunk-split semantics are
+#                            carried by the scrub query's block
+#                            machinery; the UDTF execution path stays
+#                            guarded by the full local oracle run)
 # ---------------------------------------------------------------------------
 _PRIORITY: tuple[str, ...] = (
     # composed pipeline and every sink shape (S1-S6, K1-K5)
@@ -183,7 +188,7 @@ _PRIORITY: tuple[str, ...] = (
     "supplier_triangles",
     "neardup_prune",
     "simhash_hamming_pairs",
-    "doc_chunks",
+    "boilerplate_scrub_stats",
     "pq_adc_search",
     "ivf_topk_multiprobe",
     "embedding_quantize",

@@ -10,7 +10,7 @@ double precision on both sides and rounded to 6 dp before ranking.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as tx
@@ -2302,4 +2302,95 @@ def lm_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                 4,
             ).alias("lm_score"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate removal: corpus-wide block dedup + document reassembly
+# ---------------------------------------------------------------------------
+@register(
+    "boilerplate_scrub_stats",
+    r"""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    blocks AS (
+      SELECT doc_id, CAST(i // 10 AS INT) AS block_no,
+             array_to_string(list_slice(words, i + 1, i + 10), ' ') AS block_text
+      FROM (SELECT doc_id, words, unnest(range(0, len(words), 10)) AS i FROM w)
+    ),
+    kept AS (
+      SELECT doc_id, block_no, block_text FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY block_text ORDER BY doc_id, block_no) AS rn
+        FROM blocks) WHERE rn = 1
+    ),
+    tot AS (SELECT doc_id, count(*) AS n_blocks FROM blocks GROUP BY doc_id),
+    scrub AS (
+      SELECT doc_id, count(*) AS n_kept,
+             md5(string_agg(block_text, ' ' ORDER BY block_no)) AS scrubbed_md5
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_blocks, s.n_kept, s.scrubbed_md5
+    FROM tot t JOIN scrub s ON s.doc_id = t.doc_id
+    """,
+)
+def boilerplate_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate REMOVAL (repeated_passages detects; this scrubs):
+    every document splits into consecutive non-overlapping 10-word
+    blocks, a block's text survives only at its corpus-wide FIRST
+    occurrence (total-ordered by (doc_id, block_no) — repeated
+    headers/footers/licence blocks vanish from every later document),
+    and each document reassembles from its surviving blocks in
+    position order. Output is per-doc (total blocks, kept blocks,
+    md5 of the scrubbed text) so the whole transform — including
+    reassembly order — is hash-checked without shipping full texts
+    through the driver canonicalizer.
+
+    Scale: one narrow explode (blocks), ONE content-keyed shuffle for
+    the first-occurrence window (Catalyst rewrites rn=1 into a group
+    limit, so each map task forwards one candidate per block text),
+    and one doc-keyed reassembly agg whose ordering comes from
+    array_sort over (block_no, text) structs — no order-nondeterministic
+    collect_list. At 100 TB the block table is the same shape exact
+    dedup shuffles; nothing is quadratic."""
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    w = docs.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("words"))
+    blocks = w.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.size("words") - 1, F.lit(10))
+        ).alias("i"),
+        "words",
+    ).select(
+        "doc_id",
+        (F.col("i") / 10).cast("int").alias("block_no"),
+        F.concat_ws(" ", F.slice(F.col("words"), F.col("i") + 1, F.lit(10))).alias(
+            "block_text"
+        ),
+    )
+    win = Window.partitionBy("block_text").orderBy(
+        F.col("doc_id").asc(), F.col("block_no").asc()
+    )
+    kept = (
+        blocks.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    tot = blocks.groupBy("doc_id").agg(F.count("*").alias("n_blocks"))
+    ordered = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("block_no"), F.col("block_text")))
+        ),
+        lambda s: s["block_text"],
+    )
+    scrub = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.md5(F.array_join(ordered, " ")).alias("scrubbed_md5"),
+    )
+    return tot.join(scrub, "doc_id").select(
+        "doc_id", "n_blocks", "n_kept", "scrubbed_md5"
     )

@@ -65,3 +65,32 @@ def test_cohort_retention_counts_distinct_users_per_offset(spark, tmp_path):
         for r in tp.weekly_cohort_retention(spark, str(tmp_path)).collect()
     }
     assert got == {(0, 0): 1, (0, 1): 1, (1, 0): 1, (1, 2): 1}
+
+
+def test_boilerplate_scrub_removes_later_occurrences_and_reassembles(spark, tmp_path):
+    import hashlib
+
+    import employee_data_management_system_data_engineering_solution_spark.plans.llm as llm
+
+    header = " ".join(f"h{i}" for i in range(10))  # shared 10-word block
+    b1 = " ".join(f"a{i}" for i in range(10))
+    b2 = " ".join(f"b{i}" for i in range(7))  # short tail block survives
+    docs = spark.createDataFrame(
+        [
+            (1, f"{header} {b1}", "en", "s", 0),
+            (2, f"{header} {b2}", "en", "s", 0),
+        ],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r.doc_id: (r.n_blocks, r.n_kept, r.scrubbed_md5)
+        for r in llm.boilerplate_scrub_stats(spark, str(tmp_path)).collect()
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    # doc 1 owns the header (lowest doc_id) and keeps everything;
+    # doc 2 loses the header and reassembles to just its tail block
+    assert got == {
+        1: (2, 2, md5(f"{header} {b1}")),
+        2: (2, 1, md5(b2)),
+    }

@@ -101,8 +101,10 @@ def test_check_window_covers_every_operator_family():
         # (r6): gram-set machinery carried by winnow/neardup_prune
         # dedup_clusters_star rotated out for supplier_triangles (r6):
         # star-CC machinery is the clustering stage inside neardup_prune
+        # doc_chunks rotated out for boilerplate_scrub_stats (r6):
+        # chunk-split semantics carried by the scrub's block machinery
         "supplier_triangles", "neardup_prune", "simhash_hamming_pairs",
-        "doc_chunks",
+        "boilerplate_scrub_stats",
         # hyperplane_lsh_groups rotated out for pq_adc_search (r6):
         # vector-ANN family carried by the IVF/SQ8/PQ/recall stack
         "pq_adc_search", "ivf_topk_multiprobe",
