@@ -241,3 +241,78 @@ def test_resample_interpolate_between_neighbor_values(spark, obs, grid_ts):
             lo = min(vals[prevs[-1]], vals[nexts[0]])
             hi = max(vals[prevs[-1]], vals[nexts[0]])
             assert lo - 1e-6 <= v <= hi + 1e-6
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=8), min_size=2, max_size=6, unique=True
+    ),
+    data=st.data(),
+)
+@_SETTINGS
+def test_deletion_neighborhood_join_complete_for_random_edits(spark, words, data):
+    """Completeness: for any base word and any single random edit
+    (insert/delete/substitute), the deletion-blocking join finds the
+    pair — the SymSpell recall guarantee, fuzzed instead of assumed."""
+    from employee_data_management_system_data_engineering_solution_spark.operators.dedup import (
+        deletion_neighborhood_pairs,
+    )
+
+    base = words[0]
+    op = data.draw(st.sampled_from(["ins", "del", "sub"]))
+    pos = data.draw(st.integers(min_value=0, max_value=len(base) - 1))
+    ch = data.draw(st.sampled_from("xyz"))  # disjoint alphabet: a REAL edit
+    if op == "ins":
+        edited = base[:pos] + ch + base[pos:]
+    elif op == "del":
+        edited = base[:pos] + base[pos + 1 :]
+    else:
+        edited = base[:pos] + ch + base[pos:][1:]
+    rows = [(0, base), (1, edited)] + [(i + 2, w) for i, w in enumerate(words[1:])]
+    df = spark.createDataFrame(rows, "id LONG, nm STRING")
+    got = {(r.id_a, r.id_b) for r in deletion_neighborhood_pairs(df, "id", "nm").collect()}
+    if edited != base and edited:
+        assert (0, 1) in got
+    # soundness rides the exact levenshtein filter: every reported pair
+    # really is within distance 1
+    names = dict(rows)
+    import itertools
+
+    def ed(a, b):
+        if len(a) > len(b):
+            a, b = b, a
+        prev = list(range(len(a) + 1))
+        for j, cb in enumerate(b, 1):
+            cur = [j]
+            for i, ca in enumerate(a, 1):
+                cur.append(min(prev[i] + 1, cur[-1] + 1, prev[i - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    for ia, ib in got:
+        assert ed(names[ia], names[ib]) <= 1
+    # and no distance<=1 pair is missed across the whole frame
+    for (ia, a), (ib, b) in itertools.combinations(rows, 2):
+        if ed(a, b) <= 1 and a and b:
+            assert (min(ia, ib), max(ia, ib)) in got, (a, b)
+
+
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 1023), st.integers(0, 1023)), min_size=1, max_size=20
+    )
+)
+@_SETTINGS
+def test_morton_key_orders_like_python_reference(spark, pts):
+    from employee_data_management_system_data_engineering_solution_spark.operators.layout import (
+        morton_key,
+        morton_key_py,
+    )
+
+    df = spark.createDataFrame(pts, "x INT, y INT")
+    got = [
+        (r.x, r.y, r.z)
+        for r in df.select("x", "y", morton_key(F.col("x"), F.col("y"), 10).alias("z")).collect()
+    ]
+    for x, y, z in got:
+        assert z == morton_key_py(x, y, 10)
