@@ -338,8 +338,10 @@ def triangle_counts(
         .agg(F.count("*").alias("d"))
     )
     guard = F.when(
-        (F.col("v") >= F.lit(2**32)) | (F.col("d") >= F.lit(2**31)),
-        F.raise_error(F.lit("triangle_counts: id/degree exceeds the 32/31-bit rank packing")),
+        (F.col("v") < 0) | (F.col("v") >= F.lit(2**32)) | (F.col("d") >= F.lit(2**31)),
+        F.raise_error(
+            F.lit("triangle_counts: id outside [0, 2^32) or degree >= 2^31 breaks the rank packing")
+        ),
     ).otherwise(F.col("d") * F.lit(2**32) + F.col("v"))
     key = deg.select("v", guard.alias("k"))
     keyed = (

@@ -24,9 +24,13 @@ from pyspark.sql import functions as F
 def morton_key(x: Column, y: Column, bits: int = 10) -> Column:
     """Bit-interleaved Morton key of two non-negative ints: bit ``i``
     of ``x`` lands at position ``2i``, bit ``i`` of ``y`` at ``2i+1``
-    (y is the higher-order dimension). Inputs must already be bounded
-    to ``bits`` bits (mask with ``% (1 << bits)`` upstream); the result
-    fits in ``2*bits`` bits of a long."""
+    (y is the higher-order dimension). Inputs must already be
+    NON-NEGATIVE and bounded to ``bits`` bits — for signed sources mask
+    with ``F.pmod(x, 1 << bits)`` (plain ``%`` is sign-preserving in
+    both Spark and DuckDB, and a negative input's two's-complement bits
+    interleave into keys that collide with large positive values,
+    silently defeating the min/max pruning). The result fits in
+    ``2*bits`` bits of a long."""
     if not 1 <= bits <= 31:
         raise ValueError(f"bits must be in [1, 31], got {bits}")
     terms = []

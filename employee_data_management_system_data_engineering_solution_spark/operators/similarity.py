@@ -1107,12 +1107,15 @@ def pq_ivf_topk(
     rounded float cosine, matching the other search operators.
     """
     dsub = dim // m
-    if assigned is None:
-        assigned = assign_clusters(corpus, pivots, id_col, vec_col).localCheckpoint(
-            eager=False
-        )
     dense_lit, normlit = _pq_dense_tables(codebooks, m, dsub)
     if codes is None:
+        # the inverted-list pass (incl. its eager pivot collect) is only
+        # needed to BUILD the code table; a caller supplying codes has
+        # already paid it once for all searches
+        if assigned is None:
+            assigned = assign_clusters(corpus, pivots, id_col, vec_col).localCheckpoint(
+                eager=False
+            )
         codes = pq_encode(
             assigned, codebooks, m, id_col, vec_col, dim, keep=("cluster_id",)
         )

@@ -260,7 +260,9 @@ def test_deletion_neighborhood_join_complete_for_random_edits(spark, words, data
 
     base = words[0]
     op = data.draw(st.sampled_from(["ins", "del", "sub"]))
-    pos = data.draw(st.integers(min_value=0, max_value=len(base) - 1))
+    # insert may land AFTER the last char (append); del/sub need a char
+    max_pos = len(base) if op == "ins" else len(base) - 1
+    pos = data.draw(st.integers(min_value=0, max_value=max_pos))
     ch = data.draw(st.sampled_from("xyz"))  # disjoint alphabet: a REAL edit
     if op == "ins":
         edited = base[:pos] + ch + base[pos:]

@@ -41,6 +41,9 @@ TARGETS = [
     "weekly_cohort_retention",
     "balanced_strata_sample",
     "zorder_layout_stats",
+    "supplier_triangles",
+    "boilerplate_scrub_stats",
+    "stream_static_enrich",
 ]
 
 
