@@ -146,6 +146,12 @@ from .registry import REGISTRY, register
 #                            carried by the scrub query's block
 #                            machinery; the UDTF execution path stays
 #                            guarded by the full local oracle run)
+#   IN  cluster_topic_terms (new in r6: cluster -> top-terms summary)
+#   OUT kmeans_ivf_assign   (green r5; its kmeans_iterate +
+#                            assign_clusters machinery is the training
+#                            stage INSIDE cluster_topic_terms, whose
+#                            oracle unrolls the same two Lloyd's
+#                            iterations)
 # ---------------------------------------------------------------------------
 _PRIORITY: tuple[str, ...] = (
     # composed pipeline and every sink shape (S1-S6, K1-K5)
@@ -201,7 +207,7 @@ _PRIORITY: tuple[str, ...] = (
     "context_pack_bins",
     "fuzzy_name_pairs",
     "bigram_collocations",
-    "kmeans_ivf_assign",
+    "cluster_topic_terms",
     "lm_doc_score",
     "multimodal_decode",
     # composed family carriers: one slot covers several SURVEY rows

@@ -2394,3 +2394,81 @@ def boilerplate_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tot.join(scrub, "doc_id").select(
         "doc_id", "n_blocks", "n_kept", "scrubbed_md5"
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus organization: k-means clusters -> top terms per cluster
+# ---------------------------------------------------------------------------
+_CLUSTER_TOPICS_ORACLE = rf"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    c1 AS (SELECT pivot_id, pv FROM (
+      SELECT vec_id AS pivot_id, e AS pv,
+             row_number() OVER (ORDER BY vec_id) AS rn FROM v)
+      WHERE rn <= 8),
+    {{a1}},
+    {{c2}},
+    {{a2}},
+    {{c3}},
+    {{af}},
+    d AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    dw AS (
+      SELECT af.cluster_id, unnest(d.words) AS word
+      FROM af JOIN d ON d.doc_id = af.vec_id
+    ),
+    wc AS (SELECT cluster_id, word, count(*) AS n FROM dw GROUP BY cluster_id, word)
+    SELECT cluster_id, word, n, CAST(rn AS INT) AS term_rank
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY cluster_id ORDER BY n DESC, word ASC) AS rn
+          FROM wc)
+    WHERE rn <= 5
+    """
+
+
+def _cluster_topics_oracle() -> str:
+    return _CLUSTER_TOPICS_ORACLE.format(
+        a1=_km_assign_cte("v", "c1", "a1").strip(),
+        c2=_km_recompute_cte("a1", "c2").strip(),
+        a2=_km_assign_cte("v", "c2", "a2").strip(),
+        c3=_km_recompute_cte("a2", "c3").strip(),
+        af=_km_assign_cte("v", "c3", "af").strip(),
+    )
+
+
+@register("cluster_topic_terms", _cluster_topics_oracle())
+def cluster_topic_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus ORGANIZATION end-to-end: train the k-means IVF centroids
+    (two Lloyd's iterations, the `kmeans_ivf_assign` machinery), assign
+    every embedded document to its cluster, and summarize each cluster
+    by its 5 most frequent terms — the "what is this bucket about"
+    report a curation pipeline runs after clustering a corpus (topic
+    labeling, mixture design, per-bucket sampling quotas).
+
+    Scale: training is the bounded Lloyd's barrier (k x dim driver
+    state); assignment is the zero-shuffle literal-pivot map; the term
+    count is one map-side-combined (cluster, word) agg over exploded
+    words whose key space is vocab x k; the top-5 window is
+    group-limit optimized. Joining embeddings to documents on id is a
+    plain co-keyed equi-join."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = similarity.kmeans_iterate(emb, k=8, iters=2, dim=64)
+    assigned = similarity.assign_clusters(emb, cents).select("vec_id", "cluster_id")
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word")
+    )
+    dw = words.join(assigned, words.doc_id == assigned.vec_id).select(
+        "cluster_id", "word"
+    )
+    wc = dw.groupBy("cluster_id", "word").agg(F.count("*").alias("n"))
+    from ..operators.reports import top_k_per_group
+
+    return top_k_per_group(
+        wc, ["cluster_id"], [F.col("n").desc(), F.col("word").asc()], 5
+    ).select(
+        "cluster_id", "word", "n", F.col("rank_in_group").cast("int").alias("term_rank")
+    )

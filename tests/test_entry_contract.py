@@ -119,8 +119,11 @@ def test_check_window_covers_every_operator_family():
         # vocab-bounded corpus statistics carried by lm_doc_score and
         # bigram_collocations
         "pq_ivf_search", "pii_scrub", "winnow_fingerprint_pairs",
+        # kmeans_ivf_assign rotated out for cluster_topic_terms (r6):
+        # the kmeans training machinery is the stage inside the
+        # composition, whose oracle unrolls the same iterations
         "context_pack_bins", "fuzzy_name_pairs", "bigram_collocations",
-        "kmeans_ivf_assign", "lm_doc_score", "multimodal_decode",
+        "cluster_topic_terms", "lm_doc_score", "multimodal_decode",
         # composed family carriers (text X1-X5, formats X61+X62);
         # multimodal_profile rotated out for weekly_cohort_retention
         # (r6) — multimodal keeps hash-checked multimodal_decode
