@@ -318,3 +318,81 @@ def test_morton_key_orders_like_python_reference(spark, pts):
     ]
     for x, y, z in got:
         assert z == morton_key_py(x, y, 10)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 7)), min_size=1, max_size=16
+    )
+)
+@_SETTINGS
+def test_triangle_counts_match_bruteforce_enumeration(spark, edges):
+    """Degree-ordered triangle counting fuzzed against brute-force
+    enumeration on random <=8-vertex multigraphs (self-loops and
+    duplicate/reversed edges must be ignored, per-node counts exact)."""
+    import itertools
+
+    from employee_data_management_system_data_engineering_solution_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    df = spark.createDataFrame(edges, "src LONG, dst LONG")
+    got = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
+
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    verts = {v for e in und for v in e}
+    want: dict[int, int] = {}
+    for a, b, c in itertools.combinations(sorted(verts), 3):
+        if {(a, b), (a, c), (b, c)} <= und:
+            for v in (a, b, c):
+                want[v] = want.get(v, 0) + 1
+    assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 200),  # doc_id
+            st.sampled_from(["en", "de"]),
+            st.sampled_from(["s0", "s1", "s2"]),
+        ),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda r: r[0],
+    ),
+    k=st.integers(min_value=1, max_value=4),
+)
+@_SETTINGS
+def test_stratum_cap_sampling_is_capped_and_deterministic(spark, rows, k):
+    """Per-stratum cap: never more than k rows per (lang, source),
+    strata smaller than k keep everything, and the pick is identical
+    across reruns (pure function of the key)."""
+    from collections import Counter
+
+    from employee_data_management_system_data_engineering_solution_spark.operators.reports import (
+        top_k_per_group,
+    )
+
+    df = spark.createDataFrame(rows, "doc_id LONG, lang STRING, source STRING")
+    hnum = F.conv(
+        F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":p"))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    def run():
+        return {
+            (r.lang, r.source, r.doc_id)
+            for r in top_k_per_group(
+                df.withColumn("h", hnum),
+                ["lang", "source"],
+                [F.col("h").asc(), F.col("doc_id").asc()],
+                k,
+            ).collect()
+        }
+
+    got = run()
+    sizes = Counter((lang, src) for _, lang, src in rows)
+    kept = Counter((lang, src) for lang, src, _ in got)
+    for stratum, n in sizes.items():
+        assert kept[stratum] == min(n, k), (stratum, n, k)
+    assert got == run()  # deterministic under rerun
