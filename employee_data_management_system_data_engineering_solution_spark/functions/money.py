@@ -1,0 +1,95 @@
+"""Exact decimal aggregation for money columns.
+
+Group sums of 2-decimal money values are summation-order-dependent in
+double precision: with enough rows a group's sum lands on a half-cent
+boundary and ``round(x, 2)`` flips between engines (observed at sf0.1:
+``q3_shipping_priority`` had 6 of 5,277 groups off by 0.01 vs the
+DuckDB oracle while green at sf0.01 — the hazard scales with group
+size). Casting the 2-decimal inputs to DECIMAL first makes every
+product and sum EXACT and order-independent in BOTH Spark and DuckDB,
+so the aggregate is one well-defined number; the trailing double cast
++ round is then deterministic.
+
+Where this is NOT needed:
+- integer-valued doubles (quantities): double sums are exact below 2^53;
+- window running sums: their summation order is pinned by the window
+  ORDER BY, so both engines fold in the same order;
+- averages of integer-valued columns (exact sum / count);
+- computed scores that are not decimal-representable (quality ratios):
+  no decimal rescue exists — they rely on rounding margin.
+
+At 100 TB this is also simply the correct type for money (TPC-H itself
+declares DECIMAL): decimal hash aggregation stays inside codegen, and
+exactness no longer depends on partitioning or AQE plan choices.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: money columns — fits every TPC-H amount at any SF
+MONEY = "decimal(12,2)"
+#: rates in [0, 1): discounts, taxes
+RATE = "decimal(3,2)"
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def money(col: Column | str) -> Column:
+    """A 2-decimal money column as exact DECIMAL."""
+    return _c(col).cast(MONEY)
+
+
+def one_minus_rate(col: Column | str) -> Column:
+    """(1 - rate) as exact DECIMAL — e.g. the discount multiplier."""
+    return F.lit("1.00").cast(RATE) - _c(col).cast(RATE)
+
+
+def one_plus_rate(col: Column | str) -> Column:
+    """(1 + rate) as exact DECIMAL — e.g. the tax multiplier."""
+    return F.lit("1.00").cast(RATE) + _c(col).cast(RATE)
+
+
+def money_sum(expr: Column, alias: str) -> Column:
+    """Exact decimal sum surfaced as the conventional rounded double.
+    The ROUND happens in DECIMAL (ties are real here — e.g. an exact
+    group sum of 289679.3450 — and decimal round is HALF_UP away from
+    zero in both engines), only then cast to double; rounding after a
+    double cast would hand the tie to engine-specific double-round
+    behavior (Spark rounds the shortest representation, DuckDB the
+    binary value — they disagree on exact .005)."""
+    return F.round(F.sum(expr), 2).cast("double").alias(alias)
+
+
+def money_avg(expr: Column, digits: int, alias: str) -> Column:
+    """Average via exact decimal numerator: one well-defined double
+    division instead of an order-dependent running double sum. The
+    division result is far from representable ties with overwhelming
+    probability; the numerator itself is exact."""
+    return F.round(
+        F.sum(expr).cast("double") / F.count(F.lit(1)), digits
+    ).alias(alias)
+
+
+# --- the identical arithmetic as DuckDB SQL text -------------------------
+def sql_money(col: str) -> str:
+    return f"CAST({col} AS DECIMAL(12,2))"
+
+
+def sql_one_minus_rate(col: str) -> str:
+    return f"(CAST(1.00 AS DECIMAL(3,2)) - CAST({col} AS DECIMAL(3,2)))"
+
+
+def sql_one_plus_rate(col: str) -> str:
+    return f"(CAST(1.00 AS DECIMAL(3,2)) + CAST({col} AS DECIMAL(3,2)))"
+
+
+def sql_money_sum(expr: str) -> str:
+    return f"CAST(round(sum({expr}), 2) AS DOUBLE)"
+
+
+def sql_money_avg(expr: str, digits: int) -> str:
+    return f"round(CAST(sum({expr}) AS DOUBLE) / count(*), {digits})"

@@ -16,6 +16,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.money import (
+    money,
+    money_avg,
+    money_sum,
+    one_minus_rate,
+    one_plus_rate,
+    sql_money,
+    sql_money_avg,
+    sql_money_sum,
+    sql_one_minus_rate,
+    sql_one_plus_rate,
+)
 from ..operators import cleaning, scd
 from ..operators.reports import count_by, pct_of_quota, top_k_per_group, upcoming_pct_report
 from ..sources.io import read_table
@@ -33,17 +45,20 @@ def _d(c: str) -> F.Column:
 # --------------------------------------------------------------------------
 # Flagship: TPC-H-Q1-shaped pricing summary (A-class aggs + arithmetic P16)
 # --------------------------------------------------------------------------
+_SQL_DISC = f"{sql_money('l_extendedprice')} * {sql_one_minus_rate('l_discount')}"
+
+
 @register(
     "q1_pricing_summary",
-    """
+    f"""
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2)                                        AS sum_qty,
-           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           {sql_money_sum(sql_money('l_extendedprice'))}                    AS sum_base_price,
+           {sql_money_sum(_SQL_DISC)}                                       AS sum_disc_price,
+           {sql_money_sum(f"({_SQL_DISC}) * {sql_one_plus_rate('l_tax')}")} AS sum_charge,
            round(avg(l_quantity), 4)                                        AS avg_qty,
-           round(avg(l_extendedprice), 4)                                   AS avg_price,
-           round(avg(l_discount), 4)                                        AS avg_disc,
+           {sql_money_avg(sql_money('l_extendedprice'), 4)}                 AS avg_price,
+           {sql_money_avg(f"CAST(l_discount AS DECIMAL(3,2))", 4)}          AS avg_disc,
            count(*)                                                         AS count_order
     FROM lineitem
     WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
@@ -51,19 +66,23 @@ def _d(c: str) -> F.Column:
     """,
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Money sums/averages run in exact DECIMAL (see functions/money.py:
+    double summation order flips round() at half-cent boundaries — a
+    real tie was observed at sf0.1); quantity aggregates stay double
+    (integer-valued, exact below 2^53)."""
     li = read_table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    disc_price = money("l_extendedprice") * one_minus_rate("l_discount")
     return (
         li.filter(_d("l_shipdate") <= F.to_date(F.lit("1998-09-02")))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            money_sum(money("l_extendedprice"), "sum_base_price"),
+            money_sum(disc_price, "sum_disc_price"),
+            money_sum(disc_price * one_plus_rate("l_tax"), "sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            money_avg(money("l_extendedprice"), 4, "avg_price"),
+            money_avg(F.col("l_discount").cast("decimal(3,2)"), 4, "avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -74,9 +93,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "q3_shipping_priority",
-    """
+    f"""
     SELECT l_orderkey,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           {sql_money_sum(sql_money('l_extendedprice') + ' * ' + sql_one_minus_rate('l_discount'))} AS revenue,
            CAST(CAST(o_orderdate AS DATE) AS VARCHAR)        AS orderdate,
            o_orderpriority
     FROM customer
@@ -94,10 +113,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "bloom_pruned_join",
-    """
+    f"""
     SELECT l_returnflag,
            count(*) AS n_items,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           {sql_money_sum(_SQL_DISC)} AS revenue
     FROM lineitem
     JOIN orders ON l_orderkey = o_orderkey
     WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
@@ -128,9 +147,7 @@ def bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = _bpj(fact, dim, "l_orderkey", "o_orderkey")
     return joined.groupBy("l_returnflag").agg(
         F.count("*").alias("n_items"),
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "revenue"
-        ),
+        money_sum(money("l_extendedprice") * one_minus_rate("l_discount"), "revenue"),
     )
 
 
@@ -144,7 +161,11 @@ def _q3_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(
+            money_sum(
+                money("l_extendedprice") * one_minus_rate("l_discount"), "revenue"
+            )
+        )
         .select(
             "l_orderkey",
             "revenue",
@@ -584,9 +605,9 @@ def top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "region_supplier_volume",
-    """
+    f"""
     SELECT n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           {sql_money_sum(_SQL_DISC)} AS revenue,
            count(*) AS n_items
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -632,7 +653,7 @@ def region_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            money_sum(money("l_extendedprice") * one_minus_rate("l_discount"), "revenue"),
             F.count("*").alias("n_items"),
         )
     )
@@ -644,10 +665,10 @@ def region_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "promo_revenue_share",
     """
-    SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
-                                  THEN l_extendedprice * (1 - l_discount)
-                                  ELSE 0 END)
-                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct,
+    SELECT round(100.0 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+                                  THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+                                  ELSE CAST(0.00 AS DECIMAL(12,2)) END) AS DOUBLE)
+                 / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE), 4) AS promo_pct,
            count(*) AS n_items
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE CAST(l_shipdate AS DATE) >= DATE '1995-09-01'
@@ -664,10 +685,16 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         (_d("l_shipdate") >= F.to_date(F.lit("1995-09-01")))
         & (_d("l_shipdate") < F.to_date(F.lit("1995-10-01")))
     )
-    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    promo = F.when(F.col("p_type").like("PROMO%"), disc).otherwise(F.lit(0.0))
+    disc = money("l_extendedprice") * one_minus_rate("l_discount")
+    promo = F.when(F.col("p_type").like("PROMO%"), disc).otherwise(
+        F.lit("0.00").cast("decimal(12,2)")
+    )
+    # both sums are exact decimals; the ratio is one double division of
+    # two well-defined values — order-independent
     return li.join(part, li.l_partkey == part.p_partkey).agg(
-        F.round(F.lit(100.0) * F.sum(promo) / F.sum(disc), 4).alias("promo_pct"),
+        F.round(
+            F.lit(100.0) * F.sum(promo).cast("double") / F.sum(disc).cast("double"), 4
+        ).alias("promo_pct"),
         F.count("*").alias("n_items"),
     )
 
@@ -677,10 +704,10 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "rollup_revenue",
-    """
+    f"""
     SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
            coalesce(l_linestatus, 'ALL') AS linestatus,
-           round(sum(l_extendedprice), 2) AS revenue,
+           {sql_money_sum(sql_money('l_extendedprice'))} AS revenue,
            count(*) AS n_items
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -696,7 +723,7 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+            money_sum(money("l_extendedprice"), "revenue"),
             F.count("*").alias("n_items"),
         )
         .select(
@@ -920,11 +947,11 @@ def strike_report_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderpriority AS designation,
            count(*) FILTER (WHERE o_orderstatus = 'O')                         AS O_cnt,
-           coalesce(round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 2), 0) AS O_rev,
+           coalesce(CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))) FILTER (WHERE o_orderstatus = 'O'), 2) AS DOUBLE), 0) AS O_rev,
            count(*) FILTER (WHERE o_orderstatus = 'F')                         AS F_cnt,
-           coalesce(round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 2), 0) AS F_rev,
+           coalesce(CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))) FILTER (WHERE o_orderstatus = 'F'), 2) AS DOUBLE), 0) AS F_rev,
            count(*) FILTER (WHERE o_orderstatus = 'P')                         AS P_cnt,
-           coalesce(round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'P'), 2), 0) AS P_rev
+           coalesce(CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))) FILTER (WHERE o_orderstatus = 'P'), 2) AS DOUBLE), 0) AS P_rev
     FROM orders
     GROUP BY o_orderpriority
     """,
@@ -940,7 +967,7 @@ def status_pivot_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("o_orderstatus", ["O", "F", "P"])
         .agg(
             F.count(F.lit(1)).alias("cnt"),  # count("*") is rejected inside pivot aggs
-            F.round(F.sum("o_totalprice"), 2).alias("rev"),
+            money_sum(money("o_totalprice"), "rev"),
         )
         .na.fill(0)
     )
@@ -957,10 +984,10 @@ def status_pivot_report(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_custkey AS emp_id,
              CAST(o_orderdate AS DATE) AS d,
              o_totalprice,
-             round(sum(o_totalprice) OVER (
+             CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
                PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)
                RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW
-             ), 2) AS trail_90d,
+             ), 2) AS DOUBLE) AS trail_90d,
              count(*) OVER (
                PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)
                RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW
@@ -986,11 +1013,15 @@ def trailing_revenue_90d(spark: SparkSession, sf_dir: str) -> DataFrame:
     seq = orders.select(
         F.col("o_custkey").alias("emp_id"),
         _d("o_orderdate").alias("d"),
-        F.round(F.sum("o_totalprice").over(
+        # decimal window sum: frame membership is deterministic, but the
+        # ORDER the engine folds frame members in is not (Spark
+        # incremental add vs DuckDB segment tree) — exact decimal makes
+        # the fold order irrelevant
+        F.round(F.sum(money("o_totalprice")).over(
             Window.partitionBy("o_custkey")
             .orderBy(F.datediff(_d("o_orderdate"), F.lit("1970-01-01").cast("date")))
             .rangeBetween(-90, 0)
-        ), 2).alias("trail_90d"),
+        ), 2).cast("double").alias("trail_90d"),
         F.count(F.lit(1)).over(
             Window.partitionBy("o_custkey")
             .orderBy(F.datediff(_d("o_orderdate"), F.lit("1970-01-01").cast("date")))
@@ -1012,7 +1043,7 @@ def trailing_revenue_90d(spark: SparkSession, sf_dir: str) -> DataFrame:
            coalesce(o_orderpriority, 'ALL') AS priority,
            CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
            count(*)                         AS n,
-           round(sum(o_totalprice), 2)      AS revenue
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
@@ -1027,7 +1058,7 @@ def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.cube("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            money_sum(money("o_totalprice"), "revenue"),
             F.grouping_id().alias("gid"),
         )
         .select(
@@ -1129,7 +1160,7 @@ def top_earner_per_designation(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT coalesce(r_name, 'ALL') AS region_name,
            coalesce(n_name, 'ALL') AS nation_name,
            CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS INT) AS gid,
-           round(sum(o_totalprice), 2) AS sum_revenue,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_revenue,
            count(*) AS n_orders
     FROM orders
     JOIN customer ON o_custkey = c_custkey
@@ -1173,7 +1204,7 @@ def revenue_cube_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.cube("r_name", "n_name")
         .agg(
             F.grouping_id().cast("int").alias("gid"),
-            F.round(F.sum("o_totalprice"), 2).alias("sum_revenue"),
+            money_sum(money("o_totalprice"), "sum_revenue"),
             F.count("*").alias("n_orders"),
         )
         .select(

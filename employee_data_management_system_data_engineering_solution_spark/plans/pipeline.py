@@ -30,6 +30,7 @@ from pyspark.sql import types as T
 
 from ..operators import cleaning, scd
 from ..operators.reports import ordered_with_rank
+from ..functions.money import money, money_sum
 from ..sources.io import fan_out, latest_file, read_csv, read_table, write_csv, write_parquet
 from ..streaming.strikes import (
     RESERVED_WORDS,
@@ -303,7 +304,7 @@ def strike_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "partition_pruned_report",
     """
     SELECT l_returnflag,
-           round(sum(l_extendedprice), 2) AS revenue,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue,
            count(*) AS n_items
     FROM lineitem
     WHERE l_returnflag IN ('A', 'R')
@@ -330,7 +331,7 @@ def partition_pruned_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_returnflag").isin("A", "R"))
         .groupBy("l_returnflag")
         .agg(
-            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+            money_sum(money("l_extendedprice"), "revenue"),
             F.count("*").alias("n_items"),
         )
     )
@@ -412,7 +413,7 @@ def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bucketed_colocated_join",
     """
     SELECT c_mktsegment,
-           round(sum(o_totalprice), 2) AS revenue,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue,
            count(*)                    AS n_orders
     FROM orders JOIN customer ON o_custkey = c_custkey
     WHERE o_orderstatus = 'O'
@@ -454,7 +455,7 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(bc, bo["o_custkey"] == bc["c_custkey"])
         .groupBy("c_mktsegment")
         .agg(
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            money_sum(money("o_totalprice"), "revenue"),
             F.count("*").alias("n_orders"),
         )
     )
@@ -465,7 +466,7 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT user_id,
            count(*)               AS n_events,
-           round(sum(value), 2)   AS total_value
+           CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
     FROM events
     GROUP BY user_id
     """,
@@ -484,7 +485,7 @@ def streaming_upsert_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT s_nationkey,
            count(*)                       AS n_items,
-           round(sum(l_extendedprice), 2) AS revenue
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue
     FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
     GROUP BY s_nationkey
     """,
@@ -509,7 +510,7 @@ def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_nationkey")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+            money_sum(money("l_extendedprice"), "revenue"),
         )
     )
 
@@ -562,7 +563,7 @@ def published_report_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT coalesce(o_orderstatus, 'LEGACY') AS status,
            count(*)                          AS n,
-           round(sum(o_totalprice), 2)       AS revenue
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue
     FROM evolved GROUP BY 1
     """,
 )
@@ -591,7 +592,7 @@ def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         evolved.groupBy(F.coalesce("o_orderstatus", F.lit("LEGACY")).alias("status"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            money_sum(money("o_totalprice"), "revenue"),
         )
     )
 
@@ -624,7 +625,7 @@ def stream_purchase_view_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderpriority AS priority,
            count(*)                     AS n,
-           round(sum(o_totalprice), 2)  AS revenue
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue
     FROM orders
     WHERE o_orderstatus = 'F'
     GROUP BY o_orderpriority
@@ -656,7 +657,7 @@ def json_lines_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.schema(schema).json(path)
     return back.groupBy(F.col("o_orderpriority").alias("priority")).agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        money_sum(money("o_totalprice"), "revenue"),
     )
 
 
@@ -695,7 +696,7 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "format_roundtrips",
     """
     SELECT 'jsonl' AS fmt, o_orderpriority AS grp,
-           count(*) AS n, round(sum(o_totalprice), 2) AS val
+           count(*) AS n, CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS val
     FROM orders WHERE o_orderstatus = 'F'
     GROUP BY o_orderpriority
     UNION ALL
@@ -981,7 +982,7 @@ def supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c.c_mktsegment AS mktsegment,
            count(*) AS n_purchases,
-           round(sum(e.value), 2) AS total_value
+           CAST(round(sum(CAST(e.value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
     FROM events e
     JOIN customer c ON c.c_custkey = e.user_id
     WHERE e.event_type = 'purchase'

@@ -75,7 +75,7 @@ def purchase_asof_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT w.event_id                     AS window_id,
            count(*)                       AS n_events,
-           round(sum(e.value), 2)         AS sum_value
+           CAST(round(sum(CAST(e.value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value
     FROM (SELECT event_id, ts, ts + INTERVAL 1 HOUR AS te
           FROM events WHERE event_type = 'error' AND value > 150) w
     JOIN events e ON e.ts >= w.ts AND e.ts < w.te
@@ -96,7 +96,9 @@ def events_in_error_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every window contains its own error event, so inner join loses none
     return joined.groupBy("window_id").agg(
         F.count("*").alias("n_events"),
-        F.round(F.sum("p_value"), 2).alias("sum_value"),
+        F.round(F.sum(F.col("p_value").cast("decimal(12,2)")), 2)
+        .cast("double")
+        .alias("sum_value"),
     )
 
 

@@ -230,7 +230,9 @@ def run_stream_static_enrich(
             .groupBy("mktsegment")
             .agg(
                 F.count("*").alias("n_purchases"),
-                F.round(F.sum("value"), 2).alias("total_value"),
+                F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2)
+                .cast("double")
+                .alias("total_value"),
             )
         )
         out = run(enriched, "stream_static_enrich_sink")

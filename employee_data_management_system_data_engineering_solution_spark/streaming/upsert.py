@@ -81,8 +81,12 @@ def run_upsert_stream(spark: SparkSession, sf_dir: str, n_batches: int = 2) -> D
     )
 
     def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        # exact decimal partials: the cross-batch re-adds would
+        # otherwise accumulate order-dependent double error (see
+        # functions/money.py)
         agg = batch.groupBy("user_id").agg(
-            F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value")
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).alias("sum_value"),
         )
         if os.path.isdir(dim_dir):
             cur = spark.read.parquet(dim_dir)
@@ -96,8 +100,8 @@ def run_upsert_stream(spark: SparkSession, sf_dir: str, n_batches: int = 2) -> D
                         + F.coalesce(F.col("a.n_events"), F.lit(0))
                     ).alias("n_events"),
                     (
-                        F.coalesce(F.col("c.sum_value"), F.lit(0.0))
-                        + F.coalesce(F.col("a.sum_value"), F.lit(0.0))
+                        F.coalesce(F.col("c.sum_value"), F.lit("0.00").cast("decimal(22,2)"))
+                        + F.coalesce(F.col("a.sum_value"), F.lit("0.00").cast("decimal(22,2)"))
                     ).alias("sum_value"),
                 )
             )
@@ -118,7 +122,9 @@ def run_upsert_stream(spark: SparkSession, sf_dir: str, n_batches: int = 2) -> D
     q.stop()
 
     out = spark.read.parquet(dim_dir).select(
-        "user_id", "n_events", F.round("sum_value", 2).alias("total_value")
+        "user_id",
+        "n_events",
+        F.round("sum_value", 2).cast("double").alias("total_value"),
     )
     # DRIVER-BOUNDED collect: the dim is one aggregated row per user
     # (O(#users), ~150 rows at tested sf) and the round-trip detaches
