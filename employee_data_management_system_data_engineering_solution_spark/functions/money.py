@@ -18,9 +18,19 @@ Where this is NOT needed:
 - computed scores that are not decimal-representable (quality ratios):
   no decimal rescue exists — they rely on rounding margin.
 
-At 100 TB this is also simply the correct type for money (TPC-H itself
-declares DECIMAL): decimal hash aggregation stays inside codegen, and
-exactness no longer depends on partitioning or AQE plan choices.
+INPUT CONTRACT: ``money()`` assumes its column holds values with at
+most 2 decimal digits (true for every driver table; asserted nowhere
+per-row — a per-row guard would tax every scan). A >2-decimal input is
+silently rounded to cents by the cast, and a cast-time tie (a double
+that is exactly N.xx5) would be resolved differently by the two
+engines (Spark rounds the shortest decimal representation, DuckDB the
+binary value). If a source can violate the contract, either validate
+at ingest (one audit pass: ``round(x*100) != x*100`` count, the
+column_profile pattern) or — the real 100 TB answer — store money AS
+DECIMAL in the warehouse (TPC-H itself declares DECIMAL), which makes
+this module's casts no-ops. Decimal hash aggregation stays inside
+codegen, and exactness no longer depends on partitioning or AQE plan
+choices.
 """
 
 from __future__ import annotations
@@ -67,11 +77,11 @@ def money_sum(expr: Column, alias: str) -> Column:
 def money_avg(expr: Column, digits: int, alias: str) -> Column:
     """Average via exact decimal numerator: one well-defined double
     division instead of an order-dependent running double sum. The
-    division result is far from representable ties with overwhelming
+    denominator is the NON-NULL count of the expression — avg()
+    semantics (sum skips NULLs, so must the divisor). The division
+    result is far from representable ties with overwhelming
     probability; the numerator itself is exact."""
-    return F.round(
-        F.sum(expr).cast("double") / F.count(F.lit(1)), digits
-    ).alias(alias)
+    return F.round(F.sum(expr).cast("double") / F.count(expr), digits).alias(alias)
 
 
 # --- the identical arithmetic as DuckDB SQL text -------------------------
@@ -92,4 +102,5 @@ def sql_money_sum(expr: str) -> str:
 
 
 def sql_money_avg(expr: str, digits: int) -> str:
-    return f"round(CAST(sum({expr}) AS DOUBLE) / count(*), {digits})"
+    # count({expr}) not count(*): sum() skips NULLs, so must the divisor
+    return f"round(CAST(sum({expr}) AS DOUBLE) / count({expr}), {digits})"

@@ -95,7 +95,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     f"""
     SELECT l_orderkey,
-           {sql_money_sum(sql_money('l_extendedprice') + ' * ' + sql_one_minus_rate('l_discount'))} AS revenue,
+           {sql_money_sum(_SQL_DISC)} AS revenue,
            CAST(CAST(o_orderdate AS DATE) AS VARCHAR)        AS orderdate,
            o_orderpriority
     FROM customer
@@ -664,11 +664,11 @@ def region_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "promo_revenue_share",
-    """
+    f"""
     SELECT round(100.0 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
-                                  THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+                                  THEN {_SQL_DISC}
                                   ELSE CAST(0.00 AS DECIMAL(12,2)) END) AS DOUBLE)
-                 / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE), 4) AS promo_pct,
+                 / CAST(sum({_SQL_DISC}) AS DOUBLE), 4) AS promo_pct,
            count(*) AS n_items
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE CAST(l_shipdate AS DATE) >= DATE '1995-09-01'

@@ -1409,6 +1409,16 @@ def pq_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _km_seed_cte(k: int = 8) -> str:
+    """Seed CTE shared by every k-means oracle: the k lowest ids by
+    ORDER (not id VALUE), matching the engine's orderBy(id).limit(k)
+    on ANY id domain."""
+    return f"""c1 AS (SELECT pivot_id, pv FROM (
+      SELECT vec_id AS pivot_id, e AS pv,
+             row_number() OVER (ORDER BY vec_id) AS rn FROM v)
+      WHERE rn <= {k})"""
+
+
 def _km_assign_cte(vtab: str, ctab: str, out: str) -> str:
     """One Lloyd's assignment round as a CTE: nearest centroid by
     rounded cosine, ties to the smallest pivot id — the SQL mirror of
@@ -1448,10 +1458,7 @@ _KMEANS_ORACLE = f"""
     -- farthest-point reseed has no SQL mirror: the oracle covers the
     -- no-empty-cluster trajectory (which this data follows), and the
     -- reseed path is pinned by tests/test_similarity.py instead.
-    c1 AS (SELECT pivot_id, pv FROM (
-      SELECT vec_id AS pivot_id, e AS pv,
-             row_number() OVER (ORDER BY vec_id) AS rn FROM v)
-      WHERE rn <= 8),
+    {_km_seed_cte()},
     {_km_assign_cte("v", "c1", "a1")},
     {_km_recompute_cte("a1", "c2")},
     {_km_assign_cte("v", "c2", "a2")},
@@ -2401,10 +2408,7 @@ def boilerplate_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 _CLUSTER_TOPICS_ORACLE = rf"""
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-    c1 AS (SELECT pivot_id, pv FROM (
-      SELECT vec_id AS pivot_id, e AS pv,
-             row_number() OVER (ORDER BY vec_id) AS rn FROM v)
-      WHERE rn <= 8),
+    {_km_seed_cte()},
     {{a1}},
     {{c2}},
     {{a2}},

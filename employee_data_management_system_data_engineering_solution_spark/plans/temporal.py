@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.money import money, money_sum
 from ..operators.joins import asof_join, interval_bucket_join
 from ..sources.io import read_table
 from .registry import register
@@ -96,9 +97,7 @@ def events_in_error_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every window contains its own error event, so inner join loses none
     return joined.groupBy("window_id").agg(
         F.count("*").alias("n_events"),
-        F.round(F.sum(F.col("p_value").cast("decimal(12,2)")), 2)
-        .cast("double")
-        .alias("sum_value"),
+        money_sum(money("p_value"), "sum_value"),
     )
 
 

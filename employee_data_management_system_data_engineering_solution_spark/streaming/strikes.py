@@ -213,6 +213,7 @@ def run_stream_static_enrich(
     max() collapse keeps each segment's LAST update-mode emission, the
     same convention as the other update-mode carriers.
     """
+    from ..functions.money import money, money_sum
     from ..sources.io import read_table
     from .replay import replayed_events
 
@@ -230,9 +231,7 @@ def run_stream_static_enrich(
             .groupBy("mktsegment")
             .agg(
                 F.count("*").alias("n_purchases"),
-                F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2)
-                .cast("double")
-                .alias("total_value"),
+                money_sum(money("value"), "total_value"),
             )
         )
         out = run(enriched, "stream_static_enrich_sink")

@@ -84,9 +84,11 @@ def run_upsert_stream(spark: SparkSession, sf_dir: str, n_batches: int = 2) -> D
         # exact decimal partials: the cross-batch re-adds would
         # otherwise accumulate order-dependent double error (see
         # functions/money.py)
+        from ..functions.money import money
+
         agg = batch.groupBy("user_id").agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(12,2)")).alias("sum_value"),
+            F.sum(money("value")).alias("sum_value"),
         )
         if os.path.isdir(dim_dir):
             cur = spark.read.parquet(dim_dir)

@@ -359,40 +359,36 @@ def test_triangle_counts_match_bruteforce_enumeration(spark, edges):
         min_size=1,
         max_size=30,
         unique_by=lambda r: r[0],
-    ),
-    k=st.integers(min_value=1, max_value=4),
+    )
 )
 @_SETTINGS
-def test_stratum_cap_sampling_is_capped_and_deterministic(spark, rows, k):
-    """Per-stratum cap: never more than k rows per (lang, source),
-    strata smaller than k keep everything, and the pick is identical
-    across reruns (pure function of the key)."""
+def test_stratum_cap_sampling_is_capped_and_deterministic(spark, rows):
+    """Per-stratum cap through the PRODUCTION sampler (its own salt and
+    hash expression, not a test-local reimplementation): never more
+    than 25 rows per (lang, source), strata smaller than the cap keep
+    everything, and the pick is identical across reruns (pure function
+    of the key)."""
+    import tempfile
     from collections import Counter
 
-    from employee_data_management_system_data_engineering_solution_spark.operators.reports import (
-        top_k_per_group,
-    )
+    import employee_data_management_system_data_engineering_solution_spark.plans.curation as cur
 
-    df = spark.createDataFrame(rows, "doc_id LONG, lang STRING, source STRING")
-    hnum = F.conv(
-        F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":p"))), 1, 15),
-        16,
-        10,
-    ).cast("bigint")
+    sf_dir = tempfile.mkdtemp(prefix="eds_strata_prop_")
+    spark.createDataFrame(
+        [(d, f"text {d}", lang, src, 6) for d, lang, src in rows],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    ).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+
     def run():
         return {
-            (r.lang, r.source, r.doc_id)
-            for r in top_k_per_group(
-                df.withColumn("h", hnum),
-                ["lang", "source"],
-                [F.col("h").asc(), F.col("doc_id").asc()],
-                k,
-            ).collect()
+            (r.lang, r.source, r.doc_id, r.samp_rank)
+            for r in cur.balanced_strata_sample(spark, sf_dir).collect()
         }
 
     got = run()
     sizes = Counter((lang, src) for _, lang, src in rows)
-    kept = Counter((lang, src) for lang, src, _ in got)
+    kept = Counter((lang, src) for lang, src, _, _ in got)
     for stratum, n in sizes.items():
-        assert kept[stratum] == min(n, k), (stratum, n, k)
+        assert kept[stratum] == min(n, 25), (stratum, n)
+    assert all(1 <= rank <= 25 for _, _, _, rank in got)
     assert got == run()  # deterministic under rerun
