@@ -63,6 +63,24 @@ def one_plus_rate(col: Column | str) -> Column:
     return F.lit("1.00").cast(RATE) + _c(col).cast(RATE)
 
 
+def money_contract_violation(col: Column | str) -> Column:
+    """Ingest-audit predicate for the ``money()`` INPUT CONTRACT: TRUE
+    where a double carries MORE than 2 decimal digits (so the
+    ``money()`` cast would silently round it, with engine-divergent
+    tie behavior on exact ``.xx5``). Exact decimal compare, no double
+    ``x*100`` arithmetic: the double is rendered at 8 decimal digits
+    (lossless for money magnitudes — 8 fractional + 16 integral digits
+    exceeds double precision) and compared against its cents rounding;
+    any sub-cent residue, including a tie, differs and is flagged.
+    NULLs are not violations (aggregates skip them).
+
+    One narrow scan, no shuffle: ``df.agg(F.sum(pred.cast("long")))``
+    is the whole 100 TB audit pass — run it once at ingest per the
+    module docstring, not per query."""
+    hi = _c(col).cast("decimal(24,8)")
+    return hi.isNotNull() & (hi != hi.cast(MONEY))
+
+
 def money_sum(expr: Column, alias: str) -> Column:
     """Exact decimal sum surfaced as the conventional rounded double.
     The ROUND happens in DECIMAL (ties are real here — e.g. an exact

@@ -430,7 +430,8 @@ _EPOCH_2024 = 1704067200  # epoch seconds of 2024-01-01 UTC (data start)
       UNION ALL SELECT 3, '3_purchase', count(*) FROM p
     )
     SELECT step_no, step, n_users,
-           round(n_users * 1.0 / (SELECT max(n_users) FROM counts WHERE step_no = 1), 4)
+           round(n_users * 1.0 /
+                 NULLIF((SELECT max(n_users) FROM counts WHERE step_no = 1), 0), 4)
              AS conv_from_view
     FROM counts
     """,
@@ -497,7 +498,11 @@ def funnel_conversion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.step_no").alias("step_no"),
         F.col("s.step").alias("step"),
         F.col("s.n_users").alias("n_users"),
-        F.round(F.col("s.n_users") / F.col("n1"), 4).alias("conv_from_view"),
+        # NULL (not an engine-specific x/0 artifact) on an empty funnel:
+        # the oracle SQL mirrors this with NULLIF(denominator, 0).
+        F.when(
+            F.col("n1") > 0, F.round(F.col("s.n_users") / F.col("n1"), 4)
+        ).alias("conv_from_view"),
     )
 
 

@@ -210,8 +210,14 @@ def run_stream_static_enrich(
     only stateful operator is the running per-segment aggregation.
 
     Returns (mktsegment, n_purchases, total_value) — the post-sink
-    max() collapse keeps each segment's LAST update-mode emission, the
-    same convention as the other update-mode carriers.
+    collapse keeps each segment's LAST update-mode emission by taking
+    the struct-max keyed on ``n_purchases``: the per-segment count is
+    STRICTLY monotone across emissions (update mode only re-emits a
+    key when new rows arrived for it), so the row with the largest
+    count IS the final emission regardless of the sign of ``value`` —
+    unlike a per-column ``max(total_value)``, which would silently
+    return a stale total if a source ever carried negative values
+    (refunds/adjustments).
     """
     from ..functions.money import money, money_sum
     from ..sources.io import read_table
@@ -235,9 +241,10 @@ def run_stream_static_enrich(
             )
         )
         out = run(enriched, "stream_static_enrich_sink")
-    return out.groupBy("mktsegment").agg(
-        F.max("n_purchases").alias("n_purchases"),
-        F.max("total_value").alias("total_value"),
+    return (
+        out.groupBy("mktsegment")
+        .agg(F.max(F.struct("n_purchases", "total_value")).alias("__last"))
+        .select("mktsegment", "__last.n_purchases", "__last.total_value")
     )
 
 

@@ -80,3 +80,50 @@ def test_money_avg_skips_nulls_like_avg(spark, tmp_path):
         f"SELECT {sql_money_avg(sql_money('v'), 4)} AS a FROM '{p}/*.parquet' GROUP BY g"
     ).fetchone()[0]
     assert want == 15.0
+
+
+def test_money_contract_audit_flags_sub_cent_inputs(spark):
+    """The ADVICE-proposed ingest audit: >2-decimal doubles (which
+    money() would silently round, with engine-divergent .xx5 tie
+    behavior) surface as a named count instead of a flaky oracle
+    mismatch downstream."""
+    from employee_data_management_system_data_engineering_solution_spark.functions.money import (
+        money_contract_violation,
+    )
+
+    rows = [
+        (1.23,),      # clean 2-dec
+        (1.20,),      # trailing zero
+        (-45.00,),    # negative, clean
+        (None,),      # NULL: not a violation
+        (1.234,),     # violation: 3 decimals
+        (2.005,),     # violation: exact half-cent tie — the worst case
+        (0.001,),     # violation: sub-cent
+    ]
+    df = spark.createDataFrame(rows, "v DOUBLE")
+    n = df.agg(
+        F.sum(money_contract_violation("v").cast("long")).alias("n")
+    ).collect()[0].n
+    assert n == 3
+
+
+def test_money_contract_holds_on_driver_fixtures(spark):
+    """Every column the engine feeds through money() honors the
+    <=2-decimal contract on the driver's own tables — a contract break
+    in a future fixture fails HERE as a named assertion, not as a
+    half-cent oracle flake at one SF."""
+    from employee_data_management_system_data_engineering_solution_spark.functions.money import (
+        money_contract_violation,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    for table, col in [
+        ("lineitem", "l_extendedprice"),
+        ("orders", "o_totalprice"),
+        ("events", "value"),
+    ]:
+        df = spark.read.parquet(f"{sf}/{table}.parquet")
+        bad = df.agg(
+            F.sum(money_contract_violation(col).cast("long")).alias("n")
+        ).collect()[0].n
+        assert (bad or 0) == 0, f"{table}.{col}: {bad} sub-cent rows"

@@ -362,18 +362,17 @@ def test_triangle_counts_match_bruteforce_enumeration(spark, edges):
     )
 )
 @_SETTINGS
-def test_stratum_cap_sampling_is_capped_and_deterministic(spark, rows):
+def test_stratum_cap_sampling_is_capped_and_deterministic(spark, tmp_path, rows):
     """Per-stratum cap through the PRODUCTION sampler (its own salt and
     hash expression, not a test-local reimplementation): never more
     than 25 rows per (lang, source), strata smaller than the cap keep
     everything, and the pick is identical across reruns (pure function
     of the key)."""
-    import tempfile
     from collections import Counter
 
     import employee_data_management_system_data_engineering_solution_spark.plans.curation as cur
 
-    sf_dir = tempfile.mkdtemp(prefix="eds_strata_prop_")
+    sf_dir = str(tmp_path)
     spark.createDataFrame(
         [(d, f"text {d}", lang, src, 6) for d, lang, src in rows],
         "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
