@@ -49,174 +49,118 @@ from .registry import REGISTRY, register
 # exempt). driver_green_rounds()/never_green() below are the audit's
 # data source.
 #
-# Round 6 swap (each IN has no driver verdict yet; each OUT is
-# 5-round green r1-r5 with its family still carried in-window):
-#   IN  ivf_topk_multiprobe, embedding_quantize, quantized_topk_rescore
-#       (r5 tail latecomers), multimodal_decode (hash oracle new in
-#       r5), quantized_ivf_topk + ann_recall_report (new in r6)
-#   OUT ivf_topk            (IVF family: ivf_topk_multiprobe,
-#                            quantized_ivf_topk, kmeans_ivf_assign)
-#       embedding_topk      (exact top-k is the ground-truth stage
-#                            inside ann_recall_report)
-#       q1_pricing_summary  (flagship still smoke-checked by entry()
-#                            every round; agg family: column_profile,
-#                            corpus_curation, revenue_cube_report)
-#       exact_dedup         (dedup family: neardup_prune,
-#                            dedup_clusters_star, repeated_passages)
-#       minhash_lsh_groups  (MinHash-LSH is the candidate stage inside
-#                            neardup_prune)
-#       ngram_jaccard_pairs (Jaccard verify is the filter stage inside
-#                            neardup_prune)
-#   IN  winnow_fingerprint_pairs (new in r6: MOSS winnowing dedup)
-#   OUT repeated_passages   (green r5; passage-fingerprint family now
-#                            carried by winnow_fingerprint_pairs, and
-#                            the dedup family by neardup_prune +
-#                            dedup_clusters_star)
-#   IN  bloom_pruned_join   (new in r6: Bloom semi-join reduction)
-#   OUT event_sessions      (green r1-r5; sessionization family still
-#                            carried in-window by session_window_counts)
-#   IN  simhash_hamming_pairs (new in r6: hash-checked SimHash banding)
-#   OUT benchmark_contamination (green r2-r5; gram-set machinery still
-#                            carried by winnow/neardup_prune, guarded by
-#                            the full local run)
-#   IN  pq_adc_search       (new in r6: product-quantization ADC)
-#   OUT hyperplane_lsh_groups (green r3-r5; vector-ANN family carried by
-#                            the in-window IVF/SQ8/PQ/recall stack)
-#   IN  quality_weighted_sample (new in r6: importance resampling)
-#   OUT train_test_split    (green r2-r5; seeded-hash-sampling family
-#                            carried by quality_weighted_sample, which
-#                            uses the same hash-threshold machinery)
-#   IN  supplier_pagerank   (new in r6: fixed-point iterative PageRank)
-#   OUT q3_shipping_priority (green r1-r5, the longest-stable carrier;
-#                            its J2 inner-equi-join + agg family is
-#                            carried by bloom_pruned_join, which runs
-#                            the same orders x lineitem join shape)
-#   IN  hourly_interpolated_series (new in r6: linear series resample)
-#   OUT forward_fill_values (green r1-r5; series-repair family carried
-#                            by the interpolation query, whose windows
-#                            generalize the forward-fill pass)
-#   IN  pq_ivf_search      (new in r6: IVF-PQ composed ADC search)
-#   OUT embedding_neardup_pairs (green r2-r5; its assign_clusters
-#                            bucketing is the same machinery pinned by
-#                            the in-window IVF/kmeans queries, and the
-#                            near-dup family is carried by neardup_prune)
-#   IN  zorder_layout_stats (new in r6: Morton-key data layout)
-#   OUT partition_pruned_report (green r3-r5; the partitioned overwrite
-#                            sink K1 is carried by daily_pipeline, and
-#                            the scan-pruning layout family is carried
-#                            — and generalized to two dimensions — by
-#                            the z-order stats)
-#   IN  revenue_cube_report (new in r6: CUBE super-aggregates)
-#   OUT price_decile_stats  (green r2-r5; grouped-aggregation family
-#                            carried by column_profile, and the cube
-#                            generalizes the grouped agg to multi-level)
-#   IN  balanced_strata_sample (new in r6: per-stratum cap sampling)
-#   OUT corpus_curation_pipeline (green r2-r5; its filter/dedup/split
-#                            stages are carried in-window by
-#                            text_profile, neardup_prune, and the two
-#                            hash_split-machinery sampling queries)
-#   IN  funnel_conversion_report (new in r6: sequenced-funnel analytics)
-#   OUT dedup_keep_best     (green r1-r5, longest-stable; its W1
-#                            row_number keep-best machinery IS
-#                            top_k_per_group, exercised in-window by
-#                            balanced_strata_sample; dedup family
-#                            carried by neardup_prune/dedup_clusters_star)
-#   IN  weekly_cohort_retention (new in r6: cohort-retention analytics)
-#   OUT multimodal_profile  (green r3-r5; the multimodal family keeps
-#                            the in-window hash-checked
-#                            multimodal_decode; payload/frame stats
-#                            guarded by the full local run + pytest)
-#   IN  fuzzy_name_pairs    (new in r6: deletion-blocking edit join)
-#   OUT tfidf_top_terms     (green r4-r5; the vocab-bounded corpus-
-#                            statistics family is carried in-window by
-#                            lm_doc_score and bigram_collocations)
-#   IN  supplier_triangles  (new in r6: degree-ordered triangle count)
-#   OUT dedup_clusters_star (green r4-r5; the large/small-star CC
-#                            machinery is the clustering stage inside
-#                            in-window neardup_prune; graph family
-#                            carried by supplier_pagerank + triangles)
-#   IN  stream_static_enrich (new in r6: stream-static dim lookup)
-#   OUT snapshot_diff_orders (green r2-r5; the CDC delta-APPLY side is
-#                            carried in-window by keyed_upsert and
-#                            streaming_upsert_dim; diff-detection
-#                            semantics pinned by tests/test_cdc.py and
-#                            the full local run)
-#   IN  boilerplate_scrub_stats (new in r6: block dedup + reassembly)
-#   OUT doc_chunks          (green r3-r5; the chunk-split semantics are
-#                            carried by the scrub query's block
-#                            machinery; the UDTF execution path stays
-#                            guarded by the full local oracle run)
-#   IN  cluster_topic_terms (new in r6: cluster -> top-terms summary)
-#   OUT kmeans_ivf_assign   (green r5; its kmeans_iterate +
-#                            assign_clusters machinery is the training
-#                            stage INSIDE cluster_topic_terms, whose
-#                            oracle unrolls the same two Lloyd's
-#                            iterations)
+# Round 7 rotation. After round 6 every oracle-bearing query has held
+# at least one driver hash-green verdict, so this round's window serves
+# two purposes:
+#   IN (never green — new in r7): checkpoint_restart_strikes,
+#       checkpoint_restart_windowed (X71/X81 durable-checkpoint restart,
+#       previously pytest-only), stream_left_join_events (X90 left
+#       stream-stream join), compact_parquet_roundtrip (X91 small-files
+#       compaction) — all four now carry full hash oracles.
+#   IN (re-confirmation — last driver green r2-r4, the long tail the
+#       judge asked to re-arm): the 24 r2-green queries (binary_metadata
+#       ... word_freq_topk), the 8 r3-green (active_count_by_designation
+#       ... salted_skew_join), and the 5 r4-green (dedup_clusters,
+#       dedup_last_write_wins, json_lines_roundtrip, orc_roundtrip,
+#       pct_of_quota). The r5/r6-stale cohort rotates in round 8.
+#   KEPT (family anchors, all r6 green, so every displaced family
+#       retains an in-window carrier): daily_pipeline (composed S1-S6 +
+#       K1-K4 sinks), scd2_merge (J1 SCD-2), keyed_upsert (K6 MERGE),
+#       neardup_prune (LSH->verify->CC dedup stack), ann_recall_report
+#       (exact + all 6 ANN methods, shared index), purchase_asof_view
+#       (temporal joins), stream_dedup_counts / session_window_counts /
+#       streaming_upsert_dim (streaming dedup, session-window, and
+#       foreachBatch state machines — distinct from the restart
+#       carriers' machinery).
+#   OUT (rotated to the tail; each is r6 driver-green and guarded by
+#       the committed full local run): supplier_pagerank + supplier_
+#       triangles (graph ranking; CC family carried by dedup_clusters),
+#       staging_promote_roundtrip (K5 carried by daily_pipeline +
+#       published_report_roundtrip), zorder_layout_stats / schema_
+#       evolution_read / bucketed_colocated_join (layout family; format
+#       surface carried by json_lines/orc roundtrips), funnel/cohort
+#       (temporal analytics carried by longest_leave_streak + trailing_
+#       revenue_90d machinery), upcoming_leave_pct + strike_report_
+#       rlike (reference reports carried by pct_of_quota + strike_
+#       report_batch), strike_window_counts -> checkpoint_restart_
+#       windowed (same plan + restart), strike_stream_stateful ->
+#       checkpoint_restart_strikes (same state machine + restart),
+#       stream_purchase_view_join -> stream_left_join_events (left join
+#       generalizes the inner), events_in_error_windows + user_value_
+#       trend + hourly_interpolated_series + value_outliers (temporal
+#       family carried by purchase_asof_view + promoted r2 windows),
+#       bloom_pruned_join + salted... (join-strategy family carried by
+#       salted_skew_join + region_supplier_volume), stream_static_
+#       enrich (dim lookup carried by streaming_upsert_dim), quality_
+#       weighted_sample + balanced_strata_sample (sampling carried by
+#       stratified_sample), column_profile + revenue_cube_report (agg
+#       audit carried by cube_order_stats/rollup_revenue/salary_
+#       percentiles), the ANN/PQ singletons (carried by
+#       ann_recall_report, which runs every method against the exact
+#       ground truth), pii_scrub/winnow/simhash/boilerplate/fuzzy/
+#       bigram/cluster_topic/lm_doc/context_pack (text+dedup stack
+#       carried by neardup_prune + the promoted r2 text queries),
+#       multimodal_decode (carried by binary_metadata + multimodal_
+#       frame_stats), text_profile (carried by its four component
+#       queries, all promoted), weekly_cohort_retention, format_
+#       roundtrips (carried by json_lines_roundtrip + orc_roundtrip).
 # ---------------------------------------------------------------------------
 _PRIORITY: tuple[str, ...] = (
-    # composed pipeline and every sink shape (S1-S6, K1-K5)
-    "supplier_pagerank",
+    # new in r7: restart/maintenance operators, never driver-checked
+    "checkpoint_restart_strikes",
+    "checkpoint_restart_windowed",
+    "stream_left_join_events",
+    "compact_parquet_roundtrip",
+    # family anchors (r6 green) so displaced families stay covered
     "daily_pipeline",
-    "staging_promote_roundtrip",
-    "zorder_layout_stats",
-    "schema_evolution_read",
-    "bucketed_colocated_join",
-    # SCD / upsert / dedup / set ops (J1-J4, K6, W1-W2, O3-O5)
-    "keyed_upsert",
     "scd2_merge",
-    "funnel_conversion_report",
-    "upcoming_leave_pct",
-    # streaming (ST1-ST6): rlike strike path (carries the full ST2+ST4
-    # contract; the event_type stand-in variant rides the tail),
-    # stateful, windowed, dedup, session, stream-stream join,
-    # foreachBatch upsert
-    "strike_report_rlike",
-    "strike_window_counts",
-    "strike_stream_stateful",
+    "keyed_upsert",
+    "neardup_prune",
+    "ann_recall_report",
+    "purchase_asof_view",
     "stream_dedup_counts",
     "session_window_counts",
-    "stream_purchase_view_join",
     "streaming_upsert_dim",
-    # temporal joins / repair / sessionization
-    "purchase_asof_view",
-    "events_in_error_windows",
-    "user_value_trend",
-    "hourly_interpolated_series",
-    "bloom_pruned_join",
-    "value_outliers",
-    # CDC + curation
-    "stream_static_enrich",
-    "quality_weighted_sample",
-    "column_profile",
-    "revenue_cube_report",
-    "balanced_strata_sample",
-    # LLM dedup / similarity / multimodal / text-scrub stack
-    "supplier_triangles",
-    "neardup_prune",
-    "simhash_hamming_pairs",
-    "boilerplate_scrub_stats",
-    "pq_adc_search",
-    "ivf_topk_multiprobe",
-    "embedding_quantize",
-    "quantized_topk_rescore",
-    "quantized_ivf_topk",
-    "ann_recall_report",
-    "pq_ivf_search",
-    "pii_scrub",
-    "winnow_fingerprint_pairs",
-    "context_pack_bins",
-    "fuzzy_name_pairs",
-    "bigram_collocations",
-    "cluster_topic_terms",
-    "lm_doc_score",
-    "multimodal_decode",
-    # composed family carriers: one slot covers several SURVEY rows
-    # (text X1-X5; formats X61+X62; multimodal decode carries X17 with
-    # X16+X33 guarded by the local run after multimodal_profile's r6
-    # rotation to the tail)
-    "text_profile",
-    "weekly_cohort_retention",
-    "format_roundtrips",
+    # re-confirmation: last driver green round 2
+    "binary_metadata",
+    "cube_order_stats",
+    "customers_with_urgent_orders",
+    "customers_without_urgent_orders",
+    "doc_fingerprint",
+    "lang_id",
+    "longest_leave_streak",
+    "multimodal_frame_stats",
+    "promo_revenue_share",
+    "quality_score",
+    "region_supplier_volume",
+    "rollup_revenue",
+    "salary_change_deltas",
+    "salary_percentiles",
+    "salary_rank_analytics",
+    "status_pivot_report",
+    "stratified_sample",
+    "strike_report_batch",
+    "text_stats",
+    "top3_orders_per_customer",
+    "top_earner_per_designation",
+    "trailing_revenue_90d",
+    "union_entities",
+    "word_freq_topk",
+    # re-confirmation: last driver green round 3
+    "active_count_by_designation",
+    "distinct_order_supp_pairs",
+    "epoch_status_clean",
+    "except_all_dupes",
+    "json_props_stats",
+    "ordered_designation_report",
+    "published_report_roundtrip",
+    "salted_skew_join",
+    # re-confirmation: last driver green round 4
+    "dedup_clusters",
+    "dedup_last_write_wins",
+    "json_lines_roundtrip",
+    "orc_roundtrip",
+    "pct_of_quota",
 )
 
 #: Queries whose driver check is rows-only BY CONTRACT (no SQL oracle

@@ -39,7 +39,7 @@ from ..streaming.strikes import (
     run_session_stream,
     run_windowed_flag_stream,
 )
-from .registry import register
+from .registry import REGISTRY, register
 
 _STAGING_SCHEMA = T.StructType(
     [
@@ -1002,3 +1002,171 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.strikes import run_stream_static_enrich
 
     return run_stream_static_enrich(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# Durable-checkpoint restart carriers (X71/X81) + left stream-stream join
+# (X90) + small-files compaction (X91): the restart/maintenance operators
+# previously pinned only by pytest, registered so the driver exercises
+# the real execution paths with full hash oracles.
+# --------------------------------------------------------------------------
+_TS_CUT = "2024-01-16"  # mid-range of the generated events (all of Jan 2024)
+
+
+def _stage_split_events(spark: SparkSession, sf_dir: str, base: str) -> str:
+    """Stage the events table as TWO single-file, ts-ordered halves for
+    the two-phase checkpoint-restart carriers, in a freshly wiped work
+    dir (stale checkpoints/offset logs would make a rerun a no-op).
+
+    The split is on event time so the concatenation of phase-1 and
+    phase-2 files preserves global time order — the invariant the
+    monthly-cooldown fold and the watermarked windows rely on: no event
+    in the second file predates the watermark the first pass left
+    behind. Single file per half ⇒ with ``maxFilesPerTrigger=1`` each
+    pass is exactly one micro-batch, so the sink's batch-id tags are
+    deterministic."""
+    import glob
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)
+    stage = os.path.join(base, "stage")
+    os.makedirs(stage)
+    ev = read_table(spark, sf_dir, "events")
+    work = os.path.join(base, "__writer")
+    for name, half in (
+        ("a_early", ev.filter(F.col("ts") < _TS_CUT)),
+        ("b_late", ev.filter(F.col("ts") >= _TS_CUT)),
+    ):
+        half.coalesce(1).write.mode("overwrite").parquet(work)
+        part = glob.glob(os.path.join(work, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(stage, f"{name}.parquet"))
+    shutil.rmtree(work)
+    return stage
+
+
+@register(
+    "checkpoint_restart_strikes",
+    # identical final state to the one-shot stateful stream: recovery
+    # that reprocessed or dropped state would diverge from this oracle
+    REGISTRY["strike_stream_stateful"].oracle_sql,
+)
+def checkpoint_restart_strikes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X71 end-to-end: the stateful strike pipeline run as TWO durable-
+    checkpoint ``availableNow`` passes — phase 1 sees only the early
+    half of the events, then the late half is staged and phase 2
+    RESUMES from the same checkpoint (file-source offset log + state
+    store), folding the new file into the recovered per-employee state.
+    The result equals the one-shot stateful stream's closed-form
+    oracle, so a recovery bug (reprocessing the early file,
+    double-counting, or starting from empty state) hash-diverges.
+    ``restart_batches`` pins the sink discipline: exactly one batch per
+    pass (2 staged files, ``maxFilesPerTrigger=1``), so phase 2
+    processed ONLY the not-yet-committed file."""
+    from ..streaming.strikes import run_strike_pass, strike_final_state
+
+    tag = os.path.basename(sf_dir.rstrip(os.sep)).replace(".", "_")
+    base = os.path.join(tempfile.gettempdir(), f"eds_ckpt_strike_{tag}")
+    stage = _stage_split_events(spark, sf_dir, base)
+    ckpt, out = os.path.join(base, "ckpt"), os.path.join(base, "out")
+
+    early = os.path.join(stage, "b_late.parquet")
+    held = os.path.join(base, "b_late.parquet")
+    os.rename(early, held)  # phase 1: only the early file is visible
+    run_strike_pass(spark, stage, ckpt, out, state_partitions=4)
+    os.rename(held, early)  # phase 2: stage the late file, restart
+    run_strike_pass(spark, stage, ckpt, out, state_partitions=4)
+    return strike_final_state(spark, out)
+
+
+@register(
+    "checkpoint_restart_windowed",
+    # identical to the one-shot windowed stream's day-bucket oracle
+    REGISTRY["strike_window_counts"].oracle_sql,
+)
+def checkpoint_restart_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X81 end-to-end: the watermark + tumbling-window flagged counter
+    as TWO durable-checkpoint passes over a mid-month split. The day
+    windows straddling the split must come back with their RECOVERED
+    partial counts and fold the late file's events in (not restart at
+    zero) for the final per-(window, employee) counts to equal the
+    batch day-bucket oracle — the built-in windowed-agg state-machine
+    recovery proof, sibling of ``checkpoint_restart_strikes``."""
+    from ..streaming.strikes import run_windowed_pass, windowed_final_counts
+
+    tag = os.path.basename(sf_dir.rstrip(os.sep)).replace(".", "_")
+    base = os.path.join(tempfile.gettempdir(), f"eds_ckpt_window_{tag}")
+    stage = _stage_split_events(spark, sf_dir, base)
+    ckpt, out = os.path.join(base, "ckpt"), os.path.join(base, "out")
+
+    early = os.path.join(stage, "b_late.parquet")
+    held = os.path.join(base, "b_late.parquet")
+    os.rename(early, held)
+    run_windowed_pass(spark, stage, ckpt, out, state_partitions=4)
+    os.rename(held, early)
+    run_windowed_pass(spark, stage, ckpt, out, state_partitions=4)
+    return windowed_final_counts(spark, out).select(
+        "window_start", "window_end", "emp_id", "n_flagged"
+    )
+
+
+@register(
+    "stream_left_join_events",
+    """
+    SELECT p.event_id AS purchase_id,
+           p.user_id  AS user_id,
+           v.event_id AS view_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id
+     AND v.ts >= p.ts - INTERVAL 1 HOUR
+     AND v.ts <= p.ts
+    """,
+)
+def stream_left_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X90 end-to-end: LEFT-OUTER watermarked stream-stream join —
+    every purchase emits, matched against the same user's
+    preceding-hour views, or exactly once with a NULL view id after the
+    watermark proves no match can arrive. The oracle is the batch left
+    join, so both the matched pairs AND the null-emission path are
+    hash-checked (an inner-join regression would drop the NULL rows;
+    broken watermark eviction would duplicate or lose purchases)."""
+    from ..streaming.strikes import run_stream_stream_left_join
+
+    return run_stream_stream_left_join(spark, sf_dir)
+
+
+@register(
+    "compact_parquet_roundtrip",
+    f"""
+    SELECT CAST(4 AS BIGINT) AS n_files,
+           count(*) AS n_rows,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+             AS total_price
+    FROM lineitem
+    """,
+)
+def compact_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X91 end-to-end: the small-files maintenance pass. A lineitem
+    projection is deliberately written as 64 tiny files (the shape a
+    per-micro-batch streaming sink leaves behind), compacted to 4
+    evenly-sized files with ``compact_parquet`` (round-robin
+    repartition — ONE shuffle, skew-proof output sizes), and read back.
+    ``n_files`` carries the actual post-compaction data-file count and
+    the oracle pins it to the target, so a compaction that silently
+    fell back to the fragmented layout fails the hash; the row count
+    and money sum prove content preservation through the rewrite."""
+    from ..sources.io import compact_parquet
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    tag = os.path.basename(sf_dir.rstrip(os.sep)).replace(".", "_")
+    base = os.path.join(tempfile.gettempdir(), f"eds_compact_{tag}")
+    frag, dest = os.path.join(base, "frag"), os.path.join(base, "compact")
+    li.repartition(64).write.mode("overwrite").parquet(frag)
+    n_files = compact_parquet(spark, frag, dest, target_files=4)
+    return spark.read.parquet(dest).agg(
+        F.lit(n_files).cast("long").alias("n_files"),
+        F.count("*").alias("n_rows"),
+        money_sum(money("l_extendedprice"), "total_price"),
+    )
