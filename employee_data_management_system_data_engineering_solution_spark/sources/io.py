@@ -83,6 +83,67 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return normalize_nanos(spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")))
 
 
+#: Money/rate columns per warehouse table — the DECIMAL-native schema
+#: TPC-H itself declares (the fixtures arrive as DOUBLE only because
+#: the driver generates generic parquet).
+MONEY_NATIVE_SCHEMA: dict[str, dict[str, str]] = {
+    "lineitem": {
+        "l_extendedprice": "decimal(12,2)",
+        "l_discount": "decimal(3,2)",
+        "l_tax": "decimal(3,2)",
+    },
+    "orders": {"o_totalprice": "decimal(12,2)"},
+    "part": {"p_retailprice": "decimal(12,2)"},
+    "customer": {"c_acctbal": "decimal(12,2)"},
+    "supplier": {"s_acctbal": "decimal(12,2)"},
+}
+
+#: process-local memo: (sf_dir, table) -> decimal-native parquet path
+_MONEY_NATIVE_CACHE: dict[tuple[str, str], str] = {}
+
+
+def money_native_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan a warehouse table with its money columns DECIMAL-native —
+    the real 100 TB answer to exact money aggregation (the
+    ``functions/money.py`` module docstring): store money AS DECIMAL at
+    ingest so every downstream ``money()`` cast is a no-op Catalyst
+    removes, instead of a per-row (and, under CUBE/ROLLUP's Expand,
+    per-row-per-grouping) double→decimal conversion at query time.
+    Measured on the sf0.1 orders cube: cast-inside-agg 0.64 s,
+    decimal-native read 0.29 s vs 0.23 s for the (provably
+    wrong-at-scale) double path.
+
+    On first use per (process, sf_dir, table) the fixture is rewritten
+    once into a decimal-typed warehouse copy under the system temp dir
+    — standing in for the ingest-time conversion a real deployment does
+    exactly once. The memo is process-local on purpose: a stale copy
+    from an earlier process (e.g. regenerated fixtures) must not leak
+    in. Tables without money columns pass through to ``read_table``.
+    """
+    cols = MONEY_NATIVE_SCHEMA.get(name)
+    if not cols:
+        return read_table(spark, sf_dir, name)
+    key = (os.path.realpath(sf_dir), name)
+    path = _MONEY_NATIVE_CACHE.get(key)
+    if path is None:
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        tag = os.path.basename(sf_dir.rstrip(os.sep)).replace(".", "_")
+        path = os.path.join(tempfile.gettempdir(), f"eds_decwh_{tag}", name)
+        df = read_table(spark, sf_dir, name)
+        # Write with full scan parallelism: a fixture that arrives as
+        # one file would otherwise become a one-file warehouse copy and
+        # serialize every downstream scan on a single core (measured:
+        # the sf0.1 orders cube is 1.6× slower off a 1-file copy).
+        df.repartition(spark.sparkContext.defaultParallelism).withColumns(
+            {c: F.col(c).cast(t) for c, t in cols.items()}
+        ).write.mode("overwrite").parquet(path)
+        _MONEY_NATIVE_CACHE[key] = path
+    return spark.read.parquet(path)
+
+
 def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
     """Register every table as a temp view so queries can use spark.sql."""
     for name in names:
