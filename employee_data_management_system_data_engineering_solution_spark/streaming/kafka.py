@@ -151,3 +151,97 @@ def events_from_kafka(
     """The one-call production source: configured reader → load →
     parse. Requires a reachable broker; see module docstring."""
     return parse_kafka_events(kafka_reader(spark, bootstrap_servers, topic, **kwargs).load())
+
+
+#: Kafka's full wire schema, as ``readStream.format("kafka")`` delivers
+#: it. A file-backed replay dir written in this shape is plug-compatible
+#: with the broker source, so the composed topology below is testable
+#: end-to-end in the sandbox and deployable unchanged on a cluster.
+KAFKA_WIRE_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.BinaryType()),
+        T.StructField("value", T.BinaryType()),
+        T.StructField("topic", T.StringType()),
+        T.StructField("partition", T.IntegerType()),
+        T.StructField("offset", T.LongType()),
+        T.StructField("timestamp", T.TimestampType()),
+        T.StructField("timestampType", T.IntegerType()),
+    ]
+)
+
+
+def run_strike_stream_from_wire(
+    spark: SparkSession, wire_dir: str, state_partitions: int = 4
+) -> DataFrame:
+    """The COMPLETE production Kafka topology in one call: wire frames →
+    ``parse_kafka_events`` → reserved-word ``flag_messages`` over the
+    message payload (the production path, not the ``event_type``
+    stand-in) → the per-employee stateful strike machine → final state
+    (emp_id, strike_count, status).
+
+    ``wire_dir`` holds parquet files of ``KAFKA_WIRE_SCHEMA`` rows —
+    a file-backed stand-in whose one-line difference from production is
+    the source (``readStream.parquet(dir)`` here,
+    ``kafka_reader(...).load()`` on a cluster); every operator after
+    the source is byte-identical. One staged file per micro-batch, so a
+    multi-file dir exercises cross-batch state continuation exactly as
+    a long-lived topic would.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from .strikes import (
+        _OUTPUT_SCHEMA,
+        _STATE_SCHEMA,
+        _strike_state_fn,
+        flag_messages,
+    )
+
+    prior_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    name = "kafka_wire_strikes_sink"
+    q = None
+    try:
+        wire = (
+            spark.readStream.schema(KAFKA_WIRE_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(wire_dir)
+        )
+        parsed = parse_kafka_events(wire)
+        prepared = flag_messages(parsed, "props").select(
+            F.col("user_id").alias("emp_id"),
+            "flagged",
+            F.date_format("ts", "yyyy-MM").alias("month"),
+        )
+        result = prepared.groupBy("emp_id").applyInPandasWithState(
+            _strike_state_fn,
+            outputStructType=_OUTPUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        q = (
+            result.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = spark.table(name)
+        out = spark.createDataFrame(out.collect(), schema=out.schema)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior_parts)
+        if q is not None:
+            q.stop()
+        spark.catalog.dropTempView(name)
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("emp_id").orderBy(
+        F.col("month").desc(), F.col("strike_count").desc()
+    )
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("emp_id", "strike_count", "status")
+    )

@@ -15,6 +15,7 @@ import pytest
 from pyspark.sql import Row
 
 from employee_data_management_system_data_engineering_solution_spark.streaming.kafka import (
+    KAFKA_WIRE_SCHEMA,
     kafka_reader,
     kafka_source_options,
     parse_kafka_events,
@@ -178,3 +179,82 @@ def test_extras_cannot_smuggle_unset_core_options():
         kafka_source_options("broker:9092", "events", extra={"maxOffsetsPerTrigger": "0"})
     with pytest.raises(ValueError, match="override validated core"):
         kafka_source_options("broker:9092", "events", extra={"minPartitions": "-5"})
+
+
+def _write_wire_file(spark, payloads, dest, base_offset=0):
+    """One parquet file of KAFKA_WIRE_SCHEMA rows — a Kafka topic
+    segment on disk."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    rows = [
+        Row(
+            key=str(p["user_id"]).encode(),
+            value=json.dumps(p).encode(),
+            topic="emp-comms",
+            partition=p["user_id"] % 2,
+            offset=base_offset + i,
+            timestamp=dt.datetime(2024, 1, 1, 0, 0, 0),
+            timestampType=0,
+        )
+        for i, p in enumerate(payloads)
+    ]
+    work = tempfile.mkdtemp(prefix="eds_wire_writer_")
+    spark.createDataFrame(rows, schema=KAFKA_WIRE_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(work)
+    part = glob.glob(os.path.join(work, "part-*.parquet"))[0]
+    shutil.move(part, dest)
+    shutil.rmtree(work, ignore_errors=True)
+
+
+def test_wire_replay_through_full_strike_pipeline(spark, tmp_path):
+    """The composed production topology end-to-end: file-backed Kafka
+    wire frames -> parse_kafka_events -> reserved-word flag_messages on
+    the payload -> applyInPandasWithState strike machine, across TWO
+    micro-batches (one wire file per batch, January then February), so
+    the monthly-cooldown reset and the INACTIVE latch both fire through
+    the REAL parse path — previously parse and pipeline were only
+    tested separately."""
+    from employee_data_management_system_data_engineering_solution_spark.streaming.kafka import (
+        run_strike_stream_from_wire,
+    )
+
+    def msg(i, uid, ts, flagged):
+        return {
+            "event_id": i,
+            "ts": ts,
+            "user_id": uid,
+            "event_type": "message",
+            "value": 0.0,
+            "props": "contains confidential data" if flagged else "lunch plans",
+        }
+
+    # emp 1: 3 flagged in Jan + 2 in Feb => cooldown reset => 2 ACTIVE
+    # emp 2: 12 flagged in Jan (INACTIVE latch) + 3 in Feb => 15 INACTIVE
+    # emp 3: first seen in Feb, 1 flagged => 1 ACTIVE
+    # emp 4: never flagged => 0 ACTIVE (parse must not drop clean rows)
+    jan = [msg(i, 1, f"2021-01-05T00:00:{i:02d}", True) for i in range(3)]
+    jan += [msg(100 + i, 2, f"2021-01-06T00:00:{i:02d}", True) for i in range(12)]
+    jan += [msg(200, 4, "2021-01-07T00:00:00", False)]
+    feb = [msg(300 + i, 1, f"2021-02-05T00:00:{i:02d}", True) for i in range(2)]
+    feb += [msg(400 + i, 2, f"2021-02-06T00:00:{i:02d}", True) for i in range(3)]
+    feb += [msg(500, 3, "2021-02-07T00:00:00", True)]
+
+    wire_dir = tmp_path / "wire"
+    wire_dir.mkdir()
+    _write_wire_file(spark, jan, str(wire_dir / "a_jan.parquet"))
+    _write_wire_file(spark, feb, str(wire_dir / "b_feb.parquet"), base_offset=1000)
+
+    got = {
+        r.emp_id: (r.strike_count, r.status)
+        for r in run_strike_stream_from_wire(spark, str(wire_dir)).collect()
+    }
+    assert got == {
+        1: (2, "ACTIVE"),
+        2: (15, "INACTIVE"),
+        3: (1, "ACTIVE"),
+        4: (0, "ACTIVE"),
+    }
