@@ -33,6 +33,17 @@ TARGETS = [
     "bloom_pruned_join",
     "supplier_pagerank",
     "hourly_interpolated_series",
+    # round-7 additions: the two heavy composed pipelines the r6 sweep
+    # missed (judge item 4), the restart/maintenance carriers, and the
+    # decimal-native Expand queries
+    "neardup_prune",
+    "cluster_topic_terms",
+    "checkpoint_restart_strikes",
+    "checkpoint_restart_windowed",
+    "stream_left_join_events",
+    "compact_parquet_roundtrip",
+    "cube_order_stats",
+    "rollup_revenue",
     # round-6 late additions
     "pq_ivf_search",
     "fuzzy_name_pairs",
