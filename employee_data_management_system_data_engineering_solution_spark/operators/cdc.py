@@ -33,6 +33,7 @@ def snapshot_diff(
     compare: Sequence[str] | None = None,
     *,
     keep_unchanged: bool = False,
+    keep_old: bool = False,
 ) -> DataFrame:
     """Diff two snapshots of the same table into insert/update/delete
     rows.
@@ -42,6 +43,11 @@ def snapshot_diff(
     snapshot (from the OLD one for deletes). Comparison is null-safe;
     rows equal on every compare column are 'unchanged' and dropped
     unless ``keep_unchanged``.
+
+    ``keep_old=True`` additionally emits ``old_<col>`` columns holding
+    the OLD snapshot's values (NULL for inserts) — the shape
+    incremental aggregate maintenance needs: an update's contribution
+    is (−old, +new), which is unrecoverable from new-side values alone.
 
     Keys join null-safely, so a NULL-keyed row present in both
     snapshots diffs as update/unchanged (a plain-SQL ``=`` join would
@@ -78,6 +84,11 @@ def snapshot_diff(
         *[F.coalesce(F.col(f"__n_{k}"), F.col(f"__o_{k}")).alias(k) for k in keys],
         change.alias(CHANGE_COL),
         *[F.coalesce(F.col(f"__n_{c}"), F.col(f"__o_{c}")).alias(c) for c in compare],
+        *(
+            [F.col(f"__o_{c}").alias(f"old_{c}") for c in compare]
+            if keep_old
+            else []
+        ),
     )
     return out if keep_unchanged else out.filter(F.col(CHANGE_COL) != "unchanged")
 
@@ -108,3 +119,81 @@ def hash_split(
             else chain.when(F.col("bucket") < bound, F.lit(name))
         )
     return df.withColumn("bucket", bucket).withColumn("split", chain)
+
+
+def agg_delta_contributions(
+    diff: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-group (Δcount, Δsum) contributions from a ``keep_old``
+    snapshot diff — the delta half of incremental aggregate
+    maintenance (the standard insert/delete-pair formulation: an
+    update contributes (−1, −old) to its OLD group and (+1, +new) to
+    its NEW group, which nets the count to zero when the group didn't
+    move and handles group-changing updates with no special case).
+
+    Output: (group_col, d_n, d_sum). Scale: one narrow explode of ≤2
+    structs per changed row, then ONE groupBy on the grouping key whose
+    cardinality is the report's, not the table's. The whole point at
+    100 TB: the refresh touches |delta| rows, never the base table.
+    """
+    g, v = F.col(group_col), F.col(value_col)
+    og, ov = F.col(f"old_{group_col}"), F.col(f"old_{value_col}")
+    plus = F.struct(g.alias("g"), F.lit(1).alias("dn"), v.alias("dv"))
+    minus = F.struct(
+        F.coalesce(og, g).alias("g"),
+        F.lit(-1).alias("dn"),
+        (-F.coalesce(ov, v)).alias("dv"),
+    )
+    contribs = (
+        F.when(F.col(CHANGE_COL) == "insert", F.array(plus))
+        .when(F.col(CHANGE_COL) == "delete", F.array(minus))
+        .otherwise(F.array(minus, plus))  # update = delete(old) + insert(new)
+    )
+    return (
+        diff.select(F.explode(contribs).alias("c"))
+        .groupBy(F.col("c.g").alias(group_col))
+        .agg(
+            F.sum("c.dn").alias("d_n"),
+            F.sum("c.dv").alias("d_sum"),
+        )
+    )
+
+
+def apply_agg_delta(
+    base_agg: DataFrame,
+    delta: DataFrame,
+    group_cols: Sequence[str],
+    pairs: Sequence[tuple[str, str]],
+    count_col: str,
+) -> DataFrame:
+    """Merge per-group delta contributions into a stored aggregate:
+    full-outer join on the group key, add each additive ``(base_col,
+    delta_col)`` pair with NULL→0 coalescing (the count pair included),
+    drop groups whose refreshed count is zero (fully deleted), keep
+    groups the delta newly created.
+
+    Exactness contract: works for counts and DECIMAL money sums —
+    2-decimal money sums are exact and never round (a sum of cents is
+    cents), so ``stored + Δ`` equals the full recompute bit-for-bit;
+    do NOT feed it double sums, whose stored value depends on the
+    original summation order. One shuffle on the group key, sized by
+    report cardinality.
+    """
+    group_cols = list(group_cols)
+    b = reduce(
+        lambda df, c: df.withColumnRenamed(c, f"__b_{c}"),
+        [bc for bc, _ in pairs],
+        base_agg,
+    )
+    merged = b.join(delta, group_cols, "full_outer")
+    zero = F.lit(0)
+    out = merged.select(
+        *group_cols,
+        *[
+            (F.coalesce(F.col(f"__b_{bc}"), zero) + F.coalesce(F.col(dc), zero)).alias(bc)
+            for bc, dc in pairs
+        ],
+    )
+    return out.filter(F.col(count_col) > 0)

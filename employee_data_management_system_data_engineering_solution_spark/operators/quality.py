@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -112,3 +112,24 @@ def approx_distinct(df: DataFrame, cols: Sequence[str], rsd: float = 0.05) -> Da
     return df.agg(
         *[F.approx_count_distinct(c, rsd).alias(f"{c}_approx") for c in cols]
     )
+
+
+def validate_constraints(df: DataFrame, checks: dict[str, Column]) -> DataFrame:
+    """Data-quality gate: append a ``violations`` array column naming
+    every failed check (empty array = clean row). ``checks`` maps
+    check name → predicate that must HOLD; a NULL predicate result
+    (e.g. ``NULL > 0`` from a null value reaching a range check) counts
+    as a violation — three-valued logic must never wave a row through.
+
+    Scale: pure narrow map, no shuffle, JVM-side (``when`` +
+    ``array_compact``); the quarantine split downstream is two filters
+    over one pass. FK-existence checks are joins and belong to the
+    caller (join strategy — broadcast vs shuffle — is a deployment
+    decision, not a validation rule)."""
+    from pyspark.sql import functions as F
+
+    items = [
+        F.when(~F.coalesce(pred, F.lit(False)), F.lit(name))
+        for name, pred in checks.items()
+    ]
+    return df.withColumn("violations", F.array_compact(F.array(*items)))

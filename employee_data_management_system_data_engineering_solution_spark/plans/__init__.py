@@ -56,7 +56,15 @@ from .registry import REGISTRY, register
 #       checkpoint_restart_windowed (X71/X81 durable-checkpoint restart,
 #       previously pytest-only), stream_left_join_events (X90 left
 #       stream-stream join), compact_parquet_roundtrip (X91 small-files
-#       compaction) — all four now carry full hash oracles.
+#       compaction), incremental_agg_refresh (X106 materialized-view
+#       delta maintenance), constraint_quarantine (X107 data-quality
+#       gate) — all six carry full hash oracles. The third r7 addition,
+#       salary_percentiles_approx, is rows-only by contract (sketch
+#       quantiles) and rides the tail like column_profile_approx.
+#       json_lines_roundtrip + orc_roundtrip yield their slots to the
+#       two new queries (their format legs stay carried by
+#       format_roundtrips in the tail and the full local run; both are
+#       r4-green and rotate back in round 8).
 #   IN (re-confirmation — last driver green r2-r4, the long tail the
 #       judge asked to re-arm): the 24 r2-green queries (binary_metadata
 #       ... word_freq_topk), the 8 r3-green (active_count_by_designation
@@ -111,6 +119,8 @@ _PRIORITY: tuple[str, ...] = (
     "checkpoint_restart_windowed",
     "stream_left_join_events",
     "compact_parquet_roundtrip",
+    "incremental_agg_refresh",
+    "constraint_quarantine",
     # family anchors (r6 green) so displaced families stay covered
     "daily_pipeline",
     "scd2_merge",
@@ -155,11 +165,10 @@ _PRIORITY: tuple[str, ...] = (
     "ordered_designation_report",
     "published_report_roundtrip",
     "salted_skew_join",
-    # re-confirmation: last driver green round 4
+    # re-confirmation: last driver green round 4 (json_lines_roundtrip
+    # and orc_roundtrip wait for round 8 — see the rotation note above)
     "dedup_clusters",
     "dedup_last_write_wins",
-    "json_lines_roundtrip",
-    "orc_roundtrip",
     "pct_of_quota",
 )
 
@@ -170,8 +179,11 @@ _PRIORITY: tuple[str, ...] = (
 #: column_profile_approx: HLL++ estimates are engine-specific (pinned
 #: by error-bound tests in tests/test_quality.py against the exact
 #: column_profile).
+#: salary_percentiles_approx: Greenwald-Khanna sketch quantiles are
+#: engine-specific (pinned by rank-error-bound tests in
+#: tests/test_quality.py against the exact salary_percentiles).
 ROWS_ONLY_BY_CONTRACT: frozenset[str] = frozenset(
-    {"simhash_signatures", "column_profile_approx"}
+    {"simhash_signatures", "column_profile_approx", "salary_percentiles_approx"}
 )
 
 _HISTORY_PATH = pathlib.Path(__file__).with_name("driver_history.json")

@@ -836,6 +836,36 @@ def salary_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("salary_percentiles_approx", None)  # sketch quantiles are engine-specific: no cross-engine oracle
+def salary_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB percentile path ``salary_percentiles``'s docstring
+    promises, exercised as a first-class carrier: same report via
+    ``approx_percentile`` (Greenwald-Khanna sketch, bounded state per
+    group, mergeable partials) instead of the exact aggregate's full
+    value→count map. Sketch outputs aren't engine-portable (DuckDB's
+    ``approx_quantile`` is a different sketch), so the driver records
+    the weaker rows-only verdict — ``tests/test_quality.py`` pins the
+    strong properties instead: group set and counts equal the exact
+    report's, and each approximate quantile lands within the sketch's
+    rank-error bound of the exact order statistics."""
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.col("o_orderpriority").alias("designation"))
+        .agg(
+            F.expr(
+                "approx_percentile(o_totalprice, array(0.5, 0.9), 1000)"
+            ).alias("_ps"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "designation",
+            F.round(F.col("_ps")[0], 4).alias("p50_salary"),
+            F.round(F.col("_ps")[1], 4).alias("p90_salary"),
+            "n",
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Advanced windows: gaps-and-islands + lag deltas (beyond the reference's
 # row_number-only window usage, SURVEY §2.6)

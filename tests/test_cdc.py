@@ -76,3 +76,67 @@ def test_quality_weighted_sample_contract(spark):
     # (hash buckets are uniform) — loose 3-sigma-ish band
     n_kept = len(out)
     assert 50 < n_kept < 500
+
+
+def test_keep_old_emits_old_values(spark):
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0)], "k INT, g STRING, v DOUBLE"
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 25.0), (3, "b", 30.0), (4, "c", 40.0)], "k INT, g STRING, v DOUBLE"
+    )
+    got = {
+        r.k: r
+        for r in snapshot_diff(old, new, ["k"], keep_old=True).collect()
+    }
+    assert got[1].change_type == "delete" and got[1].old_v == 10.0
+    assert got[2].change_type == "update" and got[2].old_g == "a" and got[2].g == "b"
+    assert got[2].old_v == 20.0 and got[2].v == 25.0
+    assert got[4].change_type == "insert" and got[4].old_v is None
+    assert 3 not in got  # unchanged
+
+
+def _recompute(df):
+    from pyspark.sql import functions as F
+
+    return {
+        (r.g, r.n, float(r.s))
+        for r in df.groupBy("g")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+        .collect()
+    }
+
+
+def test_incremental_refresh_equals_recompute_with_moves_and_empties(spark):
+    """The maintenance algebra on every edge: a fully-deleted group
+    vanishes, a delta-created group appears, a group-moving update
+    transfers (count, sum) between groups, and the refreshed aggregate
+    equals a from-scratch recompute of the new snapshot."""
+    from pyspark.sql import functions as F
+
+    from employee_data_management_system_data_engineering_solution_spark.operators.cdc import (
+        agg_delta_contributions,
+        apply_agg_delta,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30), (4, "gone", 40)],
+        "k INT, g STRING, v INT",
+    )
+    new = spark.createDataFrame(
+        # k=1 moves a->b, k=2 repriced in place, k=3 unchanged, k=4
+        # deleted (group 'gone' empties), k=5 creates group 'c'
+        [(1, "b", 10), (2, "a", 25), (3, "b", 30), (5, "c", 50)],
+        "k INT, g STRING, v INT",
+    )
+    base = old.groupBy("g").agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+    delta = agg_delta_contributions(
+        snapshot_diff(old, new, ["k"], keep_old=True), "g", "v"
+    )
+    refreshed = apply_agg_delta(
+        base, delta, ["g"], [("n", "d_n"), ("s", "d_sum")], count_col="n"
+    )
+    got = {(r.g, r.n, float(r.s)) for r in refreshed.collect()}
+    assert got == _recompute(new)
+    assert not any(g == "gone" for g, _, _ in got)
+    assert any(g == "c" for g, _, _ in got)

@@ -21,11 +21,13 @@ def test_oracle_keys_subset_of_queries(spark):
     # multimodal_decode a byte-statistics oracle in r5 — simhash's
     # blake2b stays SQL-inexpressible and is pinned by a pure-Python
     # reference implementation in test_dedup.py instead)
-    # column_profile_approx: HLL++ estimates are engine-specific; its
+    # column_profile_approx / salary_percentiles_approx: sketch
+    # estimates (HLL++, Greenwald-Khanna) are engine-specific; their
     # exact-statistics parity and error bounds are pytest-asserted
     assert set(qs) - set(oracles) == {
         "simhash_signatures",
         "column_profile_approx",
+        "salary_percentiles_approx",
     }
 
 
@@ -48,6 +50,7 @@ def test_check_window_covers_every_operator_family():
         # new in r7 — never driver-checked, full hash oracles:
         "checkpoint_restart_strikes", "checkpoint_restart_windowed",
         "stream_left_join_events", "compact_parquet_roundtrip",
+        "incremental_agg_refresh", "constraint_quarantine",
         # family anchors (r6 green): composed pipeline + sinks, SCD-2,
         # MERGE, LSH dedup stack, the 6-method ANN report, temporal
         # joins, and the three streaming state machines distinct from
@@ -71,9 +74,10 @@ def test_check_window_covers_every_operator_family():
         "epoch_status_clean", "except_all_dupes", "json_props_stats",
         "ordered_designation_report", "published_report_roundtrip",
         "salted_skew_join",
-        # re-confirmation cohort: last driver green r4
-        "dedup_clusters", "dedup_last_write_wins", "json_lines_roundtrip",
-        "orc_roundtrip", "pct_of_quota",
+        # re-confirmation cohort: last driver green r4 (json_lines /
+        # orc roundtrips deferred to r8; format legs carried by
+        # format_roundtrips + the full local run)
+        "dedup_clusters", "dedup_last_write_wins", "pct_of_quota",
     }
     assert carriers <= set(window), sorted(carriers - set(window))
 

@@ -123,3 +123,72 @@ def test_profile_columns_approx_bounds_vs_exact(spark):
         # 5-sigma bound on the relative standard deviation: loose
         # enough to be flake-free, tight enough to catch a wrong sketch
         assert abs(a.n_distinct - e.n_distinct) <= max(5 * rsd * e.n_distinct, 2), c
+
+
+def test_validate_constraints_null_predicate_is_violation(spark):
+    from pyspark.sql import functions as F
+
+    from employee_data_management_system_data_engineering_solution_spark.operators.quality import (
+        validate_constraints,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5.0, "O"), (2, -1.0, "O"), (3, None, "X"), (4, 2.0, None)],
+        "k INT, price DOUBLE, status STRING",
+    )
+    out = {
+        r.k: sorted(r.violations)
+        for r in validate_constraints(
+            df,
+            {
+                "pos": F.col("price") > 0,
+                "status_ok": F.col("status").isin("O", "F"),
+            },
+        ).collect()
+    }
+    assert out[1] == []
+    assert out[2] == ["pos"]
+    # NULL price -> NULL predicate -> VIOLATION, plus unknown status
+    assert out[3] == ["pos", "status_ok"]
+    # NULL status -> isin yields NULL -> violation
+    assert out[4] == ["status_ok"]
+
+
+def test_approx_percentiles_within_rank_error_of_exact(spark):
+    """salary_percentiles_approx (rows-only by contract): the group set
+    and counts must equal the exact report's, and each approximate
+    quantile must land between the exact order statistics at
+    probability +/- 2/accuracy — the Greenwald-Khanna guarantee with
+    margin."""
+    from pyspark.sql import functions as F
+
+    import employee_data_management_system_data_engineering_solution_spark.plans.core as core
+
+    sf = "/root/testdata/sf0.001"
+    approx = {r.designation: r for r in core.salary_percentiles_approx(spark, sf).collect()}
+    exact = {r.designation: r for r in core.salary_percentiles(spark, sf).collect()}
+    assert set(approx) == set(exact)
+    import bisect
+
+    from employee_data_management_system_data_engineering_solution_spark.sources.io import read_table
+
+    orders = read_table(spark, sf, "orders")
+    vals: dict[str, list[float]] = {}
+    for row in orders.select("o_orderpriority", "o_totalprice").collect():
+        vals.setdefault(row.o_orderpriority, []).append(row.o_totalprice)
+    eps = 2.0 / 1000  # accuracy=1000
+    for d, r in approx.items():
+        assert r.n == exact[d].n, d
+        xs = sorted(vals[d])
+        n = len(xs)
+        for p, got in ((0.5, r.p50_salary), (0.9, r.p90_salary)):
+            # the returned value must be an actual order statistic whose
+            # rank is within eps*n (+1 for discretization) of target —
+            # the GK guarantee, asserted rank-wise because approx
+            # returns data values, never interpolations
+            lo = bisect.bisect_left(xs, got)
+            hi = bisect.bisect_right(xs, got) - 1
+            assert lo <= hi, (d, p, got, "value not in group")
+            target = p * n
+            tol = eps * n + 1
+            assert lo - tol <= target <= hi + 1 + tol, (d, p, got, lo, hi, target)
