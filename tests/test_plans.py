@@ -201,3 +201,44 @@ def test_funnel_single_user_shuffle(spark):
     plan = plan_of(df, mode="simple")
     assert plan.count("Exchange") <= 3
     assert "Python" not in plan
+
+
+def test_incremental_refresh_bounded_exchanges_no_python(spark):
+    """The whole maintenance path — diff (one full-outer join), delta
+    explode+groupBy, stored-agg groupBy, final full-outer merge — must
+    stay JVM-side within a bounded exchange budget, all of them keyed
+    by order key or report key (never a cartesian / nested-loop)."""
+    df = REGISTRY["incremental_agg_refresh"].fn(spark, SF)
+    plan = plan_of(df, mode="simple")
+    assert "Python" not in plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    # 2 snapshot sides + base-agg + delta-agg + merge join: the
+    # pre-rewrite shape that rescans the base per stage showed up as 10+
+    assert plan.count("Exchange") <= 8
+
+
+def test_constraint_quarantine_single_scan_single_join(spark):
+    """The gate is one narrow validation pass + one FK join + one tiny
+    summary agg: the per-check counts must come from ONE scan of the
+    batch (conditional aggregation), never a scan per check."""
+    df = REGISTRY["constraint_quarantine"].fn(spark, SF)
+    plan = plan_of(df, mode="simple")
+    assert "Python" not in plan
+    # exactly one scan of the orders fixture feeds all six counters
+    assert plan.count("orders.parquet") == 1
+    # one FK join; the summary agg collapses to a single partition once
+    assert plan.count("Join") == 1
+    assert plan.count("Exchange SinglePartition") <= 1
+
+
+def test_approx_percentiles_single_exchange_map_side_sketch(spark):
+    """The GK sketch must merge map-side: partial aggregation before
+    the one group-key exchange, no Python, and the scan reads only the
+    two touched columns."""
+    df = REGISTRY["salary_percentiles_approx"].fn(spark, SF)
+    plan = plan_of(df)
+    assert "Python" not in plan
+    assert "partial" in plan.lower()
+    assert plan_of(df, mode="simple").count("Exchange") == 1
+    read_schema = plan.split("ReadSchema", 1)[1].splitlines()[0]
+    assert "o_comment" not in read_schema and "o_custkey" not in read_schema
