@@ -64,7 +64,11 @@ from .registry import REGISTRY, register
 #       json_lines_roundtrip + orc_roundtrip yield their slots to the
 #       two new queries (their format legs stay carried by
 #       format_roundtrips in the tail and the full local run; both are
-#       r4-green and rotate back in round 8).
+#       r4-green and rotate back in round 8). ann_rank_quality (X109,
+#       MRR/NDCG over the shared pinned index) takes
+#       dedup_last_write_wins's slot (W2 row_number machinery carried
+#       in-window by dedup_keep_best-family top-k and the local run;
+#       r4-green, rotates back in r8).
 #   IN (re-confirmation — last driver green r2-r4, the long tail the
 #       judge asked to re-arm): the 24 r2-green queries (binary_metadata
 #       ... word_freq_topk), the 8 r3-green (active_count_by_designation
@@ -121,6 +125,7 @@ _PRIORITY: tuple[str, ...] = (
     "compact_parquet_roundtrip",
     "incremental_agg_refresh",
     "constraint_quarantine",
+    "ann_rank_quality",
     # family anchors (r6 green) so displaced families stay covered
     "daily_pipeline",
     "scd2_merge",
@@ -165,10 +170,10 @@ _PRIORITY: tuple[str, ...] = (
     "ordered_designation_report",
     "published_report_roundtrip",
     "salted_skew_join",
-    # re-confirmation: last driver green round 4 (json_lines_roundtrip
-    # and orc_roundtrip wait for round 8 — see the rotation note above)
+    # re-confirmation: last driver green round 4 (json_lines_roundtrip,
+    # orc_roundtrip, dedup_last_write_wins wait for round 8 — see the
+    # rotation note above)
     "dedup_clusters",
-    "dedup_last_write_wins",
     "pct_of_quota",
 )
 

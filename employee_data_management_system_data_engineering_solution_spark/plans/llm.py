@@ -1095,130 +1095,28 @@ def _pq_search_ctes(k: int = 10, rf: int = 10, suffix: str = "", ivf: bool = Fal
     )"""
 
 
-@register(
-    "ann_recall_report",
-    f"""
-    WITH {_ANN_BASE_CTES},
-    {_SQ8_IVF_CTES},
-    {_pq_train_ctes()},
-    {_pq_search_ctes()},
-    {_pq_search_ctes(suffix="_ivf", ivf=True)},
-    truth AS (
-      SELECT query_id, neighbor_id FROM (
-        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-               row_number() OVER (
-                 PARTITION BY q.vec_id
-                 ORDER BY round(list_dot_product(q.e, c.e)
-                       / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))),
-                       6) DESC, c.vec_id ASC) AS rn
-        FROM (SELECT * FROM v WHERE vec_id >= 100 AND vec_id < 105) q
-        JOIN v c ON c.vec_id <> q.vec_id
-      ) WHERE rn <= 10
-    ),
-    ivf_scored AS (
-      SELECT qp.query_id, a.vec_id AS neighbor_id, qp.probe_rank,
-             round(list_dot_product(qe.e, a.e)
-                   / (sqrt(list_dot_product(qe.e, qe.e)) * sqrt(list_dot_product(a.e, a.e))),
-                   6) AS cosine_sim
-      FROM qprobe qp
-      JOIN assigned a ON a.cluster_id = qp.cluster_id
-      JOIN v qe ON qe.vec_id = qp.query_id
-      WHERE a.vec_id <> qp.query_id
-    ),
-    m_ivf AS (
-      SELECT query_id, neighbor_id FROM (
-        SELECT *, row_number() OVER (
-          PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
-        FROM ivf_scored WHERE probe_rank = 1
-      ) WHERE rn <= 10
-    ),
-    m_multi AS (
-      SELECT query_id, neighbor_id FROM (
-        SELECT *, row_number() OVER (
-          PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
-        FROM ivf_scored
-      ) WHERE rn <= 10
-    ),
-    sq8_coarse AS (
-      SELECT qq.vec_id AS query_id, cq.vec_id AS neighbor_id,
-             round(list_dot_product(qq.qv, cq.qv)
-                   / (sqrt(list_dot_product(qq.qv, qq.qv)) * sqrt(list_dot_product(cq.qv, cq.qv))),
-                   6) AS qcos
-      FROM (SELECT * FROM q8all WHERE vec_id >= 100 AND vec_id < 105) qq
-      JOIN q8all cq ON cq.vec_id <> qq.vec_id
-    ),
-    sq8_cands AS (
-      SELECT query_id, neighbor_id FROM (
-        SELECT *, row_number() OVER (
-          PARTITION BY query_id ORDER BY qcos DESC, neighbor_id ASC) AS rn
-        FROM sq8_coarse
-      ) WHERE rn <= 30
-    ),
-    m_sq8 AS (
-      SELECT query_id, neighbor_id FROM (
-        SELECT c.query_id, c.neighbor_id,
-               row_number() OVER (
-                 PARTITION BY c.query_id
-                 ORDER BY round(list_dot_product(qe.e, ne.e)
-                       / (sqrt(list_dot_product(qe.e, qe.e)) * sqrt(list_dot_product(ne.e, ne.e))),
-                       6) DESC, c.neighbor_id ASC) AS rn
-        FROM sq8_cands c
-        JOIN v qe ON qe.vec_id = c.query_id
-        JOIN v ne ON ne.vec_id = c.neighbor_id
-      ) WHERE rn <= 10
-    ),
-    m_sq8ivf AS (
-      SELECT query_id, neighbor_id FROM (
-        SELECT *, row_number() OVER (
-          PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
-        FROM qivf_rescored
-      ) WHERE rn <= 10
-    ),
-    m_pq AS (
-      SELECT query_id, neighbor_id FROM (
-        SELECT *, row_number() OVER (
-          PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
-        FROM res
-      ) WHERE rn <= 10
-    ),
-    m_pqivf AS (
-      SELECT query_id, neighbor_id FROM (
-        SELECT *, row_number() OVER (
-          PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
-        FROM res_ivf
-      ) WHERE rn <= 10
-    ),
-    allm AS (
-      SELECT 'ivf' AS method, query_id, neighbor_id FROM m_ivf
-      UNION ALL SELECT 'ivf_multiprobe', query_id, neighbor_id FROM m_multi
-      UNION ALL SELECT 'sq8_flat', query_id, neighbor_id FROM m_sq8
-      UNION ALL SELECT 'sq8_ivf', query_id, neighbor_id FROM m_sq8ivf
-      UNION ALL SELECT 'pq_adc', query_id, neighbor_id FROM m_pq
-      UNION ALL SELECT 'pq_ivf', query_id, neighbor_id FROM m_pqivf
-    )
-    SELECT m.method, m.query_id,
-           count(t.neighbor_id) AS hits,
-           round(count(t.neighbor_id) / 10.0, 4) AS recall_at_10
-    FROM allm m LEFT JOIN truth t
-      ON t.query_id = m.query_id AND t.neighbor_id = m.neighbor_id
-    GROUP BY m.method, m.query_id
-    """,
+#: 1-indexed DCG position weights round(1/log2(i+1), 6), inlined as
+#: IDENTICAL literals in both engines so no transcendental-function
+#: (libm) drift can reach the hash; the IDCG@10 normalizer is their
+#: exact 6-decimal sum, also a shared literal.
+_DCG_W = (
+    1.0, 0.63093, 0.5, 0.430677, 0.386853,
+    0.356207, 0.333333, 0.315465, 0.30103, 0.289065,
 )
-def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@10 of every approximate search path against the
-    brute-force exact top-10 — turns the ANN stack's knobs (nprobe,
-    rescore factor, quantization) into MEASURED quantities instead of
-    docstring claims. All six methods and the ground truth are
-    deterministic (rounded cosines, total-order tie-breaks), so the
-    whole report is hash-checkable cross-engine.
+_IDCG_10 = 4.54356
+_DCG_W_SQL = "[" + ", ".join(str(w) for w in _DCG_W) + "]::DOUBLE[]"
 
-    Scale: the IVF inverted list is built and pinned ONCE and served
-    to all four index-based methods (an ANN index is built once, not
-    per search method); the PQ codebooks likewise train ONCE in their
-    bounded Lloyd's barrier and serve both the flat-ADC and IVF-PQ
-    searches; each method is then its own bounded search over the
-    broadcast query batch, and the report join touches only
-    6 methods x |queries| x k rows."""
+
+def _ann_truth_and_ranked_methods(spark: SparkSession, sf_dir: str):
+    """Shared ANN evaluation harness: the exact top-10 ground truth
+    (``__hit`` marker) and the union of every method's RANKED top-10
+    ``(method, query_id, neighbor_id, rank)``. The IVF inverted list is
+    built and pinned ONCE and served to all four index-based methods
+    (an ANN index is built once, not per search method); the PQ
+    codebooks likewise train ONCE in their bounded Lloyd's barrier and
+    serve both the flat-ADC and IVF-PQ searches. Both measurement
+    queries (recall, rank quality) consume this one harness, so their
+    verdicts are about the same pinned index."""
     emb = read_table(spark, sf_dir, "embeddings")
     pivots = emb.filter(F.col("vec_id") < 8)
     queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105))
@@ -1280,8 +1178,139 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     un = None
     for nm, df in methods:
-        cur = df.select(F.lit(nm).alias("method"), "query_id", "neighbor_id")
+        cur = df.select(F.lit(nm).alias("method"), "query_id", "neighbor_id", "rank")
         un = cur if un is None else un.unionByName(cur)
+    return truth, un
+
+
+_ANN_EVAL_CTES = f"""{_ANN_BASE_CTES},
+    {_SQ8_IVF_CTES},
+    {_pq_train_ctes()},
+    {_pq_search_ctes()},
+    {_pq_search_ctes(suffix="_ivf", ivf=True)},
+    truth AS (
+      SELECT query_id, neighbor_id, rn FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round(list_dot_product(q.e, c.e)
+                       / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))),
+                       6) DESC, c.vec_id ASC) AS rn
+        FROM (SELECT * FROM v WHERE vec_id >= 100 AND vec_id < 105) q
+        JOIN v c ON c.vec_id <> q.vec_id
+      ) WHERE rn <= 10
+    ),
+    ivf_scored AS (
+      SELECT qp.query_id, a.vec_id AS neighbor_id, qp.probe_rank,
+             round(list_dot_product(qe.e, a.e)
+                   / (sqrt(list_dot_product(qe.e, qe.e)) * sqrt(list_dot_product(a.e, a.e))),
+                   6) AS cosine_sim
+      FROM qprobe qp
+      JOIN assigned a ON a.cluster_id = qp.cluster_id
+      JOIN v qe ON qe.vec_id = qp.query_id
+      WHERE a.vec_id <> qp.query_id
+    ),
+    m_ivf AS (
+      SELECT query_id, neighbor_id, rn FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
+        FROM ivf_scored WHERE probe_rank = 1
+      ) WHERE rn <= 10
+    ),
+    m_multi AS (
+      SELECT query_id, neighbor_id, rn FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
+        FROM ivf_scored
+      ) WHERE rn <= 10
+    ),
+    sq8_coarse AS (
+      SELECT qq.vec_id AS query_id, cq.vec_id AS neighbor_id,
+             round(list_dot_product(qq.qv, cq.qv)
+                   / (sqrt(list_dot_product(qq.qv, qq.qv)) * sqrt(list_dot_product(cq.qv, cq.qv))),
+                   6) AS qcos
+      FROM (SELECT * FROM q8all WHERE vec_id >= 100 AND vec_id < 105) qq
+      JOIN q8all cq ON cq.vec_id <> qq.vec_id
+    ),
+    sq8_cands AS (
+      SELECT query_id, neighbor_id, rn FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY qcos DESC, neighbor_id ASC) AS rn
+        FROM sq8_coarse
+      ) WHERE rn <= 30
+    ),
+    m_sq8 AS (
+      SELECT query_id, neighbor_id, rn FROM (
+        SELECT c.query_id, c.neighbor_id,
+               row_number() OVER (
+                 PARTITION BY c.query_id
+                 ORDER BY round(list_dot_product(qe.e, ne.e)
+                       / (sqrt(list_dot_product(qe.e, qe.e)) * sqrt(list_dot_product(ne.e, ne.e))),
+                       6) DESC, c.neighbor_id ASC) AS rn
+        FROM sq8_cands c
+        JOIN v qe ON qe.vec_id = c.query_id
+        JOIN v ne ON ne.vec_id = c.neighbor_id
+      ) WHERE rn <= 10
+    ),
+    m_sq8ivf AS (
+      SELECT query_id, neighbor_id, rn FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
+        FROM qivf_rescored
+      ) WHERE rn <= 10
+    ),
+    m_pq AS (
+      SELECT query_id, neighbor_id, rn FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
+        FROM res
+      ) WHERE rn <= 10
+    ),
+    m_pqivf AS (
+      SELECT query_id, neighbor_id, rn FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
+        FROM res_ivf
+      ) WHERE rn <= 10
+    ),
+    allm AS (
+      SELECT 'ivf' AS method, query_id, neighbor_id, rn FROM m_ivf
+      UNION ALL SELECT 'ivf_multiprobe', query_id, neighbor_id, rn FROM m_multi
+      UNION ALL SELECT 'sq8_flat', query_id, neighbor_id, rn FROM m_sq8
+      UNION ALL SELECT 'sq8_ivf', query_id, neighbor_id, rn FROM m_sq8ivf
+      UNION ALL SELECT 'pq_adc', query_id, neighbor_id, rn FROM m_pq
+      UNION ALL SELECT 'pq_ivf', query_id, neighbor_id, rn FROM m_pqivf
+    )"""
+
+
+@register(
+    "ann_recall_report",
+    f"""
+    WITH {_ANN_EVAL_CTES}
+    SELECT m.method, m.query_id,
+           count(t.neighbor_id) AS hits,
+           round(count(t.neighbor_id) / 10.0, 4) AS recall_at_10
+    FROM allm m LEFT JOIN truth t
+      ON t.query_id = m.query_id AND t.neighbor_id = m.neighbor_id
+    GROUP BY m.method, m.query_id
+    """,
+)
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of every approximate search path against the
+    brute-force exact top-10 — turns the ANN stack's knobs (nprobe,
+    rescore factor, quantization) into MEASURED quantities instead of
+    docstring claims. All six methods and the ground truth are
+    deterministic (rounded cosines, total-order tie-breaks), so the
+    whole report is hash-checkable cross-engine.
+
+    Scale: the IVF inverted list is built and pinned ONCE and served
+    to all four index-based methods (an ANN index is built once, not
+    per search method); the PQ codebooks likewise train ONCE in their
+    bounded Lloyd's barrier and serve both the flat-ADC and IVF-PQ
+    searches; each method is then its own bounded search over the
+    broadcast query batch, and the report join touches only
+    6 methods x |queries| x k rows."""
+    truth, un = _ann_truth_and_ranked_methods(spark, sf_dir)
     return (
         un.join(F.broadcast(truth), ["query_id", "neighbor_id"], "left")
         .groupBy("method", "query_id")
@@ -1292,6 +1321,69 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hits",
             F.round(F.col("hits") / 10.0, 4).alias("recall_at_10"),
         )
+    )
+
+
+@register(
+    "ann_rank_quality",
+    f"""
+    WITH {_ANN_EVAL_CTES},
+    j AS (
+      SELECT m.method, m.query_id, m.rn,
+             (t.neighbor_id IS NOT NULL) AS rel
+      FROM allm m LEFT JOIN truth t
+        ON t.query_id = m.query_id AND t.neighbor_id = m.neighbor_id
+    ),
+    perq AS (
+      SELECT method, query_id,
+             coalesce(max(CASE WHEN rel THEN CAST(1 AS DOUBLE) / rn END), 0.0) AS rr,
+             sum(CASE WHEN rel THEN ({_DCG_W_SQL})[rn] ELSE CAST(0 AS DOUBLE) END) AS dcg
+      FROM j GROUP BY method, query_id
+    )
+    SELECT method,
+           round(avg(rr), 4) AS mrr_at_10,
+           round(avg(dcg) / {_IDCG_10}, 4) AS ndcg_at_10,
+           count(*) AS n_queries
+    FROM perq GROUP BY method
+    """,
+)
+def ann_rank_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-quality metrics per ANN method against the exact ground
+    truth: MRR@10 (reciprocal rank of the first true neighbor — "how
+    fast does the method surface something right") and binary-relevance
+    NDCG@10 ("are the right neighbors also EARLY in the list") —
+    recall@10 treats rank 1 and rank 10 identically, so two methods
+    with equal recall can serve very different retrieval quality; this
+    query separates them. Shares the recall report's pinned harness
+    (ONE IVF inverted list, ONE PQ code table — an index is built once
+    per corpus, measured twice).
+
+    Determinism: ranks are total-ordered (rounded cosine desc, id
+    asc), DCG position weights are 6-decimal literals shared verbatim
+    by both engines (no log2() at query time — libm implementations
+    differ in the last ulp), and the IDCG normalizer is their exact
+    decimal sum as a shared literal.
+
+    Scale: the metric join touches 6 methods x |queries| x k rows —
+    independent of corpus size; everything corpus-sized happened once
+    in the shared index build."""
+    truth, un = _ann_truth_and_ranked_methods(spark, sf_dir)
+    w = F.element_at(F.array(*[F.lit(x) for x in _DCG_W]), F.col("rank"))
+    rel = F.col("__hit").isNotNull()
+    perq = (
+        un.join(F.broadcast(truth), ["query_id", "neighbor_id"], "left")
+        .groupBy("method", "query_id")
+        .agg(
+            F.coalesce(
+                F.max(F.when(rel, F.lit(1.0) / F.col("rank"))), F.lit(0.0)
+            ).alias("rr"),
+            F.sum(F.when(rel, w).otherwise(F.lit(0.0))).alias("dcg"),
+        )
+    )
+    return perq.groupBy("method").agg(
+        F.round(F.avg("rr"), 4).alias("mrr_at_10"),
+        F.round(F.avg("dcg") / F.lit(_IDCG_10), 4).alias("ndcg_at_10"),
+        F.count("*").alias("n_queries"),
     )
 
 

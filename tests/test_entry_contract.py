@@ -51,6 +51,7 @@ def test_check_window_covers_every_operator_family():
         "checkpoint_restart_strikes", "checkpoint_restart_windowed",
         "stream_left_join_events", "compact_parquet_roundtrip",
         "incremental_agg_refresh", "constraint_quarantine",
+        "ann_rank_quality",
         # family anchors (r6 green): composed pipeline + sinks, SCD-2,
         # MERGE, LSH dedup stack, the 6-method ANN report, temporal
         # joins, and the three streaming state machines distinct from
@@ -75,9 +76,10 @@ def test_check_window_covers_every_operator_family():
         "ordered_designation_report", "published_report_roundtrip",
         "salted_skew_join",
         # re-confirmation cohort: last driver green r4 (json_lines /
-        # orc roundtrips deferred to r8; format legs carried by
-        # format_roundtrips + the full local run)
-        "dedup_clusters", "dedup_last_write_wins", "pct_of_quota",
+        # orc roundtrips and dedup_last_write_wins deferred to r8;
+        # format legs carried by format_roundtrips + the full local
+        # run, W2 row_number machinery by the dedup_keep_best family)
+        "dedup_clusters", "pct_of_quota",
     }
     assert carriers <= set(window), sorted(carriers - set(window))
 

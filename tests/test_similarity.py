@@ -444,3 +444,39 @@ def test_pq_adc_topk_contract(spark):
         assert [r[0] for r in rows] == [1, 2, 3, 4, 5]
         sims = [r[1] for r in rows]
         assert sims == sorted(sims, reverse=True)
+
+
+def test_ann_rank_quality_matches_python_reference(spark):
+    """Third opinion on the metric math (DuckDB oracle is the second):
+    MRR@10 and binary-NDCG@10 recomputed in pure Python from the same
+    ranked method outputs + exact ground truth must equal the query's
+    numbers for every method."""
+    import employee_data_management_system_data_engineering_solution_spark.plans.llm as llm
+
+    sf = "/root/testdata/sf0.001"
+    truth, un = llm._ann_truth_and_ranked_methods(spark, sf)
+    tset = {(r.query_id, r.neighbor_id) for r in truth.collect()}
+    ranked = {}
+    for r in un.collect():
+        ranked.setdefault((r.method, r.query_id), []).append((r.rank, r.neighbor_id))
+    # python reference
+    per_method = {}
+    for (m, q), lst in ranked.items():
+        rel = [(rn, (q, nb) in tset) for rn, nb in sorted(lst)]
+        rr = max((1.0 / rn for rn, is_rel in rel if is_rel), default=0.0)
+        dcg = sum(llm._DCG_W[rn - 1] for rn, is_rel in rel if is_rel)
+        per_method.setdefault(m, []).append((rr, dcg))
+    want = {
+        m: (
+            round(sum(rr for rr, _ in v) / len(v), 4),
+            round(sum(d for _, d in v) / len(v) / llm._IDCG_10, 4),
+            len(v),
+        )
+        for m, v in per_method.items()
+    }
+    got = {
+        r.method: (r.mrr_at_10, r.ndcg_at_10, r.n_queries)
+        for r in llm.ann_rank_quality(spark, sf).collect()
+    }
+    assert got == want
+    assert all(0.0 <= v[0] <= 1.0 and 0.0 <= v[1] <= 1.0 for v in got.values())
