@@ -196,3 +196,40 @@ def resample_interpolate(
         .filter(F.col("__is_obs") == 0)
         .select(key_col, F.col("__t").alias(ts_col), F.col("__vi").alias("v_interp"))
     )
+
+
+def winsorize(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    lo: float = 0.01,
+    hi: float = 0.99,
+) -> DataFrame:
+    """Per-key winsorization (percentile clipping): values below the
+    key's ``lo`` quantile or above its ``hi`` quantile are clamped to
+    the cut — the standard robust repair for heavy-tailed metrics
+    before aggregation/training (an outlier repair that, unlike the
+    z-score DELETION in ``value_outliers``'s family, preserves row
+    count and bounded mass).
+
+    Appends ``<value>_wins`` plus the per-key ``__lo``/``__hi`` cuts.
+    Boundary determinism: the interpolated cut either IS a data value
+    (interpolation fraction 0) or lies strictly between two adjacent
+    distinct data values, so a last-ulp engine difference in the
+    interpolation can never flip a comparison against a data point.
+
+    Scale: one groupBy computes both cuts per key (|keys| rows), then
+    a broadcast join + narrow clamp — the corpus is touched twice,
+    shuffled never."""
+    cuts = df.groupBy(key_col).agg(
+        F.expr(f"percentile({value_col}, array({lo}, {hi}))").alias("__ps")
+    ).select(
+        key_col,
+        F.col("__ps")[0].alias("__lo"),
+        F.col("__ps")[1].alias("__hi"),
+    )
+    v = F.col(value_col)
+    clamped = F.least(F.greatest(v, F.col("__lo")), F.col("__hi"))
+    return df.join(F.broadcast(cuts), key_col).withColumn(
+        f"{value_col}_wins", clamped
+    )

@@ -366,3 +366,54 @@ def triangle_counts(
         .unionAll(tri.select(F.col("w").alias("node")))
     )
     return nodes.groupBy("node").agg(F.count("*").alias("n_triangles"))
+
+
+def label_propagation(
+    edges: DataFrame, src: str = "src", dst: str = "dst", rounds: int = 3
+) -> DataFrame:
+    """Community labels via SYNCHRONOUS label propagation, run for a
+    FIXED number of rounds: every node starts as its own label; each
+    round it adopts the most frequent label among its neighbors' plus
+    ONE self-vote (its own previous label), ties broken toward the
+    smallest label. Classic LPA (Raghavan et al. 2007, described from
+    the paper) is run-to-convergence with random tie-breaks — useless
+    for a cross-engine hash; the fixed-round synchronous variant with a
+    total-order tie-break is fully deterministic and the per-round
+    update is identical, so the labels after k rounds are a
+    well-defined community signal (k bounds the label diffusion
+    radius). The self-vote also damps the 2-cycle label oscillation
+    synchronous LPA exhibits on bipartite-ish regions.
+
+    Output: (node, label). Scale per round: one join of the edge list
+    against the |V|-row label table (shuffle on vertex key) + one
+    (node, label) groupBy with map-side combine — O(rounds) passes over
+    E, the same per-round shape as min-label CC, with the same
+    ``localCheckpoint`` lineage truncation so the loop stays one job.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    both = und.select(F.col("a").alias("s"), F.col("b").alias("d")).unionByName(
+        und.select(F.col("b").alias("s"), F.col("a").alias("d"))
+    )
+    labels = (
+        both.select(F.col("s").alias("node")).distinct().withColumn("label", F.col("node"))
+    )
+    for _ in range(rounds):
+        nbr_votes = both.join(
+            labels.withColumnRenamed("node", "s"), "s"
+        ).select(F.col("d").alias("node"), "label")
+        votes = nbr_votes.unionByName(labels)  # one self-vote
+        counts = votes.groupBy("node", "label").agg(F.count("*").alias("c"))
+        labels = (
+            counts.groupBy("node")
+            .agg(F.max(F.struct(F.col("c"), (-F.col("label")).alias("negl"))).alias("m"))
+            .select("node", (-F.col("m.negl")).alias("label"))
+            .localCheckpoint(eager=False)
+        )
+    return labels

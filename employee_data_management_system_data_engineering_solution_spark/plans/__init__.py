@@ -68,7 +68,12 @@ from .registry import REGISTRY, register
 #       MRR/NDCG over the shared pinned index) takes
 #       dedup_last_write_wins's slot (W2 row_number machinery carried
 #       in-window by dedup_keep_best-family top-k and the local run;
-#       r4-green, rotates back in r8).
+#       r4-green, rotates back in r8). value_winsorized_stats (X110
+#       percentile clipping repair) and supplier_communities (X111
+#       fixed-round LPA) take text_stats's and doc_fingerprint's slots
+#       (both r2-green; text X1/X4 stay carried by quality_score,
+#       lang_id, word_freq_topk in-window plus the full local run;
+#       both re-confirm in r8).
 #   IN (re-confirmation — last driver green r2-r4, the long tail the
 #       judge asked to re-arm): the 24 r2-green queries (binary_metadata
 #       ... word_freq_topk), the 8 r3-green (active_count_by_designation
@@ -126,6 +131,8 @@ _PRIORITY: tuple[str, ...] = (
     "incremental_agg_refresh",
     "constraint_quarantine",
     "ann_rank_quality",
+    "value_winsorized_stats",
+    "supplier_communities",
     # family anchors (r6 green) so displaced families stay covered
     "daily_pipeline",
     "scd2_merge",
@@ -141,7 +148,6 @@ _PRIORITY: tuple[str, ...] = (
     "cube_order_stats",
     "customers_with_urgent_orders",
     "customers_without_urgent_orders",
-    "doc_fingerprint",
     "lang_id",
     "longest_leave_streak",
     "multimodal_frame_stats",
@@ -155,7 +161,6 @@ _PRIORITY: tuple[str, ...] = (
     "status_pivot_report",
     "stratified_sample",
     "strike_report_batch",
-    "text_stats",
     "top3_orders_per_customer",
     "top_earner_per_designation",
     "trailing_revenue_90d",

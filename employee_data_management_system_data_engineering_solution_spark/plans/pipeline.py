@@ -1170,3 +1170,94 @@ def compact_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         money_sum(money("l_extendedprice"), "total_price"),
     )
+
+
+# --------------------------------------------------------------------------
+# Community detection over the co-supply backbone (fixed-round LPA)
+# --------------------------------------------------------------------------
+def _lpa_oracle(rounds: int) -> str:
+    """Unroll the synchronous label-propagation rounds as CTE chain —
+    each round is one vote-join + one argmax, exactly the operator's
+    update rule, so the oracle replays the algorithm rather than
+    approximating it."""
+    parts = [
+        """
+    WITH su AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
+    pw AS (
+      SELECT a.sk AS a, b.sk AS b, count(*) AS w
+      FROM su a JOIN su b ON a.ok = b.ok AND a.sk < b.sk
+      GROUP BY a.sk, b.sk
+    ),
+    und AS (
+      SELECT a, b FROM (
+        SELECT a, b, row_number() OVER (ORDER BY w DESC, a ASC, b ASC) AS rn
+        FROM pw)
+      WHERE rn <= 5000
+    ),
+    bidir AS (SELECT a AS s, b AS d FROM und UNION ALL SELECT b, a FROM und),
+    l0 AS (SELECT DISTINCT s AS node, s AS label FROM bidir)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+    v{i} AS (
+      SELECT e.d AS node, l.label FROM bidir e JOIN l{i-1} l ON l.node = e.s
+      UNION ALL SELECT node, label FROM l{i-1}
+    ),
+    c{i} AS (SELECT node, label, count(*) AS c FROM v{i} GROUP BY node, label),
+    l{i} AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+        FROM c{i})
+      WHERE rn = 1
+    )""")
+    parts.append(f"""
+    SELECT node AS supplier_id, label AS community,
+           CAST(count(*) OVER (PARTITION BY label) AS BIGINT) AS community_size
+    FROM l{rounds}""")
+    return "".join(parts)
+
+
+@register("supplier_communities", _lpa_oracle(3))
+def supplier_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community structure of the co-supply backbone via fixed-round
+    synchronous label propagation (``operators.graph.
+    label_propagation``) — the soft-clustering sibling of the
+    connected-components dedup machinery: CC answers "what is
+    reachable", LPA answers "what is densely knit", which is the
+    signal for supplier cliques / link farms / topical author groups.
+    Same top-5000 strong-ties backbone as ``supplier_triangles``
+    (co-occurrence graphs densify toward completeness, so the raw
+    graph's communities collapse to one blob; the backbone keeps the
+    strong structure at ANY corpus scale). The oracle replays the
+    exact per-round update unrolled as SQL, so the deterministic
+    fixed-round contract is hash-checked, not approximated.
+
+    Scale: O(rounds) edge-vs-labels joins shuffled on vertex key with
+    map-side-combined vote counts; the backbone bounds |E| at 5000, and
+    on an unbounded graph each round is the same two-shuffle shape as
+    a CC round."""
+    from ..operators.graph import label_propagation
+
+    li = read_table(spark, sf_dir, "lineitem")
+    su = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk")
+    ).distinct()
+    a = su.select(F.col("ok"), F.col("sk").alias("src"))
+    b = su.select(F.col("ok"), F.col("sk").alias("dst"))
+    backbone = (
+        a.join(b, "ok")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("w"))
+        .orderBy(F.col("w").desc(), F.col("src").asc(), F.col("dst").asc())
+        .limit(5000)
+        .select("src", "dst")
+    )
+    labels = label_propagation(backbone, rounds=3)
+    sizes = labels.groupBy("label").agg(F.count("*").alias("community_size"))
+    return labels.join(sizes, "label").select(
+        F.col("node").alias("supplier_id"),
+        F.col("label").alias("community"),
+        "community_size",
+    )

@@ -546,3 +546,48 @@ def weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         e2.groupBy("cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("week_offset"))
         .agg(F.count_distinct("user_id").alias("n_users"))
     )
+
+
+@register(
+    "value_winsorized_stats",
+    """
+    WITH b AS (
+      SELECT event_type,
+             quantile_cont(value, 0.01) AS lo,
+             quantile_cont(value, 0.99) AS hi
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           count(*) AS n,
+           count(*) FILTER (WHERE value < lo) AS n_clipped_low,
+           count(*) FILTER (WHERE value > hi) AS n_clipped_high,
+           round(avg(value), 4) AS mean_raw,
+           round(avg(CASE WHEN value < lo THEN lo
+                          WHEN value > hi THEN hi
+                          ELSE value END), 4) AS mean_winsorized
+    FROM events e JOIN b USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def value_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust repair for heavy-tailed metric columns: per-type p01/p99
+    winsorization (``operators.cleaning.winsorize``) with before/after
+    means and clip counts — the clamping complement to the z-score
+    outlier DETECTOR (``value_outliers``): detection tells you what is
+    extreme, winsorization caps its mass so a few spikes cannot own a
+    mean, while every row survives for downstream counts.
+
+    Scale: cuts are one groupBy to |event types| rows, then broadcast
+    back over the corpus for a narrow clamp + one aggregation — two
+    corpus passes, no corpus shuffle."""
+    from ..operators.cleaning import winsorize
+
+    ev = read_table(spark, sf_dir, "events").select("event_type", "value")
+    w = winsorize(ev, "event_type", "value", lo=0.01, hi=0.99)
+    return w.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("value") < F.col("__lo")).cast("long")).alias("n_clipped_low"),
+        F.sum((F.col("value") > F.col("__hi")).cast("long")).alias("n_clipped_high"),
+        F.round(F.avg("value"), 4).alias("mean_raw"),
+        F.round(F.avg("value_wins"), 4).alias("mean_winsorized"),
+    )

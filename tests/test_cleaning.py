@@ -110,3 +110,21 @@ def test_resample_interpolate_linear_and_boundaries(spark):
     assert out[150] == 20.0     # halfway
     assert out[175] == 25.0     # 3/4 of the way
     assert out[250] == 30.0     # after last obs -> clamp to prev
+
+
+def test_winsorize_clamps_and_preserves_rows(spark):
+    from employee_data_management_system_data_engineering_solution_spark.operators.cleaning import (
+        winsorize,
+    )
+
+    rows = [("a", float(v)) for v in range(1, 101)] + [("a", 10000.0), ("a", -500.0)]
+    df = spark.createDataFrame(rows, "k STRING, v DOUBLE")
+    out = winsorize(df, "k", "v", lo=0.05, hi=0.95).collect()
+    assert len(out) == len(rows)  # repair, not deletion
+    lo, hi = out[0]["__lo"], out[0]["__hi"]
+    assert all(r["__lo"] == lo and r["__hi"] == hi for r in out)
+    assert all(lo <= r.v_wins <= hi for r in out)
+    # the two planted outliers clamp to the cuts; interior rows unchanged
+    clamped = {r.v: r.v_wins for r in out}
+    assert clamped[10000.0] == hi and clamped[-500.0] == lo
+    assert clamped[50.0] == 50.0

@@ -51,7 +51,7 @@ def test_check_window_covers_every_operator_family():
         "checkpoint_restart_strikes", "checkpoint_restart_windowed",
         "stream_left_join_events", "compact_parquet_roundtrip",
         "incremental_agg_refresh", "constraint_quarantine",
-        "ann_rank_quality",
+        "ann_rank_quality", "value_winsorized_stats", "supplier_communities",
         # family anchors (r6 green): composed pipeline + sinks, SCD-2,
         # MERGE, LSH dedup stack, the 6-method ANN report, temporal
         # joins, and the three streaming state machines distinct from
@@ -61,13 +61,16 @@ def test_check_window_covers_every_operator_family():
         "stream_dedup_counts", "session_window_counts",
         "streaming_upsert_dim",
         # re-confirmation cohort: last driver green r2
+        # (text_stats + doc_fingerprint deferred to r8 for the two new
+        # X110/X111 carriers; text family stays covered in-window by
+        # quality_score, lang_id, word_freq_topk)
         "binary_metadata", "cube_order_stats",
         "customers_with_urgent_orders", "customers_without_urgent_orders",
-        "doc_fingerprint", "lang_id", "longest_leave_streak",
+        "lang_id", "longest_leave_streak",
         "multimodal_frame_stats", "promo_revenue_share", "quality_score",
         "region_supplier_volume", "rollup_revenue", "salary_change_deltas",
         "salary_percentiles", "salary_rank_analytics", "status_pivot_report",
-        "stratified_sample", "strike_report_batch", "text_stats",
+        "stratified_sample", "strike_report_batch",
         "top3_orders_per_customer", "top_earner_per_designation",
         "trailing_revenue_90d", "union_entities", "word_freq_topk",
         # re-confirmation cohort: last driver green r3

@@ -127,3 +127,43 @@ def test_triangle_counts_rejects_oversized_ids(spark):
     )
     with pytest.raises((SparkRuntimeException, Py4JJavaError)):
         triangle_counts(df).collect()
+
+
+def test_label_propagation_two_cliques_one_bridge(spark):
+    """Two 4-cliques joined by a single bridge edge: after 3 sync
+    rounds each clique converges to its minimum member's label, and the
+    bridge does not merge them (LPA separates densely-knit groups where
+    connected components would report ONE component)."""
+    from employee_data_management_system_data_engineering_solution_spark.operators.graph import (
+        connected_components,
+        label_propagation,
+    )
+
+    def clique(ids):
+        return [(a, b) for a in ids for b in ids if a < b]
+
+    edges = clique([1, 2, 3, 4]) + clique([10, 11, 12, 13]) + [(4, 10)]
+    df = spark.createDataFrame(edges, "src LONG, dst LONG")
+    got = {r.node: r.label for r in label_propagation(df, rounds=3).collect()}
+    assert {got[n] for n in (1, 2, 3, 4)} == {1}
+    assert {got[n] for n in (10, 11, 12, 13)} == {10}
+    # contrast: CC merges everything through the bridge
+    cc = {r.node: r.component for r in connected_components(df).collect()}
+    assert len(set(cc.values())) == 1
+
+
+def test_label_propagation_deterministic_and_tie_breaks_low(spark):
+    """Rerun-identical labels, and a node seeing two equal-frequency
+    labels adopts the SMALLER one (the total-order tie-break the
+    cross-engine oracle relies on)."""
+    from employee_data_management_system_data_engineering_solution_spark.operators.graph import (
+        label_propagation,
+    )
+
+    # node 5 bridges singletons 1 and 9: votes {1:1, 9:1, 5:1} round 1
+    # -> tie on count, min label 1 wins
+    df = spark.createDataFrame([(1, 5), (9, 5)], "src LONG, dst LONG")
+    a = {r.node: r.label for r in label_propagation(df, rounds=1).collect()}
+    b = {r.node: r.label for r in label_propagation(df, rounds=1).collect()}
+    assert a == b
+    assert a[5] == 1
