@@ -133,11 +133,17 @@ def money_native_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame
         tag = os.path.basename(sf_dir.rstrip(os.sep)).replace(".", "_")
         path = os.path.join(tempfile.gettempdir(), f"eds_decwh_{tag}", name)
         df = read_table(spark, sf_dir, name)
-        # Write with full scan parallelism: a fixture that arrives as
+        # Write with real scan parallelism: a fixture that arrives as
         # one file would otherwise become a one-file warehouse copy and
         # serialize every downstream scan on a single core (measured:
         # the sf0.1 orders cube is 1.6× slower off a 1-file copy).
-        df.repartition(spark.sparkContext.defaultParallelism).withColumns(
+        # Half the core count, not all of it — at toy sizes one task
+        # per core makes per-task scheduling the bottleneck (32 files
+        # 0.40 s, 16 files 0.29 s on the sf0.1 cube); at warehouse
+        # sizes maxPartitionBytes splits the files regardless, so the
+        # file COUNT only matters at the small end being tuned here.
+        n_files = max(4, spark.sparkContext.defaultParallelism // 2)
+        df.repartition(n_files).withColumns(
             {c: F.col(c).cast(t) for c, t in cols.items()}
         ).write.mode("overwrite").parquet(path)
         _MONEY_NATIVE_CACHE[key] = path
