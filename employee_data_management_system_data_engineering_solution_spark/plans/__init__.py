@@ -73,7 +73,12 @@ from .registry import REGISTRY, register
 #       fixed-round LPA) take text_stats's and doc_fingerprint's slots
 #       (both r2-green; text X1/X4 stay carried by quality_score,
 #       lang_id, word_freq_topk in-window plus the full local run;
-#       both re-confirm in r8).
+#       both re-confirm in r8). join_key_skew_report (X112 hot-key
+#       diagnosis) and multi_touch_attribution (X113 fractional-credit
+#       attribution) take customers_with_urgent_orders's and
+#       union_entities's slots (r2-green; the semi-join leg stays
+#       carried by customers_without_urgent_orders, set-ops by
+#       except_all_dupes; both re-confirm in r8).
 #   IN (re-confirmation — last driver green r2-r4, the long tail the
 #       judge asked to re-arm): the 24 r2-green queries (binary_metadata
 #       ... word_freq_topk), the 8 r3-green (active_count_by_designation
@@ -133,6 +138,8 @@ _PRIORITY: tuple[str, ...] = (
     "ann_rank_quality",
     "value_winsorized_stats",
     "supplier_communities",
+    "join_key_skew_report",
+    "multi_touch_attribution",
     # family anchors (r6 green) so displaced families stay covered
     "daily_pipeline",
     "scd2_merge",
@@ -146,7 +153,6 @@ _PRIORITY: tuple[str, ...] = (
     # re-confirmation: last driver green round 2
     "binary_metadata",
     "cube_order_stats",
-    "customers_with_urgent_orders",
     "customers_without_urgent_orders",
     "lang_id",
     "longest_leave_streak",
@@ -164,7 +170,6 @@ _PRIORITY: tuple[str, ...] = (
     "top3_orders_per_customer",
     "top_earner_per_designation",
     "trailing_revenue_90d",
-    "union_entities",
     "word_freq_topk",
     # re-confirmation: last driver green round 3
     "active_count_by_designation",

@@ -1265,3 +1265,143 @@ def revenue_cube_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Join-key skew diagnosis (X112): the report you run BEFORE deciding on
+# salting/AQE for a join — operators/skew.py is the mitigation, this is
+# the measurement
+# --------------------------------------------------------------------------
+@register(
+    "join_key_skew_report",
+    """
+    WITH c AS (SELECT l_suppkey AS key, count(*) AS n FROM lineitem GROUP BY 1),
+    t AS (SELECT sum(n) AS total, count(*) AS n_keys, max(n) AS max_n FROM c)
+    SELECT r.rank, r.key, r.n,
+           round(r.n * 100.0 / t.total, 4) AS share_pct,
+           t.n_keys,
+           round(t.max_n * t.n_keys * 1.0 / t.total, 4) AS skew_factor
+    FROM (SELECT key, n,
+                 row_number() OVER (ORDER BY n DESC, key ASC) AS rank
+          FROM c) r, t
+    WHERE r.rank <= 5
+    """,
+)
+def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key diagnosis for a prospective join column: the top-5
+    heaviest keys with their share of all rows, plus ``skew_factor`` —
+    the heaviest key's row count relative to the mean (1.0 = perfectly
+    uniform; the number that tells you whether a plain hash join's
+    slowest partition will straggle and whether to reach for
+    ``operators/skew.salted_join`` or trust AQE's skew split). The
+    measurement every 100 TB join plan should start from — shuffle
+    sizing from table stats alone misses exactly this.
+
+    Scale: one map-side-combined groupBy to |keys| rows; the top-5 is
+    a distributed TakeOrderedAndProject (never a global window over
+    the key table); the totals ride a broadcast of ONE row."""
+    li = read_table(spark, sf_dir, "lineitem").select(F.col("l_suppkey").alias("key"))
+    counts = li.groupBy("key").agg(F.count("*").alias("n"))
+    totals = counts.agg(
+        F.sum("n").alias("total"),
+        F.count("*").alias("n_keys"),
+        F.max("n").alias("max_n"),
+    )
+    top5 = counts.orderBy(F.col("n").desc(), F.col("key").asc()).limit(5)
+    from pyspark.sql import Window
+
+    # rank over the 5 surviving rows only — the global order was
+    # already established by the distributed TakeOrdered above
+    ranked = top5.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("n").desc(), F.col("key").asc())
+        ),
+    )
+    return ranked.crossJoin(F.broadcast(totals)).select(
+        "rank",
+        "key",
+        "n",
+        F.round(F.col("n") * 100.0 / F.col("total"), 4).alias("share_pct"),
+        "n_keys",
+        F.round(
+            F.col("max_n") * F.col("n_keys") * F.lit(1.0) / F.col("total"), 4
+        ).alias("skew_factor"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Multi-touch attribution (X113): fractional revenue credit across the
+# views that assisted each purchase
+# --------------------------------------------------------------------------
+@register(
+    "multi_touch_attribution",
+    """
+    WITH p AS (SELECT event_id AS pid, user_id, ts, value FROM events
+               WHERE event_type = 'purchase'),
+    v AS (SELECT event_id AS vid, user_id, ts FROM events
+          WHERE event_type = 'view'),
+    pairs AS (
+      SELECT p.pid, p.user_id, p.value, v.vid
+      FROM p JOIN v ON p.user_id = v.user_id
+       AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
+    ),
+    credit AS (
+      SELECT user_id, vid,
+             value / (count(*) OVER (PARTITION BY pid)) AS share
+      FROM pairs
+    )
+    SELECT user_id,
+           count(DISTINCT vid) AS n_assisting_views,
+           round(sum(share), 2) AS attributed_revenue
+    FROM credit
+    GROUP BY user_id
+    """,
+)
+def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-split multi-touch attribution: each purchase's value is
+    divided evenly across the same user's views in the preceding hour,
+    and credits roll up per user — the fractional-credit generalization
+    of the single-touch as-of join (``purchase_asof_view`` answers
+    "which ONE view gets the sale"; this answers "how much does each
+    assisting view earn"). Purchases with no assisting view carry no
+    credit by definition (the left-join NULL path is pinned by
+    ``stream_left_join_events``).
+
+    Determinism: the per-purchase divisor is an exact integer count,
+    each share is one double division, and the per-user sum is rounded
+    to cents on both engines (sub-ulp summation-order noise vs a 1e-2
+    boundary — the documented quality-ratio rounding-margin class, and
+    at 2 decimals the margin is 12 orders of magnitude).
+
+    Scale: ONE user-key shuffle for the interval pair join, a window
+    count partitioned by purchase id (key cardinality = purchases),
+    and a user-key rollup — no cartesian, no driver loop."""
+    ev = read_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), "user_id", "ts", "value"
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("vid"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+    )
+    pairs = p.join(
+        v,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("v_ts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("v_ts") <= F.col("ts")),
+    )
+    from pyspark.sql import Window
+
+    credit = pairs.select(
+        "user_id",
+        "vid",
+        (F.col("value") / F.count("*").over(Window.partitionBy("pid"))).alias(
+            "share"
+        ),
+    )
+    return credit.groupBy("user_id").agg(
+        F.count_distinct("vid").alias("n_assisting_views"),
+        F.round(F.sum("share"), 2).alias("attributed_revenue"),
+    )

@@ -52,6 +52,7 @@ def test_check_window_covers_every_operator_family():
         "stream_left_join_events", "compact_parquet_roundtrip",
         "incremental_agg_refresh", "constraint_quarantine",
         "ann_rank_quality", "value_winsorized_stats", "supplier_communities",
+        "join_key_skew_report", "multi_touch_attribution",
         # family anchors (r6 green): composed pipeline + sinks, SCD-2,
         # MERGE, LSH dedup stack, the 6-method ANN report, temporal
         # joins, and the three streaming state machines distinct from
@@ -64,15 +65,18 @@ def test_check_window_covers_every_operator_family():
         # (text_stats + doc_fingerprint deferred to r8 for the two new
         # X110/X111 carriers; text family stays covered in-window by
         # quality_score, lang_id, word_freq_topk)
+        # (customers_with_urgent_orders + union_entities also deferred
+        # to r8 for X112/X113; semi-join leg carried by the anti query,
+        # set-ops by except_all_dupes)
         "binary_metadata", "cube_order_stats",
-        "customers_with_urgent_orders", "customers_without_urgent_orders",
+        "customers_without_urgent_orders",
         "lang_id", "longest_leave_streak",
         "multimodal_frame_stats", "promo_revenue_share", "quality_score",
         "region_supplier_volume", "rollup_revenue", "salary_change_deltas",
         "salary_percentiles", "salary_rank_analytics", "status_pivot_report",
         "stratified_sample", "strike_report_batch",
         "top3_orders_per_customer", "top_earner_per_designation",
-        "trailing_revenue_90d", "union_entities", "word_freq_topk",
+        "trailing_revenue_90d", "word_freq_topk",
         # re-confirmation cohort: last driver green r3
         "active_count_by_designation", "distinct_order_supp_pairs",
         "epoch_status_clean", "except_all_dupes", "json_props_stats",
