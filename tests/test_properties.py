@@ -391,3 +391,95 @@ def test_stratum_cap_sampling_is_capped_and_deterministic(spark, tmp_path, rows)
         assert kept[stratum] == min(n, 25), (stratum, n)
     assert all(1 <= rank <= 25 for _, _, _, rank in got)
     assert got == run()  # deterministic under rerun
+
+
+_snapshot_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),   # row key
+        st.sampled_from(["g1", "g2", "g3"]),     # group
+        st.integers(min_value=-20, max_value=20),  # value
+    ),
+    min_size=0,
+    max_size=10,
+    unique_by=lambda r: r[0],
+)
+
+
+@given(old_rows=_snapshot_strategy, new_rows=_snapshot_strategy)
+@_SETTINGS
+def test_incremental_refresh_equals_recompute_for_any_delta(spark, old_rows, new_rows):
+    """The maintenance algebra against arbitrary snapshots: whatever
+    mix of inserts/deletes/in-place updates/group-moving updates the
+    random old→new transition encodes, base_agg + Δ must equal the
+    from-scratch recompute of the new snapshot (including groups that
+    empty out or newly appear)."""
+    from collections import defaultdict
+
+    from employee_data_management_system_data_engineering_solution_spark.operators.cdc import (
+        agg_delta_contributions,
+        apply_agg_delta,
+        snapshot_diff,
+    )
+
+    schema = "k LONG, g STRING, v LONG"
+    old = spark.createDataFrame(old_rows, schema)
+    new = spark.createDataFrame(new_rows, schema)
+    base = old.groupBy("g").agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+    delta = agg_delta_contributions(
+        snapshot_diff(old, new, ["k"], keep_old=True), "g", "v"
+    )
+    refreshed = {
+        r.g: (r.n, r.s)
+        for r in apply_agg_delta(
+            base, delta, ["g"], [("n", "d_n"), ("s", "d_sum")], count_col="n"
+        ).collect()
+    }
+    want = defaultdict(lambda: [0, 0])
+    for _, g, v in new_rows:
+        want[g][0] += 1
+        want[g][1] += v
+    assert refreshed == {g: (n, s) for g, (n, s) in want.items()}
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=7),
+            st.integers(min_value=0, max_value=7),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    rounds=st.integers(min_value=1, max_value=3),
+)
+@_SETTINGS
+def test_label_propagation_matches_python_sync_reference(spark, edges, rounds):
+    """Fixed-round synchronous LPA vs a pure-Python replay of the same
+    update rule (neighbor votes + one self-vote, max count, min-label
+    tie-break) on arbitrary multigraphs — self-loops and duplicate
+    edges must be normalized identically by both."""
+    from collections import Counter, defaultdict
+
+    from employee_data_management_system_data_engineering_solution_spark.operators.graph import (
+        label_propagation,
+    )
+
+    df = spark.createDataFrame(edges, "src LONG, dst LONG")
+    got = {r.node: r.label for r in label_propagation(df, rounds=rounds).collect()}
+
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    adj = defaultdict(set)
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    nodes = set(adj)
+    labels = {n: n for n in nodes}
+    for _ in range(rounds):
+        nxt = {}
+        for n in nodes:
+            votes = Counter(labels[m] for m in adj[n])
+            votes[labels[n]] += 1  # self-vote
+            best = max(votes.items(), key=lambda kv: (kv[1], -kv[0]))
+            nxt[n] = best[0]
+        labels = nxt
+    assert got == labels
