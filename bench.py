@@ -136,6 +136,11 @@ def main() -> int:
             )
 
             _llm.clear_pairs_cache()
+            from employee_data_management_system_data_engineering_solution_spark.plans import (
+                pipeline as _pipeline,
+            )
+
+            _pipeline.clear_backbone_cache()
         except Exception as exc:
             print(f"bench: cache reset failed: {exc}", file=sys.stderr)
         out: dict[str, float] = {}
