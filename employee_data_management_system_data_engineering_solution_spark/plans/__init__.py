@@ -78,7 +78,12 @@ from .registry import REGISTRY, register
 #       attribution) take customers_with_urgent_orders's and
 #       union_entities's slots (r2-green; the semi-join leg stays
 #       carried by customers_without_urgent_orders, set-ops by
-#       except_all_dupes; both re-confirm in r8).
+#       except_all_dupes; both re-confirm in r8). snapshot_time_travel
+#       (X114 versioned warehouse + CDC apply) and event_transitions
+#       (X115 Markov transition matrix) take longest_leave_streak's and
+#       salary_change_deltas's slots (r2-green; the window-function
+#       family stays carried by salary_rank_analytics and
+#       trailing_revenue_90d in-window; both re-confirm in r8).
 #   IN (re-confirmation — last driver green r2-r4, the long tail the
 #       judge asked to re-arm): the 24 r2-green queries (binary_metadata
 #       ... word_freq_topk), the 8 r3-green (active_count_by_designation
@@ -140,6 +145,8 @@ _PRIORITY: tuple[str, ...] = (
     "supplier_communities",
     "join_key_skew_report",
     "multi_touch_attribution",
+    "snapshot_time_travel",
+    "event_transitions",
     # family anchors (r6 green) so displaced families stay covered
     "daily_pipeline",
     "scd2_merge",
@@ -155,13 +162,11 @@ _PRIORITY: tuple[str, ...] = (
     "cube_order_stats",
     "customers_without_urgent_orders",
     "lang_id",
-    "longest_leave_streak",
     "multimodal_frame_stats",
     "promo_revenue_share",
     "quality_score",
     "region_supplier_volume",
     "rollup_revenue",
-    "salary_change_deltas",
     "salary_percentiles",
     "salary_rank_analytics",
     "status_pivot_report",

@@ -667,3 +667,160 @@ def constraint_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return wide.select(F.explode(rows).alias("r")).select("r.check_name", "r.n_rows")
+
+
+# --------------------------------------------------------------------------
+# Versioned warehouse time travel (X114): immutable snapshot versions +
+# CDC apply, read "as of" any committed version
+# --------------------------------------------------------------------------
+@register(
+    "snapshot_time_travel",
+    # oracle: both snapshots recomputed directly; the query must get
+    # the same numbers by READING BACK its versioned warehouse dirs
+    """
+    WITH v1 AS (
+      SELECT o_orderkey, o_orderpriority AS priority,
+             CAST(o_totalprice AS DECIMAL(12,2)) AS price
+      FROM orders WHERE o_orderkey % 10 <> 0
+    ),
+    v2 AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 11 = 0 THEN '9-MOVED'
+                  ELSE o_orderpriority END AS priority,
+             CASE WHEN o_orderkey % 7 = 0
+                  THEN CAST(o_totalprice AS DECIMAL(12,2)) + CAST(100.00 AS DECIMAL(12,2))
+                  ELSE CAST(o_totalprice AS DECIMAL(12,2)) END AS price
+      FROM orders WHERE o_orderkey % 13 <> 0
+    )
+    SELECT 1 AS version, count(*) AS n_rows,
+           CAST(round(sum(price), 2) AS DOUBLE) AS revenue
+    FROM v1
+    UNION ALL
+    SELECT 2, count(*), CAST(round(sum(price), 2) AS DOUBLE) FROM v2
+    """,
+)
+def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over a versioned warehouse: v1 is written as an
+    immutable snapshot directory, a CDC delta (the same deterministic
+    old→new transition ``incremental_agg_refresh`` maintains its
+    aggregate through) is APPLIED to the stored v1 — anti-join out the
+    deletes and update-victims, union in the inserts and new update
+    rows, never mutate in place — and committed as v2. The report then
+    reads BOTH versions back from disk, so what is hash-checked is the
+    full loop: versioned write → CDC apply → as-of read. A miscounted
+    delete, a double-applied update, or a v2 write that clobbered v1
+    all diverge from the direct-recompute oracle.
+
+    Scale: versions are directories (``sources.io.write_version``) —
+    an as-of read is a path choice with zero overhead on current reads;
+    the CDC apply is one anti-join + one union, shuffled on the
+    natural key; nothing rewrites more than the changed snapshot."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..functions.money import money
+    from ..operators.cdc import CHANGE_COL
+    from ..sources.io import list_versions, read_version, write_version
+
+    orders = read_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    hundred = F.lit("100.00").cast("decimal(12,2)")
+    v1 = orders.filter(k % 10 != 0).select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("priority"),
+        money("o_totalprice").alias("price"),
+    )
+    v2_src = orders.filter(k % 13 != 0).select(
+        "o_orderkey",
+        F.when(k % 11 == 0, F.lit("9-MOVED"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("priority"),
+        F.when(k % 7 == 0, money("o_totalprice") + hundred)
+        .otherwise(money("o_totalprice"))
+        .alias("price"),
+    )
+
+    tag = os.path.basename(sf_dir.rstrip(os.sep)).replace(".", "_")
+    base = os.path.join(tempfile.gettempdir(), f"eds_timetravel_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    write_version(v1, base, 1)
+
+    stored_v1 = read_version(spark, base, 1)
+    diff = snapshot_diff(stored_v1, v2_src, keys=["o_orderkey"])
+    removed_keys = diff.filter(
+        F.col(CHANGE_COL).isin("delete", "update")
+    ).select("o_orderkey")
+    incoming = diff.filter(F.col(CHANGE_COL).isin("insert", "update")).select(
+        "o_orderkey", "priority", "price"
+    )
+    v2 = stored_v1.join(removed_keys, "o_orderkey", "left_anti").unionByName(incoming)
+    write_version(v2, base, 2)
+
+    reports = []
+    for v in list_versions(base):
+        reports.append(
+            read_version(spark, base, v).agg(
+                F.lit(v).alias("version"),
+                F.count("*").alias("n_rows"),
+                F.round(F.sum("price"), 2).cast("double").alias("revenue"),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+# --------------------------------------------------------------------------
+# Event transition matrix (X115): consecutive-pair Markov counts
+# --------------------------------------------------------------------------
+@register(
+    "event_transitions",
+    """
+    WITH s AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    t AS (SELECT event_type AS from_type, next_type AS to_type
+          FROM s WHERE next_type IS NOT NULL)
+    SELECT from_type, to_type, count(*) AS n,
+           round(count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY from_type), 4)
+             AS p_next
+    FROM t GROUP BY from_type, to_type
+    """,
+)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavioral transition matrix: for each user's
+    time-ordered event sequence, count (event → next event) pairs and
+    normalize per source state — the empirical Markov kernel behind
+    "what do users do after X" product questions and next-event
+    baseline models. Ordering is made total with the event-id
+    tie-break so both engines pair identical neighbors.
+
+    Scale: ONE user-key shuffle for the lead() window (sequences stay
+    whole within a partition), then a groupBy on the tiny
+    (from, to) state space with map-side combine; the per-source
+    normalization is a window over that same tiny matrix."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    s = ev.withColumn(
+        "next_type",
+        F.lead("event_type").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ),
+    ).filter(F.col("next_type").isNotNull())
+    counts = s.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count("*").alias("n"))
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(
+            F.col("n") * 1.0 / F.sum("n").over(Window.partitionBy("from_type")), 4
+        ).alias("p_next"),
+    )

@@ -284,3 +284,47 @@ def compact_parquet(
             if not os.path.basename(f).startswith(("_", "."))
         ]
     )
+
+
+# --------------------------------------------------------------------------
+# Versioned (time-travel) warehouse snapshots
+# --------------------------------------------------------------------------
+def write_version(df: DataFrame, base: str, version: int) -> None:
+    """Write one immutable snapshot version as ``{base}/v=<n>`` — the
+    minimal time-travel layout: versions are whole directories, never
+    mutated after write, so "read as of v" is just a path choice and
+    concurrent readers of an old version are untouched by a new write
+    (the property table formats build compaction/manifests on top of;
+    the directory-per-version core is the same)."""
+    if version < 0:
+        raise ValueError("version must be non-negative")
+    write_parquet(df, os.path.join(base, f"v={version}"), mode="overwrite")
+
+
+def list_versions(base: str) -> list[int]:
+    """Committed snapshot versions, ascending. A version counts only
+    when its _SUCCESS marker exists — a torn write never becomes
+    readable history."""
+    if not os.path.isdir(base):
+        return []
+    out = []
+    for d in os.listdir(base):
+        if d.startswith("v=") and os.path.exists(os.path.join(base, d, "_SUCCESS")):
+            try:
+                out.append(int(d[2:]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def read_version(spark: SparkSession, base: str, version: int | None = None) -> DataFrame:
+    """Time-travel read: the named snapshot, or the LATEST committed
+    one when ``version`` is None."""
+    versions = list_versions(base)
+    if not versions:
+        raise FileNotFoundError(f"no committed versions under {base}")
+    if version is None:
+        version = versions[-1]
+    if version not in versions:
+        raise FileNotFoundError(f"version {version} not in {versions} under {base}")
+    return spark.read.parquet(os.path.join(base, f"v={version}"))

@@ -53,6 +53,7 @@ def test_check_window_covers_every_operator_family():
         "incremental_agg_refresh", "constraint_quarantine",
         "ann_rank_quality", "value_winsorized_stats", "supplier_communities",
         "join_key_skew_report", "multi_touch_attribution",
+        "snapshot_time_travel", "event_transitions",
         # family anchors (r6 green): composed pipeline + sinks, SCD-2,
         # MERGE, LSH dedup stack, the 6-method ANN report, temporal
         # joins, and the three streaming state machines distinct from
@@ -70,9 +71,12 @@ def test_check_window_covers_every_operator_family():
         # set-ops by except_all_dupes)
         "binary_metadata", "cube_order_stats",
         "customers_without_urgent_orders",
-        "lang_id", "longest_leave_streak",
+        # (longest_leave_streak + salary_change_deltas also deferred to
+        # r8 for X114/X115; window family carried by
+        # salary_rank_analytics + trailing_revenue_90d)
+        "lang_id",
         "multimodal_frame_stats", "promo_revenue_share", "quality_score",
-        "region_supplier_volume", "rollup_revenue", "salary_change_deltas",
+        "region_supplier_volume", "rollup_revenue",
         "salary_percentiles", "salary_rank_analytics", "status_pivot_report",
         "stratified_sample", "strike_report_batch",
         "top3_orders_per_customer", "top_earner_per_designation",

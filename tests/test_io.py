@@ -158,3 +158,47 @@ def test_compact_parquet_rejects_in_place(spark, tmp_path):
     spark.range(10).write.parquet(p)
     with pytest.raises(ValueError, match="src and dest"):
         compact_parquet(spark, p, p, 2)
+
+
+def test_versioned_snapshots_are_immutable_and_as_of_readable(spark, tmp_path):
+    from employee_data_management_system_data_engineering_solution_spark.sources.io import (
+        list_versions,
+        read_version,
+        write_version,
+    )
+
+    base = str(tmp_path / "wh")
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "k INT, s STRING")
+    v2 = spark.createDataFrame([(1, "a"), (3, "c"), (4, "d")], "k INT, s STRING")
+    write_version(v1, base, 1)
+    write_version(v2, base, 2)
+    assert list_versions(base) == [1, 2]
+    # as-of read: v1 unchanged after v2 landed
+    assert {r.k for r in read_version(spark, base, 1).collect()} == {1, 2}
+    assert {r.k for r in read_version(spark, base, 2).collect()} == {1, 3, 4}
+    # latest = max committed
+    assert {r.k for r in read_version(spark, base).collect()} == {1, 3, 4}
+
+
+def test_versioned_read_rejects_torn_and_missing_versions(spark, tmp_path):
+    import os
+
+    import pytest
+
+    from employee_data_management_system_data_engineering_solution_spark.sources.io import (
+        list_versions,
+        read_version,
+        write_version,
+    )
+
+    base = str(tmp_path / "wh")
+    write_version(spark.createDataFrame([(1,)], "k INT"), base, 0)
+    # a torn write (no _SUCCESS marker) must never become readable history
+    os.makedirs(os.path.join(base, "v=7"))
+    with open(os.path.join(base, "v=7", "part-torn.parquet"), "wb") as fh:
+        fh.write(b"not parquet")
+    assert list_versions(base) == [0]
+    with pytest.raises(FileNotFoundError):
+        read_version(spark, base, 7)
+    with pytest.raises(FileNotFoundError):
+        read_version(spark, str(tmp_path / "missing"))
