@@ -44,6 +44,16 @@ TARGETS = [
     "compact_parquet_roundtrip",
     "cube_order_stats",
     "rollup_revenue",
+    # round-7 late additions (queued for the round-8 sweep)
+    "ann_rank_quality",
+    "incremental_agg_refresh",
+    "constraint_quarantine",
+    "supplier_communities",
+    "multi_touch_attribution",
+    "snapshot_time_travel",
+    "event_transitions",
+    "value_winsorized_stats",
+    "join_key_skew_report",
     # round-6 late additions
     "pq_ivf_search",
     "fuzzy_name_pairs",
