@@ -368,3 +368,39 @@ def test_stream_stream_left_join_matches_batch_left_join(spark):
     }
     assert got == want
     assert any(v is None for _, _, v in got), "expected unmatched purchases"
+
+
+def test_strike_pass_recovery_under_rocksdb_store(spark, tmp_path):
+    """Durable-checkpoint recovery composed with the at-scale state
+    store: the two-pass restart must recover applyInPandasWithState
+    state from a RocksDB-backed store exactly as it does from the
+    default HDFS-backed one (X71 x X72 — restart and store provider
+    are independent axes, and this pins the composition)."""
+    from employee_data_management_system_data_engineering_solution_spark.streaming.replay import (
+        ROCKSDB_PROVIDER,
+    )
+    from employee_data_management_system_data_engineering_solution_spark.streaming.strikes import (
+        run_strike_pass,
+        strike_final_state,
+    )
+
+    jan, feb = _jan_feb_rows()
+    stage_dir = tmp_path / "stage"
+    stage_dir.mkdir()
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+
+    _stage_file(spark, tmp_path, jan, str(stage_dir / "a_jan.parquet"))
+    run_strike_pass(
+        spark, str(stage_dir), ckpt, out,
+        state_partitions=2, state_store_provider=ROCKSDB_PROVIDER,
+    )
+    _stage_file(spark, tmp_path, feb, str(stage_dir / "b_feb.parquet"))
+    run_strike_pass(
+        spark, str(stage_dir), ckpt, out,
+        state_partitions=2, state_store_provider=ROCKSDB_PROVIDER,
+    )
+    got = {
+        r.emp_id: (r.strike_count, r.status)
+        for r in strike_final_state(spark, out).collect()
+    }
+    assert got == {1: (2, "ACTIVE"), 2: (15, "INACTIVE"), 3: (1, "ACTIVE")}
