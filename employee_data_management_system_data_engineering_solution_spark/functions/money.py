@@ -74,11 +74,22 @@ def money_contract_violation(col: Column | str) -> Column:
     any sub-cent residue, including a tie, differs and is flagged.
     NULLs are not violations (aggregates skip them).
 
+    Overflow is a violation too: a magnitude beyond DECIMAL(12,2) is
+    precisely the class ``money()`` corrupts worst (NULL with ANSI
+    off, a runtime error with ANSI on), so the audit uses ``try_cast``
+    — which yields NULL instead of throwing in either mode — and flags
+    the cast-failure case explicitly rather than letting a NULL
+    comparison count the row as clean.
+
     One narrow scan, no shuffle: ``df.agg(F.sum(pred.cast("long")))``
     is the whole 100 TB audit pass — run it once at ingest per the
     module docstring, not per query."""
-    hi = _c(col).cast("decimal(24,8)")
-    return hi.isNotNull() & (hi != hi.cast(MONEY))
+    raw = _c(col)
+    hi = raw.try_cast("decimal(24,8)")
+    as_money = hi.try_cast(MONEY)
+    return raw.isNotNull() & (
+        hi.isNull() | as_money.isNull() | (hi != as_money)
+    )
 
 
 def money_sum(expr: Column, alias: str) -> Column:

@@ -44,10 +44,13 @@ def snapshot_diff(
     rows equal on every compare column are 'unchanged' and dropped
     unless ``keep_unchanged``.
 
-    ``keep_old=True`` additionally emits ``old_<col>`` columns holding
-    the OLD snapshot's values (NULL for inserts) — the shape
-    incremental aggregate maintenance needs: an update's contribution
-    is (−old, +new), which is unrecoverable from new-side values alone.
+    ``keep_old=True`` additionally emits ``old_<col>`` AND ``new_<col>``
+    columns holding each side's RAW values (``old_*`` NULL for inserts,
+    ``new_*`` NULL for deletes) — the shape incremental aggregate
+    maintenance needs: an update's contribution is (−old, +new), and
+    neither side is recoverable from the coalesced main columns alone
+    (a genuinely-NULL new value would coalesce to the OLD value and
+    corrupt the delta).
 
     Keys join null-safely, so a NULL-keyed row present in both
     snapshots diffs as update/unchanged (a plain-SQL ``=`` join would
@@ -86,6 +89,7 @@ def snapshot_diff(
         *[F.coalesce(F.col(f"__n_{c}"), F.col(f"__o_{c}")).alias(c) for c in compare],
         *(
             [F.col(f"__o_{c}").alias(f"old_{c}") for c in compare]
+            + [F.col(f"__n_{c}").alias(f"new_{c}") for c in compare]
             if keep_old
             else []
         ),
@@ -133,19 +137,24 @@ def agg_delta_contributions(
     its NEW group, which nets the count to zero when the group didn't
     move and handles group-changing updates with no special case).
 
-    Output: (group_col, d_n, d_sum). Scale: one narrow explode of ≤2
-    structs per changed row, then ONE groupBy on the grouping key whose
-    cardinality is the report's, not the table's. The whole point at
-    100 TB: the refresh touches |delta| rows, never the base table.
+    Output: (group_col, d_n, d_sum). NULL discipline: contributions are
+    built from the RAW per-side columns (``new_*`` for the plus leg,
+    ``old_*`` for the minus leg) — never the diff's coalesced main
+    columns, which would substitute the other side's value when one is
+    genuinely NULL; a NULL value contributes nothing to ``d_sum`` (sum
+    skips it, exactly as a recompute would) while still moving the
+    count, and a NULL GROUP key is a legitimate group (grouped here,
+    merged null-safely by :func:`apply_agg_delta`).
+
+    Scale: one narrow explode of ≤2 structs per changed row, then ONE
+    groupBy on the grouping key whose cardinality is the report's, not
+    the table's. The whole point at 100 TB: the refresh touches
+    |delta| rows, never the base table.
     """
-    g, v = F.col(group_col), F.col(value_col)
+    ng, nv = F.col(f"new_{group_col}"), F.col(f"new_{value_col}")
     og, ov = F.col(f"old_{group_col}"), F.col(f"old_{value_col}")
-    plus = F.struct(g.alias("g"), F.lit(1).alias("dn"), v.alias("dv"))
-    minus = F.struct(
-        F.coalesce(og, g).alias("g"),
-        F.lit(-1).alias("dn"),
-        (-F.coalesce(ov, v)).alias("dv"),
-    )
+    plus = F.struct(ng.alias("g"), F.lit(1).alias("dn"), nv.alias("dv"))
+    minus = F.struct(og.alias("g"), F.lit(-1).alias("dn"), (-ov).alias("dv"))
     contribs = (
         F.when(F.col(CHANGE_COL) == "insert", F.array(plus))
         .when(F.col(CHANGE_COL) == "delete", F.array(minus))
@@ -178,8 +187,10 @@ def apply_agg_delta(
     2-decimal money sums are exact and never round (a sum of cents is
     cents), so ``stored + Δ`` equals the full recompute bit-for-bit;
     do NOT feed it double sums, whose stored value depends on the
-    original summation order. One shuffle on the group key, sized by
-    report cardinality.
+    original summation order. The join keys compare NULL-SAFELY: a
+    NULL grouping key is one group on both sides, exactly as groupBy
+    treats it — a plain equi-join would emit it twice, once per side.
+    One shuffle on the group key, sized by report cardinality.
     """
     group_cols = list(group_cols)
     b = reduce(
@@ -187,10 +198,21 @@ def apply_agg_delta(
         [bc for bc, _ in pairs],
         base_agg,
     )
-    merged = b.join(delta, group_cols, "full_outer")
+    b = reduce(
+        lambda df, c: df.withColumnRenamed(c, f"__bg_{c}"), group_cols, b
+    )
+    cond = reduce(
+        lambda a, c: a & b[f"__bg_{c}"].eqNullSafe(delta[c]),
+        group_cols[1:],
+        b[f"__bg_{group_cols[0]}"].eqNullSafe(delta[group_cols[0]]),
+    )
+    merged = b.join(delta, cond, "full_outer")
     zero = F.lit(0)
     out = merged.select(
-        *group_cols,
+        *[
+            F.coalesce(F.col(f"__bg_{c}"), F.col(c)).alias(c)
+            for c in group_cols
+        ],
         *[
             (F.coalesce(F.col(f"__b_{bc}"), zero) + F.coalesce(F.col(dc), zero)).alias(bc)
             for bc, dc in pairs

@@ -213,6 +213,12 @@ def winsorize(
     count and bounded mass).
 
     Appends ``<value>_wins`` plus the per-key ``__lo``/``__hi`` cuts.
+    NULL discipline: a NULL value stays NULL (``least``/``greatest``
+    alone would skip the NULL and fabricate the low cut — a repair must
+    never invent readings), and a NULL KEY is a legitimate stratum —
+    the cuts join is null-safe so its rows are clipped against their
+    own group's percentiles rather than dropped.
+
     Boundary determinism: the interpolated cut either IS a data value
     (interpolation fraction 0) or lies strictly between two adjacent
     distinct data values, so a last-ulp engine difference in the
@@ -224,12 +230,18 @@ def winsorize(
     cuts = df.groupBy(key_col).agg(
         F.expr(f"percentile({value_col}, array({lo}, {hi}))").alias("__ps")
     ).select(
-        key_col,
+        F.col(key_col).alias("__cut_key"),
         F.col("__ps")[0].alias("__lo"),
         F.col("__ps")[1].alias("__hi"),
     )
     v = F.col(value_col)
-    clamped = F.least(F.greatest(v, F.col("__lo")), F.col("__hi"))
-    return df.join(F.broadcast(cuts), key_col).withColumn(
-        f"{value_col}_wins", clamped
+    clamped = F.when(
+        v.isNotNull(), F.least(F.greatest(v, F.col("__lo")), F.col("__hi"))
+    )
+    return (
+        df.join(
+            F.broadcast(cuts), F.col(key_col).eqNullSafe(F.col("__cut_key"))
+        )
+        .drop("__cut_key")
+        .withColumn(f"{value_col}_wins", clamped)
     )

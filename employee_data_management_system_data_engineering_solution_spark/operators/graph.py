@@ -410,10 +410,15 @@ def label_propagation(
         ).select(F.col("d").alias("node"), "label")
         votes = nbr_votes.unionByName(labels)  # one self-vote
         counts = votes.groupBy("node", "label").agg(F.count("*").alias("c"))
+        # argmax by (count desc, label asc) via struct-MIN on
+        # (-count, label): negating the COUNT (always numeric) instead
+        # of the label keeps the tie-break valid for any orderable
+        # label type — string vertex ids included, where a negated
+        # label would silently cast to NULL
         labels = (
             counts.groupBy("node")
-            .agg(F.max(F.struct(F.col("c"), (-F.col("label")).alias("negl"))).alias("m"))
-            .select("node", (-F.col("m.negl")).alias("label"))
+            .agg(F.min(F.struct((-F.col("c")).alias("nc"), F.col("label"))).alias("m"))
+            .select("node", F.col("m.label").alias("label"))
             .localCheckpoint(eager=False)
         )
     return labels

@@ -1107,6 +1107,27 @@ _IDCG_10 = 4.54356
 _DCG_W_SQL = "[" + ", ".join(str(w) for w in _DCG_W) + "]::DOUBLE[]"
 
 
+#: (applicationId, sf_dir) -> (truth, ranked-methods union). The two
+#: measurement queries (recall, rank quality) grade the SAME pinned
+#: index, so the harness — IVF assignment, PQ codebook training +
+#: encoding, exact ground truth, and all six searches — materializes
+#: once per (session, sf); same discipline as _PAIRS_CACHE and the
+#: co-supply backbone memo. bench.py clears it before each timed pass
+#: so whichever measurement query runs first pays the build.
+_ANN_EVAL_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
+
+
+def clear_ann_eval_cache() -> None:
+    """Drop memoized ANN-evaluation frames and their checkpoint blocks."""
+    for pair in _ANN_EVAL_CACHE.values():
+        for df in pair:
+            try:
+                df.unpersist()
+            except Exception:
+                pass  # session already stopped; blocks died with it
+    _ANN_EVAL_CACHE.clear()
+
+
 def _ann_truth_and_ranked_methods(spark: SparkSession, sf_dir: str):
     """Shared ANN evaluation harness: the exact top-10 ground truth
     (``__hit`` marker) and the union of every method's RANKED top-10
@@ -1115,8 +1136,14 @@ def _ann_truth_and_ranked_methods(spark: SparkSession, sf_dir: str):
     (an ANN index is built once, not per search method); the PQ
     codebooks likewise train ONCE in their bounded Lloyd's barrier and
     serve both the flat-ADC and IVF-PQ searches. Both measurement
-    queries (recall, rank quality) consume this one harness, so their
-    verdicts are about the same pinned index."""
+    queries (recall, rank quality) consume this one harness, and the
+    session memo above makes the sharing real at runtime — the second
+    consumer reads materialized frames instead of re-running the
+    index build."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _ANN_EVAL_CACHE.get(key)
+    if cached is not None:
+        return cached
     emb = read_table(spark, sf_dir, "embeddings")
     pivots = emb.filter(F.col("vec_id") < 8)
     queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105))
@@ -1180,6 +1207,9 @@ def _ann_truth_and_ranked_methods(spark: SparkSession, sf_dir: str):
     for nm, df in methods:
         cur = df.select(F.lit(nm).alias("method"), "query_id", "neighbor_id", "rank")
         un = cur if un is None else un.unionByName(cur)
+    truth = truth.localCheckpoint(eager=True)
+    un = un.localCheckpoint(eager=True)
+    _ANN_EVAL_CACHE[key] = (truth, un)
     return truth, un
 
 

@@ -126,11 +126,22 @@ def money_native_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame
     key = (os.path.realpath(sf_dir), name)
     path = _MONEY_NATIVE_CACHE.get(key)
     if path is None:
+        import hashlib
         import tempfile
 
         from pyspark.sql import functions as F
 
-        tag = os.path.basename(sf_dir.rstrip(os.sep)).replace(".", "_")
+        # the tag embeds a digest of the FULL resolved path, not just
+        # the basename: two different warehouses named sf0.1 must not
+        # share (and silently cross-overwrite) one memoized copy —
+        # unlike the self-healing overwrite-per-invocation work dirs,
+        # this memo claims the path stays valid for the process
+        real = os.path.realpath(sf_dir)
+        tag = (
+            os.path.basename(real).replace(".", "_")
+            + "_"
+            + hashlib.md5(real.encode()).hexdigest()[:8]
+        )
         path = os.path.join(tempfile.gettempdir(), f"eds_decwh_{tag}", name)
         df = read_table(spark, sf_dir, name)
         # Write with real scan parallelism: a fixture that arrives as

@@ -140,3 +140,51 @@ def test_incremental_refresh_equals_recompute_with_moves_and_empties(spark):
     assert got == _recompute(new)
     assert not any(g == "gone" for g, _, _ in got)
     assert any(g == "c" for g, _, _ in got)
+
+
+def test_incremental_refresh_null_values_and_null_groups(spark):
+    """The NULL edges the review flagged: an update whose NEW value is
+    NULL must subtract the old value (not net to zero through the
+    coalesced diff column), a NULL old value contributes nothing to the
+    sum while still moving the count, and a NULL GROUP key merges
+    null-safely into ONE refreshed row."""
+    from pyspark.sql import functions as F
+
+    from employee_data_management_system_data_engineering_solution_spark.operators.cdc import (
+        agg_delta_contributions,
+        apply_agg_delta,
+        snapshot_diff,
+    )
+
+    schema = "k INT, g STRING, v INT"
+    old = spark.createDataFrame(
+        [(1, "a", 5), (2, "a", None), (3, None, 7), (4, None, 1)], schema
+    )
+    new = spark.createDataFrame(
+        # k=1: value nulled in place; k=2: NULL->9; k=3 stays in the
+        # NULL group repriced; k=4 deleted from the NULL group
+        [(1, "a", None), (2, "a", 9), (3, None, 8)], schema
+    )
+    base = old.groupBy("g").agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+    delta = agg_delta_contributions(
+        snapshot_diff(old, new, ["k"], keep_old=True), "g", "v"
+    )
+    got = {
+        r.g: (r.n, r.s)
+        for r in apply_agg_delta(
+            base, delta, ["g"], [("n", "d_n"), ("s", "d_sum")], count_col="n"
+        ).collect()
+    }
+    # recompute of new: group a -> n=2, s=9 (NULL skipped); NULL group -> n=1, s=8
+    assert got == {"a": (2, 9), None: (1, 8)}
+
+
+def test_keep_old_emits_raw_new_side_columns(spark):
+    old = spark.createDataFrame([(1, 10.0)], "k INT, v DOUBLE")
+    new = spark.createDataFrame([(1, None), (2, 5.0)], "k INT, v DOUBLE")
+    got = {r.k: r for r in snapshot_diff(old, new, ["k"], keep_old=True).collect()}
+    # update to NULL: main column coalesces to the OLD value, but the
+    # raw new-side column keeps the truth
+    assert got[1].change_type == "update" and got[1].v == 10.0
+    assert got[1].new_v is None and got[1].old_v == 10.0
+    assert got[2].change_type == "insert" and got[2].new_v == 5.0

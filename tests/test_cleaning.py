@@ -128,3 +128,23 @@ def test_winsorize_clamps_and_preserves_rows(spark):
     clamped = {r.v: r.v_wins for r in out}
     assert clamped[10000.0] == hi and clamped[-500.0] == lo
     assert clamped[50.0] == 50.0
+
+
+def test_winsorize_null_values_and_null_keys_survive(spark):
+    from employee_data_management_system_data_engineering_solution_spark.operators.cleaning import (
+        winsorize,
+    )
+
+    rows = [("a", float(v)) for v in range(1, 21)] + [
+        ("a", None),       # NULL value: must stay NULL, not become the cut
+        (None, 1.0),       # NULL key: its own stratum, not dropped
+        (None, 100.0),
+    ]
+    df = spark.createDataFrame(rows, "k STRING, v DOUBLE")
+    out = winsorize(df, "k", "v", lo=0.05, hi=0.95).collect()
+    assert len(out) == len(rows)
+    nulls = [r for r in out if r.v is None]
+    assert len(nulls) == 1 and nulls[0].v_wins is None
+    null_key = [r for r in out if r.k is None]
+    assert len(null_key) == 2  # clipped against their own group's cuts
+    assert all(r["__lo"] <= r.v_wins <= r["__hi"] for r in null_key)

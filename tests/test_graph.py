@@ -167,3 +167,19 @@ def test_label_propagation_deterministic_and_tie_breaks_low(spark):
     b = {r.node: r.label for r in label_propagation(df, rounds=1).collect()}
     assert a == b
     assert a[5] == 1
+
+
+def test_label_propagation_string_ids(spark):
+    """The operator's contract has no numeric-id constraint: string
+    vertex ids must propagate real labels (a negated-label tie-break
+    would silently NULL them) with the same min-label tie rule."""
+    from employee_data_management_system_data_engineering_solution_spark.operators.graph import (
+        label_propagation,
+    )
+
+    df = spark.createDataFrame(
+        [("alpha", "mid"), ("zeta", "mid")], "src STRING, dst STRING"
+    )
+    got = {r.node: r.label for r in label_propagation(df, rounds=1).collect()}
+    assert None not in got.values()
+    assert got["mid"] == "alpha"  # tie on count -> lexicographic min

@@ -127,3 +127,23 @@ def test_money_contract_holds_on_driver_fixtures(spark):
             F.sum(money_contract_violation(col).cast("long")).alias("n")
         ).collect()[0].n
         assert (bad or 0) == 0, f"{table}.{col}: {bad} sub-cent rows"
+
+
+def test_money_contract_audit_flags_overflow(spark):
+    """Values money() would overflow to NULL are violations, not clean
+    rows — the audit must flag exactly the rows the cast corrupts."""
+    from employee_data_management_system_data_engineering_solution_spark.functions.money import (
+        money_contract_violation,
+    )
+
+    rows = [
+        (99999999999.99,),  # 11 integral digits: overflows DECIMAL(12,2)
+        (1e18,),            # beyond even the audit's DECIMAL(24,8)
+        (1234567890.12,),   # 10 integral digits: fits, clean
+        (None,),
+    ]
+    df = spark.createDataFrame(rows, "v DOUBLE")
+    n = df.agg(
+        F.sum(money_contract_violation("v").cast("long")).alias("n")
+    ).collect()[0].n
+    assert n == 2
