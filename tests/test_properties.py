@@ -483,3 +483,113 @@ def test_label_propagation_matches_python_sync_reference(spark, edges, rounds):
             nxt[n] = best[0]
         labels = nxt
     assert got == labels
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["k1", "k2"]),
+            st.one_of(st.none(), st.integers(min_value=-100, max_value=100)),
+        ),
+        min_size=2,
+        max_size=25,
+    )
+)
+@_SETTINGS
+def test_winsorize_matches_python_reference(spark, rows):
+    """Per-key p10/p90 clipping vs a pure-Python replay of the same
+    linear-interpolation percentile + clamp, NULLs passing through."""
+    from employee_data_management_system_data_engineering_solution_spark.operators.cleaning import (
+        winsorize,
+    )
+
+    df = spark.createDataFrame(
+        [(i, k, float(v) if v is not None else None) for i, (k, v) in enumerate(rows)],
+        "i LONG, k STRING, v DOUBLE",
+    )
+    got = {
+        r.i: r.v_wins for r in winsorize(df, "k", "v", lo=0.1, hi=0.9).collect()
+    }
+
+    def pctl(xs, p):  # linear interpolation, the percentile() contract
+        xs = sorted(xs)
+        if len(xs) == 1:
+            return xs[0]
+        pos = p * (len(xs) - 1)
+        lo_i, frac = int(pos), pos - int(pos)
+        return xs[lo_i] if frac == 0 else xs[lo_i] + (xs[lo_i + 1] - xs[lo_i]) * frac
+
+    by_key = {}
+    for i, (k, v) in enumerate(rows):
+        by_key.setdefault(k, []).append(v)
+    want = {}
+    for i, (k, v) in enumerate(rows):
+        vals = [x for x in by_key[k] if x is not None]
+        if v is None or not vals:
+            want[i] = None
+        else:
+            lo_c, hi_c = pctl(vals, 0.1), pctl(vals, 0.9)
+            want[i] = min(max(float(v), lo_c), hi_c)
+    for i in want:
+        if want[i] is None:
+            assert got.get(i) is None, i
+        else:
+            assert got[i] is not None and abs(got[i] - want[i]) < 1e-9, (i, got[i], want[i])
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),        # user
+            st.sampled_from(["view", "purchase"]),
+            st.integers(min_value=0, max_value=7200),     # offset seconds
+            st.integers(min_value=0, max_value=200),      # value
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@_SETTINGS
+def test_multi_touch_attribution_matches_python_reference(spark, events):
+    """Equal-split credit vs a brute-force Python replay: per purchase,
+    every same-user view in [t-1h, t] earns value/n; user totals and
+    distinct assisting-view counts must agree."""
+    import datetime as dt
+    from collections import defaultdict
+
+    import employee_data_management_system_data_engineering_solution_spark.plans.curation  # noqa: F401
+    from employee_data_management_system_data_engineering_solution_spark.plans.registry import REGISTRY
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, u, t, base + dt.timedelta(seconds=off), float(v), "{}")
+        for i, (u, t, off, v) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id LONG, user_id LONG, event_type STRING, ts TIMESTAMP, value DOUBLE, props STRING"
+    )
+    import tempfile, os, shutil, glob
+
+    work = tempfile.mkdtemp(prefix="eds_attr_prop_")
+    try:
+        df.coalesce(1).write.mode("overwrite").parquet(os.path.join(work, "__w"))
+        part = glob.glob(os.path.join(work, "__w", "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(work, "events.parquet"))
+        got = {
+            r.user_id: (r.n_assisting_views, r.attributed_revenue)
+            for r in REGISTRY["multi_touch_attribution"].fn(spark, work).collect()
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    purchases = [(i, u, off, v) for i, (u, t, off, v) in enumerate(events) if t == "purchase"]
+    views = [(i, u, off) for i, (u, t, off, _) in enumerate(events) if t == "view"]
+    credit = defaultdict(float)
+    assisting = defaultdict(set)
+    for pi, pu, poff, pv in purchases:
+        assists = [vi for vi, vu, voff in views if vu == pu and poff - 3600 <= voff <= poff]
+        for vi in assists:
+            credit[pu] += pv / len(assists)
+            assisting[pu].add(vi)
+    want = {u: (len(assisting[u]), round(credit[u], 2)) for u in credit}
+    assert got == want
