@@ -69,10 +69,15 @@ def money_contract_violation(col: Column | str) -> Column:
     ``money()`` cast would silently round it, with engine-divergent
     tie behavior on exact ``.xx5``). Exact decimal compare, no double
     ``x*100`` arithmetic: the double is rendered at 8 decimal digits
-    (lossless for money magnitudes — 8 fractional + 16 integral digits
-    exceeds double precision) and compared against its cents rounding;
-    any sub-cent residue, including a tie, differs and is flagged.
-    NULLs are not violations (aggregates skip them).
+    and compared against its cents rounding; any sub-cent residue at
+    or above 1e-8, including a tie, differs and is flagged. The
+    tolerance is explicit contract, not an accident: residues BELOW
+    1e-8 (e.g. ``1.000000001``) are rounded away by the
+    ``decimal(24,8)`` rendering and pass as clean — at 8 fractional
+    digits the 16 integral digits exhaust double precision for
+    realistic money magnitudes (≳1e8 cents), and a residue that small
+    is representation noise, not a price. NULLs are not violations
+    (aggregates skip them).
 
     Overflow is a violation too: a magnitude beyond DECIMAL(12,2) is
     precisely the class ``money()`` corrupts worst (NULL with ANSI

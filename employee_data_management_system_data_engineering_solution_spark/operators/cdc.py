@@ -137,14 +137,18 @@ def agg_delta_contributions(
     its NEW group, which nets the count to zero when the group didn't
     move and handles group-changing updates with no special case).
 
-    Output: (group_col, d_n, d_sum). NULL discipline: contributions are
-    built from the RAW per-side columns (``new_*`` for the plus leg,
-    ``old_*`` for the minus leg) — never the diff's coalesced main
-    columns, which would substitute the other side's value when one is
-    genuinely NULL; a NULL value contributes nothing to ``d_sum`` (sum
-    skips it, exactly as a recompute would) while still moving the
-    count, and a NULL GROUP key is a legitimate group (grouped here,
-    merged null-safely by :func:`apply_agg_delta`).
+    Output: (group_col, d_n, d_sum, d_nv). NULL discipline:
+    contributions are built from the RAW per-side columns (``new_*``
+    for the plus leg, ``old_*`` for the minus leg) — never the diff's
+    coalesced main columns, which would substitute the other side's
+    value when one is genuinely NULL; a NULL value contributes nothing
+    to ``d_sum`` (sum skips it, exactly as a recompute would) while
+    still moving the count, and a NULL GROUP key is a legitimate group
+    (grouped here, merged null-safely by :func:`apply_agg_delta`).
+    ``d_nv`` tracks the NON-NULL value count (±1 only when the leg's
+    value is non-null) — the witness :func:`apply_agg_delta` needs to
+    refresh a group whose surviving values are all NULL to a NULL sum,
+    exactly as a recompute would, instead of a fabricated 0.
 
     Scale: one narrow explode of ≤2 structs per changed row, then ONE
     groupBy on the grouping key whose cardinality is the report's, not
@@ -153,8 +157,18 @@ def agg_delta_contributions(
     """
     ng, nv = F.col(f"new_{group_col}"), F.col(f"new_{value_col}")
     og, ov = F.col(f"old_{group_col}"), F.col(f"old_{value_col}")
-    plus = F.struct(ng.alias("g"), F.lit(1).alias("dn"), nv.alias("dv"))
-    minus = F.struct(og.alias("g"), F.lit(-1).alias("dn"), (-ov).alias("dv"))
+    plus = F.struct(
+        ng.alias("g"),
+        F.lit(1).alias("dn"),
+        nv.alias("dv"),
+        F.when(nv.isNotNull(), 1).otherwise(0).alias("dnv"),
+    )
+    minus = F.struct(
+        og.alias("g"),
+        F.lit(-1).alias("dn"),
+        (-ov).alias("dv"),
+        F.when(ov.isNotNull(), -1).otherwise(0).alias("dnv"),
+    )
     contribs = (
         F.when(F.col(CHANGE_COL) == "insert", F.array(plus))
         .when(F.col(CHANGE_COL) == "delete", F.array(minus))
@@ -166,6 +180,7 @@ def agg_delta_contributions(
         .agg(
             F.sum("c.dn").alias("d_n"),
             F.sum("c.dv").alias("d_sum"),
+            F.sum("c.dnv").alias("d_nv"),
         )
     )
 
@@ -176,6 +191,7 @@ def apply_agg_delta(
     group_cols: Sequence[str],
     pairs: Sequence[tuple[str, str]],
     count_col: str,
+    null_when_zero: Sequence[tuple[str, str]] = (),
 ) -> DataFrame:
     """Merge per-group delta contributions into a stored aggregate:
     full-outer join on the group key, add each additive ``(base_col,
@@ -187,10 +203,17 @@ def apply_agg_delta(
     2-decimal money sums are exact and never round (a sum of cents is
     cents), so ``stored + Δ`` equals the full recompute bit-for-bit;
     do NOT feed it double sums, whose stored value depends on the
-    original summation order. The join keys compare NULL-SAFELY: a
-    NULL grouping key is one group on both sides, exactly as groupBy
-    treats it — a plain equi-join would emit it twice, once per side.
-    One shuffle on the group key, sized by report cardinality.
+    original summation order. The NULL→0 coalescing alone would break
+    that claim on one edge: a surviving group whose values are ALL
+    NULL recomputes to ``sum = NULL``, not 0. ``null_when_zero`` closes
+    it — each ``(sum_col, nonnull_count_col)`` entry (both must be
+    maintained via ``pairs``; the witness count comes from
+    ``agg_delta_contributions``'s ``d_nv``) NULLs the refreshed sum
+    when the group's refreshed non-null value count is 0. The join
+    keys compare NULL-SAFELY: a NULL grouping key is one group on both
+    sides, exactly as groupBy treats it — a plain equi-join would emit
+    it twice, once per side. One shuffle on the group key, sized by
+    report cardinality.
     """
     group_cols = list(group_cols)
     b = reduce(
@@ -218,4 +241,14 @@ def apply_agg_delta(
             for bc, dc in pairs
         ],
     )
+    maintained = {bc for bc, _ in pairs}
+    for sum_col, nv_col in null_when_zero:
+        if sum_col not in maintained or nv_col not in maintained:
+            raise ValueError(
+                f"null_when_zero pair ({sum_col}, {nv_col}) must both be "
+                "maintained columns from `pairs`"
+            )
+        out = out.withColumn(
+            sum_col, F.when(F.col(nv_col) > 0, F.col(sum_col))
+        )
     return out.filter(F.col(count_col) > 0)

@@ -225,8 +225,14 @@ def winsorize(
     interpolation can never flip a comparison against a data point.
 
     Scale: one groupBy computes both cuts per key (|keys| rows), then
-    a broadcast join + narrow clamp — the corpus is touched twice,
-    shuffled never."""
+    a join + narrow clamp — the corpus is touched twice. The cuts side
+    is deliberately NOT force-broadcast: its cardinality is the KEY's,
+    which a generic repair operator cannot bound (a high-cardinality
+    key force-broadcast through the driver is an OOM at 100 TB). AQE
+    observes the aggregate's actual runtime size and picks broadcast
+    when it fits (the bounded-strata case here) or a shuffle join when
+    it doesn't — both plans are correct; only one is safe at every
+    cardinality."""
     cuts = df.groupBy(key_col).agg(
         F.expr(f"percentile({value_col}, array({lo}, {hi}))").alias("__ps")
     ).select(
@@ -239,9 +245,7 @@ def winsorize(
         v.isNotNull(), F.least(F.greatest(v, F.col("__lo")), F.col("__hi"))
     )
     return (
-        df.join(
-            F.broadcast(cuts), F.col(key_col).eqNullSafe(F.col("__cut_key"))
-        )
+        df.join(cuts, F.col(key_col).eqNullSafe(F.col("__cut_key")))
         .drop("__cut_key")
         .withColumn(f"{value_col}_wins", clamped)
     )

@@ -554,6 +554,7 @@ def incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     base_agg = old.groupBy("priority").agg(
         F.count("*").alias("n_orders"),
         F.sum("price").alias("revenue"),  # exact decimal, not rounded
+        F.count("price").alias("n_vals"),  # non-null witness for the all-NULL edge
     )
     diff = snapshot_diff(old, new, keys=["o_orderkey"], keep_old=True)
     delta = agg_delta_contributions(diff, "priority", "price")
@@ -561,8 +562,9 @@ def incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         base_agg,
         delta,
         ["priority"],
-        [("n_orders", "d_n"), ("revenue", "d_sum")],
+        [("n_orders", "d_n"), ("revenue", "d_sum"), ("n_vals", "d_nv")],
         count_col="n_orders",
+        null_when_zero=[("revenue", "n_vals")],
     )
     return refreshed.select(
         "priority",
@@ -747,12 +749,19 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_version(v1, base, 1)
 
     stored_v1 = read_version(spark, base, 1)
-    diff = snapshot_diff(stored_v1, v2_src, keys=["o_orderkey"])
+    # keep_old=True so incoming rows carry each side's RAW values: the
+    # diff's coalesced main columns would resurrect the OLD value for
+    # an update whose new value is genuinely NULL — the same discipline
+    # agg_delta_contributions follows (a CDC apply must write what the
+    # new snapshot says, including its NULLs).
+    diff = snapshot_diff(stored_v1, v2_src, keys=["o_orderkey"], keep_old=True)
     removed_keys = diff.filter(
         F.col(CHANGE_COL).isin("delete", "update")
     ).select("o_orderkey")
     incoming = diff.filter(F.col(CHANGE_COL).isin("insert", "update")).select(
-        "o_orderkey", "priority", "price"
+        "o_orderkey",
+        F.col("new_priority").alias("priority"),
+        F.col("new_price").alias("price"),
     )
     v2 = stored_v1.join(removed_keys, "o_orderkey", "left_anti").unionByName(incoming)
     write_version(v2, base, 2)

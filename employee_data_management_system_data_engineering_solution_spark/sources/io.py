@@ -187,18 +187,21 @@ def read_csv(
 
 def latest_file(path: str, suffix: str = "") -> str | None:
     """Newest-file discovery (reference S4, ``daily_dag.py:129-137``):
-    the reference lists S3 objects and sorts by LastModified. Local/HDFS
-    equivalent: sort directory entries by mtime descending."""
-    if not os.path.isdir(path):
+    the reference lists S3 objects and sorts by LastModified. This is
+    the same listing through the :mod:`.fs` seam — Hadoop FileSystem
+    when a session is up (so hdfs:// and s3a:// inboxes work), local
+    ``os`` otherwise — sorted by mtime descending."""
+    from . import fs
+
+    entries = fs.list_dir(path)
+    if entries is None:
         return None
-    entries = [
-        os.path.join(path, f)
-        for f in os.listdir(path)
-        if f.endswith(suffix) and not f.startswith(("_", "."))
+    cands = [
+        e for e in entries if e.name.endswith(suffix) and not e.name.startswith(("_", "."))
     ]
-    if not entries:
+    if not cands:
         return None
-    return max(entries, key=os.path.getmtime)
+    return fs.join(path, max(cands, key=lambda e: e.mtime).name)
 
 
 def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
@@ -274,10 +277,11 @@ def compact_parquet(
     and the job is purely file-count reduction. Content is preserved
     row-for-row (asserted in tests/test_io.py); only layout changes.
 
-    Returns the number of data files written.
+    Returns the number of data files written (counted through the
+    :mod:`.fs` seam, so the accounting works on hdfs://s3a:// paths,
+    not just the local filesystem).
     """
-    import glob
-    import os
+    from . import fs
 
     if os.path.realpath(src_path) == os.path.realpath(dest_path):
         raise ValueError(
@@ -290,9 +294,9 @@ def compact_parquet(
     out.write.mode("overwrite").parquet(dest_path)
     return len(
         [
-            f
-            for f in glob.glob(os.path.join(dest_path, "*.parquet"))
-            if not os.path.basename(f).startswith(("_", "."))
+            e
+            for e in (fs.list_dir(dest_path, spark) or [])
+            if e.name.endswith(".parquet") and not e.name.startswith(("_", "."))
         ]
     )
 
@@ -307,22 +311,30 @@ def write_version(df: DataFrame, base: str, version: int) -> None:
     concurrent readers of an old version are untouched by a new write
     (the property table formats build compaction/manifests on top of;
     the directory-per-version core is the same)."""
+    from . import fs
+
     if version < 0:
         raise ValueError("version must be non-negative")
-    write_parquet(df, os.path.join(base, f"v={version}"), mode="overwrite")
+    write_parquet(df, fs.join(base, f"v={version}"), mode="overwrite")
 
 
 def list_versions(base: str) -> list[int]:
     """Committed snapshot versions, ascending. A version counts only
     when its _SUCCESS marker exists — a torn write never becomes
-    readable history."""
-    if not os.path.isdir(base):
+    readable history. Listed through the :mod:`.fs` seam so the
+    commit protocol holds on hdfs://s3a:// warehouses too."""
+    from . import fs
+
+    entries = fs.list_dir(base)
+    if entries is None:
         return []
     out = []
-    for d in os.listdir(base):
-        if d.startswith("v=") and os.path.exists(os.path.join(base, d, "_SUCCESS")):
+    for e in entries:
+        if e.is_dir and e.name.startswith("v=") and fs.exists(
+            fs.join(fs.join(base, e.name), "_SUCCESS")
+        ):
             try:
-                out.append(int(d[2:]))
+                out.append(int(e.name[2:]))
             except ValueError:
                 continue
     return sorted(out)
@@ -338,4 +350,6 @@ def read_version(spark: SparkSession, base: str, version: int | None = None) -> 
         version = versions[-1]
     if version not in versions:
         raise FileNotFoundError(f"version {version} not in {versions} under {base}")
-    return spark.read.parquet(os.path.join(base, f"v={version}"))
+    from . import fs
+
+    return spark.read.parquet(fs.join(base, f"v={version}"))

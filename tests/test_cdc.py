@@ -179,6 +179,46 @@ def test_incremental_refresh_null_values_and_null_groups(spark):
     assert got == {"a": (2, 9), None: (1, 8)}
 
 
+def test_incremental_refresh_all_null_group_refreshes_to_null_sum(spark):
+    """The last NULL edge in the exactness contract: a surviving group
+    whose values become ALL NULL recomputes to sum=NULL, so the
+    maintained aggregate must refresh to NULL too (via the ``d_nv``
+    non-null witness + ``null_when_zero``), not the coalesced 0."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from employee_data_management_system_data_engineering_solution_spark.operators.cdc import (
+        agg_delta_contributions,
+        apply_agg_delta,
+        snapshot_diff,
+    )
+
+    schema = "k INT, g STRING, v INT"
+    old = spark.createDataFrame([(1, "a", 5), (2, "a", 3), (3, "b", 1)], schema)
+    new = spark.createDataFrame([(1, "a", None), (2, "a", None), (3, "b", 2)], schema)
+    base = old.groupBy("g").agg(
+        F.count("*").alias("n"), F.sum("v").alias("s"), F.count("v").alias("nv")
+    )
+    delta = agg_delta_contributions(
+        snapshot_diff(old, new, ["k"], keep_old=True), "g", "v"
+    )
+    args = (base, delta, ["g"], [("n", "d_n"), ("s", "d_sum"), ("nv", "d_nv")])
+    got = {
+        r.g: (r.n, r.s)
+        for r in apply_agg_delta(
+            *args, count_col="n", null_when_zero=[("s", "nv")]
+        ).collect()
+    }
+    assert got == {"a": (2, None), "b": (1, 2)}
+
+    # the witness must itself be a maintained column
+    with pytest.raises(ValueError, match="null_when_zero"):
+        apply_agg_delta(
+            base, delta, ["g"], [("n", "d_n"), ("s", "d_sum")],
+            count_col="n", null_when_zero=[("s", "nv")],
+        )
+
+
 def test_keep_old_emits_raw_new_side_columns(spark):
     old = spark.createDataFrame([(1, 10.0)], "k INT, v DOUBLE")
     new = spark.createDataFrame([(1, None), (2, 5.0)], "k INT, v DOUBLE")

@@ -88,6 +88,33 @@ def test_latest_file_skips_hidden_and_meta(tmp_path):
     assert latest_file(str(tmp_path)) == str(tmp_path / "real.csv")
 
 
+def test_fs_seam_hadoop_and_local_sides_agree(spark, tmp_path, monkeypatch):
+    """Both sides of the sources.fs seam — the Hadoop FileSystem
+    listing (the hdfs://s3a:// deployment path) and the pure-os
+    fallback — must report the same names, directory flags, and
+    existence for the same local directory, and latest_file must
+    return identical caller-coordinate paths through either."""
+    from employee_data_management_system_data_engineering_solution_spark.sources import fs
+
+    (tmp_path / "sub").mkdir()
+    (tmp_path / "sub" / "_SUCCESS").write_text("")
+    (tmp_path / "a.csv").write_text("x")
+
+    via_hadoop = fs.list_dir(str(tmp_path), spark)
+    monkeypatch.setattr(fs, "_jvm_spark", lambda: None)
+    via_os = fs.list_dir(str(tmp_path))
+    as_set = lambda es: {(e.name, e.is_dir) for e in es}
+    assert as_set(via_hadoop) == as_set(via_os) == {("sub", True), ("a.csv", False)}
+    assert fs.exists(str(tmp_path / "sub" / "_SUCCESS"))
+    assert not fs.exists(str(tmp_path / "nope"))
+    assert latest_file(str(tmp_path)) == str(tmp_path / "a.csv")  # os side
+    monkeypatch.undo()
+    assert latest_file(str(tmp_path)) == str(tmp_path / "a.csv")  # hadoop side
+    assert fs.exists(str(tmp_path / "sub" / "_SUCCESS"), spark)
+    # URI inputs keep caller coordinates ('/'-append, no scheme mangling)
+    assert fs.join("s3a://bucket/dir/", "f.parquet") == "s3a://bucket/dir/f.parquet"
+
+
 def test_publish_report_writes_both_sinks(spark, tmp_path):
     from employee_data_management_system_data_engineering_solution_spark.sources.io import (
         publish_report,

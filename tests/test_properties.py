@@ -397,7 +397,9 @@ _snapshot_strategy = st.lists(
     st.tuples(
         st.integers(min_value=0, max_value=9),   # row key
         st.sampled_from(["g1", "g2", "g3"]),     # group
-        st.integers(min_value=-20, max_value=20),  # value
+        # NULL values included on purpose: the all-NULL-group edge is
+        # where the naive NULL→0 coalescing diverges from a recompute
+        st.one_of(st.none(), st.integers(min_value=-20, max_value=20)),
     ),
     min_size=0,
     max_size=10,
@@ -424,20 +426,30 @@ def test_incremental_refresh_equals_recompute_for_any_delta(spark, old_rows, new
     schema = "k LONG, g STRING, v LONG"
     old = spark.createDataFrame(old_rows, schema)
     new = spark.createDataFrame(new_rows, schema)
-    base = old.groupBy("g").agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+    base = old.groupBy("g").agg(
+        F.count("*").alias("n"),
+        F.sum("v").alias("s"),
+        F.count("v").alias("nv"),
+    )
     delta = agg_delta_contributions(
         snapshot_diff(old, new, ["k"], keep_old=True), "g", "v"
     )
     refreshed = {
         r.g: (r.n, r.s)
         for r in apply_agg_delta(
-            base, delta, ["g"], [("n", "d_n"), ("s", "d_sum")], count_col="n"
+            base,
+            delta,
+            ["g"],
+            [("n", "d_n"), ("s", "d_sum"), ("nv", "d_nv")],
+            count_col="n",
+            null_when_zero=[("s", "nv")],
         ).collect()
     }
-    want = defaultdict(lambda: [0, 0])
+    want = defaultdict(lambda: [0, None])
     for _, g, v in new_rows:
         want[g][0] += 1
-        want[g][1] += v
+        if v is not None:
+            want[g][1] = v if want[g][1] is None else want[g][1] + v
     assert refreshed == {g: (n, s) for g, (n, s) in want.items()}
 
 
