@@ -252,3 +252,61 @@ def apply_agg_delta(
             sum_col, F.when(F.col(nv_col) > 0, F.col(sum_col))
         )
     return out.filter(F.col(count_col) > 0)
+
+
+def dirty_group_refresh(
+    stored_agg: DataFrame,
+    new_base: DataFrame,
+    diff: DataFrame,
+    group_col: str,
+    agg_exprs: Sequence[Column],
+) -> DataFrame:
+    """Incremental refresh for NON-invertible aggregates (min/max/
+    distinct counts): deletes and updates can retire the current
+    extremum, so no per-group delta can maintain them — the standard
+    materialized-view fallback is to mark the groups the delta TOUCHED
+    as dirty and recompute exactly those from the new base table,
+    keeping every clean group's stored row untouched.
+
+    ``diff`` must come from ``snapshot_diff(..., keep_old=True)`` so
+    each change's OLD and NEW group memberships are known raw: an
+    insert dirties its new group, a delete its old group, an update
+    both (covering group-moving updates). The artifact-NULL sides
+    (``old_*`` of an insert, ``new_*`` of a delete) are deliberately
+    NOT treated as touching the NULL group — only real membership legs
+    are — while a genuinely-NULL group key dirties and recomputes
+    null-safely like any other group.
+
+    ``stored_agg`` must have the exact schema of
+    ``new_base.groupBy(group_col).agg(*agg_exprs)`` (enforced by the
+    final ``unionByName``).
+
+    Scale: |dirty| ≤ 2·|delta| distinct groups — a small aggregate AQE
+    broadcasts on its runtime size (not forced: a huge delta would
+    make a forced broadcast the hazard, and at that point the plan
+    degrades gracefully to a shuffle semi-join); the recompute scans
+    only rows whose group is dirty (semi-join prunes; with the base
+    partitioned/bucketed by group this is partition pruning), so the
+    refresh is O(|delta| + |rows in dirty groups| + |report|), never
+    O(|base|). Cited shape: recompute-on-delete fallback in view
+    maintenance literature (self-maintainability does not hold for
+    MIN/MAX under deletions).
+    """
+    ng, og = F.col(f"new_{group_col}"), F.col(f"old_{group_col}")
+    touched = (
+        F.when(F.col(CHANGE_COL) == "insert", F.array(ng))
+        .when(F.col(CHANGE_COL) == "delete", F.array(og))
+        .otherwise(F.array(og, ng))
+    )
+    dirty = diff.select(F.explode(touched).alias("__dirty_g")).distinct()
+    recomputed = (
+        new_base.join(
+            dirty, F.col(group_col).eqNullSafe(F.col("__dirty_g")), "left_semi"
+        )
+        .groupBy(group_col)
+        .agg(*agg_exprs)
+    )
+    kept = stored_agg.join(
+        dirty, F.col(group_col).eqNullSafe(F.col("__dirty_g")), "left_anti"
+    )
+    return kept.unionByName(recomputed)

@@ -574,6 +574,87 @@ def incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# IVM for non-invertible aggregates (X116): dirty-group recompute
+# --------------------------------------------------------------------------
+@register(
+    "incremental_agg_refresh_minmax",
+    # Oracle = full recompute of the NEW snapshot: the dirty-group
+    # refresh must be indistinguishable from a from-scratch rebuild —
+    # including the three groups the delta never touches, whose rows
+    # must come through from the STORED aggregate unrecomputed.
+    """
+    WITH new AS (
+      SELECT CASE WHEN o_orderkey % 11 = 0 AND o_orderpriority = '2-HIGH'
+                  THEN '9-MOVED' ELSE o_orderpriority END AS priority,
+             CASE WHEN o_orderkey % 7 = 0 AND o_orderpriority = '2-HIGH'
+                  THEN CAST(o_totalprice AS DECIMAL(12,2)) + CAST(100.00 AS DECIMAL(12,2))
+                  ELSE CAST(o_totalprice AS DECIMAL(12,2)) END AS price
+      FROM orders
+      WHERE NOT (o_orderkey % 13 = 0 AND o_orderpriority = '1-URGENT')
+    )
+    SELECT priority, count(*) AS n_orders,
+           CAST(min(price) AS DOUBLE) AS min_price,
+           CAST(max(price) AS DOUBLE) AS max_price
+    FROM new GROUP BY priority
+    """,
+)
+def incremental_agg_refresh_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance where the delta algebra CAN'T
+    work: min/max are not self-maintainable under deletes (retiring
+    the current extremum leaves no way to know the runner-up from the
+    stored row alone), so the refresh marks the groups the delta
+    touched as dirty and recomputes exactly those from the new base —
+    ``operators.cdc.dirty_group_refresh`` — while every untouched
+    group's stored row passes through unrecomputed. The manufactured
+    delta confines all churn to '1-URGENT' (inserts + deletes),
+    '2-HIGH' (repricing + group moves), and '9-MOVED' (move-ins), so
+    at every SF three of the six groups exercise the keep path inside
+    the hash-checked result.
+
+    Cost shape at 100 TB: O(|delta| + |rows in dirty groups| +
+    |report|); with the base partitioned by the group key the dirty
+    recompute is partition-pruned, and the clean majority of the view
+    is never read."""
+    from ..functions.money import money
+    from ..operators.cdc import dirty_group_refresh
+
+    orders = read_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    p = F.col("o_orderpriority")
+    hundred = F.lit("100.00").cast("decimal(12,2)")
+
+    old = orders.filter(~((k % 10 == 0) & (p == "1-URGENT"))).select(
+        "o_orderkey",
+        p.alias("priority"),
+        money("o_totalprice").alias("price"),
+    )
+    new = orders.filter(~((k % 13 == 0) & (p == "1-URGENT"))).select(
+        "o_orderkey",
+        F.when((k % 11 == 0) & (p == "2-HIGH"), F.lit("9-MOVED"))
+        .otherwise(p)
+        .alias("priority"),
+        F.when((k % 7 == 0) & (p == "2-HIGH"), money("o_totalprice") + hundred)
+        .otherwise(money("o_totalprice"))
+        .alias("price"),
+    )
+    agg_exprs = [
+        F.count("*").alias("n_orders"),
+        F.min("price").alias("min_price"),
+        F.max("price").alias("max_price"),
+    ]
+    # the "stored" view (in production: read from the warehouse)
+    stored = old.groupBy("priority").agg(*agg_exprs)
+    diff = snapshot_diff(old, new, keys=["o_orderkey"], keep_old=True)
+    refreshed = dirty_group_refresh(stored, new, diff, "priority", agg_exprs)
+    return refreshed.select(
+        "priority",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.col("min_price").cast("double").alias("min_price"),
+        F.col("max_price").cast("double").alias("max_price"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Constraint validation + quarantine (X107): the data-quality gate every
 # ingest path needs before rows reach the warehouse
 # --------------------------------------------------------------------------

@@ -228,3 +228,53 @@ def test_keep_old_emits_raw_new_side_columns(spark):
     assert got[1].change_type == "update" and got[1].v == 10.0
     assert got[1].new_v is None and got[1].old_v == 10.0
     assert got[2].change_type == "insert" and got[2].new_v == 5.0
+
+
+def test_dirty_group_refresh_recomputes_only_touched_groups(spark):
+    """min/max are not delta-maintainable under deletes; the fallback
+    recomputes dirty groups from the new base and must pass CLEAN
+    groups through from the stored view untouched — proven here by
+    poisoning a clean group's stored row and checking the poison
+    survives while every dirty group comes out exactly recomputed."""
+    from pyspark.sql import functions as F
+
+    from employee_data_management_system_data_engineering_solution_spark.operators.cdc import (
+        dirty_group_refresh,
+        snapshot_diff,
+    )
+
+    schema = "k INT, g STRING, v INT"
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 99), (3, "b", 5), (4, "clean", 7), (5, None, 3)],
+        schema,
+    )
+    new = spark.createDataFrame(
+        # k=2 (the max of 'a') deleted -> 'a' must recompute to max=10;
+        # k=3 moves b->c; k=5 repriced inside the NULL group; 'clean'
+        # untouched
+        [(1, "a", 10), (3, "c", 5), (4, "clean", 7), (5, None, 4)],
+        schema,
+    )
+    aggs = [
+        F.count("*").alias("n"),
+        F.min("v").alias("vmin"),
+        F.max("v").alias("vmax"),
+    ]
+    stored = old.groupBy("g").agg(*aggs)
+    # poison the clean group: if the refresh recomputed it, the poison
+    # would be healed and this test would catch the extra work
+    poisoned = stored.withColumn(
+        "vmax", F.when(F.col("g") == "clean", F.lit(777)).otherwise(F.col("vmax"))
+    )
+    diff = snapshot_diff(old, new, ["k"], keep_old=True)
+    got = {
+        r.g: (r.n, r.vmin, r.vmax)
+        for r in dirty_group_refresh(poisoned, new, diff, "g", aggs).collect()
+    }
+    assert got == {
+        "a": (1, 10, 10),      # extremum retired by delete -> recomputed
+        "c": (1, 5, 5),        # move-in group created
+        "clean": (1, 7, 777),  # untouched: stored row (poison intact)
+        None: (1, 4, 4),       # NULL group is a real, refreshable group
+    }
+    assert "b" not in got  # move-out emptied the group
