@@ -1206,6 +1206,83 @@ def compact_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X105 driver carrier: the full Kafka wire topology as a checked query
+# --------------------------------------------------------------------------
+@register(
+    "strike_stream_from_wire",
+    # The staged payload carries a reserved word exactly on 'error'
+    # events, so flagged ⟺ event_type='error' and the one-shot
+    # stateful stream's closed-form oracle applies verbatim — the full
+    # wire path (frame → JSON parse → regex flag → state machine) is
+    # hash-checked, not just row-counted.
+    REGISTRY["strike_stream_stateful"].oracle_sql,
+)
+def strike_stream_from_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X105 end-to-end as a driver query: the events table is replayed
+    as Kafka WIRE frames (binary key/value, topic/partition/offset —
+    ``streaming.kafka.KAFKA_WIRE_SCHEMA``), staged as two time-ordered
+    topic segments, and consumed by the COMPLETE production topology
+    ``run_strike_stream_from_wire``: wire → ``parse_kafka_events``
+    (JSON payload decode) → reserved-word ``flag_messages`` over the
+    message text → ``applyInPandasWithState`` strike machine, across
+    two micro-batches so cross-batch state continuation is exercised.
+    The payload message deterministically embeds the reserved word
+    'confidential' on 'error' events ('routine' text otherwise), so
+    the regex flag must reproduce the error set exactly for the final
+    state to match the closed-form oracle. One line differs from a
+    cluster deployment: the source reads the staged dir instead of
+    ``kafka_reader(...).load()``."""
+    import glob
+    import shutil
+
+    from ..streaming.kafka import KAFKA_WIRE_SCHEMA, run_strike_stream_from_wire
+
+    ev = read_table(spark, sf_dir, "events")
+    message = F.when(
+        F.col("event_type") == "error",
+        F.concat(F.lit("review confidential item "), F.col("props")),
+    ).otherwise(F.concat(F.lit("routine "), F.col("props")))
+    payload = F.to_json(
+        F.struct(
+            F.col("event_id"),
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss").alias("ts"),
+            F.col("user_id"),
+            F.col("event_type"),
+            F.col("value"),
+            message.alias("props"),
+        )
+    )
+    wire = ev.select(
+        F.col("user_id").cast("string").cast("binary").alias("key"),
+        payload.cast("binary").alias("value"),
+        F.lit("emp-comms").alias("topic"),
+        (F.col("user_id") % 2).cast("int").alias("partition"),
+        F.col("event_id").cast("long").alias("offset"),
+        F.col("ts").alias("timestamp"),
+        F.lit(0).alias("timestampType"),
+    )
+    # enforce the wire contract at write time, not by accident of select
+    for f in KAFKA_WIRE_SCHEMA.fields:
+        wire = wire.withColumn(f.name, F.col(f.name).cast(f.dataType))
+
+    tag = os.path.basename(sf_dir.rstrip(os.sep)).replace(".", "_")
+    base = os.path.join(tempfile.gettempdir(), f"eds_wire_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    stage = os.path.join(base, "topic")
+    os.makedirs(stage)
+    work = os.path.join(base, "__writer")
+    for name, half in (
+        ("seg_00", wire.filter(F.col("timestamp") < _TS_CUT)),
+        ("seg_01", wire.filter(F.col("timestamp") >= _TS_CUT)),
+    ):
+        half.coalesce(1).write.mode("overwrite").parquet(work)
+        part = glob.glob(os.path.join(work, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(stage, f"{name}.parquet"))
+    shutil.rmtree(work)
+    return run_strike_stream_from_wire(spark, stage)
+
+
+# --------------------------------------------------------------------------
 # Community detection over the co-supply backbone (fixed-round LPA)
 # --------------------------------------------------------------------------
 def _lpa_oracle(rounds: int) -> str:
