@@ -1,0 +1,110 @@
+"""Approximate frequent-items machinery (Misra-Gries) with exact
+rescoring — the 100 TB answer to "what are the frequent words/phrases
+in the corpus" when the full-vocabulary groupBy shuffle is the
+bottleneck (north-star extension; twin of the exact ``word_freq_topk``
+the way X70/X108 twin the exact profiles/percentiles).
+
+Two passes, the standard mergeable-summaries construction
+(Misra & Gries 1982; Agarwal et al., "Mergeable Summaries", PODS'12):
+
+1. **Candidates** — each partition folds its items through a
+   Misra-Gries summary with ``capacity`` counters (Arrow batch at a
+   time; merging a batch = add its counts, then subtract the
+   (capacity+1)-th largest total and drop non-positives, which is the
+   paper's merge step and preserves the error bound). An item absent
+   from EVERY partition summary has global count ≤ N/(capacity+1), so
+   the union of summaries is a guaranteed superset of every item with
+   frequency above that — shuffle-free, and the only Python work in
+   the pipeline.
+2. **Exact rescore** — one more scan counts ONLY candidate items
+   (semi-join prune; the groupBy shuffle carries ≤ partitions ×
+   capacity rows instead of the full vocabulary), then keeps items
+   whose EXACT count clears the support threshold.
+
+Because ``capacity + 1 > denom``, every item selected by
+``n · denom > N`` is guaranteed present among candidates, so the
+output is EXACT — identical to the full groupBy — while the shuffle
+stays candidate-sized. The threshold compare is integer arithmetic on
+both engines (``n * denom > N``), so there is no float boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def misra_gries_candidates(
+    df: DataFrame, col: str, capacity: int = 8191
+) -> DataFrame:
+    """Per-partition Misra-Gries summaries over ``df[col]`` (strings):
+    returns (item, est) rows, ≤ ``capacity`` per input partition. est
+    is the summary's LOWER-bound counter, not the true count — callers
+    wanting exact counts rescore (``heavy_hitters_exact``). Guarantee:
+    any item with global count > N/(capacity+1) appears in at least
+    one partition's summary, for ANY partitioning of the input."""
+    if capacity < 1:
+        raise ValueError("capacity must be >= 1")
+    schema = T.StructType(
+        [
+            T.StructField("item", T.StringType()),
+            T.StructField("est", T.LongType()),
+        ]
+    )
+
+    def mg(batches):
+        import pandas as pd
+
+        counts: dict[str, int] = {}
+        for pdf in batches:
+            for item, c in pdf[col].dropna().value_counts().items():
+                counts[item] = counts.get(item, 0) + int(c)
+            if len(counts) > capacity:
+                # merge-shrink: subtract the (capacity+1)-th largest
+                # count from everything, drop non-positives — at most
+                # `capacity` items can exceed that value, and the
+                # total undercount stays ≤ N/(capacity+1)
+                m = sorted(counts.values(), reverse=True)[capacity]
+                counts = {i: c - m for i, c in counts.items() if c > m}
+        yield pd.DataFrame(
+            {"item": list(counts.keys()), "est": list(counts.values())}
+        )
+
+    return df.select(F.col(col).alias(col)).mapInPandas(mg, schema)
+
+
+def heavy_hitters_exact(
+    df: DataFrame,
+    col: str,
+    denom: int = 5000,
+    capacity: int | None = None,
+) -> DataFrame:
+    """EXACT counts of every item whose frequency exceeds 1/``denom``
+    of the total (selection: ``n * denom > N``, integer compare),
+    computed without a full-vocabulary shuffle: MG candidates → exact
+    rescore of candidates only. ``capacity`` defaults to the smallest
+    power-of-two-minus-1 above ``denom`` (the guarantee needs
+    ``capacity + 1 > denom``; more counters = more candidate slack,
+    linear memory).
+
+    Output: (item, n). The total N is taken as a driver scalar — one
+    narrow count, the same bounded-barrier discipline as the k-means
+    centroid collects — because it parameterizes the FILTER, not the
+    data path."""
+    if capacity is None:
+        capacity = max(2 * denom - 1, 8191)
+    if capacity + 1 <= denom:
+        raise ValueError(
+            f"capacity+1 ({capacity + 1}) must exceed denom ({denom}) or the "
+            "candidate superset guarantee fails and the result stops being exact"
+        )
+    items = df.select(F.col(col).alias("item")).filter(F.col("item").isNotNull())
+    total = items.count()
+    cands = misra_gries_candidates(items, "item", capacity).select("item").distinct()
+    exact = (
+        items.join(cands, "item", "left_semi")
+        .groupBy("item")
+        .agg(F.count("*").alias("n"))
+    )
+    return exact.filter(F.col("n") * denom > F.lit(total))

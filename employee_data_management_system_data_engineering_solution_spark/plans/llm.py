@@ -589,6 +589,69 @@ def word_freq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "frequent_phrases",
+    # The oracle is the full exact groupBy with the same integer
+    # support threshold — the two-pass Misra-Gries path must produce
+    # IDENTICAL rows (the candidate superset guarantee makes the
+    # approximate pass exact after rescoring), so a broken shrink step
+    # or a capacity below the guarantee hash-fails.
+    r"""
+    WITH t AS (
+      SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    g AS (
+      SELECT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+      FROM t, unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS u(i)
+    ),
+    tot AS (SELECT count(*) AS n_total FROM g),
+    f AS (SELECT gram, count(*) AS n FROM g GROUP BY gram)
+    SELECT gram, n,
+           CAST(row_number() OVER (ORDER BY n DESC, gram ASC) AS INT) AS rank
+    FROM f, tot WHERE n * 5000 > n_total
+    """,
+)
+def frequent_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-phrase mining (X117): every word trigram above 1/5000
+    of total occurrences, with EXACT counts, via per-partition
+    Misra-Gries candidate summaries + exact rescore of candidates only
+    (``operators.freq``) — the boilerplate-phrase/vocabulary-audit
+    pass that ``word_freq_topk``'s full-vocabulary shuffle can't
+    afford at 100 TB: here the groupBy shuffle carries at most
+    partitions × capacity candidate rows regardless of how many
+    distinct phrases the corpus holds, and the only Python work is the
+    Arrow-batched summary fold. Trigram construction stays JVM-side
+    (split → transform → explode)."""
+    from ..operators.freq import heavy_hitters_exact
+    from ..operators.reports import ordered_with_rank
+    from ..sources.io import fan_out
+
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    grams = (
+        fan_out(docs.select(F.split(F.trim(F.lower("text")), r"\s+").alias("ws")))
+        .select(
+            F.explode(
+                F.when(
+                    F.size("ws") >= 3,
+                    F.expr(
+                        "transform(sequence(0, size(ws) - 3),"
+                        " i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("gram")
+        )
+    )
+    hh = heavy_hitters_exact(grams, "gram", denom=5000).select(
+        F.col("item").alias("gram"), "n"
+    )
+    return ordered_with_rank(
+        hh, [F.col("n").desc(), F.col("gram").asc()], rank_col="rank"
+    )
+
+
+@register(
     "benchmark_contamination",
     r"""
     WITH grams AS (
