@@ -79,6 +79,8 @@ def test_mg_nulls_are_ignored(spark):
     df = spark.createDataFrame(
         [("a",), (None,), ("a",), (None,), ("b",)], "item STRING"
     )
-    got = {r.item: r.est for r in misra_gries_candidates(df, "item", 10).collect()}
+    got = Counter()
+    for r in misra_gries_candidates(df, "item", 10).collect():
+        got[r.item] += r.est  # summaries are PER PARTITION; est sums across them
     assert None not in got
-    assert got["a"] == 2
+    assert got["a"] == 2 and got["b"] == 1
