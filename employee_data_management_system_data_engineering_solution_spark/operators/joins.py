@@ -137,3 +137,69 @@ def interval_bucket_join(
         & (pts[point_ts] < ivals[end_col])
     )
     return ivals.join(pts, cond, how).drop(_BUCKET)
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    *,
+    bucket_seconds: int,
+) -> DataFrame:
+    """Keyed interval × interval OVERLAP join: all (left, right) pairs
+    sharing the equality key whose CLOSED intervals intersect
+    (``ls <= re AND rs <= le`` — touching endpoints count; pre-shrink
+    an endpoint for open semantics).
+
+    Scale shape: both sides explode onto coarse time buckets
+    (⌈len/bucket⌉+1 replicas per interval — bounded, unlike the theta
+    join Spark would otherwise plan as key-equi-join + per-key
+    quadratic filter on hot keys), the join is a pure equi-join on
+    (key, bucket), and the residual overlap predicate runs on the
+    bucket-matched candidates only. A pair can meet in every bucket
+    its intervals share, so the join is made DEDUP-FREE by keeping
+    each pair only in the bucket containing ``greatest(ls, rs)`` —
+    the overlap's start — which both spans provably contain; no
+    post-join ``distinct`` shuffle. Pick ``bucket_seconds`` on the
+    order of the typical interval length.
+
+    Output: all left columns then all right columns except the shared
+    keys. Non-key column names must be disjoint (rename before
+    calling); NULL keys do not join (standard equi-join semantics,
+    matching the SQL the oracle would write).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    shared = (set(left.columns) & set(right.columns)) - set(keys)
+    if shared:
+        raise ValueError(
+            f"non-key columns present on both sides: {sorted(shared)}; "
+            "rename before joining"
+        )
+    b = int(bucket_seconds)
+
+    def span(start: str, end: str) -> Column:
+        return F.sequence(
+            F.floor(F.unix_timestamp(F.col(start)) / b).cast("long"),
+            F.floor(F.unix_timestamp(F.col(end)) / b).cast("long"),
+        )
+
+    l = left.withColumn(_BUCKET, F.explode(span(left_start, left_end))).alias("__l")
+    r = right.withColumn(_BUCKET, F.explode(span(right_start, right_end))).alias("__r")
+    ls, le = F.col(f"__l.{left_start}"), F.col(f"__l.{left_end}")
+    rs, re_ = F.col(f"__r.{right_start}"), F.col(f"__r.{right_end}")
+    cond: Column = F.col(f"__l.{_BUCKET}") == F.col(f"__r.{_BUCKET}")
+    for k in keys:
+        cond = cond & (F.col(f"__l.{k}") == F.col(f"__r.{k}"))
+    overlap = (ls <= re_) & (rs <= le)
+    anchor = F.col(f"__l.{_BUCKET}") == F.floor(
+        F.unix_timestamp(F.greatest(ls, rs)) / b
+    ).cast("long")
+    joined = l.join(r, cond & overlap & anchor, "inner")
+    return joined.select(
+        *[F.col(f"__l.{c}") for c in left.columns],
+        *[F.col(f"__r.{c}") for c in right.columns if c not in keys],
+    )

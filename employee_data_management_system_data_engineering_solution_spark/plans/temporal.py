@@ -101,6 +101,75 @@ def events_in_error_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "purchase_error_overlap",
+    # overlap_s is microsecond-exact on both engines (integer micros
+    # floor-divided to seconds), so the hash covers the overlap length,
+    # not just the pair set.
+    """
+    WITH p AS (
+      SELECT event_id AS purchase_id, user_id,
+             ts - INTERVAL 2 HOUR AS s, ts AS e
+      FROM events WHERE event_type = 'purchase'
+    ),
+    w AS (
+      SELECT event_id AS error_id, user_id,
+             ts AS s, ts + INTERVAL 1 HOUR AS e
+      FROM events WHERE event_type = 'error'
+    )
+    SELECT p.purchase_id, w.error_id, p.user_id AS user_id,
+           date_diff('microsecond', greatest(p.s, w.s), least(p.e, w.e))
+             // 1000000 AS overlap_s
+    FROM p JOIN w
+      ON p.user_id = w.user_id AND p.s <= w.e AND w.s <= p.e
+    """,
+)
+def purchase_error_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval × interval OVERLAP join (X118): each purchase's 2-hour
+    consideration window against the same user's 1-hour error windows —
+    which purchases were shopped through an incident, and for how long.
+    Runs through ``operators.joins.interval_overlap_join``: both
+    interval sets explode onto hour buckets, the join is a pure
+    (user, bucket) equi-join with a residual overlap predicate, and
+    each pair is kept only in the bucket holding ``greatest(starts)``
+    so the result is dedup-free with no distinct shuffle — the keyed
+    generalization of ``events_in_error_windows``'s point-in-interval
+    machinery, closing the interval-join family. The oracle is the
+    naive theta join, so the bucket algebra (span coverage, anchor
+    uniqueness, boundary-touching pairs) is hash-checked pairwise."""
+    from ..operators.joins import interval_overlap_join
+
+    ev = read_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        (F.col("ts") - F.expr("INTERVAL 2 HOURS")).alias("p_s"),
+        F.col("ts").alias("p_e"),
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        F.col("ts").alias("w_s"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("w_e"),
+    )
+    j = interval_overlap_join(
+        purchases, errors, "user_id", "p_s", "p_e", "w_s", "w_e",
+        bucket_seconds=3600,
+    )
+    return j.select(
+        "purchase_id",
+        "error_id",
+        "user_id",
+        # `div` = integral division, so the micros→seconds floor stays
+        # in exact integer arithmetic (a double quotient could land on
+        # x.999… and truncate differently from the oracle's `//`)
+        F.expr(
+            "(unix_micros(least(p_e, w_e)) - unix_micros(greatest(p_s, w_s)))"
+            " div 1000000"
+        ).alias("overlap_s"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Grouped Arrow UDAF (applyInPandas): per-user least-squares value trend
 # --------------------------------------------------------------------------

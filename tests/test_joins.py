@@ -106,3 +106,67 @@ def test_interval_bucket_join_rejects_outer(spark):
     )
     with pytest.raises(ValueError, match="inner"):
         interval_bucket_join(pts, ivs, "ts", "s", "e", bucket_seconds=3600, how="left")
+
+
+def _iv(spark, rows, id_col, start, end):
+    import datetime as dt
+
+    return spark.createDataFrame(
+        [
+            (i, k, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s),
+             dt.datetime(2024, 1, 1) + dt.timedelta(seconds=e))
+            for i, k, s, e in rows
+        ],
+        f"{id_col} INT, k INT, {start} TIMESTAMP, {end} TIMESTAMP",
+    )
+
+
+def test_interval_overlap_join_pairs_and_dedup(spark):
+    """Pair semantics against a hand-computed truth: closed-interval
+    overlap (touching endpoints included), multi-bucket intervals
+    emitted exactly ONCE (the anchor-bucket rule), different keys never
+    joined."""
+    from employee_data_management_system_data_engineering_solution_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    left = _iv(
+        spark,
+        [
+            (1, 1, 0, 10000),     # spans many 600 s buckets
+            (2, 1, 20000, 20010),
+            (3, 2, 0, 10000),     # same span, other key
+        ],
+        "lid", "ls", "le",
+    )
+    right = _iv(
+        spark,
+        [
+            (10, 1, 5000, 15000),   # overlaps lid=1 across several shared buckets
+            (11, 1, 10000, 10500),  # touches lid=1 exactly at its end point
+            (12, 1, 19000, 20000),  # touches lid=2 at its start
+            (13, 1, 30000, 31000),  # no overlap
+            (14, 3, 0, 10000),      # key never present on left
+        ],
+        "rid", "rs", "re",
+    )
+    got = sorted(
+        (r.lid, r.rid)
+        for r in interval_overlap_join(
+            left, right, "k", "ls", "le", "rs", "re", bucket_seconds=600
+        ).collect()
+    )
+    assert got == [(1, 10), (1, 11), (2, 12)]  # each pair exactly once
+
+
+def test_interval_overlap_join_rejects_colliding_columns(spark):
+    import pytest
+
+    from employee_data_management_system_data_engineering_solution_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    left = _iv(spark, [(1, 1, 0, 10)], "x", "s", "e")
+    right = _iv(spark, [(2, 1, 0, 10)], "x", "rs", "re")
+    with pytest.raises(ValueError, match="non-key columns"):
+        interval_overlap_join(left, right, "k", "s", "e", "rs", "re", bucket_seconds=60)
