@@ -20,7 +20,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 CHANGE_COL = "change_type"
@@ -310,3 +310,58 @@ def dirty_group_refresh(
         dirty, F.col(group_col).eqNullSafe(F.col("__dirty_g")), "left_anti"
     )
     return kept.unionByName(recomputed)
+
+
+def cdc_replay(
+    base: DataFrame,
+    log: DataFrame,
+    keys: Sequence[str],
+    *,
+    seq_col: str = "seq",
+    op_col: str = "op",
+    upsert_op: str = "upsert",
+    delete_op: str = "delete",
+) -> DataFrame:
+    """Replay an ordered CDC event log onto a base snapshot:
+    last-writer-wins per key by ``seq_col``, ``delete`` ops are
+    tombstones, and a later upsert RESURRECTS a deleted key (the edge
+    naive "apply deletes then upserts" phase-ordering gets wrong).
+    ``log`` must carry the key columns, ``seq_col``, ``op_col``, and —
+    for upserts — every non-key column of ``base``.
+
+    The log is collapsed FIRST (row_number over (key, seq desc) — only
+    each key's final op matters), then applied in one pass: base rows
+    whose key never appears in the log survive via anti-join; the
+    collapsed upserts contribute their payload (including brand-new
+    keys); collapsed deletes contribute nothing. An unknown op that
+    WINS a key's collapse poisons the replay with ``raise_error``
+    rather than silently dropping the row (ops displaced by a later
+    event are never applied, so they are not validated — the check
+    guards what takes effect, inside the expression that reads the
+    op, where Catalyst cannot prune it away). CDC keys must be
+    non-null (the join is standard equality; a NULL-keyed log entry
+    targets nothing).
+
+    Scale: both shuffles — the collapse window and the anti-join — are
+    on the SAME key, so with the base bucketed by primary key the
+    apply is co-located; cost is O(|log| + |base|) with the log side
+    collapsed to ≤ one row per touched key before it meets the base.
+    """
+    keys = list(keys)
+    payload = [c for c in base.columns if c not in keys]
+    w = Window.partitionBy(*keys).orderBy(F.col(seq_col).desc())
+    last = (
+        log.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", seq_col)
+    )
+    checked_op = F.when(
+        F.col(op_col).isin(upsert_op, delete_op), F.col(op_col)
+    ).otherwise(
+        F.raise_error(
+            F.concat(F.lit("cdc_replay: unknown op '"), F.col(op_col), F.lit("'"))
+        )
+    )
+    survivors = last.filter(checked_op == upsert_op).select(*keys, *payload)
+    untouched = base.join(last.select(*keys), keys, "left_anti")
+    return untouched.unionByName(survivors)

@@ -863,6 +863,106 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Ordered CDC log replay (X119): tombstones, resurrection, new keys
+# --------------------------------------------------------------------------
+@register(
+    "cdc_log_replay",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS k, o_orderpriority AS priority,
+             CAST(o_totalprice AS DECIMAL(12,2)) AS price
+      FROM orders
+    ),
+    log AS (
+      SELECT 1 AS seq, k, 'upsert' AS op, 'X-UPDATED' AS lpriority,
+             price + CAST(10.00 AS DECIMAL(12,2)) AS lprice
+      FROM base WHERE k % 5 = 0
+      UNION ALL
+      SELECT 2, k, 'delete', NULL, NULL FROM base WHERE k % 7 = 0
+      UNION ALL
+      SELECT 3, k, 'upsert', '9-RESTORED',
+             price + CAST(20.00 AS DECIMAL(12,2))
+      FROM base WHERE k % 9 = 0
+      UNION ALL
+      SELECT 4, k + 1000000000, 'upsert', 'NEW', price
+      FROM base WHERE k % 11 = 0
+    ),
+    last AS (
+      SELECT k, op, lpriority, lprice FROM (
+        SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+        FROM log
+      ) WHERE rn = 1
+    ),
+    final AS (
+      SELECT b.priority, b.price
+      FROM base b LEFT JOIN last l ON b.k = l.k WHERE l.k IS NULL
+      UNION ALL
+      SELECT lpriority, lprice FROM last WHERE op = 'upsert'
+    )
+    SELECT priority, count(*) AS n_orders,
+           CAST(round(sum(price), 2) AS DOUBLE) AS revenue
+    FROM final GROUP BY priority
+    """,
+)
+def cdc_log_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered CDC log replay (X119) — the multi-event generalization
+    of the single-batch MERGE upsert (K6): a sequence-numbered change
+    log (updates at seq 1, tombstone deletes at seq 2, later upserts
+    at seq 3 that RESURRECT 1-in-63 deleted keys, and brand-new keys
+    at seq 4) is collapsed last-writer-wins per key and applied to the
+    orders snapshot in one pass (``operators.cdc.cdc_replay``). The
+    oracle replays the same log with window SQL, so phase-ordering
+    bugs (deletes applied after the resurrecting upsert), a dropped
+    tombstone, or a missed new-key insert all shift the per-priority
+    counts/revenue and hash-fail."""
+    from ..functions.money import money
+    from ..operators.cdc import cdc_replay
+
+    orders = read_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("priority"),
+        money("o_totalprice").alias("price"),
+    )
+    k, price = F.col("k"), F.col("price")
+    ten = F.lit("10.00").cast("decimal(12,2)")
+    twenty = F.lit("20.00").cast("decimal(12,2)")
+    log = (
+        base.filter(k % 5 == 0)
+        .select(
+            F.lit(1).alias("seq"), "k", F.lit("upsert").alias("op"),
+            F.lit("X-UPDATED").alias("priority"), (price + ten).alias("price"),
+        )
+        .unionByName(
+            base.filter(k % 7 == 0).select(
+                F.lit(2).alias("seq"), "k", F.lit("delete").alias("op"),
+                F.lit(None).cast("string").alias("priority"),
+                F.lit(None).cast("decimal(13,2)").alias("price"),
+            )
+        )
+        .unionByName(
+            base.filter(k % 9 == 0).select(
+                F.lit(3).alias("seq"), "k", F.lit("upsert").alias("op"),
+                F.lit("9-RESTORED").alias("priority"),
+                (price + twenty).alias("price"),
+            )
+        )
+        .unionByName(
+            base.filter(k % 11 == 0).select(
+                F.lit(4).alias("seq"), (k + 1000000000).alias("k"),
+                F.lit("upsert").alias("op"), F.lit("NEW").alias("priority"),
+                price.cast("decimal(13,2)").alias("price"),
+            )
+        )
+    )
+    final = cdc_replay(base, log, ["k"])
+    return final.groupBy("priority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("price"), 2).cast("double").alias("revenue"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Event transition matrix (X115): consecutive-pair Markov counts
 # --------------------------------------------------------------------------
 @register(

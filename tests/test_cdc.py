@@ -278,3 +278,41 @@ def test_dirty_group_refresh_recomputes_only_touched_groups(spark):
         None: (1, 4, 4),       # NULL group is a real, refreshable group
     }
     assert "b" not in got  # move-out emptied the group
+
+
+def test_cdc_replay_tombstones_resurrection_and_new_keys(spark):
+    from employee_data_management_system_data_engineering_solution_spark.operators.cdc import (
+        cdc_replay,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "k INT, v STRING"
+    )
+    log = spark.createDataFrame(
+        [
+            (1, 2, "upsert", "b2"),   # plain update
+            (2, 3, "delete", None),   # tombstone
+            (3, 3, "upsert", "c2"),   # resurrection AFTER the tombstone
+            (4, 4, "delete", None),   # stays dead
+            (5, 9, "upsert", "new"),  # brand-new key
+            (6, 9, "upsert", "new2"), # last writer wins on the new key
+        ],
+        "seq INT, k INT, op STRING, v STRING",
+    )
+    got = {r.k: r.v for r in cdc_replay(base, log, ["k"]).collect()}
+    assert got == {1: "a", 2: "b2", 3: "c2", 9: "new2"}
+
+
+def test_cdc_replay_unknown_op_raises(spark):
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    from employee_data_management_system_data_engineering_solution_spark.operators.cdc import (
+        cdc_replay,
+    )
+
+    base = spark.createDataFrame([(1, "a")], "k INT, v STRING")
+    log = spark.createDataFrame([(1, 1, "truncate", None)], "seq INT, k INT, op STRING, v STRING")
+    with pytest.raises((SparkRuntimeException, Py4JJavaError), match="unknown op"):
+        cdc_replay(base, log, ["k"]).collect()
