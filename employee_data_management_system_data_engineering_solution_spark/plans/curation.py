@@ -1014,3 +1014,67 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n") * 1.0 / F.sum("n").over(Window.partitionBy("from_type")), 4
         ).alias("p_next"),
     )
+
+
+# --------------------------------------------------------------------------
+# Behavioral path mining (X120): top-k opening event paths
+# --------------------------------------------------------------------------
+@register(
+    "user_path_topk",
+    """
+    WITH r AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    p AS (
+      SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM r WHERE rn <= 3 GROUP BY user_id
+    ),
+    f AS (SELECT path, count(*) AS n_users FROM p GROUP BY path)
+    SELECT path, n_users, CAST(rnk AS INT) AS rank FROM (
+      SELECT path, n_users,
+             row_number() OVER (ORDER BY n_users DESC, path ASC) AS rnk
+      FROM f
+    ) WHERE rnk <= 10
+    """,
+)
+def user_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opening-path mining (X120): each user's first three events (a
+    total order via the event-id tie-break) concatenated into a path
+    string, counted across users, top-10 — the multi-step sibling of
+    ``event_transitions``'s one-step kernel ("how do journeys START",
+    the onboarding/funnel-design question the Markov matrix can't
+    answer because it forgets position). Rank ties break on path text
+    so the cut at 10 is deterministic on both engines.
+
+    Scale: ONE user-key shuffle (row_number window), then the path
+    aggregation runs on ≤3 rows per user and the final groupBy is over
+    the tiny |event_types|³ path space with map-side combine. Order
+    inside the path comes from ``array_sort`` on (rn, type) structs,
+    never ``collect_list`` ordering luck."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    r = ev.withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("user_id").orderBy("ts", "event_id")),
+    ).filter(F.col("rn") <= 3)
+    paths = r.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda s: s.event_type,
+            ),
+            ">",
+        ).alias("path")
+    )
+    f = paths.groupBy("path").agg(F.count("*").alias("n_users"))
+    from ..operators.reports import ordered_with_rank
+
+    return ordered_with_rank(
+        f, [F.col("n_users").desc(), F.col("path").asc()], rank_col="rank"
+    ).filter(F.col("rank") <= 10)

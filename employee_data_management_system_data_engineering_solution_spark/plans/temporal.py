@@ -330,6 +330,68 @@ def event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Per-key z-score outliers — metric anomaly pass
 # ---------------------------------------------------------------------------
+def value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) outliers (X121): events whose value sits
+    ≥3 robust z-units from their event type's MEDIAN, with the scale
+    estimated by the median absolute deviation — the heavy-tail-proof
+    sibling of ``value_outliers``'s mean/stddev z-score (one extreme
+    value inflates σ and can mask every other outlier; the median and
+    MAD have 50% breakdown, so contamination can't hide itself). The
+    1.4826 factor rescales MAD to σ-equivalents under normality; the
+    threshold applies to z rounded to 6 dp (repo convention — the
+    division carries ulp noise near the cut).
+
+    Scale shape: two aggregation passes (the second median genuinely
+    depends on the first — MAD is not a single-pass statistic), each
+    a per-type partial agg; the stats tables are |event_types| rows so
+    both joins broadcast under AQE. Exact distributed medians sort
+    within groups; at corpus scale the sketch twin is
+    ``approx_percentile`` exactly as the X32/X108 pairing."""
+    ev = read_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("__m"))
+    mad = (
+        ev.join(med, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.median(F.abs(F.col("value") - F.col("__m"))).alias("__mad"),
+            F.first("__m").alias("__m"),
+        )
+    )
+    z = (F.col("value") - F.col("__m")) / (F.lit(1.4826) * F.col("__mad"))
+    return (
+        ev.join(mad, "event_type")
+        .filter((F.col("__mad") > 0) & (F.abs(F.round(z, 6)) >= 3))
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 4).alias("value"),
+            F.round(z, 4).alias("robust_z"),
+        )
+    )
+
+
+register(
+    "value_outliers_mad",
+    """
+    WITH med AS (
+      SELECT event_type, median(value) AS m FROM events GROUP BY event_type
+    ),
+    mad AS (
+      SELECT e.event_type, median(abs(e.value - med.m)) AS mad,
+             any_value(med.m) AS m
+      FROM events e JOIN med ON e.event_type = med.event_type
+      GROUP BY e.event_type
+    )
+    SELECT e.event_id, e.event_type,
+           round(e.value, 4) AS value,
+           round((e.value - mad.m) / (1.4826 * mad.mad), 4) AS robust_z
+    FROM events e JOIN mad ON e.event_type = mad.event_type
+    WHERE mad.mad > 0
+      AND abs(round((e.value - mad.m) / (1.4826 * mad.mad), 6)) >= 3
+    """,
+)(value_outliers_mad)
+
+
 @register(
     "value_outliers",
     """
