@@ -863,6 +863,72 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Version-retention vacuum (X122): the cleanup half of time travel
+# --------------------------------------------------------------------------
+@register(
+    "snapshot_vacuum",
+    # the oracle recomputes ONLY the two surviving versions from the
+    # base table — a vacuum that deleted too little (4 result rows),
+    # too much, or the wrong versions changes the row set and fails
+    """
+    SELECT 3 AS version, count(*) AS n_rows,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+             AS revenue
+    FROM orders WHERE o_orderkey % 4 < 3
+    UNION ALL
+    SELECT 4, count(*),
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+    FROM orders
+    """,
+)
+def snapshot_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention vacuum over the versioned warehouse (X122) — the
+    cleanup half ``snapshot_time_travel``'s write path needs: four
+    growing snapshots of orders are committed as v1..v4,
+    ``sources.io.vacuum_versions(keep_last=2)`` removes v1/v2 through
+    the filesystem seam, and the report re-reads every version the
+    post-vacuum listing still commits. Hash semantics: exactly the
+    v3/v4 rows, each equal to a direct recompute — a vacuum that
+    removed a survivor, spared a victim, or tore a surviving
+    directory's data diverges. Pure metadata work; no table data is
+    read to decide victims."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..functions.money import money
+    from ..sources.io import list_versions, read_version, vacuum_versions, write_version
+
+    orders = read_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    tag = os.path.basename(sf_dir.rstrip(os.sep)).replace(".", "_")
+    base = os.path.join(tempfile.gettempdir(), f"eds_vacuum_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    for v in (1, 2, 3, 4):
+        write_version(
+            orders.filter(k % 4 < v).select(
+                "o_orderkey", money("o_totalprice").alias("price")
+            ),
+            base,
+            v,
+        )
+    removed = vacuum_versions(base, keep_last=2)
+    assert removed == [1, 2], f"vacuum removed {removed}"
+    reports = [
+        read_version(spark, base, v).agg(
+            F.lit(v).alias("version"),
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("price"), 2).cast("double").alias("revenue"),
+        )
+        for v in list_versions(base)
+    ]
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+# --------------------------------------------------------------------------
 # Ordered CDC log replay (X119): tombstones, resurrection, new keys
 # --------------------------------------------------------------------------
 @register(

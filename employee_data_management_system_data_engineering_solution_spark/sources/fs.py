@@ -104,3 +104,23 @@ def exists(path: str, spark=None) -> bool:
         fs, jpath = _hadoop_fs(spark, path)
         return bool(fs.exists(jpath))
     return os.path.exists(path)
+
+
+def delete(path: str, spark=None) -> bool:
+    """Recursive delete through the seam (Hadoop ``fs.delete(path,
+    recursive=True)`` / local ``shutil.rmtree``). Returns True when
+    something was removed, False when the path didn't exist — never
+    raises for a missing path (retention passes re-run)."""
+    spark = spark or _jvm_spark()
+    if spark is not None:
+        fs, jpath = _hadoop_fs(spark, path)
+        return bool(fs.delete(jpath, True))
+    if not os.path.exists(path):
+        return False
+    if os.path.isdir(path):
+        import shutil
+
+        shutil.rmtree(path)
+    else:
+        os.remove(path)
+    return True

@@ -353,3 +353,29 @@ def read_version(spark: SparkSession, base: str, version: int | None = None) -> 
     from . import fs
 
     return spark.read.parquet(fs.join(base, f"v={version}"))
+
+
+def vacuum_versions(base: str, keep_last: int) -> list[int]:
+    """Retention vacuum for the versioned warehouse: delete every
+    COMMITTED version except the newest ``keep_last``, returning the
+    versions removed (ascending). The time-travel contract this
+    preserves: surviving versions are untouched directories, the
+    latest version is never eligible, and a torn (un-committed,
+    no ``_SUCCESS``) directory is left alone — it may be an in-flight
+    write; it was never readable history, so retention has no claim on
+    it. Idempotent: re-running removes nothing.
+
+    Scale: pure metadata work through the :mod:`.fs` seam (list +
+    per-victim recursive delete on any scheme); no data is read. The
+    table formats' vacuum adds referenced-file tracking on top; with
+    whole-directory versions, directory removal IS the referenced-file
+    story."""
+    from . import fs
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1 (the latest version must survive)")
+    versions = list_versions(base)
+    victims = versions[:-keep_last] if len(versions) > keep_last else []
+    for v in victims:
+        fs.delete(fs.join(base, f"v={v}"))
+    return victims

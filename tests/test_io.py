@@ -229,3 +229,37 @@ def test_versioned_read_rejects_torn_and_missing_versions(spark, tmp_path):
         read_version(spark, base, 7)
     with pytest.raises(FileNotFoundError):
         read_version(spark, str(tmp_path / "missing"))
+
+
+def test_vacuum_versions_retention_contract(spark, tmp_path):
+    """Victims removed, survivors untouched, torn (uncommitted) dirs
+    left alone, latest never eligible, idempotent, keep_last guard."""
+    import os
+
+    import pytest
+
+    from employee_data_management_system_data_engineering_solution_spark.sources.io import (
+        list_versions,
+        read_version,
+        vacuum_versions,
+        write_version,
+    )
+
+    base = str(tmp_path / "wh")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k INT, v STRING")
+    for ver in (1, 2, 3):
+        write_version(df, base, ver)
+    # a torn, in-flight write: directory without _SUCCESS
+    os.makedirs(os.path.join(base, "v=0"))
+    (tmp_path / "wh" / "v=0" / "part-zzz.parquet").write_text("torn")
+
+    assert vacuum_versions(base, keep_last=2) == [1]
+    assert list_versions(base) == [2, 3]
+    assert not os.path.exists(os.path.join(base, "v=1"))
+    assert os.path.isdir(os.path.join(base, "v=0"))  # torn dir untouched
+    assert read_version(spark, base, 2).count() == 2  # survivor data intact
+
+    assert vacuum_versions(base, keep_last=2) == []  # idempotent
+    assert vacuum_versions(base, keep_last=5) == []  # fewer versions than keep
+    with pytest.raises(ValueError, match="keep_last"):
+        vacuum_versions(base, keep_last=0)
