@@ -49,147 +49,115 @@ from .registry import REGISTRY, register
 # exempt). driver_green_rounds()/never_green() below are the audit's
 # data source.
 #
-# Round 7 rotation. After round 6 every oracle-bearing query has held
-# at least one driver hash-green verdict, so this round's window serves
-# two purposes:
-#   IN (never green — new in r7): checkpoint_restart_strikes,
-#       checkpoint_restart_windowed (X71/X81 durable-checkpoint restart,
-#       previously pytest-only), stream_left_join_events (X90 left
-#       stream-stream join), compact_parquet_roundtrip (X91 small-files
-#       compaction), incremental_agg_refresh (X106 materialized-view
-#       delta maintenance), constraint_quarantine (X107 data-quality
-#       gate) — all six carry full hash oracles. The third r7 addition,
-#       salary_percentiles_approx, is rows-only by contract (sketch
-#       quantiles) and rides the tail like column_profile_approx.
-#       json_lines_roundtrip + orc_roundtrip yield their slots to the
-#       two new queries (their format legs stay carried by
-#       format_roundtrips in the tail and the full local run; both are
-#       r4-green and rotate back in round 8). ann_rank_quality (X109,
-#       MRR/NDCG over the shared pinned index) takes
-#       dedup_last_write_wins's slot (W2 row_number machinery carried
-#       in-window by dedup_keep_best-family top-k and the local run;
-#       r4-green, rotates back in r8). value_winsorized_stats (X110
-#       percentile clipping repair) and supplier_communities (X111
-#       fixed-round LPA) take text_stats's and doc_fingerprint's slots
-#       (both r2-green; text X1/X4 stay carried by quality_score,
-#       lang_id, word_freq_topk in-window plus the full local run;
-#       both re-confirm in r8). join_key_skew_report (X112 hot-key
-#       diagnosis) and multi_touch_attribution (X113 fractional-credit
-#       attribution) take customers_with_urgent_orders's and
-#       union_entities's slots (r2-green; the semi-join leg stays
-#       carried by customers_without_urgent_orders, set-ops by
-#       except_all_dupes; both re-confirm in r8). snapshot_time_travel
-#       (X114 versioned warehouse + CDC apply) and event_transitions
-#       (X115 Markov transition matrix) take longest_leave_streak's and
-#       salary_change_deltas's slots (r2-green; the window-function
-#       family stays carried by salary_rank_analytics and
-#       trailing_revenue_90d in-window; both re-confirm in r8).
-#   IN (re-confirmation — last driver green r2-r4, the long tail the
-#       judge asked to re-arm): the 24 r2-green queries (binary_metadata
-#       ... word_freq_topk), the 8 r3-green (active_count_by_designation
-#       ... salted_skew_join), and the 5 r4-green (dedup_clusters,
-#       dedup_last_write_wins, json_lines_roundtrip, orc_roundtrip,
-#       pct_of_quota). The r5/r6-stale cohort rotates in round 8.
-#   KEPT (family anchors, all r6 green, so every displaced family
-#       retains an in-window carrier): daily_pipeline (composed S1-S6 +
-#       K1-K4 sinks), scd2_merge (J1 SCD-2), keyed_upsert (K6 MERGE),
-#       neardup_prune (LSH->verify->CC dedup stack), ann_recall_report
-#       (exact + all 6 ANN methods, shared index), purchase_asof_view
-#       (temporal joins), stream_dedup_counts / session_window_counts /
-#       streaming_upsert_dim (streaming dedup, session-window, and
-#       foreachBatch state machines — distinct from the restart
-#       carriers' machinery).
-#   OUT (rotated to the tail; each is r6 driver-green and guarded by
-#       the committed full local run): supplier_pagerank + supplier_
-#       triangles (graph ranking; CC family carried by dedup_clusters),
-#       staging_promote_roundtrip (K5 carried by daily_pipeline +
-#       published_report_roundtrip), zorder_layout_stats / schema_
-#       evolution_read / bucketed_colocated_join (layout family; format
-#       surface carried by json_lines/orc roundtrips), funnel/cohort
-#       (temporal analytics carried by longest_leave_streak + trailing_
-#       revenue_90d machinery), upcoming_leave_pct + strike_report_
-#       rlike (reference reports carried by pct_of_quota + strike_
-#       report_batch), strike_window_counts -> checkpoint_restart_
-#       windowed (same plan + restart), strike_stream_stateful ->
-#       checkpoint_restart_strikes (same state machine + restart),
-#       stream_purchase_view_join -> stream_left_join_events (left join
-#       generalizes the inner), events_in_error_windows + user_value_
-#       trend + hourly_interpolated_series + value_outliers (temporal
-#       family carried by purchase_asof_view + promoted r2 windows),
-#       bloom_pruned_join + salted... (join-strategy family carried by
-#       salted_skew_join + region_supplier_volume), stream_static_
-#       enrich (dim lookup carried by streaming_upsert_dim), quality_
-#       weighted_sample + balanced_strata_sample (sampling carried by
-#       stratified_sample), column_profile + revenue_cube_report (agg
-#       audit carried by cube_order_stats/rollup_revenue/salary_
-#       percentiles), the ANN/PQ singletons (carried by
-#       ann_recall_report, which runs every method against the exact
-#       ground truth), pii_scrub/winnow/simhash/boilerplate/fuzzy/
-#       bigram/cluster_topic/lm_doc/context_pack (text+dedup stack
-#       carried by neardup_prune + the promoted r2 text queries),
-#       multimodal_decode (carried by binary_metadata + multimodal_
-#       frame_stats), text_profile (carried by its four component
-#       queries, all promoted), weekly_cohort_retention, format_
-#       roundtrips (carried by json_lines_roundtrip + orc_roundtrip).
+# Round 8 rotation. Every oracle-bearing query has held a driver
+# hash-green verdict through r7, so this window serves the same two
+# purposes as r7's:
+#   IN (never green — new in r8, all with full hash oracles):
+#       incremental_agg_refresh_minmax (X116 dirty-group recompute for
+#       non-invertible aggregates), frequent_phrases (X117 Misra-Gries
+#       + exact rescore heavy hitters), purchase_error_overlap (X118
+#       keyed interval-overlap join), cdc_log_replay (X119 ordered CDC
+#       replay with tombstones/resurrection), user_path_topk (X120
+#       opening-path mining), value_outliers_mad (X121 median/MAD
+#       robust outliers), snapshot_vacuum (X122 version-retention
+#       vacuum through the fs seam), and strike_stream_from_wire (the
+#       X105 wire topology as a driver query, carrying the stateful
+#       stream's closed-form oracle).
+#   IN (re-confirmation — the stalest cohorts the r7 narrative
+#       promised this round): the 6 r2-green deferrals
+#       (customers_with_urgent_orders, doc_fingerprint,
+#       longest_leave_streak, salary_change_deltas, text_stats,
+#       union_entities), the 3 r4-green deferrals
+#       (dedup_last_write_wins, json_lines_roundtrip, orc_roundtrip),
+#       and the full 24-query r5-green cohort (benchmark_contamination
+#       ... train_test_split).
+#   KEPT (family anchors so displaced families keep an in-window
+#       carrier): daily_pipeline (S1-S6 + K1-K4), scd2_merge (J1;
+#       keyed_upsert's K6 MERGE machinery is carried in-window by the
+#       strictly-more-general cdc_log_replay), ann_recall_report
+#       (exact + all 6 ANN methods over the shared index — it now pays
+#       the index build in bench since ann_rank_quality rides the
+#       tail), staging_promote_roundtrip (K5), supplier_pagerank
+#       (graph ranking; CC carried by dedup_clusters_star in the r5
+#       cohort), funnel_conversion_report (temporal analytics), and
+#       three r6-stale streaming topologies (strike_window_counts
+#       watermark/tumbling windows, stream_static_enrich dim lookup +
+#       stateful agg, stream_purchase_view_join inner stream-stream
+#       join) complementing the new wire carrier.
+#   OUT (rotated to the tail; every one r7 driver-green and guarded by
+#       the committed full local run): the 13 r7 newcomers
+#       (checkpoint restarts, stream_left_join_events,
+#       compact_parquet_roundtrip, incremental_agg_refresh,
+#       constraint_quarantine, ann_rank_quality,
+#       value_winsorized_stats, supplier_communities,
+#       join_key_skew_report, multi_touch_attribution,
+#       snapshot_time_travel, event_transitions), keyed_upsert,
+#       neardup_prune, purchase_asof_view (as-of family carried by
+#       purchase_error_overlap + forward_fill_values machinery),
+#       stream_dedup_counts / session_window_counts /
+#       streaming_upsert_dim (streaming dedup, session windows, and
+#       foreachBatch upsert — r7 green; the four in-window streaming
+#       carriers cover the wire/stateful, windowed, stream-static, and
+#       stream-stream families), and the whole r2-r4 re-confirmation
+#       block that went green again in r7 (binary_metadata ...
+#       pct_of_quota).
 # ---------------------------------------------------------------------------
 _PRIORITY: tuple[str, ...] = (
-    # new in r7: restart/maintenance operators, never driver-checked
-    "checkpoint_restart_strikes",
-    "checkpoint_restart_windowed",
-    "stream_left_join_events",
-    "compact_parquet_roundtrip",
-    "incremental_agg_refresh",
-    "constraint_quarantine",
-    "ann_rank_quality",
-    "value_winsorized_stats",
-    "supplier_communities",
-    "join_key_skew_report",
-    "multi_touch_attribution",
-    "snapshot_time_travel",
-    "event_transitions",
-    # family anchors (r6 green) so displaced families stay covered
+    # new in r8: never driver-checked
+    "incremental_agg_refresh_minmax",
+    "frequent_phrases",
+    "purchase_error_overlap",
+    "cdc_log_replay",
+    "user_path_topk",
+    "value_outliers_mad",
+    "snapshot_vacuum",
+    "strike_stream_from_wire",
+    # family anchors
     "daily_pipeline",
     "scd2_merge",
-    "keyed_upsert",
-    "neardup_prune",
     "ann_recall_report",
-    "purchase_asof_view",
-    "stream_dedup_counts",
-    "session_window_counts",
-    "streaming_upsert_dim",
+    "staging_promote_roundtrip",
+    "supplier_pagerank",
+    "funnel_conversion_report",
+    "strike_window_counts",
+    "stream_static_enrich",
+    "stream_purchase_view_join",
     # re-confirmation: last driver green round 2
-    "binary_metadata",
-    "cube_order_stats",
-    "customers_without_urgent_orders",
-    "lang_id",
-    "multimodal_frame_stats",
-    "promo_revenue_share",
-    "quality_score",
-    "region_supplier_volume",
-    "rollup_revenue",
-    "salary_percentiles",
-    "salary_rank_analytics",
-    "status_pivot_report",
-    "stratified_sample",
-    "strike_report_batch",
-    "top3_orders_per_customer",
-    "top_earner_per_designation",
-    "trailing_revenue_90d",
-    "word_freq_topk",
-    # re-confirmation: last driver green round 3
-    "active_count_by_designation",
-    "distinct_order_supp_pairs",
-    "epoch_status_clean",
-    "except_all_dupes",
-    "json_props_stats",
-    "ordered_designation_report",
-    "published_report_roundtrip",
-    "salted_skew_join",
-    # re-confirmation: last driver green round 4 (json_lines_roundtrip,
-    # orc_roundtrip, dedup_last_write_wins wait for round 8 — see the
-    # rotation note above)
-    "dedup_clusters",
-    "pct_of_quota",
+    "customers_with_urgent_orders",
+    "doc_fingerprint",
+    "longest_leave_streak",
+    "salary_change_deltas",
+    "text_stats",
+    "union_entities",
+    # re-confirmation: last driver green round 4
+    "dedup_last_write_wins",
+    "json_lines_roundtrip",
+    "orc_roundtrip",
+    # re-confirmation: last driver green round 5
+    "benchmark_contamination",
+    "corpus_curation_pipeline",
+    "dedup_clusters_star",
+    "dedup_keep_best",
+    "doc_chunks",
+    "embedding_neardup_pairs",
+    "embedding_topk",
+    "event_sessions",
+    "exact_dedup",
+    "forward_fill_values",
+    "hyperplane_lsh_groups",
+    "ivf_topk",
+    "kmeans_ivf_assign",
+    "minhash_lsh_groups",
+    "multimodal_profile",
+    "ngram_jaccard_pairs",
+    "partition_pruned_report",
+    "price_decile_stats",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "repeated_passages",
+    "snapshot_diff_orders",
+    "tfidf_top_terms",
+    "train_test_split",
 )
 
 #: Queries whose driver check is rows-only BY CONTRACT (no SQL oracle

@@ -39,58 +39,45 @@ def test_check_window_covers_every_operator_family():
     elsewhere)."""
     window = list(queries())[:50]
     carriers = {
-        # Round-7 window (see the rotation narrative in
-        # plans/__init__.py). With every oracle-bearing query driver-
-        # green at least once after r6, the window now carries (a) the
-        # four never-checked r7 restart/maintenance operators, (b) the
-        # 37 stalest re-confirmation queries (last green r2-r4), and
-        # (c) nine r6-green family anchors so each displaced family
-        # keeps an in-window carrier.
+        # Round-8 window (see the rotation narrative in
+        # plans/__init__.py): (a) the eight never-checked r8 operators,
+        # (b) the 33 stalest re-confirmation queries (the r2/r4
+        # deferrals the r7 narrative promised plus the whole r5-green
+        # cohort), and (c) nine family anchors so each displaced
+        # family keeps an in-window carrier.
         #
-        # new in r7 — never driver-checked, full hash oracles:
-        "checkpoint_restart_strikes", "checkpoint_restart_windowed",
-        "stream_left_join_events", "compact_parquet_roundtrip",
-        "incremental_agg_refresh", "constraint_quarantine",
-        "ann_rank_quality", "value_winsorized_stats", "supplier_communities",
-        "join_key_skew_report", "multi_touch_attribution",
-        "snapshot_time_travel", "event_transitions",
-        # family anchors (r6 green): composed pipeline + sinks, SCD-2,
-        # MERGE, LSH dedup stack, the 6-method ANN report, temporal
-        # joins, and the three streaming state machines distinct from
-        # the restart carriers' plans
-        "daily_pipeline", "scd2_merge", "keyed_upsert",
-        "neardup_prune", "ann_recall_report", "purchase_asof_view",
-        "stream_dedup_counts", "session_window_counts",
-        "streaming_upsert_dim",
-        # re-confirmation cohort: last driver green r2
-        # (text_stats + doc_fingerprint deferred to r8 for the two new
-        # X110/X111 carriers; text family stays covered in-window by
-        # quality_score, lang_id, word_freq_topk)
-        # (customers_with_urgent_orders + union_entities also deferred
-        # to r8 for X112/X113; semi-join leg carried by the anti query,
-        # set-ops by except_all_dupes)
-        "binary_metadata", "cube_order_stats",
-        "customers_without_urgent_orders",
-        # (longest_leave_streak + salary_change_deltas also deferred to
-        # r8 for X114/X115; window family carried by
-        # salary_rank_analytics + trailing_revenue_90d)
-        "lang_id",
-        "multimodal_frame_stats", "promo_revenue_share", "quality_score",
-        "region_supplier_volume", "rollup_revenue",
-        "salary_percentiles", "salary_rank_analytics", "status_pivot_report",
-        "stratified_sample", "strike_report_batch",
-        "top3_orders_per_customer", "top_earner_per_designation",
-        "trailing_revenue_90d", "word_freq_topk",
-        # re-confirmation cohort: last driver green r3
-        "active_count_by_designation", "distinct_order_supp_pairs",
-        "epoch_status_clean", "except_all_dupes", "json_props_stats",
-        "ordered_designation_report", "published_report_roundtrip",
-        "salted_skew_join",
-        # re-confirmation cohort: last driver green r4 (json_lines /
-        # orc roundtrips and dedup_last_write_wins deferred to r8;
-        # format legs carried by format_roundtrips + the full local
-        # run, W2 row_number machinery by the dedup_keep_best family)
-        "dedup_clusters", "pct_of_quota",
+        # new in r8 — never driver-checked, full hash oracles:
+        "incremental_agg_refresh_minmax", "frequent_phrases",
+        "purchase_error_overlap", "cdc_log_replay", "user_path_topk",
+        "value_outliers_mad", "snapshot_vacuum", "strike_stream_from_wire",
+        # family anchors: composed pipeline + sinks, SCD-2 (K6 MERGE is
+        # carried by the strictly-more-general cdc_log_replay), the
+        # 6-method ANN report, K5 promotion, graph ranking, temporal
+        # analytics, and the three r6-stale streaming topologies that
+        # complement the new wire carrier (windowed agg, stream-static
+        # enrich, stream-stream inner join)
+        "daily_pipeline", "scd2_merge", "ann_recall_report",
+        "staging_promote_roundtrip", "supplier_pagerank",
+        "funnel_conversion_report", "strike_window_counts",
+        "stream_static_enrich", "stream_purchase_view_join",
+        # re-confirmation cohort: last driver green r2 (the r7
+        # deferrals)
+        "customers_with_urgent_orders", "doc_fingerprint",
+        "longest_leave_streak", "salary_change_deltas", "text_stats",
+        "union_entities",
+        # re-confirmation cohort: last driver green r4 (the r7
+        # deferrals)
+        "dedup_last_write_wins", "json_lines_roundtrip", "orc_roundtrip",
+        # re-confirmation cohort: last driver green r5 (complete)
+        "benchmark_contamination", "corpus_curation_pipeline",
+        "dedup_clusters_star", "dedup_keep_best", "doc_chunks",
+        "embedding_neardup_pairs", "embedding_topk", "event_sessions",
+        "exact_dedup", "forward_fill_values", "hyperplane_lsh_groups",
+        "ivf_topk", "kmeans_ivf_assign", "minhash_lsh_groups",
+        "multimodal_profile", "ngram_jaccard_pairs",
+        "partition_pruned_report", "price_decile_stats",
+        "q1_pricing_summary", "q3_shipping_priority", "repeated_passages",
+        "snapshot_diff_orders", "tfidf_top_terms", "train_test_split",
     }
     assert carriers <= set(window), sorted(carriers - set(window))
 
