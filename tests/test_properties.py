@@ -605,3 +605,128 @@ def test_multi_touch_attribution_matches_python_reference(spark, events):
             assisting[pu].add(vi)
     want = {u: (len(assisting[u]), round(credit[u], 2)) for u in credit}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Round-8 operators vs pure-Python references
+# ---------------------------------------------------------------------------
+_cdc_log_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=6),          # key
+        st.sampled_from(["upsert", "delete"]),          # op
+        st.integers(min_value=0, max_value=99),         # payload value
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+@given(
+    base_rows=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=6), st.integers(min_value=0, max_value=99)),
+        min_size=0, max_size=6, unique_by=lambda r: r[0],
+    ),
+    log_rows=_cdc_log_strategy,
+)
+@_SETTINGS
+def test_cdc_replay_matches_python_fold(spark, base_rows, log_rows):
+    """cdc_replay against the obvious sequential fold: apply log
+    entries in seq order to a dict — whatever mix of updates,
+    tombstones, resurrections, and new keys hypothesis generates."""
+    from employee_data_management_system_data_engineering_solution_spark.operators.cdc import (
+        cdc_replay,
+    )
+
+    base = spark.createDataFrame(base_rows or [], "k INT, v INT")
+    log = spark.createDataFrame(
+        [(i + 1, k, op, v) for i, (k, op, v) in enumerate(log_rows)],
+        "seq INT, k INT, op STRING, v INT",
+    )
+    got = {r.k: r.v for r in cdc_replay(base, log, ["k"]).collect()}
+
+    state = dict(base_rows)
+    for k, op, v in log_rows:  # already in seq order
+        if op == "delete":
+            state.pop(k, None)
+        else:
+            state[k] = v
+    assert got == state
+
+
+_interval_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),     # key
+        st.integers(min_value=0, max_value=5000),  # start offset (s)
+        st.integers(min_value=0, max_value=3000),  # length (s)
+    ),
+    min_size=0,
+    max_size=8,
+)
+
+
+@given(lrows=_interval_strategy, rrows=_interval_strategy)
+@_SETTINGS
+def test_interval_overlap_join_matches_quadratic_reference(spark, lrows, rrows):
+    """The bucketed overlap join against the O(n·m) definition, for
+    arbitrary interval sets — bucket spans, the anchor-dedup rule, and
+    closed-endpoint semantics all under test, with interval lengths
+    from 0 (degenerate point intervals) to multiples of the bucket."""
+    import datetime as dt
+
+    from employee_data_management_system_data_engineering_solution_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def mk(rows, idc, sc, ec):
+        data = [
+            (i, k, t0 + dt.timedelta(seconds=s), t0 + dt.timedelta(seconds=s + ln))
+            for i, (k, s, ln) in enumerate(rows)
+        ]
+        return (
+            spark.createDataFrame(data, f"{idc} INT, k INT, {sc} TIMESTAMP, {ec} TIMESTAMP"),
+            data,
+        )
+
+    left, ldata = mk(lrows, "lid", "ls", "le")
+    right, rdata = mk(rrows, "rid", "rs", "re")
+    got = sorted(
+        (r.lid, r.rid)
+        for r in interval_overlap_join(
+            left, right, "k", "ls", "le", "rs", "re", bucket_seconds=600
+        ).collect()
+    )
+    want = sorted(
+        (li, ri)
+        for li, lk, ls, le in ldata
+        for ri, rk, rs, re in rdata
+        if lk == rk and ls <= re and rs <= le
+    )
+    assert got == want
+
+
+@given(
+    items=st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=60),
+    denom=st.sampled_from([3, 5, 10]),
+)
+@_SETTINGS
+def test_heavy_hitters_exact_matches_counter(spark, items, denom):
+    """Two-pass MG heavy hitters against collections.Counter for
+    arbitrary streams and support thresholds, with capacity pinned just
+    above the guarantee line so shrink pruning actually fires."""
+    from collections import Counter
+
+    from employee_data_management_system_data_engineering_solution_spark.operators.freq import (
+        heavy_hitters_exact,
+    )
+
+    df = spark.createDataFrame([(f"w{x}",) for x in items], "item STRING").repartition(4)
+    got = {
+        (r.item, r.n)
+        for r in heavy_hitters_exact(df, "item", denom=denom, capacity=denom).collect()
+    }
+    want = {
+        (f"w{x}", c) for x, c in Counter(items).items() if c * denom > len(items)
+    }
+    assert got == want

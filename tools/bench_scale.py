@@ -65,6 +65,15 @@ TARGETS = [
     "supplier_triangles",
     "boilerplate_scrub_stats",
     "stream_static_enrich",
+    # round-8 additions: the new operators' scale evidence
+    "incremental_agg_refresh_minmax",
+    "frequent_phrases",
+    "purchase_error_overlap",
+    "cdc_log_replay",
+    "user_path_topk",
+    "value_outliers_mad",
+    "snapshot_vacuum",
+    "strike_stream_from_wire",
 ]
 
 
