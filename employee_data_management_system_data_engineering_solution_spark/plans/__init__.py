@@ -54,7 +54,7 @@ from .registry import REGISTRY, register
 # purposes as r7's:
 #   IN (never green — new in r8, all with full hash oracles):
 #       incremental_agg_refresh_minmax (X116 dirty-group recompute for
-#       non-invertible aggregates), frequent_phrases (X117 Misra-Gries
+#       non-invertible aggregates), frequent_shingles (X117 Misra-Gries
 #       + exact rescore heavy hitters), purchase_error_overlap (X118
 #       keyed interval-overlap join), cdc_log_replay (X119 ordered CDC
 #       replay with tombstones/resurrection), user_path_topk (X120
@@ -105,7 +105,7 @@ from .registry import REGISTRY, register
 _PRIORITY: tuple[str, ...] = (
     # new in r8: never driver-checked
     "incremental_agg_refresh_minmax",
-    "frequent_phrases",
+    "frequent_shingles",
     "purchase_error_overlap",
     "cdc_log_replay",
     "user_path_topk",

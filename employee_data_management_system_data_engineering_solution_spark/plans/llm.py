@@ -589,61 +589,55 @@ def word_freq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "frequent_phrases",
+    "frequent_shingles",
     # The oracle is the full exact groupBy with the same integer
     # support threshold — the two-pass Misra-Gries path must produce
     # IDENTICAL rows (the candidate superset guarantee makes the
     # approximate pass exact after rescoring), so a broken shrink step
     # or a capacity below the guarantee hash-fails.
-    r"""
-    WITH t AS (
-      SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS ws
-      FROM documents WHERE length(trim(text)) > 0
-    ),
-    g AS (
-      SELECT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
-      FROM t, unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS u(i)
+    """
+    WITH g AS (
+      SELECT substring(t, i, 5) AS gram
+      FROM (SELECT lower(text) AS t FROM documents WHERE length(text) >= 5),
+           unnest(generate_series(1, length(t) - 4)) AS u(i)
     ),
     tot AS (SELECT count(*) AS n_total FROM g),
     f AS (SELECT gram, count(*) AS n FROM g GROUP BY gram)
     SELECT gram, n,
            CAST(row_number() OVER (ORDER BY n DESC, gram ASC) AS INT) AS rank
-    FROM f, tot WHERE n * 5000 > n_total
+    FROM f, tot WHERE n * 500 > n_total
     """,
 )
-def frequent_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frequent-phrase mining (X117): every word trigram above 1/5000
-    of total occurrences, with EXACT counts, via per-partition
+def frequent_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-shingle mining (X117): every character 5-gram above
+    1/500 of total occurrences, with EXACT counts, via per-partition
     Misra-Gries candidate summaries + exact rescore of candidates only
-    (``operators.freq``) — the boilerplate-phrase/vocabulary-audit
+    (``operators.freq``) — the boilerplate-fingerprint/vocabulary-audit
     pass that ``word_freq_topk``'s full-vocabulary shuffle can't
-    afford at 100 TB: here the groupBy shuffle carries at most
-    partitions × capacity candidate rows regardless of how many
-    distinct phrases the corpus holds, and the only Python work is the
-    Arrow-batched summary fold. Trigram construction stays JVM-side
-    (split → transform → explode)."""
+    afford at 100 TB: the groupBy shuffle carries at most partitions ×
+    capacity candidate rows regardless of how many distinct shingles
+    the corpus holds, and the only Python work is the Arrow-batched
+    summary fold. Character shingles (the same unit MinHash/winnowing
+    hash) carry scale-stable skew from letter/word-boundary
+    frequencies, so the support set is non-degenerate at every SF
+    (~76 hitters over ~2000 distinct here); the capacity (1023) sits
+    above the 1/500 guarantee line but BELOW the distinct count, so
+    the shrink step genuinely prunes. Shingle construction stays
+    JVM-side (sequence → transform → explode)."""
     from ..operators.freq import heavy_hitters_exact
     from ..operators.reports import ordered_with_rank
     from ..sources.io import fan_out
 
-    docs = read_table(spark, sf_dir, "documents").filter(
-        F.length(F.trim("text")) > 0
-    )
+    docs = read_table(spark, sf_dir, "documents").filter(F.length("text") >= 5)
     grams = (
-        fan_out(docs.select(F.split(F.trim(F.lower("text")), r"\s+").alias("ws")))
+        fan_out(docs.select(F.lower("text").alias("t")))
         .select(
             F.explode(
-                F.when(
-                    F.size("ws") >= 3,
-                    F.expr(
-                        "transform(sequence(0, size(ws) - 3),"
-                        " i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"
-                    ),
-                ).otherwise(F.array().cast("array<string>"))
+                F.expr("transform(sequence(1, length(t) - 4), i -> substring(t, i, 5))")
             ).alias("gram")
         )
     )
-    hh = heavy_hitters_exact(grams, "gram", denom=5000).select(
+    hh = heavy_hitters_exact(grams, "gram", denom=500, capacity=1023).select(
         F.col("item").alias("gram"), "n"
     )
     return ordered_with_rank(

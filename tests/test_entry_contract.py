@@ -47,7 +47,7 @@ def test_check_window_covers_every_operator_family():
         # family keeps an in-window carrier.
         #
         # new in r8 — never driver-checked, full hash oracles:
-        "incremental_agg_refresh_minmax", "frequent_phrases",
+        "incremental_agg_refresh_minmax", "frequent_shingles",
         "purchase_error_overlap", "cdc_log_replay", "user_path_topk",
         "value_outliers_mad", "snapshot_vacuum", "strike_stream_from_wire",
         # family anchors: composed pipeline + sinks, SCD-2 (K6 MERGE is

@@ -67,7 +67,7 @@ TARGETS = [
     "stream_static_enrich",
     # round-8 additions: the new operators' scale evidence
     "incremental_agg_refresh_minmax",
-    "frequent_phrases",
+    "frequent_shingles",
     "purchase_error_overlap",
     "cdc_log_replay",
     "user_path_topk",
