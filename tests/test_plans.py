@@ -242,3 +242,63 @@ def test_approx_percentiles_single_exchange_map_side_sketch(spark):
     assert plan_of(df, mode="simple").count("Exchange") == 1
     read_schema = plan.split("ReadSchema", 1)[1].splitlines()[0]
     assert "o_comment" not in read_schema and "o_custkey" not in read_schema
+
+
+# ---------------------------------------------------------------------------
+# Round-8 operators
+# ---------------------------------------------------------------------------
+def test_interval_overlap_join_is_equi_join_never_cartesian(spark):
+    """The bucketed overlap join must plan as a hash/sort-merge
+    EQUI-join on (key, bucket) with the overlap predicate as residual —
+    never a cartesian/broadcast-nested-loop product, which is what the
+    naive theta-join formulation degenerates to on hot keys."""
+    df = REGISTRY["purchase_error_overlap"].fn(spark, SF)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Python" not in plan  # pure JVM path
+
+
+def test_cdc_log_replay_single_window_shuffle_keyed_apply(spark):
+    """The LWW collapse is ONE window over the log key; the apply is a
+    same-key anti-join + union. No Python, no cartesian, and the
+    events/orders scan count stays bounded (base + 4 log legs)."""
+    df = REGISTRY["cdc_log_replay"].fn(spark, SF)
+    plan = plan_of(df)
+    assert plan.count("Window") >= 1
+    assert "CartesianProduct" not in plan and "Python" not in plan
+
+
+def test_dirty_group_refresh_prunes_with_semi_and_anti_joins(spark):
+    """The min/max refresh must recompute dirty groups via a SEMI join
+    (never materializing the join product) and keep clean groups via
+    an ANTI join — both present in the plan, no Python nodes."""
+    df = REGISTRY["incremental_agg_refresh_minmax"].fn(spark, SF)
+    plan = plan_of(df)
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "Python" not in plan
+
+
+def test_frequent_shingles_rescore_shuffle_is_candidate_bounded(spark):
+    """The exact rescore must count only MG candidates: a LeftSemi
+    prune against the candidate set sits between the corpus scan and
+    the final groupBy, and the only Python in the whole plan is the
+    Arrow-batched MG summary stage (mapInPandas) — no row-at-a-time
+    UDFs."""
+    df = REGISTRY["frequent_shingles"].fn(spark, SF)
+    plan = plan_of(df)
+    assert "LeftSemi" in plan
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+
+
+def test_value_outliers_mad_stats_joins_broadcast(spark):
+    """Both per-type stats tables are |event_types| rows; after AQE
+    they must reach the events join as broadcasts, not shuffles of the
+    event log."""
+    df = REGISTRY["value_outliers_mad"].fn(spark, SF)
+    df.collect()  # let AQE finalize
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "Python" not in plan
