@@ -2,19 +2,27 @@
 
 Data reads/writes go through Spark itself, which speaks every
 Hadoop-supported scheme for free. The MAINTENANCE helpers — newest-file
-discovery (S4), compaction accounting, time-travel version listing —
-additionally need directory METADATA (names, mtimes, marker-file
-existence), which ``spark.read`` doesn't expose. This module is the one
-place that metadata comes from:
+discovery (S4), compaction accounting, time-travel version listing,
+retention deletes — additionally need directory METADATA (names,
+mtimes, marker-file existence), which ``spark.read`` doesn't expose.
+This module is the one place that metadata comes from:
 
-* with a live JVM-backed SparkSession, listings go through the Hadoop
-  ``FileSystem`` API of that session (``Path.getFileSystem``), so
-  ``hdfs://`` / ``s3a://`` / ``file://`` paths all behave identically —
-  the 100 TB deployment path;
-* with no active session (plain-Python callers, unit helpers), a pure
-  ``os`` fallback handles local paths — behaviorally identical on
-  ``file://``-equivalent input, asserted by tests/test_io.py running
-  the same suites against both sides of the seam.
+* a SCHEME-LESS path that exists locally is served by the ``os``
+  implementation even when a session is up — it is strictly more
+  precise (nanosecond mtimes vs Hadoop's milliseconds, which matters
+  for newest-file tie-breaking) and has no JVM dependency;
+* everything else (``hdfs://``, ``s3a://``, ``file://`` URIs, or
+  scheme-less paths on a default-HDFS deployment) goes through the
+  Hadoop ``FileSystem`` API of a JVM-backed session — the 100 TB
+  deployment path;
+* with no usable JVM at all (plain-Python callers, Spark Connect
+  sessions, docs builds), the pure ``os`` fallback handles local
+  paths. A session without a JVM handle is treated as "no session"
+  even when passed EXPLICITLY — ``compact_parquet(connect_session,
+  ...)`` must degrade to the local listing, not crash after the write.
+
+Behavioral parity of the two sides is asserted by tests/test_io.py
+running the same suites against both.
 
 Returned child paths are expressed in the CALLER's coordinates (input
 path + '/' + name), never the filesystem's canonical URI — a caller
@@ -53,6 +61,21 @@ def _jvm_spark():
     return spark
 
 
+def _usable(spark):
+    """An explicitly-passed session counts only if it actually carries
+    a JVM handle (Spark Connect sessions don't); otherwise fall back to
+    the active classic session, then to None."""
+    if spark is not None and getattr(spark, "_jvm", None) is not None:
+        return spark
+    return _jvm_spark()
+
+
+def _local(path: str) -> bool:
+    """True when the path is scheme-less and exists on the local
+    filesystem — serve it with ``os`` (ns-precision mtimes, no JVM)."""
+    return "://" not in path and os.path.exists(path)
+
+
 def _hadoop_fs(spark, path: str):
     jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
     return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
@@ -67,12 +90,38 @@ def join(path: str, name: str) -> str:
     return os.path.join(path, name)
 
 
+def _list_dir_os(path: str) -> list[FsEntry] | None:
+    if not os.path.isdir(path):
+        return None
+    out = []
+    for name in os.listdir(path):
+        full = os.path.join(path, name)
+        # a concurrent writer's short-lived artifact (_temporary,
+        # .part-*.crc) can vanish between listdir and stat — skip it
+        # rather than crash the listing (Hadoop's listStatus snapshot
+        # has no such race)
+        try:
+            out.append(
+                FsEntry(
+                    name=name,
+                    mtime=os.path.getmtime(full),
+                    is_dir=os.path.isdir(full),
+                )
+            )
+        except FileNotFoundError:
+            continue
+    return out
+
+
 def list_dir(path: str, spark=None) -> list[FsEntry] | None:
     """Children of ``path`` as :class:`FsEntry`, or None when the path
-    does not exist or is not a directory. Routed through the Hadoop FS
-    of ``spark`` (or the active session) when a JVM is up; pure-``os``
-    otherwise."""
-    spark = spark or _jvm_spark()
+    does not exist or is not a directory. Local scheme-less paths use
+    ``os`` directly; URIs (and scheme-less paths that only a
+    default-FS knows about) go through the Hadoop FS of a JVM-backed
+    session."""
+    if _local(path):
+        return _list_dir_os(path)
+    spark = _usable(spark)
     if spark is not None:
         fs, jpath = _hadoop_fs(spark, path)
         if not fs.exists(jpath) or not fs.getFileStatus(jpath).isDirectory():
@@ -85,21 +134,15 @@ def list_dir(path: str, spark=None) -> list[FsEntry] | None:
             )
             for st in fs.listStatus(jpath)
         ]
-    if not os.path.isdir(path):
-        return None
-    out = []
-    for name in os.listdir(path):
-        full = os.path.join(path, name)
-        out.append(
-            FsEntry(name=name, mtime=os.path.getmtime(full), is_dir=os.path.isdir(full))
-        )
-    return out
+    return _list_dir_os(path)
 
 
 def exists(path: str, spark=None) -> bool:
     """Existence check through the same seam (marker files like
     ``_SUCCESS`` on any scheme)."""
-    spark = spark or _jvm_spark()
+    if _local(path):
+        return True
+    spark = _usable(spark)
     if spark is not None:
         fs, jpath = _hadoop_fs(spark, path)
         return bool(fs.exists(jpath))
@@ -107,20 +150,20 @@ def exists(path: str, spark=None) -> bool:
 
 
 def delete(path: str, spark=None) -> bool:
-    """Recursive delete through the seam (Hadoop ``fs.delete(path,
-    recursive=True)`` / local ``shutil.rmtree``). Returns True when
+    """Recursive delete through the seam (local ``shutil.rmtree`` /
+    Hadoop ``fs.delete(path, recursive=True)``). Returns True when
     something was removed, False when the path didn't exist — never
     raises for a missing path (retention passes re-run)."""
-    spark = spark or _jvm_spark()
+    if _local(path):
+        if os.path.isdir(path):
+            import shutil
+
+            shutil.rmtree(path)
+        else:
+            os.remove(path)
+        return True
+    spark = _usable(spark)
     if spark is not None:
         fs, jpath = _hadoop_fs(spark, path)
         return bool(fs.delete(jpath, True))
-    if not os.path.exists(path):
-        return False
-    if os.path.isdir(path):
-        import shutil
-
-        shutil.rmtree(path)
-    else:
-        os.remove(path)
-    return True
+    return False

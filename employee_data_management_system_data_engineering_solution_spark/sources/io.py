@@ -201,7 +201,10 @@ def latest_file(path: str, suffix: str = "") -> str | None:
     ]
     if not cands:
         return None
-    return fs.join(path, max(cands, key=lambda e: e.mtime).name)
+    # (mtime, name): remote listings carry millisecond mtimes, so a
+    # sub-ms tie must break deterministically (lexicographically-last),
+    # never on listing order
+    return fs.join(path, max(cands, key=lambda e: (e.mtime, e.name)).name)
 
 
 def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:

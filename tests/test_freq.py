@@ -84,3 +84,27 @@ def test_mg_nulls_are_ignored(spark):
         got[r.item] += r.est  # summaries are PER PARTITION; est sums across them
     assert None not in got
     assert got["a"] == 2 and got["b"] == 1
+
+
+def test_mg_totals_ride_the_summary_pass(spark):
+    """emit_totals: per-partition exact totals sum to the stream
+    length even when the shrink step empties a partition's candidate
+    set (all counters tied at the cut) — the edge that forces totals
+    onto their own rows."""
+    from employee_data_management_system_data_engineering_solution_spark.operators.freq import (
+        CAND,
+        TOTAL,
+    )
+
+    # one partition, capacity 1, two distinct items with equal counts:
+    # shrink subtracts the 2nd-largest (=largest) and empties the dict
+    df = spark.createDataFrame([("a",), ("b",)], "item STRING").coalesce(1)
+    rows = misra_gries_candidates(df, "item", 1, emit_totals=True).collect()
+    kinds = Counter(r.kind for r in rows)
+    assert kinds[TOTAL] == 1 and kinds.get(CAND, 0) == 0  # emptied, total intact
+    assert sum(r.est for r in rows if r.kind == TOTAL) == 2
+
+    # multi-partition: totals sum to the full stream length
+    big = _items_df(spark, [f"w{i % 7}" for i in range(100)], partitions=4)
+    rows = misra_gries_candidates(big, "item", 50, emit_totals=True).collect()
+    assert sum(r.est for r in rows if r.kind == TOTAL) == 100

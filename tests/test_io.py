@@ -75,7 +75,11 @@ def test_latest_file(tmp_path):
     b.write_text("y")
     assert latest_file(str(tmp_path)) == str(b)
     assert latest_file(str(tmp_path), suffix=".csv") == str(b)
-    os.utime(a)  # touch a → newest
+    # touch a with an explicitly LATER mtime: a bare utime can land in
+    # the same clock tick as b's write (jiffy-granularity mtimes), and
+    # a genuine tie legitimately breaks on name, not on touch order
+    t = time.time() + 5
+    os.utime(a, (t, t))
     assert latest_file(str(tmp_path)) == str(a)
     assert latest_file(str(tmp_path), suffix=".nope") is None
     assert latest_file(str(tmp_path / "missing")) is None
@@ -263,3 +267,44 @@ def test_vacuum_versions_retention_contract(spark, tmp_path):
     assert vacuum_versions(base, keep_last=5) == []  # fewer versions than keep
     with pytest.raises(ValueError, match="keep_last"):
         vacuum_versions(base, keep_last=0)
+
+
+def test_fs_listing_tolerates_vanishing_writer_artifacts(tmp_path, monkeypatch):
+    """A concurrent writer's short-lived file can vanish between
+    listdir and stat; the os-side listing must skip it, not crash."""
+    import os as _os
+
+    from employee_data_management_system_data_engineering_solution_spark.sources import fs
+
+    (tmp_path / "_temporary").write_text("")
+    (tmp_path / "real.csv").write_text("x")
+    orig = _os.path.getmtime
+
+    def racy(p):
+        if p.endswith("_temporary"):
+            raise FileNotFoundError(p)
+        return orig(p)
+
+    monkeypatch.setattr(_os.path, "getmtime", racy)
+    got = fs.list_dir(str(tmp_path))
+    assert [e.name for e in got] == ["real.csv"]
+    assert latest_file(str(tmp_path)) == str(tmp_path / "real.csv")
+
+
+def test_fs_seam_degrades_for_jvmless_sessions(tmp_path, monkeypatch):
+    """An explicitly-passed session without a JVM handle (the Spark
+    Connect shape) must fall back to the local listing, not crash —
+    and a genuinely remote URI with no JVM anywhere returns the
+    documented not-found values instead of raising."""
+    from employee_data_management_system_data_engineering_solution_spark.sources import fs
+
+    class FakeConnectSession:
+        pass  # no _jvm attribute at all
+
+    (tmp_path / "a.csv").write_text("x")
+    monkeypatch.setattr(fs, "_jvm_spark", lambda: None)
+    got = fs.list_dir(str(tmp_path), spark=FakeConnectSession())
+    assert [e.name for e in got] == ["a.csv"]
+    assert fs.exists(str(tmp_path / "a.csv"), spark=FakeConnectSession())
+    assert fs.list_dir("s3a://bucket/nope", spark=FakeConnectSession()) is None
+    assert not fs.delete("s3a://bucket/nope", spark=FakeConnectSession())
