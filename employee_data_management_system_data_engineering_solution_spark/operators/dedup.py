@@ -252,6 +252,37 @@ def minhash_lsh_groups(
     )
 
 
+def _gram_banded(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    n_hashes: int,
+    bands: int,
+) -> DataFrame:
+    """Doc → (id, band_no, bucket) rows from the char-n-gram
+    polynomial MinHash signature: narrow map + explode, no shuffle.
+    Shared by the batch self-dedup pair generator and the incremental
+    admission check so both block on identical buckets."""
+    rows_per_band = n_hashes // bands
+    sig = gram_poly_minhash(df, id_col, text_col, n, n_hashes=n_hashes)
+    band_cols = [
+        F.concat_ws(
+            "|", *[F.col(f"gmh_{bd * rows_per_band + r}") for r in range(rows_per_band)]
+        ).alias(f"band_{bd}")
+        for bd in range(bands)
+    ]
+    return sig.select(F.col(id_col), *band_cols).select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(bd).alias("band_no"), F.col(f"band_{bd}").alias("bucket"))
+                for bd in range(bands)
+            ])
+        ).alias("bb"),
+    ).select(id_col, F.col("bb.band_no").alias("band_no"), F.col("bb.bucket").alias("bucket"))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -289,23 +320,7 @@ def ngram_jaccard_pairs(
     # (:func:`gram_poly_minhash`); bucket keys are the plain
     # concatenated signature slice — no digest needed, the groupBy
     # hashes the key anyway.
-    rows_per_band = n_hashes // bands
-    sig = gram_poly_minhash(df, id_col, text_col, n, n_hashes=n_hashes)
-    band_cols = [
-        F.concat_ws(
-            "|", *[F.col(f"gmh_{bd * rows_per_band + r}") for r in range(rows_per_band)]
-        ).alias(f"band_{bd}")
-        for bd in range(bands)
-    ]
-    banded = sig.select(F.col(id_col), *band_cols).select(
-        F.col(id_col),
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(bd).alias("band_no"), F.col(f"band_{bd}").alias("bucket"))
-                for bd in range(bands)
-            ])
-        ).alias("bb"),
-    ).select(id_col, F.col("bb.band_no").alias("band_no"), F.col("bb.bucket").alias("bucket"))
+    banded = _gram_banded(df, id_col, text_col, n, n_hashes, bands)
     # within-bucket pairs WITHOUT a self-join: a self-join references the
     # banded subtree twice and Spark re-executes the whole gram+md5
     # signature pipeline per reference (no automatic CTE
@@ -779,3 +794,86 @@ def deletion_neighborhood_pairs(
         "name_b",
         F.levenshtein("name_a", "name_b").alias("edit_dist"),
     ).filter(F.col("edit_dist") <= 1)
+
+
+def incremental_neardup_pairs(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    min_jaccard: float = 0.8,
+    n_hashes: int = 8,
+    bands: int = 2,
+    max_corpus_bucket: int = 256,
+) -> DataFrame:
+    """Incremental near-dup ADMISSION check: which docs of a NEW batch
+    near-duplicate the EXISTING corpus — the nightly-ingest shape of
+    dedup (the batch must be vetted against everything already
+    admitted, without re-pairing the corpus against itself). Blocking
+    uses the SAME char-n-gram MinHash bands as the batch self-dedup
+    (:func:`ngram_jaccard_pairs`), so a doc pair blocks identically
+    whether it meets in a self-dedup or an admission run; verification
+    is the same exact n-gram Jaccard.
+
+    Candidates are batch×corpus ONLY (the join is banded batch rows
+    against banded corpus rows — corpus×corpus pairs never form), and
+    a degenerate corpus bucket (> ``max_corpus_bucket`` members —
+    boilerplate collapse) pairs each batch doc with the bucket's min
+    corpus id only, bounding per-bucket work at O(batch-side) with the
+    same documented recall trade as the self-dedup star fallback. The
+    corpus bucket stats come from a window over the banded corpus
+    rows, not a re-aggregated second subtree — the signature pipeline
+    executes once per side.
+
+    Output: (new_id, corpus_id, jaccard ≥ threshold) — the batch rows
+    to reject (or route to human review) before appending.
+
+    Scale: in production the corpus side of the band join is a STORED
+    signature index (written at admission time), so the incremental
+    cost is O(|batch| signatures + candidate verifications): the
+    corpus text is touched only for the (semi-join-pruned) docs that
+    actually collide with the batch. Caller contract: the two id sets
+    are disjoint (an id present on both sides would legitimately
+    report itself as a duplicate).
+    """
+    from pyspark.sql import Window
+
+    cb = _gram_banded(corpus, id_col, text_col, n, n_hashes, bands).select(
+        F.col(id_col).alias("corpus_id"), "band_no", "bucket"
+    )
+    nb = _gram_banded(batch, id_col, text_col, n, n_hashes, bands).select(
+        F.col(id_col).alias("new_id"), "band_no", "bucket"
+    )
+    w = Window.partitionBy("band_no", "bucket")
+    cb = cb.withColumn("__n_cor", F.count("*").over(w)).withColumn(
+        "__hub", F.min("corpus_id").over(w)
+    )
+    cand = (
+        nb.join(cb, ["band_no", "bucket"])
+        .filter(
+            (F.col("__n_cor") <= max_corpus_bucket)
+            | (F.col("corpus_id") == F.col("__hub"))
+        )
+        .select("new_id", "corpus_id")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # verification grams only for colliding docs, per side; merge hints
+    # for the same heavy-computed-column reason as the self-dedup path
+    new_ids = cand.select(F.col("new_id").alias(id_col)).distinct()
+    cor_ids = cand.select(F.col("corpus_id").alias(id_col)).distinct()
+    gn = with_char_ngrams(
+        batch.join(new_ids, on=id_col, how="left_semi"), id_col, text_col, n
+    ).select(F.col(id_col).alias("new_id"), F.col("grams").alias("grams_n")).hint("merge")
+    gc = with_char_ngrams(
+        corpus.join(cor_ids, on=id_col, how="left_semi"), id_col, text_col, n
+    ).select(F.col(id_col).alias("corpus_id"), F.col("grams").alias("grams_c")).hint("merge")
+    pairs = cand.join(gn, on="new_id").join(gc, on="corpus_id")
+    inter = F.size(F.array_intersect(F.col("grams_n"), F.col("grams_c")))
+    union = F.size(F.array_union(F.col("grams_n"), F.col("grams_c")))
+    return pairs.select(
+        "new_id",
+        "corpus_id",
+        F.round(inter / F.greatest(union, F.lit(1)), 4).alias("jaccard"),
+    ).filter(F.col("jaccard") >= min_jaccard)

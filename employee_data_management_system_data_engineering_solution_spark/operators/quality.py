@@ -133,3 +133,58 @@ def validate_constraints(df: DataFrame, checks: dict[str, Column]) -> DataFrame:
         for name, pred in checks.items()
     ]
     return df.withColumn("violations", F.array_compact(F.array(*items)))
+
+
+def drift_psi(
+    old: DataFrame,
+    new: DataFrame,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Population-stability-index drift report between two snapshots
+    that each carry a pre-assigned ``bucket_col`` (callers bucket with
+    EXACT arithmetic — integer/decimal bin ids — so the comparison is
+    float-free; quantile-cut bucketing works too but inherits the
+    engine's interpolation ulps). Per bucket:
+    ``psi_term = (p_new − p_old) · ln(p_new / p_old)``, the summands of
+    the classic PSI; shares are Laplace-smoothed over the UNION of
+    observed buckets (``(n + 1) / (N + B)``) so a bucket that exists in
+    only one snapshot — the strongest drift signal there is — yields a
+    finite, comparable term instead of a division by zero.
+
+    Output: (bucket, n_old, n_new, share_old, share_new, psi_term),
+    rounded to 6 dp. Σ psi_term is the headline PSI; the conventional
+    reading: <0.1 stable, 0.1–0.25 moderate shift, >0.25 action.
+
+    Scale: one partial-agg groupBy per snapshot on the bucket id
+    (report-cardinality shuffle), a full-outer merge of two tiny
+    aggregates, and a narrow arithmetic projection. The snapshots are
+    never joined row-to-row."""
+    o = old.groupBy(F.col(bucket_col).alias("bucket")).agg(
+        F.count("*").alias("n_old")
+    )
+    n = new.groupBy(F.col(bucket_col).alias("bucket")).agg(
+        F.count("*").alias("n_new")
+    )
+    m = o.join(n, "bucket", "full_outer").select(
+        "bucket",
+        F.coalesce("n_old", F.lit(0)).alias("n_old"),
+        F.coalesce("n_new", F.lit(0)).alias("n_new"),
+    )
+    # totals + observed-bucket count as a tiny cross-joined aggregate
+    # (lazy scalar pattern — no collect)
+    tot = m.agg(
+        F.sum("n_old").alias("__to"),
+        F.sum("n_new").alias("__tn"),
+        F.count("*").alias("__b"),
+    )
+    j = m.crossJoin(F.broadcast(tot))
+    p_old = (F.col("n_old") + 1) / (F.col("__to") + F.col("__b"))
+    p_new = (F.col("n_new") + 1) / (F.col("__tn") + F.col("__b"))
+    return j.select(
+        "bucket",
+        "n_old",
+        "n_new",
+        F.round(p_old, 6).alias("share_old"),
+        F.round(p_new, 6).alias("share_new"),
+        F.round((p_new - p_old) * F.log(p_new / p_old), 6).alias("psi_term"),
+    )

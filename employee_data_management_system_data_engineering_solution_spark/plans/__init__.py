@@ -60,9 +60,17 @@ from .registry import REGISTRY, register
 #       replay with tombstones/resurrection), user_path_topk (X120
 #       opening-path mining), value_outliers_mad (X121 median/MAD
 #       robust outliers), snapshot_vacuum (X122 version-retention
-#       vacuum through the fs seam), and strike_stream_from_wire (the
+#       vacuum through the fs seam), strike_stream_from_wire (the
 #       X105 wire topology as a driver query, carrying the stateful
-#       stream's closed-form oracle).
+#       stream's closed-form oracle), neardup_admission (X123
+#       incremental batch-vs-corpus dedup admission), and
+#       feature_drift_psi (X124 PSI distribution-drift gate). The two
+#       late additions take supplier_pagerank's and
+#       funnel_conversion_report's anchor slots — graph machinery
+#       stays carried in-window by dedup_clusters_star (CC over
+#       verified pairs) and sequence analytics by user_path_topk +
+#       event_sessions; both displaced anchors are r6/r7-green and
+#       guarded by the committed full local run.
 #   IN (re-confirmation — the stalest cohorts the r7 narrative
 #       promised this round): the 6 r2-green deferrals
 #       (customers_with_urgent_orders, doc_fingerprint,
@@ -113,12 +121,13 @@ _PRIORITY: tuple[str, ...] = (
     "snapshot_vacuum",
     "strike_stream_from_wire",
     # family anchors
+    "neardup_admission",
+    "feature_drift_psi",
+    # family anchors
     "daily_pipeline",
     "scd2_merge",
     "ann_recall_report",
     "staging_promote_roundtrip",
-    "supplier_pagerank",
-    "funnel_conversion_report",
     "strike_window_counts",
     "stream_static_enrich",
     "stream_purchase_view_join",

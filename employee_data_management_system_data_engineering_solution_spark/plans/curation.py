@@ -863,6 +863,73 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Distribution-drift report (X124): PSI between two snapshots
+# --------------------------------------------------------------------------
+@register(
+    "feature_drift_psi",
+    """
+    WITH old AS (
+      SELECT CAST(least(floor(CAST(o_totalprice AS DECIMAL(12,2)) / 50000), 9)
+                  AS INT) AS bucket
+      FROM orders WHERE o_orderkey % 10 <> 0
+    ),
+    new AS (
+      SELECT CAST(least(floor(
+               CASE WHEN o_orderkey % 3 = 0
+                    THEN CAST(o_totalprice AS DECIMAL(12,2))
+                         * CAST(1.10 AS DECIMAL(3,2))
+                    ELSE CAST(o_totalprice AS DECIMAL(12,2)) END / 50000), 9)
+                  AS INT) AS bucket
+      FROM orders WHERE o_orderkey % 13 <> 0
+    ),
+    o AS (SELECT bucket, count(*) AS n_old FROM old GROUP BY bucket),
+    n AS (SELECT bucket, count(*) AS n_new FROM new GROUP BY bucket),
+    m AS (
+      SELECT coalesce(o.bucket, n.bucket) AS bucket,
+             coalesce(n_old, 0) AS n_old, coalesce(n_new, 0) AS n_new
+      FROM o FULL OUTER JOIN n ON o.bucket = n.bucket
+    ),
+    t AS (SELECT sum(n_old) AS to_, sum(n_new) AS tn, count(*) AS b FROM m)
+    SELECT bucket, n_old, n_new,
+           round((n_old + 1.0) / (to_ + b), 6) AS share_old,
+           round((n_new + 1.0) / (tn + b), 6) AS share_new,
+           round(((n_new + 1.0) / (tn + b) - (n_old + 1.0) / (to_ + b))
+                 * ln(((n_new + 1.0) / (tn + b)) / ((n_old + 1.0) / (to_ + b))),
+                 6) AS psi_term
+    FROM m, t
+    """,
+)
+def feature_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift gate (X124): population stability index of
+    the order-price distribution between two snapshots — the check a
+    training pipeline runs before each data refresh ("did this batch's
+    feature distribution move enough to invalidate the model/filters
+    downstream"). Buckets are fixed 50k-wide price bins assigned with
+    EXACT decimal arithmetic (floor of a decimal quotient — no float
+    boundary can flip a row's bin), the manufactured new snapshot
+    inflates a third of prices by 10% (real cross-bin migration), and
+    ``operators.quality.drift_psi`` computes Laplace-smoothed shares
+    and per-bucket PSI terms. Σ psi_term is the headline statistic
+    (<0.1 stable / >0.25 action).
+
+    Scale: one report-cardinality groupBy per snapshot + a tiny
+    full-outer merge; the snapshots never join row-to-row."""
+    from ..functions.money import money
+    from ..operators.quality import drift_psi
+
+    orders = read_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    price = money("o_totalprice")
+    bucket = lambda p: F.least(F.floor(p / 50000), F.lit(9)).cast("int")
+    old = orders.filter(k % 10 != 0).select(bucket(price).alias("bucket"))
+    inflated = F.when(
+        k % 3 == 0, price * F.lit("1.10").cast("decimal(3,2)")
+    ).otherwise(price)
+    new = orders.filter(k % 13 != 0).select(bucket(inflated).alias("bucket"))
+    return drift_psi(old, new).orderBy("bucket")
+
+
+# --------------------------------------------------------------------------
 # Version-retention vacuum (X122): the cleanup half of time travel
 # --------------------------------------------------------------------------
 @register(

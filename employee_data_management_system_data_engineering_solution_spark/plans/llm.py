@@ -356,6 +356,96 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _verified_pairs(spark, sf_dir)
 
 
+@register(
+    "neardup_admission",
+    # Full SQL replay of the incremental path: identical signature
+    # family, band keys, corpus-side hub fallback, and Jaccard
+    # verification — restricted to batch×corpus candidate pairs.
+    rf"""
+    WITH nrm AS (
+      SELECT doc_id,
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+      FROM documents
+    ),
+    grams0 AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(0, greatest(length(norm) - 5, 0)),
+               i -> substring(norm, i + 1, 5))) AS grams
+      FROM nrm
+    ),
+    cod AS (
+      SELECT doc_id, norm,
+             list_transform(string_split(norm, ''), c -> ascii(c)) AS cs
+      FROM nrm
+    ),
+    ab AS (
+      SELECT doc_id,
+             {_duck_poly_arr(31)} AS a_arr,
+             {_duck_poly_arr(131)} AS b_arr
+      FROM cod
+    ),
+    sig AS (
+      SELECT doc_id,
+             {_duck_gram_poly_sig()}
+      FROM ab
+    ),
+    banded AS (
+      SELECT doc_id, 0 AS band_no,
+             gmh_0::VARCHAR || '|' || gmh_1::VARCHAR || '|' ||
+             gmh_2::VARCHAR || '|' || gmh_3::VARCHAR AS bucket FROM sig
+      UNION ALL
+      SELECT doc_id, 1 AS band_no,
+             gmh_4::VARCHAR || '|' || gmh_5::VARCHAR || '|' ||
+             gmh_6::VARCHAR || '|' || gmh_7::VARCHAR AS bucket FROM sig
+    ),
+    nb AS (SELECT doc_id AS new_id, band_no, bucket
+           FROM banded WHERE doc_id % 10 = 0),
+    cb AS (SELECT doc_id AS corpus_id, band_no, bucket
+           FROM banded WHERE doc_id % 10 <> 0),
+    bsz AS (
+      SELECT band_no, bucket, count(*) AS n_cor, min(corpus_id) AS hub
+      FROM cb GROUP BY band_no, bucket
+    ),
+    cand AS (
+      SELECT DISTINCT n.new_id, c.corpus_id
+      FROM nb n
+      JOIN cb c ON n.band_no = c.band_no AND n.bucket = c.bucket
+      JOIN bsz s ON s.band_no = n.band_no AND s.bucket = n.bucket
+      WHERE s.n_cor <= 256 OR c.corpus_id = s.hub
+    )
+    SELECT new_id, corpus_id,
+           round(length(list_intersect(gn.grams, gc.grams))
+                 / greatest(length(list_distinct(list_concat(gn.grams, gc.grams))), 1),
+                 4) AS jaccard
+    FROM cand
+    JOIN grams0 gn ON gn.doc_id = new_id
+    JOIN grams0 gc ON gc.doc_id = corpus_id
+    WHERE round(length(list_intersect(gn.grams, gc.grams))
+                / greatest(length(list_distinct(list_concat(gn.grams, gc.grams))), 1), 4)
+          >= 0.5
+    """,
+)
+def neardup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup admission (X123): every tenth document plays
+    the NIGHTLY BATCH and is vetted against the rest of the corpus —
+    the ingest-time shape of near-dedup, where the corpus must never
+    re-pair against itself and (in production) its signature index is
+    read from storage rather than recomputed.
+    ``operators.dedup.incremental_neardup_pairs`` blocks the batch
+    against the corpus with the SAME char-5-gram polynomial MinHash
+    bands as the self-dedup path, bounds degenerate corpus buckets via
+    the hub fallback, and verifies candidates with exact n-gram
+    Jaccard. Output: the admission-reject report (new_id, corpus_id,
+    jaccard ≥ 0.5)."""
+    docs = read_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    return dedup.incremental_neardup_pairs(
+        corpus, batch, "doc_id", "text", n=5, min_jaccard=0.5
+    )
+
+
 def _duck_winnow_fps(window: int = 4) -> str:
     """DuckDB expression mirroring
     ``operators.dedup.winnow_fingerprint_rows``: per doc, the distinct

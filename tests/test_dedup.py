@@ -390,3 +390,42 @@ def test_deletion_neighborhood_rejects_overlong_names(spark):
     df = spark.createDataFrame([(1, "x" * 40), (2, "y")], "id LONG, nm STRING")
     with pytest.raises((SparkRuntimeException, Py4JJavaError)):
         deletion_neighborhood_pairs(df, "id", "nm", max_len=32).collect()
+
+
+def test_incremental_neardup_admission_semantics(spark):
+    """Admission check on a micro corpus: a batch doc that duplicates
+    a corpus doc is reported (jaccard 1.0), a near-dup clears the
+    threshold, an unrelated batch doc is admitted silently, and
+    corpus-internal duplicate pairs are NEVER emitted — the whole
+    point of the restricted join."""
+    from employee_data_management_system_data_engineering_solution_spark.operators.dedup import (
+        incremental_neardup_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    corpus = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),                          # corpus-internal dup: must NOT pair
+            (3, "completely different content about spark engines"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    batch = spark.createDataFrame(
+        [
+            (100, base),                        # verbatim dup of corpus
+            (101, base + " tail"),              # near-dup of corpus
+            (102, "zebras graze quietly on the open savanna at dawn"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    got = {
+        (r.new_id, r.corpus_id): r.jaccard
+        for r in incremental_neardup_pairs(
+            corpus, batch, "doc_id", "text", n=5, min_jaccard=0.5
+        ).collect()
+    }
+    assert got[(100, 1)] == 1.0 and got[(100, 2)] == 1.0
+    assert (101, 1) in got and got[(101, 1)] >= 0.5
+    assert all(nid != 102 for nid, _ in got)          # unrelated doc admitted
+    assert all(nid >= 100 for nid, _ in got)          # no corpus-corpus pairs

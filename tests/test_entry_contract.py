@@ -40,7 +40,7 @@ def test_check_window_covers_every_operator_family():
     window = list(queries())[:50]
     carriers = {
         # Round-8 window (see the rotation narrative in
-        # plans/__init__.py): (a) the eight never-checked r8 operators,
+        # plans/__init__.py): (a) the ten never-checked r8 operators,
         # (b) the 33 stalest re-confirmation queries (the r2/r4
         # deferrals the r7 narrative promised plus the whole r5-green
         # cohort), and (c) nine family anchors so each displaced
@@ -50,15 +50,19 @@ def test_check_window_covers_every_operator_family():
         "incremental_agg_refresh_minmax", "frequent_shingles",
         "purchase_error_overlap", "cdc_log_replay", "user_path_topk",
         "value_outliers_mad", "snapshot_vacuum", "strike_stream_from_wire",
+        "neardup_admission", "feature_drift_psi",
         # family anchors: composed pipeline + sinks, SCD-2 (K6 MERGE is
         # carried by the strictly-more-general cdc_log_replay), the
         # 6-method ANN report, K5 promotion, graph ranking, temporal
         # analytics, and the three r6-stale streaming topologies that
         # complement the new wire carrier (windowed agg, stream-static
         # enrich, stream-stream inner join)
+        # (supplier_pagerank + funnel_conversion_report yielded their
+        # anchor slots to the two late r8 operators; graph stays
+        # carried by dedup_clusters_star, sequences by user_path_topk
+        # + event_sessions)
         "daily_pipeline", "scd2_merge", "ann_recall_report",
-        "staging_promote_roundtrip", "supplier_pagerank",
-        "funnel_conversion_report", "strike_window_counts",
+        "staging_promote_roundtrip", "strike_window_counts",
         "stream_static_enrich", "stream_purchase_view_join",
         # re-confirmation cohort: last driver green r2 (the r7
         # deferrals)

@@ -74,6 +74,8 @@ TARGETS = [
     "value_outliers_mad",
     "snapshot_vacuum",
     "strike_stream_from_wire",
+    "neardup_admission",
+    "feature_drift_psi",
 ]
 
 
