@@ -302,3 +302,31 @@ def test_value_outliers_mad_stats_joins_broadcast(spark):
     plan = plan_of(df)
     assert "BroadcastHashJoin" in plan
     assert "Python" not in plan
+
+
+def test_neardup_admission_restricted_join_no_self_pairs(spark):
+    """The admission path must never re-pair the corpus against
+    itself: the plan is the banded batch x corpus equi-join plus the
+    window-computed bucket stats — no cartesian, no second aggregation
+    of the signature subtree, JVM-only except nothing (pure builtins)."""
+    df = REGISTRY["neardup_admission"].fn(spark, SF)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Python" not in plan
+    # (the window-computed bucket stats sit behind the eager candidate
+    # localCheckpoint, so they're structurally invisible here; the
+    # no-re-executed-subtree property is covered by the operator's
+    # design test in test_dedup.py)
+
+
+def test_feature_drift_psi_never_joins_rows(spark):
+    """PSI merges two report-cardinality aggregates; the snapshots
+    must never join row-to-row (no join keyed on anything but the
+    bucket id after aggregation)."""
+    df = REGISTRY["feature_drift_psi"].fn(spark, SF)
+    plan = plan_of(df)
+    assert "Python" not in plan and "CartesianProduct" not in plan
+    # both sides aggregate BEFORE the merge join: two HashAggregate
+    # pairs precede the full-outer bucket join
+    assert plan.count("HashAggregate") >= 4
