@@ -249,3 +249,58 @@ def winsorize(
         .drop("__cut_key")
         .withColumn(f"{value_col}_wins", clamped)
     )
+
+
+def priority_sample(
+    df: DataFrame,
+    key_cols: list[str],
+    weight_col: str,
+    *,
+    k: int,
+    seed: str = "wsample-v1",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: priority
+    sampling (Duffield, Lund & Thorup, "Priority sampling for
+    estimation of arbitrary subset sums", JACM 2007). Each row draws a
+    pseudo-uniform u_i from the seeded md5 of its key and gets
+    priority w_i / u_i; the k highest priorities form the sample — an
+    inclusion-probability-~proportional-to-weight design with
+    near-optimal variance for subset-sum estimation, and the standard
+    way to keep a FIXED-SIZE weighted sample of an unboundedly large
+    table (uniform `TABLESAMPLE` under-represents exactly the heavy
+    rows an audit cares about).
+
+    Determinism discipline (cross-engine hash-exactness): u_i is the
+    60-bit integer h_i from the md5 hex prefix, and the ordering
+    w_i/u_i DESC is materialized as the EXACT integer ``h_i div w_i``
+    ASC — floor division of two BIGINTs, bit-identical in Spark and
+    DuckDB, with no float anywhere in the sort key (a libm-rounded
+    double priority could flip boundary ranks between engines). The
+    floor perturbs the true real-valued order only when two priorities
+    agree to ~16 significant digits, and any tie breaks on the key
+    columns, so the sample is a pure function of (keys, weights,
+    seed): stable under reruns, row order, and cluster resizes, and
+    joinable downstream like every other seeded-hash operator here.
+
+    Rows with NULL or non-positive weight are excluded — weight 0
+    means inclusion probability 0 in the design itself, not an error.
+
+    Scale shape: one narrow map computes the sort key; the top-k runs
+    as TakeOrderedAndProject (per-partition bounded heaps merged on
+    the driver — k rows, not a global sort of the corpus). The
+    ``sample_rank`` window orders the k-row result only, a bounded
+    barrier.
+    """
+    key_str = F.concat_ws("-", *[F.col(c).cast("string") for c in key_cols])
+    digest = F.md5(F.concat(key_str, F.lit(":" + seed)))
+    scored = (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("weight", F.col(weight_col).cast("bigint"))
+        .withColumn("__h", F.conv(F.substring(digest, 1, 15), 16, 10).cast("bigint"))
+        .withColumn("priority_key", F.expr("__h div weight"))
+        .drop("__h")
+    )
+    order_cols = [F.col("priority_key").asc()] + [F.col(c).asc() for c in key_cols]
+    topk = scored.orderBy(*order_cols).limit(k)
+    rank_w = Window.orderBy("priority_key", *key_cols)
+    return topk.withColumn("sample_rank", F.row_number().over(rank_w).cast("int"))

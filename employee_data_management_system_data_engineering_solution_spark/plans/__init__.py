@@ -65,7 +65,14 @@ from .registry import REGISTRY, register
 #       stream's closed-form oracle), neardup_admission (X123
 #       incremental batch-vs-corpus dedup admission), and
 #       feature_drift_psi (X124 PSI distribution-drift gate). The two
-#       late additions take supplier_pagerank's and
+#       mid-round additions (cluster_safe_split — X125 leakage-safe
+#       cluster-aware split; weighted_sample_topk — X126 deterministic
+#       priority sampling) each displace one multiply-covered r5
+#       re-confirmation slot instead (ivf_topk, kmeans_ivf_assign out;
+#       ANN stays carried by ann_recall_report + embedding_topk +
+#       hyperplane_lsh_groups + embedding_neardup_pairs; displaced
+#       names join the r9 queue). The
+#       two late additions take supplier_pagerank's and
 #       funnel_conversion_report's anchor slots — graph machinery
 #       stays carried in-window by dedup_clusters_star (CC over
 #       verified pairs) and sequence analytics by user_path_topk +
@@ -123,6 +130,8 @@ _PRIORITY: tuple[str, ...] = (
     # family anchors
     "neardup_admission",
     "feature_drift_psi",
+    "cluster_safe_split",
+    "weighted_sample_topk",
     # family anchors
     "daily_pipeline",
     "scd2_merge",
@@ -154,8 +163,6 @@ _PRIORITY: tuple[str, ...] = (
     "exact_dedup",
     "forward_fill_values",
     "hyperplane_lsh_groups",
-    "ivf_topk",
-    "kmeans_ivf_assign",
     "minhash_lsh_groups",
     "multimodal_profile",
     "ngram_jaccard_pairs",

@@ -451,6 +451,50 @@ def balanced_strata_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Fixed-size weighted sample: priority sampling over lineitem
+# --------------------------------------------------------------------------
+@register(
+    "weighted_sample_topk",
+    """
+    WITH w AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(l_quantity AS BIGINT) AS weight,
+             ('0x' || substring(md5(CAST(l_orderkey AS VARCHAR) || '-' ||
+                 CAST(l_linenumber AS VARCHAR) || ':wsample-v1'), 1, 15))::BIGINT
+               // CAST(l_quantity AS BIGINT) AS priority_key
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_quantity > 0
+    )
+    SELECT l_orderkey, l_linenumber, weight, priority_key,
+           CAST(row_number() OVER (
+             ORDER BY priority_key, l_orderkey, l_linenumber) AS INT) AS sample_rank
+    FROM w
+    ORDER BY priority_key, l_orderkey, l_linenumber
+    LIMIT 200
+    """,
+)
+def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size weighted sample of ``lineitem`` (k=200, weight =
+    quantity) via deterministic priority sampling
+    (``operators.cleaning.priority_sample``): every row's priority is
+    a pure function of (key, weight, seed), the k winners are the
+    sample, and heavy rows win ~proportionally to weight — the
+    bounded-size audit/debug sample a 100 TB fact table needs, where
+    a uniform sample would miss exactly the heavy rows.
+
+    Cross-engine exactness: the sort key is the integer ``h div w``
+    (see the operator docstring), so Spark's TakeOrderedAndProject and
+    the oracle's ORDER BY/LIMIT agree bit-for-bit, no float ranks.
+    """
+    from ..operators.cleaning import priority_sample
+
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    return priority_sample(
+        lineitem, ["l_orderkey", "l_linenumber"], "l_quantity", k=200, seed="wsample-v1"
+    ).select("l_orderkey", "l_linenumber", "weight", "priority_key", "sample_rank")
+
+
+# --------------------------------------------------------------------------
 # Entity resolution: edit-distance-1 fuzzy match via deletion blocking
 # --------------------------------------------------------------------------
 @register(

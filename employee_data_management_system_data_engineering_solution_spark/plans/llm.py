@@ -2061,6 +2061,87 @@ def neardup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "cluster_safe_split",
+    f"""
+    WITH RECURSIVE pairs AS ({_PAIRS_ORACLE}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach AS (
+      SELECT node, node AS r FROM nodes
+      UNION
+      SELECT re.node, e.dst AS r FROM reach re JOIN edges e ON e.src = re.r
+    ),
+    labeled AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node),
+    keyed AS (
+      SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS split_key
+      FROM documents d LEFT JOIN labeled l ON d.doc_id = l.doc_id
+    ),
+    b AS (
+      SELECT doc_id, split_key,
+             ('0x' || substring(md5(CAST(split_key AS VARCHAR) || ':cluster-safe-v1'), 1, 15))::BIGINT
+               % 100 AS bucket
+      FROM keyed
+    )
+    SELECT doc_id, split_key, bucket,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+)
+def cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/valid/test split: every member of a near-dup
+    cluster rides its CLUSTER's hash bucket, so two near-duplicate
+    documents can never land on opposite sides of the train/test wall
+    — the contamination channel a plain per-document ``hash_split``
+    (``train_test_split``) leaves wide open. Documents with no
+    near-dup split by their own id, so the split stays deterministic,
+    seeded, and shuffle-free end-to-end.
+
+    Composition: the session-memoized verified-pair set (LSH bands →
+    exact Jaccard ≥ 0.5) → min-label connected components → split key
+    = coalesce(cluster id, doc id) → md5 bucket (seed
+    ``cluster-safe-v1``, 80/10/10 cuts).
+
+    Scale shape: the split itself is a map-side hash on the key; the
+    only join is corpus × cluster-membership, which is
+    duplicate-bounded (|members| << corpus) and left to AQE to
+    broadcast or shuffle. The cluster ids come from the same
+    star-capped, bucket-bounded pair pipeline every other dedup query
+    shares — nothing here re-pairs the corpus.
+
+    Reference parity: extends the reference's deterministic-split idea
+    (SURVEY §2.11.1 X37) with the dedup-aware discipline LLM corpus
+    curation requires (cf. Lee et al., "Deduplicating Training Data
+    Makes Language Models Better" — eval leakage through near-dups).
+    """
+    from ..operators.cdc import hash_split
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = _verified_pairs(spark, sf_dir)
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    keyed = (
+        docs.select("doc_id")
+        .join(
+            comp.select(F.col("node").alias("doc_id"), "component"),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("split_key"),
+        )
+    )
+    return hash_split(keyed, "split_key", seed="cluster-safe-v1").select(
+        "doc_id", "split_key", "bucket", "split"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Python UDTF: context-window chunking (one doc → N overlapping chunks)
 # ---------------------------------------------------------------------------

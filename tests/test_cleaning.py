@@ -148,3 +148,46 @@ def test_winsorize_null_values_and_null_keys_survive(spark):
     null_key = [r for r in out if r.k is None]
     assert len(null_key) == 2  # clipped against their own group's cuts
     assert all(r["__lo"] <= r.v_wins <= r["__hi"] for r in null_key)
+
+
+def test_priority_sample_matches_python_reference(spark):
+    """The sample is a pure function of (keys, weights, seed): a
+    pure-Python replay of the md5 priority computation picks the same
+    k rows in the same rank order."""
+    import hashlib
+
+    from employee_data_management_system_data_engineering_solution_spark.operators.cleaning import priority_sample
+
+    rows = [(i, (i * 7) % 13 + 1) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "id LONG, wt LONG")
+    got = [
+        (r.id, r.weight, r.priority_key, r.sample_rank)
+        for r in priority_sample(df, ["id"], "wt", k=10, seed="t-v1")
+        .orderBy("sample_rank")
+        .collect()
+    ]
+
+    def prio(i, w):
+        h = int(hashlib.md5(f"{i}:t-v1".encode()).hexdigest()[:15], 16)
+        return h // w
+
+    ref = sorted(((prio(i, w), i, w) for i, w in rows))[:10]
+    assert got == [(i, w, p, rk + 1) for rk, (p, i, w) in enumerate(ref)]
+
+
+def test_priority_sample_determinism_and_weight_semantics(spark):
+    from employee_data_management_system_data_engineering_solution_spark.operators.cleaning import priority_sample
+
+    rows = [(1, 1_000_000_000), (2, None), (3, 0), (4, -5)] + [
+        (i, 1) for i in range(5, 30)
+    ]
+    df = spark.createDataFrame(rows, "id LONG, wt LONG")
+    a = priority_sample(df, ["id"], "wt", k=5).collect()
+    b = priority_sample(df, ["id"], "wt", k=5).collect()
+    assert a == b                                     # reruns identical
+    ids = {r.id for r in a}
+    assert ids <= {1} | set(range(5, 30))             # NULL/0/negative never sampled
+    # a 10^9-weight row among weight-1 rows wins its place in the top-k
+    # (its priority_key is ~10^9 smaller than any unit-weight row's)
+    assert 1 in ids
+    assert [r.sample_rank for r in sorted(a, key=lambda r: r.sample_rank)] == [1, 2, 3, 4, 5]

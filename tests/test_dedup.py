@@ -429,3 +429,25 @@ def test_incremental_neardup_admission_semantics(spark):
     assert (101, 1) in got and got[(101, 1)] >= 0.5
     assert all(nid != 102 for nid, _ in got)          # unrelated doc admitted
     assert all(nid >= 100 for nid, _ in got)          # no corpus-corpus pairs
+
+
+def test_cluster_safe_split_walls_off_near_dup_pairs(spark):
+    """The leakage invariant: every verified near-dup pair lands on the
+    SAME side of the train/valid/test wall, and the output covers the
+    corpus exactly once with valid buckets/cuts."""
+    from employee_data_management_system_data_engineering_solution_spark.plans.llm import _verified_pairs
+    from employee_data_management_system_data_engineering_solution_spark.plans.registry import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    out = REGISTRY["cluster_safe_split"].fn(spark, sf)
+    rows = out.collect()
+    split_of = {r.doc_id: r.split for r in rows}
+    assert len(split_of) == len(rows)  # one row per doc
+    assert all(0 <= r.bucket < 100 for r in rows)
+    assert {r.split for r in rows} <= {"train", "valid", "test"}
+    for p in _verified_pairs(spark, sf).collect():
+        assert split_of[p.id_a] == split_of[p.id_b], (p.id_a, p.id_b)
+    # near-dup members ride the CLUSTER key, not their own id
+    clustered = [r for r in rows if r.split_key != r.doc_id]
+    for r in clustered:
+        assert split_of[r.split_key] == r.split

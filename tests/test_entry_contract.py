@@ -51,6 +51,14 @@ def test_check_window_covers_every_operator_family():
         "purchase_error_overlap", "cdc_log_replay", "user_path_topk",
         "value_outliers_mad", "snapshot_vacuum", "strike_stream_from_wire",
         "neardup_admission", "feature_drift_psi",
+        # mid-round additions (never driver-checked): each displaces
+        # one multiply-covered r5 re-confirmation slot (the displaced
+        # names join the r9 re-confirmation queue):
+        # cluster_safe_split displaced ivf_topk (ANN family carried by
+        # ann_recall_report's 6-method sweep + embedding_topk +
+        # kmeans_ivf_assign + hyperplane_lsh_groups + the neardup pairs);
+        # weighted_sample_topk displaced kmeans_ivf_assign (same family)
+        "cluster_safe_split", "weighted_sample_topk",
         # family anchors: composed pipeline + sinks, SCD-2 (K6 MERGE is
         # carried by the strictly-more-general cdc_log_replay), the
         # 6-method ANN report, K5 promotion, graph ranking, temporal
@@ -77,7 +85,7 @@ def test_check_window_covers_every_operator_family():
         "dedup_clusters_star", "dedup_keep_best", "doc_chunks",
         "embedding_neardup_pairs", "embedding_topk", "event_sessions",
         "exact_dedup", "forward_fill_values", "hyperplane_lsh_groups",
-        "ivf_topk", "kmeans_ivf_assign", "minhash_lsh_groups",
+        "minhash_lsh_groups",
         "multimodal_profile", "ngram_jaccard_pairs",
         "partition_pruned_report", "price_decile_stats",
         "q1_pricing_summary", "q3_shipping_priority", "repeated_passages",
