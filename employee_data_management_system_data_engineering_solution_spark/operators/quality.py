@@ -188,3 +188,99 @@ def drift_psi(
         F.round(p_new, 6).alias("share_new"),
         F.round((p_new - p_old) * F.log(p_new / p_old), 6).alias("psi_term"),
     )
+
+
+def woe_iv(
+    df: DataFrame,
+    bucket_col: str = "bucket",
+    label_col: str = "is_event",
+) -> DataFrame:
+    """Weight-of-evidence / information-value report: how strongly a
+    bucketed feature separates a binary outcome — the standard
+    feature-screening statistic (credit-scoring lineage) and the
+    supervised complement of :func:`drift_psi`'s unsupervised shift
+    score. Per bucket: ``woe = ln(share_event / share_nonevent)`` and
+    ``iv_term = (share_event − share_nonevent) · woe``; Σ iv_term is
+    the feature's IV (conventional reading: <0.02 useless, 0.1–0.3
+    medium, >0.5 suspicious/leaky).
+
+    Shares are Laplace-smoothed over the observed buckets
+    (``(n + 1) / (N + B)``) so a pure bucket — all events or all
+    non-events, the strongest separation signal — stays finite instead
+    of ±∞, mirroring ``drift_psi``'s discipline. Callers assign
+    buckets with EXACT arithmetic (integer/decimal bin ids). Rows with
+    a NULL label are counted on neither side (three-valued logic must
+    not invent an outcome).
+
+    Scale: one partial-agg groupBy to |buckets| rows; the totals come
+    from an unpartitioned WINDOW over that tiny aggregate (the X123
+    discipline: never re-aggregate — a lazy-scalar cross join would
+    re-scan the corpus for a 10-row total), so the corpus is scanned
+    exactly once and the only single-partition work is |buckets|
+    rows."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    lbl = F.col(label_col)
+    g = df.groupBy(F.col(bucket_col).alias("bucket")).agg(
+        F.count(F.when(lbl, True)).alias("n_events"),
+        F.count(F.when(~lbl, True)).alias("n_nonevents"),
+    )
+    w = Window.partitionBy()
+    j = g.select(
+        "*",
+        F.sum("n_events").over(w).alias("__e"),
+        F.sum("n_nonevents").over(w).alias("__ne"),
+        F.count("*").over(w).alias("__b"),
+    )
+    p_e = (F.col("n_events") + 1) / (F.col("__e") + F.col("__b"))
+    p_ne = (F.col("n_nonevents") + 1) / (F.col("__ne") + F.col("__b"))
+    woe = F.log(p_e / p_ne)
+    return j.select(
+        "bucket",
+        "n_events",
+        "n_nonevents",
+        F.round(p_e, 6).alias("share_event"),
+        F.round(p_ne, 6).alias("share_nonevent"),
+        F.round(woe, 6).alias("woe"),
+        F.round((p_e - p_ne) * woe, 6).alias("iv_term"),
+    )
+
+
+def fd_violations(df: DataFrame, lhs: list[str], rhs: str, fd_name: str) -> DataFrame:
+    """Audit a DECLARED functional dependency ``lhs → rhs``: one row
+    summarizing how many determinant keys map to more than one
+    dependent value — the schema-integrity check that catches silent
+    denormalization rot (a dimension attribute drifting per key, a
+    supposedly-derived column edited by hand) before a join fans out
+    or a GROUP BY picks an arbitrary winner.
+
+    NULL semantics: the dependent's distinct-value count treats NULL
+    as ONE extra value (a key mapping to {'a', NULL} is a violation —
+    NULL is not a wildcard), and NULL determinant keys form a group
+    like any other, matching GROUP BY semantics on both engines.
+
+    Output: (fd, n_keys, n_violating_keys, violation_rate (6 dp),
+    max_distinct_rhs). ``violation_rate = 0`` is the pass verdict.
+
+    Scale: one map-side-combined groupBy on the determinant (the
+    aggregate is |lhs| rows — an aggregation shuffle, never a
+    row-to-row self-join), then a second tiny rollup to ONE row.
+    Column pruning reaches the scan: only lhs ∪ {rhs} is read."""
+    from pyspark.sql import functions as F
+
+    per_key = df.groupBy(*[F.col(c) for c in lhs]).agg(
+        (
+            F.countDistinct(rhs)
+            + F.max(F.when(F.col(rhs).isNull(), 1).otherwise(0))
+        ).alias("nv")
+    )
+    return per_key.agg(
+        F.lit(fd_name).alias("fd"),
+        F.count("*").alias("n_keys"),
+        F.count(F.when(F.col("nv") > 1, True)).alias("n_violating_keys"),
+        F.round(
+            F.count(F.when(F.col("nv") > 1, True)) / F.count("*"), 6
+        ).alias("violation_rate"),
+        F.max("nv").alias("max_distinct_rhs"),
+    )

@@ -67,10 +67,20 @@ from .registry import REGISTRY, register
 #       feature_drift_psi (X124 PSI distribution-drift gate). The two
 #       mid-round additions (cluster_safe_split — X125 leakage-safe
 #       cluster-aware split; weighted_sample_topk — X126 deterministic
-#       priority sampling) each displace one multiply-covered r5
-#       re-confirmation slot instead (ivf_topk, kmeans_ivf_assign out;
-#       ANN stays carried by ann_recall_report + embedding_topk +
-#       hyperplane_lsh_groups + embedding_neardup_pairs; displaced
+#       priority sampling; brand_price_regression — X127 grouped OLS
+#       from exact sums; feature_woe_iv — X128 WOE/IV feature gate;
+#       fd_violation_report — X129 declared-FD audit;
+#       rolling_user_features — X130 trailing-window features) each
+#       displace one multiply-covered r5 re-confirmation slot instead
+#       (ivf_topk, kmeans_ivf_assign, minhash_lsh_groups,
+#       repeated_passages, embedding_neardup_pairs,
+#       forward_fill_values out; ANN stays carried by
+#       ann_recall_report + embedding_topk + hyperplane_lsh_groups,
+#       LSH-dedup by ngram_jaccard_pairs + dedup_clusters_star +
+#       neardup_admission + cluster_safe_split, text by text_stats +
+#       doc_fingerprint + tfidf_top_terms + frequent_shingles +
+#       corpus_curation_pipeline, temporal fill/windows by
+#       rolling_user_features + event_sessions; displaced
 #       names join the r9 queue). The
 #       two late additions take supplier_pagerank's and
 #       funnel_conversion_report's anchor slots — graph machinery
@@ -132,6 +142,10 @@ _PRIORITY: tuple[str, ...] = (
     "feature_drift_psi",
     "cluster_safe_split",
     "weighted_sample_topk",
+    "brand_price_regression",
+    "feature_woe_iv",
+    "fd_violation_report",
+    "rolling_user_features",
     # family anchors
     "daily_pipeline",
     "scd2_merge",
@@ -157,20 +171,16 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_clusters_star",
     "dedup_keep_best",
     "doc_chunks",
-    "embedding_neardup_pairs",
     "embedding_topk",
     "event_sessions",
     "exact_dedup",
-    "forward_fill_values",
     "hyperplane_lsh_groups",
-    "minhash_lsh_groups",
     "multimodal_profile",
     "ngram_jaccard_pairs",
     "partition_pruned_report",
     "price_decile_stats",
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "repeated_passages",
     "snapshot_diff_orders",
     "tfidf_top_terms",
     "train_test_split",

@@ -1405,3 +1405,93 @@ def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("vid").alias("n_assisting_views"),
         F.round(F.sum("share"), 2).alias("attributed_revenue"),
     )
+
+
+# --------------------------------------------------------------------------
+# Group-wise OLS: closed-form simple linear regression from exact sums
+# --------------------------------------------------------------------------
+@register(
+    "brand_price_regression",
+    """
+    WITH s AS (
+      SELECT p.p_brand,
+             count(*)                                                   AS n_rows,
+             CAST(sum(CAST(l.l_quantity AS BIGINT)) AS DOUBLE)          AS sx,
+             CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(l.l_quantity AS BIGINT)
+                      * CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(l.l_quantity AS BIGINT)
+                      * CAST(l.l_quantity AS BIGINT)) AS DOUBLE)        AS sxx,
+             CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                      * CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_brand
+    )
+    SELECT p_brand, n_rows,
+           CASE WHEN (n_rows * sxx - sx * sx) > 0
+                THEN round((n_rows * sxy - sx * sy) / (n_rows * sxx - sx * sx), 6)
+           END AS slope,
+           CASE WHEN (n_rows * sxx - sx * sx) > 0
+                THEN round((sy - ((n_rows * sxy - sx * sy) / (n_rows * sxx - sx * sx)) * sx)
+                           / n_rows, 6)
+           END AS intercept,
+           CASE WHEN (n_rows * sxx - sx * sx) > 0 AND (n_rows * syy - sy * sy) > 0
+                THEN round(((n_rows * sxy - sx * sy) * (n_rows * sxy - sx * sy))
+                           / ((n_rows * sxx - sx * sx) * (n_rows * syy - sy * sy)), 6)
+           END AS r2
+    FROM s
+    """,
+)
+def brand_price_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand simple OLS of extended price on quantity — the
+    grouped closed-form regression (slope/intercept/R²) an analytics
+    layer derives trend lines and anomaly baselines from, computed in
+    ONE aggregation pass from sufficient statistics (n, Σx, Σy, Σxy,
+    Σx², Σy²), never by iterating per group.
+
+    Exactness discipline: every sufficient statistic is an EXACT sum —
+    quantities as BIGINT, prices via the ``money()`` DECIMAL contract
+    (X103), so partition/summation order cannot move a single bit. The
+    exact sums are cast to double once, and slope/intercept/R² are the
+    same closed-form double expressions on both engines, rounded to
+    6 dp (the shared libm/IEEE discipline every derived-double query
+    here uses). Degenerate groups (zero x- or y-variance) yield NULL
+    by explicit guard on both sides rather than an engine-specific
+    division-by-zero artifact.
+
+    Scale shape: one shuffle for the part join (AQE broadcasts the
+    dimension side when it fits), one map-side-combined groupBy to
+    |brands| rows; the regression algebra runs on the tiny aggregate.
+    """
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    x = F.col("l_quantity").cast("bigint")
+    y = money("l_extendedprice")
+    s = (
+        lineitem.join(part, lineitem.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(x).cast("double").alias("sx"),
+            F.sum(y).cast("double").alias("sy"),
+            F.sum(x * y).cast("double").alias("sxy"),
+            F.sum(x * x).cast("double").alias("sxx"),
+            F.sum(y * y).cast("double").alias("syy"),
+        )
+    )
+    n = F.col("n_rows")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den_x = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    den_y = n * F.col("syy") - F.col("sy") * F.col("sy")
+    slope_raw = num / den_x
+    return s.select(
+        "p_brand",
+        "n_rows",
+        F.when(den_x > 0, F.round(slope_raw, 6)).alias("slope"),
+        F.when(den_x > 0, F.round((F.col("sy") - slope_raw * F.col("sx")) / n, 6)).alias(
+            "intercept"
+        ),
+        F.when((den_x > 0) & (den_y > 0), F.round((num * num) / (den_x * den_y), 6)).alias(
+            "r2"
+        ),
+    )

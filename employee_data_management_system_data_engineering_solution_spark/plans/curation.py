@@ -974,6 +974,118 @@ def feature_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Declared-FD audit (X129): functional-dependency violation report
+# --------------------------------------------------------------------------
+_FD_ORACLE_PART = """
+    SELECT '{name}' AS fd,
+           count(*)                          AS n_keys,
+           count(*) FILTER (WHERE nv > 1)    AS n_violating_keys,
+           round(count(*) FILTER (WHERE nv > 1) / count(*), 6) AS violation_rate,
+           max(nv)                           AS max_distinct_rhs
+    FROM (
+      SELECT {lhs},
+             count(DISTINCT {rhs})
+               + max(CASE WHEN {rhs} IS NULL THEN 1 ELSE 0 END) AS nv
+      FROM {tbl} GROUP BY {lhs}
+    )
+"""
+
+_FD_SPECS = (
+    ("documents", ["doc_id"], "lang", "documents.doc_id->lang"),
+    ("documents", ["source"], "lang", "documents.source->lang"),
+    ("events", ["user_id"], "event_type", "events.user_id->event_type"),
+    ("orders", ["o_custkey"], "o_orderpriority", "orders.o_custkey->o_orderpriority"),
+)
+
+
+@register(
+    "fd_violation_report",
+    "\nUNION ALL\n".join(
+        _FD_ORACLE_PART.format(name=name, lhs=", ".join(lhs), rhs=rhs, tbl=tbl)
+        for tbl, lhs, rhs, name in _FD_SPECS
+    ),
+)
+def fd_violation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit (X129): one verdict row per
+    DECLARED dependency — a holding one (``doc_id → lang``, the PK
+    sanity baseline) and three denormalization probes that the data
+    genuinely violates, so the report demonstrates both verdicts. The
+    FD profile is what decides whether a "dimension" column can be
+    trusted in a GROUP BY or must be resolved through its real
+    dimension table first.
+
+    Scale: each FD is one column-pruned scan + one map-side-combined
+    groupBy on its determinant, rolled up to a single row
+    (``operators.quality.fd_violations``); the four one-row reports
+    union into the verdict table. Nothing joins row-to-row."""
+    from ..operators.quality import fd_violations
+
+    parts = []
+    for tbl, lhs, rhs, name in _FD_SPECS:
+        parts.append(fd_violations(read_table(spark, sf_dir, tbl), lhs, rhs, name))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# --------------------------------------------------------------------------
+# Feature usefulness gate (X128): WOE / information value per bucket
+# --------------------------------------------------------------------------
+@register(
+    "feature_woe_iv",
+    """
+    WITH b AS (
+      SELECT CAST(least(floor(CAST(o_totalprice AS DECIMAL(12,2)) / 50000), 9)
+                  AS INT) AS bucket,
+             o_orderpriority IN ('1-URGENT', '2-HIGH') AS is_event
+      FROM orders
+    ),
+    g AS (
+      SELECT bucket,
+             count(*) FILTER (WHERE is_event)     AS n_events,
+             count(*) FILTER (WHERE NOT is_event) AS n_nonevents
+      FROM b GROUP BY bucket
+    ),
+    t AS (SELECT sum(n_events) AS e, sum(n_nonevents) AS ne, count(*) AS nb FROM g)
+    SELECT bucket, n_events, n_nonevents,
+           round((n_events + 1.0) / (e + nb), 6)      AS share_event,
+           round((n_nonevents + 1.0) / (ne + nb), 6)  AS share_nonevent,
+           round(ln(((n_events + 1.0) / (e + nb))
+                    / ((n_nonevents + 1.0) / (ne + nb))), 6) AS woe,
+           round(((n_events + 1.0) / (e + nb) - (n_nonevents + 1.0) / (ne + nb))
+                 * ln(((n_events + 1.0) / (e + nb))
+                      / ((n_nonevents + 1.0) / (ne + nb))), 6) AS iv_term
+    FROM g, t
+    """,
+)
+def feature_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supervised feature-usefulness gate (X128): weight of evidence /
+    information value of the bucketed order price against a binary
+    outcome (is the order high-priority) — the screening statistic
+    that decides whether a feature is worth keeping BEFORE a model
+    ever trains, and the leak detector when IV comes back absurdly
+    high. Buckets are the same exact-decimal 50k price bins as the PSI
+    gate (X124), so the two reports compose into one
+    feature-monitoring surface: PSI says "did the distribution move",
+    IV says "does it still separate the target".
+
+    Scale: one map-side-combined groupBy over orders to |buckets|
+    rows; everything after runs on the tiny aggregate
+    (``operators.quality.woe_iv``)."""
+    from ..functions.money import money
+    from ..operators.quality import woe_iv
+
+    orders = read_table(spark, sf_dir, "orders")
+    price = money("o_totalprice")
+    b = orders.select(
+        F.least(F.floor(price / 50000), F.lit(9)).cast("int").alias("bucket"),
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("is_event"),
+    )
+    return woe_iv(b).orderBy("bucket")
+
+
+# --------------------------------------------------------------------------
 # Version-retention vacuum (X122): the cleanup half of time travel
 # --------------------------------------------------------------------------
 @register(

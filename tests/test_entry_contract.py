@@ -57,8 +57,19 @@ def test_check_window_covers_every_operator_family():
         # cluster_safe_split displaced ivf_topk (ANN family carried by
         # ann_recall_report's 6-method sweep + embedding_topk +
         # kmeans_ivf_assign + hyperplane_lsh_groups + the neardup pairs);
-        # weighted_sample_topk displaced kmeans_ivf_assign (same family)
+        # weighted_sample_topk displaced kmeans_ivf_assign (same
+        # family); brand_price_regression displaced minhash_lsh_groups
+        # (LSH-dedup carried by ngram_jaccard_pairs +
+        # dedup_clusters_star + neardup_admission); feature_woe_iv
+        # displaced repeated_passages (text amply carried);
+        # fd_violation_report displaced embedding_neardup_pairs
+        # (embedding family carried by embedding_topk +
+        # ann_recall_report); rolling_user_features displaced
+        # forward_fill_values (temporal gap/window family carried by
+        # rolling_user_features itself + event_sessions)
         "cluster_safe_split", "weighted_sample_topk",
+        "brand_price_regression", "feature_woe_iv",
+        "fd_violation_report", "rolling_user_features",
         # family anchors: composed pipeline + sinks, SCD-2 (K6 MERGE is
         # carried by the strictly-more-general cdc_log_replay), the
         # 6-method ANN report, K5 promotion, graph ranking, temporal
@@ -83,12 +94,11 @@ def test_check_window_covers_every_operator_family():
         # re-confirmation cohort: last driver green r5 (complete)
         "benchmark_contamination", "corpus_curation_pipeline",
         "dedup_clusters_star", "dedup_keep_best", "doc_chunks",
-        "embedding_neardup_pairs", "embedding_topk", "event_sessions",
-        "exact_dedup", "forward_fill_values", "hyperplane_lsh_groups",
-        "minhash_lsh_groups",
+        "embedding_topk", "event_sessions",
+        "exact_dedup", "hyperplane_lsh_groups",
         "multimodal_profile", "ngram_jaccard_pairs",
         "partition_pruned_report", "price_decile_stats",
-        "q1_pricing_summary", "q3_shipping_priority", "repeated_passages",
+        "q1_pricing_summary", "q3_shipping_priority",
         "snapshot_diff_orders", "tfidf_top_terms", "train_test_split",
     }
     assert carriers <= set(window), sorted(carriers - set(window))

@@ -330,3 +330,58 @@ def test_feature_drift_psi_never_joins_rows(spark):
     # both sides aggregate BEFORE the merge join: two HashAggregate
     # pairs precede the full-outer bucket join
     assert plan.count("HashAggregate") >= 4
+
+
+def test_weighted_sample_topk_uses_bounded_heap_not_global_sort(spark):
+    """Top-k must run as TakeOrderedAndProject (per-partition heaps,
+    driver merge of k) — a global Sort+Exchange of the corpus is the
+    100 TB anti-pattern this operator exists to avoid."""
+    plan = plan_of(REGISTRY["weighted_sample_topk"].fn(spark, SF), mode="simple")
+    assert "TakeOrderedAndProject" in plan
+    # only pruned columns reach the scan
+    full = plan_of(REGISTRY["weighted_sample_topk"].fn(spark, SF))
+    seg = full.split("ReadSchema", 1)[1][:200]
+    assert "l_orderkey" in seg and "l_quantity" in seg
+    assert "l_comment" not in seg and "l_extendedprice" not in seg
+
+
+def test_brand_price_regression_one_agg_pass_pruned_scan(spark):
+    """All six sufficient statistics ride ONE aggregation (no second
+    scan), and lineitem's scan reads only the three needed columns."""
+    plan = plan_of(REGISTRY["brand_price_regression"].fn(spark, SF), mode="simple")
+    assert plan.count("HashAggregate") <= 4  # partial+final, plus AQE wrappers
+    full = plan_of(REGISTRY["brand_price_regression"].fn(spark, SF))
+    li_seg = full.split("lineitem", 1)[1]
+    seg = li_seg.split("ReadSchema", 1)[1][:220]
+    assert "l_partkey" in seg and "l_quantity" in seg and "l_extendedprice" in seg
+    assert "l_comment" not in seg and "l_shipdate" not in seg
+
+
+def test_feature_woe_iv_single_scan_report_cardinality(spark):
+    """One scan of orders, one grouping to |buckets| rows, totals via
+    a window OVER the tiny aggregate (X123 discipline) — no second
+    corpus scan, no row-to-row join."""
+    plan = plan_of(REGISTRY["feature_woe_iv"].fn(spark, SF), mode="simple")
+    assert plan.count("FileScan") == 1
+    assert "Window" in plan and "Join" not in plan
+
+
+def test_fd_violation_report_scans_are_column_pruned(spark):
+    plan = plan_of(REGISTRY["fd_violation_report"].fn(spark, SF))
+    # each FD reads exactly its determinant + dependent
+    doc_seg = plan.split("documents", 1)[1].split("ReadSchema", 1)[1][:150]
+    assert "text" not in doc_seg  # the wide payload column never loads
+
+
+def test_rolling_user_features_windows_over_daily_aggregate(spark):
+    """The RANGE window must slide over the DAILY rollup (aggregate
+    BEFORE window), so window state per user is days, not raw events;
+    both window functions share one per-user sort."""
+    plan = plan_of(REGISTRY["rolling_user_features"].fn(spark, SF), mode="simple")
+    agg_pos = plan.rfind("HashAggregate")
+    win_pos = plan.find("Window")
+    assert win_pos != -1 and agg_pos != -1
+    # in simple-mode output the LAST (upstream) aggregate appears BELOW
+    # the window operator: upstream operators print deeper in the tree
+    assert agg_pos > win_pos
+    assert plan.count("Sort") <= 2

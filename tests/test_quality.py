@@ -192,3 +192,50 @@ def test_approx_percentiles_within_rank_error_of_exact(spark):
             target = p * n
             tol = eps * n + 1
             assert lo - tol <= target <= hi + 1 + tol, (d, p, got, lo, hi, target)
+
+
+def test_woe_iv_matches_python_reference_and_handles_pure_buckets(spark):
+    """Known counts → ln-share reference; a pure bucket (all events)
+    stays finite via Laplace smoothing; NULL labels count on neither
+    side."""
+    import math
+
+    from employee_data_management_system_data_engineering_solution_spark.operators.quality import woe_iv
+
+    rows = (
+        [(0, True)] * 8 + [(0, False)] * 2      # event-heavy bucket
+        + [(1, True)] * 1 + [(1, False)] * 9    # nonevent-heavy bucket
+        + [(2, True)] * 5                       # PURE bucket: no nonevents
+        + [(2, None)] * 3                       # NULL labels: counted nowhere
+    )
+    df = spark.createDataFrame(rows, "bucket INT, is_event BOOLEAN")
+    got = {r.bucket: r for r in woe_iv(df).collect()}
+    E, NE, B = 14, 11, 3
+    for b, (e, ne) in {0: (8, 2), 1: (1, 9), 2: (5, 0)}.items():
+        pe, pne = (e + 1) / (E + B), (ne + 1) / (NE + B)
+        w = math.log(pe / pne)
+        r = got[b]
+        assert (r.n_events, r.n_nonevents) == (e, ne)
+        assert abs(r.woe - round(w, 6)) < 1e-9, b
+        assert abs(r.iv_term - round((pe - pne) * w, 6)) < 1e-9, b
+    assert math.isfinite(got[2].woe)  # smoothing keeps the pure bucket finite
+
+
+def test_fd_violations_null_semantics(spark):
+    """{'a', NULL} per key is a violation (NULL is one extra value,
+    not a wildcard); a NULL determinant forms a group; a clean FD
+    reports rate 0."""
+    from employee_data_management_system_data_engineering_solution_spark.operators.quality import fd_violations
+
+    rows = [
+        (1, "x"), (1, "x"),          # clean key
+        (2, "a"), (2, None),         # violation via NULL-as-value
+        (3, None), (3, None),        # NULL-only: one value, clean
+        (None, "p"), (None, "q"),    # NULL determinant group, violating
+    ]
+    df = spark.createDataFrame(rows, "k INT, v STRING")
+    r = fd_violations(df, ["k"], "v", "k->v").collect()[0]
+    assert (r.n_keys, r.n_violating_keys, r.max_distinct_rhs) == (4, 2, 2)
+    assert r.violation_rate == 0.5
+    clean = spark.createDataFrame([(1, "a"), (2, "b")], "k INT, v STRING")
+    assert fd_violations(clean, ["k"], "v", "f").collect()[0].violation_rate == 0.0
