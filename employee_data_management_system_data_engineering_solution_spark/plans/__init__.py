@@ -70,11 +70,15 @@ from .registry import REGISTRY, register
 #       priority sampling; brand_price_regression — X127 grouped OLS
 #       from exact sums; feature_woe_iv — X128 WOE/IV feature gate;
 #       fd_violation_report — X129 declared-FD audit;
-#       rolling_user_features — X130 trailing-window features) each
+#       rolling_user_features — X130 trailing-window features;
+#       lineitem_corr_matrix — X131 one-pass correlation matrix;
+#       calendar_completeness_report — X132 missing-day audit) each
 #       displace one multiply-covered r5 re-confirmation slot instead
 #       (ivf_topk, kmeans_ivf_assign, minhash_lsh_groups,
 #       repeated_passages, embedding_neardup_pairs,
-#       forward_fill_values out; ANN stays carried by
+#       forward_fill_values, dedup_keep_best, tfidf_top_terms out;
+#       W1 keep-best carried by dedup_last_write_wins + exact_dedup,
+#       ANN stays carried by
 #       ann_recall_report + embedding_topk + hyperplane_lsh_groups,
 #       LSH-dedup by ngram_jaccard_pairs + dedup_clusters_star +
 #       neardup_admission + cluster_safe_split, text by text_stats +
@@ -146,6 +150,8 @@ _PRIORITY: tuple[str, ...] = (
     "feature_woe_iv",
     "fd_violation_report",
     "rolling_user_features",
+    "lineitem_corr_matrix",
+    "calendar_completeness_report",
     # family anchors
     "daily_pipeline",
     "scd2_merge",
@@ -169,7 +175,6 @@ _PRIORITY: tuple[str, ...] = (
     "benchmark_contamination",
     "corpus_curation_pipeline",
     "dedup_clusters_star",
-    "dedup_keep_best",
     "doc_chunks",
     "embedding_topk",
     "event_sessions",
@@ -182,7 +187,6 @@ _PRIORITY: tuple[str, ...] = (
     "q1_pricing_summary",
     "q3_shipping_priority",
     "snapshot_diff_orders",
-    "tfidf_top_terms",
     "train_test_split",
 )
 

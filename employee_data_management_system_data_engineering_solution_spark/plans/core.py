@@ -1495,3 +1495,161 @@ def brand_price_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             "r2"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# One-pass pairwise Pearson correlation matrix from exact sums (X131)
+# --------------------------------------------------------------------------
+_CORR_COLS = ("quantity", "extendedprice", "discount", "tax")
+_CORR_PAIRS = tuple(
+    (_CORR_COLS[i], _CORR_COLS[j])
+    for i in range(len(_CORR_COLS))
+    for j in range(i + 1, len(_CORR_COLS))
+)
+_CORR_SQL_EXPR = {
+    "quantity": "CAST(l_quantity AS BIGINT)",
+    "extendedprice": "CAST(l_extendedprice AS DECIMAL(12,2))",
+    "discount": "CAST(l_discount AS DECIMAL(3,2))",
+    "tax": "CAST(l_tax AS DECIMAL(3,2))",
+}
+
+
+def _corr_oracle() -> str:
+    sums = ["count(*) AS n"]
+    for c in _CORR_COLS:
+        e = _CORR_SQL_EXPR[c]
+        sums.append(f"CAST(sum({e}) AS DOUBLE) AS s_{c}")
+        sums.append(f"CAST(sum(({e}) * ({e})) AS DOUBLE) AS ss_{c}")
+    for a, b in _CORR_PAIRS:
+        sums.append(
+            f"CAST(sum(({_CORR_SQL_EXPR[a]}) * ({_CORR_SQL_EXPR[b]})) AS DOUBLE)"
+            f" AS sp_{a}_{b}"
+        )
+    parts = []
+    for a, b in _CORR_PAIRS:
+        parts.append(f"""
+    SELECT '{a}' AS col_a, '{b}' AS col_b, n AS n_rows,
+           CASE WHEN (n * ss_{a} - s_{a} * s_{a}) > 0
+                 AND (n * ss_{b} - s_{b} * s_{b}) > 0
+                THEN round((n * sp_{a}_{b} - s_{a} * s_{b})
+                           / sqrt((n * ss_{a} - s_{a} * s_{a})
+                                  * (n * ss_{b} - s_{b} * s_{b})), 6)
+           END AS corr
+    FROM s""")
+    union = "\nUNION ALL\n".join(parts)
+    return f"WITH s AS (\n  SELECT {', '.join(sums)} FROM lineitem\n)\n{union}"
+
+
+@register("lineitem_corr_matrix", _corr_oracle())
+def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over lineitem's numeric
+    measures in ONE aggregation pass (X131): all 14 sufficient
+    statistics (n, per-column Σx and Σx², per-pair Σxy) ride a single
+    map-side-combined aggregate, and the 6 correlations are a narrow
+    projection EXPLODED from that one row — never a per-pair scan, and
+    never Spark's ``df.stat.corr`` loop (which runs one job per pair).
+
+    Exactness discipline (X127's, widened to the matrix case): every
+    Σ is exact — BIGINT quantities, DECIMAL money/rates — cast to
+    double once; the closed form divides by ``sqrt`` (correctly
+    rounded by IEEE 754 on both engines, unlike libm's ln/exp), and
+    rounds to 6 dp. Degenerate variance yields NULL by explicit guard.
+
+    Scale: one full scan, 14 partial aggregates, a 1-row final — the
+    cost of ONE groupBy regardless of how many column pairs the
+    matrix covers."""
+    x = {
+        "quantity": F.col("l_quantity").cast("bigint"),
+        "extendedprice": money("l_extendedprice"),
+        "discount": F.col("l_discount").cast("decimal(3,2)"),
+        "tax": F.col("l_tax").cast("decimal(3,2)"),
+    }
+    aggs = [F.count("*").alias("n")]
+    for c in _CORR_COLS:
+        aggs.append(F.sum(x[c]).cast("double").alias(f"s_{c}"))
+        aggs.append(F.sum(x[c] * x[c]).cast("double").alias(f"ss_{c}"))
+    for a, b in _CORR_PAIRS:
+        aggs.append(F.sum(x[a] * x[b]).cast("double").alias(f"sp_{a}_{b}"))
+    s = read_table(spark, sf_dir, "lineitem").agg(*aggs)
+
+    n = F.col("n")
+    structs = []
+    for a, b in _CORR_PAIRS:
+        den_a = n * F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")
+        den_b = n * F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")
+        num = n * F.col(f"sp_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
+        structs.append(
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                n.alias("n_rows"),
+                F.when(
+                    (den_a > 0) & (den_b > 0),
+                    F.round(num / F.sqrt(den_a * den_b), 6),
+                ).alias("corr"),
+            )
+        )
+    return s.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+
+
+# --------------------------------------------------------------------------
+# Calendar-completeness / freshness audit (X132)
+# --------------------------------------------------------------------------
+@register(
+    "calendar_completeness_report",
+    """
+    WITH bounds AS (
+      SELECT min(CAST(o_orderdate AS DATE)) AS lo,
+             max(CAST(o_orderdate AS DATE)) AS hi
+      FROM orders
+    ),
+    cal AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+      FROM bounds
+    ),
+    present AS (
+      SELECT DISTINCT CAST(o_orderdate AS DATE) AS day
+      FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    SELECT strftime(cal.day, '%Y-%m') AS month,
+           count(*)                    AS n_days,
+           count(p.day)                AS n_days_present,
+           count(*) - count(p.day)     AS n_days_missing,
+           round(count(p.day) / count(*), 4) AS completeness
+    FROM cal LEFT JOIN present p ON cal.day = p.day
+    GROUP BY 1
+    """,
+)
+def calendar_completeness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed-health audit (X132): per month, how many calendar days the
+    urgent-order feed actually delivered data for — the
+    missing-partition / freshness check every scheduled ingest needs
+    ("the pipeline ran, but did EVERY day land?"). The expected
+    calendar spans the WHOLE warehouse's [min, max] order date (a gap
+    detector must not derive its denominator from the possibly-gappy
+    stream it is auditing), generated with the integer-range date
+    machinery (S5) as a lazy 1-row bounds aggregate exploded into
+    days — no collect, no driver loop.
+
+    Scale: the only corpus-touching work is one min/max aggregate and
+    one distinct over DATES (partial-agged to |days| rows); the
+    calendar join is |days| × |days| — metadata-sized however big the
+    fact table is."""
+    orders = read_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    bounds = orders.agg(F.min(d).alias("lo"), F.max(d).alias("hi"))
+    cal = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day")
+    )
+    present = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(d.alias("pday"))
+        .distinct()
+    )
+    j = cal.join(present, cal.day == present.pday, "left")
+    return j.groupBy(F.date_format("day", "yyyy-MM").alias("month")).agg(
+        F.count("*").alias("n_days"),
+        F.count("pday").alias("n_days_present"),
+        (F.count("*") - F.count("pday")).alias("n_days_missing"),
+        F.round(F.count("pday") / F.count("*"), 4).alias("completeness"),
+    )

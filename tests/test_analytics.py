@@ -165,3 +165,51 @@ def test_rolling_user_features_trailing_frame_semantics(spark, tmp_path):
     assert out["2024-01-20"].n_7d == 1 and out["2024-01-20"].sum_7d == 5.0
     assert out["2024-01-20"].days_since_prev == 17
     assert out["2024-01-01"].days_since_prev is None
+
+
+def test_lineitem_corr_matrix_matches_numpy(spark):
+    import numpy as np
+
+    from employee_data_management_system_data_engineering_solution_spark.plans.registry import REGISTRY
+    from employee_data_management_system_data_engineering_solution_spark.sources.io import read_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {(r.col_a, r.col_b): r for r in REGISTRY["lineitem_corr_matrix"].fn(spark, sf).collect()}
+    pdf = read_table(spark, sf, "lineitem").select(
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax"
+    ).toPandas()
+    name = {"quantity": "l_quantity", "extendedprice": "l_extendedprice",
+            "discount": "l_discount", "tax": "l_tax"}
+    assert len(got) == 6
+    for (a, b), r in got.items():
+        ref = np.corrcoef(
+            pdf[name[a]].to_numpy(float).round(2), pdf[name[b]].to_numpy(float).round(2)
+        )[0, 1]
+        assert abs(r.corr - ref) < 1e-4, (a, b)
+        assert -1.0 <= r.corr <= 1.0 and r.n_rows == len(pdf)
+
+
+def test_calendar_completeness_counts_missing_days(spark, tmp_path):
+    """Hand-built feed: expected calendar spans the WHOLE table's
+    bounds; urgent-only gaps are counted per month."""
+    import datetime as dt
+
+    from employee_data_management_system_data_engineering_solution_spark.plans.registry import REGISTRY
+
+    rows = []
+    # full feed covers Jan 1 .. Feb 10; urgent rows only on 4 days
+    for i, day in enumerate(range(1, 32)):
+        rows.append((i, dt.datetime(2024, 1, day), 1, "5-LOW", 10.0))
+    rows.append((100, dt.datetime(2024, 2, 10), 1, "5-LOW", 10.0))
+    for j, (m, day) in enumerate([(1, 5), (1, 20), (2, 1), (2, 10)]):
+        rows.append((200 + j, dt.datetime(2024, m, day), 1, "1-URGENT", 10.0))
+    df = spark.createDataFrame(
+        rows, "o_orderkey LONG, o_orderdate TIMESTAMP, o_custkey LONG, o_orderpriority STRING, o_totalprice DOUBLE"
+    )
+    sf = str(tmp_path)
+    df.write.parquet(f"{sf}/orders.parquet")
+    out = {r.month: r for r in REGISTRY["calendar_completeness_report"].fn(spark, sf).collect()}
+    assert out["2024-01"].n_days == 31 and out["2024-01"].n_days_present == 2
+    assert out["2024-01"].n_days_missing == 29
+    assert out["2024-02"].n_days == 10 and out["2024-02"].n_days_present == 2
+    assert out["2024-02"].completeness == 0.2

@@ -385,3 +385,25 @@ def test_rolling_user_features_windows_over_daily_aggregate(spark):
     # the window operator: upstream operators print deeper in the tree
     assert agg_pos > win_pos
     assert plan.count("Sort") <= 2
+
+
+def test_corr_matrix_is_one_scan_one_aggregate(spark):
+    """All 14 sufficient statistics ride ONE aggregation over ONE scan
+    — never a per-pair job loop; the explode is a narrow projection of
+    the 1-row aggregate."""
+    plan = plan_of(REGISTRY["lineitem_corr_matrix"].fn(spark, SF), mode="simple")
+    assert plan.count("FileScan") == 1
+    assert "Join" not in plan
+    full = plan_of(REGISTRY["lineitem_corr_matrix"].fn(spark, SF))
+    seg = full.split("ReadSchema", 1)[1][:250]
+    assert "l_comment" not in seg and "l_shipdate" not in seg
+
+
+def test_calendar_completeness_touches_corpus_twice_pruned(spark):
+    """Only two corpus passes (bounds min/max + distinct-on-dates);
+    the calendar join is days x days, and neither scan reads the wide
+    columns."""
+    plan = plan_of(REGISTRY["calendar_completeness_report"].fn(spark, SF))
+    assert plan.count("FileScan") <= 2
+    for seg in plan.split("ReadSchema")[1:]:
+        assert "o_comment" not in seg[:200] and "o_totalprice" not in seg[:200]
