@@ -72,11 +72,16 @@ from .registry import REGISTRY, register
 #       fd_violation_report — X129 declared-FD audit;
 #       rolling_user_features — X130 trailing-window features;
 #       lineitem_corr_matrix — X131 one-pass correlation matrix;
-#       calendar_completeness_report — X132 missing-day audit) each
+#       calendar_completeness_report — X132 missing-day audit;
+#       benford_digit_audit — X133 first-digit audit;
+#       weighted_median_by_flag — X134 exact weighted median) each
 #       displace one multiply-covered r5 re-confirmation slot instead
 #       (ivf_topk, kmeans_ivf_assign, minhash_lsh_groups,
 #       repeated_passages, embedding_neardup_pairs,
-#       forward_fill_values, dedup_keep_best, tfidf_top_terms out;
+#       forward_fill_values, dedup_keep_best, tfidf_top_terms,
+#       train_test_split, event_sessions out;
+#       split family carried by cluster_safe_split, sequences by
+#       user_path_topk,
 #       W1 keep-best carried by dedup_last_write_wins + exact_dedup,
 #       ANN stays carried by
 #       ann_recall_report + embedding_topk + hyperplane_lsh_groups,
@@ -152,6 +157,8 @@ _PRIORITY: tuple[str, ...] = (
     "rolling_user_features",
     "lineitem_corr_matrix",
     "calendar_completeness_report",
+    "benford_digit_audit",
+    "weighted_median_by_flag",
     # family anchors
     "daily_pipeline",
     "scd2_merge",
@@ -177,7 +184,6 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_clusters_star",
     "doc_chunks",
     "embedding_topk",
-    "event_sessions",
     "exact_dedup",
     "hyperplane_lsh_groups",
     "multimodal_profile",
@@ -187,7 +193,6 @@ _PRIORITY: tuple[str, ...] = (
     "q1_pricing_summary",
     "q3_shipping_priority",
     "snapshot_diff_orders",
-    "train_test_split",
 )
 
 #: Queries whose driver check is rows-only BY CONTRACT (no SQL oracle

@@ -1653,3 +1653,86 @@ def calendar_completeness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count("*") - F.count("pday")).alias("n_days_missing"),
         F.round(F.count("pday") / F.count("*"), 4).alias("completeness"),
     )
+
+
+# --------------------------------------------------------------------------
+# Exact grouped weighted median via cumulative-weight window (X134)
+# --------------------------------------------------------------------------
+@register(
+    "weighted_median_by_flag",
+    """
+    WITH base AS (
+      SELECT l_returnflag,
+             CAST(l_extendedprice AS DECIMAL(12,2)) AS v,
+             CAST(l_quantity AS BIGINT) AS w
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_quantity > 0
+        AND l_extendedprice IS NOT NULL
+    ),
+    c AS (
+      SELECT l_returnflag, v, w,
+             sum(w) OVER (PARTITION BY l_returnflag ORDER BY v) AS cum,
+             sum(w) OVER (PARTITION BY l_returnflag)            AS tot
+      FROM base
+    )
+    SELECT l_returnflag,
+           CAST(max(tot) AS BIGINT)       AS total_weight,
+           round(CAST(min(v) AS DOUBLE), 2) AS weighted_median
+    FROM c
+    WHERE 2 * cum >= tot
+    GROUP BY l_returnflag
+    """,
+)
+def weighted_median_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantity-weighted median of the extended price per return
+    flag (X134): the (lower) weighted median — the smallest value v
+    whose cumulative weight reaches half the group total — i.e. "the
+    price at which half the UNITS (not half the line items) are
+    cheaper", the robust location statistic pricing and inventory
+    analyses actually want when rows carry multiplicities.
+
+    Order-statistics discipline: the cumulative weight rides the
+    default RANGE window frame, so VALUE PEERS collapse into one
+    cumulative step on both engines (no tie-break column needed — the
+    median is a value, and equal values are indistinguishable); every
+    comparison (``2·cum ≥ tot``) is BIGINT-exact; the money value
+    stays DECIMAL until the final projection.
+
+    Scale: this is the EXACT path — one per-group sort (window
+    shuffle) of the corpus, the irreducible cost of exact order
+    statistics; the sketch twin for 100 TB first-pass work is the
+    Greenwald-Khanna percentile report (X108), with this as the
+    per-group exact refinement. No joins, no second scan (the group
+    total is a second window over the SAME partitioning — one
+    exchange, one sort feed both)."""
+    base = (
+        read_table(spark, sf_dir, "lineitem")
+        .filter(
+            F.col("l_quantity").isNotNull()
+            & (F.col("l_quantity") > 0)
+            & F.col("l_extendedprice").isNotNull()
+        )
+        .select(
+            "l_returnflag",
+            money("l_extendedprice").alias("v"),
+            F.col("l_quantity").cast("bigint").alias("w"),
+        )
+    )
+    from pyspark.sql import Window
+
+    cum_w = Window.partitionBy("l_returnflag").orderBy("v")
+    tot_w = Window.partitionBy("l_returnflag")
+    c = base.select(
+        "l_returnflag",
+        "v",
+        F.sum("w").over(cum_w).alias("cum"),
+        F.sum("w").over(tot_w).alias("tot"),
+    )
+    return (
+        c.filter(2 * F.col("cum") >= F.col("tot"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.max("tot").alias("total_weight"),
+            F.round(F.min("v").cast("double"), 2).alias("weighted_median"),
+        )
+    )

@@ -1086,6 +1086,87 @@ def feature_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Benford first-digit audit (X133)
+# --------------------------------------------------------------------------
+#: log10(1 + 1/d) for d = 1..9, pinned as shared 6-dp literals on both
+#: engines (the DCG-weights discipline: no query-time log10 → no libm
+#: drift can ever flip a hash)
+_BENFORD = {
+    1: "0.301030", 2: "0.176091", 3: "0.124939", 4: "0.096910",
+    5: "0.079181", 6: "0.066947", 7: "0.057992", 8: "0.051153",
+    9: "0.045757",
+}
+_BENFORD_SQL_CASE = "CASE digit " + " ".join(
+    f"WHEN {d} THEN {p}" for d, p in _BENFORD.items()
+) + " END"
+
+
+@register(
+    "benford_digit_audit",
+    f"""
+    WITH d AS (
+      SELECT CAST(regexp_extract(
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR), '[1-9]')
+             AS INT) AS digit
+      FROM orders
+      WHERE regexp_extract(
+              CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR), '[1-9]') <> ''
+    ),
+    g AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+    w AS (SELECT digit, n, sum(n) OVER () AS total FROM g)
+    SELECT digit, n,
+           round(n / total, 6) AS share,
+           {_BENFORD_SQL_CASE} AS benford_expected,
+           round(abs(n / total - {_BENFORD_SQL_CASE}), 6) AS abs_dev
+    FROM w
+    """,
+)
+def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit audit of order amounts (X133):
+    the classic fabricated-data / broken-feed detector — organically
+    grown monetary amounts follow ``P(d) = log10(1 + 1/d)``, while
+    generated, clipped, or unit-mangled feeds don't, so a large
+    per-digit deviation is a cheap red flag no schema check catches.
+
+    Parity discipline: the first significant digit comes from the
+    DECIMAL(12,2) STRING rendering (identical in Spark and DuckDB —
+    no float log10 whose boundary ulp could misclassify exact powers
+    of ten), expected shares are pinned 6-dp literals (the DCG-weight
+    discipline), and the share denominator rides a window OVER the
+    9-row aggregate (X123 discipline — no second corpus scan).
+
+    Scale: one pruned scan, one 9-row groupBy; everything else is
+    arithmetic on the digit table."""
+    from ..functions.money import money
+
+    amount_str = money("o_totalprice").cast("string")
+    digit_str = F.regexp_extract(amount_str, "[1-9]", 0)
+    d = (
+        read_table(spark, sf_dir, "orders")
+        .select(digit_str.alias("ds"))
+        .filter(F.col("ds") != "")
+        .select(F.col("ds").cast("int").alias("digit"))
+    )
+    g = d.groupBy("digit").agg(F.count("*").alias("n"))
+    from pyspark.sql import Window
+
+    total = F.sum("n").over(Window.partitionBy())
+    expected = F.element_at(
+        F.create_map(
+            *[x for dd, p in _BENFORD.items() for x in (F.lit(dd), F.lit(float(p)))]
+        ),
+        F.col("digit"),
+    )
+    return g.select(
+        "digit",
+        "n",
+        F.round(F.col("n") / total, 6).alias("share"),
+        expected.alias("benford_expected"),
+        F.round(F.abs(F.col("n") / total - expected), 6).alias("abs_dev"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Version-retention vacuum (X122): the cleanup half of time travel
 # --------------------------------------------------------------------------
 @register(

@@ -213,3 +213,30 @@ def test_calendar_completeness_counts_missing_days(spark, tmp_path):
     assert out["2024-01"].n_days_missing == 29
     assert out["2024-02"].n_days == 10 and out["2024-02"].n_days_present == 2
     assert out["2024-02"].completeness == 0.2
+
+
+def test_weighted_median_matches_python_reference(spark, tmp_path):
+    """Lower weighted median on a hand-built frame: value peers
+    collapse, half-total boundary included, zero/NULL weights out."""
+    rows = [
+        # flag A: weights 1,1,1,1 over values 1,2,3,4 -> cum hits half (2) at v=2
+        ("A", 1.0, 1), ("A", 2.0, 1), ("A", 3.0, 1), ("A", 4.0, 1),
+        # flag B: heavy tail: v=10 w=1, v=20 w=9 -> median 20
+        ("B", 10.0, 1), ("B", 20.0, 9),
+        # flag C: peers: v=5 twice (w=1 each), v=9 w=1 -> cum(5)=2, 2*2>=3 -> 5
+        ("C", 5.0, 1), ("C", 5.0, 1), ("C", 9.0, 1),
+        # excluded rows
+        ("A", 99.0, 0), ("B", 99.0, None),
+    ]
+    df = spark.createDataFrame(
+        [(f, v, w, i) for i, (f, v, w) in enumerate(rows)],
+        "l_returnflag STRING, l_extendedprice DOUBLE, l_quantity LONG, l_orderkey LONG",
+    )
+    sf = str(tmp_path)
+    df.write.parquet(f"{sf}/lineitem.parquet")
+    from employee_data_management_system_data_engineering_solution_spark.plans.registry import REGISTRY
+
+    got = {r.l_returnflag: r for r in REGISTRY["weighted_median_by_flag"].fn(spark, sf).collect()}
+    assert got["A"].weighted_median == 2.0 and got["A"].total_weight == 4
+    assert got["B"].weighted_median == 20.0 and got["B"].total_weight == 10
+    assert got["C"].weighted_median == 5.0 and got["C"].total_weight == 3

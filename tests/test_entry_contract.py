@@ -70,11 +70,15 @@ def test_check_window_covers_every_operator_family():
         # lineitem_corr_matrix displaced dedup_keep_best (W1 keep-best
         # carried by dedup_last_write_wins + exact_dedup);
         # calendar_completeness_report displaced tfidf_top_terms
-        # (text family amply carried)
+        # (text family amply carried); benford_digit_audit displaced
+        # train_test_split (split family carried by cluster_safe_split);
+        # weighted_median_by_flag displaced event_sessions (sequence
+        # family carried by user_path_topk)
         "cluster_safe_split", "weighted_sample_topk",
         "brand_price_regression", "feature_woe_iv",
         "fd_violation_report", "rolling_user_features",
         "lineitem_corr_matrix", "calendar_completeness_report",
+        "benford_digit_audit", "weighted_median_by_flag",
         # family anchors: composed pipeline + sinks, SCD-2 (K6 MERGE is
         # carried by the strictly-more-general cdc_log_replay), the
         # 6-method ANN report, K5 promotion, graph ranking, temporal
@@ -99,12 +103,12 @@ def test_check_window_covers_every_operator_family():
         # re-confirmation cohort: last driver green r5 (complete)
         "benchmark_contamination", "corpus_curation_pipeline",
         "dedup_clusters_star", "doc_chunks",
-        "embedding_topk", "event_sessions",
+        "embedding_topk",
         "exact_dedup", "hyperplane_lsh_groups",
         "multimodal_profile", "ngram_jaccard_pairs",
         "partition_pruned_report", "price_decile_stats",
         "q1_pricing_summary", "q3_shipping_priority",
-        "snapshot_diff_orders", "train_test_split",
+        "snapshot_diff_orders",
     }
     assert carriers <= set(window), sorted(carriers - set(window))
 

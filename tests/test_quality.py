@@ -239,3 +239,20 @@ def test_fd_violations_null_semantics(spark):
     assert r.violation_rate == 0.5
     clean = spark.createDataFrame([(1, "a"), (2, "b")], "k INT, v STRING")
     assert fd_violations(clean, ["k"], "v", "f").collect()[0].violation_rate == 0.0
+
+
+def test_benford_expected_literals_match_log10(spark):
+    """The pinned 6-dp literals ARE log10(1+1/d), shares sum to ~1,
+    and the digit extraction reads the decimal rendering (0.05 -> 5)."""
+    import math
+
+    from employee_data_management_system_data_engineering_solution_spark.plans.curation import _BENFORD
+    from employee_data_management_system_data_engineering_solution_spark.plans.registry import REGISTRY
+
+    for d, lit in _BENFORD.items():
+        assert abs(float(lit) - math.log10(1 + 1 / d)) < 5e-7, d
+    rows = REGISTRY["benford_digit_audit"].fn(spark, "/root/testdata/sf0.001").collect()
+    assert {r.digit for r in rows} <= set(range(1, 10))
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert abs(r.abs_dev - abs(r.share - r.benford_expected)) < 2e-6
