@@ -76,12 +76,26 @@ TARGETS = [
     "strike_stream_from_wire",
     "neardup_admission",
     "feature_drift_psi",
+    # round-8 extended-window additions (X125-X134)
+    "cluster_safe_split",
+    "weighted_sample_topk",
+    "brand_price_regression",
+    "feature_woe_iv",
+    "fd_violation_report",
+    "rolling_user_features",
+    "lineitem_corr_matrix",
+    "calendar_completeness_report",
+    "benford_digit_audit",
+    "weighted_median_by_flag",
 ]
 
 
 def main() -> None:
     base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     replica = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.scale_sf1"
+    if len(sys.argv) > 3:  # subset run: argv[3:] name the targets
+        global TARGETS
+        TARGETS = sys.argv[3:]
     sys.path.insert(0, "/root/repo")
     from pyspark.sql import SparkSession
 
