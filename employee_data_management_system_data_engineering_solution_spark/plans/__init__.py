@@ -74,12 +74,18 @@ from .registry import REGISTRY, register
 #       lineitem_corr_matrix — X131 one-pass correlation matrix;
 #       calendar_completeness_report — X132 missing-day audit;
 #       benford_digit_audit — X133 first-digit audit;
-#       weighted_median_by_flag — X134 exact weighted median) each
+#       weighted_median_by_flag — X134 exact weighted median;
+#       part_covisitation_topk — X135 market-basket pair mining;
+#       revenue_cusum_shift — X136 float-free CUSUM changepoint) each
 #       displace one multiply-covered r5 re-confirmation slot instead
 #       (ivf_topk, kmeans_ivf_assign, minhash_lsh_groups,
 #       repeated_passages, embedding_neardup_pairs,
 #       forward_fill_values, dedup_keep_best, tfidf_top_terms,
-#       train_test_split, event_sessions out;
+#       train_test_split, event_sessions, hyperplane_lsh_groups,
+#       price_decile_stats out;
+#       ANN-LSH carried by ann_recall_report's 6-method sweep,
+#       order statistics by weighted_median_by_flag +
+#       value_outliers_mad,
 #       split family carried by cluster_safe_split, sequences by
 #       user_path_topk,
 #       W1 keep-best carried by dedup_last_write_wins + exact_dedup,
@@ -159,6 +165,8 @@ _PRIORITY: tuple[str, ...] = (
     "calendar_completeness_report",
     "benford_digit_audit",
     "weighted_median_by_flag",
+    "part_covisitation_topk",
+    "revenue_cusum_shift",
     # family anchors
     "daily_pipeline",
     "scd2_merge",
@@ -185,11 +193,9 @@ _PRIORITY: tuple[str, ...] = (
     "doc_chunks",
     "embedding_topk",
     "exact_dedup",
-    "hyperplane_lsh_groups",
     "multimodal_profile",
     "ngram_jaccard_pairs",
     "partition_pruned_report",
-    "price_decile_stats",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "snapshot_diff_orders",

@@ -1736,3 +1736,104 @@ def weighted_median_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("v").cast("double"), 2).alias("weighted_median"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Market-basket co-visitation mining with lift (X135)
+# --------------------------------------------------------------------------
+@register(
+    "part_covisitation_topk",
+    """
+    WITH b AS (
+      SELECT l_orderkey, l_partkey FROM lineitem GROUP BY 1, 2
+    ),
+    support AS (SELECT l_partkey, count(*) AS n_part FROM b GROUP BY 1),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM b),
+    pairs AS (
+      SELECT x.l_partkey AS part_a, y.l_partkey AS part_b, count(*) AS n_co
+      FROM b x JOIN b y
+        ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    )
+    SELECT part_a, part_b, n_co,
+           sa.n_part AS n_a, sb.n_part AS n_b,
+           round(CAST(n_co AS DOUBLE) * n.n_orders
+                 / (sa.n_part * CAST(sb.n_part AS DOUBLE)), 6) AS lift
+    FROM pairs
+    JOIN support sa ON sa.l_partkey = part_a
+    JOIN support sb ON sb.l_partkey = part_b
+    CROSS JOIN n
+    ORDER BY n_co DESC, part_a, part_b
+    LIMIT 50
+    """,
+)
+def part_covisitation_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-visitation mining (X135): the top co-ordered
+    part pairs with their lift — the count-based item-item signal a
+    recommender / assortment analysis starts from, and the classic
+    "frequent pairs" shape every large-scale pipeline needs to get
+    right because the naive all-pairs blowup is per-BASKET, not
+    per-corpus.
+
+    Scale discipline: the pair fan-out is the within-order self-join
+    of DISTINCT (order, part) rows, so the explosion is bounded by
+    basket size squared (TPC-H baskets ≤ 7 lines) per order — linear
+    in orders, never corpus-quadratic. The pair aggregate is a
+    map-side-combined groupBy; supports join the pair REPORT (not the
+    corpus); lift's only float work is one double expression mirrored
+    in the oracle; the top-50 is a deterministic total order
+    (n_co DESC, part_a, part_b) via TakeOrderedAndProject, and the
+    ≥2-count floor keeps the report from being dominated by
+    singleton-pair noise.
+    """
+    b = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    support = b.groupBy("l_partkey").agg(F.count("*").alias("n_part"))
+    n_orders = b.agg(
+        F.count_distinct("l_orderkey").alias("n_orders")
+    )
+    x, y = b.alias("x"), b.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .groupBy(
+            F.col("x.l_partkey").alias("part_a"),
+            F.col("y.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("n_co"))
+        .filter(F.col("n_co") >= 2)
+    )
+    enriched = (
+        pairs.join(
+            support.select(F.col("l_partkey").alias("part_a"), F.col("n_part").alias("n_a")),
+            "part_a",
+        )
+        .join(
+            support.select(F.col("l_partkey").alias("part_b"), F.col("n_part").alias("n_b")),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "n_co",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_co").cast("double")
+                * F.col("n_orders")
+                / (F.col("n_a") * F.col("n_b").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return enriched.orderBy(
+        F.col("n_co").desc(), F.col("part_a").asc(), F.col("part_b").asc()
+    ).limit(50)

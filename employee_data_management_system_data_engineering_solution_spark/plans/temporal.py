@@ -795,3 +795,89 @@ def rolling_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_7d"),
         (F.col("di") - F.lag("di").over(seq)).cast("int").alias("days_since_prev"),
     )
+
+
+# --------------------------------------------------------------------------
+# CUSUM level-shift detection over the daily revenue series (X136)
+# --------------------------------------------------------------------------
+@register(
+    "revenue_cusum_shift",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             sum(CAST(o_totalprice AS DECIMAL(12,2))) AS x
+      FROM orders GROUP BY 1
+    ),
+    c AS (
+      SELECT d, x,
+             sum(x) OVER (ORDER BY d)            AS cx,
+             row_number() OVER (ORDER BY d)      AS t,
+             sum(x) OVER ()                      AS sx,
+             count(*) OVER ()                    AS n
+      FROM daily
+    ),
+    s AS (
+      SELECT d, x, n,
+             n * cx - t * sx AS tt
+      FROM c
+    )
+    SELECT CAST(d AS VARCHAR) AS day,
+           round(CAST(x AS DOUBLE), 2)       AS daily_revenue,
+           round(CAST(tt AS DOUBLE) / n, 4)  AS cusum,
+           CAST(row_number() OVER (
+             ORDER BY abs(tt) DESC, d) AS INT) AS shift_rank
+    FROM s
+    ORDER BY abs(tt) DESC, d
+    LIMIT 5
+    """,
+)
+def revenue_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM level-shift detection (X136): the five days where the
+    cumulative sum of mean-deviations of daily revenue peaks in
+    magnitude — the standard changepoint ESTIMATE (argmax |S_t| of the
+    CUSUM statistic) that flags "the level moved around here" in a
+    metric series, long before a per-day threshold alarm would.
+
+    Exactness discipline: the float-free CUSUM identity. Instead of
+    cumulating double deviations (whose summation-tree shape differs
+    between engines), the statistic is computed as
+    ``T_t = n·C_t − t·Σx`` — cumulative decimal sum C_t, integer day
+    rank t, exact decimal total Σx — which equals ``n·S_t`` exactly.
+    Every comparison and the top-5 ordering ride the EXACT decimal
+    |T_t| (tie-broken by day); doubles appear only in the reported
+    ``cusum = T_t / n``, rounded to 4 dp.
+
+    Scale: one map-side-combined daily rollup (|days| rows), then
+    windows over the tiny series — the single-partition ordered
+    window is a |days|-row barrier, not a corpus sort. The top-5 is a
+    bounded heap."""
+    from pyspark.sql import Window
+
+    orders = read_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(money("o_totalprice")).alias("x")
+    )
+    seq = Window.orderBy("d")
+    allw = Window.partitionBy()
+    c = daily.select(
+        "d",
+        "x",
+        F.sum("x").over(seq).alias("cx"),
+        F.row_number().over(seq).alias("t"),
+        F.sum("x").over(allw).alias("sx"),
+        F.count("*").over(allw).alias("n"),
+    )
+    s = c.select(
+        "d", "x", "n", (F.col("n") * F.col("cx") - F.col("t") * F.col("sx")).alias("tt")
+    )
+    rank_w = Window.orderBy(F.abs(F.col("tt")).desc(), F.col("d").asc())
+    return (
+        s.orderBy(F.abs(F.col("tt")).desc(), F.col("d").asc())
+        .limit(5)
+        .select(
+            F.col("d").cast("string").alias("day"),
+            F.round(F.col("x").cast("double"), 2).alias("daily_revenue"),
+            F.round(F.col("tt").cast("double") / F.col("n"), 4).alias("cusum"),
+            F.row_number().over(rank_w).cast("int").alias("shift_rank"),
+        )
+    )

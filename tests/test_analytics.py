@@ -240,3 +240,60 @@ def test_weighted_median_matches_python_reference(spark, tmp_path):
     assert got["A"].weighted_median == 2.0 and got["A"].total_weight == 4
     assert got["B"].weighted_median == 20.0 and got["B"].total_weight == 10
     assert got["C"].weighted_median == 5.0 and got["C"].total_weight == 3
+
+
+def test_part_covisitation_counts_and_lift(spark, tmp_path):
+    """Hand-built baskets: duplicate lines of one part in one order
+    count once, pair counts and lift match hand math, ordering is the
+    deterministic (n_co DESC, part_a, part_b) total order."""
+    rows = []
+    # orders 1..3 contain {A=1,B=2}; order 4 contains {A,C=3}; order 5 {B}
+    baskets = {1: [1, 2], 2: [1, 2], 3: [1, 2, 2], 4: [1, 3], 5: [2]}
+    ln = 0
+    for ok, parts in baskets.items():
+        for p in parts:
+            ln += 1
+            rows.append((ok, p, ln))
+    df = spark.createDataFrame(rows, "l_orderkey LONG, l_partkey LONG, l_linenumber LONG")
+    sf = str(tmp_path)
+    df.write.parquet(f"{sf}/lineitem.parquet")
+    from employee_data_management_system_data_engineering_solution_spark.plans.registry import REGISTRY
+
+    out = REGISTRY["part_covisitation_topk"].fn(spark, sf).collect()
+    assert [(r.part_a, r.part_b, r.n_co) for r in out] == [(1, 2, 3)]
+    r = out[0]
+    # lift = n_co * n_orders / (n_a * n_b) = 3*5 / (4*4)
+    assert r.n_a == 4 and r.n_b == 4
+    assert abs(r.lift - round(3 * 5 / (4 * 4), 6)) < 1e-9
+
+
+def test_revenue_cusum_flags_the_level_shift(spark, tmp_path):
+    """A 10-day level shift: |CUSUM| peaks exactly at the last day of
+    the old level, and the reported statistic matches the Python
+    closed form."""
+    import datetime as dt
+
+    rows = []
+    k = 0
+    for day in range(1, 21):
+        k += 1
+        val = 10.0 if day <= 10 else 20.0
+        rows.append((k, dt.datetime(2024, 1, day), val, "X"))
+    df = spark.createDataFrame(
+        rows, "o_orderkey LONG, o_orderdate TIMESTAMP, o_totalprice DOUBLE, o_orderpriority STRING"
+    )
+    sf = str(tmp_path)
+    df.write.parquet(f"{sf}/orders.parquet")
+    from employee_data_management_system_data_engineering_solution_spark.plans.registry import REGISTRY
+
+    out = REGISTRY["revenue_cusum_shift"].fn(spark, sf).collect()
+    assert out[0].day == "2024-01-10" and out[0].shift_rank == 1
+    # python reference: S_t = C_t - t*mean; reported cusum = n*S_t/n = S_t
+    xs = [10.0] * 10 + [20.0] * 10
+    mean = sum(xs) / len(xs)
+    s10 = sum(xs[:10]) - 10 * mean
+    assert abs(out[0].cusum - round(s10, 4)) < 1e-9
+    # ranks are 1..5 and |cusum| is non-increasing
+    mags = [abs(r.cusum) for r in out]
+    assert [r.shift_rank for r in out] == [1, 2, 3, 4, 5]
+    assert mags == sorted(mags, reverse=True)

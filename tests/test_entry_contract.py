@@ -73,12 +73,18 @@ def test_check_window_covers_every_operator_family():
         # (text family amply carried); benford_digit_audit displaced
         # train_test_split (split family carried by cluster_safe_split);
         # weighted_median_by_flag displaced event_sessions (sequence
-        # family carried by user_path_topk)
+        # family carried by user_path_topk); part_covisitation_topk
+        # displaced hyperplane_lsh_groups (ANN-LSH carried by
+        # ann_recall_report's 6-method sweep + embedding_topk);
+        # revenue_cusum_shift displaced price_decile_stats (order
+        # statistics carried by weighted_median_by_flag +
+        # value_outliers_mad)
         "cluster_safe_split", "weighted_sample_topk",
         "brand_price_regression", "feature_woe_iv",
         "fd_violation_report", "rolling_user_features",
         "lineitem_corr_matrix", "calendar_completeness_report",
         "benford_digit_audit", "weighted_median_by_flag",
+        "part_covisitation_topk", "revenue_cusum_shift",
         # family anchors: composed pipeline + sinks, SCD-2 (K6 MERGE is
         # carried by the strictly-more-general cdc_log_replay), the
         # 6-method ANN report, K5 promotion, graph ranking, temporal
@@ -104,9 +110,9 @@ def test_check_window_covers_every_operator_family():
         "benchmark_contamination", "corpus_curation_pipeline",
         "dedup_clusters_star", "doc_chunks",
         "embedding_topk",
-        "exact_dedup", "hyperplane_lsh_groups",
+        "exact_dedup",
         "multimodal_profile", "ngram_jaccard_pairs",
-        "partition_pruned_report", "price_decile_stats",
+        "partition_pruned_report",
         "q1_pricing_summary", "q3_shipping_priority",
         "snapshot_diff_orders",
     }

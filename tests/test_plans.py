@@ -407,3 +407,23 @@ def test_calendar_completeness_touches_corpus_twice_pruned(spark):
     assert plan.count("FileScan") <= 2
     for seg in plan.split("ReadSchema")[1:]:
         assert "o_comment" not in seg[:200] and "o_totalprice" not in seg[:200]
+
+
+def test_covisitation_equi_join_bounded_topk(spark):
+    """The basket self-join must be a hash EQUI-join on the order key
+    (never a cartesian/theta join), and the top-50 a bounded heap."""
+    plan = plan_of(REGISTRY["part_covisitation_topk"].fn(spark, SF), mode="simple")
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan.replace(
+        "BroadcastNestedLoopJoin BuildRight, Cross", ""
+    )  # only the 1-row totals cross join may nest
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_cusum_windows_over_daily_rollup(spark):
+    """CUSUM windows slide over the daily aggregate (aggregate BELOW
+    the window in the printed tree), and the top-5 is a bounded heap."""
+    plan = plan_of(REGISTRY["revenue_cusum_shift"].fn(spark, SF), mode="simple")
+    assert "TakeOrderedAndProject" in plan
+    agg_pos = plan.rfind("HashAggregate")
+    win_pos = plan.find("Window")
+    assert win_pos != -1 and agg_pos > win_pos
