@@ -87,6 +87,8 @@ TARGETS = [
     "calendar_completeness_report",
     "benford_digit_audit",
     "weighted_median_by_flag",
+    "part_covisitation_topk",
+    "revenue_cusum_shift",
 ]
 
 
