@@ -730,3 +730,254 @@ def test_heavy_hitters_exact_matches_counter(spark, items, denom):
         (f"w{x}", c) for x, c in Counter(items).items() if c * denom > len(items)
     }
     assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=200),   # key (deduped below)
+            st.integers(min_value=-2, max_value=60),   # weight, incl. <=0
+        ),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda t: t[0],
+    ),
+    k=st.integers(min_value=1, max_value=8),
+    parts=st.integers(min_value=1, max_value=4),
+)
+@_SETTINGS
+def test_priority_sample_order_invariant_and_matches_reference(spark, rows, k, parts):
+    """The weighted sample is a pure function of (keys, weights, seed):
+    invariant under row order AND partitioning, equal to the
+    pure-Python md5 priority replay, never containing a non-positive
+    weight."""
+    import hashlib
+
+    from employee_data_management_system_data_engineering_solution_spark.operators.cleaning import (
+        priority_sample,
+    )
+
+    df = spark.createDataFrame(rows, "id LONG, wt LONG").repartition(parts)
+    rev = spark.createDataFrame(list(reversed(rows)), "id LONG, wt LONG").coalesce(1)
+    a = sorted(
+        (r.sample_rank, r.id, r.priority_key)
+        for r in priority_sample(df, ["id"], "wt", k=k, seed="p-v1").collect()
+    )
+    b = sorted(
+        (r.sample_rank, r.id, r.priority_key)
+        for r in priority_sample(rev, ["id"], "wt", k=k, seed="p-v1").collect()
+    )
+    assert a == b
+
+    def prio(i, w):
+        h = int(hashlib.md5(f"{i}:p-v1".encode()).hexdigest()[:15], 16)
+        return h // w
+
+    eligible = sorted((prio(i, w), i) for i, w in rows if w > 0)
+    want = [(rk + 1, i, p) for rk, (p, i) in enumerate(eligible[:k])]
+    assert a == sorted(want)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),                  # bucket
+            st.sampled_from([True, False, None]),                   # label
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@_SETTINGS
+def test_woe_iv_matches_python_for_random_labelings(spark, rows):
+    import math
+
+    from employee_data_management_system_data_engineering_solution_spark.operators.quality import woe_iv
+
+    df = spark.createDataFrame(rows, "bucket INT, is_event BOOLEAN")
+    got = {r.bucket: r for r in woe_iv(df).collect()}
+    ev, ne = {}, {}
+    for b, lbl in rows:
+        ev.setdefault(b, 0)
+        ne.setdefault(b, 0)
+        if lbl is True:
+            ev[b] += 1
+        elif lbl is False:
+            ne[b] += 1
+    E, NE, B = sum(ev.values()), sum(ne.values()), len(ev)
+    assert set(got) == set(ev)
+    for b in ev:
+        pe, pne = (ev[b] + 1) / (E + B), (ne[b] + 1) / (NE + B)
+        w = math.log(pe / pne)
+        r = got[b]
+        assert (r.n_events, r.n_nonevents) == (ev[b], ne[b])
+        assert abs(r.share_event - round(pe, 6)) < 1e-12
+        assert abs(r.woe - round(w, 6)) < 1e-9
+        assert abs(r.iv_term - round((pe - pne) * w, 6)) < 1e-9
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(min_value=0, max_value=4)),   # determinant
+            st.one_of(st.none(), st.sampled_from(["a", "b", "c"])),        # dependent
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@_SETTINGS
+def test_fd_violations_matches_python_reference(spark, rows):
+    from employee_data_management_system_data_engineering_solution_spark.operators.quality import (
+        fd_violations,
+    )
+
+    df = spark.createDataFrame(rows, "k INT, v STRING")
+    r = fd_violations(df, ["k"], "v", "k->v").collect()[0]
+    vals: dict = {}
+    for k, v in rows:
+        vals.setdefault(k, set()).add(v)
+    nv = {k: len(s - {None}) + (1 if None in s else 0) for k, s in vals.items()}
+    n_viol = sum(1 for n in nv.values() if n > 1)
+    assert r.n_keys == len(nv)
+    assert r.n_violating_keys == n_viol
+    assert r.max_distinct_rhs == max(nv.values())
+    assert r.violation_rate == round(n_viol / len(nv), 6)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["A", "B"]),                        # group
+            st.integers(min_value=1, max_value=400),            # cents value
+            st.integers(min_value=0, max_value=9),              # weight
+        ),
+        min_size=1,
+        max_size=24,
+    )
+)
+@_SETTINGS
+def test_weighted_median_query_matches_python(spark, tmp_path, rows):
+    """The registered weighted-median plan equals the pure-Python lower
+    weighted median for arbitrary weighted multisets (duplicated
+    values, zero weights, single-row groups)."""
+    import uuid
+
+    from employee_data_management_system_data_engineering_solution_spark.plans.registry import REGISTRY
+
+    data = [
+        (g, cents / 100.0, w, i)
+        for i, (g, cents, w) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "l_returnflag STRING, l_extendedprice DOUBLE, l_quantity LONG, l_orderkey LONG"
+    )
+    sf = str(tmp_path / f"wm{uuid.uuid4().hex[:8]}")
+    df.write.parquet(f"{sf}/lineitem.parquet")
+    got = {
+        r.l_returnflag: r
+        for r in REGISTRY["weighted_median_by_flag"].fn(spark, sf).collect()
+    }
+    ref: dict = {}
+    for g, v, w, _ in data:
+        if w > 0:
+            ref.setdefault(g, []).append((round(v, 2), w))
+    for g, pairs in ref.items():
+        pairs.sort()
+        tot = sum(w for _, w in pairs)
+        cum = 0
+        for v, w in pairs:
+            cum += w
+            if 2 * cum >= tot:
+                med = v
+                break
+        r = got[g]
+        assert r.total_weight == tot
+        assert abs(r.weighted_median - med) < 1e-9, g
+    assert set(got) == set(ref)
+
+
+@given(
+    baskets=st.lists(
+        st.lists(st.integers(min_value=1, max_value=6), min_size=1, max_size=5),
+        min_size=1,
+        max_size=10,
+    )
+)
+@_SETTINGS
+def test_covisitation_matches_bruteforce_pairs(spark, tmp_path, baskets):
+    """Pair counts equal brute-force combinations over DISTINCT parts
+    per basket; lift matches the closed form; the report is exactly
+    the >=2-count pairs in (n_co DESC, a, b) order (all fit in 50)."""
+    import itertools as it
+    import uuid
+    from collections import Counter
+
+    from employee_data_management_system_data_engineering_solution_spark.plans.registry import REGISTRY
+
+    rows, ln = [], 0
+    for ok, parts in enumerate(baskets, start=1):
+        for p in parts:
+            ln += 1
+            rows.append((ok, p, ln))
+    df = spark.createDataFrame(rows, "l_orderkey LONG, l_partkey LONG, l_linenumber LONG")
+    sf = str(tmp_path / f"cv{uuid.uuid4().hex[:8]}")
+    df.write.parquet(f"{sf}/lineitem.parquet")
+    got = [
+        (r.part_a, r.part_b, r.n_co, r.n_a, r.n_b, r.lift)
+        for r in REGISTRY["part_covisitation_topk"].fn(spark, sf).collect()
+    ]
+    co: Counter = Counter()
+    support: Counter = Counter()
+    for parts in baskets:
+        ps = sorted(set(parts))
+        support.update(ps)
+        co.update(it.combinations(ps, 2))
+    n_orders = len(baskets)
+    want = sorted(
+        ((a, b, c) for (a, b), c in co.items() if c >= 2),
+        key=lambda t: (-t[2], t[0], t[1]),
+    )
+    assert [(a, b, c) for a, b, c, *_ in got] == want
+    for a, b, c, na, nb, lift in got:
+        assert (na, nb) == (support[a], support[b])
+        assert abs(lift - round(c * n_orders / (na * nb), 6)) < 1e-12
+
+
+@given(
+    vals=st.lists(st.integers(min_value=1, max_value=50000), min_size=2, max_size=25)
+)
+@_SETTINGS
+def test_cusum_statistic_matches_python_closed_form(spark, tmp_path, vals):
+    """For an arbitrary daily series: the reported cusum equals the
+    Python S_t = C_t − t·mean at every reported day, and the top-5
+    selection is the exact argsort of |T_t| (tie-broken by day)."""
+    import datetime as dt
+    import uuid
+
+    from employee_data_management_system_data_engineering_solution_spark.plans.registry import REGISTRY
+
+    rows = [
+        (i + 1, dt.datetime(2024, 1, 1) + dt.timedelta(days=i), v / 100.0, "X")
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "o_orderkey LONG, o_orderdate TIMESTAMP, o_totalprice DOUBLE, o_orderpriority STRING"
+    )
+    sf = str(tmp_path / f"cs{uuid.uuid4().hex[:8]}")
+    df.write.parquet(f"{sf}/orders.parquet")
+    got = REGISTRY["revenue_cusum_shift"].fn(spark, sf).collect()
+    xs = [round(v / 100.0, 2) for v in vals]
+    n = len(xs)
+    tot = sum(int(round(x * 100)) for x in xs)  # exact cents
+    cum, tt = 0, {}
+    for t, x in enumerate(xs, start=1):
+        cum += int(round(x * 100))
+        tt[t] = n * cum - t * tot  # exact cents-scaled T_t
+    order = sorted(tt, key=lambda t: (-abs(tt[t]), t))[:5]
+    want_days = [
+        (dt.date(2024, 1, 1) + dt.timedelta(days=t - 1)).isoformat() for t in order
+    ]
+    assert [r.day for r in got] == want_days
+    for r, t in zip(got, order):
+        assert abs(r.cusum - round(tt[t] / 100.0 / n, 4)) < 1e-9
