@@ -203,3 +203,49 @@ def interval_overlap_join(
         *[F.col(f"__l.{c}") for c in left.columns],
         *[F.col(f"__r.{c}") for c in right.columns if c not in keys],
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    *,
+    salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigated equi-join: the MITIGATION to the measurement
+    ``join_key_skew_report`` (X112) provides. A hot join key sends all
+    its rows to one reducer and one task runs for hours while the rest
+    idle; salting splits each key's LEFT rows across ``salts``
+    sub-partitions and replicates the RIGHT side once per salt, so the
+    hot key's work spreads over ``salts`` tasks. Use when the PROBE
+    side is skewed and the BUILD side's per-key payload is small
+    (dimension-shaped); AQE's skew-join handles the symmetric case,
+    but salting is the portable, plannable form that also works under
+    static partitioning and in streaming micro-batches.
+
+    Result contract: IDENTICAL to the plain join. Each left row gets
+    exactly ONE deterministic salt (``pmod(xxhash64(whole row), salts)``
+    — derived from the row, not rand(), so reruns and retries agree),
+    and each right row is replicated to ALL salts, so every matching
+    (left, right) pair meets in exactly one (key, salt) bucket — no
+    dup, no loss; unmatched left rows under ``how='left'`` survive
+    exactly once. Property-tested equal to the plain join on random
+    frames.
+
+    Cost model: right side is written ``salts``× through the shuffle
+    (or broadcast ``salts``× larger) — the classic trade: pay
+    replication on the small side to buy parallelism on the big side.
+    Keep ``salts`` ~ (hot-key share × target tasks), not huge.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salt_l = F.pmod(
+        F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salts)
+    ).cast("int")
+    l = left.withColumn("__salt", salt_l)
+    r = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1)))
+    )
+    out = l.join(r, keys + ["__salt"], how)
+    return out.drop("__salt")

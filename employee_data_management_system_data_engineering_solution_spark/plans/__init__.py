@@ -76,13 +76,19 @@ from .registry import REGISTRY, register
 #       benford_digit_audit — X133 first-digit audit;
 #       weighted_median_by_flag — X134 exact weighted median;
 #       part_covisitation_topk — X135 market-basket pair mining;
-#       revenue_cusum_shift — X136 float-free CUSUM changepoint) each
+#       revenue_cusum_shift — X136 float-free CUSUM changepoint;
+#       salted_revenue_join — X137 skew-mitigated join whose oracle IS
+#       the plain join; hard_negative_mining — X138 cross-label
+#       contrastive negatives) each
 #       displace one multiply-covered r5 re-confirmation slot instead
 #       (ivf_topk, kmeans_ivf_assign, minhash_lsh_groups,
 #       repeated_passages, embedding_neardup_pairs,
 #       forward_fill_values, dedup_keep_best, tfidf_top_terms,
 #       train_test_split, event_sessions, hyperplane_lsh_groups,
-#       price_decile_stats out;
+#       price_decile_stats, exact_dedup, embedding_topk out;
+#       exact dedup carried by dedup_last_write_wins + the fuzzy
+#       stack, embedding-ANN by ann_recall_report +
+#       hard_negative_mining,
 #       ANN-LSH carried by ann_recall_report's 6-method sweep,
 #       order statistics by weighted_median_by_flag +
 #       value_outliers_mad,
@@ -167,6 +173,8 @@ _PRIORITY: tuple[str, ...] = (
     "weighted_median_by_flag",
     "part_covisitation_topk",
     "revenue_cusum_shift",
+    "salted_revenue_join",
+    "hard_negative_mining",
     # family anchors
     "daily_pipeline",
     "scd2_merge",
@@ -191,8 +199,6 @@ _PRIORITY: tuple[str, ...] = (
     "corpus_curation_pipeline",
     "dedup_clusters_star",
     "doc_chunks",
-    "embedding_topk",
-    "exact_dedup",
     "multimodal_profile",
     "ngram_jaccard_pairs",
     "partition_pruned_report",

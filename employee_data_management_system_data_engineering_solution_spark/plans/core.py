@@ -1837,3 +1837,48 @@ def part_covisitation_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enriched.orderBy(
         F.col("n_co").desc(), F.col("part_a").asc(), F.col("part_b").asc()
     ).limit(50)
+
+
+# --------------------------------------------------------------------------
+# Salted skew-join carrier (X137): mitigation twin of X112's diagnosis
+# --------------------------------------------------------------------------
+@register(
+    "salted_revenue_join",
+    """
+    SELECT o.o_orderpriority,
+           count(*) AS n_lines,
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+             AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+)
+def salted_revenue_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated fact×dim join (X137): lineitem salted-joins
+    orders (``operators.joins.salted_join``, 8 salts) and rolls up
+    revenue per priority. The ORACLE is the PLAIN join — the whole
+    point is that salting is invisible in the result: every (left,
+    right) pair meets in exactly one (key, salt) bucket, so the
+    salted plan hash-matches the unsalted SQL bit-for-bit while the
+    hot key's probe rows spread across 8 reducers instead of one.
+
+    This is the mitigation twin of ``join_key_skew_report`` (X112):
+    the report decides WHEN to salt (hot-key share × skew factor);
+    this operator is WHAT you deploy when AQE's runtime skew split is
+    unavailable (static partitioning, streaming micro-batches) or the
+    build side must anyway shuffle. Cost: the orders side shuffles 8×
+    (dimension-shaped payload) to buy 8-way parallelism on the fact
+    side's hottest keys."""
+    from ..operators.joins import salted_join
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", money("l_extendedprice").alias("price")
+    )
+    orders = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    j = salted_join(li, orders, ["l_orderkey"], salts=8)
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_lines"),
+        F.round(F.sum("price"), 2).cast("double").alias("revenue"),
+    )

@@ -2826,3 +2826,83 @@ def cluster_topic_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "cluster_id", "word", "n", F.col("rank_in_group").cast("int").alias("term_rank")
     )
+
+
+@register(
+    "hard_negative_mining",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, label AS q_label,
+             CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 20
+    ),
+    c AS (
+      SELECT vec_id AS neighbor_id, label AS n_label,
+             CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT query_id, q_label, neighbor_id, n_label, {{cos}} AS cosine_sim
+      FROM q, c
+      WHERE neighbor_id <> query_id AND n_label <> q_label
+    )
+    SELECT query_id, q_label, neighbor_id, n_label, cosine_sim,
+           CAST(rn AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    """.format(cos=_COS),
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training data mining (X138): for each query vector,
+    the 3 most-similar vectors with a DIFFERENT label — the "hard
+    negatives" that make a contrastive/metric-learning batch
+    informative (random negatives are trivially far; the near-miss
+    cross-label neighbors are where the gradient is). This is the
+    curation step that turns an embedding table + labels into
+    training triplets.
+
+    Same exact-brute-force shape as ``embedding_topk`` (bounded query
+    side broadcast against the fanned-out corpus, 6-dp-rounded double
+    cosine, deterministic (sim DESC, id) order), plus the cross-label
+    predicate INSIDE the scoring pass — the filter prunes before the
+    rank window, so the top-k never wastes slots on same-label
+    neighbors. The IVF/PQ index paths (X74-X92) are the scale
+    substitute for the scan, exactly as with the recall queries."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("__qvec"),
+    )
+    c = similarity.fan_out(emb).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("n_label"),
+        F.col("embedding").alias("__cvec"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(
+            (F.col("neighbor_id") != F.col("query_id"))
+            & (F.col("n_label") != F.col("q_label"))
+        )
+        .select(
+            "query_id",
+            "q_label",
+            "neighbor_id",
+            "n_label",
+            F.round(
+                similarity.cosine(F.col("__qvec"), F.col("__cvec")), 6
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+    )

@@ -78,13 +78,17 @@ def test_check_window_covers_every_operator_family():
         # ann_recall_report's 6-method sweep + embedding_topk);
         # revenue_cusum_shift displaced price_decile_stats (order
         # statistics carried by weighted_median_by_flag +
-        # value_outliers_mad)
+        # value_outliers_mad); salted_revenue_join displaced exact_dedup
+        # (exact dedup carried by dedup_last_write_wins + the fuzzy
+        # stack); hard_negative_mining displaced embedding_topk (same
+        # brute-force cosine machinery + ann_recall_report's sweep)
         "cluster_safe_split", "weighted_sample_topk",
         "brand_price_regression", "feature_woe_iv",
         "fd_violation_report", "rolling_user_features",
         "lineitem_corr_matrix", "calendar_completeness_report",
         "benford_digit_audit", "weighted_median_by_flag",
         "part_covisitation_topk", "revenue_cusum_shift",
+        "salted_revenue_join", "hard_negative_mining",
         # family anchors: composed pipeline + sinks, SCD-2 (K6 MERGE is
         # carried by the strictly-more-general cdc_log_replay), the
         # 6-method ANN report, K5 promotion, graph ranking, temporal
@@ -109,8 +113,6 @@ def test_check_window_covers_every_operator_family():
         # re-confirmation cohort: last driver green r5 (complete)
         "benchmark_contamination", "corpus_curation_pipeline",
         "dedup_clusters_star", "doc_chunks",
-        "embedding_topk",
-        "exact_dedup",
         "multimodal_profile", "ngram_jaccard_pairs",
         "partition_pruned_report",
         "q1_pricing_summary", "q3_shipping_priority",

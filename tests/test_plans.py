@@ -427,3 +427,24 @@ def test_cusum_windows_over_daily_rollup(spark):
     agg_pos = plan.rfind("HashAggregate")
     win_pos = plan.find("Window")
     assert win_pos != -1 and agg_pos > win_pos
+
+
+def test_salted_join_partitions_on_key_and_salt(spark):
+    """The join exchange must hash-partition on (key, salt) — the salt
+    genuinely splits a hot key's rows across reducers — with no
+    cartesian product anywhere."""
+    plan = plan_of(REGISTRY["salted_revenue_join"].fn(spark, SF), mode="simple")
+    join_line = next(line for line in plan.splitlines() if "HashJoin" in line)
+    # both sides' key lists carry the salt (at bench scale that makes
+    # the shuffle partitioning (key, salt); at test scale AQE
+    # broadcasts, and the hashed relation is still keyed on the salt)
+    assert join_line.count("__salt") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_hard_negative_mining_broadcasts_query_side(spark):
+    """The bounded query side is broadcast; the corpus is never
+    shuffled for the scoring pass."""
+    plan = plan_of(REGISTRY["hard_negative_mining"].fn(spark, SF), mode="simple")
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -981,3 +981,33 @@ def test_cusum_statistic_matches_python_closed_form(spark, tmp_path, vals):
     assert [r.day for r in got] == want_days
     for r, t in zip(got, order):
         assert abs(r.cusum - round(tt[t] / 100.0 / n, 4)) < 1e-9
+
+
+@given(
+    lrows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 99)), min_size=0, max_size=20
+    ),
+    rrows=st.lists(
+        st.tuples(st.integers(0, 3), st.sampled_from(["x", "y"])),
+        min_size=0,
+        max_size=10,
+    ),
+    salts=st.integers(min_value=1, max_value=5),
+    how=st.sampled_from(["inner", "left"]),
+)
+@_SETTINGS
+def test_salted_join_equals_plain_join(spark, lrows, rrows, salts, how):
+    """The salted join is result-identical to the plain join for
+    arbitrary frames, salt counts, and inner/left semantics —
+    duplicates on BOTH sides included (multiset equality)."""
+    from employee_data_management_system_data_engineering_solution_spark.operators.joins import (
+        salted_join,
+    )
+
+    l = spark.createDataFrame(lrows, "k INT, v INT") if lrows else spark.createDataFrame([], "k INT, v INT")
+    r = spark.createDataFrame(rrows, "k INT, p STRING") if rrows else spark.createDataFrame([], "k INT, p STRING")
+    got = sorted(
+        map(tuple, salted_join(l, r, ["k"], salts=salts, how=how).collect())
+    )
+    want = sorted(map(tuple, l.join(r, ["k"], how).collect()))
+    assert got == want

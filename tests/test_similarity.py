@@ -480,3 +480,37 @@ def test_ann_rank_quality_matches_python_reference(spark):
     }
     assert got == want
     assert all(0.0 <= v[0] <= 1.0 and 0.0 <= v[1] <= 1.0 for v in got.values())
+
+
+def test_hard_negative_mining_cross_label_and_ranked(spark):
+    """Every mined negative has a different label from its query, ranks
+    are 1..<=3 with non-increasing similarity, and the picks match a
+    numpy brute force."""
+    import numpy as np
+
+    from employee_data_management_system_data_engineering_solution_spark.plans.registry import REGISTRY
+    from employee_data_management_system_data_engineering_solution_spark.sources.io import read_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = REGISTRY["hard_negative_mining"].fn(spark, sf).collect()
+    emb = {
+        r.vec_id: (np.array(r.embedding, dtype=float), r.label)
+        for r in read_table(spark, sf, "embeddings").collect()
+    }
+    by_q: dict = {}
+    for r in rows:
+        assert r.n_label != r.q_label
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, picks in by_q.items():
+        picks.sort(key=lambda r: r.rank)
+        sims = [r.cosine_sim for r in picks]
+        assert sims == sorted(sims, reverse=True)
+        qv, ql = emb[qid]
+        scored = []
+        for nid, (nv, nl) in emb.items():
+            if nid == qid or nl == ql:
+                continue
+            cos = float(qv @ nv / (np.linalg.norm(qv) * np.linalg.norm(nv)))
+            scored.append((-round(cos, 6), nid))
+        want = [nid for _, nid in sorted(scored)[:3]]
+        assert [r.neighbor_id for r in picks] == want, qid
