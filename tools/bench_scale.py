@@ -89,6 +89,8 @@ TARGETS = [
     "weighted_median_by_flag",
     "part_covisitation_topk",
     "revenue_cusum_shift",
+    "salted_revenue_join",
+    "hard_negative_mining",
 ]
 
 
