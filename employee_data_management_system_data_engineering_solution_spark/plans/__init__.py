@@ -79,16 +79,22 @@ from .registry import REGISTRY, register
 #       revenue_cusum_shift — X136 float-free CUSUM changepoint;
 #       salted_revenue_join — X137 skew-mitigated join whose oracle IS
 #       the plain join; hard_negative_mining — X138 cross-label
-#       contrastive negatives) each
+#       contrastive negatives; k_anonymity_report — X139
+#       quasi-identifier disclosure audit; column_entropy_profile —
+#       X140 distribution-informativeness profile) each
 #       displace one multiply-covered r5 re-confirmation slot instead
 #       (ivf_topk, kmeans_ivf_assign, minhash_lsh_groups,
 #       repeated_passages, embedding_neardup_pairs,
 #       forward_fill_values, dedup_keep_best, tfidf_top_terms,
 #       train_test_split, event_sessions, hyperplane_lsh_groups,
-#       price_decile_stats, exact_dedup, embedding_topk out;
+#       price_decile_stats, exact_dedup, embedding_topk,
+#       benchmark_contamination, snapshot_diff_orders out;
 #       exact dedup carried by dedup_last_write_wins + the fuzzy
 #       stack, embedding-ANN by ann_recall_report +
-#       hard_negative_mining,
+#       hard_negative_mining, contamination/text by text_stats +
+#       doc_fingerprint + frequent_shingles + corpus_curation_pipeline,
+#       CDC diff by cdc_log_replay + incremental_agg_refresh_minmax +
+#       snapshot_vacuum + scd2_merge,
 #       ANN-LSH carried by ann_recall_report's 6-method sweep,
 #       order statistics by weighted_median_by_flag +
 #       value_outliers_mad,
@@ -175,6 +181,8 @@ _PRIORITY: tuple[str, ...] = (
     "revenue_cusum_shift",
     "salted_revenue_join",
     "hard_negative_mining",
+    "k_anonymity_report",
+    "column_entropy_profile",
     # family anchors
     "daily_pipeline",
     "scd2_merge",
@@ -195,7 +203,6 @@ _PRIORITY: tuple[str, ...] = (
     "json_lines_roundtrip",
     "orc_roundtrip",
     # re-confirmation: last driver green round 5
-    "benchmark_contamination",
     "corpus_curation_pipeline",
     "dedup_clusters_star",
     "doc_chunks",
@@ -204,7 +211,6 @@ _PRIORITY: tuple[str, ...] = (
     "partition_pruned_report",
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "snapshot_diff_orders",
 )
 
 #: Queries whose driver check is rows-only BY CONTRACT (no SQL oracle

@@ -1449,3 +1449,134 @@ def user_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ordered_with_rank(
         f, [F.col("n_users").desc(), F.col("path").asc()], rank_col="rank"
     ).filter(F.col("rank") <= 10)
+
+
+# --------------------------------------------------------------------------
+# k-anonymity audit (X139): quasi-identifier re-identification risk
+# --------------------------------------------------------------------------
+@register(
+    "k_anonymity_report",
+    """
+    WITH sizes AS (
+      SELECT count(*) AS n
+      FROM customer
+      GROUP BY c_nationkey, c_mktsegment,
+               least(floor(CAST(c_acctbal AS DECIMAL(12,2)) / 2000), 5)
+    ),
+    ks AS (
+      SELECT k, n FROM sizes, (VALUES (2), (5), (10)) AS t(k)
+    )
+    SELECT k,
+           count(*)                                   AS n_groups,
+           count(*) FILTER (WHERE n < k)              AS n_small_groups,
+           CAST(coalesce(sum(n) FILTER (WHERE n < k), 0) AS BIGINT)
+                                                      AS rows_at_risk,
+           round(coalesce(sum(n) FILTER (WHERE n < k), 0) / sum(n), 6)
+                                                      AS risk_rate
+    FROM ks
+    GROUP BY k
+    """,
+)
+def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (X139): for each disclosure threshold k, how
+    many quasi-identifier groups — (nation, market segment, coarse
+    account-balance bucket) — are smaller than k, and how many rows
+    sit in them. A row whose QI combination matches fewer than k
+    people is re-identifiable by linkage; this is the release gate a
+    privacy review runs BEFORE a dataset ships, complementing the
+    direct-identifier scrub (X58 PII) with the indirect-identifier
+    risk it cannot see. The bucket uses exact decimal floor-division
+    (the X124 discipline — no float boundary can move a row between
+    QI groups).
+
+    Scale: ONE map-side-combined groupBy to |QI-groups| rows; the
+    three thresholds explode against that tiny group-size table (3×
+    |groups| rows), never against the corpus. Risk arithmetic is
+    integer-exact; only the rate is a rounded double."""
+    from ..functions.money import money
+
+    cust = read_table(spark, sf_dir, "customer")
+    bucket = F.least(F.floor(money("c_acctbal") / 2000), F.lit(5))
+    sizes = cust.groupBy(
+        "c_nationkey", "c_mktsegment", bucket.alias("__b")
+    ).agg(F.count("*").alias("n"))
+    ks = sizes.select(
+        F.explode(F.array(F.lit(2), F.lit(5), F.lit(10))).alias("k"), "n"
+    )
+    small = F.when(F.col("n") < F.col("k"), F.col("n"))
+    return ks.groupBy("k").agg(
+        F.count("*").alias("n_groups"),
+        F.count(small).alias("n_small_groups"),
+        F.coalesce(F.sum(small), F.lit(0)).alias("rows_at_risk"),
+        F.round(F.coalesce(F.sum(small), F.lit(0)) / F.sum("n"), 6).alias("risk_rate"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Column entropy profile (X140): distribution informativeness audit
+# --------------------------------------------------------------------------
+_ENTROPY_COLS = ("o_orderstatus", "o_orderpriority", "o_custkey")
+
+_ENTROPY_ORACLE = "\nUNION ALL\n".join(
+    f"""
+    SELECT '{c}' AS col_name,
+           count(*)                            AS n_distinct,
+           round(-sum((n / t) * ln(n / t)), 4) AS entropy,
+           CASE WHEN count(*) > 1
+                THEN round(-sum((n / t) * ln(n / t)) / ln(count(*)), 4)
+           END AS norm_entropy
+    FROM (
+      SELECT count(*) AS n, sum(count(*)) OVER () AS t
+      FROM orders GROUP BY {c}
+    )
+    """
+    for c in _ENTROPY_COLS
+)
+
+
+@register("column_entropy_profile", _ENTROPY_ORACLE)
+def column_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon-entropy profile of selected columns (X140): how
+    informative each column's value distribution actually is — the
+    screening signal that separates a near-constant column (entropy
+    ≈ 0: drop it), a balanced categorical, and a near-unique
+    identifier (normalized entropy ≈ 1: a join key or a privacy
+    hazard, cf. X139). Complements the count-based ``column_profile``
+    (X40) with the distribution-shape number those counts miss.
+
+    Parity discipline: the value-frequency table comes from one exact
+    groupBy per column, the total from a window OVER that aggregate
+    (X123 — no second scan); the entropy sum is the one genuinely
+    float-summed statistic here, so it rounds at 4 dp (the lm_score
+    precedent — cross-row double sums keep ~1e-13 absolute error,
+    ten orders below the rounding grain). Normalized entropy guards
+    the single-value column with an explicit NULL.
+
+    Scale: one aggregation shuffle per column at value cardinality;
+    the entropy arithmetic runs on the frequency table."""
+    from pyspark.sql import Window
+
+    orders = read_table(spark, sf_dir, "orders")
+    parts = []
+    for c in _ENTROPY_COLS:
+        freq = orders.groupBy(F.col(c)).agg(F.count("*").alias("n"))
+        t = F.sum("n").over(Window.partitionBy())
+        p = F.col("n") / F.col("t")
+        term = freq.select("n", t.alias("t")).select(
+            "n", "t", (p * F.log(p)).alias("__term")
+        )
+        parts.append(
+            term.agg(
+                F.lit(c).alias("col_name"),
+                F.count("*").alias("n_distinct"),
+                F.round(-F.sum("__term"), 4).alias("entropy"),
+                F.when(
+                    F.count("*") > 1,
+                    F.round(-F.sum("__term") / F.log(F.count("*").cast("double")), 4),
+                ).alias("norm_entropy"),
+            )
+        )
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionByName(p_)
+    return out

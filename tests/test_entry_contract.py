@@ -81,7 +81,13 @@ def test_check_window_covers_every_operator_family():
         # value_outliers_mad); salted_revenue_join displaced exact_dedup
         # (exact dedup carried by dedup_last_write_wins + the fuzzy
         # stack); hard_negative_mining displaced embedding_topk (same
-        # brute-force cosine machinery + ann_recall_report's sweep)
+        # brute-force cosine machinery + ann_recall_report's sweep);
+        # k_anonymity_report displaced benchmark_contamination (text/
+        # contamination carried by text_stats + doc_fingerprint +
+        # frequent_shingles + corpus_curation_pipeline);
+        # column_entropy_profile displaced snapshot_diff_orders (CDC
+        # diff carried by cdc_log_replay + incremental_agg_refresh_
+        # minmax + snapshot_vacuum + scd2_merge)
         "cluster_safe_split", "weighted_sample_topk",
         "brand_price_regression", "feature_woe_iv",
         "fd_violation_report", "rolling_user_features",
@@ -89,6 +95,7 @@ def test_check_window_covers_every_operator_family():
         "benford_digit_audit", "weighted_median_by_flag",
         "part_covisitation_topk", "revenue_cusum_shift",
         "salted_revenue_join", "hard_negative_mining",
+        "k_anonymity_report", "column_entropy_profile",
         # family anchors: composed pipeline + sinks, SCD-2 (K6 MERGE is
         # carried by the strictly-more-general cdc_log_replay), the
         # 6-method ANN report, K5 promotion, graph ranking, temporal
@@ -111,12 +118,11 @@ def test_check_window_covers_every_operator_family():
         # deferrals)
         "dedup_last_write_wins", "json_lines_roundtrip", "orc_roundtrip",
         # re-confirmation cohort: last driver green r5 (complete)
-        "benchmark_contamination", "corpus_curation_pipeline",
+        "corpus_curation_pipeline",
         "dedup_clusters_star", "doc_chunks",
         "multimodal_profile", "ngram_jaccard_pairs",
         "partition_pruned_report",
         "q1_pricing_summary", "q3_shipping_priority",
-        "snapshot_diff_orders",
     }
     assert carriers <= set(window), sorted(carriers - set(window))
 

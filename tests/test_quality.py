@@ -256,3 +256,53 @@ def test_benford_expected_literals_match_log10(spark):
     assert abs(sum(r.share for r in rows) - 1.0) < 1e-4
     for r in rows:
         assert abs(r.abs_dev - abs(r.share - r.benford_expected)) < 2e-6
+
+
+def test_k_anonymity_counts_match_hand_built_groups(spark, tmp_path):
+    """Known QI group sizes -> exact small-group and at-risk counts
+    per threshold; risk is monotone non-decreasing in k."""
+    rows = []
+    i = 0
+    # groups: (nation, segment, bucket 0): sizes 1, 3, 6 across segments
+    for seg, sz in (("A", 1), ("B", 3), ("C", 6)):
+        for _ in range(sz):
+            i += 1
+            rows.append((i, f"c{i}", 7, 100.0, seg))
+    df = spark.createDataFrame(
+        rows, "c_custkey LONG, c_name STRING, c_nationkey INT, c_acctbal DOUBLE, c_mktsegment STRING"
+    )
+    sf = str(tmp_path)
+    df.write.parquet(f"{sf}/customer.parquet")
+    from employee_data_management_system_data_engineering_solution_spark.plans.registry import REGISTRY
+
+    got = {r.k: r for r in REGISTRY["k_anonymity_report"].fn(spark, sf).collect()}
+    assert got[2].n_groups == 3
+    assert (got[2].n_small_groups, got[2].rows_at_risk) == (1, 1)     # size-1 only
+    assert (got[5].n_small_groups, got[5].rows_at_risk) == (2, 4)     # sizes 1+3
+    assert (got[10].n_small_groups, got[10].rows_at_risk) == (3, 10)  # all
+    assert got[2].risk_rate <= got[5].risk_rate <= got[10].risk_rate
+    assert got[10].risk_rate == 1.0
+
+
+def test_column_entropy_matches_math_reference(spark, tmp_path):
+    """Known distribution -> -sum(p ln p); constant column -> entropy
+    0 with NULL normalized entropy; near-unique -> norm ~ 1."""
+    import math
+
+    rows = [(i, "SAME", ["H", "H", "L", "M"][i % 4], i) for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "o_orderkey LONG, o_orderstatus STRING, o_orderpriority STRING, o_custkey LONG"
+    )
+    sf = str(tmp_path)
+    df.write.parquet(f"{sf}/orders.parquet")
+    from employee_data_management_system_data_engineering_solution_spark.plans.registry import REGISTRY
+
+    got = {r.col_name: r for r in REGISTRY["column_entropy_profile"].fn(spark, sf).collect()}
+    const = got["o_orderstatus"]
+    assert (const.n_distinct, const.entropy, const.norm_entropy) == (1, -0.0, None)
+    tri = got["o_orderpriority"]  # p = 1/2, 1/4, 1/4
+    want = -(0.5 * math.log(0.5) + 2 * 0.25 * math.log(0.25))
+    assert abs(tri.entropy - round(want, 4)) < 1e-9
+    assert abs(tri.norm_entropy - round(want / math.log(3), 4)) < 1e-9
+    uniq = got["o_custkey"]
+    assert uniq.n_distinct == 40 and abs(uniq.norm_entropy - 1.0) < 1e-9
