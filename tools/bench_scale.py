@@ -91,6 +91,8 @@ TARGETS = [
     "revenue_cusum_shift",
     "salted_revenue_join",
     "hard_negative_mining",
+    "k_anonymity_report",
+    "column_entropy_profile",
 ]
 
 
