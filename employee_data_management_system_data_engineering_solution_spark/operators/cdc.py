@@ -333,7 +333,14 @@ def cdc_replay(
     each key's final op matters), then applied in one pass: base rows
     whose key never appears in the log survive via anti-join; the
     collapsed upserts contribute their payload (including brand-new
-    keys); collapsed deletes contribute nothing. An unknown op that
+    keys); collapsed deletes contribute nothing. ``seq_col`` must be
+    unique per key: a duplicate (key, seq) at the TOP of a key's
+    collapse has no defined winner, so the replay poisons it with
+    ``raise_error`` instead of letting partitioning order pick one
+    nondeterministically (detected via ``lead(seq)`` in the same
+    window — same partition keys, no extra shuffle; duplicates below
+    the winner are harmless history and stay unchecked, mirroring the
+    unknown-op rule). An unknown op that
     WINS a key's collapse poisons the replay with ``raise_error``
     rather than silently dropping the row (ops displaced by a later
     event are never applied, so they are not validated — the check
@@ -352,10 +359,19 @@ def cdc_replay(
     w = Window.partitionBy(*keys).orderBy(F.col(seq_col).desc())
     last = (
         log.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__dup_win", F.lead(seq_col).over(w).eqNullSafe(F.col(seq_col)))
         .filter(F.col("__rn") == 1)
         .drop("__rn", seq_col)
     )
     checked_op = F.when(
+        F.col("__dup_win"),
+        F.raise_error(
+            F.concat(
+                F.lit("cdc_replay: duplicate winning seq for key "),
+                F.concat_ws("/", *[F.col(k).cast("string") for k in keys]),
+            )
+        ),
+    ).when(
         F.col(op_col).isin(upsert_op, delete_op), F.col(op_col)
     ).otherwise(
         F.raise_error(

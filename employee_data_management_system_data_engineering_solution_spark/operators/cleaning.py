@@ -282,8 +282,16 @@ def priority_sample(
     seed): stable under reruns, row order, and cluster resizes, and
     joinable downstream like every other seeded-hash operator here.
 
-    Rows with NULL or non-positive weight are excluded — weight 0
-    means inclusion probability 0 in the design itself, not an error.
+    Weights are FLOORED to integers before use (the exact integer
+    sort key requires a BIGINT divisor): rows whose floored weight is
+    < 1 — NULL, non-positive, or fractional in (0, 1) — are excluded,
+    and a fractional weight like 2.7 participates as 2. Inclusion is
+    therefore proportional to ``floor(w)``, not ``w``; callers with
+    sub-unit or precision-critical fractional weights should pre-scale
+    to integers (e.g. ``round(w * 1000)``). The filter runs on the
+    FLOORED value, never the raw column — a raw-positive fractional
+    weight must not truncate to a zero divisor (``h div 0`` is NULL,
+    and NULLS FIRST would silently hand such rows the sample slots).
 
     Scale shape: one narrow map computes the sort key; the top-k runs
     as TakeOrderedAndProject (per-partition bounded heaps merged on
@@ -294,8 +302,8 @@ def priority_sample(
     key_str = F.concat_ws("-", *[F.col(c).cast("string") for c in key_cols])
     digest = F.md5(F.concat(key_str, F.lit(":" + seed)))
     scored = (
-        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
-        .withColumn("weight", F.col(weight_col).cast("bigint"))
+        df.withColumn("weight", F.floor(weight_col).cast("bigint"))
+        .filter(F.col("weight").isNotNull() & (F.col("weight") >= 1))
         .withColumn("__h", F.conv(F.substring(digest, 1, 15), 16, 10).cast("bigint"))
         .withColumn("priority_key", F.expr("__h div weight"))
         .drop("__h")

@@ -133,9 +133,19 @@ def heavy_hitters_exact(
         .agg(F.sum("est").alias("n"))
         .collect()[0]["n"]
     ) or 0
+    # Materialize the bounded candidate set eagerly (≤ partitions ×
+    # capacity rows) so the summary's cached blocks can be released
+    # NOW — without the localCheckpoint, the returned plan would keep
+    # the persist pinned and repeated calls (multi-SF bench sweeps in
+    # one session) would accumulate cached blocks until eviction
+    # pressure.
     cands = (
-        summary.filter(F.col("kind") == CAND).select("item").distinct()
+        summary.filter(F.col("kind") == CAND)
+        .select("item")
+        .distinct()
+        .localCheckpoint(eager=True)
     )
+    summary.unpersist()
     exact = (
         items.join(cands, "item", "left_semi")
         .groupBy("item")

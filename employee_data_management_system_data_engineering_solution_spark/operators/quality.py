@@ -170,14 +170,23 @@ def drift_psi(
         F.coalesce("n_old", F.lit(0)).alias("n_old"),
         F.coalesce("n_new", F.lit(0)).alias("n_new"),
     )
-    # totals + observed-bucket count as a tiny cross-joined aggregate
-    # (lazy scalar pattern — no collect)
-    tot = m.agg(
-        F.sum("n_old").alias("__to"),
-        F.sum("n_new").alias("__tn"),
-        F.count("*").alias("__b"),
+    # totals + observed-bucket count via an unpartitioned WINDOW over
+    # the |buckets|-row merged aggregate (the same X123 discipline as
+    # woe_iv below: a re-aggregating cross join would duplicate both
+    # snapshots' groupBy subtrees and scan each snapshot twice; the
+    # window's single-partition barrier spans report-cardinality rows
+    # only)
+    from pyspark.sql import Window as _W
+
+    _w = _W.partitionBy()
+    j = m.select(
+        "bucket",
+        "n_old",
+        "n_new",
+        F.sum("n_old").over(_w).alias("__to"),
+        F.sum("n_new").over(_w).alias("__tn"),
+        F.count("*").over(_w).alias("__b"),
     )
-    j = m.crossJoin(F.broadcast(tot))
     p_old = (F.col("n_old") + 1) / (F.col("__to") + F.col("__b"))
     p_new = (F.col("n_new") + 1) / (F.col("__tn") + F.col("__b"))
     return j.select(

@@ -1098,7 +1098,9 @@ def checkpoint_restart_strikes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.strikes import run_strike_pass, strike_final_state
 
     tag = os.path.basename(sf_dir.rstrip(os.sep)).replace(".", "_")
-    base = os.path.join(tempfile.gettempdir(), f"eds_ckpt_strike_{tag}")
+    # per-PID dir: a concurrent pytest + check_oracle run must not
+    # share one checkpoint (offset-log/state collisions fail both)
+    base = os.path.join(tempfile.gettempdir(), f"eds_ckpt_strike_{tag}_{os.getpid()}")
     stage = _stage_split_events(spark, sf_dir, base)
     ckpt, out = os.path.join(base, "ckpt"), os.path.join(base, "out")
 
@@ -1127,7 +1129,9 @@ def checkpoint_restart_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.strikes import run_windowed_pass, windowed_final_counts
 
     tag = os.path.basename(sf_dir.rstrip(os.sep)).replace(".", "_")
-    base = os.path.join(tempfile.gettempdir(), f"eds_ckpt_window_{tag}")
+    # per-PID dir: a concurrent pytest + check_oracle run must not
+    # share one checkpoint (offset-log/state collisions fail both)
+    base = os.path.join(tempfile.gettempdir(), f"eds_ckpt_window_{tag}_{os.getpid()}")
     stage = _stage_split_events(spark, sf_dir, base)
     ckpt, out = os.path.join(base, "ckpt"), os.path.join(base, "out")
 

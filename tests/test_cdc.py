@@ -316,3 +316,33 @@ def test_cdc_replay_unknown_op_raises(spark):
     log = spark.createDataFrame([(1, 1, "truncate", None)], "seq INT, k INT, op STRING, v STRING")
     with pytest.raises((SparkRuntimeException, Py4JJavaError), match="unknown op"):
         cdc_replay(base, log, ["k"]).collect()
+
+
+def test_cdc_replay_duplicate_winning_seq_raises(spark):
+    """ADVICE r8 regression: two log entries sharing a key's WINNING
+    (key, seq) have no defined last writer — the replay must poison
+    the run, not let partitioning order pick an arbitrary winner."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    from employee_data_management_system_data_engineering_solution_spark.operators.cdc import (
+        cdc_replay,
+    )
+
+    base = spark.createDataFrame([(1, "a")], "k INT, v STRING")
+    dup = spark.createDataFrame(
+        [(5, 1, "upsert", "x"), (5, 1, "upsert", "y")],
+        "seq INT, k INT, op STRING, v STRING",
+    )
+    with pytest.raises((SparkRuntimeException, Py4JJavaError), match="duplicate winning seq"):
+        cdc_replay(base, dup, ["k"]).collect()
+
+    # duplicates BELOW the winner are harmless history: collapse keeps
+    # the unique top seq and replays deterministically
+    ok = spark.createDataFrame(
+        [(1, 1, "upsert", "x"), (1, 1, "upsert", "y"), (2, 1, "upsert", "z")],
+        "seq INT, k INT, op STRING, v STRING",
+    )
+    got = {(r.k, r.v) for r in cdc_replay(base, ok, ["k"]).collect()}
+    assert got == {(1, "z")}

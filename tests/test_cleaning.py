@@ -191,3 +191,31 @@ def test_priority_sample_determinism_and_weight_semantics(spark):
     # (its priority_key is ~10^9 smaller than any unit-weight row's)
     assert 1 in ids
     assert [r.sample_rank for r in sorted(a, key=lambda r: r.sample_rank)] == [1, 2, 3, 4, 5]
+
+
+def test_priority_sample_fractional_weights_floor_semantics(spark):
+    """ADVICE r8 regression: fractional weights are FLOORED before the
+    integer sort key. Weights in (0, 1) floor to 0 and are EXCLUDED —
+    before the fix they truncated to a zero divisor, `h div 0` yielded
+    NULL, and NULLS-FIRST ordering silently handed those rows every
+    sample slot. Fractional weights > 1 participate as floor(w)."""
+    import hashlib
+
+    from employee_data_management_system_data_engineering_solution_spark.operators.cleaning import priority_sample
+
+    rows = [(1, 0.25), (2, 0.999), (3, 2.7), (4, 1.0)] + [
+        (float(i), 5.5) for i in range(5, 15)
+    ]
+    rows = [(int(i), w) for i, w in rows]
+    df = spark.createDataFrame(rows, "id LONG, wt DOUBLE")
+    got = priority_sample(df, ["id"], "wt", k=6, seed="frac-v1").collect()
+    ids = {r.id for r in got}
+    assert ids.isdisjoint({1, 2})              # sub-unit weights excluded
+    assert len(got) == 6 and all(r.priority_key is not None for r in got)
+
+    def prio(i, w):
+        h = int(hashlib.md5(f"{i}:frac-v1".encode()).hexdigest()[:15], 16)
+        return h // int(w)                     # floor(w) as the divisor
+
+    ref = sorted((prio(i, w), i) for i, w in rows if int(w) >= 1)[:6]
+    assert [(r.priority_key, r.id) for r in sorted(got, key=lambda r: r.sample_rank)] == ref
