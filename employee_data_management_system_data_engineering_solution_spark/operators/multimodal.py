@@ -124,3 +124,136 @@ def decode_features(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(_decode, _DECODE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash near-duplicate detection (X141)
+# ---------------------------------------------------------------------------
+
+PHASH_BITS = 64
+
+
+def phash_signature_py(payload: bytes, nblocks: int = 65) -> list[int]:
+    """Pure-Python difference-hash (dHash) of a media payload,
+    returned as band integers.
+
+    Real deployment: decode the image, resize to a (nblocks)×1
+    grayscale strip, compare adjacent pixel means — near-identical
+    images (recompression, small edits) land within a few Hamming
+    bits. Container stand-in (no media libs): the "pixel stream" is
+    the UTF-8 code-point sequence of the payload, split into
+    ``nblocks`` contiguous blocks; bit b = 1 iff block b's mean code
+    exceeds block b+1's. The mean comparison is the exact integer
+    cross-multiplication ``sum_b · len_{b+1} > sum_{b+1} · len_b`` —
+    no float anywhere, so the signature is bit-identical across
+    engines and a SQL oracle can replay it. A one-character edit
+    perturbs one block sum and flips at most its two adjacent bits:
+    the perceptual property (locality) is real even though the decode
+    is stubbed.
+
+    The 64 bits are packed into ``PHASH_NBANDS`` equal band integers
+    (MSB-first within a band) — the banding IS the LSH: by pigeonhole,
+    two signatures within Hamming distance d share at least one of
+    d+1 bands, so ``nbands`` bands give exact recall for d < nbands.
+    """
+    text = (bytes(payload) if payload is not None else b"").decode(
+        "utf-8", errors="replace"
+    )
+    codes = [ord(c) for c in text]
+    n = len(codes)
+    sums, lens = [], []
+    for b in range(nblocks):
+        lo = (b * n) // nblocks
+        hi = ((b + 1) * n) // nblocks
+        sums.append(sum(codes[lo:hi]))
+        lens.append(hi - lo)
+    return [
+        1 if sums[b] * lens[b + 1] > sums[b + 1] * lens[b] else 0
+        for b in range(nblocks - 1)
+    ]
+
+
+def _pack_bands(bits: list[int], nbands: int) -> list[int]:
+    width = len(bits) // nbands
+    return [
+        sum(bit << (width - 1 - i) for i, bit in enumerate(bits[j * width:(j + 1) * width]))
+        for j in range(nbands)
+    ]
+
+
+def phash_signatures(df: DataFrame, *, nbands: int = 8) -> DataFrame:
+    """Arrow-batched perceptual-hash signatures over a binary column:
+    (doc_id, payload) → (doc_id, bands array<int>), ``nbands`` band
+    integers of 64/nbands bits each. A narrow map — no shuffle; a real
+    image decoder replaces :func:`phash_signature_py`'s byte→pixel
+    step only, the Spark plumbing stays identical.
+
+    Band-width trade (the scale knob): more bands ⇒ exact recall up to
+    a larger Hamming radius (d < nbands) but coarser band values ⇒
+    bigger candidate buckets. 8 bands of 8 bits suit ~10⁶-row corpora;
+    at larger scale drop to 4×16 (d ≤ 3) or band PAIRS to keep bucket
+    sizes bounded, same machinery."""
+    if PHASH_BITS % nbands:
+        raise ValueError(f"nbands must divide {PHASH_BITS}")
+
+    def _sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "bands": [
+                        _pack_bands(phash_signature_py(p), nbands)
+                        for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        _sig, "doc_id long, bands array<int>"
+    )
+
+
+def phash_neardup_pairs(sig: DataFrame, *, max_dist: int = 6) -> DataFrame:
+    """Near-duplicate pairs from banded perceptual-hash signatures:
+    candidates are generated by an EQUI-JOIN on (band_idx, band_val)
+    — never an all-pairs comparison — then verified with the exact
+    Hamming distance (popcount over per-band XOR) and filtered to
+    ``max_dist``. Output: (id_a, id_b, hamming), id_a < id_b.
+
+    Scale: candidate volume is bounded by Σ bucket² over band-value
+    buckets, the same skew profile as the MinHash/SimHash banders in
+    ``operators/dedup`` (hub fallback applies there when a bucket
+    degenerates); the verify join ships only the 8-int signatures.
+    Exact recall for d < nbands by pigeonhole; beyond that the banding
+    is approximate like any LSH."""
+    e = sig.select(
+        "doc_id", F.posexplode("bands").alias("band_idx", "band_val")
+    )
+    cand = (
+        e.alias("a")
+        .join(
+            e.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("id_a"), F.col("bands").alias("__ba"))
+    sb = sig.select(F.col("doc_id").alias("id_b"), F.col("bands").alias("__bb"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "hamming",
+            F.expr(
+                "aggregate(zip_with(__ba, __bb, (x, y) -> bit_count(x ^ y)), "
+                "0, (acc, v) -> acc + CAST(v AS INT))"
+            ),
+        )
+        .filter(F.col("hamming") <= max_dist)
+        .select("id_a", "id_b", "hamming")
+    )

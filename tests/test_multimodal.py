@@ -62,3 +62,60 @@ def test_frame_sample_every_n(spark):
 def test_decode_image_stub_is_an_explicit_stub():
     with pytest.raises(NotImplementedError):
         decode_image_stub(b"\x89PNG")
+
+
+def test_phash_detects_perturbed_duplicates(spark):
+    """A one-character edit stays within Hamming 2 of the original;
+    unrelated random-word payloads sit far apart — the banded pair
+    search recovers exactly the planted pairs."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from employee_data_management_system_data_engineering_solution_spark.operators.multimodal import (
+        phash_neardup_pairs,
+        phash_signatures,
+    )
+
+    random.seed(7)
+    words = ["alpha", "beta", "gamma", "delta", "omega", "sigma", "kappa", "zeta"]
+    docs = [(i, " ".join(random.choice(words) for _ in range(30))) for i in range(20)]
+    pert = [(i + 1000, t[:7] + "Q" + t[8:]) for i, t in docs]
+    df = spark.createDataFrame(docs + pert, "doc_id LONG, text STRING")
+    payloads = df.select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    sig = phash_signatures(payloads, nbands=8)
+    pairs = {(r.id_a, r.id_b): r.hamming for r in phash_neardup_pairs(sig, max_dist=6).collect()}
+    # every planted pair recovered, within the measured edit radius
+    for i, _ in docs:
+        assert (i, i + 1000) in pairs and pairs[(i, i + 1000)] <= 2
+    # nothing else admitted: unrelated docs are ≥ 8 bits apart here
+    assert set(pairs) == {(i, i + 1000) for i, _ in docs}
+
+
+def test_phash_signature_python_reference_and_pigeonhole(spark):
+    """The Spark signature equals the pure-Python dHash reference, and
+    the banding honors the pigeonhole guarantee: any pair the exact
+    Hamming distance puts within d < nbands shares ≥ 1 band."""
+    from pyspark.sql import functions as F
+
+    from employee_data_management_system_data_engineering_solution_spark.operators.multimodal import (
+        _pack_bands,
+        phash_signature_py,
+        phash_signatures,
+    )
+
+    texts = ["the quick brown fox jumps over the lazy dog", "pack my box with five dozen jugs"]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id LONG, text STRING")
+    payloads = df.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    got = {r.doc_id: list(r.bands) for r in phash_signatures(payloads, nbands=8).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == _pack_bands(phash_signature_py(t.encode()), 8)
+    a, b = (phash_signature_py(t.encode()) for t in texts)
+    d = sum(x != y for x, y in zip(a, b))
+    if d < 8:
+        shared = sum(
+            _pack_bands(a, 8)[j] == _pack_bands(b, 8)[j] for j in range(8)
+        )
+        assert shared >= 1
