@@ -2596,6 +2596,131 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# BM25 scored retrieval (X142)
+# ---------------------------------------------------------------------------
+@register(
+    "bm25_topk",
+    # Same tokenizer fragments as tfidf_top_terms; the per-term weight
+    # is the exact integer rational 22·S·tf / (10·S·tf + 3·S + 9·dl·N)
+    # (k1=1.2, b=0.75 cross-multiplied away), idf is the Lucene
+    # ln(1 + (N − df + ½)/(df + ½)); scores round to 4 dp BEFORE the
+    # rank window (the lm_doc_score libm discipline).
+    r"""
+    WITH w AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2),
+    dl AS (SELECT doc_id, count(*) AS dl FROM w GROUP BY 1),
+    stats AS (SELECT sum(dl) AS s, count(*) AS n FROM dl),
+    dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM w GROUP BY term),
+    q AS (
+      SELECT DISTINCT doc_id AS query_id,
+             unnest(regexp_split_to_array(
+               trim(substr(lower(trim(text)), 1, 40)), '\s+')) AS term
+      FROM documents
+      WHERE doc_id % 100 = 0 AND length(trim(text)) > 0
+    ),
+    scored AS (
+      SELECT q.query_id, tf.doc_id,
+             round(sum(
+               ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * (CAST(22 * stats.s * tf.tf AS DOUBLE)
+                  / CAST(10 * stats.s * tf.tf + 3 * stats.s + 9 * dl.dl * stats.n AS DOUBLE))
+             ), 4) AS bm25
+      FROM q
+      JOIN tf ON tf.term = q.term
+      JOIN dfreq ON dfreq.term = q.term
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats
+      GROUP BY q.query_id, tf.doc_id
+    )
+    SELECT query_id, doc_id, bm25, CAST(rnk AS INT) AS rank
+    FROM (
+      SELECT query_id, doc_id, bm25,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY bm25 DESC, doc_id ASC) AS rnk
+      FROM scored
+    ) WHERE rnk <= 5
+    """,
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X142: BM25 top-k retrieval — the standard lexical scorer for
+    contamination checking and hard-example retrieval, completing the
+    retrieval story ``tfidf_top_terms`` starts. Queries are the
+    leading 40 characters of every 100th document (so each query's own
+    source doc is the expected top hit); scoring is Okapi BM25 with
+    the Lucene idf, k1 = 1.2, b = 0.75 pinned.
+
+    Float discipline: the tf-saturation factor is evaluated as ONE
+    double division of two exact BIGINT polynomials — k1/b are
+    rationals, so tf + k1·(1 − b + b·dl/avgdl) cross-multiplies to
+    (10·S·tf + 3·S + 9·dl·N)/(10·S) with S = Σdl, N = #docs, and the
+    (k1+1)·tf numerator to 22·S·tf (valid while S·tf < 9·10¹⁷ — at
+    larger corpus token counts drop to plain double arithmetic); only
+    the idf logs and the final sum are inexact, and the score rounds
+    to 4 dp on both engines BEFORE the rank window so libm ulps can
+    flip neither hash nor ranking.
+
+    Scale shape: tf/df/dl are the same partial-agg shuffles every
+    retrieval index build needs (occurrence → vocabulary cardinality);
+    the query side is tiny and broadcasts into the term join; the
+    (S, N) scalars ride one broadcast cross join; per-query ranking
+    partitions by query_id. No all-pairs anything: cost is keyed by
+    matched postings, exactly an inverted-index probe."""
+    docs = read_table(spark, sf_dir, "documents")
+    live = docs.filter(F.length(F.trim("text")) > 0)
+    w = live.select(
+        "doc_id", F.explode(tx.words(F.lower(F.col("text")))).alias("term")
+    )
+    tf = w.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = w.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(F.sum("dl").alias("s"), F.count(F.lit(1)).alias("n"))
+    dfreq = w.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    q = (
+        live.filter(F.col("doc_id") % 100 == 0)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(
+                tx.words(F.substring(F.lower(F.trim(F.col("text"))), 1, 40))
+            ).alias("term"),
+        )
+        .distinct()
+    )
+    idf = F.log(
+        F.lit(1)
+        + (F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    sat = (F.lit(22) * F.col("s") * F.col("tf")).cast("double") / (
+        F.lit(10) * F.col("s") * F.col("tf")
+        + F.lit(3) * F.col("s")
+        + F.lit(9) * F.col("dl") * F.col("n")
+    ).cast("double")
+    scored = (
+        F.broadcast(q)
+        .join(tf, "term")
+        .join(dfreq, "term")
+        .join(
+            dl.withColumnRenamed("doc_id", "__dldoc"),
+            F.col("doc_id") == F.col("__dldoc"),
+        )
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum(idf * sat), 4).alias("bm25"))
+    )
+    rnk = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(
+            F.col("bm25").desc(), F.col("doc_id").asc()
+        )
+    )
+    return (
+        scored.withColumn("rank", rnk)
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "doc_id", "bm25", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Bigram collocations (PMI) — phrase mining for tokenizer/vocab prep
 # ---------------------------------------------------------------------------
 @register(

@@ -133,3 +133,59 @@ def test_lm_doc_score_matches_hand_model(spark):
         }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_bm25_matches_pure_python_reference(spark):
+    """BM25 top-5 for every query equals an independent pure-Python
+    computation over the same corpus (Lucene idf, k1=1.2, b=0.75,
+    4-dp rounding), and the scoring pipeline stays JVM-side."""
+    import contextlib
+    import io
+    import math
+    from collections import Counter
+
+    import pandas as pd
+
+    from employee_data_management_system_data_engineering_solution_spark.plans.registry import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    df = REGISTRY["bm25_topk"].fn(spark, sf)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    assert "Python" not in buf.getvalue()
+    got = {
+        (r.query_id, r.rank): (r.doc_id, r.bm25) for r in df.collect()
+    }
+
+    docs = pd.read_parquet(f"{sf}/documents.parquet")
+    toks = {
+        int(r.doc_id): r.text.strip().lower().split()
+        for r in docs.itertuples()
+        if r.text.strip()
+    }
+    N = len(toks)
+    S = sum(len(t) for t in toks.values())
+    dfreq = Counter()
+    for t in toks.values():
+        dfreq.update(set(t))
+    expected = {}
+    for qid in sorted(toks):
+        if qid % 100:
+            continue
+        qterms = set(docs.set_index("doc_id").loc[qid, "text"].strip().lower()[:40].strip().split())
+        scored = []
+        for d, t in toks.items():
+            tf = Counter(t)
+            s = 0.0
+            for term in qterms:
+                if term not in tf:
+                    continue
+                idf = math.log(1 + (N - dfreq[term] + 0.5) / (dfreq[term] + 0.5))
+                s += idf * ((22 * S * tf[term]) / (10 * S * tf[term] + 3 * S + 9 * len(t) * N))
+            if s:
+                scored.append((round(s, 4), d))
+        scored.sort(key=lambda x: (-x[0], x[1]))
+        for rk, (sc, d) in enumerate(scored[:5], 1):
+            expected[(qid, rk)] = (d, sc)
+    assert got == expected
