@@ -293,3 +293,53 @@ def fd_violations(df: DataFrame, lhs: list[str], rhs: str, fd_name: str) -> Data
         ).alias("violation_rate"),
         F.max("nv").alias("max_distinct_rhs"),
     )
+
+
+def logistic_gate(
+    df: DataFrame,
+    weights: dict[str, float],
+    *,
+    intercept: float,
+) -> DataFrame:
+    """Broadcast-weights logistic scorer — the deployment shape of
+    every learned quality filter: an offline fit produces a weight
+    vector; serving is a ONE-ROW broadcast table cross-joined onto the
+    corpus and a linear expression, so a re-fit swaps the row while
+    the plan (and a running pipeline) stays identical. ``weights``
+    maps existing feature COLUMNS of ``df`` to coefficients; insertion
+    order fixes the summation order.
+
+    Adds three columns: ``logit`` (w·x + b), ``prob``
+    (σ(logit) = 1/(1+exp(−logit))), ``admitted`` (logit ≥ 0).
+
+    Float discipline: the features and weights are plain doubles and
+    the dot product is a fixed-order chain of IEEE multiply/adds — no
+    libm — so ``logit`` and therefore the ADMISSION DECISION are
+    bit-identical across engines and cluster layouts; only ``prob``
+    touches exp(), so callers round it (6 dp) before hashing. The
+    decision threshold prob ≥ ½ is evaluated as logit ≥ 0 — the same
+    predicate, exactly.
+
+    Scale: the weight row broadcasts (one row); scoring is a narrow
+    projection inside whole-stage codegen — no shuffle, no Python."""
+    fields = list(weights)
+    spark = df.sparkSession
+    # spark.range(1).select(lits) keeps the weight row JVM-side — a
+    # createDataFrame([...]) would plan as a Python-backed ExistingRDD.
+    wdf = spark.range(1).select(
+        F.lit(float(intercept)).cast("double").alias("__b"),
+        *[
+            F.lit(float(weights[c])).cast("double").alias(f"__w_{i}")
+            for i, c in enumerate(fields)
+        ],
+    )
+    z = F.col("__b")
+    for i, c in enumerate(fields):
+        z = z + F.col(f"__w_{i}") * F.col(c)
+    return (
+        df.crossJoin(F.broadcast(wdf))
+        .withColumn("logit", z)
+        .withColumn("prob", F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("logit"))))
+        .withColumn("admitted", F.col("logit") >= 0)
+        .drop("__b", *[f"__w_{i}" for i in range(len(fields))])
+    )

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as tx
-from ..operators import dedup, multimodal, similarity
+from ..operators import dedup, multimodal, quality, similarity
 from ..operators.graph import connected_components
 from ..sources.io import read_table
 from ..streaming.strikes import run_strike_stream
@@ -99,6 +99,89 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         tx.word_count(t).alias("n_words"),
         tx.quality_score(t).alias("quality"),
+    )
+
+
+@register(
+    "quality_gate_logistic",
+    # Weight row mirrored as a VALUES cross join; the dot product is
+    # the same fixed-order IEEE chain on both engines, so `admitted`
+    # (logit >= 0) is exact; only prob touches exp() and rounds.
+    r"""
+    WITH stats AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE length(regexp_split_to_array(trim(text), '\s+')) END AS wc,
+             length(regexp_extract_all(lower(text),
+               '\b(the|and|of|to|in|is|that|with|for|was)\b')) AS hits,
+             length(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS np,
+             length(text) AS nc,
+             length(regexp_replace(text, '\s+', '', 'g')) AS nsp
+      FROM documents
+    ),
+    w AS (SELECT -2.2 AS b0, 8.0 AS w1, -6.0 AS w2, 0.25 AS w3, 1.5 AS w4),
+    f AS (
+      SELECT doc_id,
+             hits / greatest(wc, 1) AS f1,
+             np / greatest(nc, 1) AS f2,
+             nsp / greatest(wc, 1) AS f3,
+             least(wc / 100.0, 1.0) AS f4
+      FROM stats
+    ),
+    z AS (
+      SELECT doc_id, b0 + w1 * f1 + w2 * f2 + w3 * f3 + w4 * f4 AS logit
+      FROM f CROSS JOIN w
+    )
+    SELECT doc_id,
+           round(logit, 6) + 0.0 AS logit,
+           round(1 / (1 + exp(-logit)), 6) AS prob,
+           logit >= 0 AS admitted
+    FROM z
+    """,
+)
+def quality_gate_logistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X143: model-inference admission gate — a logistic quality
+    scorer with broadcast weights over the heuristic text features
+    (stopword rate, punctuation rate, mean word length, length
+    saturation), the deployment shape of every LEARNED quality filter
+    (fastText/logreg classifiers in web-corpus curation): offline fit
+    → weight vector → pure-arithmetic serving inside the ingest
+    pipeline. Weights here are a pinned offline fit (intercept −2.2
+    splits this corpus ≈ 50/50); a production re-fit swaps the
+    broadcast row only (``operators/quality.logistic_gate``).
+
+    Correctness/scale: all four features are exact-integer ratios, the
+    dot product is a fixed-order IEEE chain (no libm), so the
+    admission decision (logit ≥ 0 ⟺ prob ≥ ½) hashes exactly; prob
+    rounds at 6 dp for the exp() ulp. Scoring is a narrow codegen'd
+    projection — no shuffle, no Python eval node (plan-pinned)."""
+    docs = read_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    wc = tx.word_count(t)
+    feats = docs.select(
+        "doc_id",
+        (tx.stopword_hits(t) / F.greatest(wc, F.lit(1))).alias("f1"),
+        (
+            F.size(F.regexp_extract_all(t, F.lit(r"[^A-Za-z0-9\s]"), 0))
+            / F.greatest(F.length(t), F.lit(1))
+        ).alias("f2"),
+        (
+            F.length(F.regexp_replace(t, r"\s+", "")) / F.greatest(wc, F.lit(1))
+        ).alias("f3"),
+        F.least(wc / F.lit(100.0), F.lit(1.0)).alias("f4"),
+    )
+    gated = quality.logistic_gate(
+        feats,
+        {"f1": 8.0, "f2": -6.0, "f3": 0.25, "f4": 1.5},
+        intercept=-2.2,
+    )
+    # + 0.0 canonicalizes IEEE −0.0 (a just-below-zero logit rounds to
+    # −0.0 in DuckDB, 0.0 in Spark; repr-hashing tells them apart)
+    return gated.select(
+        "doc_id",
+        (F.round("logit", 6) + F.lit(0.0)).alias("logit"),
+        F.round("prob", 6).alias("prob"),
+        "admitted",
     )
 
 

@@ -306,3 +306,33 @@ def test_column_entropy_matches_math_reference(spark, tmp_path):
     assert abs(tri.norm_entropy - round(want / math.log(3), 4)) < 1e-9
     uniq = got["o_custkey"]
     assert uniq.n_distinct == 40 and abs(uniq.norm_entropy - 1.0) < 1e-9
+
+
+def test_logistic_gate_matches_reference_and_stays_jvm_side(spark):
+    """Gate scores equal a pure-Python fixed-order dot product +
+    sigmoid; the admission decision is logit >= 0; the plan has no
+    Python eval node (broadcast weights + codegen arithmetic only)."""
+    import contextlib
+    import io
+    import math
+
+    from employee_data_management_system_data_engineering_solution_spark.operators.quality import logistic_gate
+
+    rows = [(1, 0.1, 2.0), (2, 0.0, 0.0), (3, -0.5, 4.0), (4, 0.3, -1.0)]
+    df = spark.createDataFrame(rows, "id LONG, a DOUBLE, b DOUBLE")
+    out = logistic_gate(df, {"a": 2.0, "b": -0.5}, intercept=0.25)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain(mode="formatted")
+    # The test INPUT is a createDataFrame (Python-backed ExistingRDD);
+    # the gate itself must add no Python eval node and must broadcast
+    # the weight row.
+    plan = buf.getvalue()
+    assert "EvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    got = {r.id: r for r in out.collect()}
+    for i, a, b in rows:
+        z = 0.25 + 2.0 * a + -0.5 * b
+        assert got[i].logit == z
+        assert got[i].prob == 1.0 / (1.0 + math.exp(-z))
+        assert got[i].admitted == (z >= 0)
