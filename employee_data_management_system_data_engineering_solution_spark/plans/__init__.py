@@ -49,168 +49,114 @@ from .registry import REGISTRY, register
 # exempt). driver_green_rounds()/never_green() below are the audit's
 # data source.
 #
-# Round 8 rotation. Every oracle-bearing query has held a driver
-# hash-green verdict through r7, so this window serves the same two
-# purposes as r7's:
-#   IN (never green — new in r8, all with full hash oracles):
-#       incremental_agg_refresh_minmax (X116 dirty-group recompute for
-#       non-invertible aggregates), frequent_shingles (X117 Misra-Gries
-#       + exact rescore heavy hitters), purchase_error_overlap (X118
-#       keyed interval-overlap join), cdc_log_replay (X119 ordered CDC
-#       replay with tombstones/resurrection), user_path_topk (X120
-#       opening-path mining), value_outliers_mad (X121 median/MAD
-#       robust outliers), snapshot_vacuum (X122 version-retention
-#       vacuum through the fs seam), strike_stream_from_wire (the
-#       X105 wire topology as a driver query, carrying the stateful
-#       stream's closed-form oracle), neardup_admission (X123
-#       incremental batch-vs-corpus dedup admission), and
-#       feature_drift_psi (X124 PSI distribution-drift gate). The two
-#       mid-round additions (cluster_safe_split — X125 leakage-safe
-#       cluster-aware split; weighted_sample_topk — X126 deterministic
-#       priority sampling; brand_price_regression — X127 grouped OLS
-#       from exact sums; feature_woe_iv — X128 WOE/IV feature gate;
-#       fd_violation_report — X129 declared-FD audit;
-#       rolling_user_features — X130 trailing-window features;
-#       lineitem_corr_matrix — X131 one-pass correlation matrix;
-#       calendar_completeness_report — X132 missing-day audit;
-#       benford_digit_audit — X133 first-digit audit;
-#       weighted_median_by_flag — X134 exact weighted median;
-#       part_covisitation_topk — X135 market-basket pair mining;
-#       revenue_cusum_shift — X136 float-free CUSUM changepoint;
-#       salted_revenue_join — X137 skew-mitigated join whose oracle IS
-#       the plain join; hard_negative_mining — X138 cross-label
-#       contrastive negatives; k_anonymity_report — X139
-#       quasi-identifier disclosure audit; column_entropy_profile —
-#       X140 distribution-informativeness profile) each
-#       displace one multiply-covered r5 re-confirmation slot instead
-#       (ivf_topk, kmeans_ivf_assign, minhash_lsh_groups,
-#       repeated_passages, embedding_neardup_pairs,
-#       forward_fill_values, dedup_keep_best, tfidf_top_terms,
-#       train_test_split, event_sessions, hyperplane_lsh_groups,
-#       price_decile_stats, exact_dedup, embedding_topk,
-#       benchmark_contamination, snapshot_diff_orders out;
-#       exact dedup carried by dedup_last_write_wins + the fuzzy
-#       stack, embedding-ANN by ann_recall_report +
-#       hard_negative_mining, contamination/text by text_stats +
-#       doc_fingerprint + frequent_shingles + corpus_curation_pipeline,
-#       CDC diff by cdc_log_replay + incremental_agg_refresh_minmax +
-#       snapshot_vacuum + scd2_merge,
-#       ANN-LSH carried by ann_recall_report's 6-method sweep,
-#       order statistics by weighted_median_by_flag +
-#       value_outliers_mad,
-#       split family carried by cluster_safe_split, sequences by
-#       user_path_topk,
-#       W1 keep-best carried by dedup_last_write_wins + exact_dedup,
-#       ANN stays carried by
-#       ann_recall_report + embedding_topk + hyperplane_lsh_groups,
-#       LSH-dedup by ngram_jaccard_pairs + dedup_clusters_star +
-#       neardup_admission + cluster_safe_split, text by text_stats +
-#       doc_fingerprint + tfidf_top_terms + frequent_shingles +
-#       corpus_curation_pipeline, temporal fill/windows by
-#       rolling_user_features + event_sessions; displaced
-#       names join the r9 queue). The
-#       two late additions take supplier_pagerank's and
-#       funnel_conversion_report's anchor slots — graph machinery
-#       stays carried in-window by dedup_clusters_star (CC over
-#       verified pairs) and sequence analytics by user_path_topk +
-#       event_sessions; both displaced anchors are r6/r7-green and
-#       guarded by the committed full local run.
-#   IN (re-confirmation — the stalest cohorts the r7 narrative
-#       promised this round): the 6 r2-green deferrals
-#       (customers_with_urgent_orders, doc_fingerprint,
-#       longest_leave_streak, salary_change_deltas, text_stats,
-#       union_entities), the 3 r4-green deferrals
-#       (dedup_last_write_wins, json_lines_roundtrip, orc_roundtrip),
-#       and the full 24-query r5-green cohort (benchmark_contamination
-#       ... train_test_split).
-#   KEPT (family anchors so displaced families keep an in-window
-#       carrier): daily_pipeline (S1-S6 + K1-K4), scd2_merge (J1;
-#       keyed_upsert's K6 MERGE machinery is carried in-window by the
-#       strictly-more-general cdc_log_replay), ann_recall_report
-#       (exact + all 6 ANN methods over the shared index — it now pays
-#       the index build in bench since ann_rank_quality rides the
-#       tail), staging_promote_roundtrip (K5), supplier_pagerank
-#       (graph ranking; CC carried by dedup_clusters_star in the r5
-#       cohort), funnel_conversion_report (temporal analytics), and
-#       three r6-stale streaming topologies (strike_window_counts
-#       watermark/tumbling windows, stream_static_enrich dim lookup +
-#       stateful agg, stream_purchase_view_join inner stream-stream
-#       join) complementing the new wire carrier.
-#   OUT (rotated to the tail; every one r7 driver-green and guarded by
-#       the committed full local run): the 13 r7 newcomers
-#       (checkpoint restarts, stream_left_join_events,
-#       compact_parquet_roundtrip, incremental_agg_refresh,
-#       constraint_quarantine, ann_rank_quality,
-#       value_winsorized_stats, supplier_communities,
-#       join_key_skew_report, multi_touch_attribution,
-#       snapshot_time_travel, event_transitions), keyed_upsert,
-#       neardup_prune, purchase_asof_view (as-of family carried by
-#       purchase_error_overlap + forward_fill_values machinery),
-#       stream_dedup_counts / session_window_counts /
-#       streaming_upsert_dim (streaming dedup, session windows, and
-#       foreachBatch upsert — r7 green; the four in-window streaming
-#       carriers cover the wire/stateful, windowed, stream-static, and
-#       stream-stream families), and the whole r2-r4 re-confirmation
-#       block that went green again in r7 (binary_metadata ...
-#       pct_of_quota).
+# Round 9 rotation. Cumulatively every oracle-bearing query has held a
+# driver hash-green verdict (r1-r8), so this window is almost entirely
+# the STALE-RECONFIRMATION round the r8 verdict asked for: at 50 slots
+# per round, the 53-query r5/r6-green cohort no longer fits alongside
+# newcomers, so r9 takes the 16 r5-green queries (stalest first) plus
+# the r6-green block minus a deferral tail, and r10 takes the rest.
+#   IN (never green — new in r9, full hash oracles):
+#       phash_neardup_pairs (X141 perceptual dHash near-dup over binary
+#       payloads through the Arrow decode seam), bm25_topk (X142 Okapi
+#       BM25 scored retrieval, exact-rational tf saturation),
+#       quality_gate_logistic (X143 broadcast-weights logistic
+#       admission gate), plus every later r9 addition — each new entry
+#       displaces one query from the DEFERRAL TAIL below.
+#   IN (re-confirmation — the whole r5-green cohort, stalest first):
+#       benchmark_contamination ... train_test_split (16).
+#   IN (re-confirmation — the r6-green block, minus the deferral
+#       tail): strike_stream_stateful leads per the r8 verdict's
+#       explicit ask (last green r6, the only applyInPandasWithState
+#       carrier); upcoming_leave_pct carries the reference core
+#       (S5/S6/A2/J3/P10-P13); supplier_pagerank and
+#       funnel_conversion_report return after yielding their r8
+#       anchor slots.
+#   DEFERRAL TAIL (r10 queue, displaced bottom-up as r9 newcomers
+#       land): the six PQ/IVF quantization variants
+#       (embedding_quantize, ivf_topk_multiprobe, pq_adc_search,
+#       pq_ivf_search, quantized_ivf_topk, quantized_topk_rescore) —
+#       the ANN family keeps nine in-window carriers (ivf_topk,
+#       kmeans_ivf_assign, embedding_topk, hyperplane_lsh_groups,
+#       minhash_lsh_groups, embedding_neardup_pairs,
+#       phash_neardup_pairs, ann machinery in benchmark_contamination,
+#       hard negatives via the r8-green tail) — then the LLM-text
+#       block (lm_doc_score, boilerplate_scrub_stats,
+#       bigram_collocations, context_pack_bins, cluster_topic_terms)
+#       whose family is carried by tfidf_top_terms, bm25_topk,
+#       repeated_passages, and benchmark_contamination in-window.
+#   OUT (rotated to the tail; every one r7/r8 driver-green and guarded
+#       by the committed full local runs): all 26 r8 newcomers
+#       (X116-X140), the r8 family anchors (daily_pipeline, scd2_merge,
+#       ann_recall_report, staging_promote_roundtrip, the three
+#       streaming topologies — the streaming family keeps
+#       strike_stream_stateful in-window), and the r2/r4 deferral
+#       blocks that re-greened in r8 (customers_with_urgent_orders ...
+#       orc_roundtrip). Family coverage inside the window is carried
+#       by the stale cohort itself: sources/sinks by format_roundtrips
+#       + schema_evolution_read + upcoming_leave_pct, joins by
+#       bloom_pruned_join + bucketed_colocated_join + fuzzy_name_pairs,
+#       dedup/window by exact_dedup + dedup_keep_best, temporal by
+#       funnel_conversion_report + event_sessions +
+#       hourly_interpolated_series + weekly_cohort_retention, graph by
+#       supplier_pagerank + supplier_triangles, maintenance by
+#       zorder_layout_stats + snapshot_diff_orders.
 # ---------------------------------------------------------------------------
 _PRIORITY: tuple[str, ...] = (
-    # new in r8: never driver-checked
-    "incremental_agg_refresh_minmax",
-    "frequent_shingles",
-    "purchase_error_overlap",
-    "cdc_log_replay",
-    "user_path_topk",
-    "value_outliers_mad",
-    "snapshot_vacuum",
-    "strike_stream_from_wire",
-    # family anchors
-    "neardup_admission",
-    "feature_drift_psi",
-    "cluster_safe_split",
-    "weighted_sample_topk",
-    "brand_price_regression",
-    "feature_woe_iv",
-    "fd_violation_report",
-    "rolling_user_features",
-    "lineitem_corr_matrix",
-    "calendar_completeness_report",
-    "benford_digit_audit",
-    "weighted_median_by_flag",
-    "part_covisitation_topk",
-    "revenue_cusum_shift",
-    "salted_revenue_join",
-    "hard_negative_mining",
-    "k_anonymity_report",
-    "column_entropy_profile",
-    # family anchors
-    "daily_pipeline",
-    "scd2_merge",
-    "ann_recall_report",
-    "staging_promote_roundtrip",
-    "strike_window_counts",
-    "stream_static_enrich",
-    "stream_purchase_view_join",
-    # re-confirmation: last driver green round 2
-    "customers_with_urgent_orders",
-    "doc_fingerprint",
-    "longest_leave_streak",
-    "salary_change_deltas",
-    "text_stats",
-    "union_entities",
-    # re-confirmation: last driver green round 4
-    "dedup_last_write_wins",
-    "json_lines_roundtrip",
-    "orc_roundtrip",
-    # re-confirmation: last driver green round 5
-    "corpus_curation_pipeline",
-    "dedup_clusters_star",
-    "doc_chunks",
-    "multimodal_profile",
-    "ngram_jaccard_pairs",
-    "partition_pruned_report",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
+    # new in r9: never driver-checked
+    "phash_neardup_pairs",
+    "bm25_topk",
+    "quality_gate_logistic",
+    # re-confirmation: last driver green round 5 (complete cohort)
+    "benchmark_contamination",
+    "dedup_keep_best",
+    "embedding_neardup_pairs",
+    "embedding_topk",
+    "event_sessions",
+    "exact_dedup",
+    "forward_fill_values",
+    "hyperplane_lsh_groups",
+    "ivf_topk",
+    "kmeans_ivf_assign",
+    "minhash_lsh_groups",
+    "price_decile_stats",
+    "repeated_passages",
+    "snapshot_diff_orders",
+    "tfidf_top_terms",
+    "train_test_split",
+    # re-confirmation: last driver green round 6 (minus deferral tail)
+    "strike_stream_stateful",
+    "upcoming_leave_pct",
+    "supplier_pagerank",
+    "funnel_conversion_report",
+    "column_profile",
+    "text_profile",
+    "balanced_strata_sample",
+    "bloom_pruned_join",
+    "bucketed_colocated_join",
+    "format_roundtrips",
+    "schema_evolution_read",
+    "events_in_error_windows",
+    "fuzzy_name_pairs",
+    "hourly_interpolated_series",
+    "multimodal_decode",
+    "pii_scrub",
+    "quality_weighted_sample",
+    "revenue_cube_report",
+    "simhash_hamming_pairs",
+    "strike_report_rlike",
+    "supplier_triangles",
+    "user_value_trend",
+    "value_outliers",
+    "weekly_cohort_retention",
+    "winnow_fingerprint_pairs",
+    "zorder_layout_stats",
+    # deferral tail: displaced bottom-up as r9 newcomers land; anything
+    # still here at round end re-confirms now, the rest queue for r10
+    "cluster_topic_terms",
+    "context_pack_bins",
+    "bigram_collocations",
+    "boilerplate_scrub_stats",
+    "lm_doc_score",
 )
 
 #: Queries whose driver check is rows-only BY CONTRACT (no SQL oracle

@@ -39,90 +39,50 @@ def test_check_window_covers_every_operator_family():
     elsewhere)."""
     window = list(queries())[:50]
     carriers = {
-        # Round-8 window (see the rotation narrative in
-        # plans/__init__.py): (a) the ten never-checked r8 operators,
-        # (b) the 33 stalest re-confirmation queries (the r2/r4
-        # deferrals the r7 narrative promised plus the whole r5-green
-        # cohort), and (c) nine family anchors so each displaced
-        # family keeps an in-window carrier.
+        # Round-9 window (see the rotation narrative in
+        # plans/__init__.py): (a) the r9 newcomers, never
+        # driver-checked; (b) the complete 16-query r5-green cohort;
+        # (c) the r6-green block minus the r10 deferral tail. No
+        # dedicated anchors this round — the stale cohort itself
+        # carries every operator family (sources/sinks via
+        # format_roundtrips + schema_evolution_read +
+        # upcoming_leave_pct, joins via bloom_pruned_join +
+        # bucketed_colocated_join + fuzzy_name_pairs, dedup/window via
+        # exact_dedup + dedup_keep_best, streaming via
+        # strike_stream_stateful — the r8 verdict's explicit anchor
+        # ask — temporal via funnel_conversion_report + event_sessions
+        # + hourly_interpolated_series + weekly_cohort_retention,
+        # graph via supplier_pagerank + supplier_triangles, ANN via
+        # the nine embedding carriers, maintenance via
+        # zorder_layout_stats + snapshot_diff_orders); everything
+        # rotated out is r7/r8 driver-green and guarded by the
+        # committed full local run.
         #
-        # new in r8 — never driver-checked, full hash oracles:
-        "incremental_agg_refresh_minmax", "frequent_shingles",
-        "purchase_error_overlap", "cdc_log_replay", "user_path_topk",
-        "value_outliers_mad", "snapshot_vacuum", "strike_stream_from_wire",
-        "neardup_admission", "feature_drift_psi",
-        # mid-round additions (never driver-checked): each displaces
-        # one multiply-covered r5 re-confirmation slot (the displaced
-        # names join the r9 re-confirmation queue):
-        # cluster_safe_split displaced ivf_topk (ANN family carried by
-        # ann_recall_report's 6-method sweep + embedding_topk +
-        # kmeans_ivf_assign + hyperplane_lsh_groups + the neardup pairs);
-        # weighted_sample_topk displaced kmeans_ivf_assign (same
-        # family); brand_price_regression displaced minhash_lsh_groups
-        # (LSH-dedup carried by ngram_jaccard_pairs +
-        # dedup_clusters_star + neardup_admission); feature_woe_iv
-        # displaced repeated_passages (text amply carried);
-        # fd_violation_report displaced embedding_neardup_pairs
-        # (embedding family carried by embedding_topk +
-        # ann_recall_report); rolling_user_features displaced
-        # forward_fill_values (temporal gap/window family carried by
-        # rolling_user_features itself + event_sessions);
-        # lineitem_corr_matrix displaced dedup_keep_best (W1 keep-best
-        # carried by dedup_last_write_wins + exact_dedup);
-        # calendar_completeness_report displaced tfidf_top_terms
-        # (text family amply carried); benford_digit_audit displaced
-        # train_test_split (split family carried by cluster_safe_split);
-        # weighted_median_by_flag displaced event_sessions (sequence
-        # family carried by user_path_topk); part_covisitation_topk
-        # displaced hyperplane_lsh_groups (ANN-LSH carried by
-        # ann_recall_report's 6-method sweep + embedding_topk);
-        # revenue_cusum_shift displaced price_decile_stats (order
-        # statistics carried by weighted_median_by_flag +
-        # value_outliers_mad); salted_revenue_join displaced exact_dedup
-        # (exact dedup carried by dedup_last_write_wins + the fuzzy
-        # stack); hard_negative_mining displaced embedding_topk (same
-        # brute-force cosine machinery + ann_recall_report's sweep);
-        # k_anonymity_report displaced benchmark_contamination (text/
-        # contamination carried by text_stats + doc_fingerprint +
-        # frequent_shingles + corpus_curation_pipeline);
-        # column_entropy_profile displaced snapshot_diff_orders (CDC
-        # diff carried by cdc_log_replay + incremental_agg_refresh_
-        # minmax + snapshot_vacuum + scd2_merge)
-        "cluster_safe_split", "weighted_sample_topk",
-        "brand_price_regression", "feature_woe_iv",
-        "fd_violation_report", "rolling_user_features",
-        "lineitem_corr_matrix", "calendar_completeness_report",
-        "benford_digit_audit", "weighted_median_by_flag",
-        "part_covisitation_topk", "revenue_cusum_shift",
-        "salted_revenue_join", "hard_negative_mining",
-        "k_anonymity_report", "column_entropy_profile",
-        # family anchors: composed pipeline + sinks, SCD-2 (K6 MERGE is
-        # carried by the strictly-more-general cdc_log_replay), the
-        # 6-method ANN report, K5 promotion, graph ranking, temporal
-        # analytics, and the three r6-stale streaming topologies that
-        # complement the new wire carrier (windowed agg, stream-static
-        # enrich, stream-stream inner join)
-        # (supplier_pagerank + funnel_conversion_report yielded their
-        # anchor slots to the two late r8 operators; graph stays
-        # carried by dedup_clusters_star, sequences by user_path_topk
-        # + event_sessions)
-        "daily_pipeline", "scd2_merge", "ann_recall_report",
-        "staging_promote_roundtrip", "strike_window_counts",
-        "stream_static_enrich", "stream_purchase_view_join",
-        # re-confirmation cohort: last driver green r2 (the r7
-        # deferrals)
-        "customers_with_urgent_orders", "doc_fingerprint",
-        "longest_leave_streak", "salary_change_deltas", "text_stats",
-        "union_entities",
-        # re-confirmation cohort: last driver green r4 (the r7
-        # deferrals)
-        "dedup_last_write_wins", "json_lines_roundtrip", "orc_roundtrip",
-        # re-confirmation cohort: last driver green r5 (complete)
-        "corpus_curation_pipeline",
-        "dedup_clusters_star", "doc_chunks",
-        "multimodal_profile", "ngram_jaccard_pairs",
-        "partition_pruned_report",
-        "q1_pricing_summary", "q3_shipping_priority",
+        # new in r9 — never driver-checked, full hash oracles:
+        "phash_neardup_pairs", "bm25_topk", "quality_gate_logistic",
+        # re-confirmation: last driver green r5 (complete)
+        "benchmark_contamination", "dedup_keep_best",
+        "embedding_neardup_pairs", "embedding_topk", "event_sessions",
+        "exact_dedup", "forward_fill_values", "hyperplane_lsh_groups",
+        "ivf_topk", "kmeans_ivf_assign", "minhash_lsh_groups",
+        "price_decile_stats", "repeated_passages",
+        "snapshot_diff_orders", "tfidf_top_terms", "train_test_split",
+        # re-confirmation: last driver green r6 (minus the deferral
+        # tail — the six PQ/IVF quantization variants and, as r9
+        # newcomers land, the LLM-text block; every deferred name is
+        # family-covered in-window and queues for r10)
+        "strike_stream_stateful", "upcoming_leave_pct",
+        "supplier_pagerank", "funnel_conversion_report",
+        "column_profile", "text_profile", "balanced_strata_sample",
+        "bloom_pruned_join", "bucketed_colocated_join",
+        "format_roundtrips", "schema_evolution_read",
+        "events_in_error_windows", "fuzzy_name_pairs",
+        "hourly_interpolated_series", "multimodal_decode", "pii_scrub",
+        "quality_weighted_sample", "revenue_cube_report",
+        "simhash_hamming_pairs", "strike_report_rlike",
+        "supplier_triangles", "user_value_trend", "value_outliers",
+        "weekly_cohort_retention", "winnow_fingerprint_pairs",
+        "zorder_layout_stats",
     }
     assert carriers <= set(window), sorted(carriers - set(window))
 
