@@ -1,0 +1,151 @@
+"""Model-evaluation reports: exact AUC, confusion metrics, calibration.
+
+The X143 logistic gate closes the loop on SERVING a learned quality
+filter; this module closes the loop on MEASURING one. Both operators
+are one-groupBy shapes whose heavy lifting happens on a report-sized
+aggregate, so they scale as (distinct rounded scores), not corpus
+rows.
+
+Float discipline (the repo-wide oracle-hash contract):
+
+- ``binary_auc`` is the Mann-Whitney rank-sum AUC with AVERAGE ranks
+  for ties — every intermediate is integer (counts, cumulative
+  counts, the doubled rank sum ``2·ΣR₊``), accumulated in
+  DECIMAL(38,0) so a 10^11-row corpus cannot overflow the 64-bit
+  range (2·ΣR₊ grows as n_pos·n ≈ 10^22; DuckDB mirrors with
+  HUGEINT). Exactly ONE double division produces the AUC, rounded
+  6 dp.
+- ``calibration_bins`` sums the 6-dp-rounded probabilities as
+  DECIMAL(10,6) (exact in both engines), so per-bin confidence is a
+  single double division of an exact decimal — no float summation
+  tree to diverge.
+
+There is no sklearn in the loop and none is needed: with ties handled
+by average ranks these ARE the textbook definitions, verified against
+a brute-force O(n²) pair count in tests/test_modeleval.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_D38 = "decimal(38,0)"
+
+
+def binary_auc(
+    df: DataFrame,
+    score: str = "score",
+    label: str = "label",
+    pred: str = "pred",
+) -> DataFrame:
+    """One-row binary-classifier evaluation: exact tied-rank AUC plus
+    the confusion matrix and derived metrics at the DEPLOYED decision
+    column ``pred`` (a boolean — e.g. the gate's ``admitted``, which
+    thresholds the unrounded logit, not the rounded score).
+
+    ``label`` must be 0/1 integer. AUC uses the Mann-Whitney identity
+    ``AUC = (2·ΣR₊ − n₊(n₊+1)) / (2·n₊·n₋)`` with average ranks for
+    tied scores; NULL when either class is empty. Ratio metrics are
+    exact rationals rounded 6 dp; NULL on zero denominators.
+
+    Plan shape: one groupBy (score, pred) → |distinct scores|·2 rows,
+    then two windows OVER THAT AGGREGATE (a RANGE cumulative frame and
+    a per-score partition — the unpartitioned window is bounded by
+    distinct-score cardinality, which callers bound by rounding the
+    score), then one final aggregate. The corpus is scanned once.
+    """
+    g = df.groupBy(score, pred).agg(
+        F.count("*").alias("n_r"), F.sum(label).alias("p_r")
+    )
+    w_cum = Window.orderBy(score).rangeBetween(Window.unboundedPreceding, 0)
+    w_tie = Window.partitionBy(score)
+    # cb = rows strictly below this score; n_s = full tied-group size.
+    # The RANGE frame includes ALL tie rows regardless of the (score,
+    # pred) sub-split, so ties are deterministic by construction.
+    g = (
+        g.withColumn("n_s", F.sum("n_r").over(w_tie))
+        .withColumn("cb", F.sum("n_r").over(w_cum) - F.col("n_s"))
+        .withColumn(
+            "r2",  # this sub-row's share of 2·ΣR₊
+            F.col("p_r").cast(_D38)
+            * (F.lit(2).cast(_D38) * F.col("cb") + F.col("n_s") + F.lit(1)),
+        )
+    )
+    t = g.agg(
+        F.sum("n_r").alias("n"),
+        F.sum("p_r").alias("n_pos"),
+        F.sum(F.col("r2")).alias("s2r"),
+        F.sum(F.when(F.col(pred), F.col("p_r")).otherwise(F.lit(0))).alias("tp"),
+        F.sum(
+            F.when(F.col(pred), F.col("n_r") - F.col("p_r")).otherwise(F.lit(0))
+        ).alias("fp"),
+    )
+    n_neg = F.col("n") - F.col("n_pos")
+    fn = F.col("n_pos") - F.col("tp")
+    tn = n_neg - F.col("fp")
+    num = F.col("s2r") - F.col("n_pos").cast(_D38) * (F.col("n_pos") + F.lit(1))
+    den = F.lit(2).cast(_D38) * F.col("n_pos") * n_neg
+    rat = lambda a, b: F.when(  # noqa: E731
+        b > 0, F.round(a.cast("double") / b.cast("double"), 6)
+    )
+    return t.select(
+        "n",
+        "n_pos",
+        n_neg.alias("n_neg"),
+        rat(num, den).alias("auc"),
+        "tp",
+        "fp",
+        fn.alias("fn"),
+        tn.alias("tn"),
+        rat(F.col("tp"), F.col("tp") + F.col("fp")).alias("precision"),
+        rat(F.col("tp"), F.col("n_pos")).alias("recall"),
+        rat(
+            F.lit(2) * F.col("tp"), F.lit(2) * F.col("tp") + F.col("fp") + fn
+        ).alias("f1"),
+        rat(F.col("tp") + tn, F.col("n")).alias("accuracy"),
+    )
+
+
+def calibration_bins(
+    df: DataFrame,
+    prob: str = "prob",
+    label: str = "label",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram bins for a probabilistic classifier: split
+    [0, 1] into ``n_bins`` equal-width bins on the 6-dp-rounded
+    ``prob``, and per bin report size, positives, mean predicted
+    probability (``conf``), empirical positive rate (``acc``), and the
+    bin's Expected-Calibration-Error contribution
+    ``ece_term = |acc − conf| · n_bin / N`` — sum the column for ECE.
+
+    Exactness: probabilities are summed as DECIMAL(10,6) (exact —
+    no float summation tree), counts are integers; ``conf``/``acc``
+    are single double divisions and ``ece_term`` a fixed chain of
+    correctly-rounded IEEE ops, all rounded 6 dp. ``N`` comes from an
+    unpartitioned window over the ≤ n_bins-row aggregate (the
+    never-re-aggregate discipline), not a second scan."""
+    p = F.round(F.col(prob), 6)
+    binc = F.least(
+        F.floor(p * F.lit(n_bins)).cast("int"), F.lit(n_bins - 1)
+    ).alias("bin")
+    g = df.groupBy(binc).agg(
+        F.count("*").alias("n"),
+        F.sum(label).alias("n_pos"),
+        F.sum(p.cast("decimal(10,6)")).alias("sp"),
+    )
+    total = F.sum("n").over(Window.partitionBy())
+    conf = F.round(F.col("sp").cast("double") / F.col("n"), 6)
+    acc = F.round(F.col("n_pos").cast("double") / F.col("n"), 6)
+    return g.select(
+        "bin",
+        "n",
+        "n_pos",
+        conf.alias("conf"),
+        acc.alias("acc"),
+        F.round(
+            F.abs(acc - conf) * F.col("n") / total,
+            6,
+        ).alias("ece_term"),
+    )

@@ -106,6 +106,8 @@ _PRIORITY: tuple[str, ...] = (
     "phash_neardup_pairs",
     "bm25_topk",
     "quality_gate_logistic",
+    "gate_eval_report",
+    "gate_calibration_bins",
     # re-confirmation: last driver green round 5 (complete cohort)
     "benchmark_contamination",
     "dedup_keep_best",
@@ -155,8 +157,6 @@ _PRIORITY: tuple[str, ...] = (
     "cluster_topic_terms",
     "context_pack_bins",
     "bigram_collocations",
-    "boilerplate_scrub_stats",
-    "lm_doc_score",
 )
 
 #: Queries whose driver check is rows-only BY CONTRACT (no SQL oracle

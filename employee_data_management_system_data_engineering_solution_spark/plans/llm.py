@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as tx
-from ..operators import dedup, multimodal, quality, similarity
+from ..operators import dedup, modeleval, multimodal, quality, similarity
 from ..operators.graph import connected_components
 from ..sources.io import read_table
 from ..streaming.strikes import run_strike_stream
@@ -102,12 +102,10 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "quality_gate_logistic",
-    # Weight row mirrored as a VALUES cross join; the dot product is
-    # the same fixed-order IEEE chain on both engines, so `admitted`
-    # (logit >= 0) is exact; only prob touches exp() and rounds.
-    r"""
+# Shared oracle fragment for the X143 gate and its X144/X145 eval
+# reports: heuristic text features → fixed-order logistic dot product,
+# carrying the relevance label (doc mentions 'spark') alongside.
+_GATE_CTE = r"""
     WITH stats AS (
       SELECT doc_id,
              CASE WHEN length(trim(text)) = 0 THEN 0
@@ -116,12 +114,13 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                '\b(the|and|of|to|in|is|that|with|for|was)\b')) AS hits,
              length(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS np,
              length(text) AS nc,
-             length(regexp_replace(text, '\s+', '', 'g')) AS nsp
+             length(regexp_replace(text, '\s+', '', 'g')) AS nsp,
+             CASE WHEN regexp_matches(text, '\bspark\b') THEN 1 ELSE 0 END AS lab
       FROM documents
     ),
     w AS (SELECT -2.2 AS b0, 8.0 AS w1, -6.0 AS w2, 0.25 AS w3, 1.5 AS w4),
     f AS (
-      SELECT doc_id,
+      SELECT doc_id, lab,
              hits / greatest(wc, 1) AS f1,
              np / greatest(nc, 1) AS f2,
              nsp / greatest(wc, 1) AS f3,
@@ -129,9 +128,47 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM stats
     ),
     z AS (
-      SELECT doc_id, b0 + w1 * f1 + w2 * f2 + w3 * f3 + w4 * f4 AS logit
+      SELECT doc_id, lab, b0 + w1 * f1 + w2 * f2 + w3 * f3 + w4 * f4 AS logit
       FROM f CROSS JOIN w
     )
+"""
+
+
+def _gate_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared scoring plan for X143-X145: documents → four exact-ratio
+    text features + relevance label → broadcast-weights logistic gate.
+    Returns (doc_id, label, logit, prob, admitted) with logit/prob
+    UNROUNDED — each query rounds at its own output surface."""
+    docs = read_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    wc = tx.word_count(t)
+    feats = docs.select(
+        "doc_id",
+        t.rlike(r"\bspark\b").cast("int").alias("label"),
+        (tx.stopword_hits(t) / F.greatest(wc, F.lit(1))).alias("f1"),
+        (
+            F.size(F.regexp_extract_all(t, F.lit(r"[^A-Za-z0-9\s]"), 0))
+            / F.greatest(F.length(t), F.lit(1))
+        ).alias("f2"),
+        (
+            F.length(F.regexp_replace(t, r"\s+", "")) / F.greatest(wc, F.lit(1))
+        ).alias("f3"),
+        F.least(wc / F.lit(100.0), F.lit(1.0)).alias("f4"),
+    )
+    return quality.logistic_gate(
+        feats,
+        {"f1": 8.0, "f2": -6.0, "f3": 0.25, "f4": 1.5},
+        intercept=-2.2,
+    )
+
+
+@register(
+    "quality_gate_logistic",
+    # Weight row mirrored as a VALUES cross join; the dot product is
+    # the same fixed-order IEEE chain on both engines, so `admitted`
+    # (logit >= 0) is exact; only prob touches exp() and rounds.
+    _GATE_CTE
+    + r"""
     SELECT doc_id,
            round(logit, 6) + 0.0 AS logit,
            round(1 / (1 + exp(-logit)), 6) AS prob,
@@ -155,34 +192,127 @@ def quality_gate_logistic(spark: SparkSession, sf_dir: str) -> DataFrame:
     admission decision (logit ≥ 0 ⟺ prob ≥ ½) hashes exactly; prob
     rounds at 6 dp for the exp() ulp. Scoring is a narrow codegen'd
     projection — no shuffle, no Python eval node (plan-pinned)."""
-    docs = read_table(spark, sf_dir, "documents")
-    t = F.col("text")
-    wc = tx.word_count(t)
-    feats = docs.select(
-        "doc_id",
-        (tx.stopword_hits(t) / F.greatest(wc, F.lit(1))).alias("f1"),
-        (
-            F.size(F.regexp_extract_all(t, F.lit(r"[^A-Za-z0-9\s]"), 0))
-            / F.greatest(F.length(t), F.lit(1))
-        ).alias("f2"),
-        (
-            F.length(F.regexp_replace(t, r"\s+", "")) / F.greatest(wc, F.lit(1))
-        ).alias("f3"),
-        F.least(wc / F.lit(100.0), F.lit(1.0)).alias("f4"),
-    )
-    gated = quality.logistic_gate(
-        feats,
-        {"f1": 8.0, "f2": -6.0, "f3": 0.25, "f4": 1.5},
-        intercept=-2.2,
-    )
     # + 0.0 canonicalizes IEEE −0.0 (a just-below-zero logit rounds to
     # −0.0 in DuckDB, 0.0 in Spark; repr-hashing tells them apart)
-    return gated.select(
+    return _gate_scored(spark, sf_dir).select(
         "doc_id",
         (F.round("logit", 6) + F.lit(0.0)).alias("logit"),
         F.round("prob", 6).alias("prob"),
         "admitted",
     )
+
+
+@register(
+    "gate_eval_report",
+    # Mann-Whitney tied-rank AUC replayed in SQL: same (score, pred)
+    # grouping, RANGE cumulative window for strictly-below counts,
+    # HUGEINT rank sums mirroring Spark's DECIMAL(38,0).
+    _GATE_CTE
+    + r"""
+    , scored AS (
+      SELECT doc_id, lab AS label,
+             round(1 / (1 + exp(-logit)), 6) AS score,
+             logit >= 0 AS pred
+      FROM z
+    ),
+    g AS (
+      SELECT score, pred, count(*) AS n_r, CAST(sum(label) AS BIGINT) AS p_r
+      FROM scored GROUP BY 1, 2
+    ),
+    w2 AS (
+      SELECT *,
+             sum(n_r) OVER (PARTITION BY score) AS n_s,
+             sum(n_r) OVER (ORDER BY score
+                            RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - sum(n_r) OVER (PARTITION BY score) AS cb
+      FROM g
+    ),
+    t AS (
+      SELECT CAST(sum(n_r) AS BIGINT) AS n,
+             CAST(sum(p_r) AS BIGINT) AS n_pos,
+             sum(CAST(p_r AS HUGEINT)
+                 * (2 * CAST(cb AS HUGEINT) + n_s + 1)) AS s2r,
+             CAST(sum(CASE WHEN pred THEN p_r ELSE 0 END) AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN pred THEN n_r - p_r ELSE 0 END) AS BIGINT) AS fp
+      FROM w2
+    )
+    SELECT n, n_pos, n - n_pos AS n_neg,
+           CASE WHEN n_pos > 0 AND n - n_pos > 0 THEN
+             round(CAST(s2r - CAST(n_pos AS HUGEINT) * (n_pos + 1) AS DOUBLE)
+                   / CAST(2 * CAST(n_pos AS HUGEINT) * (n - n_pos) AS DOUBLE), 6)
+           END AS auc,
+           tp, fp, n_pos - tp AS fn, (n - n_pos) - fp AS tn,
+           CASE WHEN tp + fp > 0
+                THEN round(CAST(tp AS DOUBLE) / (tp + fp), 6) END AS precision,
+           CASE WHEN n_pos > 0
+                THEN round(CAST(tp AS DOUBLE) / n_pos, 6) END AS recall,
+           CASE WHEN 2 * tp + fp + (n_pos - tp) > 0
+                THEN round(CAST(2 * tp AS DOUBLE)
+                           / (2 * tp + fp + (n_pos - tp)), 6) END AS f1,
+           CASE WHEN n > 0
+                THEN round(CAST(tp + (n - n_pos) - fp AS DOUBLE) / n, 6)
+           END AS accuracy
+    FROM t
+    """,
+)
+def gate_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X144: model-evaluation report for the X143 gate against an
+    independent relevance label (document mentions 'spark') — exact
+    Mann-Whitney tied-rank AUC plus the confusion matrix and derived
+    metrics at the DEPLOYED threshold (``admitted``, i.e. the
+    unrounded logit ≥ 0, not a re-threshold of the rounded score).
+
+    Every intermediate is integer (counts, strictly-below cumulative
+    counts from a RANGE window over the score aggregate, DECIMAL(38,0)
+    rank sums so 10^11-row corpora can't overflow); exactly one double
+    division per metric, rounded 6 dp. One corpus scan, one shuffle;
+    the windows run over the |distinct rounded scores|-row aggregate
+    (``operators/modeleval.binary_auc``)."""
+    scored = _gate_scored(spark, sf_dir).select(
+        "label",
+        F.round("prob", 6).alias("score"),
+        F.col("admitted").alias("pred"),
+    )
+    return modeleval.binary_auc(scored, "score", "label", "pred")
+
+
+@register(
+    "gate_calibration_bins",
+    # Decimal-exact per-bin confidence sums; conf/acc rounded BEFORE
+    # the ece_term chain exactly as the Spark operator does.
+    _GATE_CTE
+    + r"""
+    , scored AS (
+      SELECT doc_id, lab AS label,
+             round(1 / (1 + exp(-logit)), 6) AS prob
+      FROM z
+    ),
+    g AS (
+      SELECT least(CAST(floor(prob * 10) AS INT), 9) AS bin,
+             count(*) AS n,
+             CAST(sum(label) AS BIGINT) AS n_pos,
+             sum(CAST(prob AS DECIMAL(10,6))) AS sp
+      FROM scored GROUP BY 1
+    )
+    SELECT bin, n, n_pos,
+           round(CAST(sp AS DOUBLE) / n, 6) AS conf,
+           round(CAST(n_pos AS DOUBLE) / n, 6) AS acc,
+           round(abs(round(CAST(n_pos AS DOUBLE) / n, 6)
+                     - round(CAST(sp AS DOUBLE) / n, 6))
+                 * n / (sum(n) OVER ()), 6) AS ece_term
+    FROM g
+    """,
+)
+def gate_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X145: reliability-diagram calibration bins for the X143 gate —
+    ten equal-width bins on the 6-dp-rounded probability; per bin the
+    mean predicted probability (decimal-exact sum, one double
+    division), the empirical positive rate, and the bin's ECE
+    contribution (sum the column for the Expected Calibration Error).
+    The corpus is scanned once; N comes from a window over the
+    ≤ 10-row aggregate (``operators/modeleval.calibration_bins``)."""
+    scored = _gate_scored(spark, sf_dir).select("label", "prob")
+    return modeleval.calibration_bins(scored, "prob", "label", 10)
 
 
 @register(

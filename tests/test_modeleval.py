@@ -1,0 +1,95 @@
+"""Model-evaluation operators vs pure-Python references.
+
+binary_auc is checked against the O(n²) pair-counting definition of
+AUC (ties worth ½), which the Mann-Whitney average-rank identity must
+equal exactly; calibration_bins against a dict-based replay including
+the rounded-before-gap ECE chain.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from employee_data_management_system_data_engineering_solution_spark.operators.modeleval import (
+    binary_auc,
+    calibration_bins,
+)
+
+
+def _pair_auc(rows):
+    """Brute-force AUC: P(score₊ > score₋) + ½·P(tie)."""
+    pos = [s for s, y in rows if y == 1]
+    neg = [s for s, y in rows if y == 0]
+    if not pos or not neg:
+        return None
+    num = 0.0
+    for p in pos:
+        for q in neg:
+            num += 1.0 if p > q else (0.5 if p == q else 0.0)
+    return num / (len(pos) * len(neg))
+
+
+@pytest.fixture(scope="module")
+def scored(spark):
+    # deterministic scores with deliberate cross-class TIES (0.5 is
+    # both classes) and a tied pure-positive group (0.9, 0.9)
+    rows = [
+        (0.1, 0), (0.2, 0), (0.5, 0), (0.5, 1), (0.5, 1),
+        (0.7, 0), (0.7, 1), (0.9, 1), (0.9, 1), (0.3, 0), (0.8, 1),
+    ]
+    df = spark.createDataFrame(
+        [(s, y, s >= 0.5) for s, y in rows], "score DOUBLE, label INT, pred BOOLEAN"
+    )
+    return rows, df
+
+
+def test_binary_auc_equals_pair_counting(scored):
+    rows, df = scored
+    got = binary_auc(df, "score", "label", "pred").collect()[0]
+    assert got.auc == round(_pair_auc(rows), 6)
+    # confusion at pred = score >= 0.5
+    tp = sum(1 for s, y in rows if y == 1 and s >= 0.5)
+    fp = sum(1 for s, y in rows if y == 0 and s >= 0.5)
+    n_pos = sum(y for _, y in rows)
+    n_neg = len(rows) - n_pos
+    assert (got.tp, got.fp, got.fn, got.tn) == (tp, fp, n_pos - tp, n_neg - fp)
+    assert got.precision == round(tp / (tp + fp), 6)
+    assert got.recall == round(tp / n_pos, 6)
+    assert got.f1 == round(2 * tp / (2 * tp + fp + (n_pos - tp)), 6)
+    assert got.accuracy == round((tp + n_neg - fp) / len(rows), 6)
+
+
+def test_binary_auc_degenerate_single_class(spark):
+    df = spark.createDataFrame(
+        [(0.3, 1, False), (0.8, 1, True)], "score DOUBLE, label INT, pred BOOLEAN"
+    )
+    got = binary_auc(df, "score", "label", "pred").collect()[0]
+    assert got.auc is None and got.n_pos == 2 and got.n_neg == 0
+    assert got.recall == 0.5 and got.accuracy == 0.5 and got.precision == 1.0
+
+
+def test_calibration_bins_matches_replay(spark):
+    rows = [(0.05, 0), (0.12, 0), (0.18, 1), (0.55, 1), (0.58, 0),
+            (0.97, 1), (1.0, 1), (0.999999, 1), (0.55, 1)]
+    df = spark.createDataFrame(rows, "prob DOUBLE, label INT")
+    got = {r.bin: r for r in calibration_bins(df, "prob", "label", 10).collect()}
+    # prob 1.0 clamps into bin 9 (least(floor(10.0), 9))
+    bins = {}
+    for p, y in rows:
+        p6 = round(p, 6)
+        b = min(int(math.floor(p6 * 10)), 9)
+        bins.setdefault(b, []).append((p6, y))
+    assert set(got) == set(bins)
+    n_total = len(rows)
+    for b, members in bins.items():
+        n = len(members)
+        n_pos = sum(y for _, y in members)
+        conf = round(sum(p for p, _ in members) / n, 6)
+        acc = round(n_pos / n, 6)
+        r = got[b]
+        assert (r.n, r.n_pos) == (n, n_pos)
+        assert r.conf == conf and r.acc == acc
+        assert r.ece_term == round(abs(acc - conf) * n / n_total, 6)
+    assert 9 in got and got[9].n == 3
