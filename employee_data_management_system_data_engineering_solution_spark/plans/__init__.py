@@ -108,6 +108,8 @@ _PRIORITY: tuple[str, ...] = (
     "quality_gate_logistic",
     "gate_eval_report",
     "gate_calibration_bins",
+    "discount_quantity_ab",
+    "order_price_ks_drift",
     # re-confirmation: last driver green round 5 (complete cohort)
     "benchmark_contamination",
     "dedup_keep_best",
@@ -155,8 +157,6 @@ _PRIORITY: tuple[str, ...] = (
     # deferral tail: displaced bottom-up as r9 newcomers land; anything
     # still here at round end re-confirms now, the rest queue for r10
     "cluster_topic_terms",
-    "context_pack_bins",
-    "bigram_collocations",
 )
 
 #: Queries whose driver check is rows-only BY CONTRACT (no SQL oracle

@@ -974,6 +974,142 @@ def feature_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Two-sample inference statistics (X146, X147): Welch A/B + KS drift
+# --------------------------------------------------------------------------
+@register(
+    "discount_quantity_ab",
+    # Exact (n, Σx, Σx²) per side with HUGEINT variance numerators
+    # mirroring Spark's DECIMAL(38,0); the same fixed-order double
+    # closed form for t and the Welch-Satterthwaite df.
+    """
+    WITH g AS (
+      SELECT l_returnflag,
+             CAST(count(*) FILTER (WHERE l_discount > 0.05) AS BIGINT) AS n_a,
+             CAST(coalesce(sum(CAST(l_quantity AS BIGINT))
+                    FILTER (WHERE l_discount > 0.05), 0) AS BIGINT) AS s_a,
+             CAST(coalesce(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+                    FILTER (WHERE l_discount > 0.05), 0) AS BIGINT) AS q_a,
+             CAST(count(*) FILTER (WHERE l_discount <= 0.05) AS BIGINT) AS n_b,
+             CAST(coalesce(sum(CAST(l_quantity AS BIGINT))
+                    FILTER (WHERE l_discount <= 0.05), 0) AS BIGINT) AS s_b,
+             CAST(coalesce(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+                    FILTER (WHERE l_discount <= 0.05), 0) AS BIGINT) AS q_b
+      FROM lineitem GROUP BY 1
+    ),
+    v AS (
+      SELECT l_returnflag, n_a, n_b,
+             CAST(s_a AS DOUBLE) / n_a AS ma,
+             CAST(s_b AS DOUBLE) / n_b AS mb,
+             CAST(CAST(n_a AS HUGEINT) * q_a - CAST(s_a AS HUGEINT) * s_a AS DOUBLE)
+               / CAST(CAST(n_a AS HUGEINT) * (n_a - 1) AS DOUBLE) AS va,
+             CAST(CAST(n_b AS HUGEINT) * q_b - CAST(s_b AS HUGEINT) * s_b AS DOUBLE)
+               / CAST(CAST(n_b AS HUGEINT) * (n_b - 1) AS DOUBLE) AS vb
+      FROM g
+    ),
+    s AS (SELECT *, va / n_a + vb / n_b AS se2 FROM v)
+    SELECT l_returnflag, n_a, n_b,
+           CASE WHEN n_a > 0 THEN round(ma, 6) END AS mean_a,
+           CASE WHEN n_b > 0 THEN round(mb, 6) END AS mean_b,
+           CASE WHEN n_a > 1 AND n_b > 1 AND se2 > 0
+                THEN round((ma - mb) / sqrt(se2), 6) END AS t_stat,
+           CASE WHEN n_a > 1 AND n_b > 1 AND se2 > 0
+                THEN round((se2 * se2)
+                           / ((va / n_a) * (va / n_a) / (n_a - 1)
+                              + (vb / n_b) * (vb / n_b) / (n_b - 1)), 6)
+           END AS df_welch,
+           CASE WHEN n_a > 1 AND n_b > 1 AND se2 > 0
+                THEN abs(round((ma - mb) / sqrt(se2), 6)) > 1.96
+           END AS significant_95
+    FROM s
+    """,
+)
+def discount_quantity_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X146: Welch unequal-variance t-test A/B report — per return
+    flag, does a deep discount (> 5%) ship with different quantities?
+    The experiment-analysis shape every event platform needs beside
+    its descriptive reports. One groupBy pass reduces each side to
+    exact integer sufficient statistics (n, Σx, Σx²) with
+    DECIMAL(38,0) variance numerators — overflow-safe at 10^11 rows —
+    and doubles appear only in the fixed-order closed form for t and
+    the Welch-Satterthwaite df (``operators/stats.welch_ttest``).
+    Significance compares the rounded |t| to the pinned z critical
+    value 1.96 (exact t-CDF p-values are deliberately out of scope —
+    not SQL-expressible)."""
+    from ..operators.stats import welch_ttest
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return welch_ttest(
+        li, "l_quantity", F.col("l_discount") > 0.05, ["l_returnflag"]
+    )
+
+
+@register(
+    "order_price_ks_drift",
+    # Exact integer ECDF comparison: per-dollar counts, RANGE
+    # cumulative window over the aggregate, HUGEINT cross
+    # multiplication, ONE double division for D.
+    """
+    WITH base AS (
+      SELECT CAST(floor(CAST(o_totalprice AS DECIMAL(12,2))) AS BIGINT) AS dollar,
+             o_orderstatus = 'F' AS is_a
+      FROM orders WHERE o_orderstatus IN ('F', 'O')
+    ),
+    g AS (
+      SELECT dollar,
+             CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS cb
+      FROM base GROUP BY 1
+    ),
+    c AS (
+      SELECT sum(ca) OVER (ORDER BY dollar
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+             sum(cb) OVER (ORDER BY dollar
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b,
+             sum(ca) OVER () AS n_a,
+             sum(cb) OVER () AS n_b
+      FROM g
+    ),
+    t AS (
+      SELECT max(abs(CAST(cum_a AS HUGEINT) * n_b
+                     - CAST(cum_b AS HUGEINT) * n_a)) AS dnum,
+             CAST(max(n_a) AS BIGINT) AS n_a,
+             CAST(max(n_b) AS BIGINT) AS n_b
+      FROM c
+    )
+    SELECT n_a, n_b,
+           round(CAST(dnum AS DOUBLE)
+                 / CAST(CAST(n_a AS HUGEINT) * n_b AS DOUBLE), 6) AS ks_d,
+           round(1.358 * sqrt(CAST(n_a + n_b AS DOUBLE)
+                 / CAST(CAST(n_a AS HUGEINT) * n_b AS DOUBLE)), 6) AS crit_05,
+           round(CAST(dnum AS DOUBLE)
+                 / CAST(CAST(n_a AS HUGEINT) * n_b AS DOUBLE), 6)
+             > round(1.358 * sqrt(CAST(n_a + n_b AS DOUBLE)
+                 / CAST(CAST(n_a AS HUGEINT) * n_b AS DOUBLE)), 6) AS drift_05
+    FROM t
+    """,
+)
+def order_price_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X147: two-sample Kolmogorov-Smirnov drift test — the
+    significance twin of the PSI gate (X124): D = max |ECDF_F − ECDF_O|
+    between finished and open orders' price distributions, quantized
+    to whole (exact-decimal) dollars so the per-value aggregate — and
+    with it the cumulative window — stays report-sized. The statistic
+    is the exact integer max |cum_a·n_b − cum_b·n_a| in DECIMAL(38,0),
+    divided once; the decision compares the rounded D to the rounded
+    large-sample critical value 1.358·√((n_a+n_b)/(n_a·n_b))
+    (``operators/stats.ks_two_sample``)."""
+    from ..functions.money import money
+    from ..operators.stats import ks_two_sample
+
+    orders = read_table(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderstatus").isin("F", "O")).select(
+        F.floor(money("o_totalprice")).cast("long").alias("dollar"),
+        (F.col("o_orderstatus") == "F").alias("is_a"),
+    )
+    return ks_two_sample(base, "dollar", F.col("is_a"))
+
+
+# --------------------------------------------------------------------------
 # Declared-FD audit (X129): functional-dependency violation report
 # --------------------------------------------------------------------------
 _FD_ORACLE_PART = """

@@ -61,6 +61,7 @@ def test_check_window_covers_every_operator_family():
         # new in r9 — never driver-checked, full hash oracles:
         "phash_neardup_pairs", "bm25_topk", "quality_gate_logistic",
         "gate_eval_report", "gate_calibration_bins",
+        "discount_quantity_ab", "order_price_ks_drift",
         # re-confirmation: last driver green r5 (complete)
         "benchmark_contamination", "dedup_keep_best",
         "embedding_neardup_pairs", "embedding_topk", "event_sessions",

@@ -1,0 +1,90 @@
+"""Two-sample inference operators vs pure-Python references."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from employee_data_management_system_data_engineering_solution_spark.operators.stats import (
+    ks_two_sample,
+    welch_ttest,
+)
+
+
+def _welch_ref(xs, ys):
+    na, nb = len(xs), len(ys)
+    ma, mb = sum(xs) / na, sum(ys) / nb
+    va = (na * sum(x * x for x in xs) - sum(xs) ** 2) / (na * (na - 1))
+    vb = (nb * sum(y * y for y in ys) - sum(ys) ** 2) / (nb * (nb - 1))
+    se2 = va / na + vb / nb
+    t = (ma - mb) / math.sqrt(se2)
+    dfw = (se2 * se2) / (
+        (va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1)
+    )
+    return ma, mb, t, dfw
+
+
+def test_welch_matches_closed_form(spark):
+    a = [10, 12, 9, 14, 11, 13, 10, 12]
+    b = [15, 18, 14, 20, 16, 17]
+    rows = [("g", v, True) for v in a] + [("g", v, False) for v in b]
+    df = spark.createDataFrame(rows, "grp STRING, x INT, in_a BOOLEAN")
+    got = welch_ttest(df, "x", F.col("in_a"), ["grp"]).collect()[0]
+    ma, mb, t, dfw = _welch_ref(a, b)
+    assert (got.n_a, got.n_b) == (len(a), len(b))
+    assert got.mean_a == round(ma, 6) and got.mean_b == round(mb, 6)
+    assert got.t_stat == round(t, 6)
+    assert got.df_welch == round(dfw, 6)
+    assert bool(got.significant_95) == (abs(round(t, 6)) > 1.96)
+
+
+def test_welch_guards_degenerate_sides(spark):
+    # one-row A side and zero-variance case yield NULL t, not a crash
+    df = spark.createDataFrame(
+        [("g", 5, True), ("g", 7, False), ("g", 7, False), ("g", 7, False)],
+        "grp STRING, x INT, in_a BOOLEAN",
+    )
+    got = welch_ttest(df, "x", F.col("in_a"), ["grp"]).collect()[0]
+    assert got.t_stat is None and got.df_welch is None
+    assert got.significant_95 is None
+    # both sides >= 2 rows but zero variance on both: se2 == 0 → NULL
+    df2 = spark.createDataFrame(
+        [("g", 5, True), ("g", 5, True), ("g", 7, False), ("g", 7, False)],
+        "grp STRING, x INT, in_a BOOLEAN",
+    )
+    got2 = welch_ttest(df2, "x", F.col("in_a"), ["grp"]).collect()[0]
+    assert got2.t_stat is None
+
+
+def _ks_ref(xs, ys):
+    na, nb = len(xs), len(ys)
+    vals = sorted(set(xs) | set(ys))
+    best = 0
+    for v in vals:
+        ca = sum(1 for x in xs if x <= v)
+        cb = sum(1 for y in ys if y <= v)
+        best = max(best, abs(ca * nb - cb * na))
+    return best / (na * nb)
+
+
+def test_ks_matches_brute_force(spark):
+    xs = [1, 2, 2, 3, 5, 8, 8, 9]
+    ys = [2, 4, 4, 6, 7, 9, 10]
+    rows = [(v, True) for v in xs] + [(v, False) for v in ys]
+    df = spark.createDataFrame(rows, "v LONG, in_a BOOLEAN")
+    got = ks_two_sample(df, "v", F.col("in_a")).collect()[0]
+    d = _ks_ref(xs, ys)
+    assert (got.n_a, got.n_b) == (len(xs), len(ys))
+    assert got.ks_d == round(d, 6)
+    crit = 1.358 * math.sqrt((len(xs) + len(ys)) / (len(xs) * len(ys)))
+    assert got.crit_05 == round(crit, 6)
+    assert bool(got.drift_05) == (round(d, 6) > round(crit, 6))
+
+
+def test_ks_identical_samples_zero(spark):
+    xs = [1, 3, 3, 7]
+    rows = [(v, True) for v in xs] + [(v, False) for v in xs]
+    df = spark.createDataFrame(rows, "v LONG, in_a BOOLEAN")
+    got = ks_two_sample(df, "v", F.col("in_a")).collect()[0]
+    assert got.ks_d == 0.0 and not got.drift_05
