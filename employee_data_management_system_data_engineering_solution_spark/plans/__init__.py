@@ -110,6 +110,7 @@ _PRIORITY: tuple[str, ...] = (
     "gate_calibration_bins",
     "discount_quantity_ab",
     "order_price_ks_drift",
+    "supplier_golden_record",
     # re-confirmation: last driver green round 5 (complete cohort)
     "benchmark_contamination",
     "dedup_keep_best",
@@ -154,9 +155,6 @@ _PRIORITY: tuple[str, ...] = (
     "weekly_cohort_retention",
     "winnow_fingerprint_pairs",
     "zorder_layout_stats",
-    # deferral tail: displaced bottom-up as r9 newcomers land; anything
-    # still here at round end re-confirms now, the rest queue for r10
-    "cluster_topic_terms",
 )
 
 #: Queries whose driver check is rows-only BY CONTRACT (no SQL oracle

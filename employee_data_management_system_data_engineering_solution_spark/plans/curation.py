@@ -531,6 +531,139 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Golden-record survivorship (X148): entity resolution → merged master
+# --------------------------------------------------------------------------
+@register(
+    "supplier_golden_record",
+    # Same deletion-neighborhood blocking as fuzzy_name_pairs on the
+    # nation-prefixed composite, recursive-CTE transitive closure
+    # seeded with EVERY supplier (singletons keep themselves), then
+    # the survivorship rules replayed field by field.
+    """
+    WITH RECURSIVE s AS (
+      SELECT s_suppkey AS id,
+             lpad(CAST(s_nationkey AS VARCHAR), 2, '0') || '|' || s_name AS nm
+      FROM supplier
+    ),
+    var AS (
+      SELECT id, nm, substring(nm, 1, i) || substring(nm, i + 2, 32) AS v
+      FROM s CROSS JOIN range(0, 33) t(i)
+      WHERE i <= length(nm)
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.nm AS nm_a, b.nm AS nm_b
+      FROM var a JOIN var b ON a.v = b.v AND a.id < b.id
+    ),
+    pairs AS (SELECT id_a, id_b FROM cand WHERE levenshtein(nm_a, nm_b) <= 1),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach AS (
+      SELECT s_suppkey AS node, s_suppkey AS r FROM supplier
+      UNION
+      SELECT re.node, e.dst AS r FROM reach re JOIN edges e ON e.src = re.r
+    ),
+    lab AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node),
+    m AS (
+      SELECT l.cluster_id, su.*
+      FROM lab l JOIN supplier su ON su.s_suppkey = l.node
+    ),
+    g AS (
+      SELECT cluster_id,
+             CAST(count(*) AS BIGINT) AS n_members,
+             CAST(count(DISTINCT s_name) AS BIGINT) AS n_names,
+             arg_min(s_name, s_suppkey) AS golden_name,
+             CAST(max(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS max_acctbal
+      FROM m GROUP BY 1
+    ),
+    nmode AS (
+      SELECT cluster_id, s_nationkey, count(*) AS c FROM m GROUP BY 1, 2
+    ),
+    pick AS (
+      SELECT cluster_id, s_nationkey AS nation_mode FROM (
+        SELECT *, row_number() OVER (PARTITION BY cluster_id
+                    ORDER BY c DESC, s_nationkey ASC) AS rn
+        FROM nmode
+      ) WHERE rn = 1
+    )
+    SELECT g.cluster_id, n_members, n_names, golden_name, nation_mode,
+           max_acctbal
+    FROM g JOIN pick USING (cluster_id)
+    """,
+)
+def supplier_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X148: golden-record survivorship — the master-data-management
+    step AFTER entity resolution: nation-blocked edit-distance-1
+    matching (the blocking key is folded into the deletion-
+    neighborhood composite ``lpad(nation,2)|name``: distinct names in
+    distinct nations cost ≥ 2 edits, so a cross-nation pair would need
+    IDENTICAL names — and supplier names are globally unique),
+    transitive closure into entity clusters (singletons keep
+    themselves — no match required to survive), then deterministic
+    field-level survivorship per cluster: canonical name from the
+    lowest-key member (``min_by`` — tie-free, keys unique), nation by
+    frequency mode with smallest-key tie-break, account balance as the
+    exact-decimal max across members.
+
+    Scale: blocking join + CC over the (sparse) pair graph + two
+    report-sized groupBys; no all-pairs comparison anywhere. Cites the
+    reference's dedup intent (ref `Task_1_DDL.sql` unique-key staging)
+    generalized to fuzzy entities."""
+    from pyspark.sql import Window
+
+    from ..functions.money import money
+    from ..operators.dedup import deletion_neighborhood_pairs
+    from ..operators.graph import connected_components
+
+    sup = read_table(spark, sf_dir, "supplier")
+    blocked = sup.select(
+        "s_suppkey",
+        F.concat(
+            F.lpad(F.col("s_nationkey").cast("string"), 2, "0"),
+            F.lit("|"),
+            F.col("s_name"),
+        ).alias("blocked_name"),
+    )
+    pairs = deletion_neighborhood_pairs(blocked, "s_suppkey", "blocked_name")
+    comp = connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    lab = sup.join(comp, sup.s_suppkey == comp.node, "left").select(
+        F.coalesce("component", "s_suppkey").alias("cluster_id"),
+        "s_suppkey",
+        "s_name",
+        "s_nationkey",
+        money("s_acctbal").alias("bal"),
+    )
+    g = lab.groupBy("cluster_id").agg(
+        F.count("*").alias("n_members"),
+        F.countDistinct("s_name").alias("n_names"),
+        F.min_by("s_name", "s_suppkey").alias("golden_name"),
+        F.max("bal").cast("double").alias("max_acctbal"),
+    )
+    mode = (
+        lab.groupBy("cluster_id", "s_nationkey")
+        .agg(F.count("*").alias("c"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("cluster_id").orderBy(
+                    F.col("c").desc(), F.col("s_nationkey").asc()
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("cluster_id", F.col("s_nationkey").alias("nation_mode"))
+    )
+    return g.join(mode, "cluster_id").select(
+        "cluster_id", "n_members", "n_names", "golden_name", "nation_mode",
+        "max_acctbal",
+    )
+
+
+# --------------------------------------------------------------------------
 # Incremental aggregate maintenance (X106): refresh a stored report from
 # a CDC delta without rescanning the base table
 # --------------------------------------------------------------------------

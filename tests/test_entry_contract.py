@@ -62,6 +62,7 @@ def test_check_window_covers_every_operator_family():
         "phash_neardup_pairs", "bm25_topk", "quality_gate_logistic",
         "gate_eval_report", "gate_calibration_bins",
         "discount_quantity_ab", "order_price_ks_drift",
+        "supplier_golden_record",
         # re-confirmation: last driver green r5 (complete)
         "benchmark_contamination", "dedup_keep_best",
         "embedding_neardup_pairs", "embedding_topk", "event_sessions",
