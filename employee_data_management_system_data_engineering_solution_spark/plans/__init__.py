@@ -111,6 +111,7 @@ _PRIORITY: tuple[str, ...] = (
     "discount_quantity_ab",
     "order_price_ks_drift",
     "supplier_golden_record",
+    "ppjoin_neardup_pairs",
     # re-confirmation: last driver green round 5 (complete cohort)
     "benchmark_contamination",
     "dedup_keep_best",
@@ -154,7 +155,6 @@ _PRIORITY: tuple[str, ...] = (
     "value_outliers",
     "weekly_cohort_retention",
     "winnow_fingerprint_pairs",
-    "zorder_layout_stats",
 )
 
 #: Queries whose driver check is rows-only BY CONTRACT (no SQL oracle

@@ -451,3 +451,40 @@ def test_cluster_safe_split_walls_off_near_dup_pairs(spark):
     clustered = [r for r in rows if r.split_key != r.doc_id]
     for r in clustered:
         assert split_of[r.split_key] == r.split
+
+
+def test_prefix_filter_pairs_equals_brute_force(spark):
+    """PPJoin exactness: the prefix filter must return EVERY pair with
+    Jaccard >= theta (no false negatives), verified against an
+    all-pairs brute force over deterministic random token sets with
+    deliberate near-dup plants and frequency ties."""
+    import itertools
+    import random
+
+    from employee_data_management_system_data_engineering_solution_spark.operators.dedup import (
+        prefix_filter_pairs,
+    )
+
+    rng = random.Random(7)
+    vocab = [f"t{i:02d}" for i in range(30)]
+    sets = {}
+    for i in range(40):
+        sets[i] = set(rng.sample(vocab, rng.randint(4, 12)))
+    # plants: exact clone, one-off edit, subset
+    sets[100] = set(sets[0])
+    sets[101] = set(sets[1]) | {"t99"}
+    sets[102] = set(list(sets[2])[:max(1, len(sets[2]) - 1)])
+    rows = [(i, t) for i, toks in sets.items() for t in toks]
+    df = spark.createDataFrame(rows, "id LONG, tok STRING")
+    for tn, td in ((2, 3), (4, 5), (1, 2)):
+        got = {
+            (r.id_a, r.id_b): (r.inter_size, r.union_size, r.jaccard)
+            for r in prefix_filter_pairs(df, "id", "tok", tn, td).collect()
+        }
+        want = {}
+        for a, b in itertools.combinations(sorted(sets), 2):
+            i = len(sets[a] & sets[b])
+            u = len(sets[a] | sets[b])
+            if td * i >= tn * u:
+                want[(a, b)] = (i, u, round(i / u, 4))
+        assert got == want, f"theta={tn}/{td}"

@@ -62,7 +62,7 @@ def test_check_window_covers_every_operator_family():
         "phash_neardup_pairs", "bm25_topk", "quality_gate_logistic",
         "gate_eval_report", "gate_calibration_bins",
         "discount_quantity_ab", "order_price_ks_drift",
-        "supplier_golden_record",
+        "supplier_golden_record", "ppjoin_neardup_pairs",
         # re-confirmation: last driver green r5 (complete)
         "benchmark_contamination", "dedup_keep_best",
         "embedding_neardup_pairs", "embedding_topk", "event_sessions",
@@ -85,7 +85,6 @@ def test_check_window_covers_every_operator_family():
         "simhash_hamming_pairs", "strike_report_rlike",
         "supplier_triangles", "user_value_trend", "value_outliers",
         "weekly_cohort_retention", "winnow_fingerprint_pairs",
-        "zorder_layout_stats",
     }
     assert carriers <= set(window), sorted(carriers - set(window))
 
