@@ -112,6 +112,7 @@ _PRIORITY: tuple[str, ...] = (
     "order_price_ks_drift",
     "supplier_golden_record",
     "ppjoin_neardup_pairs",
+    "hybrid_rrf_topk",
     # re-confirmation: last driver green round 5 (complete cohort)
     "benchmark_contamination",
     "dedup_keep_best",
@@ -154,7 +155,6 @@ _PRIORITY: tuple[str, ...] = (
     "user_value_trend",
     "value_outliers",
     "weekly_cohort_retention",
-    "winnow_fingerprint_pairs",
 )
 
 #: Queries whose driver check is rows-only BY CONTRACT (no SQL oracle

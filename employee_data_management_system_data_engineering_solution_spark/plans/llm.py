@@ -2951,6 +2951,15 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (S, N) scalars ride one broadcast cross join; per-query ranking
     partitions by query_id. No all-pairs anything: cost is keyed by
     matched postings, exactly an inverted-index probe."""
+    return _bm25_ranked(spark, sf_dir).filter(F.col("rank") <= 5).select(
+        "query_id", "doc_id", "bm25", "rank"
+    )
+
+
+def _bm25_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared BM25 scoring plan for X142/X151: every (query, matched
+    doc) with its 4-dp-rounded Okapi score and per-query rank — callers
+    cut at their own k."""
     docs = read_table(spark, sf_dir, "documents")
     live = docs.filter(F.length(F.trim("text")) > 0)
     w = live.select(
@@ -2996,10 +3005,142 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("bm25").desc(), F.col("doc_id").asc()
         )
     )
+    return scored.withColumn("rank", rnk)
+
+
+@register(
+    "hybrid_rrf_topk",
+    # Both run oracles replayed at k=20 (the bm25 and embedding_topk
+    # fragments), full-outer rank alignment, the two-term RRF chain in
+    # DOUBLE (DuckDB's bare 1.0 literal is DECIMAL — cast, or the
+    # division happens in decimal and diverges), rounded 6 dp BEFORE
+    # the fused rank window.
+    rf"""
+    WITH w AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2),
+    dl AS (SELECT doc_id, count(*) AS dl FROM w GROUP BY 1),
+    stats AS (SELECT sum(dl) AS s, count(*) AS n FROM dl),
+    dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM w GROUP BY term),
+    q AS (
+      SELECT DISTINCT doc_id AS query_id,
+             unnest(regexp_split_to_array(
+               trim(substr(lower(trim(text)), 1, 40)), '\s+')) AS term
+      FROM documents
+      WHERE doc_id % 100 = 0 AND length(trim(text)) > 0
+    ),
+    bscored AS (
+      SELECT q.query_id, tf.doc_id,
+             round(sum(
+               ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * (CAST(22 * stats.s * tf.tf AS DOUBLE)
+                  / CAST(10 * stats.s * tf.tf + 3 * stats.s + 9 * dl.dl * stats.n AS DOUBLE))
+             ), 4) AS bm25
+      FROM q
+      JOIN tf ON tf.term = q.term
+      JOIN dfreq ON dfreq.term = q.term
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats
+      GROUP BY q.query_id, tf.doc_id
+    ),
+    lex AS (
+      SELECT query_id, doc_id, rnk FROM (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY bm25 DESC, doc_id ASC) AS rnk
+        FROM bscored
+      ) WHERE rnk <= 20
+    ),
+    qv AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id % 100 = 0
+    ),
+    cv AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+    sscored AS (
+      SELECT query_id, neighbor_id, {_COS} AS cosine_sim
+      FROM qv, cv WHERE neighbor_id <> query_id
+    ),
+    sem AS (
+      SELECT query_id, neighbor_id, rn FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
+        FROM sscored
+      ) WHERE rn <= 20
+    ),
+    fused AS (
+      SELECT coalesce(l.query_id, s.query_id) AS query_id,
+             coalesce(l.doc_id, s.neighbor_id) AS doc_id,
+             CAST(l.rnk AS INT) AS rank_lex,
+             CAST(s.rn AS INT) AS rank_sem,
+             round(coalesce(CAST(1 AS DOUBLE) / (60 + l.rnk), 0.0)
+                   + coalesce(CAST(1 AS DOUBLE) / (60 + s.rn), 0.0), 6) AS rrf_score
+      FROM lex l
+      FULL OUTER JOIN sem s
+        ON l.query_id = s.query_id AND l.doc_id = s.neighbor_id
+    )
+    SELECT query_id, doc_id, rank_lex, rank_sem, rrf_score,
+           CAST(rank AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY rrf_score DESC, doc_id ASC) AS rank
+      FROM fused
+    ) WHERE rank <= 10
+    """,
+)
+def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X151: hybrid retrieval via reciprocal-rank fusion — the
+    standard way production search fuses a lexical run (BM25, X142)
+    with a semantic run (embedding cosine, X13) without score
+    calibration: ``RRF(d) = Σ_runs 1/(60 + rank_run(d))`` over each
+    run's top-20, fused per query, top-10 kept. Ranks are integers, so
+    the score is a fixed two-term chain of correctly-rounded IEEE
+    divisions — engine-identical — rounded 6 dp BEFORE the fused rank
+    window; ties (e.g. mirror-rank pairs) break on doc_id. Queries are
+    every 100th document on both runs (vec_id ≡ doc_id in the
+    fixtures); a doc missing from one run contributes 0 from it — the
+    graceful single-run degradation hybrid search needs.
+
+    Scale: both runs are existing bounded shapes (inverted-index probe
+    + broadcast brute-force over the bounded query set); fusion is a
+    full-outer join on (query, doc) over ≤ 40 rows per query."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    lex = (
+        _bm25_ranked(spark, sf_dir)
+        .filter(F.col("rank") <= 20)
+        .select("query_id", "doc_id", F.col("rank").alias("rank_lex"))
+    )
+    sem = (
+        similarity.cosine_topk_bruteforce(
+            emb.filter(F.col("vec_id") % 100 == 0), emb, k=20
+        )
+        .select(
+            "query_id",
+            F.col("neighbor_id").alias("doc_id"),
+            F.col("rank").alias("rank_sem"),
+        )
+    )
+    rrf = F.round(
+        F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("rank_lex")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("rank_sem")), F.lit(0.0)),
+        6,
+    )
+    fused = lex.join(sem, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        F.col("rank_lex").cast("int").alias("rank_lex"),
+        F.col("rank_sem").cast("int").alias("rank_sem"),
+        rrf.alias("rrf_score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id").asc()
+    )
     return (
-        scored.withColumn("rank", rnk)
-        .filter(F.col("rank") <= 5)
-        .select("query_id", "doc_id", "bm25", "rank")
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "doc_id", "rank_lex", "rank_sem", "rrf_score", "rank")
     )
 
 

@@ -189,3 +189,54 @@ def test_bm25_matches_pure_python_reference(spark):
         for rk, (sc, d) in enumerate(scored[:5], 1):
             expected[(qid, rk)] = (d, sc)
     assert got == expected
+
+
+def test_hybrid_rrf_fuses_runs_exactly(spark):
+    """The fused output must equal a pure-Python RRF over the two
+    upstream runs re-ranked at k=20 (lexical BM25, semantic cosine)."""
+    from pyspark.sql import functions as F
+
+    from employee_data_management_system_data_engineering_solution_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+    )
+    from employee_data_management_system_data_engineering_solution_spark.plans.llm import _bm25_ranked
+    from employee_data_management_system_data_engineering_solution_spark.plans.registry import REGISTRY
+    from employee_data_management_system_data_engineering_solution_spark.sources.io import read_table
+
+    sf = "/root/testdata/sf0.001"
+    lex = {
+        (r.query_id, r.doc_id): r.rank
+        for r in _bm25_ranked(spark, sf).filter(F.col("rank") <= 20).collect()
+    }
+    emb = read_table(spark, sf, "embeddings")
+    sem = {
+        (r.query_id, r.neighbor_id): r.rank
+        for r in cosine_topk_bruteforce(
+            emb.filter(F.col("vec_id") % 100 == 0), emb, k=20
+        ).collect()
+    }
+    want = {}
+    for q, d in set(lex) | set(sem):
+        s = 0.0
+        if (q, d) in lex:
+            s += 1.0 / (60 + lex[(q, d)])
+        if (q, d) in sem:
+            s += 1.0 / (60 + sem[(q, d)])
+        want[(q, d)] = round(s, 6)
+    got = REGISTRY["hybrid_rrf_topk"].fn(spark, sf).collect()
+    assert got and all(r.rank <= 10 for r in got)
+    for r in got:
+        assert r.rrf_score == want[(r.query_id, r.doc_id)]
+        assert r.rank_lex == lex.get((r.query_id, r.doc_id))
+        assert r.rank_sem == sem.get((r.query_id, r.doc_id))
+    # per query, the kept rows are exactly the 10 best by (score, doc)
+    for q in {r.query_id for r in got}:
+        kept = sorted(
+            ((r.rrf_score, r.doc_id) for r in got if r.query_id == q),
+            key=lambda t: (-t[0], t[1]),
+        )
+        best = sorted(
+            ((s, d) for (qq, d), s in want.items() if qq == q),
+            key=lambda t: (-t[0], t[1]),
+        )[: len(kept)]
+        assert kept == best
