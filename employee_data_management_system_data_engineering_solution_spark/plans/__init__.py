@@ -113,6 +113,7 @@ _PRIORITY: tuple[str, ...] = (
     "supplier_golden_record",
     "ppjoin_neardup_pairs",
     "hybrid_rrf_topk",
+    "domain_mixture_sample",
     # re-confirmation: last driver green round 5 (complete cohort)
     "benchmark_contamination",
     "dedup_keep_best",
@@ -154,7 +155,6 @@ _PRIORITY: tuple[str, ...] = (
     "supplier_triangles",
     "user_value_trend",
     "value_outliers",
-    "weekly_cohort_retention",
 )
 
 #: Queries whose driver check is rows-only BY CONTRACT (no SQL oracle

@@ -451,6 +451,120 @@ def balanced_strata_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Temperature-weighted domain mixture sample (X150)
+# --------------------------------------------------------------------------
+@register(
+    "domain_mixture_sample",
+    # Same 6-dp-rounded sqrt weights as DECIMAL(18,6) (exact any-order
+    # sum), the same fixed double chain for the raw share, integer
+    # largest-remainder completion, and the shared md5 hash-rank
+    # selection idiom.
+    """
+    WITH dom AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_domain FROM documents GROUP BY 1
+    ),
+    wts AS (
+      SELECT lang, n_domain,
+             CAST(round(sqrt(CAST(n_domain AS DOUBLE)), 6) AS DECIMAL(18,6)) AS w
+      FROM dom
+    ),
+    shares AS (
+      SELECT lang, n_domain, w,
+             CAST(w AS DOUBLE) * 200 / CAST(sum(w) OVER () AS DOUBLE) AS x
+      FROM wts
+    ),
+    alloc AS (
+      SELECT lang, n_domain,
+             CAST(floor(x) AS BIGINT) AS base,
+             x - floor(x) AS frac
+      FROM shares
+    ),
+    quota AS (
+      SELECT lang, n_domain,
+             CAST(base + CASE WHEN row_number() OVER (ORDER BY frac DESC, lang ASC)
+                          <= 200 - sum(base) OVER () THEN 1 ELSE 0 END AS INT) AS quota
+      FROM alloc
+    ),
+    ranked AS (
+      SELECT d.lang, d.doc_id, q.n_domain, q.quota,
+             row_number() OVER (PARTITION BY d.lang ORDER BY
+               ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR) || ':dmix-v1'), 1, 15))::BIGINT,
+               d.doc_id) AS rn
+      FROM documents d JOIN quota q USING (lang)
+    )
+    SELECT lang, doc_id, n_domain, quota, CAST(rn AS INT) AS samp_rank
+    FROM ranked WHERE rn <= quota
+    """,
+)
+def domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X150: temperature-weighted domain-mixture sampling — the
+    training-mix operator every multilingual/multi-domain corpus
+    assembly needs: domain weights ∝ n_d^α with α = ½ (sqrt
+    temperature: upsamples small domains relative to proportional), a
+    global budget of N = 200 documents allocated by LARGEST-REMAINDER
+    rounding (Σ quota = N exactly — floor shares first, the deficit
+    goes to the biggest fractional remainders, ties by domain), then
+    per-domain selection by the deterministic md5 hash rank (the
+    stratified-sample idiom, seed ``dmix-v1``).
+
+    Float discipline: the sqrt weights are rounded 6 dp and summed as
+    DECIMAL(18,6) — exact in any order — so the only doubles are the
+    per-domain share chain ``w·N/W`` (identical fixed-order IEEE ops on
+    identical inputs in both engines) and its floor/frac; everything
+    after is integer. If a boosted domain's quota exceeded its size
+    the hash rank would simply exhaust it (allocation is reported
+    uncapped; not reachable at tested temperatures).
+
+    Scale: one groupBy to |domains| rows, allocation windows over that
+    tiny aggregate, one broadcastable quota join + per-domain rank
+    window — the corpus is scanned twice (count + rank), never
+    collected."""
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents").select("lang", "doc_id")
+    dom = docs.groupBy("lang").agg(F.count("*").alias("n_domain"))
+    w_all = Window.partitionBy()
+    wts = dom.withColumn(
+        "w", F.round(F.sqrt(F.col("n_domain").cast("double")), 6).cast("decimal(18,6)")
+    )
+    x = F.col("w").cast("double") * F.lit(200) / F.sum("w").over(w_all).cast("double")
+    alloc = wts.select(
+        "lang",
+        "n_domain",
+        F.floor(x).cast("long").alias("base"),
+        (x - F.floor(x)).alias("frac"),
+    )
+    deficit = F.lit(200) - F.sum("base").over(w_all)
+    rn_rem = F.row_number().over(Window.orderBy(F.col("frac").desc(), F.col("lang").asc()))
+    quota = alloc.select(
+        "lang",
+        "n_domain",
+        (F.col("base") + F.when(rn_rem <= deficit, 1).otherwise(0)).cast("int").alias("quota"),
+    )
+    hnum = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":dmix-v1"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    ranked = (
+        docs.join(F.broadcast(quota), "lang")
+        .withColumn("__h", hnum)
+        .withColumn(
+            "samp_rank",
+            F.row_number().over(
+                Window.partitionBy("lang").orderBy(F.col("__h"), F.col("doc_id"))
+            ),
+        )
+        .filter(F.col("samp_rank") <= F.col("quota"))
+    )
+    return ranked.select(
+        "lang", "doc_id", "n_domain", "quota", F.col("samp_rank").cast("int").alias("samp_rank")
+    )
+
+
+# --------------------------------------------------------------------------
 # Fixed-size weighted sample: priority sampling over lineitem
 # --------------------------------------------------------------------------
 @register(

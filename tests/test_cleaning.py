@@ -219,3 +219,46 @@ def test_priority_sample_fractional_weights_floor_semantics(spark):
 
     ref = sorted((prio(i, w), i) for i, w in rows if int(w) >= 1)[:6]
     assert [(r.priority_key, r.id) for r in sorted(got, key=lambda r: r.sample_rank)] == ref
+
+
+def test_domain_mixture_allocation_and_selection(spark):
+    """X150 invariants vs a pure-Python replay: 6-dp decimal sqrt
+    weights, largest-remainder quotas summing exactly to N=200, and
+    md5-rank selection per domain."""
+    import hashlib
+    import math
+    from decimal import Decimal
+
+    from employee_data_management_system_data_engineering_solution_spark.plans.registry import REGISTRY
+    from employee_data_management_system_data_engineering_solution_spark.sources.io import read_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = read_table(spark, sf, "documents").select("lang", "doc_id").collect()
+    counts = {}
+    for r in docs:
+        counts[r.lang] = counts.get(r.lang, 0) + 1
+    wts = {g: Decimal(str(round(math.sqrt(n), 6))) for g, n in counts.items()}
+    W = float(sum(wts.values()))
+    xs = {g: float(w) * 200 / W for g, w in wts.items()}
+    base = {g: math.floor(x) for g, x in xs.items()}
+    deficit = 200 - sum(base.values())
+    order = sorted(counts, key=lambda g: (-(xs[g] - base[g]), g))
+    quota = {g: base[g] + (1 if order.index(g) < deficit else 0) for g in counts}
+    assert sum(quota.values()) == 200
+
+    out = REGISTRY["domain_mixture_sample"].fn(spark, sf).collect()
+    assert len(out) == 200
+    got_quota = {r.lang: r.quota for r in out}
+    assert got_quota == quota
+    by_lang = {}
+    for r in out:
+        assert r.n_domain == counts[r.lang]
+        by_lang.setdefault(r.lang, []).append(r)
+    for g, rows in by_lang.items():
+        assert len(rows) == quota[g]
+        assert sorted(r.samp_rank for r in rows) == list(range(1, quota[g] + 1))
+    # replay the md5 hash ranking for one domain
+    g = max(quota, key=quota.get)
+    hkey = lambda d: (int(hashlib.md5(f"{d}:dmix-v1".encode()).hexdigest()[:15], 16), d)
+    expect = sorted((r.doc_id for r in docs if r.lang == g), key=hkey)[: quota[g]]
+    assert sorted(r.doc_id for r in by_lang[g]) == sorted(expect)

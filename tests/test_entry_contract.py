@@ -63,7 +63,7 @@ def test_check_window_covers_every_operator_family():
         "gate_eval_report", "gate_calibration_bins",
         "discount_quantity_ab", "order_price_ks_drift",
         "supplier_golden_record", "ppjoin_neardup_pairs",
-        "hybrid_rrf_topk",
+        "hybrid_rrf_topk", "domain_mixture_sample",
         # re-confirmation: last driver green r5 (complete)
         "benchmark_contamination", "dedup_keep_best",
         "embedding_neardup_pairs", "embedding_topk", "event_sessions",
@@ -85,7 +85,6 @@ def test_check_window_covers_every_operator_family():
         "quality_weighted_sample", "revenue_cube_report",
         "simhash_hamming_pairs", "strike_report_rlike",
         "supplier_triangles", "user_value_trend", "value_outliers",
-        "weekly_cohort_retention",
     }
     assert carriers <= set(window), sorted(carriers - set(window))
 
