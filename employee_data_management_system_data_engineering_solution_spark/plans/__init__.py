@@ -114,6 +114,7 @@ _PRIORITY: tuple[str, ...] = (
     "ppjoin_neardup_pairs",
     "hybrid_rrf_topk",
     "domain_mixture_sample",
+    "brand_price_theilsen",
     # re-confirmation: last driver green round 5 (complete cohort)
     "benchmark_contamination",
     "dedup_keep_best",
@@ -154,7 +155,6 @@ _PRIORITY: tuple[str, ...] = (
     "strike_report_rlike",
     "supplier_triangles",
     "user_value_trend",
-    "value_outliers",
 )
 
 #: Queries whose driver check is rows-only BY CONTRACT (no SQL oracle

@@ -1540,6 +1540,89 @@ def _corr_oracle() -> str:
     return f"WITH s AS (\n  SELECT {', '.join(sums)} FROM lineitem\n)\n{union}"
 
 
+
+@register(
+    "brand_price_theilsen",
+    # Same monthly decimal rollup, the same single-double-division
+    # slope per pair, and median semantics shared by both engines
+    # (even counts interpolate; X121 precedent).
+    """
+    WITH m AS (
+      SELECT p.p_brand,
+             CAST(year(l.l_shipdate) * 12 + month(l.l_shipdate) AS BIGINT) AS mi,
+             sum(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS rev
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.p_brand,
+             CAST(b.rev - a.rev AS DOUBLE) / (b.mi - a.mi) AS slope
+      FROM m a JOIN m b ON a.p_brand = b.p_brand AND a.mi < b.mi
+    ),
+    g1 AS (
+      SELECT p_brand, CAST(count(*) AS BIGINT) AS n_pairs,
+             round(median(slope), 6) AS ts_slope
+      FROM pairs GROUP BY 1
+    ),
+    g2 AS (
+      SELECT p_brand, CAST(count(*) AS BIGINT) AS n_months,
+             round(median(CAST(rev AS DOUBLE)), 6) AS med_monthly_rev
+      FROM m GROUP BY 1
+    )
+    SELECT g2.p_brand, n_months,
+           coalesce(n_pairs, 0) AS n_pairs,
+           ts_slope, med_monthly_rev
+    FROM g2 LEFT JOIN g1 ON g1.p_brand = g2.p_brand
+    """,
+)
+def brand_price_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X152: Theil-Sen robust trend per brand — the median-of-pairwise-
+    slopes estimator that a single rogue month cannot move (breakdown
+    point ~29%), the robust complement of the closed-form OLS (X127)
+    exactly as median/MAD (X121) complements the z-score outlier path.
+
+    The series is the MONTHLY revenue rollup (exact DECIMAL sums), so
+    the O(n²) pair step is bounded by months² per brand (~3.5k pairs
+    at 7 years), CONSTANT in corpus size — the same fan-out-bounding
+    discipline as basket pairs (X135): never pairs over raw rows. Each
+    pairwise slope is ONE double division of an exact decimal
+    difference by an integer month gap; the median interpolates two
+    middle doubles identically in both engines (X121), rounded 6 dp.
+    Brands with a single month report NULL slope and 0 pairs."""
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    mi = (F.year("l_shipdate") * F.lit(12) + F.month("l_shipdate")).cast("long")
+    m = (
+        lineitem.join(part, lineitem.l_partkey == part.p_partkey)
+        .groupBy("p_brand", mi.alias("mi"))
+        .agg(F.sum(money("l_extendedprice")).alias("rev"))
+    )
+    a, b = m.alias("a"), m.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.p_brand") == F.col("b.p_brand")) & (F.col("a.mi") < F.col("b.mi")),
+    ).select(
+        F.col("a.p_brand").alias("p_brand"),
+        (
+            (F.col("b.rev") - F.col("a.rev")).cast("double")
+            / (F.col("b.mi") - F.col("a.mi"))
+        ).alias("slope"),
+    )
+    g1 = pairs.groupBy("p_brand").agg(
+        F.count("*").alias("n_pairs"), F.round(F.median("slope"), 6).alias("ts_slope")
+    )
+    g2 = m.groupBy("p_brand").agg(
+        F.count("*").alias("n_months"),
+        F.round(F.median(F.col("rev").cast("double")), 6).alias("med_monthly_rev"),
+    )
+    return g2.join(g1, "p_brand", "left").select(
+        "p_brand",
+        "n_months",
+        F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+        "ts_slope",
+        "med_monthly_rev",
+    )
+
 @register("lineitem_corr_matrix", _corr_oracle())
 def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise Pearson correlation matrix over lineitem's numeric

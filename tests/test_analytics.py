@@ -297,3 +297,48 @@ def test_revenue_cusum_flags_the_level_shift(spark, tmp_path):
     mags = [abs(r.cusum) for r in out]
     assert [r.shift_rank for r in out] == [1, 2, 3, 4, 5]
     assert mags == sorted(mags, reverse=True)
+
+
+def test_theilsen_matches_median_of_pairwise_slopes(spark, tmp_path):
+    """X152 vs a pure-Python Theil-Sen on a planted series with one
+    rogue month: the median slope must ignore the outlier (robustness)
+    and equal the brute-force median of pairwise slopes exactly."""
+    import datetime
+    import statistics
+
+    from employee_data_management_system_data_engineering_solution_spark.plans.registry import REGISTRY
+
+    # brand A: clean +10/month trend with one rogue month (month 4 has
+    # a 10x revenue spike); brand B: a single month (degenerate)
+    rows = []
+    series = {1: 100.0, 2: 110.0, 3: 120.0, 4: 1300.0, 5: 140.0, 6: 150.0}
+    for mth, rev in series.items():
+        rows.append((len(rows), 1, rev, datetime.datetime(2024, mth, 15)))
+    rows.append((len(rows), 2, 55.0, datetime.datetime(2024, 3, 1)))
+    li = spark.createDataFrame(
+        [(i, r[1], r[2], r[3]) for i, r in enumerate(rows)],
+        "l_orderkey LONG, l_partkey LONG, l_extendedprice DOUBLE, l_shipdate TIMESTAMP",
+    )
+    part = spark.createDataFrame(
+        [(1, "Brand#A"), (2, "Brand#B")], "p_partkey LONG, p_brand STRING"
+    )
+    li.write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    part.write.mode("overwrite").parquet(str(tmp_path / "part.parquet"))
+    out = {r.p_brand: r for r in REGISTRY["brand_price_theilsen"].fn(spark, str(tmp_path)).collect()}
+
+    months = sorted(series)
+    slopes = [
+        (series[b] - series[a]) / (b - a)
+        for i, a in enumerate(months)
+        for b in months[i + 1:]
+    ]
+    want = round(statistics.median(slopes), 6)
+    got = out["Brand#A"]
+    assert got.n_months == 6 and got.n_pairs == 15
+    assert got.ts_slope == want
+    # robustness: the rogue month leaves the median slope near the
+    # clean +10/month trend, nowhere near the OLS-distorting spike
+    assert abs(got.ts_slope - 10.0) < 60
+    assert got.med_monthly_rev == round(statistics.median(series.values()), 6)
+    degen = out["Brand#B"]
+    assert degen.n_months == 1 and degen.n_pairs == 0 and degen.ts_slope is None
