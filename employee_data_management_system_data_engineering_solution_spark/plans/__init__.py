@@ -115,6 +115,7 @@ _PRIORITY: tuple[str, ...] = (
     "hybrid_rrf_topk",
     "domain_mixture_sample",
     "brand_price_theilsen",
+    "revenue_forecast_mase",
     # re-confirmation: last driver green round 5 (complete cohort)
     "benchmark_contamination",
     "dedup_keep_best",
@@ -153,7 +154,6 @@ _PRIORITY: tuple[str, ...] = (
     "revenue_cube_report",
     "simhash_hamming_pairs",
     "strike_report_rlike",
-    "supplier_triangles",
     "user_value_trend",
 )
 

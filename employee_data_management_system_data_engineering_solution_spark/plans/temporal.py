@@ -881,3 +881,87 @@ def revenue_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(rank_w).cast("int").alias("shift_rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive forecast skill score (X153): MASE over daily revenue
+# ---------------------------------------------------------------------------
+@register(
+    "revenue_forecast_mase",
+    # Same daily decimal rollup, calendar-true lag joins (DATE + int),
+    # exact decimal absolute-error sums, the identical fixed double
+    # chain for the two MAEs and their ratio.
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             sum(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+      FROM orders GROUP BY 1
+    ),
+    j AS (
+      SELECT a.d, a.rev, s.rev AS rev7, n.rev AS rev1
+      FROM daily a
+      LEFT JOIN daily s ON a.d = s.d + 7
+      LEFT JOIN daily n ON a.d = n.d + 1
+    ),
+    t AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_days,
+             CAST(count(rev7) AS BIGINT) AS n_seasonal,
+             CAST(count(rev1) AS BIGINT) AS n_naive,
+             sum(abs(rev - rev7)) AS ss,
+             sum(abs(rev - rev1)) AS sn
+      FROM j
+    )
+    SELECT n_days, n_seasonal, n_naive,
+           CASE WHEN n_seasonal > 0
+                THEN round(CAST(ss AS DOUBLE) / n_seasonal, 6) END AS mae_seasonal,
+           CASE WHEN n_naive > 0
+                THEN round(CAST(sn AS DOUBLE) / n_naive, 6) END AS mae_naive,
+           CASE WHEN n_seasonal > 0 AND n_naive > 0 AND sn > 0
+                THEN round((CAST(ss AS DOUBLE) / n_seasonal)
+                           / (CAST(sn AS DOUBLE) / n_naive), 6) END AS mase
+    FROM t
+    """,
+)
+def revenue_forecast_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X153: forecast-baseline skill score — the Mean Absolute Scaled
+    Error of the SEASONAL-NAIVE forecast (revenue seven calendar days
+    ago predicts today) against the one-step naive baseline, the
+    standard pre-model sanity check a forecasting pipeline runs before
+    trusting anything fancier: MASE < 1 means weekly seasonality
+    carries real signal. Lags are CALENDAR-true (a date joins to
+    date−7, never to the 7th previous observed row — gap days don't
+    smear errors); absolute errors sum as exact DECIMAL (no float
+    summation tree), and the two MAEs and their ratio are the same
+    fixed double chain on both engines, rounded 6 dp, NULL-guarded on
+    empty lag sets and a zero naive denominator.
+
+    Scale: one map-side-combined groupBy to |days| rows; the lag joins
+    and the final aggregate run over that report-sized series."""
+    orders = read_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.to_date("o_orderdate").alias("d")
+    ).agg(F.sum(money("o_totalprice")).alias("rev"))
+    s7 = daily.select(F.date_add("d", 7).alias("d"), F.col("rev").alias("rev7"))
+    n1 = daily.select(F.date_add("d", 1).alias("d"), F.col("rev").alias("rev1"))
+    j = daily.join(s7, "d", "left").join(n1, "d", "left")
+    t = j.agg(
+        F.count("*").alias("n_days"),
+        F.count("rev7").alias("n_seasonal"),
+        F.count("rev1").alias("n_naive"),
+        F.sum(F.abs(F.col("rev") - F.col("rev7"))).alias("ss"),
+        F.sum(F.abs(F.col("rev") - F.col("rev1"))).alias("sn"),
+    )
+    ns, nn = F.col("n_seasonal"), F.col("n_naive")
+    mae_s = F.round(F.col("ss").cast("double") / ns, 6)
+    mae_n = F.round(F.col("sn").cast("double") / nn, 6)
+    mase = F.round(
+        (F.col("ss").cast("double") / ns) / (F.col("sn").cast("double") / nn), 6
+    )
+    return t.select(
+        "n_days",
+        "n_seasonal",
+        "n_naive",
+        F.when(ns > 0, mae_s).alias("mae_seasonal"),
+        F.when(nn > 0, mae_n).alias("mae_naive"),
+        F.when((ns > 0) & (nn > 0) & (F.col("sn") > 0), mase).alias("mase"),
+    )

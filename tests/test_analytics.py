@@ -342,3 +342,41 @@ def test_theilsen_matches_median_of_pairwise_slopes(spark, tmp_path):
     assert got.med_monthly_rev == round(statistics.median(series.values()), 6)
     degen = out["Brand#B"]
     assert degen.n_months == 1 and degen.n_pairs == 0 and degen.ts_slope is None
+
+
+def test_mase_calendar_true_lags_and_ratio(spark, tmp_path):
+    """X153 vs a pure-Python replay on a planted series with a
+    calendar GAP: the gap day must not smear into the naive lag (a
+    date joins to date-1, not to the previous observed row)."""
+    import datetime
+    from decimal import Decimal
+
+    from employee_data_management_system_data_engineering_solution_spark.plans.registry import REGISTRY
+
+    # 14 consecutive days, then a gap, then two more days
+    base = datetime.datetime(2024, 1, 1)
+    series = {}
+    for i in range(14):
+        series[i] = 100.0 + 10 * (i % 7)
+    series[16] = 500.0  # after a 2-day gap: no d-1 neighbor
+    series[17] = 510.0
+    rows = [
+        (i, base + datetime.timedelta(days=k), v)
+        for i, (k, v) in enumerate(series.items())
+    ]
+    df = spark.createDataFrame(
+        rows, "o_orderkey LONG, o_orderdate TIMESTAMP, o_totalprice DOUBLE"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    got = REGISTRY["revenue_forecast_mase"].fn(spark, str(tmp_path)).collect()[0]
+
+    days = {k: Decimal(str(v)).quantize(Decimal("0.01")) for k, v in series.items()}
+    s_err = [abs(days[k] - days[k - 7]) for k in days if k - 7 in days]
+    n_err = [abs(days[k] - days[k - 1]) for k in days if k - 1 in days]
+    assert got.n_days == len(days)
+    assert got.n_seasonal == len(s_err) and got.n_naive == len(n_err)
+    mae_s = float(sum(s_err)) / len(s_err)
+    mae_n = float(sum(n_err)) / len(n_err)
+    assert got.mae_seasonal == round(mae_s, 6)
+    assert got.mae_naive == round(mae_n, 6)
+    assert got.mase == round(mae_s / mae_n, 6)

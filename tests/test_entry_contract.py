@@ -64,6 +64,7 @@ def test_check_window_covers_every_operator_family():
         "discount_quantity_ab", "order_price_ks_drift",
         "supplier_golden_record", "ppjoin_neardup_pairs",
         "hybrid_rrf_topk", "domain_mixture_sample", "brand_price_theilsen",
+        "revenue_forecast_mase",
         # re-confirmation: last driver green r5 (complete)
         "benchmark_contamination", "dedup_keep_best",
         "embedding_neardup_pairs", "embedding_topk", "event_sessions",
@@ -84,7 +85,7 @@ def test_check_window_covers_every_operator_family():
         "hourly_interpolated_series", "multimodal_decode", "pii_scrub",
         "quality_weighted_sample", "revenue_cube_report",
         "simhash_hamming_pairs", "strike_report_rlike",
-        "supplier_triangles", "user_value_trend",
+        "user_value_trend",
     }
     assert carriers <= set(window), sorted(carriers - set(window))
 
