@@ -55,35 +55,48 @@ from .registry import REGISTRY, register
 # per round, the 53-query r5/r6-green cohort no longer fits alongside
 # newcomers, so r9 takes the 16 r5-green queries (stalest first) plus
 # the r6-green block minus a deferral tail, and r10 takes the rest.
-#   IN (never green — new in r9, full hash oracles):
-#       phash_neardup_pairs (X141 perceptual dHash near-dup over binary
-#       payloads through the Arrow decode seam), bm25_topk (X142 Okapi
-#       BM25 scored retrieval, exact-rational tf saturation),
-#       quality_gate_logistic (X143 broadcast-weights logistic
-#       admission gate), plus every later r9 addition — each new entry
-#       displaces one query from the DEFERRAL TAIL below.
+#   IN (never green — new in r9, full hash oracles): the thirteen
+#       r9 operators X141-X153 — phash_neardup_pairs (X141 perceptual
+#       dHash near-dup through the Arrow decode seam), bm25_topk
+#       (X142), quality_gate_logistic (X143 broadcast-weights
+#       logistic admission gate), gate_eval_report (X144 exact
+#       tied-rank AUC + confusion metrics), gate_calibration_bins
+#       (X145 reliability/ECE), discount_quantity_ab (X146 Welch
+#       t-test), order_price_ks_drift (X147 two-sample KS),
+#       supplier_golden_record (X148 MDM survivorship),
+#       ppjoin_neardup_pairs (X149 exact prefix-filter similarity
+#       join), domain_mixture_sample (X150 temperature mixing),
+#       hybrid_rrf_topk (X151 reciprocal-rank fusion),
+#       brand_price_theilsen (X152 robust trend),
+#       revenue_forecast_mase (X153 forecast skill gate).
 #   IN (re-confirmation — the whole r5-green cohort, stalest first):
 #       benchmark_contamination ... train_test_split (16).
-#   IN (re-confirmation — the r6-green block, minus the deferral
-#       tail): strike_stream_stateful leads per the r8 verdict's
-#       explicit ask (last green r6, the only applyInPandasWithState
-#       carrier); upcoming_leave_pct carries the reference core
-#       (S5/S6/A2/J3/P10-P13); supplier_pagerank and
-#       funnel_conversion_report return after yielding their r8
+#   IN (re-confirmation — r6-green, 21 of 37): strike_stream_stateful
+#       leads per the r8 verdict's explicit ask (the only
+#       applyInPandasWithState carrier); upcoming_leave_pct carries
+#       the reference core (S5/S6/A2/J3/P10-P13); supplier_pagerank
+#       and funnel_conversion_report return after yielding their r8
 #       anchor slots.
-#   DEFERRAL TAIL (r10 queue, displaced bottom-up as r9 newcomers
-#       land): the six PQ/IVF quantization variants
-#       (embedding_quantize, ivf_topk_multiprobe, pq_adc_search,
-#       pq_ivf_search, quantized_ivf_topk, quantized_topk_rescore) —
-#       the ANN family keeps nine in-window carriers (ivf_topk,
-#       kmeans_ivf_assign, embedding_topk, hyperplane_lsh_groups,
-#       minhash_lsh_groups, embedding_neardup_pairs,
-#       phash_neardup_pairs, ann machinery in benchmark_contamination,
-#       hard negatives via the r8-green tail) — then the LLM-text
-#       block (lm_doc_score, boilerplate_scrub_stats,
-#       bigram_collocations, context_pack_bins, cluster_topic_terms)
-#       whose family is carried by tfidf_top_terms, bm25_topk,
-#       repeated_passages, and benchmark_contamination in-window.
+#   DEFERRED TO R10 (all r6-green, displaced bottom-up as the
+#       newcomers landed; every family keeps an in-window carrier):
+#       the six PQ/IVF quantization variants (embedding_quantize,
+#       ivf_topk_multiprobe, pq_adc_search, pq_ivf_search,
+#       quantized_ivf_topk, quantized_topk_rescore — ANN carried by
+#       ivf_topk/kmeans_ivf_assign/embedding_topk/
+#       hyperplane_lsh_groups/minhash_lsh_groups in-window), the
+#       LLM-text block (cluster_topic_terms, context_pack_bins,
+#       bigram_collocations, boilerplate_scrub_stats, lm_doc_score —
+#       text carried by tfidf_top_terms/bm25_topk/repeated_passages/
+#       benchmark_contamination), zorder_layout_stats (maintenance
+#       carried by snapshot_diff_orders), winnow_fingerprint_pairs
+#       (fingerprint banding carried by simhash_hamming_pairs +
+#       ppjoin_neardup_pairs), weekly_cohort_retention (temporal
+#       carried by funnel_conversion_report/event_sessions/
+#       hourly_interpolated_series), value_outliers (robust/stat
+#       carried by discount_quantity_ab/order_price_ks_drift/
+#       brand_price_theilsen), supplier_triangles (graph carried by
+#       supplier_pagerank). 16 queries — they ARE the r10 window's
+#       re-confirmation block, alongside the r9-green tail.
 #   OUT (rotated to the tail; every one r7/r8 driver-green and guarded
 #       by the committed full local runs): all 26 r8 newcomers
 #       (X116-X140), the r8 family anchors (daily_pipeline, scd2_merge,
@@ -97,9 +110,8 @@ from .registry import REGISTRY, register
 #       bloom_pruned_join + bucketed_colocated_join + fuzzy_name_pairs,
 #       dedup/window by exact_dedup + dedup_keep_best, temporal by
 #       funnel_conversion_report + event_sessions +
-#       hourly_interpolated_series + weekly_cohort_retention, graph by
-#       supplier_pagerank + supplier_triangles, maintenance by
-#       zorder_layout_stats + snapshot_diff_orders.
+#       hourly_interpolated_series, graph by supplier_pagerank,
+#       maintenance by snapshot_diff_orders.
 # ---------------------------------------------------------------------------
 _PRIORITY: tuple[str, ...] = (
     # new in r9: never driver-checked

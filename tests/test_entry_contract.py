@@ -51,12 +51,11 @@ def test_check_window_covers_every_operator_family():
         # exact_dedup + dedup_keep_best, streaming via
         # strike_stream_stateful — the r8 verdict's explicit anchor
         # ask — temporal via funnel_conversion_report + event_sessions
-        # + hourly_interpolated_series + weekly_cohort_retention,
-        # graph via supplier_pagerank + supplier_triangles, ANN via
-        # the nine embedding carriers, maintenance via
-        # zorder_layout_stats + snapshot_diff_orders); everything
-        # rotated out is r7/r8 driver-green and guarded by the
-        # committed full local run.
+        # + hourly_interpolated_series, graph via supplier_pagerank,
+        # ANN via the embedding carriers, maintenance via
+        # snapshot_diff_orders); everything rotated out or deferred to
+        # r10 is r6-r8 driver-green and guarded by the committed full
+        # local run.
         #
         # new in r9 — never driver-checked, full hash oracles:
         "phash_neardup_pairs", "bm25_topk", "quality_gate_logistic",
