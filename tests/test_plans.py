@@ -283,14 +283,17 @@ def test_dirty_group_refresh_prunes_with_semi_and_anti_joins(spark):
 def test_frequent_shingles_rescore_shuffle_is_candidate_bounded(spark):
     """The exact rescore must count only MG candidates: a LeftSemi
     prune against the candidate set sits between the corpus scan and
-    the final groupBy, and the only Python in the whole plan is the
-    Arrow-batched MG summary stage (mapInPandas) — no row-at-a-time
-    UDFs."""
+    the final groupBy. Since the r8 ADVICE fix the bounded candidate
+    set is EAGERLY localCheckpoint-ed (the Arrow MG stage runs into
+    the checkpoint and the final plan reads it back as an ExistingRDD
+    scan), so the rescore plan itself must contain NO Python eval node
+    of any tier."""
     df = REGISTRY["frequent_shingles"].fn(spark, SF)
     plan = plan_of(df)
     assert "LeftSemi" in plan
-    assert "MapInPandas" in plan
-    assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+    # the checkpointed candidate scan replaces the in-plan MG stage
+    assert "ExistingRDD" in plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
 
 
 def test_value_outliers_mad_stats_joins_broadcast(spark):
