@@ -127,8 +127,12 @@ def calibration_bins(
     unpartitioned window over the ≤ n_bins-row aggregate (the
     never-re-aggregate discipline), not a second scan."""
     p = F.round(F.col(prob), 6)
-    binc = F.least(
-        F.floor(p * F.lit(n_bins)).cast("int"), F.lit(n_bins - 1)
+    # clamp BOTH edges: p = 1.0 folds into the top bin, and an
+    # out-of-contract p < 0 folds into bin 0 instead of leaking a
+    # negative bin id into the report
+    binc = F.greatest(
+        F.least(F.floor(p * F.lit(n_bins)).cast("int"), F.lit(n_bins - 1)),
+        F.lit(0),
     ).alias("bin")
     g = df.groupBy(binc).agg(
         F.count("*").alias("n"),

@@ -323,6 +323,15 @@ def logistic_gate(
     Scale: the weight row broadcasts (one row); scoring is a narrow
     projection inside whole-stage codegen — no shuffle, no Python."""
     fields = list(weights)
+    reserved = {"__b", "logit", "prob", "admitted"} | {
+        f"__w_{i}" for i in range(len(fields))
+    }
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(
+            "logistic_gate reserves column names "
+            f"{sorted(reserved)}; input already has {sorted(clash)}"
+        )
     spark = df.sparkSession
     # spark.range(1).select(lits) keeps the weight row JVM-side — a
     # createDataFrame([...]) would plan as a Python-backed ExistingRDD.

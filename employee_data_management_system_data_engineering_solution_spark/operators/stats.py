@@ -6,9 +6,14 @@ a distribution moved; KS/Welch answer IS THE MOVE REAL).
 
 Float discipline: both tests reduce each sample to EXACT integer
 sufficient statistics first — (n, Σx, Σx²) for Welch over an
-integer-valued measure, per-value cumulative counts for KS — carried
-in DECIMAL(38,0) so 10^11-row groups cannot overflow (DuckDB mirrors
-with HUGEINT). Doubles appear only in the final closed forms, as a
+integer-valued measure, per-value cumulative counts for KS — with Σx
+and Σx² ACCUMULATED in DECIMAL(38,0) (cast before the sum, not after)
+so 10^11-row groups cannot overflow (DuckDB mirrors with HUGEINT).
+
+NULL-predicate rows: both tests drop rows where the sample predicate
+evaluates to NULL before splitting, matching the DuckDB oracles'
+``FILTER (WHERE pred)`` / ``FILTER (WHERE NOT pred)`` pair, which
+excludes NULL-predicate rows from BOTH sides. Doubles appear only in the final closed forms, as a
 fixed-order chain of correctly-rounded IEEE ops that both engines
 evaluate identically; outputs round at 6 dp. Significance decisions
 compare ROUNDED statistics against pinned critical-value literals
@@ -48,16 +53,19 @@ def welch_ttest(
     and the Welch-Satterthwaite df touch doubles. t/df are NULL when
     either side has < 2 rows or both variances are zero.
     ``significant_95``: |t| (rounded) > 1.96."""
+    df = df.filter(flag_a.isNotNull())
     x = F.col(value).cast("long")
-    side = lambda c: F.sum(F.when(flag_a, c).otherwise(F.lit(0)))  # noqa: E731
-    other = lambda c: F.sum(F.when(flag_a, F.lit(0)).otherwise(c))  # noqa: E731
+    xd = x.cast(_D38)  # accumulate Σx / Σx² in decimal — no long wrap
+    zero = F.lit(0).cast(_D38)
+    side = lambda c, z: F.sum(F.when(flag_a, c).otherwise(z))  # noqa: E731
+    other = lambda c, z: F.sum(F.when(flag_a, z).otherwise(c))  # noqa: E731
     g = df.groupBy(*by).agg(
-        side(F.lit(1)).alias("n_a"),
-        side(x).alias("s_a"),
-        side(x * x).alias("q_a"),
-        other(F.lit(1)).alias("n_b"),
-        other(x).alias("s_b"),
-        other(x * x).alias("q_b"),
+        side(F.lit(1), F.lit(0)).alias("n_a"),
+        side(xd, zero).alias("s_a"),
+        side(xd * x, zero).alias("q_a"),
+        other(F.lit(1), F.lit(0)).alias("n_b"),
+        other(xd, zero).alias("s_b"),
+        other(xd * x, zero).alias("q_b"),
     )
 
     def var(n, s, q):  # exact rational → one double division
@@ -89,6 +97,75 @@ def welch_ttest(
     )
 
 
+def mann_whitney_u(df: DataFrame, value: str, flag_a: Column) -> DataFrame:
+    """One-row two-sample Mann-Whitney U rank-sum test over the
+    QUANTIZED integer column ``value``: the nonparametric complement
+    to ``welch_ttest`` (no normality assumption — compares rank
+    distributions, robust to the heavy tails a mean test misses).
+
+    Exactness: ranks use the AVERAGE-rank tie convention carried as
+    DOUBLED integers (2·r̄ = 2·below + t + 1 — the ``binary_auc``
+    identity), so the doubled rank sum 2·ΣR_A, the doubled statistic
+    U2 = 2·U_A = 2·ΣR_A − n_a(n_a+1), and the tie-correction term
+    T = Σ(t³ − t) are all exact DECIMAL(38,0) integers. The z score
+    uses the tie-corrected normal approximation
+
+        z = (U_A − n_a·n_b/2) / sqrt(n_a·n_b/12 · ((N+1) − T/(N(N−1))))
+
+    evaluated as ONE fixed chain of double ops on exact decimal
+    inputs, rounded 6 dp; ``significant_95``: rounded |z| > 1.96
+    (exact permutation p-values are not SQL-expressible — same
+    contract as welch/KS). z is NULL when either side is empty or the
+    variance collapses (all values tied).
+
+    NULL-predicate rows are dropped from BOTH sides (DuckDB FILTER
+    parity). Plan: one groupBy per distinct value + windows over that
+    bounded aggregate + one final fold — same scale contract as KS."""
+    df = df.filter(flag_a.isNotNull())
+    g = df.groupBy(value).agg(
+        F.sum(F.when(flag_a, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(flag_a, 0).otherwise(1)).alias("cb"),
+    )
+    w_cum = Window.orderBy(value).rangeBetween(Window.unboundedPreceding, 0)
+    t_g = (F.col("ca") + F.col("cb")).cast(_D38)
+    g = g.select(
+        F.col("ca"),
+        t_g.alias("t"),
+        (F.sum(F.col("ca") + F.col("cb")).over(w_cum).cast(_D38) - t_g).alias(
+            "below"
+        ),
+    )
+    # this value-group's share of 2·ΣR_A: ca · (2·below + t + 1)
+    r2 = F.col("ca").cast(_D38) * (
+        F.lit(2).cast(_D38) * F.col("below") + F.col("t") + F.lit(1)
+    )
+    agg = g.agg(
+        F.sum("ca").alias("n_a"),
+        (F.sum("t") - F.sum("ca")).cast("long").alias("n_b"),
+        F.sum(r2).alias("s2r"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("ties"),
+    )
+    na, nb = F.col("n_a"), F.col("n_b")
+    n = (na.cast(_D38) + nb).alias("n")
+    u2 = F.col("s2r") - na.cast(_D38) * (na + 1)  # exact 2·U_A
+    # z numerator: U_A − n_a·n_b/2 = (U2 − n_a·n_b)/2 — keep doubled
+    zn2 = (u2 - na.cast(_D38) * nb).cast("double")
+    # variance · (12·N·(N−1)): exact decimal numerator / denominator
+    var_num = (
+        na.cast(_D38) * nb * ((n + 1) * n * (n - 1) - F.col("ties"))
+    ).cast("double")
+    var_den = (F.lit(12).cast(_D38) * n * (n - 1)).cast("double")
+    z = F.round(zn2 / (F.lit(2.0) * F.sqrt(var_num / var_den)), 6)
+    ok = (na > 0) & (nb > 0) & (var_num > 0)
+    return agg.select(
+        "n_a",
+        "n_b",
+        (u2.cast("double") / F.lit(2.0)).alias("u_a"),
+        F.when(ok, z).alias("z_stat"),
+        F.when(ok, F.abs(z) > F.lit(1.96)).alias("significant_95"),
+    )
+
+
 def ks_two_sample(df: DataFrame, value: str, flag_a: Column) -> DataFrame:
     """One-row two-sample Kolmogorov-Smirnov report over the QUANTIZED
     integer column ``value``: D = max |ECDF_A − ECDF_B|, evaluated as
@@ -96,6 +173,7 @@ def ks_two_sample(df: DataFrame, value: str, flag_a: Column) -> DataFrame:
     aggregate, divided once at the end. ``drift_05``: rounded D
     exceeds the rounded large-sample critical value
     1.358·√((n_a+n_b)/(n_a·n_b))."""
+    df = df.filter(flag_a.isNotNull())
     g = df.groupBy(value).agg(
         F.sum(F.when(flag_a, 1).otherwise(0)).alias("ca"),
         F.sum(F.when(flag_a, 0).otherwise(1)).alias("cb"),

@@ -2908,8 +2908,10 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT q.query_id, tf.doc_id,
              round(sum(
                ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
-               * (CAST(22 * stats.s * tf.tf AS DOUBLE)
-                  / CAST(10 * stats.s * tf.tf + 3 * stats.s + 9 * dl.dl * stats.n AS DOUBLE))
+               * (CAST(CAST(22 AS HUGEINT) * stats.s * tf.tf AS DOUBLE)
+                  / CAST(CAST(10 AS HUGEINT) * stats.s * tf.tf
+                         + CAST(3 AS HUGEINT) * stats.s
+                         + CAST(9 AS HUGEINT) * dl.dl * stats.n AS DOUBLE))
              ), 4) AS bm25
       FROM q
       JOIN tf ON tf.term = q.term
@@ -2939,8 +2941,9 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     double division of two exact BIGINT polynomials — k1/b are
     rationals, so tf + k1·(1 − b + b·dl/avgdl) cross-multiplies to
     (10·S·tf + 3·S + 9·dl·N)/(10·S) with S = Σdl, N = #docs, and the
-    (k1+1)·tf numerator to 22·S·tf (valid while S·tf < 9·10¹⁷ — at
-    larger corpus token counts drop to plain double arithmetic); only
+    (k1+1)·tf numerator to 22·S·tf — both polynomials accumulate in
+    DECIMAL(38,0) (HUGEINT on the DuckDB side), so there is no BIGINT
+    ceiling at any realistic corpus token count; only
     the idf logs and the final sum are inexact, and the score rounds
     to 4 dp on both engines BEFORE the rank window so libm ulps can
     flip neither hash nor ranking.
@@ -2983,10 +2986,13 @@ def _bm25_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1)
         + (F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
     )
-    sat = (F.lit(22) * F.col("s") * F.col("tf")).cast("double") / (
-        F.lit(10) * F.col("s") * F.col("tf")
-        + F.lit(3) * F.col("s")
-        + F.lit(9) * F.col("dl") * F.col("n")
+    # polynomials in DECIMAL(38,0) — no BIGINT wrap at any corpus size;
+    # ONE correctly-rounded double division at the end
+    d38 = lambda v: F.lit(v).cast("decimal(38,0)")  # noqa: E731
+    sat = (d38(22) * F.col("s") * F.col("tf")).cast("double") / (
+        d38(10) * F.col("s") * F.col("tf")
+        + d38(3) * F.col("s")
+        + d38(9) * F.col("dl") * F.col("n")
     ).cast("double")
     scored = (
         F.broadcast(q)
@@ -3035,8 +3041,10 @@ def _bm25_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT q.query_id, tf.doc_id,
              round(sum(
                ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
-               * (CAST(22 * stats.s * tf.tf AS DOUBLE)
-                  / CAST(10 * stats.s * tf.tf + 3 * stats.s + 9 * dl.dl * stats.n AS DOUBLE))
+               * (CAST(CAST(22 AS HUGEINT) * stats.s * tf.tf AS DOUBLE)
+                  / CAST(CAST(10 AS HUGEINT) * stats.s * tf.tf
+                         + CAST(3 AS HUGEINT) * stats.s
+                         + CAST(9 AS HUGEINT) * dl.dl * stats.n AS DOUBLE))
              ), 4) AS bm25
       FROM q
       JOIN tf ON tf.term = q.term

@@ -93,3 +93,14 @@ def test_calibration_bins_matches_replay(spark):
         assert r.conf == conf and r.acc == acc
         assert r.ece_term == round(abs(acc - conf) * n / n_total, 6)
     assert 9 in got and got[9].n == 3
+
+
+def test_calibration_bins_clamps_out_of_range_probs(spark):
+    # out-of-contract probs fold into the edge bins instead of leaking
+    # bin ids outside [0, n_bins) (r9 ADVICE item)
+    rows = [(-0.2, 0), (-0.000001, 1), (0.05, 0), (1.0, 1), (1.3, 1)]
+    df = spark.createDataFrame(rows, "prob DOUBLE, label INT")
+    got = {r.bin: r for r in calibration_bins(df, "prob", "label", 10).collect()}
+    assert set(got) == {0, 9}
+    assert got[0].n == 3 and got[0].n_pos == 1  # two negatives clamp in
+    assert got[9].n == 2 and got[9].n_pos == 2  # 1.0 and 1.3 clamp in

@@ -336,3 +336,18 @@ def test_logistic_gate_matches_reference_and_stays_jvm_side(spark):
         assert got[i].logit == z
         assert got[i].prob == 1.0 / (1.0 + math.exp(-z))
         assert got[i].admitted == (z >= 0)
+
+
+def test_logistic_gate_rejects_reserved_column_names(spark):
+    """Inputs already carrying a helper/output column name must raise
+    instead of silently dropping the user's column (r9 ADVICE item)."""
+    import pytest
+
+    from employee_data_management_system_data_engineering_solution_spark.operators.quality import logistic_gate
+
+    for bad in ("logit", "prob", "admitted", "__b", "__w_0"):
+        df = spark.createDataFrame(
+            [(1, 0.5, 2.0)], f"id LONG, a DOUBLE, {bad} DOUBLE"
+        )
+        with pytest.raises(ValueError, match="reserves column names"):
+            logistic_gate(df, {"a": 1.0}, intercept=0.0)

@@ -57,6 +57,54 @@ def test_welch_guards_degenerate_sides(spark):
     assert got2.t_stat is None
 
 
+def test_welch_null_predicate_rows_dropped_both_sides(spark):
+    # DuckDB FILTER (WHERE pred) semantics: NULL-predicate rows belong
+    # to NEITHER sample (r9 ADVICE item)
+    a = [10, 12, 9, 14]
+    b = [15, 18, 14]
+    rows = (
+        [("g", v, True) for v in a]
+        + [("g", v, False) for v in b]
+        + [("g", 999, None), ("g", -999, None)]
+    )
+    df = spark.createDataFrame(rows, "grp STRING, x INT, in_a BOOLEAN")
+    got = welch_ttest(df, "x", F.col("in_a"), ["grp"]).collect()[0]
+    ma, mb, t, dfw = _welch_ref(a, b)
+    assert (got.n_a, got.n_b) == (len(a), len(b))
+    assert got.t_stat == round(t, 6) and got.df_welch == round(dfw, 6)
+
+
+def test_welch_decimal_sums_survive_long_overflow(spark):
+    # Σx² for these values exceeds the int64 range (~9.2e18); the
+    # decimal(38,0) accumulators must carry them exactly (r9 ADVICE)
+    a = [3_100_000_000, 3_100_000_017]  # each square ≈ 9.6e18 > 2^63
+    b = [3_099_999_900, 3_099_999_907, 3_099_999_921]
+    rows = [("g", v, True) for v in a] + [("g", v, False) for v in b]
+    df = spark.createDataFrame(rows, "grp STRING, x LONG, in_a BOOLEAN")
+    got = welch_ttest(df, "x", F.col("in_a"), ["grp"]).collect()[0]
+    ma, mb, t, dfw = _welch_ref(a, b)
+    assert got.t_stat is not None
+    assert got.t_stat == round(t, 6)
+    # means: Spark rounds the shortest-repr decimal (BigDecimal.valueOf),
+    # CPython rounds the exact double — tolerate the last-ulp edge here;
+    # the overflow-safety claim under test is carried by t_stat
+    assert abs(got.mean_a - ma) < 1e-5 and abs(got.mean_b - mb) < 1e-5
+
+
+def test_ks_null_predicate_rows_dropped_both_sides(spark):
+    xs = [1, 2, 2, 3]
+    ys = [2, 4, 4, 6]
+    rows = (
+        [(v, True) for v in xs]
+        + [(v, False) for v in ys]
+        + [(100, None), (0, None)]
+    )
+    df = spark.createDataFrame(rows, "v LONG, in_a BOOLEAN")
+    got = ks_two_sample(df, "v", F.col("in_a")).collect()[0]
+    assert (got.n_a, got.n_b) == (len(xs), len(ys))
+    assert got.ks_d == round(_ks_ref(xs, ys), 6)
+
+
 def _ks_ref(xs, ys):
     na, nb = len(xs), len(ys)
     vals = sorted(set(xs) | set(ys))
