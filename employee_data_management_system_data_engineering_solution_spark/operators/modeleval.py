@@ -153,3 +153,75 @@ def calibration_bins(
             6,
         ).alias("ece_term"),
     )
+
+
+def decile_lift(
+    df: DataFrame,
+    score: str = "score",
+    label: str = "label",
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Gains/lift table for a binary scorer — the campaign-targeting
+    view of the same gate ``binary_auc`` grades: rank the population
+    by score, cut into ``n_buckets`` equal-size buckets, and report
+    per-bucket positive rate, cumulative capture, and lift over the
+    base rate.
+
+    Bucketing convention (the scale-safe one): rows are grouped by
+    their 6-dp-rounded score FIRST, and a whole tied-score group takes
+    the bucket of its first (best) rank — bucket = ⌊buckets·below/N⌋
+    where ``below`` is the count of strictly-better-scored rows. Under
+    heavy ties buckets may be unequal; in exchange the only
+    unpartitioned windows run over the |distinct scores| aggregate and
+    the ≤ ``n_buckets``-row bucket table, never raw rows (the
+    ``binary_auc`` contract — an exact NTILE would need a global
+    raw-row sort AND is non-deterministic under ties without a total
+    order).
+
+    Exactness: every intermediate is an integer; ``pos_rate``/
+    ``cum_capture`` are single double divisions and ``lift`` one
+    division of exact DECIMAL(38,0) cross products (n_pos·N)/(n·P),
+    all rounded 6 dp and NULL on empty denominators."""
+    s = F.round(F.col(score), 6)
+    g = df.groupBy(s.alias("s")).agg(
+        F.count("*").alias("n_r"), F.sum(label).alias("p_r")
+    )
+    w_cum = Window.orderBy(F.col("s").desc()).rangeBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy()
+    g = g.select(
+        "n_r",
+        "p_r",
+        (F.sum("n_r").over(w_cum) - F.col("n_r")).alias("below"),
+        F.sum("n_r").over(w_all).alias("nn"),
+    )
+    # integer floor division (Spark has no int-div Column op)
+    x = F.lit(n_buckets).cast(_D38) * F.col("below")
+    bucket = ((x - F.pmod(x, F.col("nn"))) / F.col("nn")).cast("int")
+    b = g.groupBy(bucket.alias("bucket")).agg(
+        F.sum("n_r").alias("n"), F.sum("p_r").alias("n_pos")
+    )
+    w_cumb = Window.orderBy("bucket").rangeBetween(Window.unboundedPreceding, 0)
+    t = b.select(
+        "bucket",
+        "n",
+        "n_pos",
+        F.sum("n_pos").over(w_cumb).alias("cum_pos"),
+        F.sum("n").over(w_all).alias("nn"),
+        F.sum("n_pos").over(w_all).alias("pp"),
+    )
+    rat = lambda a, bb: F.when(  # noqa: E731
+        bb > 0, F.round(a.cast("double") / bb.cast("double"), 6)
+    )
+    return t.select(
+        "bucket",
+        "n",
+        "n_pos",
+        rat(F.col("n_pos"), F.col("n")).alias("pos_rate"),
+        rat(F.col("cum_pos"), F.col("pp")).alias("cum_capture"),
+        rat(
+            F.col("n_pos").cast(_D38) * F.col("nn"),
+            F.col("n").cast(_D38) * F.col("pp"),
+        ).alias("lift"),
+    ).orderBy("bucket")

@@ -97,6 +97,66 @@ def welch_ttest(
     )
 
 
+def chi2_independence(df: DataFrame, a: str, b: str) -> DataFrame:
+    """One-row chi-squared independence test between two categorical
+    columns, with Cramér's V effect size — the association screen a
+    feature-engineering pass runs before trusting a categorical
+    predictor.
+
+    Definition pinned for cross-engine hashing: each cell's
+    contribution (o − e)²/e is evaluated as
+    (o·N − r·c)² / (N·r·c) — ONE fixed chain of double ops on exact
+    integer inputs (o·N − r·c is an exact DECIMAL(38,0) difference
+    converted once; squaring happens in double because the square can
+    pass 10^38) — and ROUNDED 6 dp, then summed as DECIMAL(18,6), so
+    the statistic is identical in any accumulation order. Cramér's
+    V = √(χ²/(N·min(r−1, c−1))), rounded 6 dp. Callers pass NON-NULL
+    categoricals (a NULL key would form a cell via groupBy yet be
+    dropped by the count-distinct level counts — filter first).
+
+    Plan: one groupBy to the |a|×|b| contingency aggregate; margins
+    come from windows OVER that aggregate; one final fold. The corpus
+    is scanned once; nothing raw-row-windowed."""
+    g = df.groupBy(a, b).agg(F.count("*").alias("o"))
+    wa = Window.partitionBy(a)
+    wb = Window.partitionBy(b)
+    w_all = Window.partitionBy()
+    g = g.select(
+        F.col(a),
+        F.col(b),
+        F.col("o"),
+        F.sum("o").over(wa).alias("r"),
+        F.sum("o").over(wb).alias("c"),
+        F.sum("o").over(w_all).alias("nn"),
+    )
+    num = (
+        F.col("o").cast(_D38) * F.col("nn")
+        - F.col("r").cast(_D38) * F.col("c")
+    ).cast("double")
+    den = (F.col("nn").cast(_D38) * F.col("r") * F.col("c")).cast("double")
+    cell = F.round(num * num / den, 6).cast("decimal(18,6)")
+    t = g.agg(
+        F.max("nn").alias("n"),
+        F.count_distinct(F.col(a)).alias("levels_a"),
+        F.count_distinct(F.col(b)).alias("levels_b"),
+        F.sum(cell).alias("chi2_dec"),
+    )
+    dof = (F.col("levels_a") - 1) * (F.col("levels_b") - 1)
+    chi2 = F.col("chi2_dec").cast("double")
+    mindim = F.least(F.col("levels_a"), F.col("levels_b")) - 1
+    v = F.round(
+        F.sqrt(chi2 / (F.col("n").cast(_D38) * mindim).cast("double")), 6
+    )
+    return t.select(
+        "n",
+        "levels_a",
+        "levels_b",
+        dof.cast("long").alias("dof"),
+        chi2.alias("chi2"),
+        F.when(mindim > 0, v).alias("cramers_v"),
+    )
+
+
 def mann_whitney_u(df: DataFrame, value: str, flag_a: Column) -> DataFrame:
     """One-row two-sample Mann-Whitney U rank-sum test over the
     QUANTIZED integer column ``value``: the nonparametric complement

@@ -1221,8 +1221,156 @@ def feature_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Two-sample inference statistics (X146, X147): Welch A/B + KS drift
+# Two-sample inference statistics (X146, X147, X157): Welch A/B + KS
+# drift + Mann-Whitney rank test
 # --------------------------------------------------------------------------
+@register(
+    "segment_nation_chi2",
+    # Same cell pinning: (o·N − r·c)²/(N·r·c) with an exact HUGEINT
+    # difference converted once, squared in double, rounded 6 dp,
+    # summed as DECIMAL(18,6) — order-free.
+    """
+    WITH g AS (
+      SELECT c_mktsegment AS seg, n_name AS nation,
+             CAST(count(*) AS BIGINT) AS o
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT o,
+             CAST(sum(o) OVER (PARTITION BY seg) AS BIGINT) AS r,
+             CAST(sum(o) OVER (PARTITION BY nation) AS BIGINT) AS c,
+             CAST(sum(o) OVER () AS BIGINT) AS nn,
+             seg, nation
+      FROM g
+    ),
+    cells AS (
+      SELECT nn,
+             CAST(round(
+               CAST(CAST(o AS HUGEINT) * nn - CAST(r AS HUGEINT) * c AS DOUBLE)
+               * CAST(CAST(o AS HUGEINT) * nn - CAST(r AS HUGEINT) * c AS DOUBLE)
+               / CAST(CAST(nn AS HUGEINT) * r * c AS DOUBLE), 6)
+               AS DECIMAL(18,6)) AS cell,
+             seg, nation
+      FROM m
+    ),
+    t AS (
+      SELECT CAST(max(nn) AS BIGINT) AS n,
+             CAST(count(DISTINCT seg) AS BIGINT) AS levels_a,
+             CAST(count(DISTINCT nation) AS BIGINT) AS levels_b,
+             sum(cell) AS chi2_dec
+      FROM cells
+    )
+    SELECT n, levels_a, levels_b,
+           CAST((levels_a - 1) * (levels_b - 1) AS BIGINT) AS dof,
+           CAST(chi2_dec AS DOUBLE) AS chi2,
+           CASE WHEN least(levels_a, levels_b) - 1 > 0
+                THEN round(sqrt(CAST(chi2_dec AS DOUBLE)
+                     / CAST(CAST(n AS HUGEINT)
+                            * (least(levels_a, levels_b) - 1) AS DOUBLE)), 6)
+           END AS cramers_v
+    FROM t
+    """,
+)
+def segment_nation_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X159: chi-squared independence test + Cramér's V between market
+    segment and nation — the categorical-association screen a feature
+    audit runs before trusting a predictor (its continuous siblings
+    are the Welch/KS/MWU family; PSI measures shift over time, χ²
+    measures association between columns).
+
+    Each cell contribution is the pinned fixed-order chain
+    (o·N − r·c)²/(N·r·c) on exact DECIMAL(38,0)/HUGEINT inputs,
+    rounded 6 dp and summed as DECIMAL(18,6) (order-free); one
+    groupBy to the |seg|×|nation| contingency aggregate, margins from
+    windows over it (``operators/stats.chi2_independence``)."""
+    from ..operators.stats import chi2_independence
+
+    cust = read_table(spark, sf_dir, "customer")
+    nat = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    base = cust.join(
+        F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"]
+    ).select(F.col("c_mktsegment").alias("seg"), F.col("n_name").alias("nation"))
+    return chi2_independence(base, "seg", "nation")
+
+
+@register(
+    "priority_price_mwu",
+    # Exact doubled tied ranks (2·r̄ = 2·below + t + 1) in HUGEINT
+    # mirroring Spark's DECIMAL(38,0), exact tie-correction Σ(t³−t),
+    # one fixed double chain for the tie-corrected z.
+    """
+    WITH base AS (
+      SELECT CAST(floor(CAST(o_totalprice AS DECIMAL(12,2))) AS BIGINT) AS dollar,
+             o_orderpriority = '1-URGENT' AS is_a
+      FROM orders
+    ),
+    g AS (
+      SELECT dollar,
+             CAST(count(*) FILTER (WHERE is_a) AS BIGINT) AS ca,
+             CAST(count(*) FILTER (WHERE NOT is_a) AS BIGINT) AS cb
+      FROM base GROUP BY 1
+    ),
+    r AS (
+      SELECT ca, CAST(ca + cb AS HUGEINT) AS t,
+             CAST(sum(ca + cb) OVER (ORDER BY dollar
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT)
+               - (ca + cb) AS below
+      FROM g
+    ),
+    a AS (
+      SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+             CAST(sum(t) - sum(ca) AS BIGINT) AS n_b,
+             sum(CAST(ca AS HUGEINT) * (2 * below + t + 1)) AS s2r,
+             sum(t * t * t - t) AS ties
+      FROM r
+    ),
+    v AS (
+      SELECT n_a, n_b,
+             s2r - CAST(n_a AS HUGEINT) * (n_a + 1) AS u2,
+             CAST(u2 - CAST(n_a AS HUGEINT) * n_b AS DOUBLE) AS zn2,
+             CAST(CAST(n_a AS HUGEINT) * n_b
+                  * ((CAST(n_a AS HUGEINT) + n_b + 1)
+                     * (CAST(n_a AS HUGEINT) + n_b)
+                     * (CAST(n_a AS HUGEINT) + n_b - 1) - ties) AS DOUBLE)
+               AS var_num,
+             CAST(12 * (CAST(n_a AS HUGEINT) + n_b)
+                  * (CAST(n_a AS HUGEINT) + n_b - 1) AS DOUBLE) AS var_den
+      FROM a
+    )
+    SELECT n_a, n_b,
+           CAST(u2 AS DOUBLE) / 2.0 AS u_a,
+           CASE WHEN n_a > 0 AND n_b > 0 AND var_num > 0
+                THEN round(zn2 / (2.0 * sqrt(var_num / var_den)), 6)
+           END AS z_stat,
+           CASE WHEN n_a > 0 AND n_b > 0 AND var_num > 0
+                THEN abs(round(zn2 / (2.0 * sqrt(var_num / var_den)), 6)) > 1.96
+           END AS significant_95
+    FROM v
+    """,
+)
+def priority_price_mwu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X157: Mann-Whitney U rank-sum test — do URGENT orders carry a
+    different price distribution than the rest? The nonparametric
+    sibling of the Welch A/B (X146): rank-based, so heavy price tails
+    cannot masquerade as (or mask) a shift the way they can in a mean
+    test. Prices quantize to whole dollars (the KS X147 convention) so
+    the rank aggregate stays report-sized; ties use average ranks
+    carried as exact doubled integers and the z score is the
+    tie-corrected normal approximation (``operators/stats.
+    mann_whitney_u`` — one groupBy, windows over the bounded
+    aggregate, one fold; DECIMAL(38,0)/HUGEINT end to end)."""
+    from ..functions.money import money
+    from ..operators.stats import mann_whitney_u
+
+    orders = read_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.floor(money("o_totalprice")).cast("long").alias("dollar"),
+        (F.col("o_orderpriority") == "1-URGENT").alias("is_a"),
+    )
+    return mann_whitney_u(base, "dollar", F.col("is_a"))
+
+
 @register(
     "discount_quantity_ab",
     # Exact (n, Σx, Σx²) per side with HUGEINT variance numerators

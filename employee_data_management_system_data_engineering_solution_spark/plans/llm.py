@@ -316,6 +316,78 @@ def gate_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "decile_lift_report",
+    # Score-group bucketing replayed: below-counts from a DESC RANGE
+    # window over the distinct-score aggregate, HUGEINT floor-div
+    # bucket ids, exact cross-product lift.
+    _GATE_CTE
+    + r"""
+    , scored AS (
+      SELECT doc_id, lab AS label,
+             round(1 / (1 + exp(-logit)), 6) AS score
+      FROM z
+    ),
+    g AS (
+      SELECT score, count(*) AS n_r, CAST(sum(label) AS BIGINT) AS p_r
+      FROM scored GROUP BY 1
+    ),
+    c AS (
+      SELECT n_r, p_r,
+             CAST(sum(n_r) OVER (ORDER BY score DESC
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_r
+               AS HUGEINT) AS below,
+             CAST(sum(n_r) OVER () AS BIGINT) AS nn
+      FROM g
+    ),
+    b AS (
+      SELECT CAST((10 * below) // nn AS INT) AS bucket,
+             CAST(sum(n_r) AS BIGINT) AS n,
+             CAST(sum(p_r) AS BIGINT) AS n_pos
+      FROM c GROUP BY 1
+    ),
+    t AS (
+      SELECT bucket, n, n_pos,
+             CAST(sum(n_pos) OVER (ORDER BY bucket
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_pos,
+             CAST(sum(n) OVER () AS BIGINT) AS nn,
+             CAST(sum(n_pos) OVER () AS BIGINT) AS pp
+      FROM b
+    )
+    SELECT bucket, n, n_pos,
+           CASE WHEN n > 0
+                THEN round(CAST(n_pos AS DOUBLE) / n, 6) END AS pos_rate,
+           CASE WHEN pp > 0
+                THEN round(CAST(cum_pos AS DOUBLE) / pp, 6) END AS cum_capture,
+           CASE WHEN CAST(n AS HUGEINT) * pp > 0
+                THEN round(CAST(CAST(n_pos AS HUGEINT) * nn AS DOUBLE)
+                           / CAST(CAST(n AS HUGEINT) * pp AS DOUBLE), 6)
+           END AS lift
+    FROM t
+    """,
+)
+def decile_lift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X158: gains/lift table for the X143 gate against the X144
+    relevance label — the third leg of the model-eval stool (AUC says
+    CAN it rank, calibration says ARE the probabilities honest, lift
+    says WHAT a top-k budget buys: 'the best decile captures x% of
+    positives at y× base rate').
+
+    Bucketing groups by the rounded score first and assigns each
+    tied-score group the bucket of its best rank (⌊10·below/N⌋), so
+    every unpartitioned window runs over the distinct-score aggregate
+    or the ≤ 10-row bucket table — never a raw-row global sort (an
+    exact NTILE is also tie-nondeterministic without a total order).
+    Counts are integers end to end; ``lift`` divides exact
+    DECIMAL(38,0)/HUGEINT cross products once, rounded 6 dp
+    (``operators/modeleval.decile_lift``)."""
+    scored = _gate_scored(spark, sf_dir).select(
+        "label", F.round("prob", 6).alias("score")
+    )
+    return modeleval.decile_lift(scored, "score", "label", 10)
+
+
+@register(
     "lang_id",
     r"""
     SELECT doc_id, lang,

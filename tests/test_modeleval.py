@@ -95,6 +95,55 @@ def test_calibration_bins_matches_replay(spark):
     assert 9 in got and got[9].n == 3
 
 
+def test_decile_lift_matches_replay(spark):
+    from employee_data_management_system_data_engineering_solution_spark.operators.modeleval import decile_lift
+
+    rows = [(round((i % 20) * 0.05, 6), 1 if i % 3 == 0 else 0) for i in range(40)]
+    rows += [(0.5, 1), (0.5, 0), (0.5, 0)]  # heavy tie straddling a cut
+    df = spark.createDataFrame(rows, "score DOUBLE, label INT")
+    got = {r.bucket: r for r in decile_lift(df, "score", "label", 10).collect()}
+    # python replay of the score-group convention
+    from collections import Counter, defaultdict
+
+    cnt = Counter(s for s, _ in rows)
+    pos = defaultdict(int)
+    for s, y in rows:
+        pos[s] += y
+    n_total = len(rows)
+    below = {}
+    acc = 0
+    for s in sorted(cnt, reverse=True):
+        below[s] = acc
+        acc += cnt[s]
+    buckets = defaultdict(lambda: [0, 0])
+    for s in cnt:
+        b = 10 * below[s] // n_total
+        buckets[b][0] += cnt[s]
+        buckets[b][1] += pos[s]
+    assert set(got) == set(buckets)
+    p_total = sum(y for _, y in rows)
+    cum = 0
+    for b in sorted(buckets):
+        n, np_ = buckets[b]
+        cum += np_
+        r = got[b]
+        assert (r.n, r.n_pos) == (n, np_)
+        assert r.pos_rate == round(np_ / n, 6)
+        assert r.cum_capture == round(cum / p_total, 6)
+        assert r.lift == round((np_ * n_total) / (n * p_total), 6)
+
+
+def test_decile_lift_all_tied_single_bucket(spark):
+    from employee_data_management_system_data_engineering_solution_spark.operators.modeleval import decile_lift
+
+    df = spark.createDataFrame(
+        [(0.7, 1), (0.7, 0), (0.7, 1)], "score DOUBLE, label INT"
+    )
+    out = decile_lift(df, "score", "label", 10).collect()
+    assert len(out) == 1 and out[0].bucket == 0 and out[0].n == 3
+    assert out[0].lift == 1.0  # single bucket == base rate
+
+
 def test_calibration_bins_clamps_out_of_range_probs(spark):
     # out-of-contract probs fold into the edge bins instead of leaking
     # bin ids outside [0, n_bins) (r9 ADVICE item)

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from employee_data_management_system_data_engineering_solution_spark.operators.stats import (
     ks_two_sample,
+    mann_whitney_u,
     welch_ttest,
 )
 
@@ -128,6 +129,105 @@ def test_ks_matches_brute_force(spark):
     crit = 1.358 * math.sqrt((len(xs) + len(ys)) / (len(xs) * len(ys)))
     assert got.crit_05 == round(crit, 6)
     assert bool(got.drift_05) == (round(d, 6) > round(crit, 6))
+
+
+def test_chi2_independence_matches_reference(spark):
+    from employee_data_management_system_data_engineering_solution_spark.operators.stats import chi2_independence
+
+    rows = (
+        [("x", "u")] * 10 + [("x", "v")] * 5 + [("x", "w")] * 3
+        + [("y", "u")] * 2 + [("y", "v")] * 9 + [("y", "w")] * 6
+    )
+    df = spark.createDataFrame(rows, "a STRING, b STRING")
+    got = chi2_independence(df, "a", "b").collect()[0]
+    import math
+    from collections import Counter
+
+    cnt = Counter(rows)
+    ra = Counter(a for a, _ in rows)
+    cb = Counter(b for _, b in rows)
+    n = len(rows)
+    chi2 = sum(
+        round((o * n - ra[a] * cb[b]) ** 2 / (n * ra[a] * cb[b]), 6)
+        for (a, b), o in cnt.items()
+    )
+    assert got.n == n and (got.levels_a, got.levels_b) == (2, 3)
+    assert got.dof == 2
+    assert abs(got.chi2 - chi2) < 1e-9
+    v = round(math.sqrt(got.chi2 / (n * 1)), 6)
+    assert got.cramers_v == v
+    # sanity vs the textbook statistic (unrounded cells)
+    ref = sum(
+        (o - ra[a] * cb[b] / n) ** 2 / (ra[a] * cb[b] / n)
+        for (a, b), o in cnt.items()
+    )
+    assert abs(got.chi2 - ref) < 1e-4
+
+
+def test_chi2_independence_degenerate_one_level(spark):
+    from employee_data_management_system_data_engineering_solution_spark.operators.stats import chi2_independence
+
+    df = spark.createDataFrame([("x", "u"), ("x", "v")], "a STRING, b STRING")
+    got = chi2_independence(df, "a", "b").collect()[0]
+    assert got.chi2 == 0.0 and got.cramers_v is None and got.dof == 0
+
+
+def _mwu_ref(xs, ys):
+    """Tied-rank Mann-Whitney with tie-corrected normal z."""
+    import math
+
+    allv = sorted(xs + ys)
+    # average rank per value
+    ranks = {}
+    i = 0
+    while i < len(allv):
+        j = i
+        while j < len(allv) and allv[j] == allv[i]:
+            j += 1
+        ranks[allv[i]] = (i + 1 + j) / 2  # mean of ranks i+1..j
+        i = j
+    na, nb, n = len(xs), len(ys), len(xs) + len(ys)
+    ra = sum(ranks[x] for x in xs)
+    u = ra - na * (na + 1) / 2
+    from collections import Counter
+
+    ties = sum(t**3 - t for t in Counter(allv).values())
+    var = na * nb / 12 * ((n + 1) - ties / (n * (n - 1)))
+    z = (u - na * nb / 2) / math.sqrt(var)
+    return u, z
+
+
+def test_mann_whitney_matches_reference(spark):
+    xs = [3, 5, 5, 8, 12, 12, 12, 20]
+    ys = [1, 2, 5, 7, 12, 13, 14]
+    rows = [(v, True) for v in xs] + [(v, False) for v in ys]
+    df = spark.createDataFrame(rows, "v LONG, in_a BOOLEAN")
+    got = mann_whitney_u(df, "v", F.col("in_a")).collect()[0]
+    u, z = _mwu_ref(xs, ys)
+    assert (got.n_a, got.n_b) == (len(xs), len(ys))
+    assert got.u_a == u
+    assert got.z_stat == round(z, 6)
+    assert bool(got.significant_95) == (abs(round(z, 6)) > 1.96)
+
+
+def test_mann_whitney_null_predicate_and_degenerate(spark):
+    xs, ys = [4, 9, 9], [2, 9, 11, 15]
+    rows = (
+        [(v, True) for v in xs]
+        + [(v, False) for v in ys]
+        + [(999, None)]
+    )
+    df = spark.createDataFrame(rows, "v LONG, in_a BOOLEAN")
+    got = mann_whitney_u(df, "v", F.col("in_a")).collect()[0]
+    u, z = _mwu_ref(xs, ys)
+    assert (got.n_a, got.n_b) == (3, 4)
+    assert got.u_a == u and got.z_stat == round(z, 6)
+    # all values tied → zero variance → NULL z
+    df2 = spark.createDataFrame(
+        [(7, True), (7, True), (7, False)], "v LONG, in_a BOOLEAN"
+    )
+    got2 = mann_whitney_u(df2, "v", F.col("in_a")).collect()[0]
+    assert got2.z_stat is None and got2.significant_95 is None
 
 
 def test_ks_identical_samples_zero(spark):
