@@ -1497,6 +1497,122 @@ def brand_price_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "price_qty_elasticity",
+    # Same closed-form OLS chain as X127, but over 6-dp-rounded ln
+    # features accumulated as DECIMAL — exact sums even though the
+    # features themselves are libm outputs.
+    """
+    WITH f AS (
+      SELECT p.p_brand,
+             CAST(round(ln(CAST(CAST(l.l_quantity AS BIGINT) AS DOUBLE)), 6)
+                  AS DECIMAL(9,6)) AS x,
+             CAST(round(ln(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                               AS DOUBLE)), 6) AS DECIMAL(9,6)) AS y
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE l.l_quantity > 0 AND l.l_extendedprice > 0
+    ),
+    s AS (
+      SELECT p_brand, count(*) AS n_rows,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+      FROM f GROUP BY 1
+    )
+    SELECT p_brand, n_rows,
+           CASE WHEN (n_rows * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+                THEN round((n_rows * CAST(sxy AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                           / (n_rows * CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+           END AS elasticity,
+           CASE WHEN (n_rows * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+                THEN round((CAST(sy AS DOUBLE)
+                            - ((n_rows * CAST(sxy AS DOUBLE)
+                                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                               / (n_rows * CAST(sxx AS DOUBLE)
+                                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                              * CAST(sx AS DOUBLE)) / n_rows, 6)
+           END AS intercept,
+           CASE WHEN (n_rows * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+                 AND (n_rows * CAST(syy AS DOUBLE)
+                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+                THEN round(((n_rows * CAST(sxy AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                            * (n_rows * CAST(sxy AS DOUBLE)
+                               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+                           / ((n_rows * CAST(sxx AS DOUBLE)
+                               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                              * (n_rows * CAST(syy AS DOUBLE)
+                                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+           END AS r2
+    FROM s
+    """,
+)
+def price_qty_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X160: per-brand log-log price elasticity of demand — the
+    econometric standard (d ln p / d ln q) the linear OLS (X127)
+    cannot give, since elasticity is the POWER-LAW exponent, constant
+    across the price range only in log space.
+
+    Float discipline, extending X127 to libm features: ln(quantity)
+    and ln(price) are rounded to 6 dp and accumulated as DECIMAL(9,6)
+    — so Σx, Σy, Σxy, Σx², Σy² are EXACT in any partition/summation
+    order even though each feature is a libm output (the one ln per
+    VALUE is the whole cross-engine exposure; X142's idf precedent).
+    The exact decimal sums convert to double once and the
+    slope/intercept/R² closed forms are the same fixed IEEE chains as
+    X127, rounded 6 dp, NULL on degenerate variance.
+
+    Scale: one dimension join (broadcastable), one map-side-combined
+    groupBy to |brands| rows; algebra on the tiny aggregate."""
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    x = F.round(
+        F.log(F.col("l_quantity").cast("bigint").cast("double")), 6
+    ).cast("decimal(9,6)")
+    y = F.round(F.log(money("l_extendedprice").cast("double")), 6).cast(
+        "decimal(9,6)"
+    )
+    f = (
+        lineitem.filter((F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0))
+        .join(part, lineitem.l_partkey == part.p_partkey)
+        .select("p_brand", x.alias("x"), y.alias("y"))
+    )
+    s = f.groupBy("p_brand").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n_rows")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx, syy = (
+        F.col("sxy").cast("double"),
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+    )
+    num = n * sxy - sx * sy
+    den_x = n * sxx - sx * sx
+    den_y = n * syy - sy * sy
+    slope_raw = num / den_x
+    return s.select(
+        "p_brand",
+        "n_rows",
+        F.when(den_x > 0, F.round(slope_raw, 6)).alias("elasticity"),
+        F.when(den_x > 0, F.round((sy - slope_raw * sx) / n, 6)).alias(
+            "intercept"
+        ),
+        F.when(
+            (den_x > 0) & (den_y > 0), F.round((num * num) / (den_x * den_y), 6)
+        ).alias("r2"),
+    )
+
+
 # --------------------------------------------------------------------------
 # One-pass pairwise Pearson correlation matrix from exact sums (X131)
 # --------------------------------------------------------------------------

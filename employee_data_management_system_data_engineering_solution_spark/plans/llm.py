@@ -411,6 +411,87 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "char_bigram_entropy",
+    # Per-doc Shannon entropy with 6-dp-rounded ln(count) terms
+    # accumulated as DECIMAL — order-free sums; one double
+    # division + subtraction at the end, rounded 4 dp.
+    r"""
+    WITH nrm AS (
+      SELECT doc_id,
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+      FROM documents
+      WHERE length(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) >= 2
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, length(norm) - 1),
+                                   p -> substr(norm, p, 2))) AS gram
+      FROM nrm
+    ),
+    c AS (
+      SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS c
+      FROM g GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n_bigrams,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             sum(CAST(round(ln(CAST(c AS DOUBLE)), 6) AS DECIMAL(12,6))
+                 * CAST(c AS DECIMAL(18,0))) AS s_dec
+      FROM c GROUP BY 1
+    )
+    SELECT doc_id, n_bigrams, n_distinct,
+           round(round(ln(CAST(n_bigrams AS DOUBLE)), 6)
+                 - CAST(s_dec AS DOUBLE) / n_bigrams, 4) AS entropy
+    FROM s
+    """,
+)
+def char_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X161: per-document character-bigram Shannon entropy — the
+    classic gibberish/boilerplate screen (natural prose sits in a
+    narrow entropy band; keyboard mashing scores high, repeated
+    template text scores low). Complements the CORPUS-level column
+    entropy (X140) with a PER-DOCUMENT quality feature the admission
+    gate (X143) can consume.
+
+    Float discipline: H = ln(n) − Σc·ln(c)/n with each ln(c) rounded
+    6 dp and the Σ accumulated as DECIMAL (c is an exact integer), so
+    the per-doc sum is identical in any order; one double division +
+    subtraction at the end, rounded 4 dp.
+
+    Scale: bigram explode (|chars| rows) → map-side-combined groupBy
+    (doc, gram) → per-doc fold. Everything partitions by doc_id; no
+    windows, no Python."""
+    docs = read_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    nrm = docs.select("doc_id", norm.alias("norm")).filter(
+        F.length("norm") >= 2
+    )
+    g = nrm.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(norm) - 1),"
+                " p -> substring(norm, p, 2))"
+            )
+        ).alias("gram"),
+    )
+    c = g.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
+    lnc = F.round(F.log(F.col("c").cast("double")), 6).cast("decimal(12,6)")
+    s = c.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(lnc * F.col("c")).alias("s_dec"),
+    )
+    entropy = F.round(
+        F.round(F.log(F.col("n_bigrams").cast("double")), 6)
+        - F.col("s_dec").cast("double") / F.col("n_bigrams"),
+        4,
+    )
+    return s.select("doc_id", "n_bigrams", "n_distinct", entropy.alias("entropy"))
+
+
+@register(
     "doc_fingerprint",
     r"""
     SELECT doc_id,

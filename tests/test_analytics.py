@@ -137,6 +137,71 @@ def test_brand_price_regression_degenerate_variance_is_null(spark):
     assert s.n * s.sxx - s.sx * s.sx == 0.0
 
 
+def test_price_qty_elasticity_matches_numpy_loglog_fit(spark):
+    """The decimal-accumulated rounded-ln sums reproduce an
+    independent log-log OLS fit per brand at sf0.001."""
+    import numpy as np
+
+    from employee_data_management_system_data_engineering_solution_spark.plans.registry import REGISTRY
+    from employee_data_management_system_data_engineering_solution_spark.sources.io import read_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.p_brand: r for r in REGISTRY["price_qty_elasticity"].fn(spark, sf).collect()}
+    li = read_table(spark, sf, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice")
+    pt = read_table(spark, sf, "part").select("p_partkey", "p_brand")
+    pdf = li.join(pt, li.l_partkey == pt.p_partkey).toPandas()
+    pdf = pdf[(pdf.l_quantity > 0) & (pdf.l_extendedprice > 0)]
+    for brand, g in pdf.groupby("p_brand"):
+        x = np.round(np.log(g.l_quantity.to_numpy(float)), 6)
+        y = np.round(np.log(np.round(g.l_extendedprice.to_numpy(float), 2)), 6)
+        A = np.vstack([x, np.ones_like(x)]).T
+        (slope, intercept), *_ = np.linalg.lstsq(A, y, rcond=None)
+        r = got[brand]
+        assert r.n_rows == len(g)
+        assert abs(r.elasticity - slope) < 1e-4, brand
+        assert abs(r.intercept - intercept) < 1e-3, brand
+        assert 0.0 <= r.r2 <= 1.0
+
+
+def test_char_bigram_entropy_matches_math_reference(spark, tmp_path):
+    """Per-doc entropy equals the textbook Shannon H over character
+    bigrams of the whitespace-collapsed lowercased text, within the
+    rounding pinned by the plan; len<2 docs are excluded."""
+    import math
+    import re
+    from collections import Counter
+
+    from employee_data_management_system_data_engineering_solution_spark.plans.registry import REGISTRY
+
+    rows = [
+        (0, "abababab"),
+        (1, "The  quick\tbrown fox jumps over the lazy dog"),
+        (2, "x"),          # too short after collapse -> excluded
+        (3, "  "),          # collapses to ' ' -> excluded
+        (4, "aaaa aaaa aaaa"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        r.doc_id: r
+        for r in REGISTRY["char_bigram_entropy"].fn(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {0, 1, 4}
+    for doc_id, text in rows:
+        norm = re.sub(r"\s+", " ", text.strip().lower())
+        if len(norm) < 2:
+            continue
+        grams = Counter(norm[i : i + 2] for i in range(len(norm) - 1))
+        n = sum(grams.values())
+        s = sum(c * round(math.log(c), 6) for c in grams.values())
+        h = round(round(math.log(n), 6) - s / n, 4)
+        r = got[doc_id]
+        assert (r.n_bigrams, r.n_distinct) == (n, len(grams))
+        assert abs(r.entropy - h) < 1e-9, doc_id
+    # sanity: the repetitive doc is lower-entropy than the prose doc
+    assert got[0].entropy < got[1].entropy
+
+
 def test_rolling_user_features_trailing_frame_semantics(spark, tmp_path):
     """Hand-built stream: the 7-day RANGE frame includes exactly days
     in [d-6, d], a >6-day gap resets the trailing stats, and
