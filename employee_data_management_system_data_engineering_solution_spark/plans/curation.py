@@ -454,6 +454,147 @@ def balanced_strata_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Temperature-weighted domain mixture sample (X150)
 # --------------------------------------------------------------------------
 @register(
+    "dsir_importance_weights",
+    # Same hashed-feature buckets (md5-60bit % 64, seed dsir-v1),
+    # 6-dp-rounded log-ratios as DECIMAL(12,6), integer-count ×
+    # decimal products summed exactly — order-free log weights.
+    r"""
+    WITH live AS (
+      SELECT doc_id, lang,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS w
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    gr AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(generate_series(1, len(w) - 1),
+                                   i -> w[i] || ' ' || w[i + 1])) AS g
+      FROM live WHERE len(w) >= 2
+    ),
+    db AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substring(md5(g || ':dsir-v1'), 1, 15)) AS BIGINT)
+               % 64 AS b,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM gr GROUP BY 1, 2, 3
+    ),
+    bk AS (
+      SELECT b, CAST(sum(cnt) AS BIGINT) AS cr,
+             CAST(coalesce(sum(cnt) FILTER (WHERE lang = 'en'), 0) AS BIGINT)
+               AS ct
+      FROM db GROUP BY 1
+    ),
+    bk2 AS (
+      SELECT b,
+             CAST(round(ln(CAST(ct + 1 AS DOUBLE))
+                        - ln(CAST(cr + 1 AS DOUBLE)), 6)
+                  AS DECIMAL(12,6)) AS lr,
+             CAST(round(ln(CAST(sum(ct) OVER () + 64 AS DOUBLE))
+                        - ln(CAST(sum(cr) OVER () + 64 AS DOUBLE)), 6)
+                  AS DECIMAL(12,6)) AS shift
+      FROM bk
+    ),
+    doc AS (
+      SELECT db.doc_id,
+             CAST(sum(cnt) AS BIGINT) AS n_grams,
+             sum(CAST(cnt AS DECIMAL(18,0)) * lr) AS s_lr,
+             max(shift) AS shift
+      FROM db JOIN bk2 USING (b) GROUP BY 1
+    )
+    SELECT doc_id, n_grams,
+           CAST(s_lr - CAST(n_grams AS DECIMAL(18,0)) * shift AS DOUBLE)
+             AS log_weight,
+           (s_lr - CAST(n_grams AS DECIMAL(18,0)) * shift) >= 0 AS selected
+    FROM doc
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X162: DSIR-style importance weights (Xie et al. 2023, Data
+    Selection via Importance Resampling): score every document by how
+    much more likely its hashed word-bigram features are under the
+    TARGET distribution (here the ``lang='en'`` slice) than under the
+    RAW corpus — log w(d) = Σ_features count·(ln p̂_t(b) − ln p̂_r(b))
+    with add-one smoothing over 64 md5-hashed buckets (seed
+    ``dsir-v1``). ``selected`` = non-negative log weight, the
+    resampling acceptance core.
+
+    Float discipline: the 64 per-bucket log-ratios (and the
+    normalizer shift ln(Nt+64) − ln(Nr+64)) are each ONE fixed ln
+    chain rounded 6 dp into DECIMAL(12,6); per-doc weights are then
+    integer-count × decimal products summed EXACTLY, so the weight —
+    and the selection decision — is identical in any accumulation
+    order (the X150 order-free-decimal discipline applied to log
+    space).
+
+    Scale: bigram explode → one (doc, bucket) map-side-combined
+    groupBy; the 64-row bucket table broadcasts back; no windows over
+    raw rows, no Python. Docs with < 2 words carry no features and
+    are excluded (documented contract)."""
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    live = docs.filter(F.length(F.trim("text")) > 0).select(
+        "doc_id",
+        "lang",
+        tx.words(F.lower(F.trim(F.col("text")))).alias("w"),
+    )
+    grams = live.filter(F.size("w") >= 2).select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 1),"
+                " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
+            )
+        ).alias("g"),
+    )
+    bucket = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("g"), F.lit(":dsir-v1"))), 1, 15),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(64),
+    )
+    db = grams.groupBy("doc_id", "lang", bucket.alias("b")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    bk = db.groupBy("b").agg(
+        F.sum("cnt").alias("cr"),
+        F.sum(F.when(F.col("lang") == "en", F.col("cnt")).otherwise(0)).alias(
+            "ct"
+        ),
+    )
+    w_all = Window.partitionBy()
+    lr = F.round(
+        F.log((F.col("ct") + 1).cast("double"))
+        - F.log((F.col("cr") + 1).cast("double")),
+        6,
+    ).cast("decimal(12,6)")
+    shift = F.round(
+        F.log((F.sum("ct").over(w_all) + 64).cast("double"))
+        - F.log((F.sum("cr").over(w_all) + 64).cast("double")),
+        6,
+    ).cast("decimal(12,6)")
+    bk2 = bk.select("b", lr.alias("lr"), shift.alias("shift"))
+    doc = (
+        db.join(F.broadcast(bk2), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_grams"),
+            F.sum(F.col("cnt") * F.col("lr")).alias("s_lr"),
+            F.max("shift").alias("shift"),
+        )
+    )
+    logw = F.col("s_lr") - F.col("n_grams") * F.col("shift")
+    return doc.select(
+        "doc_id",
+        "n_grams",
+        logw.cast("double").alias("log_weight"),
+        (logw >= 0).alias("selected"),
+    )
+
+
+@register(
     "domain_mixture_sample",
     # Same 6-dp-rounded sqrt weights as DECIMAL(18,6) (exact any-order
     # sum), the same fixed double chain for the raw share, integer

@@ -3306,6 +3306,229 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Graded-relevance retrieval evaluation: nDCG@5 + MRR over the BM25 run
+# ---------------------------------------------------------------------------
+# ln(2)..ln(6) pinned as SHARED literals: both engines parse the same
+# 17-significant-digit repr to the same double, removing any libm
+# cross-engine exposure from the discount denominators.
+_LN = tuple(__import__("math").log(k) for k in (2, 3, 4, 5, 6))
+
+_GAIN_SQL = "CASE rel WHEN 3 THEN 7 WHEN 1 THEN 1 ELSE 0 END"
+
+
+@register(
+    "ndcg_mrr_report",
+    # The bm25_topk oracle extended with a graded truth join; DCG/IDCG
+    # are the same left-assoc 5-term chains over pinned ln literals
+    # (bare SQL float literals are DECIMAL in DuckDB — every one is
+    # cast, the X151 lesson).
+    rf"""
+    WITH w AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2),
+    dl AS (SELECT doc_id, count(*) AS dl FROM w GROUP BY 1),
+    stats AS (SELECT sum(dl) AS s, count(*) AS n FROM dl),
+    dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM w GROUP BY term),
+    q AS (
+      SELECT DISTINCT doc_id AS query_id,
+             unnest(regexp_split_to_array(
+               trim(substr(lower(trim(text)), 1, 40)), '\s+')) AS term
+      FROM documents
+      WHERE doc_id % 100 = 0 AND length(trim(text)) > 0
+    ),
+    scored AS (
+      SELECT q.query_id, tf.doc_id,
+             round(sum(
+               ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * (CAST(CAST(22 AS HUGEINT) * stats.s * tf.tf AS DOUBLE)
+                  / CAST(CAST(10 AS HUGEINT) * stats.s * tf.tf
+                         + CAST(3 AS HUGEINT) * stats.s
+                         + CAST(9 AS HUGEINT) * dl.dl * stats.n AS DOUBLE))
+             ), 4) AS bm25
+      FROM q
+      JOIN tf ON tf.term = q.term
+      JOIN dfreq ON dfreq.term = q.term
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats
+      GROUP BY q.query_id, tf.doc_id
+    ),
+    top5 AS (
+      SELECT query_id, doc_id, rnk FROM (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY bm25 DESC, doc_id ASC) AS rnk
+        FROM scored
+      ) WHERE rnk <= 5
+    ),
+    meta AS (
+      SELECT doc_id, source, lang FROM documents
+      WHERE length(trim(text)) > 0
+    ),
+    qm AS (
+      SELECT doc_id AS query_id, source AS qsrc, lang AS qlang
+      FROM meta WHERE doc_id % 100 = 0
+    ),
+    nsl AS (
+      SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+      FROM meta GROUP BY 1, 2
+    ),
+    rels AS (
+      SELECT t.query_id, t.rnk,
+             CASE WHEN t.doc_id = t.query_id THEN 3
+                  WHEN m.source = qm.qsrc AND m.lang = qm.qlang THEN 1
+                  ELSE 0 END AS rel
+      FROM top5 t
+      JOIN meta m ON m.doc_id = t.doc_id
+      JOIN qm ON qm.query_id = t.query_id
+    ),
+    pq AS (
+      SELECT query_id,
+             coalesce(max(CASE WHEN rnk = 1 THEN {_GAIN_SQL} END), 0) AS g1,
+             coalesce(max(CASE WHEN rnk = 2 THEN {_GAIN_SQL} END), 0) AS g2,
+             coalesce(max(CASE WHEN rnk = 3 THEN {_GAIN_SQL} END), 0) AS g3,
+             coalesce(max(CASE WHEN rnk = 4 THEN {_GAIN_SQL} END), 0) AS g4,
+             coalesce(max(CASE WHEN rnk = 5 THEN {_GAIN_SQL} END), 0) AS g5,
+             coalesce(CAST(min(CASE WHEN rel > 0 THEN rnk END) AS INT), 0)
+               AS first_rel
+      FROM rels GROUP BY 1
+    ),
+    wq AS (
+      SELECT pq.*, nsl.c - 1 AS n_same,
+             g1 / CAST({_LN[0]!r} AS DOUBLE)
+               + g2 / CAST({_LN[1]!r} AS DOUBLE)
+               + g3 / CAST({_LN[2]!r} AS DOUBLE)
+               + g4 / CAST({_LN[3]!r} AS DOUBLE)
+               + g5 / CAST({_LN[4]!r} AS DOUBLE) AS dcg,
+             CAST(7 AS DOUBLE) / CAST({_LN[0]!r} AS DOUBLE)
+               + (CASE WHEN nsl.c - 1 >= 1
+                       THEN CAST(1 AS DOUBLE) / CAST({_LN[1]!r} AS DOUBLE)
+                       ELSE CAST(0 AS DOUBLE) END)
+               + (CASE WHEN nsl.c - 1 >= 2
+                       THEN CAST(1 AS DOUBLE) / CAST({_LN[2]!r} AS DOUBLE)
+                       ELSE CAST(0 AS DOUBLE) END)
+               + (CASE WHEN nsl.c - 1 >= 3
+                       THEN CAST(1 AS DOUBLE) / CAST({_LN[3]!r} AS DOUBLE)
+                       ELSE CAST(0 AS DOUBLE) END)
+               + (CASE WHEN nsl.c - 1 >= 4
+                       THEN CAST(1 AS DOUBLE) / CAST({_LN[4]!r} AS DOUBLE)
+                       ELSE CAST(0 AS DOUBLE) END) AS idcg
+      FROM pq
+      JOIN qm ON qm.query_id = pq.query_id
+      JOIN nsl ON nsl.source = qm.qsrc AND nsl.lang = qm.qlang
+    )
+    SELECT query_id,
+           CAST(1 + n_same AS BIGINT) AS n_rel,
+           first_rel,
+           CASE WHEN first_rel = 0 THEN CAST(0 AS DOUBLE)
+                ELSE round(CAST(1 AS DOUBLE) / first_rel, 6) END AS rr,
+           round(dcg, 6) AS dcg5,
+           round(idcg, 6) AS idcg5,
+           round(dcg / idcg, 6) AS ndcg5
+    FROM wq
+    """,
+)
+def ndcg_mrr_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X163: graded-relevance retrieval evaluation — per-query nDCG@5
+    and reciprocal rank over the X142 BM25 run, the metric pair every
+    retrieval stack reports (ann_recall_report is SET-based recall;
+    this grades ORDER and GRADED relevance). Truth is deterministic:
+    the query's source document scores rel 3, any other live document
+    sharing (source, lang) scores rel 1.
+
+    Float discipline: DCG and IDCG are 5-term left-associated chains
+    of integer gains (2^rel − 1 ∈ {{7, 1, 0}}) divided by PINNED
+    ln(rank+1) literals — the same 17-digit repr is embedded in both
+    engines' plans, so no libm call happens at eval time at all; nDCG
+    is one further division, everything rounded 6 dp. IDCG truncates
+    the ideal gain vector [3, 1, 1, 1, ...] at min(4, n_same)
+    rel-1 docs — closed form from the (source, lang) group size, no
+    ideal-ranking sort needed. ``first_rel``/``rr`` are 0 (not NULL)
+    when no relevant doc is retrieved, keeping the column
+    integer-typed through pandas.
+
+    Scale: rides the X142 inverted-index plan (postings-keyed joins,
+    broadcast query side), then one rank-truth join on the top-5 rows
+    (≤ 5·|queries|) and a broadcastable (source, lang) size join —
+    evaluation cost is output-sized, not corpus-sized."""
+    ranked = _bm25_ranked(spark, sf_dir).filter(F.col("rank") <= 5)
+    docs = read_table(spark, sf_dir, "documents")
+    meta = docs.filter(F.length(F.trim("text")) > 0).select(
+        "doc_id", "source", "lang"
+    )
+    qm = meta.filter(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("source").alias("qsrc"),
+        F.col("lang").alias("qlang"),
+    )
+    nsl = meta.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    rel = (
+        F.when(F.col("doc_id") == F.col("query_id"), 3)
+        .when(
+            (F.col("source") == F.col("qsrc"))
+            & (F.col("lang") == F.col("qlang")),
+            1,
+        )
+        .otherwise(0)
+    )
+    rels = (
+        ranked.join(meta, "doc_id")
+        .join(F.broadcast(qm), "query_id")
+        .select("query_id", "rank", rel.alias("rel"))
+    )
+    gain = (
+        F.when(F.col("rel") == 3, 7)
+        .when(F.col("rel") == 1, 1)
+        .otherwise(0)
+    )
+    g_at = lambda r: F.coalesce(  # noqa: E731
+        F.max(F.when(F.col("rank") == r, gain)), F.lit(0)
+    ).alias(f"g{r}")
+    pq = rels.groupBy("query_id").agg(
+        *[g_at(r) for r in (1, 2, 3, 4, 5)],
+        F.coalesce(
+            F.min(F.when(F.col("rel") > 0, F.col("rank"))).cast("int"),
+            F.lit(0),
+        ).alias("first_rel"),
+    )
+    wq = pq.join(F.broadcast(qm), "query_id").join(
+        F.broadcast(nsl),
+        (F.col("source") == F.col("qsrc")) & (F.col("lang") == F.col("qlang")),
+    )
+    n_same = F.col("c") - 1
+    dcg = (
+        F.col("g1") / F.lit(_LN[0])
+        + F.col("g2") / F.lit(_LN[1])
+        + F.col("g3") / F.lit(_LN[2])
+        + F.col("g4") / F.lit(_LN[3])
+        + F.col("g5") / F.lit(_LN[4])
+    )
+    step = lambda k, ln: F.when(  # noqa: E731
+        n_same >= k, F.lit(1.0) / F.lit(ln)
+    ).otherwise(F.lit(0.0))
+    idcg = (
+        F.lit(7.0) / F.lit(_LN[0])
+        + step(1, _LN[1])
+        + step(2, _LN[2])
+        + step(3, _LN[3])
+        + step(4, _LN[4])
+    )
+    rr = F.when(F.col("first_rel") == 0, F.lit(0.0)).otherwise(
+        F.round(F.lit(1.0) / F.col("first_rel"), 6)
+    )
+    return wq.select(
+        "query_id",
+        (F.lit(1) + n_same).cast("long").alias("n_rel"),
+        "first_rel",
+        rr.alias("rr"),
+        F.round(dcg, 6).alias("dcg5"),
+        F.round(idcg, 6).alias("idcg5"),
+        F.round(dcg / idcg, 6).alias("ndcg5"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Bigram collocations (PMI) — phrase mining for tokenizer/vocab prep
 # ---------------------------------------------------------------------------
 @register(

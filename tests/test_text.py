@@ -240,3 +240,58 @@ def test_hybrid_rrf_fuses_runs_exactly(spark):
             key=lambda t: (-t[0], t[1]),
         )[: len(kept)]
         assert kept == best
+
+
+def test_ndcg_mrr_matches_python_replay(spark):
+    """nDCG@5 / MRR replayed in pure Python over the (already
+    oracle-checked) bm25_topk run and the (source, lang) graded truth
+    at sf0.001 — same pinned ln literals, same left-assoc chains."""
+    import math
+
+    from employee_data_management_system_data_engineering_solution_spark.plans.registry import REGISTRY
+    from employee_data_management_system_data_engineering_solution_spark.sources.io import read_table
+
+    sf = "/root/testdata/sf0.001"
+    top = REGISTRY["bm25_topk"].fn(spark, sf).collect()
+    docs = (
+        read_table(spark, sf, "documents")
+        .filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", "source", "lang")
+        .collect()
+    )
+    meta = {r.doc_id: (r.source, r.lang) for r in docs}
+    from collections import Counter, defaultdict
+
+    nsl = Counter(meta.values())
+    runs = defaultdict(dict)
+    for r in top:
+        runs[r.query_id][r.rank] = r.doc_id
+    got = {r.query_id: r for r in REGISTRY["ndcg_mrr_report"].fn(spark, sf).collect()}
+    ln = [math.log(k) for k in (2, 3, 4, 5, 6)]
+    assert set(got) == set(runs)
+    for q, byrank in runs.items():
+        qkey = meta[q]
+        gains, first = [0] * 5, 0
+        for rank in sorted(byrank):
+            d = byrank[rank]
+            rel = 3 if d == q else (1 if meta[d] == qkey else 0)
+            gains[rank - 1] = 7 if rel == 3 else (1 if rel == 1 else 0)
+            if rel > 0 and first == 0:
+                first = rank
+        dcg = (
+            gains[0] / ln[0] + gains[1] / ln[1] + gains[2] / ln[2]
+            + gains[3] / ln[3] + gains[4] / ln[4]
+        )
+        n_same = nsl[qkey] - 1
+        idcg = 7.0 / ln[0]
+        for j in range(1, min(4, n_same) + 1):
+            idcg += 1.0 / ln[j]
+        r = got[q]
+        assert r.n_rel == 1 + n_same
+        assert r.first_rel == first
+        assert r.rr == (0.0 if first == 0 else round(1.0 / first, 6))
+        # report columns are rounded 6 dp; compare within that grid
+        assert abs(r.dcg5 - dcg) < 5.1e-7
+        assert abs(r.idcg5 - idcg) < 5.1e-7
+        assert abs(r.ndcg5 - dcg / idcg) < 5.1e-7
+        assert 0.0 <= r.ndcg5 <= 1.0
