@@ -507,6 +507,81 @@ def winnow_shared_pairs(
     )
 
 
+def substring_span_report(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 16,
+    window: int = 8,
+    min_shared: int = 8,
+) -> DataFrame:
+    """EXACT repeated-substring spans between winnowing candidates —
+    the Lee et al. (2022) 'Deduplicating Training Data Makes Language
+    Models Better' measurement: not just THAT two documents overlap
+    (fingerprints), but HOW LONG the longest exactly-shared substring
+    is. Winnowing (:func:`winnow_shared_pairs`) proposes candidate
+    pairs; this verifies them with exact STRING n-grams (no hash in
+    the verify path — no collisions by construction).
+
+    Method: every candidate pair joins its positional char-``n``-grams
+    on gram EQUALITY; a shared substring of length L ≥ n appears as a
+    run of L − n + 1 consecutive matches on one DIAGONAL (pa − pb
+    constant), so the classic gaps-and-islands trick (island =
+    pa − row_number within (pair, diagonal)) recovers every maximal
+    shared span exactly: ``lcs_len`` = max(run) + n − 1 is the longest
+    common substring (≥ n; shorter commonality is out of contract),
+    ``n_runs`` the count of maximal shared spans, ``n_match`` the
+    total matched gram-position pairs.
+
+    Scale: the quadratic alternative (suffix automaton per pair) is
+    replaced by joins keyed on (candidate pair, gram) — cost is
+    Σ_pairs (matched positions), bounded because candidates already
+    share ≥ ``min_shared`` fingerprints and the diagonal windows
+    partition by (pair, diagonal) with frame state bounded by one
+    document's gram count. Never all-pairs: candidate generation is
+    the capped winnowing equi-join."""
+    cand = winnow_shared_pairs(
+        df, id_col, text_col, n=n, window=window, min_shared=min_shared
+    )
+    nrm = fan_out(
+        df.select(F.col(id_col), normalized(F.col(text_col)).alias("__norm"))
+    ).filter(F.length("__norm") >= n)
+    grams = nrm.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.lit(1), F.length("__norm") - F.lit(n - 1))
+        ).alias("p"),
+        F.col("__norm"),
+    ).select(
+        F.col(id_col),
+        F.col("p"),
+        F.col("__norm").substr(F.col("p"), F.lit(n)).alias("gram"),
+    )
+    ga = grams.select(
+        F.col(id_col).alias("id_a"), F.col("p").alias("pa"), "gram"
+    )
+    gb = grams.select(
+        F.col(id_col).alias("id_b"), F.col("p").alias("pb"), "gram"
+    )
+    m = cand.join(ga, "id_a").join(gb, ["id_b", "gram"])
+    w = Window.partitionBy("id_a", "id_b", "diag").orderBy("pa")
+    r = m.select(
+        "id_a",
+        "id_b",
+        "n_shared",
+        "pa",
+        (F.col("pa") - F.col("pb")).alias("diag"),
+    ).withColumn("island", F.col("pa") - F.row_number().over(w))
+    runs = r.groupBy("id_a", "id_b", "n_shared", "diag", "island").agg(
+        F.count(F.lit(1)).alias("run")
+    )
+    return runs.groupBy("id_a", "id_b", "n_shared").agg(
+        (F.max("run") + F.lit(n - 1)).alias("lcs_len"),
+        F.count(F.lit(1)).alias("n_runs"),
+        F.sum("run").alias("n_match"),
+    )
+
+
 def passage_fingerprint_rows(
     df: DataFrame, id_col: str, text_col: str, width: int = 10
 ) -> DataFrame:

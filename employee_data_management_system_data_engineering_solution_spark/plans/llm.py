@@ -958,6 +958,126 @@ def winnow_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "repeated_substring_spans",
+    # Winnowing candidate replay (the winnow_fingerprint_pairs oracle
+    # at min_shared=8) over a 3-part planted corpus, then exact STRING
+    # 16-gram positional matching and the gaps-and-islands diagonal
+    # run decomposition — integers end to end.
+    rf"""
+    WITH base AS (SELECT doc_id, text FROM documents),
+    corpus AS (
+      SELECT doc_id, text FROM base
+      UNION ALL
+      SELECT doc_id + (SELECT max(doc_id) + 1 FROM base) AS doc_id, text
+      FROM base
+      UNION ALL
+      SELECT doc_id + 2 * (SELECT max(doc_id) + 1 FROM base) AS doc_id,
+             substr(text, 1, CAST(length(text) // 2 AS INT)) AS text
+      FROM base
+    ),
+    nrm AS (
+      SELECT doc_id,
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+      FROM corpus
+    ),
+    cod AS (
+      SELECT doc_id, norm,
+             list_transform(string_split(norm, ''), c -> ascii(c)) AS cs
+      FROM nrm
+    ),
+    h AS (SELECT doc_id, {_duck_poly_arr(31, n=16)} AS harr FROM cod),
+    fpl AS (SELECT doc_id, {_duck_winnow_fps(window=8)} AS fps FROM h),
+    fpr AS (SELECT doc_id, unnest(fps) AS fp FROM fpl),
+    bsz AS (
+      SELECT fp, count(*) AS n_members, min(doc_id) AS hub
+      FROM fpr GROUP BY fp
+    ),
+    candraw AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM fpr a
+      JOIN fpr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      JOIN bsz s ON s.fp = a.fp
+      WHERE s.n_members <= 256 OR a.doc_id = s.hub
+    ),
+    cand AS (
+      SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_shared
+      FROM candraw GROUP BY 1, 2 HAVING count(*) >= 8
+    ),
+    gp AS (
+      SELECT doc_id, norm,
+             unnest(generate_series(1, length(norm) - 15)) AS p
+      FROM nrm WHERE length(norm) >= 16
+    ),
+    g3 AS (SELECT doc_id, p, substr(norm, p, 16) AS gram FROM gp),
+    m AS (
+      SELECT c.id_a, c.id_b, c.n_shared, ga.p AS pa, gb.p AS pb
+      FROM cand c
+      JOIN g3 ga ON ga.doc_id = c.id_a
+      JOIN g3 gb ON gb.doc_id = c.id_b AND gb.gram = ga.gram
+    ),
+    r AS (
+      SELECT id_a, id_b, n_shared, pa, pa - pb AS diag,
+             pa - row_number() OVER (PARTITION BY id_a, id_b, pa - pb
+                                     ORDER BY pa) AS island
+      FROM m
+    ),
+    runs AS (
+      SELECT id_a, id_b, n_shared, diag, island, count(*) AS run
+      FROM r GROUP BY 1, 2, 3, 4, 5
+    )
+    SELECT id_a, id_b, n_shared,
+           CAST(max(run) + 15 AS BIGINT) AS lcs_len,
+           CAST(count(*) AS BIGINT) AS n_runs,
+           CAST(sum(run) AS BIGINT) AS n_match
+    FROM runs GROUP BY 1, 2, 3
+    """,
+)
+def repeated_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X164: exact repeated-substring span report — the Lee et al.
+    (2022) exact-substring dedup measurement, completing the near-dup
+    stack: winnowing (X—winnow_fingerprint_pairs) says two docs SHARE
+    fingerprints; this reports the exact length of their longest
+    shared substring and every maximal shared span, via positional
+    STRING 16-grams and diagonal run decomposition
+    (``operators/dedup.substring_span_report`` — islands on pa − pb).
+
+    The corpus is the documents table plus an id-shifted exact copy
+    (full-overlap spans == whole doc) plus an id-shifted FIRST-HALF
+    copy (partial-overlap spans == the half prefix), so the operator's
+    output exercises both regimes with known ground truth; the shifts
+    derive from max(doc_id) as lazy broadcast scalars.
+
+    Candidate generation is the capped winnowing equi-join at
+    min_shared = 8 (half docs carry ~half the fingerprints); the
+    verify join is keyed by (pair, gram) and every quantity is an
+    integer — a hash-exact oracle with zero float exposure."""
+    docs = read_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "text")
+    shift = F.broadcast(base.agg((F.max("doc_id") + 1).alias("__shift")))
+    half_len = (
+        (F.length("text") - F.pmod(F.length("text"), 2)) / 2
+    ).cast("int")
+    corpus = (
+        base.unionByName(
+            base.crossJoin(shift).select(
+                (F.col("doc_id") + F.col("__shift")).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            base.crossJoin(shift).select(
+                (F.col("doc_id") + F.lit(2) * F.col("__shift")).alias(
+                    "doc_id"
+                ),
+                F.col("text").substr(F.lit(1), half_len).alias("text"),
+            )
+        )
+    )
+    return dedup.substring_span_report(
+        corpus, "doc_id", "text", n=16, window=8, min_shared=8
+    )
+
+
 def _duck_simhash_sums(nbits: int = 48) -> str:
     """Per-bit signed majority sums mirroring
     ``operators.dedup.simhash_arith``."""

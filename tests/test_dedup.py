@@ -488,3 +488,54 @@ def test_prefix_filter_pairs_equals_brute_force(spark):
             if td * i >= tn * u:
                 want[(a, b)] = (i, u, round(i / u, 4))
         assert got == want, f"theta={tn}/{td}"
+
+
+def test_substring_span_report_matches_bruteforce_lcs(spark):
+    """lcs_len equals the O(L^2) dynamic-programming longest common
+    substring on every reported pair; planted overlaps are recovered
+    exactly (full copy -> whole doc, embedded passage -> passage)."""
+    from employee_data_management_system_data_engineering_solution_spark.operators.dedup import (
+        substring_span_report,
+    )
+
+    import re
+
+    passage = "the quick brown fox jumps over the lazy dog again and again"
+    docs = [
+        (1, "alpha beta gamma " + passage + " delta epsilon zeta eta"),
+        (2, "one two three four " + passage + " five six seven eight nine"),
+        (3, "completely unrelated words that share nothing long at all"),
+        (4, "alpha beta gamma " + passage + " delta epsilon zeta eta"),  # = doc 1
+    ]
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    got = {
+        (r.id_a, r.id_b): r
+        for r in substring_span_report(
+            df, "doc_id", "text", n=16, window=8, min_shared=4
+        ).collect()
+    }
+
+    def norm(s):
+        return re.sub(r"\s+", " ", s.strip().lower())
+
+    def lcs(a, b):
+        best = 0
+        prev = [0] * (len(b) + 1)
+        for i in range(1, len(a) + 1):
+            cur = [0] * (len(b) + 1)
+            for j in range(1, len(b) + 1):
+                if a[i - 1] == b[j - 1]:
+                    cur[j] = prev[j - 1] + 1
+                    best = max(best, cur[j])
+            prev = cur
+        return best
+
+    texts = {i: norm(t) for i, t in docs}
+    # the exact-copy pair and the shared-passage pairs must be found
+    assert (1, 4) in got and (1, 2) in got and (2, 4) in got
+    for (ia, ib), r in got.items():
+        want = lcs(texts[ia], texts[ib])
+        assert r.lcs_len == want, (ia, ib)
+        assert r.n_runs >= 1 and r.n_match >= r.lcs_len - 15
+    assert got[(1, 4)].lcs_len == len(texts[1])
+    assert got[(1, 2)].lcs_len >= len(norm(passage))
