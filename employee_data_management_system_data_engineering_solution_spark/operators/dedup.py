@@ -283,6 +283,109 @@ def _gram_banded(
     ).select(id_col, F.col("bb.band_no").alias("band_no"), F.col("bb.bucket").alias("bucket"))
 
 
+def _bucket_candidate_pairs(
+    banded: DataFrame, id_col: str, max_clique_bucket: int
+) -> DataFrame:
+    """Within-bucket unordered candidate pairs (id_a < id_b) from an
+    (id, band_no, bucket) frame, WITHOUT a self-join: a self-join
+    references the banded subtree twice and Spark re-executes the
+    whole gram+signature pipeline per reference (no automatic CTE
+    materialization; measured 3× ≈ +6 s at sf0.1). ONE groupBy
+    collects each bucket's (bounded-size) id list and an
+    array-combinations expression emits each pair once; buckets above
+    ``max_clique_bucket`` fall back to STAR expansion around the min
+    id (O(bucket), stays connected). The tiny pair set is pinned with
+    localCheckpoint because every caller consumes it twice (id prune +
+    verification join)."""
+    pair_expr = F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS id_a, y AS id_b))))"
+    )
+    star_expr = F.expr(  # O(bucket) fallback for degenerate buckets
+        "transform(slice(ids, 2, size(ids)), y -> struct(element_at(ids, 1) AS id_a, y AS id_b))"
+    )
+    return (
+        banded.groupBy("band_no", "bucket")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(
+            F.explode(
+                F.when(F.size("ids") <= max_clique_bucket, pair_expr).otherwise(star_expr)
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 16,
+    min_containment: float = 0.9,
+    n_hashes: int = 16,
+    bands: int = 8,
+    max_clique_bucket: int = 256,
+) -> DataFrame:
+    """ASYMMETRIC set-containment pairs — sub-document duplication the
+    symmetric Jaccard stack under-scores: a passage wholly embedded in
+    a 10× longer page has J ≈ 0.1 (invisible to
+    :func:`ngram_jaccard_pairs`) but containment
+    C = |A∩B| / min(|A|, |B|) = 1.
+
+    Candidates come from EIGHT TWO-ROW MinHash bands: per-band
+    collision probability J², so recall is 1 − (1−J²)⁸ ≈ 0.9 at the
+    J ≈ 0.5 a half-contained fragment lives at — a deliberately
+    LOWER-threshold banding than the J ≥ 0.8 Jaccard path. Single-row
+    bands would recall more (1 − (1−J)⁸) but their buckets grow
+    linearly with the corpus (every doc sharing one frequent min-gram
+    lands together), blowing the star cap and collapsing recall at
+    scale — measured 99% → 10% from sf0.01 to sf0.1; two-row buckets
+    need two shared minima, so bucket mass stays cap-sized as the
+    corpus grows. Oversized buckets still take the STAR fallback
+    (documented recall trade, same as the Jaccard path). Verification
+    is the exact distinct char-n-gram
+    intersection over the candidate-pruned corpus; output
+    (id_a, id_b, n_a, n_b, n_inter, containment ≥ threshold), sizes
+    are the DISTINCT gram-set sizes, containment one rounded division
+    of exact integers.
+
+    Scale: signatures are the shuffle-free polynomial family; pairing
+    is bucket-bounded; gram arrays are built only for candidate docs
+    (semi-join prune) and join via spill-safe sort-merge (the
+    broadcast-underestimate hazard documented in
+    :func:`ngram_jaccard_pairs`)."""
+    banded = _gram_banded(df, id_col, text_col, n, n_hashes, bands)
+    cand = _bucket_candidate_pairs(banded, id_col, max_clique_bucket)
+    cand_ids = cand.select(
+        F.explode(F.array("id_a", "id_b")).alias(id_col)
+    ).distinct()
+    grams = with_char_ngrams(
+        df.join(cand_ids, on=id_col, how="left_semi"), id_col, text_col, n
+    )
+    ga = grams.select(
+        F.col(id_col).alias("id_a"), F.col("grams").alias("grams_a")
+    ).hint("merge")
+    gb = grams.select(
+        F.col(id_col).alias("id_b"), F.col("grams").alias("grams_b")
+    ).hint("merge")
+    pairs = cand.join(ga, on="id_a").join(gb, on="id_b")
+    na = F.size("grams_a")
+    nb = F.size("grams_b")
+    inter = F.size(F.array_intersect(F.col("grams_a"), F.col("grams_b")))
+    cont = F.round(inter / F.greatest(F.least(na, nb), F.lit(1)), 4)
+    return pairs.select(
+        "id_a",
+        "id_b",
+        na.alias("n_a"),
+        nb.alias("n_b"),
+        inter.alias("n_inter"),
+        cont.alias("containment"),
+    ).filter(F.col("containment") >= min_containment)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -321,36 +424,7 @@ def ngram_jaccard_pairs(
     # concatenated signature slice — no digest needed, the groupBy
     # hashes the key anyway.
     banded = _gram_banded(df, id_col, text_col, n, n_hashes, bands)
-    # within-bucket pairs WITHOUT a self-join: a self-join references the
-    # banded subtree twice and Spark re-executes the whole gram+md5
-    # signature pipeline per reference (no automatic CTE
-    # materialization; measured 3× ≈ +6 s at sf0.1). Instead, ONE
-    # groupBy collects each bucket's (bounded-size) id list and an
-    # array-combinations expression emits each unordered pair once.
-    # Only the resulting pair set — tiny, bucket-bounded — is pinned
-    # with localCheckpoint, because it is consumed twice downstream
-    # (id prune + verification join); pinning the full banded frame
-    # would accumulate heavy blocks across invocations.
-    pair_expr = F.expr(
-        "flatten(transform(ids, (x, i) -> "
-        "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS id_a, y AS id_b))))"
-    )
-    star_expr = F.expr(  # O(bucket) fallback for degenerate buckets
-        "transform(slice(ids, 2, size(ids)), y -> struct(element_at(ids, 1) AS id_a, y AS id_b))"
-    )
-    cand = (
-        banded.groupBy("band_no", "bucket")
-        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
-        .filter(F.size("ids") > 1)
-        .select(
-            F.explode(
-                F.when(F.size("ids") <= max_clique_bucket, pair_expr).otherwise(star_expr)
-            ).alias("p")
-        )
-        .select("p.id_a", "p.id_b")
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    cand = _bucket_candidate_pairs(banded, id_col, max_clique_bucket)
     # verification grams are computed ONLY for docs that appear in some
     # candidate pair — a semi-join prune, so the (expensive) gram-array
     # construction scales with the candidate set, not the corpus

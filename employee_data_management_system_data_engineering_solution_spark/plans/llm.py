@@ -723,6 +723,115 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "shingle_containment_pairs",
+    # The jaccard-pairs oracle reshaped for containment: 16-gram
+    # polynomial MinHash, EIGHT two-row bands (per-band collision
+    # prob J² — scale-stable buckets), star-capped, exact
+    # distinct-gram-set intersection over min(|A|, |B|).
+    rf"""
+    WITH base AS (SELECT doc_id, text FROM documents),
+    corpus AS (
+      SELECT doc_id, text FROM base
+      UNION ALL
+      SELECT doc_id + (SELECT max(doc_id) + 1 FROM base) AS doc_id,
+             substr(text, 1, CAST(length(text) // 2 AS INT)) AS text
+      FROM base
+    ),
+    nrm AS (
+      SELECT doc_id,
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+      FROM corpus
+    ),
+    grams0 AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(0, greatest(length(norm) - 16, 0)),
+               i -> substring(norm, i + 1, 16))) AS grams
+      FROM nrm
+    ),
+    cod AS (
+      SELECT doc_id, norm,
+             list_transform(string_split(norm, ''), c -> ascii(c)) AS cs
+      FROM nrm
+    ),
+    ab AS (
+      SELECT doc_id,
+             {_duck_poly_arr(31, n=16)} AS a_arr,
+             {_duck_poly_arr(131, n=16)} AS b_arr
+      FROM cod
+    ),
+    sig AS (
+      SELECT doc_id,
+             {_duck_gram_poly_sig(16)}
+      FROM ab
+    ),
+    banded AS (
+      {" UNION ALL ".join(f"SELECT doc_id, {i} AS band_no, gmh_{2 * i}::VARCHAR || '|' || gmh_{2 * i + 1}::VARCHAR AS bucket FROM sig" for i in range(8))}
+    ),
+    bsz AS (
+      SELECT band_no, bucket, count(*) AS n_members, min(doc_id) AS hub
+      FROM banded GROUP BY band_no, bucket
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a
+      JOIN banded b ON a.band_no = b.band_no AND a.bucket = b.bucket
+                   AND a.doc_id < b.doc_id
+      JOIN bsz s ON s.band_no = a.band_no AND s.bucket = a.bucket
+      WHERE s.n_members <= 256 OR a.doc_id = s.hub
+    )
+    SELECT id_a, id_b,
+           length(ga.grams) AS n_a,
+           length(gb.grams) AS n_b,
+           length(list_intersect(ga.grams, gb.grams)) AS n_inter,
+           round(length(list_intersect(ga.grams, gb.grams))
+                 / greatest(least(length(ga.grams), length(gb.grams)), 1),
+                 4) AS containment
+    FROM cand
+    JOIN grams0 ga ON ga.doc_id = id_a
+    JOIN grams0 gb ON gb.doc_id = id_b
+    WHERE round(length(list_intersect(ga.grams, gb.grams))
+                / greatest(least(length(ga.grams), length(gb.grams)), 1), 4)
+          >= 0.9
+    """,
+)
+def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X165: asymmetric set-containment near-dup pairs — the
+    sub-document duplication detector Jaccard under-scores (a passage
+    wholly inside a much longer page has tiny J but containment 1).
+    The corpus plants an id-shifted FIRST-HALF copy of every document
+    (prefix grams ⊂ full grams ⇒ containment exactly 1.0), so the
+    operator recovers known fragment→source pairs.
+
+    Candidates use EIGHT TWO-ROW MinHash bands over the same
+    16-char-gram sets the verifier measures — per-band collision
+    probability J², recall 1 − (1−J²)⁸ ≈ 0.9 at the J ≈ 0.5 a
+    half-fragment lives at (single-row bands recall more on paper but
+    their buckets grow with the corpus and the star cap then collapses
+    recall at scale — measured 99% → 10% sf0.01 → sf0.1); oversized
+    buckets star-cap exactly like the
+    Jaccard path (``operators/dedup.containment_pairs``). Verification
+    is the exact distinct-gram intersection; containment is ONE
+    rounded division of exact integers over min(|A|, |B|)."""
+    docs = read_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "text")
+    shift = F.broadcast(base.agg((F.max("doc_id") + 1).alias("__shift")))
+    half_len = (
+        (F.length("text") - F.pmod(F.length("text"), 2)) / 2
+    ).cast("int")
+    corpus = base.unionByName(
+        base.crossJoin(shift).select(
+            (F.col("doc_id") + F.col("__shift")).alias("doc_id"),
+            F.col("text").substr(F.lit(1), half_len).alias("text"),
+        )
+    )
+    return dedup.containment_pairs(
+        corpus, "doc_id", "text", n=16, min_containment=0.9,
+        n_hashes=16, bands=8,
+    )
+
+
+@register(
     "ppjoin_neardup_pairs",
     # Full SQL replay of the prefix filter: same global (df, gram)
     # order, same integer ceil via floor-division, same prefix

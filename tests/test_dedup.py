@@ -539,3 +539,49 @@ def test_substring_span_report_matches_bruteforce_lcs(spark):
         assert r.n_runs >= 1 and r.n_match >= r.lcs_len - 15
     assert got[(1, 4)].lcs_len == len(texts[1])
     assert got[(1, 2)].lcs_len >= len(norm(passage))
+
+
+def test_containment_pairs_finds_embedded_fragment(spark):
+    """A fragment wholly contained in a longer doc scores containment
+    1.0 even though Jaccard is low; values match a brute-force
+    distinct-16-gram replay on every reported pair."""
+    import re
+
+    from employee_data_management_system_data_engineering_solution_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    page = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "the quick brown fox jumps over the lazy dog again and again "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi"
+    )
+    frag = "the quick brown fox jumps over the lazy dog again and again"
+    other = "completely different words that no other document shares at all"
+    df = spark.createDataFrame(
+        [(1, page), (2, frag), (3, other)], "doc_id LONG, text STRING"
+    )
+    # 16 single-row bands: at this J ≈ 0.3 the scale-tuned two-row
+    # default has ~50% recall; single-row is fine (and deterministic)
+    # on a 3-doc corpus where buckets cannot blow the star cap
+    got = {
+        (r.id_a, r.id_b): r
+        for r in containment_pairs(
+            df, "doc_id", "text", n=16, min_containment=0.9,
+            n_hashes=16, bands=16,
+        ).collect()
+    }
+
+    def gramset(s):
+        norm = re.sub(r"\s+", " ", s.strip().lower())
+        return {norm[i : i + 16] for i in range(max(len(norm) - 16, 0) + 1)}
+
+    assert (1, 2) in got
+    texts = {1: page, 2: frag, 3: other}
+    for (ia, ib), r in got.items():
+        a, b = gramset(texts[ia]), gramset(texts[ib])
+        assert (r.n_a, r.n_b) == (len(a), len(b))
+        assert r.n_inter == len(a & b)
+        assert r.containment == round(len(a & b) / max(min(len(a), len(b)), 1), 4)
+    assert got[(1, 2)].containment == 1.0
+    assert all(3 not in pair for pair in got)
