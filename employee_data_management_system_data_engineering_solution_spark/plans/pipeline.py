@@ -1007,6 +1007,129 @@ def supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "part_link_prediction",
+    # Same co-purchase edges, per-node top-32 adjacency cap replay,
+    # wedge-join common neighbors, NOT EXISTS against the edge set,
+    # exact-rational Jaccard over capped degrees.
+    """
+    WITH su AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    pw AS (
+      SELECT a.pk AS a, b.pk AS b, CAST(count(*) AS BIGINT) AS w
+      FROM su a JOIN su b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY 1, 2
+    ),
+    adj0 AS (
+      SELECT a AS v, b AS nb, w FROM pw UNION ALL SELECT b, a, w FROM pw
+    ),
+    adj AS (
+      SELECT v, nb FROM (
+        SELECT v, nb,
+               row_number() OVER (PARTITION BY v ORDER BY w DESC, nb ASC) AS rn
+        FROM adj0) WHERE rn <= 32
+    ),
+    deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY v),
+    cn AS (
+      SELECT x.nb AS a, y.nb AS b, CAST(count(*) AS BIGINT) AS cn
+      FROM adj x JOIN adj y ON x.v = y.v AND x.nb < y.nb
+      GROUP BY 1, 2
+    ),
+    ne AS (
+      SELECT cn.a, cn.b, cn.cn FROM cn
+      WHERE NOT EXISTS (SELECT 1 FROM pw
+                        WHERE pw.a = cn.a AND pw.b = cn.b)
+    )
+    SELECT ne.a AS part_a, ne.b AS part_b,
+           ne.cn AS common_neighbors,
+           da.d AS deg_a, db.d AS deg_b,
+           round(ne.cn / (da.d + db.d - ne.cn), 6) AS jaccard
+    FROM ne
+    JOIN deg da ON da.v = ne.a
+    JOIN deg db ON db.v = ne.b
+    WHERE ne.cn >= 2 AND round(ne.cn / (da.d + db.d - ne.cn), 6) >= 0.1
+    """,
+)
+def part_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X166: common-neighbor link prediction on the part co-purchase
+    graph — the classic 'frequently bought together NEXT' candidate
+    generator: for every NON-adjacent part pair at distance 2, score
+    Jaccard = |N(a)∩N(b)| / |N(a)∪N(b)| over capped neighborhoods and
+    report pairs with ≥ 2 common neighbors and score ≥ 0.1. (The
+    part-basket graph, unlike the supplier graph, keeps a vertex
+    universe that GROWS with the data — the supplier co-occurrence
+    graph completes at small scale, leaving no non-edges to predict.)
+
+    Exactness: the wedge count through shared neighbors, capped
+    degrees, and the union deg_a + deg_b − cn are all integers from a
+    deterministic adjacency (per-node top-32 by (weight, neighbor));
+    the score is ONE rounded double division of exact integers.
+
+    Scale: the adjacency cap is a PER-NODE window (partitioned —
+    never a global sort) and bounds the wedge self-join at
+    Σ_v min(d_v, 32)² — linear in vertices regardless of basket
+    skew, the covisitation-query discipline; the anti-join against
+    the edge set and the degree joins are adjacency-sized. Nothing
+    touches raw lineitem after the first distinct."""
+    from pyspark.sql import Window
+
+    li = read_table(spark, sf_dir, "lineitem")
+    su = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    a_, b_ = su.select("ok", F.col("pk").alias("a")), su.select(
+        "ok", F.col("pk").alias("b")
+    )
+    pw = (
+        a_.join(b_, "ok")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    adj0 = pw.select(
+        F.col("a").alias("v"), F.col("b").alias("nb"), "w"
+    ).unionByName(pw.select(F.col("b").alias("v"), F.col("a").alias("nb"), "w"))
+    rn = F.row_number().over(
+        Window.partitionBy("v").orderBy(F.col("w").desc(), F.col("nb").asc())
+    )
+    adj = (
+        adj0.withColumn("rn", rn)
+        .filter(F.col("rn") <= 32)
+        .select("v", "nb")
+        .localCheckpoint(eager=True)
+    )
+    deg = adj.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
+    x = adj.select(F.col("v").alias("via"), F.col("nb").alias("a"))
+    y = adj.select(F.col("v").alias("via"), F.col("nb").alias("b"))
+    cn = (
+        x.join(y, "via")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    ne = cn.join(
+        pw.select("a", "b"),
+        ["a", "b"],
+        "left_anti",
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("deg_a"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("deg_b"))
+    scored = ne.join(da, "a").join(db, "b")
+    jacc = F.round(
+        F.col("cn") / (F.col("deg_a") + F.col("deg_b") - F.col("cn")), 6
+    )
+    return (
+        scored.select(
+            F.col("a").alias("part_a"),
+            F.col("b").alias("part_b"),
+            F.col("cn").alias("common_neighbors"),
+            "deg_a",
+            "deg_b",
+            jacc.alias("jaccard"),
+        )
+        .filter((F.col("common_neighbors") >= 2) & (F.col("jaccard") >= 0.1))
+    )
+
+
 # --------------------------------------------------------------------------
 # Stream-static broadcast enrichment (dimension lookup inside a stream)
 # --------------------------------------------------------------------------

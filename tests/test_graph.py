@@ -183,3 +183,59 @@ def test_label_propagation_string_ids(spark):
     got = {r.node: r.label for r in label_propagation(df, rounds=1).collect()}
     assert None not in got.values()
     assert got["mid"] == "alpha"  # tie on count -> lexicographic min
+
+
+def test_part_link_prediction_matches_python_replay(spark):
+    """Common-neighbor Jaccard over the capped part co-purchase graph
+    replayed in pure Python at sf0.001: same per-node top-32
+    adjacency, same non-edge filter, same exact-rational score."""
+    from collections import defaultdict
+
+    from employee_data_management_system_data_engineering_solution_spark.plans.registry import REGISTRY
+    from employee_data_management_system_data_engineering_solution_spark.sources.io import read_table
+
+    sf = "/root/testdata/sf0.001"
+    li = (
+        read_table(spark, sf, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    by_order = defaultdict(set)
+    for r in li:
+        by_order[r.l_orderkey].add(r.l_partkey)
+    w = defaultdict(int)
+    for pks in by_order.values():
+        ss = sorted(pks)
+        for i in range(len(ss)):
+            for j in range(i + 1, len(ss)):
+                w[(ss[i], ss[j])] += 1
+    edges = set(w)
+    adj0 = defaultdict(list)
+    for (a, b), wt in w.items():
+        adj0[a].append((wt, b))
+        adj0[b].append((wt, a))
+    nbr = {
+        v: {nb for _, nb in sorted(lst, key=lambda t: (-t[0], t[1]))[:32]}
+        for v, lst in adj0.items()
+    }
+    seen = defaultdict(set)
+    for v, ns in nbr.items():
+        ss = sorted(ns)
+        for i in range(len(ss)):
+            for j in range(i + 1, len(ss)):
+                seen[(ss[i], ss[j])].add(v)
+    want = {}
+    for (a, b), common in seen.items():
+        if (a, b) in edges:
+            continue
+        cn = len(common)
+        jac = round(cn / (len(nbr[a]) + len(nbr[b]) - cn), 6)
+        if cn >= 2 and jac >= 0.1:
+            want[(a, b)] = (cn, len(nbr[a]), len(nbr[b]), jac)
+    got = {
+        (r.part_a, r.part_b): (r.common_neighbors, r.deg_a, r.deg_b, r.jaccard)
+        for r in REGISTRY["part_link_prediction"].fn(spark, sf).collect()
+    }
+    assert len(got) > 0
+    assert got == want
