@@ -49,124 +49,121 @@ from .registry import REGISTRY, register
 # exempt). driver_green_rounds()/never_green() below are the audit's
 # data source.
 #
-# Round 9 rotation. Cumulatively every oracle-bearing query has held a
-# driver hash-green verdict (r1-r8), so this window is almost entirely
-# the STALE-RECONFIRMATION round the r8 verdict asked for: at 50 slots
-# per round, the 53-query r5/r6-green cohort no longer fits alongside
-# newcomers, so r9 takes the 16 r5-green queries (stalest first) plus
-# the r6-green block minus a deferral tail, and r10 takes the rest.
-#   IN (never green — new in r9, full hash oracles): the thirteen
-#       r9 operators X141-X153 — phash_neardup_pairs (X141 perceptual
-#       dHash near-dup through the Arrow decode seam), bm25_topk
-#       (X142), quality_gate_logistic (X143 broadcast-weights
-#       logistic admission gate), gate_eval_report (X144 exact
-#       tied-rank AUC + confusion metrics), gate_calibration_bins
-#       (X145 reliability/ECE), discount_quantity_ab (X146 Welch
-#       t-test), order_price_ks_drift (X147 two-sample KS),
-#       supplier_golden_record (X148 MDM survivorship),
-#       ppjoin_neardup_pairs (X149 exact prefix-filter similarity
-#       join), domain_mixture_sample (X150 temperature mixing),
-#       hybrid_rrf_topk (X151 reciprocal-rank fusion),
-#       brand_price_theilsen (X152 robust trend),
-#       revenue_forecast_mase (X153 forecast skill gate).
-#   IN (re-confirmation — the whole r5-green cohort, stalest first):
-#       benchmark_contamination ... train_test_split (16).
-#   IN (re-confirmation — r6-green, 21 of 37): strike_stream_stateful
-#       leads per the r8 verdict's explicit ask (the only
-#       applyInPandasWithState carrier); upcoming_leave_pct carries
-#       the reference core (S5/S6/A2/J3/P10-P13); supplier_pagerank
-#       and funnel_conversion_report return after yielding their r8
-#       anchor slots.
-#   DEFERRED TO R10 (all r6-green, displaced bottom-up as the
-#       newcomers landed; every family keeps an in-window carrier):
-#       the six PQ/IVF quantization variants (embedding_quantize,
+# Round 10 rotation. The r9 window re-greened the whole r5 cohort and
+# 21 of 37 r6-green queries; the ONLY remaining r6-stale block is the
+# 16-query deferral queue the r9 verdict ordered in FIRST. The rest of
+# the window starts draining the 47-query r7-green cohort (stale by
+# r11/r12 otherwise — this pre-empts the crunch the r9 verdict's item
+# 5 warned about; the 23 r7 leftovers are scheduled for r11 in
+# PROGRESS.jsonl).
+#   IN (never green — new in r10, full hash oracles): the ten r10
+#       operators X157-X166 — priority_price_mwu (X157 Mann-Whitney
+#       rank test), decile_lift_report (X158 gains/lift),
+#       segment_nation_chi2 (X159 chi²+Cramér's V),
+#       price_qty_elasticity (X160 log-log OLS), char_bigram_entropy
+#       (X161 per-doc Shannon), dsir_importance_weights (X162 DSIR
+#       resampling weights), ndcg_mrr_report (X163 graded retrieval
+#       eval — the r9 verdict's item 3), repeated_substring_spans
+#       (X164 exact LCS spans over winnowing candidates — item 4),
+#       shingle_containment_pairs (X165 asymmetric containment),
+#       part_link_prediction (X166 common-neighbor Jaccard).
+#   IN (re-confirmation — the complete 16-query r6-stale deferral
+#       queue, the r9 verdict's item 1): embedding_quantize,
 #       ivf_topk_multiprobe, pq_adc_search, pq_ivf_search,
-#       quantized_ivf_topk, quantized_topk_rescore — ANN carried by
-#       ivf_topk/kmeans_ivf_assign/embedding_topk/
-#       hyperplane_lsh_groups/minhash_lsh_groups in-window), the
-#       LLM-text block (cluster_topic_terms, context_pack_bins,
-#       bigram_collocations, boilerplate_scrub_stats, lm_doc_score —
-#       text carried by tfidf_top_terms/bm25_topk/repeated_passages/
-#       benchmark_contamination), zorder_layout_stats (maintenance
-#       carried by snapshot_diff_orders), winnow_fingerprint_pairs
-#       (fingerprint banding carried by simhash_hamming_pairs +
-#       ppjoin_neardup_pairs), weekly_cohort_retention (temporal
-#       carried by funnel_conversion_report/event_sessions/
-#       hourly_interpolated_series), value_outliers (robust/stat
-#       carried by discount_quantity_ab/order_price_ks_drift/
-#       brand_price_theilsen), supplier_triangles (graph carried by
-#       supplier_pagerank). 16 queries — they ARE the r10 window's
-#       re-confirmation block, alongside the r9-green tail.
-#   OUT (rotated to the tail; every one r7/r8 driver-green and guarded
-#       by the committed full local runs): all 26 r8 newcomers
-#       (X116-X140), the r8 family anchors (daily_pipeline, scd2_merge,
-#       ann_recall_report, staging_promote_roundtrip, the three
-#       streaming topologies — the streaming family keeps
-#       strike_stream_stateful in-window), and the r2/r4 deferral
-#       blocks that re-greened in r8 (customers_with_urgent_orders ...
-#       orc_roundtrip). Family coverage inside the window is carried
-#       by the stale cohort itself: sources/sinks by format_roundtrips
-#       + schema_evolution_read + upcoming_leave_pct, joins by
-#       bloom_pruned_join + bucketed_colocated_join + fuzzy_name_pairs,
-#       dedup/window by exact_dedup + dedup_keep_best, temporal by
-#       funnel_conversion_report + event_sessions +
-#       hourly_interpolated_series, graph by supplier_pagerank,
-#       maintenance by snapshot_diff_orders.
+#       quantized_ivf_topk, quantized_topk_rescore,
+#       cluster_topic_terms, context_pack_bins, bigram_collocations,
+#       boilerplate_scrub_stats, lm_doc_score, zorder_layout_stats,
+#       winnow_fingerprint_pairs, weekly_cohort_retention,
+#       value_outliers, supplier_triangles.
+#   IN (re-confirmation — 24 of the 47 r7-green, chosen for family
+#       coverage): streaming keeps five carriers
+#       (checkpoint_restart_strikes — the stateful strikes machine
+#       plus checkpoint recovery — session_window_counts,
+#       stream_dedup_counts, stream_left_join_events,
+#       streaming_upsert_dim); the reference core keeps
+#       active_count_by_designation, epoch_status_clean, keyed_upsert,
+#       pct_of_quota, except_all_dupes, ordered_designation_report;
+#       sinks/maintenance keep published_report_roundtrip,
+#       compact_parquet_roundtrip, snapshot_time_travel; joins keep
+#       salted_skew_join, purchase_asof_view,
+#       customers_without_urgent_orders; text keeps lang_id,
+#       word_freq_topk; multimodal keeps binary_metadata,
+#       multimodal_frame_stats; graph keeps supplier_communities,
+#       dedup_clusters; temporal keeps event_transitions.
+#   OUT (rotated to the tail; every one r8/r9 driver-green and
+#       guarded by the committed full local runs): the whole r9
+#       window — X141-X153, the r5 cohort, the 21 r6 re-greens — and
+#       the 23 r7-green queries deferred to r11
+#       (checkpoint_restart_windowed, strike_report_batch,
+#       ann_rank_quality, constraint_quarantine, cube_order_stats,
+#       distinct_order_supp_pairs, incremental_agg_refresh,
+#       join_key_skew_report, json_props_stats,
+#       multi_touch_attribution, neardup_prune, promo_revenue_share,
+#       quality_score, region_supplier_volume, rollup_revenue,
+#       salary_percentiles, salary_rank_analytics,
+#       status_pivot_report, stratified_sample,
+#       top3_orders_per_customer, top_earner_per_designation,
+#       trailing_revenue_90d, value_winsorized_stats). Family coverage
+#       inside the window is carried by the blocks above: ANN by the
+#       six PQ/IVF variants, LLM-text by the five-query r6 block plus
+#       the retrieval-eval newcomers, dedup by winnow/spans/
+#       containment, stats by value_outliers plus the X157-X160
+#       newcomers.
 # ---------------------------------------------------------------------------
 _PRIORITY: tuple[str, ...] = (
-    # new in r9: never driver-checked
-    "phash_neardup_pairs",
-    "bm25_topk",
-    "quality_gate_logistic",
-    "gate_eval_report",
-    "gate_calibration_bins",
-    "discount_quantity_ab",
-    "order_price_ks_drift",
-    "supplier_golden_record",
-    "ppjoin_neardup_pairs",
-    "hybrid_rrf_topk",
-    "domain_mixture_sample",
-    "brand_price_theilsen",
-    "revenue_forecast_mase",
-    # re-confirmation: last driver green round 5 (complete cohort)
-    "benchmark_contamination",
-    "dedup_keep_best",
-    "embedding_neardup_pairs",
-    "embedding_topk",
-    "event_sessions",
-    "exact_dedup",
-    "forward_fill_values",
-    "hyperplane_lsh_groups",
-    "ivf_topk",
-    "kmeans_ivf_assign",
-    "minhash_lsh_groups",
-    "price_decile_stats",
-    "repeated_passages",
-    "snapshot_diff_orders",
-    "tfidf_top_terms",
-    "train_test_split",
-    # re-confirmation: last driver green round 6 (minus deferral tail)
-    "strike_stream_stateful",
-    "upcoming_leave_pct",
-    "supplier_pagerank",
-    "funnel_conversion_report",
-    "column_profile",
-    "text_profile",
-    "balanced_strata_sample",
-    "bloom_pruned_join",
-    "bucketed_colocated_join",
-    "format_roundtrips",
-    "schema_evolution_read",
-    "events_in_error_windows",
-    "fuzzy_name_pairs",
-    "hourly_interpolated_series",
-    "multimodal_decode",
-    "pii_scrub",
-    "quality_weighted_sample",
-    "revenue_cube_report",
-    "simhash_hamming_pairs",
-    "strike_report_rlike",
-    "user_value_trend",
+    # new in r10: never driver-checked
+    "priority_price_mwu",
+    "decile_lift_report",
+    "segment_nation_chi2",
+    "price_qty_elasticity",
+    "char_bigram_entropy",
+    "dsir_importance_weights",
+    "ndcg_mrr_report",
+    "repeated_substring_spans",
+    "shingle_containment_pairs",
+    "part_link_prediction",
+    # re-confirmation: the complete r6-stale deferral queue
+    "embedding_quantize",
+    "ivf_topk_multiprobe",
+    "pq_adc_search",
+    "pq_ivf_search",
+    "quantized_ivf_topk",
+    "quantized_topk_rescore",
+    "cluster_topic_terms",
+    "context_pack_bins",
+    "bigram_collocations",
+    "boilerplate_scrub_stats",
+    "lm_doc_score",
+    "zorder_layout_stats",
+    "winnow_fingerprint_pairs",
+    "weekly_cohort_retention",
+    "value_outliers",
+    "supplier_triangles",
+    # re-confirmation: 24 of the 47 r7-green (family coverage picks)
+    "checkpoint_restart_strikes",
+    "session_window_counts",
+    "stream_dedup_counts",
+    "stream_left_join_events",
+    "streaming_upsert_dim",
+    "active_count_by_designation",
+    "epoch_status_clean",
+    "keyed_upsert",
+    "pct_of_quota",
+    "except_all_dupes",
+    "ordered_designation_report",
+    "published_report_roundtrip",
+    "compact_parquet_roundtrip",
+    "snapshot_time_travel",
+    "salted_skew_join",
+    "purchase_asof_view",
+    "customers_without_urgent_orders",
+    "lang_id",
+    "word_freq_topk",
+    "binary_metadata",
+    "multimodal_frame_stats",
+    "supplier_communities",
+    "dedup_clusters",
+    "event_transitions",
 )
 
 #: Queries whose driver check is rows-only BY CONTRACT (no SQL oracle

@@ -39,52 +39,56 @@ def test_check_window_covers_every_operator_family():
     elsewhere)."""
     window = list(queries())[:50]
     carriers = {
-        # Round-9 window (see the rotation narrative in
-        # plans/__init__.py): (a) the r9 newcomers, never
-        # driver-checked; (b) the complete 16-query r5-green cohort;
-        # (c) the r6-green block minus the r10 deferral tail. No
-        # dedicated anchors this round — the stale cohort itself
-        # carries every operator family (sources/sinks via
-        # format_roundtrips + schema_evolution_read +
-        # upcoming_leave_pct, joins via bloom_pruned_join +
-        # bucketed_colocated_join + fuzzy_name_pairs, dedup/window via
-        # exact_dedup + dedup_keep_best, streaming via
-        # strike_stream_stateful — the r8 verdict's explicit anchor
-        # ask — temporal via funnel_conversion_report + event_sessions
-        # + hourly_interpolated_series, graph via supplier_pagerank,
-        # ANN via the embedding carriers, maintenance via
-        # snapshot_diff_orders); everything rotated out or deferred to
-        # r10 is r6-r8 driver-green and guarded by the committed full
-        # local run.
+        # Round-10 window (see the rotation narrative in
+        # plans/__init__.py): (a) the r10 newcomers, never
+        # driver-checked; (b) the complete 16-query r6-stale deferral
+        # queue (the r9 verdict's item 1 — the only registry members
+        # not driver-checked since r6); (c) 24 of the 47 r7-green
+        # queries, picked so every operator family keeps a carrier:
+        # streaming via checkpoint_restart_strikes (stateful machine +
+        # recovery) + four topology carriers, reference core via
+        # active_count/epoch_status_clean/keyed_upsert/pct_of_quota/
+        # except_all_dupes/ordered_designation_report, sinks and
+        # maintenance via published_report_roundtrip +
+        # compact_parquet_roundtrip + snapshot_time_travel +
+        # zorder_layout_stats, joins via salted_skew_join +
+        # purchase_asof_view + customers_without_urgent_orders, ANN
+        # via the six PQ/IVF variants, text via lang_id/word_freq_topk
+        # plus the r6 LLM-text block and the retrieval-eval newcomers,
+        # multimodal via binary_metadata + multimodal_frame_stats,
+        # graph via supplier_triangles + supplier_communities +
+        # dedup_clusters + part_link_prediction, temporal via
+        # event_transitions + weekly_cohort_retention; the 23 r7
+        # leftovers queue for r11 (PROGRESS.jsonl) and everything
+        # rotated out is r8/r9 driver-green, guarded by the committed
+        # full local run.
         #
-        # new in r9 — never driver-checked, full hash oracles:
-        "phash_neardup_pairs", "bm25_topk", "quality_gate_logistic",
-        "gate_eval_report", "gate_calibration_bins",
-        "discount_quantity_ab", "order_price_ks_drift",
-        "supplier_golden_record", "ppjoin_neardup_pairs",
-        "hybrid_rrf_topk", "domain_mixture_sample", "brand_price_theilsen",
-        "revenue_forecast_mase",
-        # re-confirmation: last driver green r5 (complete)
-        "benchmark_contamination", "dedup_keep_best",
-        "embedding_neardup_pairs", "embedding_topk", "event_sessions",
-        "exact_dedup", "forward_fill_values", "hyperplane_lsh_groups",
-        "ivf_topk", "kmeans_ivf_assign", "minhash_lsh_groups",
-        "price_decile_stats", "repeated_passages",
-        "snapshot_diff_orders", "tfidf_top_terms", "train_test_split",
-        # re-confirmation: last driver green r6 (minus the deferral
-        # tail — the six PQ/IVF quantization variants and, as r9
-        # newcomers land, the LLM-text block; every deferred name is
-        # family-covered in-window and queues for r10)
-        "strike_stream_stateful", "upcoming_leave_pct",
-        "supplier_pagerank", "funnel_conversion_report",
-        "column_profile", "text_profile", "balanced_strata_sample",
-        "bloom_pruned_join", "bucketed_colocated_join",
-        "format_roundtrips", "schema_evolution_read",
-        "events_in_error_windows", "fuzzy_name_pairs",
-        "hourly_interpolated_series", "multimodal_decode", "pii_scrub",
-        "quality_weighted_sample", "revenue_cube_report",
-        "simhash_hamming_pairs", "strike_report_rlike",
-        "user_value_trend",
+        # new in r10 — never driver-checked, full hash oracles:
+        "priority_price_mwu", "decile_lift_report",
+        "segment_nation_chi2", "price_qty_elasticity",
+        "char_bigram_entropy", "dsir_importance_weights",
+        "ndcg_mrr_report", "repeated_substring_spans",
+        "shingle_containment_pairs", "part_link_prediction",
+        # re-confirmation: the complete r6-stale deferral queue
+        "embedding_quantize", "ivf_topk_multiprobe", "pq_adc_search",
+        "pq_ivf_search", "quantized_ivf_topk", "quantized_topk_rescore",
+        "cluster_topic_terms", "context_pack_bins",
+        "bigram_collocations", "boilerplate_scrub_stats",
+        "lm_doc_score", "zorder_layout_stats",
+        "winnow_fingerprint_pairs", "weekly_cohort_retention",
+        "value_outliers", "supplier_triangles",
+        # re-confirmation: 24 of the 47 r7-green (family coverage)
+        "checkpoint_restart_strikes", "session_window_counts",
+        "stream_dedup_counts", "stream_left_join_events",
+        "streaming_upsert_dim", "active_count_by_designation",
+        "epoch_status_clean", "keyed_upsert", "pct_of_quota",
+        "except_all_dupes", "ordered_designation_report",
+        "published_report_roundtrip", "compact_parquet_roundtrip",
+        "snapshot_time_travel", "salted_skew_join",
+        "purchase_asof_view", "customers_without_urgent_orders",
+        "lang_id", "word_freq_topk", "binary_metadata",
+        "multimodal_frame_stats", "supplier_communities",
+        "dedup_clusters", "event_transitions",
     }
     assert carriers <= set(window), sorted(carriers - set(window))
 
