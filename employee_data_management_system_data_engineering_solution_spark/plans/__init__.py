@@ -57,16 +57,16 @@ from .registry import REGISTRY, register
 # 5 warned about; the 23 r7 leftovers are scheduled for r11 in
 # PROGRESS.jsonl).
 #   IN (never green — new in r10, full hash oracles): the ten r10
-#       operators X157-X166 — priority_price_mwu (X157 Mann-Whitney
-#       rank test), decile_lift_report (X158 gains/lift),
-#       segment_nation_chi2 (X159 chi²+Cramér's V),
-#       price_qty_elasticity (X160 log-log OLS), char_bigram_entropy
-#       (X161 per-doc Shannon), dsir_importance_weights (X162 DSIR
-#       resampling weights), ndcg_mrr_report (X163 graded retrieval
+#       operators X154-X163 — priority_price_mwu (X154 Mann-Whitney
+#       rank test), decile_lift_report (X155 gains/lift),
+#       segment_nation_chi2 (X156 chi²+Cramér's V),
+#       price_qty_elasticity (X157 log-log OLS), char_bigram_entropy
+#       (X158 per-doc Shannon), dsir_importance_weights (X159 DSIR
+#       resampling weights), ndcg_mrr_report (X160 graded retrieval
 #       eval — the r9 verdict's item 3), repeated_substring_spans
-#       (X164 exact LCS spans over winnowing candidates — item 4),
-#       shingle_containment_pairs (X165 asymmetric containment),
-#       part_link_prediction (X166 common-neighbor Jaccard).
+#       (X161 exact LCS spans over winnowing candidates — item 4),
+#       shingle_containment_pairs (X162 asymmetric containment),
+#       part_link_prediction (X163 common-neighbor Jaccard).
 #   IN (re-confirmation — the complete 16-query r6-stale deferral
 #       queue, the r9 verdict's item 1): embedding_quantize,
 #       ivf_topk_multiprobe, pq_adc_search, pq_ivf_search,
@@ -107,7 +107,7 @@ from .registry import REGISTRY, register
 #       inside the window is carried by the blocks above: ANN by the
 #       six PQ/IVF variants, LLM-text by the five-query r6 block plus
 #       the retrieval-eval newcomers, dedup by winnow/spans/
-#       containment, stats by value_outliers plus the X157-X160
+#       containment, stats by value_outliers plus the X154-X157
 #       newcomers.
 # ---------------------------------------------------------------------------
 _PRIORITY: tuple[str, ...] = (

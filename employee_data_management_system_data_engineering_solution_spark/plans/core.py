@@ -1552,7 +1552,7 @@ def brand_price_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def price_qty_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X160: per-brand log-log price elasticity of demand — the
+    """X157: per-brand log-log price elasticity of demand — the
     econometric standard (d ln p / d ln q) the linear OLS (X127)
     cannot give, since elasticity is the POWER-LAW exponent, constant
     across the price range only in log space.

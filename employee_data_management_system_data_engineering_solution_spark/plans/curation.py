@@ -508,7 +508,7 @@ def balanced_strata_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X162: DSIR-style importance weights (Xie et al. 2023, Data
+    """X159: DSIR-style importance weights (Xie et al. 2023, Data
     Selection via Importance Resampling): score every document by how
     much more likely its hashed word-bigram features are under the
     TARGET distribution (here the ``lang='en'`` slice) than under the
@@ -1362,7 +1362,7 @@ def feature_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Two-sample inference statistics (X146, X147, X157): Welch A/B + KS
+# Two-sample inference statistics (X146, X147, X154): Welch A/B + KS
 # drift + Mann-Whitney rank test
 # --------------------------------------------------------------------------
 @register(
@@ -1414,7 +1414,7 @@ def feature_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def segment_nation_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X159: chi-squared independence test + Cramér's V between market
+    """X156: chi-squared independence test + Cramér's V between market
     segment and nation — the categorical-association screen a feature
     audit runs before trusting a predictor (its continuous siblings
     are the Welch/KS/MWU family; PSI measures shift over time, χ²
@@ -1491,7 +1491,7 @@ def segment_nation_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def priority_price_mwu(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X157: Mann-Whitney U rank-sum test — do URGENT orders carry a
+    """X154: Mann-Whitney U rank-sum test — do URGENT orders carry a
     different price distribution than the rest? The nonparametric
     sibling of the Welch A/B (X146): rank-based, so heavy price tails
     cannot masquerade as (or mask) a shift the way they can in a mean

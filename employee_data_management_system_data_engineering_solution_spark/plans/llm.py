@@ -367,7 +367,7 @@ def gate_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def decile_lift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X158: gains/lift table for the X143 gate against the X144
+    """X155: gains/lift table for the X143 gate against the X144
     relevance label — the third leg of the model-eval stool (AUC says
     CAN it rank, calibration says ARE the probabilities honest, lift
     says WHAT a top-k budget buys: 'the best decile captures x% of
@@ -447,7 +447,7 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def char_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X161: per-document character-bigram Shannon entropy — the
+    """X158: per-document character-bigram Shannon entropy — the
     classic gibberish/boilerplate screen (natural prose sits in a
     narrow entropy band; keyboard mashing scores high, repeated
     template text scores low). Complements the CORPUS-level column
@@ -796,7 +796,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X165: asymmetric set-containment near-dup pairs — the
+    """X162: asymmetric set-containment near-dup pairs — the
     sub-document duplication detector Jaccard under-scores (a passage
     wholly inside a much longer page has tiny J but containment 1).
     The corpus plants an id-shifted FIRST-HALF copy of every document
@@ -1143,7 +1143,7 @@ def winnow_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def repeated_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X164: exact repeated-substring span report — the Lee et al.
+    """X161: exact repeated-substring span report — the Lee et al.
     (2022) exact-substring dedup measurement, completing the near-dup
     stack: winnowing (X—winnow_fingerprint_pairs) says two docs SHARE
     fingerprints; this reports the exact length of their longest
@@ -3659,7 +3659,7 @@ _GAIN_SQL = "CASE rel WHEN 3 THEN 7 WHEN 1 THEN 1 ELSE 0 END"
     """,
 )
 def ndcg_mrr_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X163: graded-relevance retrieval evaluation — per-query nDCG@5
+    """X160: graded-relevance retrieval evaluation — per-query nDCG@5
     and reciprocal rank over the X142 BM25 run, the metric pair every
     retrieval stack reports (ann_recall_report is SET-based recall;
     this grades ORDER and GRADED relevance). Truth is deterministic:

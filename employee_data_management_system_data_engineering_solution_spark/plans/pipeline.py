@@ -1050,7 +1050,7 @@ def supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def part_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X166: common-neighbor link prediction on the part co-purchase
+    """X163: common-neighbor link prediction on the part co-purchase
     graph — the classic 'frequently bought together NEXT' candidate
     generator: for every NON-adjacent part pair at distance 2, score
     Jaccard = |N(a)∩N(b)| / |N(a)∪N(b)| over capped neighborhoods and
