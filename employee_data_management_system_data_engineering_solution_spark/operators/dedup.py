@@ -617,8 +617,16 @@ def substring_span_report(
     cand = winnow_shared_pairs(
         df, id_col, text_col, n=n, window=window, min_shared=min_shared
     )
+    # positional grams only for docs that appear in some candidate pair
+    # (the ngram_jaccard_pairs semi-join prune): verify cost scales
+    # with the candidate set, not the corpus
+    cand_ids = cand.select(
+        F.explode(F.array("id_a", "id_b")).alias(id_col)
+    ).distinct()
     nrm = fan_out(
-        df.select(F.col(id_col), normalized(F.col(text_col)).alias("__norm"))
+        df.join(cand_ids, on=id_col, how="left_semi").select(
+            F.col(id_col), normalized(F.col(text_col)).alias("__norm")
+        )
     ).filter(F.length("__norm") >= n)
     grams = nrm.select(
         F.col(id_col),
