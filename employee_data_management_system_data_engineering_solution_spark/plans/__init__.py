@@ -56,8 +56,8 @@ from .registry import REGISTRY, register
 # r11/r12 otherwise — this pre-empts the crunch the r9 verdict's item
 # 5 warned about; the 23 r7 leftovers are scheduled for r11 in
 # PROGRESS.jsonl).
-#   IN (never green — new in r10, full hash oracles): the ten r10
-#       operators X154-X163 — priority_price_mwu (X154 Mann-Whitney
+#   IN (never green — new in r10, full hash oracles): the thirteen
+#       r10 operators X154-X166 — priority_price_mwu (X154 Mann-Whitney
 #       rank test), decile_lift_report (X155 gains/lift),
 #       segment_nation_chi2 (X156 chi²+Cramér's V),
 #       price_qty_elasticity (X157 log-log OLS), char_bigram_entropy
@@ -66,7 +66,10 @@ from .registry import REGISTRY, register
 #       eval — the r9 verdict's item 3), repeated_substring_spans
 #       (X161 exact LCS spans over winnowing candidates — item 4),
 #       shingle_containment_pairs (X162 asymmetric containment),
-#       part_link_prediction (X163 common-neighbor Jaccard).
+#       part_link_prediction (X163 common-neighbor Jaccard),
+#       nation_revenue_gini (X164 revenue-concentration Gini),
+#       user_survival_km (X165 Kaplan-Meier churn with censoring),
+#       bpe_merge_candidates (X166 tokenizer first-merge statistic).
 #   IN (re-confirmation — the complete 16-query r6-stale deferral
 #       queue, the r9 verdict's item 1): embedding_quantize,
 #       ivf_topk_multiprobe, pq_adc_search, pq_ivf_search,
@@ -75,7 +78,7 @@ from .registry import REGISTRY, register
 #       boilerplate_scrub_stats, lm_doc_score, zorder_layout_stats,
 #       winnow_fingerprint_pairs, weekly_cohort_retention,
 #       value_outliers, supplier_triangles.
-#   IN (re-confirmation — 24 of the 47 r7-green, chosen for family
+#   IN (re-confirmation — 21 of the 47 r7-green, chosen for family
 #       coverage): streaming keeps five carriers
 #       (checkpoint_restart_strikes — the stateful strikes machine
 #       plus checkpoint recovery — session_window_counts,
@@ -85,16 +88,17 @@ from .registry import REGISTRY, register
 #       pct_of_quota, except_all_dupes, ordered_designation_report;
 #       sinks/maintenance keep published_report_roundtrip,
 #       compact_parquet_roundtrip, snapshot_time_travel; joins keep
-#       salted_skew_join, purchase_asof_view,
-#       customers_without_urgent_orders; text keeps lang_id,
+#       salted_skew_join, purchase_asof_view; text keeps
 #       word_freq_topk; multimodal keeps binary_metadata,
 #       multimodal_frame_stats; graph keeps supplier_communities,
-#       dedup_clusters; temporal keeps event_transitions.
+#       dedup_clusters; temporal is carried by
+#       weekly_cohort_retention + user_survival_km.
 #   OUT (rotated to the tail; every one r8/r9 driver-green and
 #       guarded by the committed full local runs): the whole r9
 #       window — X141-X153, the r5 cohort, the 21 r6 re-greens — and
-#       the 23 r7-green queries deferred to r11
-#       (checkpoint_restart_windowed, strike_report_batch,
+#       the 26 r7-green queries deferred to r11
+#       (customers_without_urgent_orders, lang_id, event_transitions,
+#       checkpoint_restart_windowed, strike_report_batch,
 #       ann_rank_quality, constraint_quarantine, cube_order_stats,
 #       distinct_order_supp_pairs, incremental_agg_refresh,
 #       join_key_skew_report, json_props_stats,
@@ -122,6 +126,9 @@ _PRIORITY: tuple[str, ...] = (
     "repeated_substring_spans",
     "shingle_containment_pairs",
     "part_link_prediction",
+    "nation_revenue_gini",
+    "user_survival_km",
+    "bpe_merge_candidates",
     # re-confirmation: the complete r6-stale deferral queue
     "embedding_quantize",
     "ivf_topk_multiprobe",
@@ -156,14 +163,11 @@ _PRIORITY: tuple[str, ...] = (
     "snapshot_time_travel",
     "salted_skew_join",
     "purchase_asof_view",
-    "customers_without_urgent_orders",
-    "lang_id",
     "word_freq_topk",
     "binary_metadata",
     "multimodal_frame_stats",
     "supplier_communities",
     "dedup_clusters",
-    "event_transitions",
 )
 
 #: Queries whose driver check is rows-only BY CONTRACT (no SQL oracle

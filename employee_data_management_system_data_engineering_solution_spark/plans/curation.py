@@ -1366,6 +1366,103 @@ def feature_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 # drift + Mann-Whitney rank test
 # --------------------------------------------------------------------------
 @register(
+    "nation_revenue_gini",
+    # Same per-nation rank windows over exact decimal revenue, same
+    # closed-form Gini from exact decimal sums, one double division.
+    """
+    WITH rev AS (
+      SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(12,2))) AS x
+      FROM orders GROUP BY 1
+    ),
+    r AS (
+      SELECT n.n_name AS nation, rev.x,
+             row_number() OVER (PARTITION BY n.n_name
+                                ORDER BY rev.x ASC, rev.o_custkey ASC) AS i
+      FROM rev
+      JOIN customer c ON c.c_custkey = rev.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+    ),
+    g AS (
+      SELECT nation,
+             CAST(count(*) AS BIGINT) AS n_customers,
+             sum(x) AS s,
+             sum(CAST(i AS DECIMAL(18,0)) * x) AS s1
+      FROM r GROUP BY 1
+    )
+    SELECT nation, n_customers,
+           CAST(round(s, 2) AS DOUBLE) AS total_revenue,
+           CASE WHEN s > 0 AND n_customers > 0
+                THEN round(CAST(2 * s1 - (n_customers + 1) * s AS DOUBLE)
+                           / CAST(CAST(n_customers AS DECIMAL(18,0)) * s
+                                  AS DOUBLE), 6)
+           END AS gini
+    FROM g
+    """,
+)
+def nation_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X164: revenue-concentration Gini coefficient per nation — the
+    inequality screen a marketplace/revenue team runs beside the
+    decile stats (X158 asks 'what does a top-k budget buy'; Gini asks
+    'how concentrated is the whole distribution', 0 = uniform,
+    →1 = one customer is the business).
+
+    Exactness: per-customer revenue is the exact ``money()`` decimal
+    sum; ranks come from a PARTITIONED window (per nation — never a
+    global raw sort) with a customer-key tie-break; the closed form
+    G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx) is evaluated on exact
+    DECIMAL sums with ONE double division, rounded 6 dp, NULL on
+    zero revenue."""
+    from pyspark.sql import Window
+
+    from ..functions.money import money
+
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nat = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(money("o_totalprice")).alias("x")
+    )
+    r = (
+        rev.join(cust, rev["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
+        .select(
+            F.col("n_name").alias("nation"),
+            "x",
+            F.row_number()
+            .over(
+                Window.partitionBy("n_name").orderBy(
+                    F.col("x").asc(), F.col("o_custkey").asc()
+                )
+            )
+            .alias("i"),
+        )
+    )
+    g = r.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("i").cast("decimal(18,0)") * F.col("x")).alias("s1"),
+    )
+    num = (
+        F.lit(2).cast("decimal(18,0)") * F.col("s1")
+        - (F.col("n_customers") + 1) * F.col("s")
+    ).cast("double")
+    den = (F.col("n_customers").cast("decimal(18,0)") * F.col("s")).cast(
+        "double"
+    )
+    return g.select(
+        "nation",
+        "n_customers",
+        F.round(F.col("s"), 2).cast("double").alias("total_revenue"),
+        F.when(
+            (F.col("s") > 0) & (F.col("n_customers") > 0),
+            F.round(num / den, 6),
+        ).alias("gini"),
+    )
+
+
+@register(
     "segment_nation_chi2",
     # Same cell pinning: (o·N − r·c)²/(N·r·c) with an exact HUGEINT
     # difference converted once, squared in double, rounded 6 dp,

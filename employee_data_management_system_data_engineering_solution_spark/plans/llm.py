@@ -3757,6 +3757,91 @@ def ndcg_mrr_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "bpe_merge_candidates",
+    # Same tokenizer fragments; adjacent CHAR pairs per distinct word
+    # weighted by corpus word frequency (the Sennrich BPE pair
+    # statistic, overlap-inclusive), top-20 by (weight, pair) from the
+    # alphabet²-bounded aggregate.
+    r"""
+    WITH w AS (
+      SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    wc AS (SELECT word, CAST(count(*) AS BIGINT) AS wc FROM w GROUP BY 1),
+    wp AS (
+      SELECT word, wc,
+             unnest(list_transform(generate_series(1, length(word) - 1),
+                                   p -> substr(word, p, 2))) AS pair
+      FROM wc WHERE length(word) >= 2
+    ),
+    k AS (
+      SELECT word, wc, pair, CAST(count(*) AS BIGINT) AS k
+      FROM wp GROUP BY 1, 2, 3
+    ),
+    g AS (
+      SELECT pair,
+             CAST(sum(wc * k) AS BIGINT) AS weighted_count,
+             CAST(count(*) AS BIGINT) AS n_distinct_words
+      FROM k GROUP BY 1
+    )
+    SELECT pair, weighted_count, n_distinct_words, CAST(rnk AS INT) AS rank
+    FROM (
+      SELECT pair, weighted_count, n_distinct_words,
+             row_number() OVER (ORDER BY weighted_count DESC, pair ASC) AS rnk
+      FROM g
+    ) WHERE rnk <= 20
+    """,
+)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X166: first-round BPE merge candidates — the tokenizer-prep
+    statistic (Sennrich et al. 2016): adjacent character-pair
+    frequencies inside words, weighted by corpus word frequency
+    (overlap-inclusive, exactly the reference BPE implementation's
+    pair count), top-20 by (weight, pair). The char-level complement
+    of the word-level collocation miner (bigram_collocations): PMI
+    finds PHRASES worth protecting, this finds the SUBWORD merges a
+    vocabulary build performs first.
+
+    Exactness: pure integer counting end to end — word counts once
+    over the corpus, pair multiplicities per DISTINCT word (the
+    vocabulary, not the corpus), weight = Σ wc·k exact BIGINT/long.
+
+    Scale: the explode runs over the VOCABULARY (distinct words), not
+    corpus tokens — the wc groupBy is the only corpus-sized shuffle;
+    the pair aggregate is alphabet²-bounded, so the top-20 rank
+    window orders a tiny frame."""
+    docs = read_table(spark, sf_dir, "documents")
+    live = docs.filter(F.length(F.trim("text")) > 0)
+    w = live.select(
+        F.explode(tx.words(F.lower(F.trim(F.col("text"))))).alias("word")
+    )
+    wc = w.groupBy("word").agg(F.count(F.lit(1)).alias("wc"))
+    wp = wc.filter(F.length("word") >= 2).select(
+        "word",
+        "wc",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1),"
+                " p -> substring(word, p, 2))"
+            )
+        ).alias("pair"),
+    )
+    k = wp.groupBy("word", "wc", "pair").agg(F.count(F.lit(1)).alias("k"))
+    g = k.groupBy("pair").agg(
+        F.sum(F.col("wc") * F.col("k")).alias("weighted_count"),
+        F.count(F.lit(1)).alias("n_distinct_words"),
+    )
+    rnk = F.row_number().over(
+        Window.orderBy(F.col("weighted_count").desc(), F.col("pair").asc())
+    )
+    return (
+        g.withColumn("rank", rnk)
+        .filter(F.col("rank") <= 20)
+        .select("pair", "weighted_count", "n_distinct_words", "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Bigram collocations (PMI) — phrase mining for tokenizer/vocab prep
 # ---------------------------------------------------------------------------

@@ -965,3 +965,143 @@ def revenue_forecast_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(nn > 0, mae_n).alias("mae_naive"),
         F.when((ns > 0) & (nn > 0) & (F.col("sn") > 0), mase).alias("mase"),
     )
+
+
+@register(
+    "user_survival_km",
+    # Same per-duration aggregate, descending risk sets from one
+    # cumulative window, 6-dp-rounded ln factors summed as DECIMAL
+    # (deterministic cumulative order), one exp at the end.
+    """
+    WITH ue AS (
+      SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts
+      FROM events GROUP BY 1
+    ),
+    se AS (SELECT max(ts) AS study_end FROM events),
+    u AS (
+      SELECT datediff('day', first_ts, last_ts) AS t,
+             CASE WHEN datediff('day', last_ts, study_end) > 14
+                  THEN 1 ELSE 0 END AS ev
+      FROM ue CROSS JOIN se
+    ),
+    g AS (
+      SELECT t, CAST(sum(ev) AS BIGINT) AS d,
+             CAST(count(*) - sum(ev) AS BIGINT) AS c
+      FROM u GROUP BY 1
+    ),
+    w AS (
+      SELECT t, d, c,
+             CAST(sum(d + c) OVER () AS BIGINT)
+               - CAST(sum(d + c) OVER (ORDER BY t
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT)
+               + (d + c) AS n_risk
+      FROM g
+    ),
+    f AS (
+      SELECT t, d, c, n_risk,
+             CASE WHEN d = 0 THEN CAST(0 AS DECIMAL(12,6))
+                  WHEN d < n_risk
+                  THEN CAST(round(ln(CAST(n_risk - d AS DOUBLE) / n_risk), 6)
+                            AS DECIMAL(12,6))
+                  ELSE CAST(0 AS DECIMAL(12,6)) END AS lnf,
+             CASE WHEN d = n_risk THEN 1 ELSE 0 END AS zf
+      FROM w
+    ),
+    s AS (
+      SELECT t, d, c, n_risk,
+             sum(lnf) OVER (ORDER BY t
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cl,
+             max(zf) OVER (ORDER BY t
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS anyzero
+      FROM f
+    )
+    SELECT t AS t_days, n_risk, d AS d_churned, c AS c_censored,
+           CASE WHEN anyzero = 1 THEN CAST(0 AS DOUBLE)
+                ELSE round(exp(CAST(cl AS DOUBLE)), 6) END AS survival
+    FROM s
+    """,
+)
+def user_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X165: Kaplan-Meier survival curve over user activity — the
+    time-to-churn estimator with CENSORING done right (users still
+    active at the study end are censored, not counted as churned —
+    the mistake naive retention math makes). Duration = days between a
+    user's first and last event; churn = last event more than 14 days
+    before the study end; S(t) = Π_{s ≤ t} (1 − d_s/n_s) over the
+    per-duration aggregate.
+
+    Float discipline: each factor enters as round(ln((n−d)/n), 6) in
+    DECIMAL(12,6) and the product is an EXACT decimal cumulative sum
+    in log space (a deterministic RANGE window over the bounded
+    distinct-duration aggregate — a direct running double product
+    would be order-fragile); one exp + round at the end. A duration
+    where the whole risk set churns (d = n) pins survival to exactly
+    0.0 from that point via an explicit flag — never exp(−∞).
+
+    Scale: one corpus groupBy per user, one groupBy per distinct
+    duration (bounded by the calendar), cumulative windows over that
+    aggregate only; the study-end scalar rides a lazy broadcast."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    ue = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+    )
+    se = F.broadcast(ev.agg(F.max("ts").alias("study_end")))
+    u = ue.crossJoin(se).select(
+        F.datediff("last_ts", "first_ts").alias("t"),
+        F.when(F.datediff("study_end", "last_ts") > 14, 1)
+        .otherwise(0)
+        .alias("ev"),
+    )
+    g = u.groupBy("t").agg(
+        F.sum("ev").alias("d"),
+        (F.count(F.lit(1)) - F.sum("ev")).alias("c"),
+    )
+    w_cum = Window.orderBy("t").rangeBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    tot = F.col("d") + F.col("c")
+    w = g.select(
+        "t",
+        "d",
+        "c",
+        (
+            F.sum(tot).over(w_all) - F.sum(tot).over(w_cum) + tot
+        ).alias("n_risk"),
+    )
+    zero6 = F.lit(0).cast("decimal(12,6)")
+    lnf = (
+        F.when(F.col("d") == 0, zero6)
+        .when(
+            F.col("d") < F.col("n_risk"),
+            F.round(
+                F.log(
+                    (F.col("n_risk") - F.col("d")).cast("double")
+                    / F.col("n_risk")
+                ),
+                6,
+            ).cast("decimal(12,6)"),
+        )
+        .otherwise(zero6)
+    )
+    zf = F.when(F.col("d") == F.col("n_risk"), 1).otherwise(0)
+    f = w.select("t", "d", "c", "n_risk", lnf.alias("lnf"), zf.alias("zf"))
+    s = f.select(
+        "t",
+        "d",
+        "c",
+        "n_risk",
+        F.sum("lnf").over(w_cum).alias("cl"),
+        F.max("zf").over(w_cum).alias("anyzero"),
+    )
+    survival = F.when(F.col("anyzero") == 1, F.lit(0.0)).otherwise(
+        F.round(F.exp(F.col("cl").cast("double")), 6)
+    )
+    return s.select(
+        F.col("t").alias("t_days"),
+        "n_risk",
+        F.col("d").alias("d_churned"),
+        F.col("c").alias("c_censored"),
+        survival.alias("survival"),
+    )

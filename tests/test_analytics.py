@@ -445,3 +445,122 @@ def test_mase_calendar_true_lags_and_ratio(spark, tmp_path):
     assert got.mae_seasonal == round(mae_s, 6)
     assert got.mae_naive == round(mae_n, 6)
     assert got.mase == round(mae_s / mae_n, 6)
+
+
+def test_nation_revenue_gini_matches_python_replay(spark):
+    """Gini equals the closed form over exactly the same per-customer
+    revenue, rank order, and rounding at sf0.001; bounds hold."""
+    from collections import defaultdict
+
+    from employee_data_management_system_data_engineering_solution_spark.plans.registry import REGISTRY
+    from employee_data_management_system_data_engineering_solution_spark.sources.io import read_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.nation: r for r in REGISTRY["nation_revenue_gini"].fn(spark, sf).collect()}
+    orders = read_table(spark, sf, "orders").select("o_custkey", "o_totalprice").collect()
+    cust = {r.c_custkey: r.c_nationkey for r in read_table(spark, sf, "customer").collect()}
+    nations = {r.n_nationkey: r.n_name for r in read_table(spark, sf, "nation").collect()}
+    from decimal import Decimal
+
+    rev = defaultdict(Decimal)
+    for r in orders:
+        rev[r.o_custkey] += Decimal(str(round(r.o_totalprice, 2)))
+    by_nation = defaultdict(list)
+    for ck, x in rev.items():
+        by_nation[nations[cust[ck]]].append((x, ck))
+    for nation, xs in by_nation.items():
+        xs.sort()  # (revenue, custkey) ascending — same tie-break
+        n = len(xs)
+        s = sum(x for x, _ in xs)
+        s1 = sum((i + 1) * x for i, (x, _) in enumerate(xs))
+        gini = round(float(2 * s1 - (n + 1) * s) / float(n * s), 6)
+        r = got[nation]
+        assert r.n_customers == n
+        assert abs(r.total_revenue - float(s)) < 1e-6
+        assert abs(r.gini - gini) < 1e-9, nation
+        assert 0.0 <= r.gini < 1.0
+
+
+def test_user_survival_km_matches_python_replay(spark):
+    """Survival equals a pure-Python Kaplan-Meier with the same
+    14-day censoring rule, risk sets, and log-space rounding."""
+    import math
+    from collections import defaultdict
+
+    from employee_data_management_system_data_engineering_solution_spark.plans.registry import REGISTRY
+    from employee_data_management_system_data_engineering_solution_spark.sources.io import read_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.t_days: r for r in REGISTRY["user_survival_km"].fn(spark, sf).collect()}
+    ev = read_table(spark, sf, "events").select("user_id", "ts").collect()
+    first, last = {}, {}
+    for r in ev:
+        u = r.user_id
+        first[u] = min(first.get(u, r.ts), r.ts)
+        last[u] = max(last.get(u, r.ts), r.ts)
+    study_end = max(last.values())
+    durs = defaultdict(lambda: [0, 0])  # t -> [d, c]
+    for u in first:
+        t = (last[u].date() - first[u].date()).days
+        churned = (study_end.date() - last[u].date()).days > 14
+        durs[t][0 if churned else 1] += 1
+    assert set(got) == set(durs)
+    n_at_risk = sum(d + c for d, c in durs.values())
+    cl = 0.0
+    anyzero = False
+    surv_want = {}
+    for t in sorted(durs):
+        d, c = durs[t]
+        if d == n_at_risk:
+            anyzero = True
+        elif d > 0:
+            cl += round(math.log((n_at_risk - d) / n_at_risk), 6)
+        surv_want[t] = (n_at_risk, 0.0 if anyzero else round(math.exp(cl), 6))
+        n_at_risk -= d + c
+    for t, (n_risk, s) in surv_want.items():
+        r = got[t]
+        assert r.n_risk == n_risk, t
+        assert (r.d_churned, r.c_censored) == tuple(durs[t]), t
+        assert abs(r.survival - s) < 1e-9, t
+    # survival is monotone non-increasing in t
+    ts = sorted(got)
+    for a, b in zip(ts, ts[1:]):
+        assert got[b].survival <= got[a].survival + 1e-12
+
+
+def test_bpe_merge_candidates_matches_python_replay(spark, tmp_path):
+    """Top-20 weighted char-pair counts equal a pure-Python Sennrich
+    pair count (overlap-inclusive) on a hand-built corpus."""
+    from collections import Counter
+
+    from employee_data_management_system_data_engineering_solution_spark.plans.registry import REGISTRY
+
+    rows = [
+        (0, "banana banana band and sand"),
+        (1, "an anthem and a banana stand"),
+        (2, "   "),
+        (3, "x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = [
+        (r.pair, r.weighted_count, r.n_distinct_words, r.rank)
+        for r in REGISTRY["bpe_merge_candidates"].fn(spark, str(tmp_path)).collect()
+    ]
+    wc = Counter()
+    for _, text in rows:
+        wc.update(text.strip().lower().split())
+    pair_w = Counter()
+    pair_words = Counter()
+    for word, n in wc.items():
+        if len(word) < 2:
+            continue
+        pairs = Counter(word[i : i + 2] for i in range(len(word) - 1))
+        for p, k in pairs.items():
+            pair_w[p] += n * k
+            pair_words[p] += 1
+    want = sorted(pair_w, key=lambda p: (-pair_w[p], p))[:20]
+    want = [(p, pair_w[p], pair_words[p], i + 1) for i, p in enumerate(want)]
+    assert sorted(got, key=lambda t: t[3]) == want
+    # 'an' dominates this corpus ("banana" alone contributes 2 per use)
+    assert got and sorted(got, key=lambda t: t[3])[0][0] == "an"

@@ -43,22 +43,23 @@ def test_check_window_covers_every_operator_family():
         # plans/__init__.py): (a) the r10 newcomers, never
         # driver-checked; (b) the complete 16-query r6-stale deferral
         # queue (the r9 verdict's item 1 — the only registry members
-        # not driver-checked since r6); (c) 24 of the 47 r7-green
-        # queries, picked so every operator family keeps a carrier:
-        # streaming via checkpoint_restart_strikes (stateful machine +
-        # recovery) + four topology carriers, reference core via
-        # active_count/epoch_status_clean/keyed_upsert/pct_of_quota/
-        # except_all_dupes/ordered_designation_report, sinks and
-        # maintenance via published_report_roundtrip +
-        # compact_parquet_roundtrip + snapshot_time_travel +
-        # zorder_layout_stats, joins via salted_skew_join +
-        # purchase_asof_view + customers_without_urgent_orders, ANN
-        # via the six PQ/IVF variants, text via lang_id/word_freq_topk
-        # plus the r6 LLM-text block and the retrieval-eval newcomers,
+        # not driver-checked since r6); (c) 21 of the 47 r7-green
+        # queries, picked so every operator family keeps a carrier
+        # (three discretionary r7 slots yielded to the X164-X166 late
+        # newcomers): streaming via checkpoint_restart_strikes
+        # (stateful machine + recovery) + four topology carriers,
+        # reference core via active_count/epoch_status_clean/
+        # keyed_upsert/pct_of_quota/except_all_dupes/
+        # ordered_designation_report, sinks and maintenance via
+        # published_report_roundtrip + compact_parquet_roundtrip +
+        # snapshot_time_travel + zorder_layout_stats, joins via
+        # salted_skew_join + purchase_asof_view, ANN via the six
+        # PQ/IVF variants, text via word_freq_topk plus the r6
+        # LLM-text block and the retrieval/tokenizer newcomers,
         # multimodal via binary_metadata + multimodal_frame_stats,
         # graph via supplier_triangles + supplier_communities +
         # dedup_clusters + part_link_prediction, temporal via
-        # event_transitions + weekly_cohort_retention; the 23 r7
+        # weekly_cohort_retention + user_survival_km; the 26 r7
         # leftovers queue for r11 (PROGRESS.jsonl) and everything
         # rotated out is r8/r9 driver-green, guarded by the committed
         # full local run.
@@ -69,6 +70,8 @@ def test_check_window_covers_every_operator_family():
         "char_bigram_entropy", "dsir_importance_weights",
         "ndcg_mrr_report", "repeated_substring_spans",
         "shingle_containment_pairs", "part_link_prediction",
+        "nation_revenue_gini", "user_survival_km",
+        "bpe_merge_candidates",
         # re-confirmation: the complete r6-stale deferral queue
         "embedding_quantize", "ivf_topk_multiprobe", "pq_adc_search",
         "pq_ivf_search", "quantized_ivf_topk", "quantized_topk_rescore",
@@ -77,7 +80,7 @@ def test_check_window_covers_every_operator_family():
         "lm_doc_score", "zorder_layout_stats",
         "winnow_fingerprint_pairs", "weekly_cohort_retention",
         "value_outliers", "supplier_triangles",
-        # re-confirmation: 24 of the 47 r7-green (family coverage)
+        # re-confirmation: 21 of the 47 r7-green (family coverage)
         "checkpoint_restart_strikes", "session_window_counts",
         "stream_dedup_counts", "stream_left_join_events",
         "streaming_upsert_dim", "active_count_by_designation",
@@ -85,10 +88,9 @@ def test_check_window_covers_every_operator_family():
         "except_all_dupes", "ordered_designation_report",
         "published_report_roundtrip", "compact_parquet_roundtrip",
         "snapshot_time_travel", "salted_skew_join",
-        "purchase_asof_view", "customers_without_urgent_orders",
-        "lang_id", "word_freq_topk", "binary_metadata",
+        "purchase_asof_view", "word_freq_topk", "binary_metadata",
         "multimodal_frame_stats", "supplier_communities",
-        "dedup_clusters", "event_transitions",
+        "dedup_clusters",
     }
     assert carriers <= set(window), sorted(carriers - set(window))
 
