@@ -1011,3 +1011,143 @@ def test_salted_join_equals_plain_join(spark, lrows, rrows, salts, how):
     )
     want = sorted(map(tuple, l.join(r, ["k"], how).collect()))
     assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),  # quantized value
+            st.sampled_from([True, False, None]),  # sample flag (+ NULLs)
+        ),
+        min_size=2,
+        max_size=24,
+    )
+)
+@_SETTINGS
+def test_mann_whitney_matches_python_for_random_samples(spark, rows):
+    """Tied-rank U and tie-corrected z equal a pure-Python reference
+    for arbitrary heavy-tie samples; NULL-flag rows never count."""
+    import math
+    from collections import Counter
+
+    from employee_data_management_system_data_engineering_solution_spark.operators.stats import (
+        mann_whitney_u,
+    )
+
+    df = spark.createDataFrame(rows, "v LONG, in_a BOOLEAN")
+    got = mann_whitney_u(df, "v", F.col("in_a")).collect()[0]
+    xs = [v for v, f in rows if f is True]
+    ys = [v for v, f in rows if f is False]
+    assert (got.n_a, got.n_b) == (len(xs), len(ys))
+    if not xs or not ys:
+        assert got.z_stat is None
+        return
+    allv = sorted(xs + ys)
+    ranks, i = {}, 0
+    while i < len(allv):
+        j = i
+        while j < len(allv) and allv[j] == allv[i]:
+            j += 1
+        ranks[allv[i]] = (i + 1 + j) / 2
+        i = j
+    na, nb, n = len(xs), len(ys), len(xs) + len(ys)
+    u = sum(ranks[x] for x in xs) - na * (na + 1) / 2
+    assert got.u_a == u
+    ties = sum(t**3 - t for t in Counter(allv).values())
+    var = na * nb / 12 * ((n + 1) - ties / (n * (n - 1)))
+    if var <= 0:
+        assert got.z_stat is None
+    else:
+        z = (u - na * nb / 2) / math.sqrt(var)
+        assert got.z_stat is not None
+        assert abs(got.z_stat - z) < 5.1e-7
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["p", "q", "r"]),
+            st.sampled_from(["x", "y"]),
+        ),
+        min_size=2,
+        max_size=30,
+    )
+)
+@_SETTINGS
+def test_chi2_independence_matches_python_for_random_tables(spark, rows):
+    """The 6-dp-rounded-cell chi² and Cramér's V equal the pinned
+    pure-Python form for arbitrary contingency tables."""
+    import math
+    from collections import Counter
+
+    from employee_data_management_system_data_engineering_solution_spark.operators.stats import (
+        chi2_independence,
+    )
+
+    df = spark.createDataFrame(rows, "a STRING, b STRING")
+    got = chi2_independence(df, "a", "b").collect()[0]
+    cnt = Counter(rows)
+    ra = Counter(a for a, _ in rows)
+    cb = Counter(b for _, b in rows)
+    n = len(rows)
+    chi2 = sum(
+        round((o * n - ra[a] * cb[b]) ** 2 / (n * ra[a] * cb[b]), 6)
+        for (a, b), o in cnt.items()
+    )
+    assert got.n == n
+    assert (got.levels_a, got.levels_b) == (len(ra), len(cb))
+    assert got.dof == (len(ra) - 1) * (len(cb) - 1)
+    assert abs(got.chi2 - chi2) < 1e-9
+    mindim = min(len(ra), len(cb)) - 1
+    if mindim == 0:
+        assert got.cramers_v is None
+    else:
+        v = round(math.sqrt(got.chi2 / (n * mindim)), 6)
+        assert got.cramers_v == v
+        assert 0.0 <= got.cramers_v <= 1.0 + 1e-9
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),  # score tenths
+            st.integers(min_value=0, max_value=1),  # label
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@_SETTINGS
+def test_decile_lift_invariants_for_random_scores(spark, rows):
+    """Bucket totals partition the population; cumulative capture ends
+    at 1; lift is the exact rational (n_pos·N)/(n·P); tied-score
+    groups never split across buckets."""
+    from collections import Counter, defaultdict
+
+    from employee_data_management_system_data_engineering_solution_spark.operators.modeleval import (
+        decile_lift,
+    )
+
+    data = [(v / 10.0, y) for v, y in rows]
+    df = spark.createDataFrame(data, "score DOUBLE, label INT")
+    out = decile_lift(df, "score", "label", 10).collect()
+    n_total = len(rows)
+    p_total = sum(y for _, y in rows)
+    assert sum(r.n for r in out) == n_total
+    assert sum(r.n_pos for r in out) == p_total
+    if p_total:
+        assert out[-1].cum_capture == 1.0
+        for r in out:
+            assert r.lift == round((r.n_pos * n_total) / (r.n * p_total), 6)
+    # score-group convention: every bucket's row count is a sum of
+    # whole tied-score groups
+    sizes = Counter(s for s, _ in data)
+    bucket_of = {}
+    below = 0
+    for s in sorted(sizes, reverse=True):
+        bucket_of[s] = 10 * below // n_total
+        below += sizes[s]
+    want = defaultdict(int)
+    for s, k in sizes.items():
+        want[bucket_of[s]] += k
+    assert {r.bucket: r.n for r in out} == dict(want)
