@@ -614,9 +614,11 @@ def substring_span_report(
     partition by (pair, diagonal) with frame state bounded by one
     document's gram count. Never all-pairs: candidate generation is
     the capped winnowing equi-join."""
+    # pinned: consumed twice below (id prune + verify join) — the
+    # file-wide pair-set discipline
     cand = winnow_shared_pairs(
         df, id_col, text_col, n=n, window=window, min_shared=min_shared
-    )
+    ).localCheckpoint(eager=True)
     # positional grams only for docs that appear in some candidate pair
     # (the ngram_jaccard_pairs semi-join prune): verify cost scales
     # with the candidate set, not the corpus

@@ -167,7 +167,9 @@ def mann_whitney_u(df: DataFrame, value: str, flag_a: Column) -> DataFrame:
     DOUBLED integers (2·r̄ = 2·below + t + 1 — the ``binary_auc``
     identity), so the doubled rank sum 2·ΣR_A, the doubled statistic
     U2 = 2·U_A = 2·ΣR_A − n_a(n_a+1), and the tie-correction term
-    T = Σ(t³ − t) are all exact DECIMAL(38,0) integers. The z score
+    T = Σ(t³ − t) are all exact DECIMAL(38,0) integers (the largest,
+    ≈ N³, fits to N ≈ 4.6·10¹²; the N⁵-scale variance product is
+    deliberately evaluated in double — see below). The z score
     uses the tie-corrected normal approximation
 
         z = (U_A − n_a·n_b/2) / sqrt(n_a·n_b/12 · ((N+1) − T/(N(N−1))))
@@ -210,13 +212,17 @@ def mann_whitney_u(df: DataFrame, value: str, flag_a: Column) -> DataFrame:
     u2 = F.col("s2r") - na.cast(_D38) * (na + 1)  # exact 2·U_A
     # z numerator: U_A − n_a·n_b/2 = (U2 − n_a·n_b)/2 — keep doubled
     zn2 = (u2 - na.cast(_D38) * nb).cast("double")
-    # variance · (12·N·(N−1)): exact decimal numerator / denominator
-    var_num = (
-        na.cast(_D38) * nb * ((n + 1) * n * (n - 1) - F.col("ties"))
-    ).cast("double")
+    # tie-corrected variance: the inner term (N+1)·N·(N−1) − T is kept
+    # EXACT in DECIMAL(38,0) (≈ N³ — fits to N ≈ 4.6·10¹²); the
+    # na·nb·inner product (≈ N⁵ — would overflow decimal beyond
+    # N ≈ 5·10⁷) happens in double, where every factor converts
+    # correctly rounded and the chain is fixed-order IEEE
+    inner = ((n + 1) * n * (n - 1) - F.col("ties")).cast("double")
+    nanb = (na.cast(_D38) * nb).cast("double")
     var_den = (F.lit(12).cast(_D38) * n * (n - 1)).cast("double")
-    z = F.round(zn2 / (F.lit(2.0) * F.sqrt(var_num / var_den)), 6)
-    ok = (na > 0) & (nb > 0) & (var_num > 0)
+    var = nanb * inner / var_den
+    z = F.round(zn2 / (F.lit(2.0) * F.sqrt(var)), 6)
+    ok = (na > 0) & (nb > 0) & (inner > 0)
     return agg.select(
         "n_a",
         "n_b",

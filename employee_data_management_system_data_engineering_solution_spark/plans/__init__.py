@@ -54,7 +54,7 @@ from .registry import REGISTRY, register
 # 16-query deferral queue the r9 verdict ordered in FIRST. The rest of
 # the window starts draining the 47-query r7-green cohort (stale by
 # r11/r12 otherwise — this pre-empts the crunch the r9 verdict's item
-# 5 warned about; the 23 r7 leftovers are scheduled for r11 in
+# 5 warned about; the 26 r7 leftovers are scheduled for r11 in
 # PROGRESS.jsonl).
 #   IN (never green — new in r10, full hash oracles): the thirteen
 #       r10 operators X154-X166 — priority_price_mwu (X154 Mann-Whitney
@@ -146,7 +146,7 @@ _PRIORITY: tuple[str, ...] = (
     "weekly_cohort_retention",
     "value_outliers",
     "supplier_triangles",
-    # re-confirmation: 24 of the 47 r7-green (family coverage picks)
+    # re-confirmation: 21 of the 47 r7-green (family coverage picks)
     "checkpoint_restart_strikes",
     "session_window_counts",
     "stream_dedup_counts",

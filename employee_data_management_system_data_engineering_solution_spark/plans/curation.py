@@ -1567,22 +1567,23 @@ def segment_nation_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT n_a, n_b,
              s2r - CAST(n_a AS HUGEINT) * (n_a + 1) AS u2,
              CAST(u2 - CAST(n_a AS HUGEINT) * n_b AS DOUBLE) AS zn2,
-             CAST(CAST(n_a AS HUGEINT) * n_b
-                  * ((CAST(n_a AS HUGEINT) + n_b + 1)
-                     * (CAST(n_a AS HUGEINT) + n_b)
-                     * (CAST(n_a AS HUGEINT) + n_b - 1) - ties) AS DOUBLE)
-               AS var_num,
+             CAST((CAST(n_a AS HUGEINT) + n_b + 1)
+                  * (CAST(n_a AS HUGEINT) + n_b)
+                  * (CAST(n_a AS HUGEINT) + n_b - 1) - ties AS DOUBLE)
+               AS inr,
+             CAST(CAST(n_a AS HUGEINT) * n_b AS DOUBLE) AS nanb,
              CAST(12 * (CAST(n_a AS HUGEINT) + n_b)
                   * (CAST(n_a AS HUGEINT) + n_b - 1) AS DOUBLE) AS var_den
       FROM a
     )
     SELECT n_a, n_b,
            CAST(u2 AS DOUBLE) / 2.0 AS u_a,
-           CASE WHEN n_a > 0 AND n_b > 0 AND var_num > 0
-                THEN round(zn2 / (2.0 * sqrt(var_num / var_den)), 6)
+           CASE WHEN n_a > 0 AND n_b > 0 AND inr > 0
+                THEN round(zn2 / (2.0 * sqrt(nanb * inr / var_den)), 6)
            END AS z_stat,
-           CASE WHEN n_a > 0 AND n_b > 0 AND var_num > 0
-                THEN abs(round(zn2 / (2.0 * sqrt(var_num / var_den)), 6)) > 1.96
+           CASE WHEN n_a > 0 AND n_b > 0 AND inr > 0
+                THEN abs(round(zn2 / (2.0 * sqrt(nanb * inr / var_den)), 6))
+                     > 1.96
            END AS significant_95
     FROM v
     """,

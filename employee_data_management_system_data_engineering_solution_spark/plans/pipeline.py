@@ -1028,7 +1028,7 @@ def supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
                row_number() OVER (PARTITION BY v ORDER BY w DESC, nb ASC) AS rn
         FROM adj0) WHERE rn <= 32
     ),
-    deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY v),
+    deg AS (SELECT nb, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY nb),
     cn AS (
       SELECT x.nb AS a, y.nb AS b, CAST(count(*) AS BIGINT) AS cn
       FROM adj x JOIN adj y ON x.v = y.v AND x.nb < y.nb
@@ -1044,8 +1044,8 @@ def supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
            da.d AS deg_a, db.d AS deg_b,
            round(ne.cn / (da.d + db.d - ne.cn), 6) AS jaccard
     FROM ne
-    JOIN deg da ON da.v = ne.a
-    JOIN deg db ON db.v = ne.b
+    JOIN deg da ON da.nb = ne.a
+    JOIN deg db ON db.nb = ne.b
     WHERE ne.cn >= 2 AND round(ne.cn / (da.d + db.d - ne.cn), 6) >= 0.1
     """,
 )
@@ -1059,10 +1059,13 @@ def part_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     universe that GROWS with the data — the supplier co-occurrence
     graph completes at small scale, leaving no non-edges to predict.)
 
-    Exactness: the wedge count through shared neighbors, capped
-    degrees, and the union deg_a + deg_b − cn are all integers from a
-    deterministic adjacency (per-node top-32 by (weight, neighbor));
-    the score is ONE rounded double division of exact integers.
+    Exactness: the wedge count through shared LISTING vias and the
+    degrees |R(a)| = #{v : a ∈ top-32(v)} are measured in the SAME
+    direction of the (asymmetric) capped adjacency, so
+    cn ≤ min(deg_a, deg_b), the union denominator is positive for
+    every reported pair, and the score is guaranteed in [0, 1] —
+    all integers from a deterministic adjacency (per-node top-32 by
+    (weight, neighbor)); ONE rounded double division.
 
     Scale: the adjacency cap is a PER-NODE window (partitioned —
     never a global sort) and bounds the wedge self-join at
@@ -1079,11 +1082,16 @@ def part_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     a_, b_ = su.select("ok", F.col("pk").alias("a")), su.select(
         "ok", F.col("pk").alias("b")
     )
+    # pinned: referenced three times below (both adj0 branches + the
+    # non-edge anti-join) — without the checkpoint Spark re-executes
+    # the corpus-sized basket self-join per reference (the
+    # _bucket_candidate_pairs lesson)
     pw = (
         a_.join(b_, "ok")
         .filter(F.col("a") < F.col("b"))
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("w"))
+        .localCheckpoint(eager=True)
     )
     adj0 = pw.select(
         F.col("a").alias("v"), F.col("b").alias("nb"), "w"
@@ -1097,7 +1105,12 @@ def part_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("v", "nb")
         .localCheckpoint(eager=True)
     )
-    deg = adj.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
+    # degree = |R(a)|, the count of vias whose capped list CONTAINS a —
+    # the same direction the wedge join counts, so cn <= min(deg) and
+    # the union denominator is positive and the score lands in [0, 1]
+    # by construction (deg over the v side would mix directions: the
+    # capped adjacency is not symmetric, cn could exceed it)
+    deg = adj.groupBy("nb").agg(F.count(F.lit(1)).alias("d"))
     x = adj.select(F.col("v").alias("via"), F.col("nb").alias("a"))
     y = adj.select(F.col("v").alias("via"), F.col("nb").alias("b"))
     cn = (
@@ -1111,8 +1124,8 @@ def part_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["a", "b"],
         "left_anti",
     )
-    da = deg.select(F.col("v").alias("a"), F.col("d").alias("deg_a"))
-    db = deg.select(F.col("v").alias("b"), F.col("d").alias("deg_b"))
+    da = deg.select(F.col("nb").alias("a"), F.col("d").alias("deg_a"))
+    db = deg.select(F.col("nb").alias("b"), F.col("d").alias("deg_b"))
     scored = ne.join(da, "a").join(db, "b")
     jacc = F.round(
         F.col("cn") / (F.col("deg_a") + F.col("deg_b") - F.col("cn")), 6

@@ -219,6 +219,12 @@ def test_part_link_prediction_matches_python_replay(spark):
         v: {nb for _, nb in sorted(lst, key=lambda t: (-t[0], t[1]))[:32]}
         for v, lst in adj0.items()
     }
+    # degree = |R(a)|, vias whose capped list CONTAINS a — the same
+    # direction the wedge count uses, so jaccard is in [0, 1]
+    listed_by = defaultdict(set)
+    for v, ns in nbr.items():
+        for nb in ns:
+            listed_by[nb].add(v)
     seen = defaultdict(set)
     for v, ns in nbr.items():
         ss = sorted(ns)
@@ -230,9 +236,19 @@ def test_part_link_prediction_matches_python_replay(spark):
         if (a, b) in edges:
             continue
         cn = len(common)
-        jac = round(cn / (len(nbr[a]) + len(nbr[b]) - cn), 6)
+        da, db = len(listed_by[a]), len(listed_by[b])
+        # HALF_UP like Spark/DuckDB round() — CPython's round() is
+        # banker's and diverges on exact ties (e.g. 25/128 = 0.1953125)
+        from decimal import ROUND_HALF_UP, Decimal
+
+        jac = float(
+            Decimal(repr(cn / (da + db - cn))).quantize(
+                Decimal("0.000001"), ROUND_HALF_UP
+            )
+        )
         if cn >= 2 and jac >= 0.1:
-            want[(a, b)] = (cn, len(nbr[a]), len(nbr[b]), jac)
+            assert 0.0 <= jac <= 1.0
+            want[(a, b)] = (cn, da, db, jac)
     got = {
         (r.part_a, r.part_b): (r.common_neighbors, r.deg_a, r.deg_b, r.jaccard)
         for r in REGISTRY["part_link_prediction"].fn(spark, sf).collect()
