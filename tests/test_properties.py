@@ -980,7 +980,14 @@ def test_cusum_statistic_matches_python_closed_form(spark, tmp_path, vals):
     ]
     assert [r.day for r in got] == want_days
     for r, t in zip(got, order):
-        assert abs(r.cusum - round(tt[t] / 100.0 / n, 4)) < 1e-9
+        # compare against the UNROUNDED exact value within half a
+        # 4-dp rounding unit: at an exact decimal tie (hypothesis
+        # found T/(100n) = -0.00375) Spark rounds the shortest-repr
+        # decimal HALF_UP while CPython rounds the exact double, so
+        # the two round() results legitimately differ by one unit in
+        # the last place — both are correct roundings of the same
+        # statistic, which is what this pin is for
+        assert abs(r.cusum - tt[t] / 100.0 / n) <= 5.01e-5
 
 
 @given(
