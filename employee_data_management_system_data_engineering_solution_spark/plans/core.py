@@ -1525,7 +1525,7 @@ def brand_price_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
                             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
                            / (n_rows * CAST(sxx AS DOUBLE)
                               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
-           END AS elasticity,
+           END AS price_flexibility,
            CASE WHEN (n_rows * CAST(sxx AS DOUBLE)
                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
                 THEN round((CAST(sy AS DOUBLE)
@@ -1552,10 +1552,11 @@ def brand_price_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def price_qty_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X157: per-brand log-log price elasticity of demand — the
-    econometric standard (d ln p / d ln q) the linear OLS (X127)
-    cannot give, since elasticity is the POWER-LAW exponent, constant
-    across the price range only in log space.
+    """X157: per-brand log-log price-quantity regression. The slope is
+    d ln p / d ln q — price FLEXIBILITY (the reciprocal of the demand
+    elasticity d ln q / d ln p; the column is named for what it is) —
+    the power-law exponent a linear OLS (X127) cannot give, since it
+    is constant across the price range only in log space.
 
     Float discipline, extending X127 to libm features: ln(quantity)
     and ln(price) are rounded to 6 dp and accumulated as DECIMAL(9,6)
@@ -1603,7 +1604,7 @@ def price_qty_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "p_brand",
         "n_rows",
-        F.when(den_x > 0, F.round(slope_raw, 6)).alias("elasticity"),
+        F.when(den_x > 0, F.round(slope_raw, 6)).alias("price_flexibility"),
         F.when(den_x > 0, F.round((sy - slope_raw * sx) / n, 6)).alias(
             "intercept"
         ),

@@ -1402,7 +1402,7 @@ def feature_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 def nation_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X164: revenue-concentration Gini coefficient per nation — the
     inequality screen a marketplace/revenue team runs beside the
-    decile stats (X158 asks 'what does a top-k budget buy'; Gini asks
+    decile stats (X155 asks 'what does a top-k budget buy'; Gini asks
     'how concentrated is the whole distribution', 0 = uniform,
     →1 = one customer is the business).
 
@@ -1464,9 +1464,11 @@ def nation_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "segment_nation_chi2",
-    # Same cell pinning: (o·N − r·c)²/(N·r·c) with an exact HUGEINT
-    # difference converted once, squared in double, rounded 6 dp,
-    # summed as DECIMAL(18,6) — order-free.
+    # Same cell pinning: χ² = Σ_observed o²·N/(r·c) − N (zero cells
+    # contribute 0 to Σ o²/e, so observed cells suffice for the FULL
+    # r×c Pearson sum); o²·N exact in HUGEINT converted once, each
+    # term rounded 6 dp, summed as DECIMAL(18,6), N subtracted AFTER
+    # the decimal sum — order-free.
     """
     WITH g AS (
       SELECT c_mktsegment AS seg, n_name AS nation,
@@ -1485,9 +1487,8 @@ def nation_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells AS (
       SELECT nn,
              CAST(round(
-               CAST(CAST(o AS HUGEINT) * nn - CAST(r AS HUGEINT) * c AS DOUBLE)
-               * CAST(CAST(o AS HUGEINT) * nn - CAST(r AS HUGEINT) * c AS DOUBLE)
-               / CAST(CAST(nn AS HUGEINT) * r * c AS DOUBLE), 6)
+               CAST(CAST(o AS HUGEINT) * o * nn AS DOUBLE)
+               / CAST(CAST(r AS HUGEINT) * c AS DOUBLE), 6)
                AS DECIMAL(18,6)) AS cell,
              seg, nation
       FROM m
@@ -1496,14 +1497,14 @@ def nation_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(max(nn) AS BIGINT) AS n,
              CAST(count(DISTINCT seg) AS BIGINT) AS levels_a,
              CAST(count(DISTINCT nation) AS BIGINT) AS levels_b,
-             sum(cell) AS chi2_dec
+             sum(cell) AS sum_o2_ne
       FROM cells
     )
     SELECT n, levels_a, levels_b,
            CAST((levels_a - 1) * (levels_b - 1) AS BIGINT) AS dof,
-           CAST(chi2_dec AS DOUBLE) AS chi2,
+           CAST(sum_o2_ne - n AS DOUBLE) AS chi2,
            CASE WHEN least(levels_a, levels_b) - 1 > 0
-                THEN round(sqrt(CAST(chi2_dec AS DOUBLE)
+                THEN round(sqrt(CAST(sum_o2_ne - n AS DOUBLE)
                      / CAST(CAST(n AS HUGEINT)
                             * (least(levels_a, levels_b) - 1) AS DOUBLE)), 6)
            END AS cramers_v

@@ -3925,12 +3925,13 @@ def bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
-    from pyspark.sql import Window
-
-    rnk = F.row_number().over(
-        Window.orderBy(F.col("pmi").desc(), F.col("a").asc(), F.col("b").asc())
-    )
-    return scored.withColumn("__r", rnk).filter(F.col("__r") <= 20).drop("__r")
+    # global top-20 via orderBy+limit → TakeOrderedAndProject
+    # (per-partition heaps, no single-partition window: the
+    # min-support survivor set is vocabulary-bounded but still huge at
+    # 100 TB — the X126/X135 pattern; plan pinned in test_plans.py)
+    return scored.orderBy(
+        F.col("pmi").desc(), F.col("a").asc(), F.col("b").asc()
+    ).limit(20)
 
 
 # ---------------------------------------------------------------------------

@@ -158,7 +158,7 @@ def test_price_qty_elasticity_matches_numpy_loglog_fit(spark):
         (slope, intercept), *_ = np.linalg.lstsq(A, y, rcond=None)
         r = got[brand]
         assert r.n_rows == len(g)
-        assert abs(r.elasticity - slope) < 1e-4, brand
+        assert abs(r.price_flexibility - slope) < 1e-4, brand
         assert abs(r.intercept - intercept) < 1e-3, brand
         assert 0.0 <= r.r2 <= 1.0
 

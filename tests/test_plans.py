@@ -422,6 +422,16 @@ def test_covisitation_equi_join_bounded_topk(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_bigram_collocations_topk_bounded_heap(spark):
+    """The global PMI top-20 must run as TakeOrderedAndProject
+    (per-partition heaps), never a single-partition row_number window
+    over the min-support survivor set — vocabulary-bounded, but still
+    enormous at 100 TB."""
+    plan = plan_of(REGISTRY["bigram_collocations"].fn(spark, SF), mode="simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
 def test_cusum_windows_over_daily_rollup(spark):
     """CUSUM windows slide over the daily aggregate (aggregate BELOW
     the window in the printed tree), and the top-5 is a bounded heap."""

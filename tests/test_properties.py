@@ -1097,9 +1097,12 @@ def test_chi2_independence_matches_python_for_random_tables(spark, rows):
     ra = Counter(a for a, _ in rows)
     cb = Counter(b for _, b in rows)
     n = len(rows)
-    chi2 = sum(
-        round((o * n - ra[a] * cb[b]) ** 2 / (n * ra[a] * cb[b]), 6)
-        for (a, b), o in cnt.items()
+    chi2 = (
+        sum(
+            round(o * o * n / (ra[a] * cb[b]), 6)
+            for (a, b), o in cnt.items()
+        )
+        - n
     )
     assert got.n == n
     assert (got.levels_a, got.levels_b) == (len(ra), len(cb))
