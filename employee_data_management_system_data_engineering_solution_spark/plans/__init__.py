@@ -49,12 +49,56 @@ from .registry import REGISTRY, register
 # exempt). driver_green_rounds()/never_green() below are the audit's
 # data source.
 #
+# Round 11 rotation (r10 narrative preserved below). The r10 window
+# re-greened the complete r6-stale deferral queue and 21 of 47
+# r7-green; the ONLY r7-stale block left is the 26-query must-include
+# the r10 verdict (item 2) ordered in first — all 26 are in. Newcomers
+# are capped at five (verdict item 3) so the remaining 19 slots start
+# draining the 50-query r8-green cohort (stale by r12/r13); the 31
+# r8 queries left over are scheduled FIRST for r12 in PROGRESS.jsonl.
+#   IN (never green — new in r11, full hash oracles):
+#       bpe_merge_table (X167 iterative 10-round BPE trainer — verdict
+#       item 4), unicode_script_profile (X168 script-mixing screen —
+#       item 5), ann_incremental_admission (X169 pinned-centroid
+#       admission + recall — item 6), benchmark_decontamination (X170
+#       eval-split 8-gram collision screen), gopher_repetition_report
+#       (X171 within-doc repetition rules).
+#   IN (re-confirmation — the complete 26-query r7-stale block):
+#       customers_without_urgent_orders, lang_id, event_transitions,
+#       ann_rank_quality, checkpoint_restart_windowed,
+#       constraint_quarantine, cube_order_stats,
+#       distinct_order_supp_pairs, incremental_agg_refresh,
+#       join_key_skew_report, json_props_stats,
+#       multi_touch_attribution, neardup_prune, promo_revenue_share,
+#       quality_score, region_supplier_volume, rollup_revenue,
+#       salary_percentiles, salary_rank_analytics, status_pivot_report,
+#       stratified_sample, strike_report_batch,
+#       top3_orders_per_customer, top_earner_per_designation,
+#       trailing_revenue_90d, value_winsorized_stats.
+#   IN (re-confirmation — 19 of the 50 r8-green, family coverage):
+#       streaming keeps strike_stream_from_wire + stream_static_enrich
+#       (checkpoint_restart_windowed above carries recovery); the
+#       flagship q1_pricing_summary; pipelines keep daily_pipeline +
+#       corpus_curation_pipeline; ANN keeps ann_recall_report +
+#       hard_negative_mining; dedup keeps dedup_clusters_star +
+#       ngram_jaccard_pairs; CDC keeps cdc_log_replay; formats/sinks
+#       keep json_lines_roundtrip + orc_roundtrip; layout keeps
+#       partition_pruned_report; curation keeps k_anonymity_report +
+#       feature_drift_psi; UDTF keeps doc_chunks; SCD keeps
+#       scd2_merge; analytics keep part_covisitation_topk +
+#       revenue_cusum_shift.
+#   OUT (rotated to the tail; every one r8/r9/r10 driver-green and
+#       guarded by the committed full local runs): the whole r10
+#       window (X154-X166 newcomers now green, the r6 deferral queue,
+#       the 21 r7 re-greens) and the 31 remaining r8-green queries
+#       queued first for r12 (see PROGRESS.jsonl r12 schedule entry).
+#
 # Round 10 rotation. The r9 window re-greened the whole r5 cohort and
-# 21 of 37 r6-green queries; the ONLY remaining r6-stale block is the
+# 21 of 37 r6-green queries; the ONLY remaining r6-stale block was the
 # 16-query deferral queue the r9 verdict ordered in FIRST. The rest of
-# the window starts draining the 47-query r7-green cohort (stale by
-# r11/r12 otherwise — this pre-empts the crunch the r9 verdict's item
-# 5 warned about; the 26 r7 leftovers are scheduled for r11 in
+# the window started draining the 47-query r7-green cohort (stale by
+# r11/r12 otherwise — this pre-empted the crunch the r9 verdict's item
+# 5 warned about; the 26 r7 leftovers were scheduled for r11 in
 # PROGRESS.jsonl).
 #   IN (never green — new in r10, full hash oracles): the thirteen
 #       r10 operators X154-X166 — priority_price_mwu (X154 Mann-Whitney
@@ -115,59 +159,59 @@ from .registry import REGISTRY, register
 #       newcomers.
 # ---------------------------------------------------------------------------
 _PRIORITY: tuple[str, ...] = (
-    # new in r10: never driver-checked
-    "priority_price_mwu",
-    "decile_lift_report",
-    "segment_nation_chi2",
-    "price_qty_elasticity",
-    "char_bigram_entropy",
-    "dsir_importance_weights",
-    "ndcg_mrr_report",
-    "repeated_substring_spans",
-    "shingle_containment_pairs",
-    "part_link_prediction",
-    "nation_revenue_gini",
-    "user_survival_km",
-    "bpe_merge_candidates",
-    # re-confirmation: the complete r6-stale deferral queue
-    "embedding_quantize",
-    "ivf_topk_multiprobe",
-    "pq_adc_search",
-    "pq_ivf_search",
-    "quantized_ivf_topk",
-    "quantized_topk_rescore",
-    "cluster_topic_terms",
-    "context_pack_bins",
-    "bigram_collocations",
-    "boilerplate_scrub_stats",
-    "lm_doc_score",
-    "zorder_layout_stats",
-    "winnow_fingerprint_pairs",
-    "weekly_cohort_retention",
-    "value_outliers",
-    "supplier_triangles",
-    # re-confirmation: 21 of the 47 r7-green (family coverage picks)
-    "checkpoint_restart_strikes",
-    "session_window_counts",
-    "stream_dedup_counts",
-    "stream_left_join_events",
-    "streaming_upsert_dim",
-    "active_count_by_designation",
-    "epoch_status_clean",
-    "keyed_upsert",
-    "pct_of_quota",
-    "except_all_dupes",
-    "ordered_designation_report",
-    "published_report_roundtrip",
-    "compact_parquet_roundtrip",
-    "snapshot_time_travel",
-    "salted_skew_join",
-    "purchase_asof_view",
-    "word_freq_topk",
-    "binary_metadata",
-    "multimodal_frame_stats",
-    "supplier_communities",
-    "dedup_clusters",
+    # new in r11: never driver-checked
+    "bpe_merge_table",
+    "unicode_script_profile",
+    "ann_incremental_admission",
+    "benchmark_decontamination",
+    "gopher_repetition_report",
+    # re-confirmation: the complete 26-query r7-stale block
+    "customers_without_urgent_orders",
+    "lang_id",
+    "event_transitions",
+    "ann_rank_quality",
+    "checkpoint_restart_windowed",
+    "constraint_quarantine",
+    "cube_order_stats",
+    "distinct_order_supp_pairs",
+    "incremental_agg_refresh",
+    "join_key_skew_report",
+    "json_props_stats",
+    "multi_touch_attribution",
+    "neardup_prune",
+    "promo_revenue_share",
+    "quality_score",
+    "region_supplier_volume",
+    "rollup_revenue",
+    "salary_percentiles",
+    "salary_rank_analytics",
+    "status_pivot_report",
+    "stratified_sample",
+    "strike_report_batch",
+    "top3_orders_per_customer",
+    "top_earner_per_designation",
+    "trailing_revenue_90d",
+    "value_winsorized_stats",
+    # re-confirmation: 19 of the 50 r8-green (family coverage picks)
+    "q1_pricing_summary",
+    "daily_pipeline",
+    "corpus_curation_pipeline",
+    "strike_stream_from_wire",
+    "stream_static_enrich",
+    "ann_recall_report",
+    "hard_negative_mining",
+    "dedup_clusters_star",
+    "ngram_jaccard_pairs",
+    "cdc_log_replay",
+    "json_lines_roundtrip",
+    "orc_roundtrip",
+    "partition_pruned_report",
+    "k_anonymity_report",
+    "feature_drift_psi",
+    "doc_chunks",
+    "scd2_merge",
+    "part_covisitation_topk",
+    "revenue_cusum_shift",
 )
 
 #: Queries whose driver check is rows-only BY CONTRACT (no SQL oracle

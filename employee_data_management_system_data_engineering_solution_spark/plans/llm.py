@@ -10,7 +10,7 @@ double precision on both sides and rounded to 6 dp before ranking.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as tx
@@ -69,6 +69,97 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.length(F.regexp_replace(t, r"\s+", "")) / F.greatest(n_words, F.lit(1)), 4
         ).alias("avg_word_len"),
+    )
+
+
+@register(
+    "unicode_script_profile",
+    # DuckDB/RE2 spells Unicode scripts \p{Latin}; Spark/Java spells
+    # them \p{IsLatin} — same Unicode script property, and identical on
+    # this corpus (pure ASCII). If the two engines' regex libraries
+    # ever disagree on a script's membership for exotic codepoints,
+    # the explicit-ASCII classes (digits/whitespace/punct) are immune
+    # and only the script columns could drift — documented divergence
+    # surface, none observed.
+    r"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(length(regexp_extract_all(text, '\p{Latin}')) AS BIGINT) AS latin_chars,
+           CAST(length(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS digit_chars,
+           CAST(length(regexp_extract_all(text, '[ \t\n\r]')) AS BIGINT) AS ws_chars,
+           CAST(length(regexp_extract_all(text, '[!-/:-@\[-`{-~]')) AS BIGINT) AS punct_chars,
+           CAST(length(regexp_extract_all(text, '\p{Han}')) AS BIGINT) AS han_chars,
+           CAST(length(regexp_extract_all(text, '\p{Cyrillic}')) AS BIGINT) AS cyrillic_chars,
+           CAST(length(regexp_extract_all(text, '\p{Arabic}')) AS BIGINT) AS arabic_chars,
+           CAST(length(text)
+                - length(regexp_extract_all(text, '\p{Latin}'))
+                - length(regexp_extract_all(text, '[0-9]'))
+                - length(regexp_extract_all(text, '[ \t\n\r]'))
+                - length(regexp_extract_all(text, '[!-/:-@\[-`{-~]'))
+                - length(regexp_extract_all(text, '\p{Han}'))
+                - length(regexp_extract_all(text, '\p{Cyrillic}'))
+                - length(regexp_extract_all(text, '\p{Arabic}'))
+             AS BIGINT) AS other_chars,
+           CASE WHEN length(text) > 0
+                THEN round(length(regexp_extract_all(text, '\p{Latin}'))
+                           / CAST(length(text) AS DOUBLE), 6)
+           END AS latin_share,
+           CASE WHEN length(text) > 0
+                THEN round((length(regexp_extract_all(text, '\p{Han}'))
+                            + length(regexp_extract_all(text, '\p{Cyrillic}'))
+                            + length(regexp_extract_all(text, '\p{Arabic}')))
+                           / CAST(length(text) AS DOUBLE), 6)
+           END AS non_latin_script_share
+    FROM documents
+    """,
+)
+def unicode_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X168: per-document Unicode script/codepoint-class profile — the
+    script-mixing screen a multilingual crawl curates on (beside the
+    n-gram lang_id X3, which is a heuristic over ASCII-ish features):
+    counts and shares by Unicode script (Latin/Han/Cyrillic/Arabic via
+    the regex engines' script property) and by explicit ASCII class
+    (digits, whitespace, ASCII punctuation), with the unclassified
+    remainder. Pure built-in regex counting — no UDF, one narrow scan,
+    no shuffle at any scale.
+
+    Cross-engine note: Java spells scripts ``\\p{IsLatin}``, RE2
+    ``\\p{Latin}`` — same property; the explicit ASCII classes are
+    pinned identically in both engines."""
+    docs = read_table(spark, sf_dir, "documents")
+    t = F.col("text")
+
+    def cnt(pat: str) -> Column:
+        # idx=0 — whole-match extraction (Spark's default idx=1 wants
+        # a capture group; these are plain classes)
+        return F.size(F.regexp_extract_all(t, F.lit(pat), 0)).cast("long")
+
+    latin = cnt(r"\p{IsLatin}")
+    digit = cnt(r"[0-9]")
+    ws = cnt(r"[ \t\n\r]")
+    punct = cnt(r"[!-/:-@\[-`{-~]")
+    han = cnt(r"\p{IsHan}")
+    cyr = cnt(r"\p{IsCyrillic}")
+    arab = cnt(r"\p{IsArabic}")
+    n = F.length(t).cast("long")
+    share = lambda c: F.when(  # noqa: E731
+        n > 0, F.round(c / n.cast("double"), 6)
+    )
+    return docs.select(
+        "doc_id",
+        n.alias("n_chars"),
+        latin.alias("latin_chars"),
+        digit.alias("digit_chars"),
+        ws.alias("ws_chars"),
+        punct.alias("punct_chars"),
+        han.alias("han_chars"),
+        cyr.alias("cyrillic_chars"),
+        arab.alias("arabic_chars"),
+        (n - latin - digit - ws - punct - han - cyr - arab).alias(
+            "other_chars"
+        ),
+        share(latin).alias("latin_share"),
+        share(han + cyr + arab).alias("non_latin_script_share"),
     )
 
 
@@ -1596,6 +1687,173 @@ def ivf_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     pivots = emb.filter(F.col("vec_id") < 8)
     queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105))
     return similarity.ivf_topk_multiprobe(queries, emb, pivots, k=10, nprobe=2)
+
+
+@register(
+    "ann_incremental_admission",
+    f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    b AS (SELECT * FROM v WHERE vec_id % 10 <> 0),
+    d AS (SELECT * FROM v WHERE vec_id % 10 = 0),
+    p AS (SELECT vec_id AS pivot_id, e AS pv FROM b WHERE vec_id < 8),
+    ba_s AS (
+      SELECT b.vec_id, b.e, p.pivot_id,
+             round(list_dot_product(b.e, p.pv)
+                   / (sqrt(list_dot_product(b.e, b.e)) * sqrt(list_dot_product(p.pv, p.pv))),
+                   6) AS sim
+      FROM b, p
+    ),
+    ba AS (
+      SELECT vec_id, e, pivot_id AS cluster_id
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY vec_id ORDER BY sim DESC, pivot_id ASC) AS rn
+            FROM ba_s)
+      WHERE rn = 1
+    ),
+    da_s AS (
+      SELECT d.vec_id, d.e, p.pivot_id,
+             round(list_dot_product(d.e, p.pv)
+                   / (sqrt(list_dot_product(d.e, d.e)) * sqrt(list_dot_product(p.pv, p.pv))),
+                   6) AS sim
+      FROM d, p
+    ),
+    da AS (
+      SELECT vec_id, e, pivot_id AS cluster_id
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY vec_id ORDER BY sim DESC, pivot_id ASC) AS rn
+            FROM da_s)
+      WHERE rn = 1
+    ),
+    q AS (
+      SELECT vec_id AS query_id, e AS qv, pivot_id AS cluster_id
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY vec_id ORDER BY sim DESC, pivot_id ASC) AS rn
+            FROM ba_s)
+      WHERE rn <= 2 AND vec_id >= 101 AND vec_id < 106
+    ),
+    sb AS (
+      SELECT q.query_id, a.vec_id AS neighbor_id, {_COS.replace('cv', 'a.e')} AS cosine_sim
+      FROM ba a JOIN q ON a.cluster_id = q.cluster_id
+      WHERE a.vec_id <> q.query_id
+    ),
+    stored AS (
+      SELECT query_id, neighbor_id, cosine_sim
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
+            FROM sb)
+      WHERE rn <= 10
+    ),
+    sd AS (
+      SELECT q.query_id, a.vec_id AS neighbor_id, {_COS.replace('cv', 'a.e')} AS cosine_sim
+      FROM da a JOIN q ON a.cluster_id = q.cluster_id
+    ),
+    merged AS (
+      SELECT query_id, neighbor_id
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
+            FROM (SELECT * FROM stored UNION ALL SELECT * FROM sd))
+      WHERE rn <= 10
+    ),
+    qq AS (
+      SELECT vec_id AS query_id, e AS qv FROM b
+      WHERE vec_id >= 101 AND vec_id < 106
+    ),
+    ex_s AS (
+      SELECT qq.query_id, c.vec_id AS neighbor_id, {_COS.replace('cv', 'c.e')} AS cosine_sim
+      FROM qq, v c WHERE c.vec_id <> qq.query_id
+    ),
+    exact AS (
+      SELECT query_id, neighbor_id
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
+            FROM ex_s)
+      WHERE rn <= 10
+    )
+    SELECT m.query_id,
+           CAST(coalesce(sum(CASE WHEN e.neighbor_id IS NOT NULL THEN 1 END), 0) AS BIGINT) AS n_hits,
+           CAST(coalesce(sum(CASE WHEN m.neighbor_id % 10 = 0 THEN 1 END), 0) AS BIGINT) AS n_batch_neighbors,
+           round(coalesce(sum(CASE WHEN e.neighbor_id IS NOT NULL THEN 1 END), 0) / 10.0, 6) AS recall_at_10
+    FROM merged m
+    LEFT JOIN exact e ON e.query_id = m.query_id AND e.neighbor_id = m.neighbor_id
+    GROUP BY 1
+    """,
+)
+def ann_incremental_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X169: incremental ANN index admission — the embeddings twin of
+    the X123 dedup admission: a new batch (vec_id % 10 = 0) is
+    admitted to a PINNED IVF index (centroids = base vec_id < 8, no
+    retrain — assignment is per-vector, so admitted lists are exactly
+    what a full rebuild with the same pivots would produce), the
+    query result is the stored base top-10 MERGED with the admitted
+    delta's probe candidates, and recall@10 is measured against the
+    exact brute-force top-10 over base ∪ batch. This completes the
+    incremental story (dedup admission X123, agg refresh, CDC replay)
+    for the ANN family — at 100 TB an index rebuild per ingest batch
+    is the thing you never do.
+
+    Plan: assignment is the zero-shuffle literal-pivot narrow map
+    (``operators/similarity.assign_clusters``); the delta search
+    touches ONLY the admitted batch's inverted lists; the brute-force
+    ground truth is the deliberate cost of MEASURING recall (the
+    X79 ann_recall_report contract), not part of the serving path."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 10 != 0)
+    batch = emb.filter(F.col("vec_id") % 10 == 0)
+    pivots = base.filter(F.col("vec_id") < 8)
+    queries = base.filter((F.col("vec_id") >= 101) & (F.col("vec_id") < 106))
+    stored = similarity.ivf_topk_multiprobe(
+        queries, base, pivots, k=10, nprobe=2
+    ).select("query_id", "neighbor_id", "cosine_sim")
+    # delta: the admitted batch assigned to the SAME pinned centroids
+    ab = similarity.assign_clusters(batch, pivots)
+    qp = similarity.assign_clusters_multi(queries, pivots, 2).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("__qvec"),
+        F.col("__vnorm").alias("__qnorm"),
+        "cluster_id",
+    )
+    c = ab.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("__cvec"),
+        F.col("__vnorm").alias("__cnorm"),
+        "cluster_id",
+    )
+    delta = c.join(F.broadcast(qp), "cluster_id").select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            similarity.dot(
+                similarity._as_double(F.col("__qvec")),
+                similarity._as_double(F.col("__cvec")),
+            )
+            / (F.col("__qnorm") * F.col("__cnorm")),
+            6,
+        ).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    merged = (
+        stored.unionByName(delta)
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= 10)
+        .select("query_id", "neighbor_id")
+    )
+    exact = similarity.cosine_topk_bruteforce(queries, emb, k=10).select(
+        "query_id", "neighbor_id", F.lit(1).alias("__hit")
+    )
+    hit = F.coalesce(F.col("__hit"), F.lit(0))
+    return (
+        merged.join(exact, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(hit).cast("long").alias("n_hits"),
+            F.sum(F.when(F.col("neighbor_id") % 10 == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_batch_neighbors"),
+            F.round(F.sum(hit) / F.lit(10.0), 6).alias("recall_at_10"),
+        )
+    )
 
 
 @register(
@@ -3839,6 +4097,361 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         g.withColumn("rank", rnk)
         .filter(F.col("rank") <= 20)
         .select("pair", "weighted_count", "n_distinct_words", "rank")
+    )
+
+
+@register(
+    "benchmark_decontamination",
+    r"""
+    WITH ws AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    g AS (
+      SELECT doc_id, list_aggregate(w[i:i+7], 'string_agg', ' ') AS gram
+      FROM ws, unnest(generate_series(1, len(w) - 7)) AS t(i)
+      WHERE len(w) >= 8
+    ),
+    ev_docs AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 20 = 0),
+    ev AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 20 = 0),
+    tr AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 <> 0),
+    ng AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM ev GROUP BY 1),
+    hits AS (
+      SELECT ev.doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
+      FROM ev JOIN tr USING (gram) GROUP BY 1
+    )
+    SELECT d.doc_id,
+           coalesce(ng.n_grams, 0) AS n_grams,
+           coalesce(hits.n_contaminated, 0) AS n_contaminated,
+           CASE WHEN coalesce(ng.n_grams, 0) > 0
+                THEN round(coalesce(hits.n_contaminated, 0)
+                           / CAST(ng.n_grams AS DOUBLE), 6)
+           END AS contamination_share
+    FROM ev_docs d
+    LEFT JOIN ng ON ng.doc_id = d.doc_id
+    LEFT JOIN hits ON hits.doc_id = d.doc_id
+    """,
+)
+def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X170: benchmark decontamination screen — the n-gram collision
+    check every serious LLM training run performs between its training
+    corpus and its held-out eval set (GPT-3 appendix C used 13-grams;
+    8 here because these docs average ~54 words). The eval split is
+    doc_id % 20 = 0; for each eval doc: how many of its DISTINCT
+    8-word shingles appear verbatim anywhere in the train split, and
+    what share of the doc that is. Every eval doc reports (zero-hit
+    docs included via left join; docs too short for one 8-gram report
+    n_grams = 0, NULL share).
+
+    Scale: both sides reduce to DISTINCT gram sets before the
+    equi-join — the join is shuffle-on-gram, dedup-first, never
+    doc×doc; at 100 TB the gram string would ride as md5(gram) to
+    narrow the exchange (same join result, negligible collision odds;
+    kept as the raw string here so the oracle shares the exact key)."""
+    docs = read_table(spark, sf_dir, "documents")
+    ws = docs.filter(F.length(F.trim("text")) > 0).select(
+        "doc_id", tx.words(F.lower(F.trim(F.col("text")))).alias("w")
+    )
+    g = (
+        ws.filter(F.size("w") >= 8)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 7),"
+                    " i -> array_join(slice(w, i, 8), ' '))"
+                )
+            ).alias("gram"),
+        )
+    )
+    ev_docs = docs.filter(F.col("doc_id") % 20 == 0).select("doc_id").distinct()
+    ev = g.filter(F.col("doc_id") % 20 == 0).distinct()
+    tr = g.filter(F.col("doc_id") % 20 != 0).select("gram").distinct()
+    ng = ev.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        ev.join(tr, "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    n_grams = F.coalesce(F.col("n_grams"), F.lit(0).cast("long"))
+    n_cont = F.coalesce(F.col("n_contaminated"), F.lit(0).cast("long"))
+    return (
+        ev_docs.join(ng, "doc_id", "left")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_grams.alias("n_grams"),
+            n_cont.alias("n_contaminated"),
+            F.when(
+                n_grams > 0, F.round(n_cont / n_grams.cast("double"), 6)
+            ).alias("contamination_share"),
+        )
+    )
+
+
+@register(
+    "gopher_repetition_report",
+    r"""
+    WITH ws AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    base AS (
+      SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+             CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct
+      FROM ws
+    ),
+    bg AS (
+      SELECT doc_id, w[i] || ' ' || w[i + 1] AS gram
+      FROM ws, unnest(generate_series(1, len(w) - 1)) AS t(i)
+      WHERE len(w) >= 2
+    ),
+    bgc AS (SELECT doc_id, gram, count(*) AS c FROM bg GROUP BY 1, 2),
+    bgtop AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top2 FROM bgc GROUP BY 1),
+    g5 AS (
+      SELECT doc_id, list_aggregate(w[i:i+4], 'string_agg', ' ') AS gram
+      FROM ws, unnest(generate_series(1, len(w) - 4)) AS t(i)
+      WHERE len(w) >= 5
+    ),
+    g5c AS (SELECT doc_id, gram, count(*) AS c FROM g5 GROUP BY 1, 2),
+    g5agg AS (
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS total5,
+             CAST(coalesce(sum(c) FILTER (WHERE c >= 2), 0) AS BIGINT) AS dup5
+      FROM g5c GROUP BY 1
+    )
+    SELECT b.doc_id, b.n_words,
+           round(1.0 - b.n_distinct / CAST(b.n_words AS DOUBLE), 6) AS word_rep_ratio,
+           CASE WHEN b.n_words >= 2
+                THEN round(2.0 * bgtop.top2 / CAST(b.n_words AS DOUBLE), 6)
+           END AS top_bigram_share,
+           CASE WHEN b.n_words >= 5
+                THEN round(g5agg.dup5 / CAST(g5agg.total5 AS DOUBLE), 6)
+           END AS dup_5gram_share
+    FROM base b
+    LEFT JOIN bgtop ON bgtop.doc_id = b.doc_id
+    LEFT JOIN g5agg ON g5agg.doc_id = b.doc_id
+    """,
+)
+def gopher_repetition_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X171: within-document repetition signals in the style of the
+    Gopher quality rules (Rae et al. 2021, table A1) — the screen that
+    catches boilerplate-looped and keyword-stuffed documents that
+    length/punctuation heuristics (quality_score X2) pass. Per doc:
+    word repetition ratio (1 − distinct/total), the share of word
+    positions covered by the single most frequent bigram
+    (2·top_count/n_words — word-positions, not Gopher's characters;
+    definition pinned for cross-engine exactness), and the share of
+    5-gram POSITIONS whose gram occurs ≥2 times in the doc
+    (duplicate-gram position share, ∈ [0,1]). Docs too short for a
+    gram report NULL for that column.
+
+    Scale: three per-doc aggregates (words, bigrams, 5-grams), each a
+    map-side-combinable groupBy keyed by doc — embarrassingly
+    parallel, no cross-doc shuffle."""
+    docs = read_table(spark, sf_dir, "documents")
+    ws = docs.filter(F.length(F.trim("text")) > 0).select(
+        "doc_id", tx.words(F.lower(F.trim(F.col("text")))).alias("w")
+    )
+    base = ws.select(
+        "doc_id",
+        F.size("w").cast("long").alias("n_words"),
+        F.size(F.array_distinct("w")).cast("long").alias("n_distinct"),
+    )
+    bg = ws.filter(F.size("w") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 1),"
+                " i -> concat(w[i-1], ' ', w[i]))"
+            )
+        ).alias("gram"),
+    )
+    bgtop = (
+        bg.groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").cast("long").alias("top2"))
+    )
+    g5 = ws.filter(F.size("w") >= 5).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 4),"
+                " i -> array_join(slice(w, i, 5), ' '))"
+            )
+        ).alias("gram"),
+    )
+    g5agg = (
+        g5.groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("total5"),
+            F.coalesce(
+                F.sum(F.when(F.col("c") >= 2, F.col("c"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("dup5"),
+        )
+    )
+    nw = F.col("n_words")
+    return (
+        base.join(bgtop, "doc_id", "left")
+        .join(g5agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            F.round(
+                F.lit(1.0) - F.col("n_distinct") / nw.cast("double"), 6
+            ).alias("word_rep_ratio"),
+            F.when(
+                nw >= 2,
+                F.round(F.lit(2.0) * F.col("top2") / nw.cast("double"), 6),
+            ).alias("top_bigram_share"),
+            F.when(
+                nw >= 5,
+                F.round(F.col("dup5") / F.col("total5").cast("double"), 6),
+            ).alias("dup_5gram_share"),
+        )
+    )
+
+
+def _bpe_merge_table_sql(k: int) -> str:
+    """DuckDB oracle for the k-round BPE trainer: the vocabulary rides
+    as a double-space-delimited symbol 'spine' per word, each round is
+    one (pair-stats → winner → replace) CTE triple, and every stage is
+    AS MATERIALIZED — each v{r} is referenced twice (next round's
+    stats AND next round's apply) and inlining would re-derive the
+    whole chain exponentially. The replace trick: symbols are joined
+    by TWO spaces and the search pattern ' a  b ' keeps HALF of each
+    outer delimiter, so left-to-right non-overlapping replace()
+    performs exactly the greedy left-to-right BPE merge ('a a a a' →
+    'aa aa', never 'aa a a')."""
+    sql = r"""
+    WITH w AS (
+      SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    wc AS (SELECT word, CAST(count(*) AS BIGINT) AS wc FROM w GROUP BY 1),
+    v0 AS MATERIALIZED (
+      SELECT '  ' || list_aggregate(list_transform(generate_series(1, length(word)),
+                                    i -> substr(word, i, 1)), 'string_agg', '  ')
+           || '  ' AS spine, wc
+      FROM wc WHERE length(word) >= 2
+    )"""
+    for r in range(1, k + 1):
+        sql += f""",
+    p{r} AS MATERIALIZED (
+      SELECT a, b, CAST(sum(wc) AS BIGINT) AS cnt
+      FROM (
+        SELECT wc, syms[i] AS a, syms[i + 1] AS b
+        FROM (SELECT wc, list_filter(regexp_split_to_array(spine, '  '), x -> x <> '') AS syms
+              FROM v{r - 1}),
+             unnest(generate_series(1, len(syms) - 1)) AS t(i)
+        WHERE len(syms) >= 2
+      ) GROUP BY 1, 2
+    ),
+    win{r} AS MATERIALIZED (
+      SELECT CAST({r} AS INT) AS rank, a AS pair_a, b AS pair_b,
+             a || b AS merged, cnt AS weighted_count
+      FROM p{r} ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+    ),
+    v{r} AS MATERIALIZED (
+      SELECT replace(v.spine, ' ' || w.pair_a || '  ' || w.pair_b || ' ',
+                     ' ' || w.merged || ' ') AS spine, v.wc
+      FROM v{r - 1} v CROSS JOIN win{r} w
+    )"""
+    sql += (
+        "\n    SELECT * FROM ("
+        + " UNION ALL ".join(f"SELECT * FROM win{r}" for r in range(1, k + 1))
+        + ")"
+    )
+    return sql
+
+
+_BPE_ROUNDS = 10
+
+
+@register("bpe_merge_table", _bpe_merge_table_sql(_BPE_ROUNDS))
+def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X167: the ordered BPE merge table — 10 unrolled merge rounds of
+    the Sennrich et al. 2016 trainer (X166 computes only the FIRST
+    round's candidates; a tokenizer needs the ordered merge LIST,
+    where each round's statistics reflect every earlier merge). Each
+    round: adjacent-symbol pair counts over the VOCABULARY weighted by
+    corpus word frequency (overlap-inclusive — 'aaaa' counts (a,a)
+    three times), winner by (count DESC, pair ASC), then the greedy
+    left-to-right merge applied to every word ('aaaa' → 'aa aa') —
+    the deterministic fixed-round discipline of X87 PageRank / X111
+    LPA. Pinned against a pure-Python Sennrich reference in
+    tests/test_llm_text.py.
+
+    Plan shape: the corpus-sized shuffle happens ONCE (word counts);
+    each round explodes adjacent pairs over the DISTINCT-WORD symbol
+    spines (vocabulary-bounded), takes the winner as a bounded 1-row
+    collect (the centroid-seed discipline), and applies the merge as
+    one narrow string replace over the vocabulary, localCheckpointed
+    so round plans stay flat. Words ride as double-space-delimited
+    symbol spines; the replace pattern ' a  b ' → ' ab ' keeps half
+    of each outer delimiter, making non-overlapping left-to-right
+    replace() exactly the greedy BPE merge."""
+    docs = read_table(spark, sf_dir, "documents")
+    live = docs.filter(F.length(F.trim("text")) > 0)
+    w = live.select(
+        F.explode(tx.words(F.lower(F.trim(F.col("text"))))).alias("word")
+    )
+    wc = w.groupBy("word").agg(F.count(F.lit(1)).alias("wc"))
+    chars = F.filter(F.split("word", ""), lambda x: x != F.lit(""))
+    vocab = (
+        wc.filter(F.length("word") >= 2)
+        .select(
+            F.concat(
+                F.lit("  "), F.array_join(chars, "  "), F.lit("  ")
+            ).alias("spine"),
+            "wc",
+        )
+        .localCheckpoint()  # the one corpus-sized shuffle; rounds iterate this
+    )
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rnd in range(1, _BPE_ROUNDS + 1):
+        syms = F.filter(F.split("spine", "  "), lambda x: x != F.lit(""))
+        prs = (
+            vocab.select("wc", syms.alias("__syms"))
+            .filter(F.size("__syms") >= 2)
+            .select(
+                "wc",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(__syms) - 1),"
+                        " i -> struct(__syms[i-1] AS a, __syms[i] AS b))"
+                    )
+                ).alias("p"),
+            )
+        )
+        top = (
+            prs.groupBy("p.a", "p.b")
+            .agg(F.sum("wc").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        pa, pb, cnt = top[0].a, top[0].b, top[0].cnt
+        merges.append((rnd, pa, pb, pa + pb, cnt))
+        vocab = vocab.select(
+            F.replace(
+                F.col("spine"),
+                F.lit(f" {pa}  {pb} "),
+                F.lit(f" {pa}{pb} "),
+            ).alias("spine"),
+            "wc",
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges,
+        "rank INT, pair_a STRING, pair_b STRING, merged STRING,"
+        " weighted_count LONG",
     )
 
 

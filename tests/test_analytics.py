@@ -564,3 +564,82 @@ def test_bpe_merge_candidates_matches_python_replay(spark, tmp_path):
     assert sorted(got, key=lambda t: t[3]) == want
     # 'an' dominates this corpus ("banana" alone contributes 2 per use)
     assert got and sorted(got, key=lambda t: t[3])[0][0] == "an"
+
+
+def _bpe_train_ref(word_counts, rounds):
+    """Pure-Python Sennrich et al. 2016 BPE trainer: overlap-inclusive
+    pair stats over the vocabulary weighted by word frequency, winner
+    by (count desc, pair asc), greedy left-to-right merge application."""
+    from collections import Counter
+
+    vocab = {w: list(w) for w in word_counts if len(w) >= 2}
+    merges = []
+    for rnd in range(1, rounds + 1):
+        stats = Counter()
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                stats[(syms[i], syms[i + 1])] += word_counts[w]
+        if not stats:
+            break
+        (pa, pb), cnt = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rnd, pa, pb, pa + pb, cnt))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == pa and syms[i + 1] == pb:
+                    out.append(pa + pb)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges
+
+
+def test_bpe_merge_table_matches_python_trainer(spark, tmp_path):
+    """The 10-round merge table equals a pure-Python Sennrich trainer
+    on a corpus with an overlap trap ('aaaa' counts (a,a) three times
+    but merges greedily to 'aa aa') and merged-symbol re-pairing
+    (later rounds must see earlier merges)."""
+    from collections import Counter
+
+    from employee_data_management_system_data_engineering_solution_spark.plans.registry import REGISTRY
+
+    rows = [
+        (0, "the cat sat on the mat the cat"),
+        (1, "banana bandana aaaa aaaa"),
+        (2, "there then theme the"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = sorted(
+        (
+            (r.rank, r.pair_a, r.pair_b, r.merged, r.weighted_count)
+            for r in REGISTRY["bpe_merge_table"].fn(spark, str(tmp_path)).collect()
+        ),
+    )
+    wc = Counter()
+    for _, text in rows:
+        wc.update(text.strip().lower().split())
+    assert got == _bpe_train_ref(wc, 10)
+    # the overlap trap actually fired: (a,a) was merged and then the
+    # merged 'aa' symbol re-paired in a later round
+    merged_syms = [m[3] for m in got]
+    assert "aa" in merged_syms
+    assert any(m[1] == "aa" or m[2] == "aa" for m in got)
+
+
+def test_bpe_merge_table_registry_corpus_rounds(spark):
+    """On the sf0.001 corpus the trainer emits exactly 10 ordered
+    rounds with strictly valid structure (merged = a||b, weights
+    positive and non-increasing is NOT required — only that each
+    round's winner was maximal under its own round's stats, which the
+    python replay in the tmp-corpus test pins; here we pin shape)."""
+    from employee_data_management_system_data_engineering_solution_spark.plans.registry import REGISTRY
+
+    rows = REGISTRY["bpe_merge_table"].fn(spark, "/root/testdata/sf0.001").collect()
+    assert [r.rank for r in sorted(rows, key=lambda r: r.rank)] == list(range(1, 11))
+    for r in rows:
+        assert r.merged == r.pair_a + r.pair_b
+        assert r.weighted_count > 0

@@ -39,58 +39,57 @@ def test_check_window_covers_every_operator_family():
     elsewhere)."""
     window = list(queries())[:50]
     carriers = {
-        # Round-10 window (see the rotation narrative in
-        # plans/__init__.py): (a) the r10 newcomers, never
-        # driver-checked; (b) the complete 16-query r6-stale deferral
-        # queue (the r9 verdict's item 1 — the only registry members
-        # not driver-checked since r6); (c) 21 of the 47 r7-green
-        # queries, picked so every operator family keeps a carrier
-        # (three discretionary r7 slots yielded to the X164-X166 late
-        # newcomers): streaming via checkpoint_restart_strikes
-        # (stateful machine + recovery) + four topology carriers,
-        # reference core via active_count/epoch_status_clean/
-        # keyed_upsert/pct_of_quota/except_all_dupes/
-        # ordered_designation_report, sinks and maintenance via
-        # published_report_roundtrip + compact_parquet_roundtrip +
-        # snapshot_time_travel + zorder_layout_stats, joins via
-        # salted_skew_join + purchase_asof_view, ANN via the six
-        # PQ/IVF variants, text via word_freq_topk plus the r6
-        # LLM-text block and the retrieval/tokenizer newcomers,
-        # multimodal via binary_metadata + multimodal_frame_stats,
-        # graph via supplier_triangles + supplier_communities +
-        # dedup_clusters + part_link_prediction, temporal via
-        # weekly_cohort_retention + user_survival_km; the 26 r7
-        # leftovers queue for r11 (PROGRESS.jsonl) and everything
-        # rotated out is r8/r9 driver-green, guarded by the committed
-        # full local run.
+        # Round-11 window (see the rotation narrative in
+        # plans/__init__.py): (a) the five r11 newcomers, never
+        # driver-checked; (b) the complete 26-query r7-stale block the
+        # r10 verdict ordered in first (the only registry members
+        # without driver evidence since r7); (c) 19 of the 50 r8-green
+        # queries, picked so every operator family keeps a carrier:
+        # streaming via strike_stream_from_wire + stream_static_enrich
+        # + checkpoint_restart_windowed (recovery), the flagship
+        # q1_pricing_summary, pipelines via daily_pipeline +
+        # corpus_curation_pipeline, ANN via ann_recall_report +
+        # hard_negative_mining + ann_rank_quality +
+        # ann_incremental_admission, dedup via dedup_clusters_star +
+        # ngram_jaccard_pairs + neardup_prune, CDC via cdc_log_replay,
+        # formats/sinks via json_lines_roundtrip + orc_roundtrip,
+        # layout via partition_pruned_report, curation via
+        # k_anonymity_report + feature_drift_psi + stratified_sample,
+        # UDTF via doc_chunks, SCD via scd2_merge, analytics via
+        # part_covisitation_topk + revenue_cusum_shift + the r7 block's
+        # rank/rollup/pivot carriers, text via lang_id + quality_score
+        # + the tokenizer/script newcomers; everything rotated out is
+        # r8/r9/r10 driver-green, guarded by the committed full local
+        # run, and the 31 remaining r8-green queries queue FIRST for
+        # r12 (PROGRESS.jsonl).
         #
-        # new in r10 — never driver-checked, full hash oracles:
-        "priority_price_mwu", "decile_lift_report",
-        "segment_nation_chi2", "price_qty_elasticity",
-        "char_bigram_entropy", "dsir_importance_weights",
-        "ndcg_mrr_report", "repeated_substring_spans",
-        "shingle_containment_pairs", "part_link_prediction",
-        "nation_revenue_gini", "user_survival_km",
-        "bpe_merge_candidates",
-        # re-confirmation: the complete r6-stale deferral queue
-        "embedding_quantize", "ivf_topk_multiprobe", "pq_adc_search",
-        "pq_ivf_search", "quantized_ivf_topk", "quantized_topk_rescore",
-        "cluster_topic_terms", "context_pack_bins",
-        "bigram_collocations", "boilerplate_scrub_stats",
-        "lm_doc_score", "zorder_layout_stats",
-        "winnow_fingerprint_pairs", "weekly_cohort_retention",
-        "value_outliers", "supplier_triangles",
-        # re-confirmation: 21 of the 47 r7-green (family coverage)
-        "checkpoint_restart_strikes", "session_window_counts",
-        "stream_dedup_counts", "stream_left_join_events",
-        "streaming_upsert_dim", "active_count_by_designation",
-        "epoch_status_clean", "keyed_upsert", "pct_of_quota",
-        "except_all_dupes", "ordered_designation_report",
-        "published_report_roundtrip", "compact_parquet_roundtrip",
-        "snapshot_time_travel", "salted_skew_join",
-        "purchase_asof_view", "word_freq_topk", "binary_metadata",
-        "multimodal_frame_stats", "supplier_communities",
-        "dedup_clusters",
+        # new in r11 — never driver-checked, full hash oracles:
+        "bpe_merge_table", "unicode_script_profile",
+        "ann_incremental_admission", "benchmark_decontamination",
+        "gopher_repetition_report",
+        # re-confirmation: the complete 26-query r7-stale block
+        "customers_without_urgent_orders", "lang_id",
+        "event_transitions", "ann_rank_quality",
+        "checkpoint_restart_windowed", "constraint_quarantine",
+        "cube_order_stats", "distinct_order_supp_pairs",
+        "incremental_agg_refresh", "join_key_skew_report",
+        "json_props_stats", "multi_touch_attribution", "neardup_prune",
+        "promo_revenue_share", "quality_score",
+        "region_supplier_volume", "rollup_revenue",
+        "salary_percentiles", "salary_rank_analytics",
+        "status_pivot_report", "stratified_sample",
+        "strike_report_batch", "top3_orders_per_customer",
+        "top_earner_per_designation", "trailing_revenue_90d",
+        "value_winsorized_stats",
+        # re-confirmation: 19 of the 50 r8-green (family coverage)
+        "q1_pricing_summary", "daily_pipeline",
+        "corpus_curation_pipeline", "strike_stream_from_wire",
+        "stream_static_enrich", "ann_recall_report",
+        "hard_negative_mining", "dedup_clusters_star",
+        "ngram_jaccard_pairs", "cdc_log_replay", "json_lines_roundtrip",
+        "orc_roundtrip", "partition_pruned_report",
+        "k_anonymity_report", "feature_drift_psi", "doc_chunks",
+        "scd2_merge", "part_covisitation_topk", "revenue_cusum_shift",
     }
     assert carriers <= set(window), sorted(carriers - set(window))
 

@@ -514,3 +514,74 @@ def test_hard_negative_mining_cross_label_and_ranked(spark):
             scored.append((-round(cos, 6), nid))
         want = [nid for _, nid in sorted(scored)[:3]]
         assert [r.neighbor_id for r in picks] == want, qid
+
+
+def test_ann_incremental_admission_equals_full_rebuild(spark):
+    """The admission guarantee: with PINNED pivots, the incrementally
+    merged top-10 (stored base top-10 ∪ admitted delta candidates,
+    recut) is set-identical to a full IVF rebuild over base ∪ batch —
+    assignment is per-vector, so admit-then-merge loses nothing a
+    rebuild would have. Plus recall bounds and column arithmetic."""
+    from employee_data_management_system_data_engineering_solution_spark.operators import similarity
+    from employee_data_management_system_data_engineering_solution_spark.plans.registry import REGISTRY
+    from employee_data_management_system_data_engineering_solution_spark.sources.io import read_table
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    rows = REGISTRY["ann_incremental_admission"].fn(spark, sf).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0 <= r.n_hits <= 10
+        assert 0 <= r.n_batch_neighbors <= 10
+        assert abs(r.recall_at_10 - r.n_hits / 10.0) < 1e-12
+    # rebuild: same pivots, corpus = base ∪ batch, same nprobe
+    emb = read_table(spark, sf, "embeddings")
+    base = emb.filter(F.col("vec_id") % 10 != 0)
+    pivots = base.filter(F.col("vec_id") < 8)
+    queries = base.filter((F.col("vec_id") >= 101) & (F.col("vec_id") < 106))
+    rebuilt = similarity.ivf_topk_multiprobe(queries, emb, pivots, k=10, nprobe=2)
+    want = {(r.query_id, r.neighbor_id) for r in rebuilt.collect()}
+    # reconstruct the merged pair set from the query internals: rerun
+    # and compare via the registry query's own (query, n_batch) shape
+    # AND the full pair-set equality from a duplicate merge run
+    emb_b = emb.filter(F.col("vec_id") % 10 == 0)
+    stored = similarity.ivf_topk_multiprobe(queries, base, pivots, k=10, nprobe=2).select(
+        "query_id", "neighbor_id", "cosine_sim"
+    )
+    ab = similarity.assign_clusters(emb_b, pivots)
+    qp = similarity.assign_clusters_multi(queries, pivots, 2).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("__qvec"),
+        F.col("__vnorm").alias("__qnorm"),
+        "cluster_id",
+    )
+    c = ab.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("__cvec"),
+        F.col("__vnorm").alias("__cnorm"),
+        "cluster_id",
+    )
+    delta = c.join(F.broadcast(qp), "cluster_id").select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            similarity.dot(
+                similarity._as_double(F.col("__qvec")),
+                similarity._as_double(F.col("__cvec")),
+            )
+            / (F.col("__qnorm") * F.col("__cnorm")),
+            6,
+        ).alias("cosine_sim"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    merged = (
+        stored.unionByName(delta)
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= 10)
+    )
+    got = {(r.query_id, r.neighbor_id) for r in merged.collect()}
+    assert got == want

@@ -295,3 +295,91 @@ def test_ndcg_mrr_matches_python_replay(spark):
         assert abs(r.idcg5 - idcg) < 5.1e-7
         assert abs(r.ndcg5 - dcg / idcg) < 5.1e-7
         assert 0.0 <= r.ndcg5 <= 1.0
+
+
+def test_unicode_script_profile_mixed_scripts(spark, tmp_path):
+    """Script counts on a hand-built mixed-script frame: Latin covers
+    accented letters, Han/Cyrillic/Arabic are counted by script, the
+    explicit ASCII classes catch digits/whitespace/punct, and the
+    remainder lands in other_chars."""
+    from employee_data_management_system_data_engineering_solution_spark.plans.registry import REGISTRY
+
+    rows = [
+        (0, "Hello, World! 42"),
+        (1, "Привет мир 你好 abc"),
+        (2, ""),
+        (3, "café naïve"),  # accented Latin IS Latin script
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        r.doc_id: r
+        for r in REGISTRY["unicode_script_profile"].fn(spark, str(tmp_path)).collect()
+    }
+    r0 = got[0]
+    assert (r0.n_chars, r0.latin_chars, r0.digit_chars) == (16, 10, 2)
+    assert (r0.ws_chars, r0.punct_chars, r0.other_chars) == (2, 2, 0)
+    assert r0.latin_share == round(10 / 16, 6)
+    r1 = got[1]
+    assert (r1.cyrillic_chars, r1.han_chars, r1.latin_chars) == (9, 2, 3)
+    assert r1.non_latin_script_share == round(11 / 17, 6)
+    r2 = got[2]
+    assert r2.n_chars == 0 and r2.latin_share is None
+    r3 = got[3]
+    assert r3.latin_chars == 9 and r3.other_chars == 0  # é/ï are Latin
+
+
+def test_gopher_repetition_report_hand_built(spark, tmp_path):
+    """Repetition signals on a constructed looped doc vs a clean doc:
+    the loop has high word-rep, a dominant bigram, and duplicate
+    5-grams; the clean doc reports zeros/NULLs per the length rules."""
+    from employee_data_management_system_data_engineering_solution_spark.plans.registry import REGISTRY
+
+    loop = "buy now " * 10  # 20 words: 'buy now' x10
+    rows = [(0, loop.strip()), (1, "one two three four"), (2, "solo")]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        r.doc_id: r
+        for r in REGISTRY["gopher_repetition_report"].fn(spark, str(tmp_path)).collect()
+    }
+    r0 = got[0]
+    assert r0.n_words == 20
+    assert r0.word_rep_ratio == round(1 - 2 / 20, 6)
+    # 'buy now' occurs 10 of 19 bigram positions -> 2*10/20 = 1.0
+    assert r0.top_bigram_share == 1.0
+    # all 16 5-gram positions belong to grams occurring >= 2 times
+    assert r0.dup_5gram_share == 1.0
+    r1 = got[1]
+    assert r1.word_rep_ratio == 0.0
+    assert r1.top_bigram_share == round(2 / 4, 6)  # every bigram unique, top=1
+    assert r1.dup_5gram_share is None  # only 4 words
+    r2 = got[2]
+    assert r2.top_bigram_share is None and r2.dup_5gram_share is None
+
+
+def test_benchmark_decontamination_planted_overlap(spark, tmp_path):
+    """A planted verbatim 8-gram shared between an eval doc (id 20)
+    and a train doc is reported; a disjoint eval doc reports zero; a
+    too-short eval doc reports n_grams = 0 with NULL share."""
+    from employee_data_management_system_data_engineering_solution_spark.plans.registry import REGISTRY
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 words
+    rows = [
+        (20, shared + " iota kappa"),          # eval: 10 words -> 3 grams, 1 contaminated
+        (40, "uno dos tres cuatro cinco seis siete ocho nueve"),  # eval, disjoint
+        (60, "too short"),                      # eval, no 8-gram
+        (1, "prefix words " + shared),          # train holds the planted gram
+        (2, "filler train doc with none of those words at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        r.doc_id: r
+        for r in REGISTRY["benchmark_decontamination"].fn(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {20, 40, 60}
+    assert got[20].n_grams == 3 and got[20].n_contaminated == 1
+    assert got[20].contamination_share == round(1 / 3, 6)
+    assert got[40].n_contaminated == 0 and got[40].contamination_share == 0.0
+    assert got[60].n_grams == 0 and got[60].contamination_share is None
