@@ -33,11 +33,15 @@ Methodology (warm-cache, two-pass):
   plus both pass totals, so a regression can be told apart from
   single-run VM noise (spreads of ±20% on sub-second queries are
   normal here).
-  The session-scoped verified-pair memo (``plans/llm._PAIRS_CACHE``)
-  is CLEARED before each pass, so ``ngram_jaccard_pairs`` pays the
-  full LSH+verify pipeline in both passes and its min is real work,
-  never a memo read; the two cluster queries then read the memo within
-  their pass — the same amortization the correctness gate sees.
+  The session-scoped memos (verified pairs, ANN eval frames,
+  co-supply backbone) are CLEARED before each pass, and the CANONICAL
+  PAYER of each memo (``ngram_jaccard_pairs``, ``ann_recall_report``,
+  ``supplier_triangles``) is hoisted to the front of every timed pass
+  — so the memoized stage's cost lands on the same query name every
+  round regardless of registry rotation (r10's dedup_clusters
+  1.47→4.06 s "mover" was pure payer reassignment), and downstream
+  family members read the memo within their pass — the same
+  amortization the correctness gate sees.
 
 The stdout line is kept well under 1,500 bytes (the harness capturing
 it may retain only a bounded stdout tail): it carries the suite total,
@@ -146,10 +150,30 @@ def main() -> int:
         except Exception as exc:
             print(f"bench: cache reset failed: {exc}", file=sys.stderr)
 
+    # DETERMINISTIC MEMO-PAYER ORDER: three session memos amortize a
+    # shared stage across query families (verified pairs, ANN
+    # truth+rank frames, co-supply backbone). Within a pass, whichever
+    # family member runs FIRST pays the memoized stage — which used to
+    # be decided by registry order, so a rotation reshuffle could move
+    # the cost between queries and masquerade as a >1.5x round-over-
+    # round mover (r10: dedup_clusters 1.47->4.06 s purely from payer
+    # reassignment). The canonical payers below are hoisted to the
+    # front of every timed pass, so the memo cost lands on the same
+    # query name every round regardless of registry order.
+    _MEMO_PAYERS = (
+        "ngram_jaccard_pairs",  # pays plans/llm._PAIRS_CACHE
+        "ann_recall_report",  # pays plans/llm._ANN_EVAL_CACHE
+        "supplier_triangles",  # pays plans/pipeline._BACKBONE_CACHE
+    )
+    bench_order = [n for n in _MEMO_PAYERS if n in qs] + [
+        n for n in qs if n not in _MEMO_PAYERS
+    ]
+
     def run_pass() -> dict[str, float]:
         clear_session_memos()
         out: dict[str, float] = {}
-        for name, fn in qs.items():
+        for name in bench_order:
+            fn = qs[name]
             t0 = time.perf_counter()
             try:
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()

@@ -53,8 +53,8 @@ from .registry import REGISTRY, register
 # re-greened the complete r6-stale deferral queue and 21 of 47
 # r7-green; the ONLY r7-stale block left is the 26-query must-include
 # the r10 verdict (item 2) ordered in first — all 26 are in. Newcomers
-# are capped at five (verdict item 3) so the remaining 19 slots start
-# draining the 50-query r8-green cohort (stale by r12/r13); the 31
+# are capped at eight (verdict item 3) so the remaining 16 slots start
+# draining the 50-query r8-green cohort (stale by r12/r13); the 34
 # r8 queries left over are scheduled FIRST for r12 in PROGRESS.jsonl.
 #   IN (never green — new in r11, full hash oracles):
 #       bpe_merge_table (X167 iterative 10-round BPE trainer — verdict
@@ -62,7 +62,10 @@ from .registry import REGISTRY, register
 #       item 5), ann_incremental_admission (X169 pinned-centroid
 #       admission + recall — item 6), benchmark_decontamination (X170
 #       eval-split 8-gram collision screen), gopher_repetition_report
-#       (X171 within-doc repetition rules).
+#       (X171 within-doc repetition rules), cross_split_leakage (X172
+#       near-dup train/eval leakage over the shared pair memo),
+#       embedding_dim_profile (X173 dead-dimension QA),
+#       token_mixture_plan (X174 temperature-flattened source mixture).
 #   IN (re-confirmation — the complete 26-query r7-stale block):
 #       customers_without_urgent_orders, lang_id, event_transitions,
 #       ann_rank_quality, checkpoint_restart_windowed,
@@ -75,22 +78,26 @@ from .registry import REGISTRY, register
 #       stratified_sample, strike_report_batch,
 #       top3_orders_per_customer, top_earner_per_designation,
 #       trailing_revenue_90d, value_winsorized_stats.
-#   IN (re-confirmation — 19 of the 50 r8-green, family coverage):
+#   IN (re-confirmation — 16 of the 50 r8-green, family coverage;
+#       orc_roundtrip / feature_drift_psi / revenue_cusum_shift
+#       yielded their slots to the three late newcomers and lead the
+#       r12 queue — their families stay covered in-window by
+#       json_lines_roundtrip, k_anonymity_report + stratified_sample,
+#       and part_covisitation_topk):
 #       streaming keeps strike_stream_from_wire + stream_static_enrich
 #       (checkpoint_restart_windowed above carries recovery); the
 #       flagship q1_pricing_summary; pipelines keep daily_pipeline +
 #       corpus_curation_pipeline; ANN keeps ann_recall_report +
 #       hard_negative_mining; dedup keeps dedup_clusters_star +
 #       ngram_jaccard_pairs; CDC keeps cdc_log_replay; formats/sinks
-#       keep json_lines_roundtrip + orc_roundtrip; layout keeps
-#       partition_pruned_report; curation keeps k_anonymity_report +
-#       feature_drift_psi; UDTF keeps doc_chunks; SCD keeps
-#       scd2_merge; analytics keep part_covisitation_topk +
-#       revenue_cusum_shift.
+#       keep json_lines_roundtrip; layout keeps
+#       partition_pruned_report; curation keeps k_anonymity_report;
+#       UDTF keeps doc_chunks; SCD keeps scd2_merge; analytics keep
+#       part_covisitation_topk.
 #   OUT (rotated to the tail; every one r8/r9/r10 driver-green and
 #       guarded by the committed full local runs): the whole r10
 #       window (X154-X166 newcomers now green, the r6 deferral queue,
-#       the 21 r7 re-greens) and the 31 remaining r8-green queries
+#       the 21 r7 re-greens) and the 34 remaining r8-green queries
 #       queued first for r12 (see PROGRESS.jsonl r12 schedule entry).
 #
 # Round 10 rotation. The r9 window re-greened the whole r5 cohort and
@@ -165,6 +172,9 @@ _PRIORITY: tuple[str, ...] = (
     "ann_incremental_admission",
     "benchmark_decontamination",
     "gopher_repetition_report",
+    "cross_split_leakage",
+    "embedding_dim_profile",
+    "token_mixture_plan",
     # re-confirmation: the complete 26-query r7-stale block
     "customers_without_urgent_orders",
     "lang_id",
@@ -204,14 +214,11 @@ _PRIORITY: tuple[str, ...] = (
     "ngram_jaccard_pairs",
     "cdc_log_replay",
     "json_lines_roundtrip",
-    "orc_roundtrip",
     "partition_pruned_report",
     "k_anonymity_report",
-    "feature_drift_psi",
     "doc_chunks",
     "scd2_merge",
     "part_covisitation_topk",
-    "revenue_cusum_shift",
 )
 
 #: Queries whose driver check is rows-only BY CONTRACT (no SQL oracle

@@ -4870,3 +4870,258 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= 3)
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-11 curation additions: cross-split leakage, embedding QA,
+# token mixture planning
+# ---------------------------------------------------------------------------
+_NGRAM_PAIRS_SQL = REGISTRY["ngram_jaccard_pairs"].oracle_sql
+
+
+@register(
+    "cross_split_leakage",
+    f"""
+    WITH pairs AS ({_NGRAM_PAIRS_SQL}),
+    cp AS (
+      SELECT CASE WHEN id_a % 20 = 0 THEN id_a ELSE id_b END AS eval_doc_id,
+             CASE WHEN id_a % 20 = 0 THEN id_b ELSE id_a END AS train_doc_id,
+             jaccard
+      FROM pairs
+      WHERE (id_a % 20 = 0) <> (id_b % 20 = 0)
+    ),
+    agg AS (
+      SELECT eval_doc_id,
+             CAST(count(*) AS BIGINT) AS n_leaky_train_docs,
+             max(jaccard) AS max_jaccard
+      FROM cp GROUP BY 1
+    ),
+    arg AS (
+      SELECT cp.eval_doc_id, CAST(min(cp.train_doc_id) AS BIGINT) AS worst_train_doc
+      FROM cp JOIN agg ON agg.eval_doc_id = cp.eval_doc_id
+                      AND cp.jaccard = agg.max_jaccard
+      GROUP BY 1
+    ),
+    ev AS (SELECT DISTINCT doc_id AS eval_doc_id FROM documents WHERE doc_id % 20 = 0)
+    SELECT ev.eval_doc_id,
+           coalesce(agg.n_leaky_train_docs, 0) AS n_leaky_train_docs,
+           agg.max_jaccard,
+           arg.worst_train_doc
+    FROM ev
+    LEFT JOIN agg USING (eval_doc_id)
+    LEFT JOIN arg USING (eval_doc_id)
+    """,
+)
+def cross_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X172: near-duplicate leakage BETWEEN the train and eval splits —
+    the paraphrase-tier complement of the verbatim 8-gram screen
+    (X170 benchmark_decontamination catches exact shingles; a
+    near-duplicate of an eval doc in the train set leaks just as hard
+    and survives that check). Candidate pairs come from the SAME
+    memoized MinHash-LSH + Jaccard-verify stage the dedup family
+    shares (``_verified_pairs``, j ≥ 0.5); this query keeps only
+    pairs straddling the doc_id % 20 split and reports, per eval doc:
+    how many train docs leak into it, the worst Jaccard, and the
+    worst offending train doc (min id among the argmax — exact
+    tie-break both engines). Every eval doc reports (clean docs show
+    0 / NULL via left join).
+
+    Scale: zero marginal candidate generation — the banded LSH join is
+    amortized across the whole dedup family; the split filter and the
+    per-eval-doc aggregate are report-sized."""
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = _verified_pairs(spark, sf_dir)
+    ev_a = F.col("id_a") % 20 == 0
+    ev_b = F.col("id_b") % 20 == 0
+    cp = pairs.filter(ev_a != ev_b).select(
+        F.when(ev_a, F.col("id_a")).otherwise(F.col("id_b")).alias("eval_doc_id"),
+        F.when(ev_a, F.col("id_b")).otherwise(F.col("id_a")).alias("train_doc_id"),
+        "jaccard",
+    )
+    agg = cp.groupBy("eval_doc_id").agg(
+        F.count(F.lit(1)).alias("n_leaky_train_docs"),
+        F.max("jaccard").alias("max_jaccard"),
+    )
+    arg = (
+        cp.join(
+            agg.select("eval_doc_id", F.col("max_jaccard").alias("__mx")),
+            "eval_doc_id",
+        )
+        .filter(F.col("jaccard") == F.col("__mx"))
+        .groupBy("eval_doc_id")
+        .agg(F.min("train_doc_id").cast("long").alias("worst_train_doc"))
+    )
+    ev = (
+        docs.filter(F.col("doc_id") % 20 == 0)
+        .select(F.col("doc_id").alias("eval_doc_id"))
+        .distinct()
+    )
+    return (
+        ev.join(agg, "eval_doc_id", "left")
+        .join(arg, "eval_doc_id", "left")
+        .select(
+            "eval_doc_id",
+            F.coalesce(F.col("n_leaky_train_docs"), F.lit(0).cast("long")).alias(
+                "n_leaky_train_docs"
+            ),
+            "max_jaccard",
+            "worst_train_doc",
+        )
+    )
+
+
+@register(
+    "embedding_dim_profile",
+    """
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    x AS (
+      SELECT CAST(i - 1 AS INT) AS dim,
+             CAST(round(e[i], 6) AS DECIMAL(12,6)) AS xv
+      FROM v, unnest(generate_series(1, len(e))) AS t(i)
+    ),
+    s AS (
+      SELECT dim,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(xv) AS sx,
+             sum(xv * xv) AS sq,
+             min(xv) AS mn,
+             max(xv) AS mx
+      FROM x GROUP BY 1
+    )
+    SELECT dim, n,
+           round(CAST(sx AS DOUBLE) / n, 6) AS mean_v,
+           round(sqrt((n * CAST(sq AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * n)), 6) AS std_v,
+           CAST(mn AS DOUBLE) AS min_v,
+           CAST(mx AS DOUBLE) AS max_v,
+           mn = mx AS is_constant
+    FROM s
+    """,
+)
+def embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X173: per-dimension embedding QA profile — mean, population
+    std, range, and a dead-dimension flag for each of the 64
+    components. Encoder pathologies show up HERE, not in the norms
+    (this corpus is unit-normalized, so every L2 norm is exactly 1.0
+    — a norm-outlier screen is structurally empty): a collapsed
+    dimension (std ≈ 0) wastes index capacity, a constant one is dead
+    weight PQ/IVF should drop, and an off-center one (|mean| large)
+    skews inner-product quantizers. The vector-column sibling of
+    column_profile (X31) at component granularity.
+
+    Exactness: components round at 6 dp into DECIMAL(12,6); Σx and
+    Σx² accumulate EXACTLY in decimal (any partition order), convert
+    to double once, and mean/std are fixed IEEE chains rounded 6 dp
+    (the X157 sufficient-statistics discipline).
+
+    Scale: one posexplode + one map-side-combined groupBy to exactly
+    |dim| rows — embarrassingly parallel, aggregate is tiny."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "__x"
+        )
+    ).select(
+        F.col("dim").cast("int").alias("dim"),
+        F.round(F.col("__x"), 6).cast("decimal(12,6)").alias("xv"),
+    )
+    s = x.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xv").alias("sx"),
+        F.sum(F.col("xv") * F.col("xv")).alias("sq"),
+        F.min("xv").alias("mn"),
+        F.max("xv").alias("mx"),
+    )
+    n = F.col("n")
+    sx = F.col("sx").cast("double")
+    sq = F.col("sq").cast("double")
+    return s.select(
+        "dim",
+        "n",
+        F.round(sx / n, 6).alias("mean_v"),
+        F.round(
+            F.sqrt((n * sq - sx * sx) / (n.cast("double") * n)), 6
+        ).alias("std_v"),
+        F.col("mn").cast("double").alias("min_v"),
+        F.col("mx").cast("double").alias("max_v"),
+        (F.col("mn") == F.col("mx")).alias("is_constant"),
+    )
+
+
+@register(
+    "token_mixture_plan",
+    r"""
+    WITH d AS (
+      SELECT source,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE length(regexp_split_to_array(trim(text), '\s+')) END AS toks
+      FROM documents
+    ),
+    s AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(toks) AS BIGINT) AS n_tokens
+      FROM d GROUP BY 1
+    ),
+    q AS (
+      SELECT source, n_docs, n_tokens,
+             CAST(round(sqrt(CAST(n_tokens AS DOUBLE)), 6) AS DECIMAL(18,6)) AS sq
+      FROM s
+    ),
+    tot AS (
+      SELECT CAST(sum(n_tokens) AS BIGINT) AS t_tokens, sum(sq) AS t_sq FROM q
+    )
+    SELECT source, n_docs, n_tokens,
+           round(CAST(n_tokens AS DOUBLE) / CAST(t_tokens AS DOUBLE), 6) AS natural_share,
+           round(CAST(sq AS DOUBLE) / CAST(t_sq AS DOUBLE), 6) AS t05_share,
+           round((CAST(sq AS DOUBLE) / CAST(t_sq AS DOUBLE))
+                 / (CAST(n_tokens AS DOUBLE) / CAST(t_tokens AS DOUBLE)), 6) AS boost
+    FROM q CROSS JOIN tot
+    """,
+)
+def token_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X174: temperature-flattened sampling mixture over sources — the
+    data-mixture plan a multilingual/multi-source pretraining run
+    computes before sampling (mT5 §3.1 / XLM-R: p_i ∝ share_i^τ
+    flattens the head and boosts the tail). τ is pinned at 0.5
+    BECAUSE pow(x, 0.5) IS sqrt — the one temperature whose libm call
+    is correctly-rounded IEEE in every engine, so the plan is
+    cross-engine exact (an arbitrary pow(x, 0.7) can differ in the
+    last ulp between Java and DuckDB and flip a 6 dp rounding).
+    Per source: token counts, natural share, the τ=0.5 target share,
+    and the boost factor (>1 ⇒ the tail source gets upsampled).
+
+    Exactness: sqrt(n_tokens) (exact integer → correctly rounded
+    sqrt) rounds at 6 dp into DECIMAL(18,6) and the normalizer is the
+    EXACT decimal sum — order-free; shares/boosts are fixed double
+    chains rounded 6 dp. One map-side-combined groupBy to |sources|
+    rows; everything after is arithmetic on the tiny aggregate."""
+    docs = read_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(tx.word_count(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    q = s.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.sqrt(F.col("n_tokens").cast("double")), 6)
+        .cast("decimal(18,6)")
+        .alias("__sq"),
+    )
+    tot = q.agg(
+        F.sum("n_tokens").cast("long").alias("__t_tokens"),
+        F.sum("__sq").alias("__t_sq"),
+    )
+    nat = F.col("n_tokens").cast("double") / F.col("__t_tokens").cast("double")
+    t05 = F.col("__sq").cast("double") / F.col("__t_sq").cast("double")
+    return q.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(nat, 6).alias("natural_share"),
+        F.round(t05, 6).alias("t05_share"),
+        F.round(t05 / nat, 6).alias("boost"),
+    )

@@ -66,7 +66,8 @@ def test_check_window_covers_every_operator_family():
         # new in r11 — never driver-checked, full hash oracles:
         "bpe_merge_table", "unicode_script_profile",
         "ann_incremental_admission", "benchmark_decontamination",
-        "gopher_repetition_report",
+        "gopher_repetition_report", "cross_split_leakage",
+        "embedding_dim_profile", "token_mixture_plan",
         # re-confirmation: the complete 26-query r7-stale block
         "customers_without_urgent_orders", "lang_id",
         "event_transitions", "ann_rank_quality",
@@ -81,15 +82,16 @@ def test_check_window_covers_every_operator_family():
         "strike_report_batch", "top3_orders_per_customer",
         "top_earner_per_designation", "trailing_revenue_90d",
         "value_winsorized_stats",
-        # re-confirmation: 19 of the 50 r8-green (family coverage)
+        # re-confirmation: 16 of the 50 r8-green (family coverage;
+        # orc_roundtrip / feature_drift_psi / revenue_cusum_shift
+        # yielded to the late newcomers and lead the r12 queue)
         "q1_pricing_summary", "daily_pipeline",
         "corpus_curation_pipeline", "strike_stream_from_wire",
         "stream_static_enrich", "ann_recall_report",
         "hard_negative_mining", "dedup_clusters_star",
         "ngram_jaccard_pairs", "cdc_log_replay", "json_lines_roundtrip",
-        "orc_roundtrip", "partition_pruned_report",
-        "k_anonymity_report", "feature_drift_psi", "doc_chunks",
-        "scd2_merge", "part_covisitation_topk", "revenue_cusum_shift",
+        "partition_pruned_report", "k_anonymity_report", "doc_chunks",
+        "scd2_merge", "part_covisitation_topk",
     }
     assert carriers <= set(window), sorted(carriers - set(window))
 

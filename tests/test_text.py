@@ -383,3 +383,92 @@ def test_benchmark_decontamination_planted_overlap(spark, tmp_path):
     assert got[20].contamination_share == round(1 / 3, 6)
     assert got[40].n_contaminated == 0 and got[40].contamination_share == 0.0
     assert got[60].n_grams == 0 and got[60].contamination_share is None
+
+
+def test_cross_split_leakage_planted_neardup(spark, tmp_path):
+    """A train doc that is a light edit of an eval doc (doc_id 20)
+    must surface as a leak with high Jaccard; an unrelated eval doc
+    reports zero leaks with NULL jaccard/partner."""
+    from employee_data_management_system_data_engineering_solution_spark.plans.registry import REGISTRY
+
+    evtext = (
+        "the quick brown fox jumps over the lazy dog while the rain "
+        "falls gently on the quiet harbor town at dusk tonight"
+    )
+    rows = [
+        (20, evtext),                          # eval
+        (3, evtext + " extra"),                # train near-dup of 20
+        (40, "completely different words nowhere near the others xyzzy plugh"),
+        (7, "another unrelated training document about shipping manifests"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    # fresh memo per tmp corpus: the pair memo is keyed by (app, dir)
+    got = {
+        r.eval_doc_id: r
+        for r in REGISTRY["cross_split_leakage"].fn(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {20, 40}
+    assert got[20].n_leaky_train_docs >= 1
+    assert got[20].worst_train_doc == 3
+    assert got[20].max_jaccard >= 0.5
+    assert got[40].n_leaky_train_docs == 0
+    assert got[40].max_jaccard is None and got[40].worst_train_doc is None
+
+
+def test_token_mixture_plan_matches_python(spark, tmp_path):
+    """Shares, τ=0.5 shares, and boosts equal a pure-Python replay on
+    a skewed two-source corpus; the tail source gets boost > 1, the
+    head < 1, and τ=0.5 shares still sum to ~1."""
+    import math
+
+    from employee_data_management_system_data_engineering_solution_spark.plans.registry import REGISTRY
+
+    rows = [(i, "w " * 99 + "w", "big") for i in range(9)] + [
+        (100, "only ten words here to make a tiny tail source", "small")
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING, source STRING")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        r.source: r
+        for r in REGISTRY["token_mixture_plan"].fn(spark, str(tmp_path)).collect()
+    }
+    toks = {"big": 9 * 100, "small": 10}
+    t = sum(toks.values())
+    sq = {s: round(math.sqrt(v), 6) for s, v in toks.items()}
+    tsq = sum(sq.values())
+    for s in toks:
+        r = got[s]
+        assert r.n_tokens == toks[s]
+        assert r.natural_share == round(toks[s] / t, 6)
+        assert abs(r.t05_share - sq[s] / tsq) < 2e-6
+        assert abs(r.boost - (sq[s] / tsq) / (toks[s] / t)) < 1e-4
+    assert got["small"].boost > 1 > got["big"].boost
+    assert abs(got["big"].t05_share + got["small"].t05_share - 1.0) < 1e-5
+
+
+def test_embedding_dim_profile_matches_numpy(spark):
+    """Per-dimension mean/std/min/max equal a numpy replay over the
+    6-dp-rounded components at sf0.001; no dimension is constant on
+    the synthetic corpus."""
+    import numpy as np
+
+    from employee_data_management_system_data_engineering_solution_spark.plans.registry import REGISTRY
+    from employee_data_management_system_data_engineering_solution_spark.sources.io import read_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.dim: r for r in REGISTRY["embedding_dim_profile"].fn(spark, sf).collect()}
+    mat = np.array(
+        [r.embedding for r in read_table(spark, sf, "embeddings").collect()],
+        dtype=float,
+    )
+    mat = np.round(mat, 6)
+    assert len(got) == mat.shape[1]
+    for d in range(mat.shape[1]):
+        col = mat[:, d]
+        r = got[d]
+        assert r.n == len(col)
+        assert abs(r.mean_v - col.mean()) < 2e-6
+        assert abs(r.std_v - col.std()) < 2e-6  # population std
+        assert r.min_v == col.min() and r.max_v == col.max()
+        assert not r.is_constant
