@@ -4992,7 +4992,10 @@ def cross_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT dim, n,
            round(CAST(sx AS DOUBLE) / n, 6) AS mean_v,
-           round(sqrt((n * CAST(sq AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           -- greatest(…, 0): the exact-decimal sums convert to double,
+           -- and on a constant dimension the n·Σx² − (Σx)² chain can
+           -- land an ulp below zero — sqrt(neg) raises in DuckDB
+           round(sqrt(greatest(n * CAST(sq AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0)
                       / (CAST(n AS DOUBLE) * n)), 6) AS std_v,
            CAST(mn AS DOUBLE) AS min_v,
            CAST(mx AS DOUBLE) AS max_v,
@@ -5041,8 +5044,14 @@ def embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dim",
         "n",
         F.round(sx / n, 6).alias("mean_v"),
+        # greatest(…, 0): on a constant dimension the double chain can
+        # land an ulp below zero — keep sqrt's domain (DuckDB raises)
         F.round(
-            F.sqrt((n * sq - sx * sx) / (n.cast("double") * n)), 6
+            F.sqrt(
+                F.greatest(n * sq - sx * sx, F.lit(0.0))
+                / (n.cast("double") * n)
+            ),
+            6,
         ).alias("std_v"),
         F.col("mn").cast("double").alias("min_v"),
         F.col("mx").cast("double").alias("max_v"),
@@ -5074,10 +5083,19 @@ def embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(sum(n_tokens) AS BIGINT) AS t_tokens, sum(sq) AS t_sq FROM q
     )
     SELECT source, n_docs, n_tokens,
-           round(CAST(n_tokens AS DOUBLE) / CAST(t_tokens AS DOUBLE), 6) AS natural_share,
-           round(CAST(sq AS DOUBLE) / CAST(t_sq AS DOUBLE), 6) AS t05_share,
-           round((CAST(sq AS DOUBLE) / CAST(t_sq AS DOUBLE))
-                 / (CAST(n_tokens AS DOUBLE) / CAST(t_tokens AS DOUBLE)), 6) AS boost
+           CASE WHEN t_tokens > 0
+                THEN round(CAST(n_tokens AS DOUBLE) / CAST(t_tokens AS DOUBLE), 6)
+           END AS natural_share,
+           CASE WHEN t_tokens > 0
+                THEN round(CAST(sq AS DOUBLE) / CAST(t_sq AS DOUBLE), 6)
+           END AS t05_share,
+           -- a zero-token source has natural share 0: its boost is
+           -- undefined (0/0), reported NULL — both guards keep the
+           -- divisions inside ANSI's domain
+           CASE WHEN n_tokens > 0 AND t_tokens > 0
+                THEN round((CAST(sq AS DOUBLE) / CAST(t_sq AS DOUBLE))
+                           / (CAST(n_tokens AS DOUBLE) / CAST(t_tokens AS DOUBLE)), 6)
+           END AS boost
     FROM q CROSS JOIN tot
     """,
 )
@@ -5117,11 +5135,16 @@ def token_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nat = F.col("n_tokens").cast("double") / F.col("__t_tokens").cast("double")
     t05 = F.col("__sq").cast("double") / F.col("__t_sq").cast("double")
+    has_tot = F.col("__t_tokens") > 0
+    # a zero-token source has natural share 0: boost is 0/0 — NULL;
+    # guards keep every division inside ANSI's domain
     return q.crossJoin(F.broadcast(tot)).select(
         "source",
         "n_docs",
         "n_tokens",
-        F.round(nat, 6).alias("natural_share"),
-        F.round(t05, 6).alias("t05_share"),
-        F.round(t05 / nat, 6).alias("boost"),
+        F.when(has_tot, F.round(nat, 6)).alias("natural_share"),
+        F.when(has_tot, F.round(t05, 6)).alias("t05_share"),
+        F.when(has_tot & (F.col("n_tokens") > 0), F.round(t05 / nat, 6)).alias(
+            "boost"
+        ),
     )

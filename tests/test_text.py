@@ -472,3 +472,41 @@ def test_embedding_dim_profile_matches_numpy(spark):
         assert abs(r.std_v - col.std()) < 2e-6  # population std
         assert r.min_v == col.min() and r.max_v == col.max()
         assert not r.is_constant
+
+
+def test_token_mixture_plan_zero_token_source(spark, tmp_path):
+    """A source whose docs are all empty text reports 0 tokens,
+    natural_share 0.0, and NULL boost (0/0 is undefined, and the
+    division must not trip ANSI mode)."""
+    from employee_data_management_system_data_engineering_solution_spark.plans.registry import REGISTRY
+
+    rows = [
+        (0, "five words of real text", "live"),
+        (1, "   ", "ghost"),
+        (2, "", "ghost"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING, source STRING")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        r.source: r
+        for r in REGISTRY["token_mixture_plan"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got["ghost"].n_tokens == 0
+    assert got["ghost"].natural_share == 0.0
+    assert got["ghost"].t05_share == 0.0
+    assert got["ghost"].boost is None
+    assert got["live"].boost == 1.0  # only token-bearing source
+
+
+def test_embedding_dim_profile_constant_dimension(spark, tmp_path):
+    """A constant dimension reports std 0.0 and is_constant=True —
+    the greatest(.,0) guard keeps the variance chain inside sqrt's
+    domain when the exact decimal sums make it an ulp negative."""
+    from employee_data_management_system_data_engineering_solution_spark.plans.registry import REGISTRY
+
+    rows = [(i, [0.5, float(i) / 10.0]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    got = {r.dim: r for r in REGISTRY["embedding_dim_profile"].fn(spark, str(tmp_path)).collect()}
+    assert got[0].is_constant and got[0].std_v == 0.0 and got[0].mean_v == 0.5
+    assert not got[1].is_constant and got[1].std_v > 0

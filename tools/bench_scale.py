@@ -93,6 +93,15 @@ TARGETS = [
     "hard_negative_mining",
     "k_anonymity_report",
     "column_entropy_profile",
+    # round-11 additions (X167-X174)
+    "bpe_merge_table",
+    "unicode_script_profile",
+    "ann_incremental_admission",
+    "benchmark_decontamination",
+    "gopher_repetition_report",
+    "cross_split_leakage",
+    "embedding_dim_profile",
+    "token_mixture_plan",
 ]
 
 
