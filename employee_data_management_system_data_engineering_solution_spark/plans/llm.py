@@ -4108,7 +4108,7 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents WHERE length(trim(text)) > 0
     ),
     g AS (
-      SELECT doc_id, list_aggregate(w[i:i+7], 'string_agg', ' ') AS gram
+      SELECT doc_id, md5(list_aggregate(w[i:i+7], 'string_agg', ' ')) AS gram
       FROM ws, unnest(generate_series(1, len(w) - 7)) AS t(i)
       WHERE len(w) >= 8
     ),
@@ -4145,9 +4145,10 @@ def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: both sides reduce to DISTINCT gram sets before the
     equi-join — the join is shuffle-on-gram, dedup-first, never
-    doc×doc; at 100 TB the gram string would ride as md5(gram) to
-    narrow the exchange (same join result, negligible collision odds;
-    kept as the raw string here so the oracle shares the exact key)."""
+    doc×doc; grams ride as md5(gram) (the cross-engine hash used
+    throughout) so the dedup and the exchange move fixed 32-hex keys
+    instead of arbitrary-length shingle strings — same join result up
+    to md5 collisions (~2⁻⁶⁴ odds at any realistic gram count)."""
     docs = read_table(spark, sf_dir, "documents")
     ws = docs.filter(F.length(F.trim("text")) > 0).select(
         "doc_id", tx.words(F.lower(F.trim(F.col("text")))).alias("w")
@@ -4156,10 +4157,13 @@ def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         ws.filter(F.size("w") >= 8)
         .select(
             "doc_id",
+            # hash inside the transform so the exploded rows already
+            # carry the fixed-width key (a generator can't nest under
+            # md5 in one projection anyway)
             F.explode(
                 F.expr(
                     "transform(sequence(1, size(w) - 7),"
-                    " i -> array_join(slice(w, i, 8), ' '))"
+                    " i -> md5(array_join(slice(w, i, 8), ' ')))"
                 )
             ).alias("gram"),
         )
