@@ -153,3 +153,18 @@ def test_calibration_bins_clamps_out_of_range_probs(spark):
     assert set(got) == {0, 9}
     assert got[0].n == 3 and got[0].n_pos == 1  # two negatives clamp in
     assert got[9].n == 2 and got[9].n_pos == 2  # 1.0 and 1.3 clamp in
+
+
+def test_binary_auc_empty_input_counts_are_zero(spark):
+    """The MWU-class empty-input edge, pinned here too: an empty frame
+    has zero (score, pred) groups and sum-over-empty is NULL — the
+    count columns must read 0 with NULL AUC/ratio metrics."""
+    from employee_data_management_system_data_engineering_solution_spark.operators.modeleval import binary_auc
+
+    df = spark.createDataFrame([], "score INT, label INT, pred BOOLEAN")
+    got = binary_auc(df).collect()[0]
+    assert (got.n, got.n_pos, got.n_neg, got.tp, got.fp, got.fn, got.tn) == (
+        0, 0, 0, 0, 0, 0, 0,
+    )
+    assert got.auc is None and got.precision is None
+    assert got.recall is None and got.f1 is None and got.accuracy is None
