@@ -510,3 +510,119 @@ def test_embedding_dim_profile_constant_dimension(spark, tmp_path):
     got = {r.dim: r for r in REGISTRY["embedding_dim_profile"].fn(spark, str(tmp_path)).collect()}
     assert got[0].is_constant and got[0].std_v == 0.0 and got[0].mean_v == 0.5
     assert not got[1].is_constant and got[1].std_v > 0
+
+
+def test_gopher_repetition_matches_python_on_random_corpora(spark, tmp_path):
+    """Deterministic randomized replay: repetition signals equal a
+    pure-Python reference on seeded random word-soup corpora (small
+    alphabet forces heavy natural repetition and gram ties)."""
+    import random
+    from collections import Counter
+
+    from employee_data_management_system_data_engineering_solution_spark.plans.registry import REGISTRY
+
+    rng = random.Random(7)
+    vocab = ["a", "b", "c", "dd", "ee"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 30))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        r.doc_id: r
+        for r in REGISTRY["gopher_repetition_report"].fn(spark, str(tmp_path)).collect()
+    }
+    for doc_id, text in rows:
+        w = text.strip().lower().split()
+        r = got[doc_id]
+        assert r.n_words == len(w)
+        assert r.word_rep_ratio == round(1 - len(set(w)) / len(w), 6)
+        if len(w) >= 2:
+            bg = Counter(zip(w, w[1:]))
+            assert r.top_bigram_share == round(2 * max(bg.values()) / len(w), 6)
+        else:
+            assert r.top_bigram_share is None
+        if len(w) >= 5:
+            g5 = Counter(tuple(w[i : i + 5]) for i in range(len(w) - 4))
+            dup = sum(c for c in g5.values() if c >= 2)
+            assert r.dup_5gram_share == round(dup / (len(w) - 4), 6)
+        else:
+            assert r.dup_5gram_share is None
+
+
+def test_benchmark_decontamination_matches_python_on_random_corpora(spark, tmp_path):
+    """Deterministic randomized replay: per-eval-doc contaminated-gram
+    counts equal a pure-Python distinct-8-gram set intersection on a
+    seeded corpus built to contain partial cross-split copies."""
+    import random
+
+    from employee_data_management_system_data_engineering_solution_spark.plans.registry import REGISTRY
+
+    rng = random.Random(11)
+    vocab = [f"w{k}" for k in range(12)]
+    texts = {}
+    for i in range(30):
+        texts[i] = [rng.choice(vocab) for _ in range(rng.randint(0, 25))]
+    # splice spans of eval docs into some train docs (real contamination)
+    for ev in (0, 20):
+        if len(texts[ev]) >= 10:
+            texts[3] = texts[3] + texts[ev][:10]
+    rows = [(i, " ".join(ws)) for i, ws in texts.items()]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        r.doc_id: r
+        for r in REGISTRY["benchmark_decontamination"].fn(spark, str(tmp_path)).collect()
+    }
+    def grams(ws):
+        return {tuple(ws[i : i + 8]) for i in range(len(ws) - 7)} if len(ws) >= 8 else set()
+    train = set()
+    for i, ws in texts.items():
+        if i % 20 != 0:
+            train |= grams(ws)
+    for i, ws in texts.items():
+        if i % 20 != 0:
+            continue
+        g = grams(ws)
+        r = got[i]
+        assert r.n_grams == len(g), i
+        assert r.n_contaminated == len(g & train), i
+        if g:
+            assert r.contamination_share == round(len(g & train) / len(g), 6)
+        else:
+            assert r.contamination_share is None
+    # the splice actually contaminated something
+    assert any(got[i].n_contaminated > 0 for i in got)
+
+
+def test_unicode_script_profile_matches_python_on_random_ascii(spark, tmp_path):
+    """Deterministic randomized replay over printable ASCII: the
+    explicit classes (letters/digits/ws/punct) equal pure-Python
+    counts and fully partition the text (other_chars = 0)."""
+    import random
+    import string
+
+    from employee_data_management_system_data_engineering_solution_spark.plans.registry import REGISTRY
+
+    rng = random.Random(13)
+    pool = string.ascii_letters + string.digits + string.punctuation + " \t\n\r"
+    rows = [
+        (i, "".join(rng.choice(pool) for _ in range(rng.randint(0, 60))))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        r.doc_id: r
+        for r in REGISTRY["unicode_script_profile"].fn(spark, str(tmp_path)).collect()
+    }
+    for i, t in rows:
+        r = got[i]
+        assert r.n_chars == len(t)
+        assert r.latin_chars == sum(c in string.ascii_letters for c in t)
+        assert r.digit_chars == sum(c in string.digits for c in t)
+        assert r.ws_chars == sum(c in " \t\n\r" for c in t)
+        assert r.punct_chars == sum(c in string.punctuation for c in t)
+        assert r.other_chars == 0
+        assert (r.han_chars, r.cyrillic_chars, r.arabic_chars) == (0, 0, 0)
