@@ -4444,6 +4444,8 @@ def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         pa, pb, cnt = top[0].a, top[0].b, top[0].cnt
         merges.append((rnd, pa, pb, pa + pb, cnt))
+        if rnd == _BPE_ROUNDS:
+            break  # the last winner needs no application pass
         vocab = vocab.select(
             F.replace(
                 F.col("spine"),
