@@ -787,8 +787,10 @@ def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: edge construction is one distinct + a per-order self-join
     bounded by suppliers-per-order; each iteration is one equi-join
     against the once-partitioned pinned edge frame plus one map-side
-    combined integer-sum groupBy. The single-partition top-100 window
-    ranks an n_suppliers-sized frame (small by construction)."""
+    combined integer-sum groupBy. The top-100 cut is orderBy+limit
+    (TakeOrderedAndProject — per-partition heaps; an entity graph's
+    node set is NOT small at crawl scale), and only the bounded
+    100-row result takes the rank-stamping window."""
     from ..operators.graph import pagerank_fixed_point
 
     li = read_table(spark, sf_dir, "lineitem")
@@ -805,15 +807,12 @@ def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     pr = pagerank_fixed_point(edges, iters=3)
     from pyspark.sql import Window
 
+    top = pr.orderBy(F.col("rank_fp").desc(), F.col("node").asc()).limit(100)
     w = Window.orderBy(F.col("rank_fp").desc(), F.col("node").asc())
-    return (
-        pr.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 100)
-        .select(
-            F.col("node").alias("supplier_id"),
-            "rank_fp",
-            "rank",
-        )
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        F.col("node").alias("supplier_id"),
+        "rank_fp",
+        "rank",
     )
 
 
