@@ -461,3 +461,38 @@ def test_hard_negative_mining_broadcasts_query_side(spark):
     plan = plan_of(REGISTRY["hard_negative_mining"].fn(spark, SF), mode="simple")
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_unicode_script_profile_is_pure_scan(spark):
+    """The script profile must be one narrow projection over the scan:
+    zero exchanges, zero windows, no Python — built-in regex counting
+    only (the 100 TB contract: embarrassingly parallel)."""
+    plan = plan_of(REGISTRY["unicode_script_profile"].fn(spark, SF), mode="simple")
+    assert "Exchange" not in plan
+    assert "Window" not in plan
+    assert "Python" not in plan
+
+
+def test_embedding_dim_profile_single_aggregate(spark):
+    """One posexplode + one map-side-combined groupBy to |dim| rows —
+    exactly one shuffle, no window, no join."""
+    plan = plan_of(REGISTRY["embedding_dim_profile"].fn(spark, SF), mode="simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" not in plan and "Join" not in plan
+
+
+def test_benchmark_decontamination_dedups_before_join(spark):
+    """The collision join must be dedup-first on the md5 gram key:
+    no cartesian product, and HashAggregate pairs (the distincts)
+    sit below the gram join."""
+    plan = plan_of(REGISTRY["benchmark_decontamination"].fn(spark, SF), mode="simple")
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert plan.count("HashAggregate") >= 4  # two distincts, partial+final
+
+
+def test_supplier_pagerank_topk_bounded_heap(spark):
+    """The top-100 cut must be TakeOrderedAndProject; the rank window
+    runs only over the bounded 100-row result (same fix class as
+    bigram_collocations this round)."""
+    plan = plan_of(REGISTRY["supplier_pagerank"].fn(spark, SF), mode="simple")
+    assert "TakeOrderedAndProject" in plan
