@@ -152,8 +152,17 @@ def chi2_independence(df: DataFrame, a: str, b: str) -> DataFrame:
     )
     chi2 = (F.col("sum_o2_ne") - F.col("n")).cast("double")
     mindim = F.least(F.col("levels_a"), F.col("levels_b")) - 1
+    # clamp before the sqrt: per-cell terms are 6-dp-rounded, so on a
+    # (near-)independent table the rounded sum can land a hair below N
+    # and the raw chi2 goes epsilon-negative — Spark sqrt would yield
+    # NaN while DuckDB sqrt(negative) raises (the embedding_dim_profile
+    # greatest(…, 0) discipline; mirrored in the oracle)
     v = F.round(
-        F.sqrt(chi2 / (F.col("n").cast(_D38) * mindim).cast("double")), 6
+        F.sqrt(
+            F.greatest(chi2, F.lit(0.0))
+            / (F.col("n").cast(_D38) * mindim).cast("double")
+        ),
+        6,
     )
     return t.select(
         "n",

@@ -49,6 +49,42 @@ from .registry import REGISTRY, register
 # exempt). driver_green_rounds()/never_green() below are the audit's
 # data source.
 #
+# Round 12 rotation (r11 narrative preserved below). The r11 window
+# re-greened the complete 26-query r7-stale block; the r11 verdict
+# (items 1-2) ordered in FIRST the 34-query r8-green block without
+# driver evidence since r8 (the final r12 entry in PROGRESS.jsonl)
+# plus the rows-only trio for rows>0 driver evidence
+# (column_profile_approx / salary_percentiles_approx NEVER windowed,
+# simhash_signatures not since r2). Newcomers are capped at three
+# (verdict items 3-5), so the remaining 10 slots start draining the
+# 50-query r9-green cohort (stale by r13/r14; the 40 leftovers are
+# scheduled FIRST for r13 in PROGRESS.jsonl).
+#   IN (never green — new in r12, full hash oracles):
+#       bpe_encode_stats (X175 BPE encoder application — tokens/word
+#       + compression per source, closes the X166/X167 tokenizer
+#       loop), dedup_recall_report (X176 detector recall/precision vs
+#       the X149 PPJoin exact pair truth), gate_training_rounds (X177
+#       fixed-round batch-GD logistic training — closes the
+#       X143/X144/X145 learned-gate loop).
+#   IN (rows-only trio — driver rows>0 evidence, verdict item 2):
+#       simhash_signatures, column_profile_approx,
+#       salary_percentiles_approx.
+#   IN (re-confirmation — the COMPLETE 34-query r8-green block):
+#       benford_digit_audit … weighted_sample_topk (see _PRIORITY).
+#   IN (re-confirmation — 10 of the 50 r9-green, family coverage +
+#       newcomer pairing): quality_gate_logistic (the gate the X177
+#       trainer learns), ppjoin_neardup_pairs (the truth set X176
+#       scores against), minhash_lsh_groups + simhash_hamming_pairs +
+#       exact_dedup (dedup), strike_stream_stateful (stateful
+#       streaming), embedding_topk + ivf_topk (ANN),
+#       supplier_pagerank (graph — re-green after its r11 top-k
+#       rework), multimodal_decode (Arrow decode seam).
+#   OUT (rotated to the tail; every one r9/r10/r11 driver-green and
+#       guarded by the committed full local runs): the whole r11
+#       window — X167-X174 newcomers now green, the 26-query r7
+#       block, the 16 r8 family picks — and the 40 remaining r9-green
+#       queries queued first for r13 (PROGRESS.jsonl r13 entry).
+#
 # Round 11 rotation (r10 narrative preserved below). The r10 window
 # re-greened the complete r6-stale deferral queue and 21 of 47
 # r7-green; the ONLY r7-stale block left is the 26-query must-include
@@ -166,59 +202,62 @@ from .registry import REGISTRY, register
 #       newcomers.
 # ---------------------------------------------------------------------------
 _PRIORITY: tuple[str, ...] = (
-    # new in r11: never driver-checked
-    "bpe_merge_table",
-    "unicode_script_profile",
-    "ann_incremental_admission",
-    "benchmark_decontamination",
-    "gopher_repetition_report",
-    "cross_split_leakage",
-    "embedding_dim_profile",
-    "token_mixture_plan",
-    # re-confirmation: the complete 26-query r7-stale block
-    "customers_without_urgent_orders",
-    "lang_id",
-    "event_transitions",
-    "ann_rank_quality",
-    "checkpoint_restart_windowed",
-    "constraint_quarantine",
-    "cube_order_stats",
-    "distinct_order_supp_pairs",
-    "incremental_agg_refresh",
-    "join_key_skew_report",
-    "json_props_stats",
-    "multi_touch_attribution",
-    "neardup_prune",
-    "promo_revenue_share",
-    "quality_score",
-    "region_supplier_volume",
-    "rollup_revenue",
-    "salary_percentiles",
-    "salary_rank_analytics",
-    "status_pivot_report",
-    "stratified_sample",
-    "strike_report_batch",
-    "top3_orders_per_customer",
-    "top_earner_per_designation",
-    "trailing_revenue_90d",
-    "value_winsorized_stats",
-    # re-confirmation: 19 of the 50 r8-green (family coverage picks)
-    "q1_pricing_summary",
-    "daily_pipeline",
-    "corpus_curation_pipeline",
-    "strike_stream_from_wire",
-    "stream_static_enrich",
-    "ann_recall_report",
-    "hard_negative_mining",
-    "dedup_clusters_star",
-    "ngram_jaccard_pairs",
-    "cdc_log_replay",
-    "json_lines_roundtrip",
-    "partition_pruned_report",
-    "k_anonymity_report",
-    "doc_chunks",
-    "scd2_merge",
-    "part_covisitation_topk",
+    # new in r12: never driver-checked
+    "bpe_encode_stats",
+    "dedup_recall_report",
+    "gate_training_rounds",
+    # rows-only trio: driver rows>0 evidence (r11 verdict item 2)
+    "simhash_signatures",
+    "column_profile_approx",
+    "salary_percentiles_approx",
+    # re-confirmation: the complete 34-query r8-green block
+    # (PROGRESS.jsonl final r12 entry; r11 verdict item 1)
+    "benford_digit_audit",
+    "brand_price_regression",
+    "calendar_completeness_report",
+    "cluster_safe_split",
+    "column_entropy_profile",
+    "customers_with_urgent_orders",
+    "dedup_last_write_wins",
+    "doc_fingerprint",
+    "fd_violation_report",
+    "feature_drift_psi",
+    "feature_woe_iv",
+    "frequent_shingles",
+    "incremental_agg_refresh_minmax",
+    "lineitem_corr_matrix",
+    "longest_leave_streak",
+    "multimodal_profile",
+    "neardup_admission",
+    "orc_roundtrip",
+    "purchase_error_overlap",
+    "q3_shipping_priority",
+    "revenue_cusum_shift",
+    "rolling_user_features",
+    "salary_change_deltas",
+    "salted_revenue_join",
+    "snapshot_vacuum",
+    "staging_promote_roundtrip",
+    "stream_purchase_view_join",
+    "strike_window_counts",
+    "text_stats",
+    "union_entities",
+    "user_path_topk",
+    "value_outliers_mad",
+    "weighted_median_by_flag",
+    "weighted_sample_topk",
+    # re-confirmation: 10 of the 50 r9-green (family coverage +
+    # newcomer pairing; verdict item 6)
+    "quality_gate_logistic",
+    "ppjoin_neardup_pairs",
+    "minhash_lsh_groups",
+    "simhash_hamming_pairs",
+    "strike_stream_stateful",
+    "exact_dedup",
+    "embedding_topk",
+    "ivf_topk",
+    "supplier_pagerank",
+    "multimodal_decode",
 )
 
 #: Queries whose driver check is rows-only BY CONTRACT (no SQL oracle

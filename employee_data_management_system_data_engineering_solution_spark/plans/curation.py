@@ -1504,7 +1504,7 @@ def nation_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST((levels_a - 1) * (levels_b - 1) AS BIGINT) AS dof,
            CAST(sum_o2_ne - n AS DOUBLE) AS chi2,
            CASE WHEN least(levels_a, levels_b) - 1 > 0
-                THEN round(sqrt(CAST(sum_o2_ne - n AS DOUBLE)
+                THEN round(sqrt(greatest(CAST(sum_o2_ne - n AS DOUBLE), 0)
                      / CAST(CAST(n AS HUGEINT)
                             * (least(levels_a, levels_b) - 1) AS DOUBLE)), 6)
            END AS cramers_v

@@ -225,15 +225,15 @@ _GATE_CTE = r"""
 """
 
 
-def _gate_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared scoring plan for X143-X145: documents → four exact-ratio
-    text features + relevance label → broadcast-weights logistic gate.
-    Returns (doc_id, label, logit, prob, admitted) with logit/prob
-    UNROUNDED — each query rounds at its own output surface."""
+def _gate_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, label, f1..f4) — the four exact-ratio text features and
+    the relevance label, shared by the X143-X145 serving/eval stack and
+    the X177 trainer (which re-scales f3 into [0, 1] before descending
+    on it)."""
     docs = read_table(spark, sf_dir, "documents")
     t = F.col("text")
     wc = tx.word_count(t)
-    feats = docs.select(
+    return docs.select(
         "doc_id",
         t.rlike(r"\bspark\b").cast("int").alias("label"),
         (tx.stopword_hits(t) / F.greatest(wc, F.lit(1))).alias("f1"),
@@ -246,8 +246,15 @@ def _gate_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("f3"),
         F.least(wc / F.lit(100.0), F.lit(1.0)).alias("f4"),
     )
+
+
+def _gate_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared scoring plan for X143-X145: documents → four exact-ratio
+    text features + relevance label → broadcast-weights logistic gate.
+    Returns (doc_id, label, logit, prob, admitted) with logit/prob
+    UNROUNDED — each query rounds at its own output surface."""
     return quality.logistic_gate(
-        feats,
+        _gate_features(spark, sf_dir),
         {"f1": 8.0, "f2": -6.0, "f3": 0.25, "f4": 1.5},
         intercept=-2.2,
     )
@@ -404,6 +411,174 @@ def gate_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≤ 10-row aggregate (``operators/modeleval.calibration_bins``)."""
     scored = _gate_scored(spark, sf_dir).select("label", "prob")
     return modeleval.calibration_bins(scored, "prob", "label", 10)
+
+
+_GATE_TRAIN_ROUNDS = 10
+_GATE_TRAIN_ETA = 1.0
+
+
+def _gate_training_sql(k: int, eta: float = _GATE_TRAIN_ETA) -> str:
+    """DuckDB oracle for the k-round batch-GD logistic trainer: the
+    feature frame rides as ONE MATERIALIZED CTE (referenced every
+    round; inlining would recompute the regex features k times), each
+    round is one CTE computing the mean gradient and the 6-dp-rounded
+    weight update from the previous round's 1-row weight CTE — the
+    bpe_merge_table unrolled-round discipline. Gradient avgs coalesce
+    to 0 so an empty corpus trains to the zero vector instead of NULL
+    weights; every double output gets the +0.0 IEEE −0.0
+    canonicalization."""
+    sql = r"""
+    WITH stats AS (
+      SELECT CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE length(regexp_split_to_array(trim(text), '\s+')) END AS wc,
+             length(regexp_extract_all(lower(text),
+               '\b(the|and|of|to|in|is|that|with|for|was)\b')) AS hits,
+             length(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS np,
+             length(text) AS nc,
+             length(regexp_replace(text, '\s+', '', 'g')) AS nsp,
+             CASE WHEN regexp_matches(text, '\bspark\b') THEN 1 ELSE 0 END AS lab
+      FROM documents
+    ),
+    f AS MATERIALIZED (
+      SELECT hits / greatest(wc, 1) AS f1,
+             np / greatest(nc, 1) AS f2,
+             nsp / greatest(wc, 1) / 10.0 AS f3,
+             least(wc / 100.0, 1.0) AS f4,
+             lab
+      FROM stats
+    ),
+    wt0 AS (SELECT 0 AS step, 0.0 AS b0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3,
+                   0.0 AS w4, 0.0 AS loss, 0.0 AS acc)"""
+    for r in range(1, k + 1):
+        sql += f""",
+    wt{r} AS MATERIALIZED (
+      SELECT {r} AS step,
+             round(max(b0) - {eta} * coalesce(avg(p - lab), 0), 6) + 0.0 AS b0,
+             round(max(w1) - {eta} * coalesce(avg((p - lab) * f1), 0), 6) + 0.0 AS w1,
+             round(max(w2) - {eta} * coalesce(avg((p - lab) * f2), 0), 6) + 0.0 AS w2,
+             round(max(w3) - {eta} * coalesce(avg((p - lab) * f3), 0), 6) + 0.0 AS w3,
+             round(max(w4) - {eta} * coalesce(avg((p - lab) * f4), 0), 6) + 0.0 AS w4,
+             round(avg(-(lab * ln(least(greatest(p, 1e-12), 1 - 1e-12))
+                         + (1 - lab) * ln(1 - least(greatest(p, 1e-12), 1 - 1e-12)))),
+                   6) + 0.0 AS loss,
+             round(avg(CASE WHEN (z >= 0) = (lab = 1) THEN 1.0 ELSE 0.0 END), 6)
+               + 0.0 AS acc
+      FROM (
+        SELECT b0, w1, w2, w3, w4, f1, f2, f3, f4, lab, z,
+               1 / (1 + exp(-z)) AS p
+        FROM (SELECT p.b0, p.w1, p.w2, p.w3, p.w4, f1, f2, f3, f4, lab,
+                     p.b0 + p.w1 * f1 + p.w2 * f2 + p.w3 * f3 + p.w4 * f4 AS z
+              FROM f CROSS JOIN wt{r - 1} p)
+      )
+    )"""
+    sql += (
+        "\n    SELECT step, b0, w1, w2, w3, w4, loss, acc FROM ("
+        + " UNION ALL ".join(f"SELECT * FROM wt{r}" for r in range(1, k + 1))
+        + ") ORDER BY step"
+    )
+    return sql
+
+
+@register("gate_training_rounds", _gate_training_sql(_GATE_TRAIN_ROUNDS))
+def gate_training_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X177: fixed-round distributed logistic TRAINING — closes the
+    learned-gate loop (X143 deploys pinned weights, X144/X145/X155
+    evaluate them; this is where weights come from): 10 unrolled
+    full-batch gradient-descent rounds on the same four gate features
+    (f3 rescaled by 1/10 into [0, 1] so one global learning rate
+    η = 1.0 descends monotonically — verified at all three SFs)
+    against the 'mentions spark' relevance label. Per round the
+    gradient is ONE map-side-combined aggregate over the corpus (five
+    avg() columns), the weight update rounds at 6 dp so both engines
+    agree bit-for-bit round over round (the X87 PageRank / X167 BPE
+    fixed-round discipline), and the row reports the updated weights
+    plus the log-loss/accuracy the gradient pass saw (i.e. at the
+    PRE-update weights — loss before step, the standard training
+    curve). Clamped log arguments (p ∈ [1e-12, 1−1e-12]) keep the
+    loss finite on saturated logits; accuracy thresholds the exact
+    UNROUNDED logit at 0 (no exp in the decision).
+
+    Scale shape: the feature frame is computed once and
+    localCheckpointed; each round is one narrow projection + one
+    5-column avg aggregate (map-side partial — the shuffle moves 5
+    doubles per partition) + one bounded 1-row collect. 10 rounds =
+    10 tiny jobs over a cached corpus-partitioned frame; at 100 TB
+    the per-round cost is one pass over cached features, exactly how
+    distributed full-batch GD should look. Convergence pinned against
+    a numpy replay in tests/test_llm_text.py."""
+    feats = (
+        _gate_features(spark, sf_dir)
+        .select(
+            F.col("label").alias("lab"),
+            "f1",
+            "f2",
+            (F.col("f3") / 10.0).alias("f3"),
+            "f4",
+        )
+        .localCheckpoint()
+    )
+    eta = F.lit(_GATE_TRAIN_ETA)
+    w = [0.0, 0.0, 0.0, 0.0, 0.0]
+    rows: list[tuple] = []
+    for step in range(1, _GATE_TRAIN_ROUNDS + 1):
+        z = (
+            F.lit(w[0])
+            + F.lit(w[1]) * F.col("f1")
+            + F.lit(w[2]) * F.col("f2")
+            + F.lit(w[3]) * F.col("f3")
+            + F.lit(w[4]) * F.col("f4")
+        )
+        per = feats.select(
+            "lab",
+            "f1",
+            "f2",
+            "f3",
+            "f4",
+            z.alias("z"),
+            (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias("p"),
+        )
+        pc = F.least(F.greatest(F.col("p"), F.lit(1e-12)), F.lit(1.0 - 1e-12))
+        err = F.col("p") - F.col("lab")
+        grads = [
+            (
+                F.round(
+                    F.lit(w[0]) - eta * F.coalesce(F.avg(err), F.lit(0.0)), 6
+                )
+                + F.lit(0.0)
+            ).alias("b0")
+        ] + [
+            (
+                F.round(
+                    F.lit(w[i])
+                    - eta
+                    * F.coalesce(F.avg(err * F.col(f"f{i}")), F.lit(0.0)),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias(f"w{i}")
+            for i in range(1, 5)
+        ]
+        logloss = -(
+            F.col("lab") * F.log(pc)
+            + (F.lit(1) - F.col("lab")) * F.log(F.lit(1.0) - pc)
+        )
+        correct = F.when(
+            (F.col("z") >= 0) == (F.col("lab") == 1), F.lit(1.0)
+        ).otherwise(F.lit(0.0))
+        agg = per.agg(
+            *grads,
+            (F.round(F.avg(logloss), 6) + F.lit(0.0)).alias("loss"),
+            (F.round(F.avg(correct), 6) + F.lit(0.0)).alias("acc"),
+        ).collect()[0]
+        w = [agg.b0, agg.w1, agg.w2, agg.w3, agg.w4]
+        rows.append(
+            (step, agg.b0, agg.w1, agg.w2, agg.w3, agg.w4, agg.loss, agg.acc)
+        )
+    return spark.createDataFrame(
+        rows,
+        "step INT, b0 DOUBLE, w1 DOUBLE, w2 DOUBLE, w3 DOUBLE, w4 DOUBLE,"
+        " loss DOUBLE, acc DOUBLE",
+    ).orderBy("step")
 
 
 @register(
@@ -1358,6 +1533,234 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     corpus = _planted_dup_corpus(docs, "doc_id", "text")
     return dedup.simhash_hamming_pairs(corpus, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Dedup recall scorecard: every approximate pair detector vs PPJoin
+# exact ground truth — the dedup twin of ann_recall_report
+# ---------------------------------------------------------------------------
+def _duck_simhash_pairs_sql() -> str:
+    """Standalone (id_a, id_b) SimHash hamming ≤ 3 pair SQL over plain
+    documents — the simhash_hamming_pairs oracle minus its planted
+    exact-copy corpus (the scorecard must measure the detector on the
+    same corpus the ground truth saw)."""
+    return rf"""
+      WITH nrm AS (
+        SELECT doc_id,
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+        FROM documents
+      ),
+      w AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS w FROM nrm),
+      wc AS (SELECT doc_id, w, count(*) AS cnt FROM w GROUP BY doc_id, w),
+      wh AS (
+        SELECT doc_id, cnt,
+               ('0x' || substr(md5(w), 1, 15))::BIGINT % {1 << 48} AS h
+        FROM wc
+      ),
+      s AS (SELECT doc_id,
+               {_duck_simhash_sums()}
+            FROM wh GROUP BY doc_id),
+      sig AS (SELECT doc_id, {_duck_simhash_sig()} AS simhash FROM s),
+      banded AS (
+        SELECT doc_id, b.band_no, (simhash >> (b.band_no * 12)) % 4096 AS band_val
+        FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band_no) b
+      ),
+      bsz AS (
+        SELECT band_no, band_val, count(*) AS n_members, min(doc_id) AS hub
+        FROM banded GROUP BY band_no, band_val
+      ),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a
+        JOIN banded b ON a.band_no = b.band_no AND a.band_val = b.band_val
+                     AND a.doc_id < b.doc_id
+        JOIN bsz z ON z.band_no = a.band_no AND z.band_val = a.band_val
+        WHERE z.n_members <= 256 OR a.doc_id = z.hub
+      )
+      SELECT id_a, id_b
+      FROM cand
+      JOIN sig sa ON sa.doc_id = id_a
+      JOIN sig sb ON sb.doc_id = id_b
+      WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
+    """
+
+
+def _duck_containment5_pairs_sql() -> str:
+    """Standalone (id_a, id_b) containment ≥ 0.9 pair SQL over plain
+    documents with n=5 grams — the shingle_containment_pairs oracle
+    minus its planted half-fragment corpus, re-grained to the SAME
+    5-char gram sets the PPJoin ground truth measures."""
+    return rf"""
+      WITH nrm AS (
+        SELECT doc_id,
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+        FROM documents
+      ),
+      grams0 AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                 generate_series(0, greatest(length(norm) - 5, 0)),
+                 i -> substring(norm, i + 1, 5))) AS grams
+        FROM nrm
+      ),
+      cod AS (
+        SELECT doc_id, norm,
+               list_transform(string_split(norm, ''), c -> ascii(c)) AS cs
+        FROM nrm
+      ),
+      ab AS (
+        SELECT doc_id,
+               {_duck_poly_arr(31)} AS a_arr,
+               {_duck_poly_arr(131)} AS b_arr
+        FROM cod
+      ),
+      sig AS (
+        SELECT doc_id,
+               {_duck_gram_poly_sig(16)}
+        FROM ab
+      ),
+      banded AS (
+        {" UNION ALL ".join(f"SELECT doc_id, {i} AS band_no, gmh_{2 * i}::VARCHAR || '|' || gmh_{2 * i + 1}::VARCHAR AS bucket FROM sig" for i in range(8))}
+      ),
+      bsz AS (
+        SELECT band_no, bucket, count(*) AS n_members, min(doc_id) AS hub
+        FROM banded GROUP BY band_no, bucket
+      ),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a
+        JOIN banded b ON a.band_no = b.band_no AND a.bucket = b.bucket
+                     AND a.doc_id < b.doc_id
+        JOIN bsz s ON s.band_no = a.band_no AND s.bucket = a.bucket
+        WHERE s.n_members <= 256 OR a.doc_id = s.hub
+      )
+      SELECT id_a, id_b
+      FROM cand
+      JOIN grams0 ga ON ga.doc_id = id_a
+      JOIN grams0 gb ON gb.doc_id = id_b
+      WHERE round(length(list_intersect(ga.grams, gb.grams))
+                  / greatest(least(length(ga.grams), length(gb.grams)), 1), 4)
+            >= 0.9
+    """
+
+
+def _dedup_recall_sql() -> str:
+    """Scorecard oracle: ground truth and each detector's pair set ride
+    as MATERIALIZED CTEs (each is read twice — count + hit join); the
+    detector oracles nest as WITH-subqueries so their CTE names can't
+    collide."""
+    ppjoin = REGISTRY["ppjoin_neardup_pairs"].oracle_sql
+    ngram = REGISTRY["ngram_jaccard_pairs"].oracle_sql
+    return f"""
+    WITH g AS MATERIALIZED (SELECT id_a, id_b FROM ({ppjoin})),
+    mh AS MATERIALIZED (
+      SELECT id_a, id_b FROM ({ngram}) WHERE jaccard >= 0.9
+    ),
+    sh AS MATERIALIZED (SELECT id_a, id_b FROM ({_duck_simhash_pairs_sql()})),
+    ct AS MATERIALIZED (SELECT id_a, id_b FROM ({_duck_containment5_pairs_sql()})),
+    scored AS (
+      SELECT 'containment_c90' AS method,
+             (SELECT count(*) FROM ct) AS n_pred,
+             (SELECT count(*) FROM ct JOIN g USING (id_a, id_b)) AS n_hit
+      UNION ALL
+      SELECT 'minhash_lsh_j90' AS method,
+             (SELECT count(*) FROM mh) AS n_pred,
+             (SELECT count(*) FROM mh JOIN g USING (id_a, id_b)) AS n_hit
+      UNION ALL
+      SELECT 'simhash_h3' AS method,
+             (SELECT count(*) FROM sh) AS n_pred,
+             (SELECT count(*) FROM sh JOIN g USING (id_a, id_b)) AS n_hit
+    )
+    SELECT method,
+           CAST(n_pred AS BIGINT) AS n_pred,
+           CAST((SELECT count(*) FROM g) AS BIGINT) AS n_true,
+           CAST(n_hit AS BIGINT) AS n_hit,
+           CASE WHEN (SELECT count(*) FROM g) > 0
+                THEN round(CAST(n_hit AS DOUBLE) / (SELECT count(*) FROM g), 6)
+           END AS recall,
+           CASE WHEN n_pred > 0
+                THEN round(CAST(n_hit AS DOUBLE) / n_pred, 6)
+           END AS precision
+    FROM scored
+    ORDER BY method
+    """
+
+
+@register("dedup_recall_report", _dedup_recall_sql())
+def dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X176: the dedup twin of ann_recall_report — every approximate
+    near-dup detector scored against the PPJoin EXACT J ≥ 0.9 pair set
+    (X149, provably no false negatives), on the same plain corpus. The
+    number that justifies band/row parameters at 100 TB: a detector
+    whose recall collapses here will silently under-dedup the corpus.
+
+    Detectors scored: MinHash-LSH verified pairs at J ≥ 0.9 (X8/X10 —
+    reuses the session pair memo, so candidate generation costs
+    nothing here), SimHash 4×12-bit bands at hamming ≤ 3 (X84, no
+    planted copies), and 8×2-row-band containment C ≥ 0.9 over the
+    SAME 5-gram sets the truth measures (X162 re-grained). Per method:
+    returned-pair count, truth size, hits (join against truth, never a
+    threshold re-check), recall and precision. Precision < 1 is
+    structural for SimHash/containment (hamming and containment admit
+    non-J≥0.9 pairs); MinHash recall < 1 measures band misses plus
+    star-capped bucket pairs.
+
+    Plan shape: the truth set is computed once and localCheckpointed
+    (read 4×: one count + three hit joins); each detector contributes
+    one bucketed pair pipeline; hit joins and counts run over
+    pair-set-bounded frames, and the report itself is 3 rows."""
+    pairs = _verified_pairs(spark, sf_dir).filter(F.col("jaccard") >= 0.9)
+    from ..operators.dedup import char_ngram_rows, prefix_filter_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = char_ngram_rows(docs, "doc_id", "text", 5).distinct()
+    truth = (
+        prefix_filter_pairs(toks, "doc_id", "gram", 9, 10)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    base = docs.select("doc_id", "text")
+    detectors = {
+        "containment_c90": dedup.containment_pairs(
+            base, "doc_id", "text", n=5, min_containment=0.9,
+            n_hashes=16, bands=8,
+        ).select("id_a", "id_b"),
+        "minhash_lsh_j90": pairs.select("id_a", "id_b"),
+        "simhash_h3": dedup.simhash_hamming_pairs(
+            base, "doc_id", "text"
+        ).select("id_a", "id_b"),
+    }
+    n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    scored = None
+    for method, pred in detectors.items():
+        row = (
+            pred.agg(F.count(F.lit(1)).alias("n_pred"))
+            .crossJoin(
+                pred.join(truth, ["id_a", "id_b"]).agg(
+                    F.count(F.lit(1)).alias("n_hit")
+                )
+            )
+            .select(F.lit(method).alias("method"), "n_pred", "n_hit")
+        )
+        scored = row if scored is None else scored.unionByName(row)
+    return (
+        scored.crossJoin(F.broadcast(n_true))
+        .select(
+            "method",
+            "n_pred",
+            "n_true",
+            "n_hit",
+            F.when(
+                F.col("n_true") > 0,
+                F.round(F.col("n_hit") / F.col("n_true").cast("double"), 6),
+            ).alias("recall"),
+            F.when(
+                F.col("n_pred") > 0,
+                F.round(F.col("n_hit") / F.col("n_pred").cast("double"), 6),
+            ).alias("precision"),
+        )
+        .orderBy("method")
+    )
 
 
 #: session-scoped memo of the verified near-dup pair set. THREE
@@ -4227,7 +4630,7 @@ def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT b.doc_id, b.n_words,
            round(1.0 - b.n_distinct / CAST(b.n_words AS DOUBLE), 6) AS word_rep_ratio,
            CASE WHEN b.n_words >= 2
-                THEN round(2.0 * bgtop.top2 / CAST(b.n_words AS DOUBLE), 6)
+                THEN least(round(2.0 * bgtop.top2 / CAST(b.n_words AS DOUBLE), 6), 1.0)
            END AS top_bigram_share,
            CASE WHEN b.n_words >= 5
                 THEN round(g5agg.dup5 / CAST(g5agg.total5 AS DOUBLE), 6)
@@ -4244,7 +4647,9 @@ def gopher_repetition_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     length/punctuation heuristics (quality_score X2) pass. Per doc:
     word repetition ratio (1 − distinct/total), the share of word
     positions covered by the single most frequent bigram
-    (2·top_count/n_words — word-positions, not Gopher's characters;
+    (min(2·top_count/n_words, 1) — word-positions, not Gopher's
+    characters; clamped because a self-overlapping bigram like 'a a a'
+    covers overlapping positions and the raw ratio exceeds 1;
     definition pinned for cross-engine exactness), and the share of
     5-gram POSITIONS whose gram occurs ≥2 times in the doc
     (duplicate-gram position share, ∈ [0,1]). Docs too short for a
@@ -4311,7 +4716,14 @@ def gopher_repetition_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("word_rep_ratio"),
             F.when(
                 nw >= 2,
-                F.round(F.lit(2.0) * F.col("top2") / nw.cast("double"), 6),
+                # least(…, 1.0): a self-overlapping top bigram ('a a a'
+                # → 2·2/3) covers overlapping positions, so the raw
+                # ratio exceeds 1 — clamp so the column honors its
+                # [0, 1] share contract (mirrored in the oracle)
+                F.least(
+                    F.round(F.lit(2.0) * F.col("top2") / nw.cast("double"), 6),
+                    F.lit(1.0),
+                ),
             ).alias("top_bigram_share"),
             F.when(
                 nw >= 5,
@@ -4321,17 +4733,19 @@ def gopher_repetition_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_merge_table_sql(k: int) -> str:
-    """DuckDB oracle for the k-round BPE trainer: the vocabulary rides
-    as a double-space-delimited symbol 'spine' per word, each round is
-    one (pair-stats → winner → replace) CTE triple, and every stage is
-    AS MATERIALIZED — each v{r} is referenced twice (next round's
-    stats AND next round's apply) and inlining would re-derive the
-    whole chain exponentially. The replace trick: symbols are joined
-    by TWO spaces and the search pattern ' a  b ' keeps HALF of each
-    outer delimiter, so left-to-right non-overlapping replace()
-    performs exactly the greedy left-to-right BPE merge ('a a a a' →
-    'aa aa', never 'aa a a')."""
+def _bpe_chain_sql(k: int) -> str:
+    """The k-round BPE trainer as a reusable DuckDB CTE chain (no
+    final SELECT — callers append either the merge-table union or the
+    encoder CTEs): the vocabulary rides as a double-space-delimited
+    symbol 'spine' per word, each round is one (pair-stats → winner →
+    replace) CTE triple, and every stage is AS MATERIALIZED — each
+    v{r} is referenced twice (next round's stats AND next round's
+    apply) and inlining would re-derive the whole chain exponentially.
+    The replace trick: symbols are joined by TWO spaces and the search
+    pattern ' a  b ' keeps HALF of each outer delimiter, so
+    left-to-right non-overlapping replace() performs exactly the
+    greedy left-to-right BPE merge ('a a a a' → 'aa aa', never
+    'aa a a')."""
     sql = r"""
     WITH w AS (
       SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
@@ -4366,40 +4780,48 @@ def _bpe_merge_table_sql(k: int) -> str:
                      ' ' || w.merged || ' ') AS spine, v.wc
       FROM v{r - 1} v CROSS JOIN win{r} w
     )"""
-    sql += (
-        "\n    SELECT * FROM ("
+    return sql
+
+
+def _bpe_merge_table_sql(k: int) -> str:
+    """Merge-table oracle: the trainer chain plus a union over the
+    per-round winners."""
+    return (
+        _bpe_chain_sql(k)
+        + "\n    SELECT * FROM ("
         + " UNION ALL ".join(f"SELECT * FROM win{r}" for r in range(1, k + 1))
         + ")"
     )
-    return sql
 
 
 _BPE_ROUNDS = 10
 
+#: session-scoped memo of the learned merge list — bpe_merge_table and
+#: bpe_encode_stats consume the identical 10-round training run, and
+#: re-running it per query doubles the 10-collect driver loop. Same
+#: timing semantics as _PAIRS_CACHE: the first consumer in a session
+#: pays training (bench.py hoists bpe_merge_table as the canonical
+#: payer); keyed by (application, data dir) so new sessions / other
+#: scale factors retrain.
+_BPE_CACHE: dict[tuple[str, str], list[tuple[int, str, str, str, int]]] = {}
 
-@register("bpe_merge_table", _bpe_merge_table_sql(_BPE_ROUNDS))
-def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X167: the ordered BPE merge table — 10 unrolled merge rounds of
-    the Sennrich et al. 2016 trainer (X166 computes only the FIRST
-    round's candidates; a tokenizer needs the ordered merge LIST,
-    where each round's statistics reflect every earlier merge). Each
-    round: adjacent-symbol pair counts over the VOCABULARY weighted by
-    corpus word frequency (overlap-inclusive — 'aaaa' counts (a,a)
-    three times), winner by (count DESC, pair ASC), then the greedy
-    left-to-right merge applied to every word ('aaaa' → 'aa aa') —
-    the deterministic fixed-round discipline of X87 PageRank / X111
-    LPA. Pinned against a pure-Python Sennrich reference in
-    tests/test_llm_text.py.
 
-    Plan shape: the corpus-sized shuffle happens ONCE (word counts);
-    each round explodes adjacent pairs over the DISTINCT-WORD symbol
-    spines (vocabulary-bounded), takes the winner as a bounded 1-row
-    collect (the centroid-seed discipline), and applies the merge as
-    one narrow string replace over the vocabulary, localCheckpointed
-    so round plans stay flat. Words ride as double-space-delimited
-    symbol spines; the replace pattern ' a  b ' → ' ab ' keeps half
-    of each outer delimiter, making non-overlapping left-to-right
-    replace() exactly the greedy BPE merge."""
+def clear_bpe_cache() -> None:
+    """Drop the memoized BPE merge tables (driver-side lists only —
+    the per-round localCheckpoints are already released per call)."""
+    _BPE_CACHE.clear()
+
+
+def _bpe_merges(
+    spark: SparkSession, sf_dir: str
+) -> list[tuple[int, str, str, str, int]]:
+    """Run (or recall) the k-round Sennrich training loop; returns the
+    ordered merge list [(rank, pair_a, pair_b, merged, weighted_count)].
+    See bpe_merge_table for the plan-shape discussion."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _BPE_CACHE.get(key)
+    if cached is not None:
+        return cached
     docs = read_table(spark, sf_dir, "documents")
     live = docs.filter(F.length(F.trim("text")) > 0)
     w = live.select(
@@ -4454,10 +4876,175 @@ def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("spine"),
             "wc",
         ).localCheckpoint()
+    _BPE_CACHE[key] = merges
+    return merges
+
+
+@register("bpe_merge_table", _bpe_merge_table_sql(_BPE_ROUNDS))
+def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X167: the ordered BPE merge table — 10 unrolled merge rounds of
+    the Sennrich et al. 2016 trainer (X166 computes only the FIRST
+    round's candidates; a tokenizer needs the ordered merge LIST,
+    where each round's statistics reflect every earlier merge). Each
+    round: adjacent-symbol pair counts over the VOCABULARY weighted by
+    corpus word frequency (overlap-inclusive — 'aaaa' counts (a,a)
+    three times), winner by (count DESC, pair ASC), then the greedy
+    left-to-right merge applied to every word ('aaaa' → 'aa aa') —
+    the deterministic fixed-round discipline of X87 PageRank / X111
+    LPA. Pinned against a pure-Python Sennrich reference in
+    tests/test_llm_text.py.
+
+    Plan shape: the corpus-sized shuffle happens ONCE (word counts);
+    each round explodes adjacent pairs over the DISTINCT-WORD symbol
+    spines (vocabulary-bounded), takes the winner as a bounded 1-row
+    collect (the centroid-seed discipline), and applies the merge as
+    one narrow string replace over the vocabulary, localCheckpointed
+    so round plans stay flat. Words ride as double-space-delimited
+    symbol spines; the replace pattern ' a  b ' → ' ab ' keeps half
+    of each outer delimiter, making non-overlapping left-to-right
+    replace() exactly the greedy BPE merge. The training run itself is
+    session-memoized (``_bpe_merges``) and shared with the X175 encoder
+    (``bpe_encode_stats``)."""
     return spark.createDataFrame(
-        merges,
+        _bpe_merges(spark, sf_dir),
         "rank INT, pair_a STRING, pair_b STRING, merged STRING,"
         " weighted_count LONG",
+    )
+
+
+def _bpe_encode_stats_sql(k: int) -> str:
+    """Encoder-application oracle: the trainer chain, then every
+    distinct word (length-1 words included — single-symbol spines can
+    never match a two-symbol merge pattern) is rebuilt as a symbol
+    spine and the k learned merges are applied IN RANK ORDER as a
+    nested replace() chain reading each round's 1-row winner via
+    scalar subqueries (coalesce to an impossible chr(1) pattern keeps
+    the chain a no-op if training exhausted early). Token counts then
+    aggregate per source, weighted by word frequency."""
+    expr = "spine"
+    for r in range(1, k + 1):
+        pat = f"coalesce((SELECT ' ' || pair_a || '  ' || pair_b || ' ' FROM win{r}), chr(1))"
+        rep = f"coalesce((SELECT ' ' || merged || ' ' FROM win{r}), chr(1))"
+        expr = f"replace({expr},\n               {pat},\n               {rep})"
+    return (
+        _bpe_chain_sql(k)
+        + rf""",
+    wsrc AS (
+      SELECT source,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    wsc AS (
+      SELECT source, word, CAST(count(*) AS BIGINT) AS cnt
+      FROM wsrc GROUP BY 1, 2
+    ),
+    enc0 AS (
+      SELECT word,
+             '  ' || list_aggregate(list_transform(generate_series(1, length(word)),
+                                     i -> substr(word, i, 1)), 'string_agg', '  ')
+                  || '  ' AS spine
+      FROM (SELECT DISTINCT word FROM wsc)
+    ),
+    enc AS MATERIALIZED (
+      SELECT word,
+             {expr} AS spine
+      FROM enc0
+    ),
+    tok AS (
+      SELECT word,
+             CAST(len(list_filter(regexp_split_to_array(spine, '  '),
+                                  x -> x <> '')) AS BIGINT) AS n_tok
+      FROM enc
+    )
+    SELECT source,
+           CAST(sum(cnt) AS BIGINT) AS n_words,
+           CAST(sum(cnt * length(word)) AS BIGINT) AS n_chars,
+           CAST(sum(cnt * n_tok) AS BIGINT) AS n_tokens,
+           round(CAST(sum(cnt * n_tok) AS DOUBLE) / sum(cnt), 6) AS tokens_per_word,
+           round(CAST(sum(cnt * length(word)) AS DOUBLE) / sum(cnt * n_tok), 6)
+             AS chars_per_token
+    FROM wsc JOIN tok USING (word)
+    GROUP BY source
+    ORDER BY source
+    """
+    )
+
+
+@register("bpe_encode_stats", _bpe_encode_stats_sql(_BPE_ROUNDS))
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X175: the BPE ENCODER applied back to the corpus — the apply
+    step of Sennrich et al. 2016 §3 that closes the tokenizer loop
+    (X166 candidate stats → X167 ordered merge table → this): every
+    distinct word becomes a character-symbol spine and the learned
+    merges are replayed IN RANK ORDER, each as the same greedy
+    left-to-right half-delimiter replace the trainer used. A single
+    ordered pass is the fixpoint: merge r's pair can never newly apply
+    after merge s > r, because s's output symbol did not exist when
+    r's pair was learned and merging cannot create new adjacency
+    between pre-existing symbols. Output per source: word/char/token
+    totals, tokens-per-word, and chars-per-token (the compression
+    ratio vs a character-level baseline) — the numbers a
+    tokenizer-budget decision actually reads.
+
+    Plan shape: training is the session-memoized 10-round loop shared
+    with X167 (bpe_merge_table pays it in bench); the encode itself is
+    vocabulary-bounded — one (source, word) count shuffle, the
+    10-replace chain as ONE narrow codegen'd projection over DISTINCT
+    words, a word-keyed join back, and a |sources|-row aggregate.
+    Pinned against an independent pure-Python list-based encoder in
+    tests/test_llm_text.py."""
+    merges = _bpe_merges(spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents")
+    live = docs.filter(F.length(F.trim("text")) > 0)
+    wsc = (
+        live.select(
+            "source",
+            F.explode(tx.words(F.lower(F.trim(F.col("text"))))).alias("word"),
+        )
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    chars = F.filter(F.split("word", ""), lambda x: x != F.lit(""))
+    enc = wsc.select("word").distinct().select(
+        "word",
+        F.concat(F.lit("  "), F.array_join(chars, "  "), F.lit("  ")).alias(
+            "spine"
+        ),
+    )
+    for _, pa, pb, merged, _ in merges:
+        enc = enc.withColumn(
+            "spine",
+            F.replace(
+                F.col("spine"), F.lit(f" {pa}  {pb} "), F.lit(f" {merged} ")
+            ),
+        )
+    n_tok = F.size(F.filter(F.split("spine", "  "), lambda x: x != F.lit("")))
+    enc = enc.select(
+        "word",
+        n_tok.cast("long").alias("n_tok"),
+        F.length("word").cast("long").alias("n_chr"),
+    )
+    return (
+        wsc.join(enc, "word")
+        .groupBy("source")
+        .agg(
+            F.sum("cnt").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("n_chr")).alias("n_chars"),
+            F.sum(F.col("cnt") * F.col("n_tok")).alias("n_tokens"),
+        )
+        .select(
+            "source",
+            "n_words",
+            "n_chars",
+            "n_tokens",
+            F.round(
+                F.col("n_tokens") / F.col("n_words").cast("double"), 6
+            ).alias("tokens_per_word"),
+            F.round(
+                F.col("n_chars") / F.col("n_tokens").cast("double"), 6
+            ).alias("chars_per_token"),
+        )
+        .orderBy("source")
     )
 
 

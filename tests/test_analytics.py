@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
+
 
 
 def _events(spark, rows):
@@ -643,3 +645,176 @@ def test_bpe_merge_table_registry_corpus_rounds(spark):
     for r in rows:
         assert r.merged == r.pair_a + r.pair_b
         assert r.weighted_count > 0
+
+
+def _bpe_encode_ref(word, merges):
+    """Pure-Python list-based BPE encoder: apply the learned merges in
+    rank order, each greedily left-to-right (independent of the
+    engine's spine-replace trick)."""
+    syms = list(word)
+    for _, pa, pb, merged, _ in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i < len(syms) - 1 and syms[i] == pa and syms[i + 1] == pb:
+                out.append(merged)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def test_bpe_encode_stats_matches_python_encoder(spark, tmp_path):
+    """Per-source token totals equal a pure-Python trainer + list-based
+    encoder replay (single-char words included; the corpus has an
+    overlap trap and words that merge fully)."""
+    from collections import Counter
+
+    from employee_data_management_system_data_engineering_solution_spark.plans.registry import REGISTRY
+
+    rows = [
+        (0, "the cat sat on the mat the cat", "web"),
+        (1, "banana bandana aaaa aaaa", "web"),
+        (2, "there then theme the", "books"),
+        (3, "a I x aaaa the", "books"),
+        (4, "", "books"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING, source STRING")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        r.source: r
+        for r in REGISTRY["bpe_encode_stats"].fn(spark, str(tmp_path)).collect()
+    }
+    wc = Counter()
+    src_wc = Counter()
+    for _, text, src in rows:
+        words = text.strip().lower().split()
+        wc.update(words)
+        for w in words:
+            src_wc[(src, w)] += 1
+    merges = _bpe_train_ref(wc, 10)
+    tok = {w: len(_bpe_encode_ref(w, merges)) for w in wc}
+    want = {}
+    for (src, w), n in src_wc.items():
+        e = want.setdefault(src, [0, 0, 0])
+        e[0] += n
+        e[1] += n * len(w)
+        e[2] += n * tok[w]
+    assert set(got) == set(want)
+    for src, (n_words, n_chars, n_tokens) in want.items():
+        r = got[src]
+        assert (r.n_words, r.n_chars, r.n_tokens) == (n_words, n_chars, n_tokens)
+        assert r.tokens_per_word == pytest.approx(n_tokens / n_words, abs=1e-6)
+        assert r.chars_per_token == pytest.approx(n_chars / n_tokens, abs=1e-6)
+    # compression is real on this corpus: multi-char merges fired
+    assert got["web"].n_tokens < got["web"].n_chars
+    # single-char words survive encoding as exactly one token each
+    assert tok["a"] == 1 and tok["i"] == 1 and tok["x"] == 1
+
+
+def _round6_away(x):
+    """Half-away-from-zero 6-dp rounding (Spark/DuckDB round), not
+    Python's banker's rounding."""
+    import math
+
+    return math.copysign(math.floor(abs(x) * 1e6 + 0.5) / 1e6, x)
+
+
+def test_gate_training_rounds_matches_numpy_replay(spark):
+    """The 10-round weight trajectory equals an independent numpy
+    full-batch GD replay over the same feature frame (same 6-dp
+    half-away rounding per update), and the training loss decreases
+    monotonically."""
+    import numpy as np
+
+    from employee_data_management_system_data_engineering_solution_spark.plans.llm import (
+        _GATE_TRAIN_ETA,
+        _GATE_TRAIN_ROUNDS,
+        _gate_features,
+    )
+    from employee_data_management_system_data_engineering_solution_spark.plans.registry import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        REGISTRY["gate_training_rounds"].fn(spark, sf).collect(),
+        key=lambda r: r.step,
+    )
+    assert [r.step for r in got] == list(range(1, _GATE_TRAIN_ROUNDS + 1))
+    pdf = _gate_features(spark, sf).toPandas()
+    X = pdf[["f1", "f2", "f3", "f4"]].to_numpy(dtype=float)
+    X[:, 2] /= 10.0
+    y = pdf["label"].to_numpy(dtype=float)
+    w = np.zeros(5)
+    losses = []
+    for r in got:
+        z = w[0] + X @ w[1:]
+        p = 1.0 / (1.0 + np.exp(-z))
+        pc = np.clip(p, 1e-12, 1 - 1e-12)
+        loss = float(-(y * np.log(pc) + (1 - y) * np.log(1 - pc)).mean())
+        acc = float(((z >= 0) == (y == 1)).mean())
+        err = p - y
+        w = np.array(
+            [_round6_away(w[0] - _GATE_TRAIN_ETA * err.mean())]
+            + [
+                _round6_away(w[j + 1] - _GATE_TRAIN_ETA * (err * X[:, j]).mean())
+                for j in range(4)
+            ]
+        )
+        # weights must agree bit-for-bit after the shared rounding
+        assert (r.b0, r.w1, r.w2, r.w3, r.w4) == tuple(w), r.step
+        assert r.loss == pytest.approx(loss, abs=1e-6)
+        assert r.acc == pytest.approx(acc, abs=1e-6)
+        losses.append(loss)
+    assert all(b < a for a, b in zip(losses, losses[1:]))
+
+
+def test_gate_training_rounds_empty_corpus_trains_to_zero(spark, tmp_path):
+    """An empty corpus must yield the zero weight vector every round
+    (coalesced gradients), never NULL weights or a raised division."""
+    from employee_data_management_system_data_engineering_solution_spark.plans.registry import REGISTRY
+
+    df = spark.createDataFrame([], "doc_id LONG, text STRING")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    rows = REGISTRY["gate_training_rounds"].fn(spark, str(tmp_path)).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert (r.b0, r.w1, r.w2, r.w3, r.w4) == (0.0, 0.0, 0.0, 0.0, 0.0)
+        assert r.loss is None and r.acc is None
+
+
+def test_dedup_recall_report_planted_duplicates(spark, tmp_path):
+    """On a corpus with planted exact duplicate cliques every detector
+    recalls the full truth set; counting invariants hold."""
+    from employee_data_management_system_data_engineering_solution_spark.plans import llm as _llm
+    from employee_data_management_system_data_engineering_solution_spark.plans.registry import REGISTRY
+
+    dup_a = "the quick brown fox jumps over the lazy dog again and again"
+    dup_b = "colorless green ideas sleep furiously in the warm summer night"
+    uniq = [
+        "completely different content about spark partitions and shuffles",
+        "yet another unrelated document discussing parquet column pruning",
+    ]
+    rows = [(0, dup_a), (1, dup_a), (2, dup_a), (3, dup_b), (4, dup_b)]
+    rows += [(5 + i, t) for i, t in enumerate(uniq)]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    try:
+        got = {
+            r.method: r
+            for r in REGISTRY["dedup_recall_report"].fn(spark, str(tmp_path)).collect()
+        }
+    finally:
+        _llm.clear_pairs_cache()
+    assert set(got) == {"containment_c90", "minhash_lsh_j90", "simhash_h3"}
+    # truth: 3 pairs in the triple clique + 1 pair in the double
+    assert all(r.n_true == 4 for r in got.values())
+    for r in got.values():
+        assert 0 <= r.n_hit <= min(r.n_pred, r.n_true)
+        assert r.recall == pytest.approx(r.n_hit / r.n_true, abs=1e-6)
+        if r.n_pred:
+            assert r.precision == pytest.approx(r.n_hit / r.n_pred, abs=1e-6)
+    # exact copies are unmissable for every detector family
+    assert got["minhash_lsh_j90"].recall == 1.0
+    assert got["simhash_h3"].recall == 1.0
+    assert got["containment_c90"].recall == 1.0

@@ -39,59 +39,54 @@ def test_check_window_covers_every_operator_family():
     elsewhere)."""
     window = list(queries())[:50]
     carriers = {
-        # Round-11 window (see the rotation narrative in
-        # plans/__init__.py): (a) the five r11 newcomers, never
-        # driver-checked; (b) the complete 26-query r7-stale block the
-        # r10 verdict ordered in first (the only registry members
-        # without driver evidence since r7); (c) 19 of the 50 r8-green
-        # queries, picked so every operator family keeps a carrier:
-        # streaming via strike_stream_from_wire + stream_static_enrich
-        # + checkpoint_restart_windowed (recovery), the flagship
-        # q1_pricing_summary, pipelines via daily_pipeline +
-        # corpus_curation_pipeline, ANN via ann_recall_report +
-        # hard_negative_mining + ann_rank_quality +
-        # ann_incremental_admission, dedup via dedup_clusters_star +
-        # ngram_jaccard_pairs + neardup_prune, CDC via cdc_log_replay,
-        # formats/sinks via json_lines_roundtrip + orc_roundtrip,
-        # layout via partition_pruned_report, curation via
-        # k_anonymity_report + feature_drift_psi + stratified_sample,
-        # UDTF via doc_chunks, SCD via scd2_merge, analytics via
-        # part_covisitation_topk + revenue_cusum_shift + the r7 block's
-        # rank/rollup/pivot carriers, text via lang_id + quality_score
-        # + the tokenizer/script newcomers; everything rotated out is
-        # r8/r9/r10 driver-green, guarded by the committed full local
-        # run, and the 31 remaining r8-green queries queue FIRST for
-        # r12 (PROGRESS.jsonl).
+        # Round-12 window (see the rotation narrative in
+        # plans/__init__.py): (a) the three r12 newcomers, never
+        # driver-checked; (b) the rows-only trio, ordered in by the
+        # r11 verdict for rows>0 driver evidence; (c) the COMPLETE
+        # 34-query r8-green block without driver evidence since r8
+        # (PROGRESS.jsonl final r12 entry); (d) 10 of the 50 r9-green
+        # queries, picked for family coverage and newcomer pairing:
+        # the gate the X177 trainer learns (quality_gate_logistic),
+        # the exact truth set X176 scores against
+        # (ppjoin_neardup_pairs), dedup via minhash_lsh_groups +
+        # simhash_hamming_pairs + exact_dedup, stateful streaming via
+        # strike_stream_stateful (stream_purchase_view_join +
+        # strike_window_counts ride the r8 block), ANN via
+        # embedding_topk + ivf_topk, graph via supplier_pagerank
+        # (re-green after its r11 top-k rework), multimodal via
+        # multimodal_decode + the r8 block's multimodal_profile;
+        # everything rotated out is r9/r10/r11 driver-green, guarded
+        # by the committed full local run, and the 40 remaining
+        # r9-green queries queue FIRST for r13 (PROGRESS.jsonl).
         #
-        # new in r11 — never driver-checked, full hash oracles:
-        "bpe_merge_table", "unicode_script_profile",
-        "ann_incremental_admission", "benchmark_decontamination",
-        "gopher_repetition_report", "cross_split_leakage",
-        "embedding_dim_profile", "token_mixture_plan",
-        # re-confirmation: the complete 26-query r7-stale block
-        "customers_without_urgent_orders", "lang_id",
-        "event_transitions", "ann_rank_quality",
-        "checkpoint_restart_windowed", "constraint_quarantine",
-        "cube_order_stats", "distinct_order_supp_pairs",
-        "incremental_agg_refresh", "join_key_skew_report",
-        "json_props_stats", "multi_touch_attribution", "neardup_prune",
-        "promo_revenue_share", "quality_score",
-        "region_supplier_volume", "rollup_revenue",
-        "salary_percentiles", "salary_rank_analytics",
-        "status_pivot_report", "stratified_sample",
-        "strike_report_batch", "top3_orders_per_customer",
-        "top_earner_per_designation", "trailing_revenue_90d",
-        "value_winsorized_stats",
-        # re-confirmation: 16 of the 50 r8-green (family coverage;
-        # orc_roundtrip / feature_drift_psi / revenue_cusum_shift
-        # yielded to the late newcomers and lead the r12 queue)
-        "q1_pricing_summary", "daily_pipeline",
-        "corpus_curation_pipeline", "strike_stream_from_wire",
-        "stream_static_enrich", "ann_recall_report",
-        "hard_negative_mining", "dedup_clusters_star",
-        "ngram_jaccard_pairs", "cdc_log_replay", "json_lines_roundtrip",
-        "partition_pruned_report", "k_anonymity_report", "doc_chunks",
-        "scd2_merge", "part_covisitation_topk",
+        # new in r12 — never driver-checked:
+        "bpe_encode_stats", "dedup_recall_report",
+        "gate_training_rounds",
+        # rows-only trio (driver rows-only verdicts):
+        "simhash_signatures", "column_profile_approx",
+        "salary_percentiles_approx",
+        # re-confirmation: the complete 34-query r8-green block
+        "benford_digit_audit", "brand_price_regression",
+        "calendar_completeness_report", "cluster_safe_split",
+        "column_entropy_profile", "customers_with_urgent_orders",
+        "dedup_last_write_wins", "doc_fingerprint",
+        "fd_violation_report", "feature_drift_psi", "feature_woe_iv",
+        "frequent_shingles", "incremental_agg_refresh_minmax",
+        "lineitem_corr_matrix", "longest_leave_streak",
+        "multimodal_profile", "neardup_admission", "orc_roundtrip",
+        "purchase_error_overlap", "q3_shipping_priority",
+        "revenue_cusum_shift", "rolling_user_features",
+        "salary_change_deltas", "salted_revenue_join",
+        "snapshot_vacuum", "staging_promote_roundtrip",
+        "stream_purchase_view_join", "strike_window_counts",
+        "text_stats", "union_entities", "user_path_topk",
+        "value_outliers_mad", "weighted_median_by_flag",
+        "weighted_sample_topk",
+        # re-confirmation: 10 of the 50 r9-green (family coverage)
+        "quality_gate_logistic", "ppjoin_neardup_pairs",
+        "minhash_lsh_groups", "simhash_hamming_pairs",
+        "strike_stream_stateful", "exact_dedup", "embedding_topk",
+        "ivf_topk", "supplier_pagerank", "multimodal_decode",
     }
     assert carriers <= set(window), sorted(carriers - set(window))
 

@@ -336,7 +336,8 @@ def test_gopher_repetition_report_hand_built(spark, tmp_path):
     from employee_data_management_system_data_engineering_solution_spark.plans.registry import REGISTRY
 
     loop = "buy now " * 10  # 20 words: 'buy now' x10
-    rows = [(0, loop.strip()), (1, "one two three four"), (2, "solo")]
+    rows = [(0, loop.strip()), (1, "one two three four"), (2, "solo"),
+            (3, "a a a")]  # self-overlapping top bigram: raw 2*2/3 > 1
     df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
     df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
     got = {
@@ -356,6 +357,9 @@ def test_gopher_repetition_report_hand_built(spark, tmp_path):
     assert r1.dup_5gram_share is None  # only 4 words
     r2 = got[2]
     assert r2.top_bigram_share is None and r2.dup_5gram_share is None
+    # the share honors its [0, 1] contract even when the top bigram
+    # self-overlaps ('a a' twice over 3 words -> raw 4/3, clamped)
+    assert got[3].top_bigram_share == 1.0
 
 
 def test_benchmark_decontamination_planted_overlap(spark, tmp_path):
@@ -540,7 +544,9 @@ def test_gopher_repetition_matches_python_on_random_corpora(spark, tmp_path):
         assert r.word_rep_ratio == round(1 - len(set(w)) / len(w), 6)
         if len(w) >= 2:
             bg = Counter(zip(w, w[1:]))
-            assert r.top_bigram_share == round(2 * max(bg.values()) / len(w), 6)
+            assert r.top_bigram_share == min(
+                round(2 * max(bg.values()) / len(w), 6), 1.0
+            )
         else:
             assert r.top_bigram_share is None
         if len(w) >= 5:
