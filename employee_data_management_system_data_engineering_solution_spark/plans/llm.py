@@ -5003,6 +5003,11 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("source", "word")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        # both consumers (the count side of the join AND the
+        # distinct-word encode side) read this vocabulary-bounded
+        # frame; without the checkpoint each reference re-scans the
+        # whole corpus (2 scans -> 1 at 100 TB)
+        .localCheckpoint(eager=False)
     )
     chars = F.filter(F.split("word", ""), lambda x: x != F.lit(""))
     enc = wsc.select("word").distinct().select(

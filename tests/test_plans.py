@@ -496,3 +496,29 @@ def test_supplier_pagerank_topk_bounded_heap(spark):
     bigram_collocations this round)."""
     plan = plan_of(REGISTRY["supplier_pagerank"].fn(spark, SF), mode="simple")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_bpe_encode_stats_single_corpus_scan_no_python(spark):
+    """The encode pass scans the corpus ONCE (the (source, word) count
+    frame is checkpointed and feeds both the join side and the
+    distinct-word encode side); the 10-merge replace chain collapses
+    into narrow codegen'd projections — no Python, no window, no
+    cartesian."""
+    plan = plan_of(REGISTRY["bpe_encode_stats"].fn(spark, SF), mode="simple")
+    assert plan.count("FileScan") <= 1  # checkpointed counts; corpus read once
+    assert "Python" not in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dedup_recall_report_no_allpairs_no_python(spark):
+    """Every detector pipeline stays banded/bucketed: no cartesian
+    product and no nested-loop join anywhere except the bounded 1-row
+    count cross joins; no Python eval."""
+    plan = plan_of(REGISTRY["dedup_recall_report"].fn(spark, SF), mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+    # the only nested loops are the 1-row aggregate cross joins
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "Cross" in line

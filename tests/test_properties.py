@@ -1112,7 +1112,10 @@ def test_chi2_independence_matches_python_for_random_tables(spark, rows):
     if mindim == 0:
         assert got.cramers_v is None
     else:
-        v = round(math.sqrt(got.chi2 / (n * mindim)), 6)
+        # max(…, 0): the 6-dp-rounded cell sum can land a hair below N
+        # on a near-independent table — the operator clamps before the
+        # sqrt (r12 ADVICE fix), so the replay must too
+        v = round(math.sqrt(max(got.chi2, 0.0) / (n * mindim)), 6)
         assert got.cramers_v == v
         assert 0.0 <= got.cramers_v <= 1.0 + 1e-9
 

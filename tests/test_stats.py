@@ -157,7 +157,7 @@ def test_chi2_independence_matches_reference(spark):
     assert got.n == n and (got.levels_a, got.levels_b) == (2, 3)
     assert got.dof == 2
     assert abs(got.chi2 - chi2) < 1e-9
-    v = round(math.sqrt(got.chi2 / (n * 1)), 6)
+    v = round(math.sqrt(max(got.chi2, 0.0) / (n * 1)), 6)  # clamp mirrors the operator
     assert got.cramers_v == v
     # sanity vs the textbook statistic over the FULL r×c table
     # (unrounded cells, zero cells included)

@@ -102,6 +102,10 @@ TARGETS = [
     "cross_split_leakage",
     "embedding_dim_profile",
     "token_mixture_plan",
+    # round-12 additions (X175-X177)
+    "bpe_encode_stats",
+    "dedup_recall_report",
+    "gate_training_rounds",
 ]
 
 
