@@ -147,6 +147,7 @@ def main() -> int:
             _llm.clear_pairs_cache()
             _llm.clear_ann_eval_cache()
             _llm.clear_bpe_cache()
+            _llm.clear_ppjoin_cache()
             _pipeline.clear_backbone_cache()
         except Exception as exc:
             print(f"bench: cache reset failed: {exc}", file=sys.stderr)
@@ -166,6 +167,7 @@ def main() -> int:
         "ann_recall_report",  # pays plans/llm._ANN_EVAL_CACHE
         "supplier_triangles",  # pays plans/pipeline._BACKBONE_CACHE
         "bpe_merge_table",  # pays plans/llm._BPE_CACHE (r12: shared with bpe_encode_stats)
+        "ppjoin_neardup_pairs",  # pays plans/llm._PPJOIN_CACHE (r12: shared with dedup_recall_report)
     )
     bench_order = [n for n in _MEMO_PAYERS if n in qs] + [
         n for n in qs if n not in _MEMO_PAYERS

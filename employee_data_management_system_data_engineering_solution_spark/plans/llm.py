@@ -1159,12 +1159,44 @@ def ppjoin_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates); verification is the exact integer cross-multiplied
     test, no float in the decision
     (``operators/dedup.prefix_filter_pairs``, exactness pinned against
-    brute force in tests/test_dedup.py)."""
-    from ..operators.dedup import char_ngram_rows, prefix_filter_pairs
+    brute force in tests/test_dedup.py). The pair frame is
+    session-memoized (``_ppjoin_pairs``) — dedup_recall_report scores
+    every approximate detector against it, and re-running the exact
+    join per consumer doubles the most expensive dedup stage."""
+    return _ppjoin_pairs(spark, sf_dir)
 
-    docs = read_table(spark, sf_dir, "documents")
-    toks = char_ngram_rows(docs, "doc_id", "text", 5).distinct()
-    return prefix_filter_pairs(toks, "doc_id", "gram", 9, 10)
+
+#: session-scoped memo of the exact PPJoin J >= 0.9 pair frame — the
+#: dedup family's ground truth. TWO registered queries consume it
+#: (ppjoin_neardup_pairs, dedup_recall_report); same timing semantics
+#: as _PAIRS_CACHE (bench.py hoists ppjoin_neardup_pairs as the
+#: canonical payer); keyed by (application, data dir).
+_PPJOIN_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def clear_ppjoin_cache() -> None:
+    """Drop the memoized exact pair frames and their checkpoint blocks."""
+    for df in _PPJOIN_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped; blocks died with it
+    _PPJOIN_CACHE.clear()
+
+
+def _ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _PPJOIN_CACHE.get(key)
+    if cached is None:
+        from ..operators.dedup import char_ngram_rows, prefix_filter_pairs
+
+        docs = read_table(spark, sf_dir, "documents")
+        toks = char_ngram_rows(docs, "doc_id", "text", 5).distinct()
+        cached = prefix_filter_pairs(
+            toks, "doc_id", "gram", 9, 10
+        ).localCheckpoint(eager=True)
+        _PPJOIN_CACHE[key] = cached
+    return cached
 
 
 @register(
@@ -1705,20 +1737,15 @@ def dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-J≥0.9 pairs); MinHash recall < 1 measures band misses plus
     star-capped bucket pairs.
 
-    Plan shape: the truth set is computed once and localCheckpointed
-    (read 4×: one count + three hit joins); each detector contributes
+    Plan shape: the truth set is the session-memoized PPJoin frame
+    (``_ppjoin_pairs`` — ppjoin_neardup_pairs is the pinned bench
+    payer), checkpointed and read 4× (one count + three hit joins);
+    each detector contributes
     one bucketed pair pipeline; hit joins and counts run over
     pair-set-bounded frames, and the report itself is 3 rows."""
     pairs = _verified_pairs(spark, sf_dir).filter(F.col("jaccard") >= 0.9)
-    from ..operators.dedup import char_ngram_rows, prefix_filter_pairs
-
+    truth = _ppjoin_pairs(spark, sf_dir).select("id_a", "id_b")
     docs = read_table(spark, sf_dir, "documents")
-    toks = char_ngram_rows(docs, "doc_id", "text", 5).distinct()
-    truth = (
-        prefix_filter_pairs(toks, "doc_id", "gram", 9, 10)
-        .select("id_a", "id_b")
-        .localCheckpoint(eager=True)
-    )
     base = docs.select("doc_id", "text")
     detectors = {
         "containment_c90": dedup.containment_pairs(

@@ -806,6 +806,7 @@ def test_dedup_recall_report_planted_duplicates(spark, tmp_path):
         }
     finally:
         _llm.clear_pairs_cache()
+        _llm.clear_ppjoin_cache()
     assert set(got) == {"containment_c90", "minhash_lsh_j90", "simhash_h3"}
     # truth: 3 pairs in the triple clique + 1 pair in the double
     assert all(r.n_true == 4 for r in got.values())
