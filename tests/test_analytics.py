@@ -819,3 +819,41 @@ def test_dedup_recall_report_planted_duplicates(spark, tmp_path):
     assert got["minhash_lsh_j90"].recall == 1.0
     assert got["simhash_h3"].recall == 1.0
     assert got["containment_c90"].recall == 1.0
+
+
+def test_dedup_recall_report_duplicate_free_corpus(spark, tmp_path):
+    """A corpus with no near-dups yields an all-zero scorecard with
+    NULL ratios (ANSI-safe: the guarded divisions must not raise)."""
+    from employee_data_management_system_data_engineering_solution_spark.plans import llm as _llm
+    from employee_data_management_system_data_engineering_solution_spark.plans.registry import REGISTRY
+
+    rows = [
+        (i, f"totally unique document number {i} about topic {i * 7} with words {i * 13}")
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    try:
+        got = REGISTRY["dedup_recall_report"].fn(spark, str(tmp_path)).collect()
+    finally:
+        _llm.clear_pairs_cache()
+        _llm.clear_ppjoin_cache()
+    assert len(got) == 3
+    for r in got:
+        assert (r.n_pred, r.n_true, r.n_hit) == (0, 0, 0)
+        assert r.recall is None and r.precision is None
+
+
+def test_bpe_encode_stats_empty_corpus(spark, tmp_path):
+    """An empty corpus encodes to an empty report (training finds no
+    merges, the encode chain is a no-op) — no NULL spines, no raise."""
+    from employee_data_management_system_data_engineering_solution_spark.plans import llm as _llm
+    from employee_data_management_system_data_engineering_solution_spark.plans.registry import REGISTRY
+
+    df = spark.createDataFrame([], "doc_id LONG, text STRING, source STRING")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    try:
+        rows = REGISTRY["bpe_encode_stats"].fn(spark, str(tmp_path)).collect()
+    finally:
+        _llm.clear_bpe_cache()
+    assert rows == []
