@@ -193,10 +193,11 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Shared oracle fragment for the X143 gate and its X144/X145 eval
-# reports: heuristic text features → fixed-order logistic dot product,
-# carrying the relevance label (doc mentions 'spark') alongside.
-_GATE_CTE = r"""
+# Shared raw-statistics fragment for the X143-X145 gate stack AND the
+# X177 trainer oracle — ONE definition of the text counts + label so a
+# feature change can never drift between serving and training SQL
+# (the Spark side shares _gate_features the same way).
+_GATE_STATS_CTE = r"""
     WITH stats AS (
       SELECT doc_id,
              CASE WHEN length(trim(text)) = 0 THEN 0
@@ -208,7 +209,12 @@ _GATE_CTE = r"""
              length(regexp_replace(text, '\s+', '', 'g')) AS nsp,
              CASE WHEN regexp_matches(text, '\bspark\b') THEN 1 ELSE 0 END AS lab
       FROM documents
-    ),
+    )"""
+
+# Shared oracle fragment for the X143 gate and its X144/X145 eval
+# reports: heuristic text features → fixed-order logistic dot product,
+# carrying the relevance label (doc mentions 'spark') alongside.
+_GATE_CTE = _GATE_STATS_CTE + r""",
     w AS (SELECT -2.2 AS b0, 8.0 AS w1, -6.0 AS w2, 0.25 AS w3, 1.5 AS w4),
     f AS (
       SELECT doc_id, lab,
@@ -424,21 +430,13 @@ def _gate_training_sql(k: int, eta: float = _GATE_TRAIN_ETA) -> str:
     round is one CTE computing the mean gradient and the 6-dp-rounded
     weight update from the previous round's 1-row weight CTE — the
     bpe_merge_table unrolled-round discipline. Gradient avgs coalesce
-    to 0 so an empty corpus trains to the zero vector instead of NULL
-    weights; every double output gets the +0.0 IEEE −0.0
-    canonicalization."""
-    sql = r"""
-    WITH stats AS (
-      SELECT CASE WHEN length(trim(text)) = 0 THEN 0
-                  ELSE length(regexp_split_to_array(trim(text), '\s+')) END AS wc,
-             length(regexp_extract_all(lower(text),
-               '\b(the|and|of|to|in|is|that|with|for|was)\b')) AS hits,
-             length(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS np,
-             length(text) AS nc,
-             length(regexp_replace(text, '\s+', '', 'g')) AS nsp,
-             CASE WHEN regexp_matches(text, '\bspark\b') THEN 1 ELSE 0 END AS lab
-      FROM documents
-    ),
+    to 0 — and the weight carry coalesces too, since max() over the
+    empty cross join is NULL — so an empty corpus trains to the zero
+    vector instead of NULL weights; every double output gets the +0.0
+    IEEE −0.0 canonicalization. The stats CTE is the SHARED
+    _GATE_STATS_CTE fragment (one definition for serving and
+    training)."""
+    sql = _GATE_STATS_CTE + r""",
     f AS MATERIALIZED (
       SELECT hits / greatest(wc, 1) AS f1,
              np / greatest(nc, 1) AS f2,
@@ -453,11 +451,11 @@ def _gate_training_sql(k: int, eta: float = _GATE_TRAIN_ETA) -> str:
         sql += f""",
     wt{r} AS MATERIALIZED (
       SELECT {r} AS step,
-             round(max(b0) - {eta} * coalesce(avg(p - lab), 0), 6) + 0.0 AS b0,
-             round(max(w1) - {eta} * coalesce(avg((p - lab) * f1), 0), 6) + 0.0 AS w1,
-             round(max(w2) - {eta} * coalesce(avg((p - lab) * f2), 0), 6) + 0.0 AS w2,
-             round(max(w3) - {eta} * coalesce(avg((p - lab) * f3), 0), 6) + 0.0 AS w3,
-             round(max(w4) - {eta} * coalesce(avg((p - lab) * f4), 0), 6) + 0.0 AS w4,
+             round(coalesce(max(b0), 0.0) - {eta} * coalesce(avg(p - lab), 0), 6) + 0.0 AS b0,
+             round(coalesce(max(w1), 0.0) - {eta} * coalesce(avg((p - lab) * f1), 0), 6) + 0.0 AS w1,
+             round(coalesce(max(w2), 0.0) - {eta} * coalesce(avg((p - lab) * f2), 0), 6) + 0.0 AS w2,
+             round(coalesce(max(w3), 0.0) - {eta} * coalesce(avg((p - lab) * f3), 0), 6) + 0.0 AS w3,
+             round(coalesce(max(w4), 0.0) - {eta} * coalesce(avg((p - lab) * f4), 0), 6) + 0.0 AS w4,
              round(avg(-(lab * ln(least(greatest(p, 1e-12), 1 - 1e-12))
                          + (1 - lab) * ln(1 - least(greatest(p, 1e-12), 1 - 1e-12)))),
                    6) + 0.0 AS loss,
@@ -505,7 +503,7 @@ def gate_training_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     10 tiny jobs over a cached corpus-partitioned frame; at 100 TB
     the per-round cost is one pass over cached features, exactly how
     distributed full-batch GD should look. Convergence pinned against
-    a numpy replay in tests/test_llm_text.py."""
+    a numpy replay in tests/test_analytics.py."""
     feats = (
         _gate_features(spark, sf_dir)
         .select(
@@ -4919,7 +4917,7 @@ def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     left-to-right merge applied to every word ('aaaa' → 'aa aa') —
     the deterministic fixed-round discipline of X87 PageRank / X111
     LPA. Pinned against a pure-Python Sennrich reference in
-    tests/test_llm_text.py.
+    tests/test_analytics.py.
 
     Plan shape: the corpus-sized shuffle happens ONCE (word counts);
     each round explodes adjacent pairs over the DISTINCT-WORD symbol
@@ -5019,7 +5017,7 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     10-replace chain as ONE narrow codegen'd projection over DISTINCT
     words, a word-keyed join back, and a |sources|-row aggregate.
     Pinned against an independent pure-Python list-based encoder in
-    tests/test_llm_text.py."""
+    tests/test_analytics.py."""
     merges = _bpe_merges(spark, sf_dir)
     docs = read_table(spark, sf_dir, "documents")
     live = docs.filter(F.length(F.trim("text")) > 0)

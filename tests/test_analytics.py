@@ -857,3 +857,52 @@ def test_bpe_encode_stats_empty_corpus(spark, tmp_path):
     finally:
         _llm.clear_bpe_cache()
     assert rows == []
+
+
+def test_dedup_recall_report_empty_corpus(spark, tmp_path):
+    """An empty corpus yields the same all-zero NULL-ratio scorecard
+    as a duplicate-free one (the 0-row truth frame flows through the
+    memo and all three detectors without raising)."""
+    from employee_data_management_system_data_engineering_solution_spark.plans import llm as _llm
+    from employee_data_management_system_data_engineering_solution_spark.plans.registry import REGISTRY
+
+    df = spark.createDataFrame([], "doc_id LONG, text STRING")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    try:
+        got = REGISTRY["dedup_recall_report"].fn(spark, str(tmp_path)).collect()
+    finally:
+        _llm.clear_pairs_cache()
+        _llm.clear_ppjoin_cache()
+    assert len(got) == 3
+    for r in got:
+        assert (r.n_pred, r.n_true, r.n_hit) == (0, 0, 0)
+        assert r.recall is None and r.precision is None
+
+
+def test_gate_training_rounds_oracle_empty_corpus_parity(spark, tmp_path):
+    """The DuckDB oracle must ALSO train an empty corpus to the zero
+    vector (the weight carry coalesces — max() over the empty cross
+    join is NULL), matching the Spark rows exactly."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from employee_data_management_system_data_engineering_solution_spark.plans.registry import REGISTRY
+
+    t = pa.table({"doc_id": pa.array([], "int64"), "text": pa.array([], "string")})
+    pq.write_table(t, f"{tmp_path}/documents.parquet")  # single file: both engines read it
+    srows = sorted(
+        REGISTRY["gate_training_rounds"].fn(spark, str(tmp_path)).collect(),
+        key=lambda r: r.step,
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    drows = con.execute(REGISTRY["gate_training_rounds"].oracle_sql).fetchall()
+    assert len(srows) == len(drows) == 10
+    for s, d in zip(srows, sorted(drows)):
+        assert (s.step, s.b0, s.w1, s.w2, s.w3, s.w4) == d[:6]
+        assert (s.b0, s.w1, s.w2, s.w3, s.w4) == (0.0,) * 5
+        assert s.loss is None and d[6] is None
+        assert s.acc is None and d[7] is None
