@@ -906,3 +906,51 @@ def test_gate_training_rounds_oracle_empty_corpus_parity(spark, tmp_path):
         assert (s.b0, s.w1, s.w2, s.w3, s.w4) == (0.0,) * 5
         assert s.loss is None and d[6] is None
         assert s.acc is None and d[7] is None
+
+
+def test_bpe_encode_stats_early_exhausted_training_parity(spark, tmp_path):
+    """When training exhausts before 10 rounds (every word fully
+    merged), the encoder applies only the learned merges and the
+    DuckDB oracle — whose later win{r} CTEs are empty and whose
+    replace chain coalesces to chr(1) no-ops — matches exactly."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from employee_data_management_system_data_engineering_solution_spark.plans import llm as _llm
+    from employee_data_management_system_data_engineering_solution_spark.plans.registry import REGISTRY
+
+    rows = [(0, "ab ab ab", "web"), (1, "ab x", "books")]
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], "int64"),
+            "text": pa.array([r[1] for r in rows], "string"),
+            "source": pa.array([r[2] for r in rows], "string"),
+        }
+    )
+    pq.write_table(t, f"{tmp_path}/documents.parquet")
+    try:
+        merges = _llm._bpe_merges(spark, str(tmp_path))
+        got = {
+            r.source: r
+            for r in REGISTRY["bpe_encode_stats"].fn(spark, str(tmp_path)).collect()
+        }
+    finally:
+        _llm.clear_bpe_cache()
+    # training exhausted after the single possible merge
+    assert [(m[1], m[2], m[3]) for m in merges] == [("a", "b", "ab")]
+    # 'ab' encodes to 1 token, 'x' to 1 token
+    assert (got["web"].n_words, got["web"].n_tokens, got["web"].n_chars) == (3, 3, 6)
+    assert (got["books"].n_words, got["books"].n_tokens, got["books"].n_chars) == (2, 2, 3)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    drows = {
+        r[0]: r for r in con.execute(REGISTRY["bpe_encode_stats"].oracle_sql).fetchall()
+    }
+    assert set(drows) == set(got)
+    for src, r in got.items():
+        assert drows[src] == (
+            src, r.n_words, r.n_chars, r.n_tokens, r.tokens_per_word, r.chars_per_token
+        )
