@@ -288,8 +288,13 @@ def fd_violations(df: DataFrame, lhs: list[str], rhs: str, fd_name: str) -> Data
         F.lit(fd_name).alias("fd"),
         F.count("*").alias("n_keys"),
         F.count(F.when(F.col("nv") > 1, True)).alias("n_violating_keys"),
-        F.round(
-            F.count(F.when(F.col("nv") > 1, True)) / F.count("*"), 6
+        # n_keys = 0 on an empty input: ANSI mode raises on the bare
+        # division, so guard to NULL (DuckDB's 0/0 is NULL natively)
+        F.when(
+            F.count("*") > 0,
+            F.round(
+                F.count(F.when(F.col("nv") > 1, True)) / F.count("*"), 6
+            ),
         ).alias("violation_rate"),
         F.max("nv").alias("max_distinct_rhs"),
     )

@@ -120,6 +120,16 @@ def _pivot_literal(pivot_rows) -> Column:
                 "clean or drop it before building the pivot literal"
             )
 
+    if not pivot_rows:
+        # a bare array() types as ARRAY<VOID> and every downstream
+        # lambda field extraction (p['pv']) then fails ANALYSIS — on an
+        # empty corpus the operator must still analyze and return zero
+        # rows, so emit a correctly-typed empty literal instead
+        return F.expr(
+            "CAST(array() AS ARRAY<STRUCT<pivot_id: BIGINT,"
+            " pv: ARRAY<DOUBLE>, pnorm: DOUBLE>>)"
+        )
+
     structs = [
         "named_struct('pivot_id', {id}L, 'pv', array({pv}), 'pnorm', {pn})".format(
             id=int(r[0]),

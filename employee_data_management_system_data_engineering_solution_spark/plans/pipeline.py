@@ -327,7 +327,10 @@ def partition_pruned_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     write_parquet(li, base, partition_by=["l_returnflag"])
     return (
-        spark.read.parquet(base)
+        # explicit schema: skips footer-sampling inference on read-back
+        # (at 100 TB that sampling is real I/O) and keeps an EMPTY
+        # write readable (no files to infer from otherwise)
+        spark.read.schema(li.schema).parquet(base)
         .filter(F.col("l_returnflag").isin("A", "R"))
         .groupBy("l_returnflag")
         .agg(

@@ -46,6 +46,8 @@ def _stage_batches(spark: SparkSession, sf_dir: str, stage_dir: str, n_batches: 
     )
     for i in range(n_batches):
         part_dir = os.path.join(part_root, f"__b={i}")
+        if not os.path.isdir(part_dir):
+            continue  # empty input writes no partition dirs at all
         part_file = next(
             f for f in os.listdir(part_dir) if f.endswith(".parquet") and f.startswith("part-")
         )
@@ -122,6 +124,14 @@ def run_upsert_stream(spark: SparkSession, sf_dir: str, n_batches: int = 2) -> D
     )
     q.awaitTermination()
     q.stop()
+
+    if not os.path.isdir(dim_dir):
+        # empty replay: no batch ever fired, so no dim was written —
+        # return the dim's schema with zero rows instead of failing
+        # the read (mirrors a first-ever run over an empty topic)
+        return spark.createDataFrame(
+            [], "user_id LONG, n_events LONG, total_value DOUBLE"
+        )
 
     out = spark.read.parquet(dim_dir).select(
         "user_id",
