@@ -117,9 +117,15 @@ def decode_features(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "n_bytes": pdf["n_bytes"].astype("int32"),
+                    # nullable Int32: a NULL payload row (malformed
+                    # media) keeps NULL metadata instead of crashing
+                    # the worker on a NaN→int cast
+                    "n_bytes": pdf["n_bytes"].astype("Int32"),
                     "media_type": pdf["media_type"],
-                    "feature": [_fake_feature(p) for p in pdf["payload"]],
+                    "feature": [
+                        None if p is None else _fake_feature(p)
+                        for p in pdf["payload"]
+                    ],
                 }
             )
 

@@ -1975,7 +1975,16 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
             "n_grams",
-            F.round(F.coalesce("n_shared", F.lit(0)) / F.col("n_grams"), 4).alias("overlap"),
+            # n_grams = 0 for a NULL/degenerate-text doc group: ANSI
+            # mode raises on the bare division — guard to NULL (the
+            # >= 0.5 filter then drops the row, as DuckDB's native
+            # 0/0 → NULL does)
+            F.when(
+                F.col("n_grams") > 0,
+                F.round(
+                    F.coalesce("n_shared", F.lit(0)) / F.col("n_grams"), 4
+                ),
+            ).alias("overlap"),
         )
         .filter(F.col("overlap") >= 0.5)
     )

@@ -103,7 +103,13 @@ def _strike_state_fn(
     (emp_id,) = key
     strikes, month = state.get if state.exists else (0, "")
     for pdf in pdfs:
-        flagged = pdf[pdf["flagged"]]
+        # NULL robustness: a NULL flagged (NULL event_type upstream) is
+        # "not flagged" — the batch twin's filter(flagged_expr()) drops
+        # it the same way — and a NULL month (NULL ts) sorts as "" so
+        # one malformed row can never kill the streaming query
+        flagged = pdf[pdf["flagged"].eq(True)].assign(
+            month=lambda f: f["month"].fillna("")
+        )
         for m in sorted(flagged["month"].unique()):
             if m != month and strikes < STRIKE_LIMIT:
                 strikes = 0  # cooldown: new month, threshold not hit

@@ -82,3 +82,74 @@ def test_training_preconditions_raise_explicit_errors(spark, empty_wh):
     ):
         with pytest.raises(ValueError, match=frag):
             REGISTRY[name].fn(spark, empty_wh).collect()
+
+
+@pytest.fixture(scope="module")
+def nullrow_wh(tmp_path_factory):
+    """sf0.001 documents/events plus two appended rows per table with
+    every NON-KEY column NULL (keys = max+1/max+2) — the one-malformed-
+    row-in-100TB scenario."""
+    import pyarrow as pa
+
+    d = tmp_path_factory.mktemp("nullrow_wh")
+    keys = {"documents": {"doc_id"}, "events": {"event_id", "user_id"}}
+    for t in TABLES:
+        tbl = pq.read_table(f"/root/testdata/sf0.001/{t}.parquet")
+        if t in keys:
+            pdf = tbl.to_pandas()
+            add = {}
+            for f in tbl.schema:
+                if f.name in keys[t]:
+                    mx = int(pdf[f.name].max())
+                    add[f.name] = [mx + 1, mx + 2]
+                else:
+                    add[f.name] = [None, None]
+            extra = pa.table(
+                {f.name: pa.array(add[f.name], f.type) for f in tbl.schema}
+            )
+            tbl = pa.concat_tables([tbl, extra])
+        pq.write_table(tbl, f"{d}/{t}.parquet")
+    return str(d)
+
+
+def test_one_null_row_never_kills_the_job(spark, nullrow_wh):
+    """A single all-NULL-payload row must not crash any of the three
+    previously-fragile paths: the ANSI division in the contamination
+    share (n_grams = 0 group), the NaN→int cast in the Arrow decode
+    worker, and the NULL boolean mask / NULL month in the stateful
+    strikes machine."""
+    for name in ("benchmark_contamination", "multimodal_decode"):
+        rows = REGISTRY[name].fn(spark, nullrow_wh).collect()
+        assert rows, name
+    rows = REGISTRY["strike_stream_stateful"].fn(spark, nullrow_wh).collect()
+    assert rows
+    # NULL-flagged rows are "not flagged": strike counts equal the
+    # batch twin, which filters flagged_expr() (NULL drops) the same way
+    batch = {
+        r.emp_id: r.strike_count
+        for r in REGISTRY["strike_report_batch"].fn(spark, nullrow_wh).collect()
+    }
+    stream = {r.emp_id: r.strike_count for r in rows}
+    shared = {k: stream[k] for k in batch if k in stream}
+    assert shared == {k: batch[k] for k in shared}
+
+
+def test_decode_features_null_payload_row(spark):
+    """decode_features: a NULL payload yields NULL n_bytes and NULL
+    feature (SQL NULL propagation), real payloads are untouched."""
+    from employee_data_management_system_data_engineering_solution_spark.operators.multimodal import (
+        decode_features,
+        with_binary_payload,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hello"), (2, None)], "doc_id LONG, text STRING"
+    )
+    rows = {
+        r.doc_id: r
+        for r in decode_features(
+            with_binary_payload(docs, "doc_id", "text")
+        ).collect()
+    }
+    assert rows[1].n_bytes == 5 and rows[1].feature is not None
+    assert rows[2].n_bytes is None and rows[2].feature is None
