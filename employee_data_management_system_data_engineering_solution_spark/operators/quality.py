@@ -289,12 +289,13 @@ def fd_violations(df: DataFrame, lhs: list[str], rhs: str, fd_name: str) -> Data
         F.count("*").alias("n_keys"),
         F.count(F.when(F.col("nv") > 1, True)).alias("n_violating_keys"),
         # n_keys = 0 on an empty input: ANSI mode raises on the bare
-        # division, so guard to NULL (DuckDB's 0/0 is NULL natively)
-        F.when(
-            F.count("*") > 0,
-            F.round(
-                F.count(F.when(F.col("nv") > 1, True)) / F.count("*"), 6
+        # division; try_divide yields NULL on 0/0, exactly DuckDB's
+        # native behavior
+        F.round(
+            F.try_divide(
+                F.count(F.when(F.col("nv") > 1, True)), F.count("*")
             ),
+            6,
         ).alias("violation_rate"),
         F.max("nv").alias("max_distinct_rhs"),
     )

@@ -124,7 +124,13 @@ def _pivot_literal(pivot_rows) -> Column:
         # a bare array() types as ARRAY<VOID> and every downstream
         # lambda field extraction (p['pv']) then fails ANALYSIS — on an
         # empty corpus the operator must still analyze and return zero
-        # rows, so emit a correctly-typed empty literal instead
+        # rows, so emit a correctly-typed empty literal instead.
+        # CONTRACT: with zero pivots, array_max over the empty transform
+        # is NULL, so assign_clusters yields cluster_id NULL for every
+        # row and cluster equi-joins return empty — "no index → no
+        # results", never a crash. Callers that REQUIRE pivots (k-means
+        # seeding, PQ training) already raise their own documented
+        # ValueError before reaching this literal.
         return F.expr(
             "CAST(array() AS ARRAY<STRUCT<pivot_id: BIGINT,"
             " pv: ARRAY<DOUBLE>, pnorm: DOUBLE>>)"

@@ -1976,14 +1976,14 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
             "n_grams",
             # n_grams = 0 for a NULL/degenerate-text doc group: ANSI
-            # mode raises on the bare division — guard to NULL (the
-            # >= 0.5 filter then drops the row, as DuckDB's native
-            # 0/0 → NULL does)
-            F.when(
-                F.col("n_grams") > 0,
-                F.round(
-                    F.coalesce("n_shared", F.lit(0)) / F.col("n_grams"), 4
+            # mode raises on the bare division; try_divide yields NULL
+            # (the >= 0.5 filter then drops the row, as DuckDB's
+            # native 0/0 → NULL does)
+            F.round(
+                F.try_divide(
+                    F.coalesce("n_shared", F.lit(0)), F.col("n_grams")
                 ),
+                4,
             ).alias("overlap"),
         )
         .filter(F.col("overlap") >= 0.5)

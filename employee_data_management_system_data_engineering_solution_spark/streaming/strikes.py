@@ -105,16 +105,20 @@ def _strike_state_fn(
     for pdf in pdfs:
         # NULL robustness: a NULL flagged (NULL event_type upstream) is
         # "not flagged" — the batch twin's filter(flagged_expr()) drops
-        # it the same way — and a NULL month (NULL ts) sorts as "" so
-        # one malformed row can never kill the streaming query
-        flagged = pdf[pdf["flagged"].eq(True)].assign(
-            month=lambda f: f["month"].fillna("")
-        )
+        # it the same way. A flagged row with NULL ts has no month, so
+        # it counts as a strike in the CURRENT state month WITHOUT
+        # touching the cooldown machine (feeding a sentinel month into
+        # the reset comparison would wipe accumulated strikes); one
+        # malformed row can never kill the streaming query.
+        flagged = pdf[pdf["flagged"].eq(True)]
+        timeless = int(flagged["month"].isna().sum())
+        flagged = flagged[flagged["month"].notna()]
         for m in sorted(flagged["month"].unique()):
             if m != month and strikes < STRIKE_LIMIT:
                 strikes = 0  # cooldown: new month, threshold not hit
             month = max(month, m)
             strikes += int((flagged["month"] == m).sum())
+        strikes += timeless
     state.update((strikes, month))
     status = "INACTIVE" if strikes >= STRIKE_LIMIT else "ACTIVE"
     yield pd.DataFrame(

@@ -38,7 +38,14 @@ def _stage_batches(spark: SparkSession, sf_dir: str, stage_dir: str, n_batches: 
     part_root = os.path.join(stage_dir, "__parts")
     (
         spark.read.parquet(f"{sf_dir}/events.parquet")
-        .withColumn("__b", F.col("event_id") % n_batches)
+        # pmod + coalesce: a NULL event_id lands in batch 0 and a
+        # negative one in [0, n) — a plain % would route both to
+        # partition dirs (__HIVE_DEFAULT_PARTITION__ / __b=-1) the
+        # staging loop never collects, silently dropping the rows
+        .withColumn(
+            "__b",
+            F.coalesce(F.pmod(F.col("event_id"), F.lit(n_batches)), F.lit(0)),
+        )
         .repartition(n_batches, F.col("__b"))
         .write.partitionBy("__b")
         .mode("overwrite")

@@ -124,14 +124,19 @@ def test_one_null_row_never_kills_the_job(spark, nullrow_wh):
     rows = REGISTRY["strike_stream_stateful"].fn(spark, nullrow_wh).collect()
     assert rows
     # NULL-flagged rows are "not flagged": strike counts equal the
-    # batch twin, which filters flagged_expr() (NULL drops) the same way
+    # batch twin, which filters flagged_expr() (NULL drops) the same
+    # way. Key-set discipline: every batch employee appears in the
+    # stream with the SAME count (a silently-dropped key would hide
+    # here otherwise), and stream-only employees are the 0-strike ones
+    # the batch report has no row for.
     batch = {
         r.emp_id: r.strike_count
         for r in REGISTRY["strike_report_batch"].fn(spark, nullrow_wh).collect()
     }
     stream = {r.emp_id: r.strike_count for r in rows}
-    shared = {k: stream[k] for k in batch if k in stream}
-    assert shared == {k: batch[k] for k in shared}
+    assert set(batch) <= set(stream)
+    assert {k: stream[k] for k in batch} == batch
+    assert all(stream[k] == 0 for k in set(stream) - set(batch))
 
 
 def test_decode_features_null_payload_row(spark):
@@ -153,3 +158,88 @@ def test_decode_features_null_payload_row(spark):
     }
     assert rows[1].n_bytes == 5 and rows[1].feature is not None
     assert rows[2].n_bytes is None and rows[2].feature is None
+
+
+
+def _write_events_file(path, rows):
+    """Write events as ONE parquet file (the replay harness symlinks
+    {sf_dir}/events.parquet as a single file, the testdata layout)."""
+    import pyarrow as pa
+
+    cols = list(zip(*rows))
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(cols[0], "int64"),
+                "ts": pa.array(cols[1], pa.timestamp("us")),
+                "user_id": pa.array(cols[2], "int64"),
+                "event_type": pa.array(cols[3], "string"),
+                "value": pa.array(cols[4], "float64"),
+                "props": pa.array(cols[5], "string"),
+            }
+        ),
+        path,
+    )
+
+
+def test_flagged_event_with_null_ts_counts_without_reset(spark, tmp_path):
+    """A flagged row whose ts is NULL counts as a strike in the current
+    state month WITHOUT driving the monthly-cooldown reset (a sentinel
+    month fed into the reset comparison would wipe accumulated
+    strikes); the batch twin counts it identically."""
+    import datetime as dt
+
+    from employee_data_management_system_data_engineering_solution_spark.streaming.strikes import (
+        run_strike_stream,
+        strike_report,
+    )
+    from employee_data_management_system_data_engineering_solution_spark.sources.io import read_table
+
+    _write_events_file(
+        f"{tmp_path}/events.parquet",
+        [
+            (1, dt.datetime(2024, 1, 5), 10, "error", 1.0, "{}"),
+            (2, dt.datetime(2024, 1, 6), 10, "error", 1.0, "{}"),
+            (3, None, 10, "error", 1.0, "{}"),  # timeless strike
+            (4, dt.datetime(2024, 1, 7), 10, "view", 1.0, "{}"),
+            (5, dt.datetime(2024, 1, 7), 20, "view", 1.0, "{}"),
+        ],
+    )
+    stream = {
+        r.emp_id: r.strike_count
+        for r in run_strike_stream(spark, str(tmp_path)).collect()
+    }
+    assert stream[10] == 3  # two dated strikes + the timeless one
+    assert stream[20] == 0
+    batch = {
+        r.emp_id: r.strike_count
+        for r in strike_report(read_table(spark, str(tmp_path), "events")).collect()
+    }
+    assert batch[10] == 3
+
+
+def test_null_event_id_row_is_staged_not_dropped(spark, tmp_path):
+    """The micro-batch staging keyed on event_id must route a NULL (or
+    negative) event_id into a real batch — a plain % would send it to
+    a partition directory the staging loop never collects, silently
+    losing the row from the stream."""
+    import datetime as dt
+
+    from employee_data_management_system_data_engineering_solution_spark.streaming.upsert import (
+        run_upsert_stream,
+    )
+
+    _write_events_file(
+        f"{tmp_path}/events.parquet",
+        [
+            (0, dt.datetime(2024, 1, 5), 10, "view", 1.0, "{}"),
+            (1, dt.datetime(2024, 1, 6), 10, "view", 2.0, "{}"),
+            (None, dt.datetime(2024, 1, 7), 10, "view", 4.0, "{}"),  # malformed id
+            (-3, dt.datetime(2024, 1, 8), 20, "view", 8.0, "{}"),  # negative id
+        ],
+    )
+    got = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in run_upsert_stream(spark, str(tmp_path)).collect()
+    }
+    assert got == {10: (3, 7.0), 20: (1, 8.0)}
