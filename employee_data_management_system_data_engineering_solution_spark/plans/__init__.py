@@ -49,6 +49,38 @@ from .registry import REGISTRY, register
 # exempt). driver_green_rounds()/never_green() below are the audit's
 # data source.
 #
+# Round 13 rotation (r12 narrative preserved below). The r12 window
+# re-greened the complete 34-query r8 block + the rows-only trio; the
+# r12 verdict (item 1) ordered in FIRST the complete 40-query r9-green
+# cohort (the final r13 entry in PROGRESS.jsonl). Newcomers are capped
+# at four (verdict items 2-5), leaving 6 slots to start draining the
+# 50-query r10-green cohort (stale by r14/r15; the 44 leftovers are
+# scheduled FIRST for r14 in PROGRESS.jsonl — plan a 2-round drain).
+#   IN (never green — new in r13, full hash oracles):
+#       gate_trained_eval (X178 held-out AUC/confusion of the
+#       X177-TRAINED weights vs the pinned X143 weights on a doc_id%5
+#       split — closes train→serve→eval; verdict item 2),
+#       bpe_merge_batched (X179 top-k non-overlapping merges per round
+#       — the 30k-merge scaling path; item 3), dedup_recall_sampled
+#       (X180 fixed-n seeded-sample scorecard — the scale-safe recall
+#       measurement; item 4), dedup_recall_curve (X181 cumulative
+#       recall/precision by Jaccard band over the pair memos; item 5).
+#   IN (re-confirmation — the COMPLETE 40-query r9-green cohort):
+#       balanced_strata_sample … user_value_trend (see _PRIORITY).
+#   IN (re-confirmation — 6 of the 50 r10-green, family coverage):
+#       epoch_status_clean (reference core clean path), keyed_upsert
+#       (MERGE upsert), checkpoint_restart_strikes (stateful streaming
+#       + checkpoint recovery), pq_ivf_search (quantized ANN),
+#       winnow_fingerprint_pairs (winnowing dedup),
+#       supplier_communities (graph — the only family without an
+#       r13-window carrier otherwise).
+#   OUT (rotated to the tail; every one r10/r11/r12 driver-green and
+#       guarded by the committed full local runs): the whole r12
+#       window — X175-X177 newcomers now green, the rows-only trio,
+#       the 34-query r8 block, the 10 r9 picks — and the 44 remaining
+#       r10-green queries queued first for r14 (PROGRESS.jsonl r14
+#       schedule entry).
+#
 # Round 12 rotation (r11 narrative preserved below). The r11 window
 # re-greened the complete 26-query r7-stale block; the r11 verdict
 # (items 1-2) ordered in FIRST the 34-query r8-green block without
@@ -202,62 +234,60 @@ from .registry import REGISTRY, register
 #       newcomers.
 # ---------------------------------------------------------------------------
 _PRIORITY: tuple[str, ...] = (
-    # new in r12: never driver-checked
-    "bpe_encode_stats",
-    "dedup_recall_report",
-    "gate_training_rounds",
-    # rows-only trio: driver rows>0 evidence (r11 verdict item 2)
-    "simhash_signatures",
-    "column_profile_approx",
-    "salary_percentiles_approx",
-    # re-confirmation: the complete 34-query r8-green block
-    # (PROGRESS.jsonl final r12 entry; r11 verdict item 1)
-    "benford_digit_audit",
-    "brand_price_regression",
-    "calendar_completeness_report",
-    "cluster_safe_split",
-    "column_entropy_profile",
-    "customers_with_urgent_orders",
-    "dedup_last_write_wins",
-    "doc_fingerprint",
-    "fd_violation_report",
-    "feature_drift_psi",
-    "feature_woe_iv",
-    "frequent_shingles",
-    "incremental_agg_refresh_minmax",
-    "lineitem_corr_matrix",
-    "longest_leave_streak",
-    "multimodal_profile",
-    "neardup_admission",
-    "orc_roundtrip",
-    "purchase_error_overlap",
-    "q3_shipping_priority",
-    "revenue_cusum_shift",
-    "rolling_user_features",
-    "salary_change_deltas",
-    "salted_revenue_join",
-    "snapshot_vacuum",
-    "staging_promote_roundtrip",
-    "stream_purchase_view_join",
-    "strike_window_counts",
-    "text_stats",
-    "union_entities",
-    "user_path_topk",
-    "value_outliers_mad",
-    "weighted_median_by_flag",
-    "weighted_sample_topk",
-    # re-confirmation: 10 of the 50 r9-green (family coverage +
-    # newcomer pairing; verdict item 6)
-    "quality_gate_logistic",
-    "ppjoin_neardup_pairs",
-    "minhash_lsh_groups",
-    "simhash_hamming_pairs",
-    "strike_stream_stateful",
-    "exact_dedup",
-    "embedding_topk",
-    "ivf_topk",
-    "supplier_pagerank",
-    "multimodal_decode",
+    # new in r13: never driver-checked
+    "gate_trained_eval",
+    "bpe_merge_batched",
+    "dedup_recall_sampled",
+    "dedup_recall_curve",
+    # re-confirmation: the complete 40-query r9-green cohort
+    # (PROGRESS.jsonl final r13 entry; r12 verdict item 1)
+    "balanced_strata_sample",
+    "benchmark_contamination",
+    "bloom_pruned_join",
+    "bm25_topk",
+    "brand_price_theilsen",
+    "bucketed_colocated_join",
+    "column_profile",
+    "dedup_keep_best",
+    "discount_quantity_ab",
+    "domain_mixture_sample",
+    "embedding_neardup_pairs",
+    "event_sessions",
+    "events_in_error_windows",
+    "format_roundtrips",
+    "forward_fill_values",
+    "funnel_conversion_report",
+    "fuzzy_name_pairs",
+    "gate_calibration_bins",
+    "gate_eval_report",
+    "hourly_interpolated_series",
+    "hybrid_rrf_topk",
+    "hyperplane_lsh_groups",
+    "kmeans_ivf_assign",
+    "order_price_ks_drift",
+    "phash_neardup_pairs",
+    "pii_scrub",
+    "price_decile_stats",
+    "quality_weighted_sample",
+    "repeated_passages",
+    "revenue_cube_report",
+    "revenue_forecast_mase",
+    "schema_evolution_read",
+    "snapshot_diff_orders",
+    "strike_report_rlike",
+    "supplier_golden_record",
+    "text_profile",
+    "tfidf_top_terms",
+    "train_test_split",
+    "upcoming_leave_pct",
+    "user_value_trend",
+    # re-confirmation: 6 of the 50 r10-green (family coverage)
+    "epoch_status_clean",
+    "keyed_upsert",
+    "checkpoint_restart_strikes",
+    "pq_ivf_search",
+    "winnow_fingerprint_pairs",
+    "supplier_communities",
 )
 
 #: Queries whose driver check is rows-only BY CONTRACT (no SQL oracle

@@ -31,7 +31,15 @@ from pyspark.sql import types as T
 from ..operators import cleaning, scd
 from ..operators.reports import ordered_with_rank
 from ..functions.money import money, money_sum
-from ..sources.io import fan_out, latest_file, read_csv, read_table, write_csv, write_parquet
+from ..sources.io import (
+    fan_out,
+    latest_file,
+    read_csv,
+    read_table,
+    table_fingerprint,
+    write_csv,
+    write_parquet,
+)
 from ..streaming.strikes import (
     RESERVED_WORDS,
     flag_messages,
@@ -911,7 +919,11 @@ def clear_backbone_cache() -> None:
 def _co_supply_backbone(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5000 co-supply edges by (shared-order count, pair) — see
     supplier_triangles for why the backbone bound exists."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        table_fingerprint(sf_dir, "lineitem"),
+    )
     cached = _BACKBONE_CACHE.get(key)
     if cached is None:
         li = read_table(spark, sf_dir, "lineitem")

@@ -161,6 +161,42 @@ def money_native_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame
     return spark.read.parquet(path)
 
 
+def table_fingerprint(sf_dir: str, *names: str) -> str:
+    """Cheap content fingerprint of one or more warehouse tables —
+    (relative path, size, mtime_ns) of every data file, hashed. The
+    plan-level session memos (``plans/llm._PAIRS_CACHE`` and friends)
+    fold this into their keys so REWRITING the files under an sf_dir
+    within one Spark application invalidates the memo instead of
+    silently serving stale results (advisor finding, round 12).
+
+    os.stat-based: the memo callers always address local test
+    warehouses; a remote (hdfs://, s3a://) sf_dir has no local stat,
+    so fall back to the path string itself — the memo then degrades to
+    the old key semantics rather than crashing the read path.
+    """
+    parts: list[str] = []
+    for name in sorted(names):
+        root = os.path.join(sf_dir, f"{name}.parquet")
+        try:
+            if os.path.isfile(root):
+                st = os.stat(root)
+                parts.append(f"{name}:{st.st_size}:{st.st_mtime_ns}")
+            else:
+                for dirpath, dirnames, filenames in os.walk(root):
+                    dirnames.sort()
+                    for fn in sorted(filenames):
+                        if fn.startswith(("_", ".")):
+                            continue
+                        st = os.stat(os.path.join(dirpath, fn))
+                        rel = os.path.relpath(os.path.join(dirpath, fn), root)
+                        parts.append(f"{name}/{rel}:{st.st_size}:{st.st_mtime_ns}")
+        except OSError:
+            parts.append(f"{name}:unstattable")
+    import hashlib
+
+    return hashlib.md5("|".join(parts).encode()).hexdigest()
+
+
 def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
     """Register every table as a temp view so queries can use spark.sql."""
     for name in names:

@@ -106,10 +106,23 @@ def _strike_state_fn(
         # NULL robustness: a NULL flagged (NULL event_type upstream) is
         # "not flagged" — the batch twin's filter(flagged_expr()) drops
         # it the same way. A flagged row with NULL ts has no month, so
-        # it counts as a strike in the CURRENT state month WITHOUT
-        # touching the cooldown machine (feeding a sentinel month into
-        # the reset comparison would wipe accumulated strikes); one
-        # malformed row can never kill the streaming query.
+        # it counts as a strike WITHOUT touching the cooldown machine
+        # (feeding a sentinel month into the reset comparison would
+        # wipe accumulated strikes); one malformed row can never kill
+        # the streaming query.
+        #
+        # Within-batch ordering contract (deliberate, advisor r12): a
+        # timeless strike has no position in event time, so it is
+        # credited AFTER the batch's dated months — i.e. to the month
+        # the state ENDS the batch in — even when the NULL-ts row
+        # physically preceded a month transition in the feed. Once
+        # credited it is ordinary state: a LATER month's cooldown
+        # resets it like any other strike of that month. Pinned by
+        # test_timeless_strike_with_month_transition_in_one_batch
+        # (tests/test_empty_inputs.py); batch/stream parity holds
+        # because the batch twin counts flagged rows unconditionally
+        # (no cooldown), so only the monthly-reset path — which a
+        # month-less row by definition cannot drive — could diverge.
         flagged = pdf[pdf["flagged"].eq(True)]
         timeless = int(flagged["month"].isna().sum())
         flagged = flagged[flagged["month"].notna()]

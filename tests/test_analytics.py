@@ -783,6 +783,389 @@ def test_gate_training_rounds_empty_corpus_trains_to_zero(spark, tmp_path):
         assert r.loss is None and r.acc is None
 
 
+def _bpe_batched_ref(word_counts, rounds=3, k=4, pool=16):
+    """Pure-Python replay of the batched-round BPE rule: per round,
+    overlap-inclusive weighted pair stats over the vocabulary, rank by
+    (count desc, pair asc), pool = top-16 ranked candidates, winners =
+    pool members sharing no symbol with ANY higher-ranked pool member
+    (anti-chain rule), capped at k; winners applied SEQUENTIALLY in
+    slot order, each greedy left-to-right."""
+    from collections import Counter
+
+    vocab = {w: list(w) for w in word_counts if len(w) >= 2}
+    out = []
+    for rnd in range(1, rounds + 1):
+        stats = Counter()
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                stats[(syms[i], syms[i + 1])] += word_counts[w]
+        ranked = sorted(stats.items(), key=lambda kv: (-kv[1], kv[0]))[:pool]
+        winners = []
+        for i, ((pa, pb), cnt) in enumerate(ranked):
+            used = {pa, pb}
+            if any(ha in used or hb in used for (ha, hb), _ in ranked[:i]):
+                continue
+            winners.append((pa, pb, cnt))
+            if len(winners) == k:
+                break
+        if not winners:
+            break
+        for slot, (pa, pb, cnt) in enumerate(winners, start=1):
+            out.append((rnd, slot, pa, pb, pa + pb, cnt))
+        for pa, pb, _ in winners:
+            for w, syms in vocab.items():
+                new, i = [], 0
+                while i < len(syms):
+                    if (
+                        i < len(syms) - 1
+                        and syms[i] == pa
+                        and syms[i + 1] == pb
+                    ):
+                        new.append(pa + pb)
+                        i += 2
+                    else:
+                        new.append(syms[i])
+                        i += 1
+                vocab[w] = new
+    return out
+
+
+def test_bpe_merge_batched_matches_python_replay(spark, tmp_path):
+    """The batched merge table equals the pure-Python anti-chain
+    replay on a corpus engineered so the non-overlap filter actually
+    fires (several top pairs share symbols) and later rounds see
+    earlier rounds' merges."""
+    from collections import Counter
+
+    from employee_data_management_system_data_engineering_solution_spark.plans.registry import REGISTRY
+
+    rows = [
+        (0, "the cat sat on the mat the cat aaaa aaaa"),
+        (1, "banana bandana anthem and sand stand"),
+        (2, "there then theme the an ant"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = sorted(
+        (r.round, r.slot, r.pair_a, r.pair_b, r.merged, r.weighted_count)
+        for r in REGISTRY["bpe_merge_batched"].fn(spark, str(tmp_path)).collect()
+    )
+    wc = Counter()
+    for _, text in rows:
+        wc.update(text.strip().lower().split())
+    want = sorted(_bpe_batched_ref(wc))
+    assert got == want
+    # the anti-chain filter fired: at least one round harvested more
+    # than one merge, and winners within a round are symbol-disjoint
+    per_round = Counter(r for r, *_ in got)
+    assert max(per_round.values()) >= 2
+    for rnd in per_round:
+        # pairwise symbol-disjoint across winners (a self-pair like
+        # (a, a) is one winner and legal)
+        sets = [
+            {pa, pb} for g_rnd, _, pa, pb, _, _ in got if g_rnd == rnd
+        ]
+        for i, a in enumerate(sets):
+            for b in sets[i + 1 :]:
+                assert not (a & b), f"round {rnd} winners overlap"
+
+
+def test_bpe_merge_batched_registry_corpus_shape(spark):
+    """On the sf0.001 corpus the batched trainer emits valid rounds:
+    contiguous slots from 1, merged = a||b, positive counts, and
+    within-round symbol-disjointness."""
+    from employee_data_management_system_data_engineering_solution_spark.plans.registry import REGISTRY
+
+    rows = REGISTRY["bpe_merge_batched"].fn(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    by_round = {}
+    for r in rows:
+        assert r.merged == r.pair_a + r.pair_b
+        assert r.weighted_count > 0
+        by_round.setdefault(r.round, []).append(r)
+    for rnd, rs in by_round.items():
+        assert sorted(x.slot for x in rs) == list(range(1, len(rs) + 1))
+        sets = [{x.pair_a, x.pair_b} for x in rs]
+        for i, a in enumerate(sets):
+            for b in sets[i + 1 :]:
+                assert not (a & b)
+
+
+def test_bpe_merge_batched_empty_corpus(spark, tmp_path):
+    """An empty corpus yields an empty merge table, no raise."""
+    from employee_data_management_system_data_engineering_solution_spark.plans.registry import REGISTRY
+
+    df = spark.createDataFrame([], "doc_id LONG, text STRING")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    assert REGISTRY["bpe_merge_batched"].fn(spark, str(tmp_path)).collect() == []
+
+
+def _auc_confusion_ref(scores, labels, preds):
+    """Independent tied-rank AUC + confusion replay (numpy, average
+    ranks via the strictly-below + (group+1)/2 identity)."""
+    import numpy as np
+
+    scores = np.asarray(scores, dtype=float)
+    labels = np.asarray(labels, dtype=int)
+    preds = np.asarray(preds, dtype=bool)
+    n = len(scores)
+    n_pos = int(labels.sum())
+    n_neg = n - n_pos
+    tp = int((preds & (labels == 1)).sum())
+    fp = int((preds & (labels == 0)).sum())
+    auc = None
+    if n_pos and n_neg:
+        order = np.argsort(scores, kind="mergesort")
+        ranks = np.empty(n, dtype=float)
+        i = 0
+        while i < n:
+            j = i
+            while j < n and scores[order[j]] == scores[order[i]]:
+                j += 1
+            ranks[order[i:j]] = (i + j + 1) / 2.0  # average 1-based rank
+            i = j
+        r_pos = ranks[labels == 1].sum()
+        auc = (r_pos - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg)
+    return n, n_pos, n_neg, auc, tp, fp, n_pos - tp, n_neg - fp
+
+
+def test_gate_trained_eval_matches_numpy_replay(spark):
+    """Both rows (pinned / trained) of the held-out eval equal an
+    independent numpy replay: GD trained on the %5!=0 split with the
+    shared 6-dp rounding, both models scored on the %5==0 split,
+    tied-rank AUC + confusion recomputed from scratch."""
+    import numpy as np
+
+    from employee_data_management_system_data_engineering_solution_spark.plans.llm import (
+        _GATE_TRAIN_ETA,
+        _GATE_TRAIN_ROUNDS,
+        _gate_features,
+    )
+    from employee_data_management_system_data_engineering_solution_spark.plans.registry import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r.model: r for r in REGISTRY["gate_trained_eval"].fn(spark, sf).collect()
+    }
+    assert set(got) == {"pinned", "trained"}
+    pdf = _gate_features(spark, sf).toPandas()
+    tr = pdf[pdf["doc_id"] % 5 != 0]
+    ev = pdf[pdf["doc_id"] % 5 == 0]
+    Xt = tr[["f1", "f2", "f3", "f4"]].to_numpy(dtype=float)
+    Xt[:, 2] /= 10.0
+    yt = tr["label"].to_numpy(dtype=float)
+    w = np.zeros(5)
+    for _ in range(_GATE_TRAIN_ROUNDS):
+        z = w[0] + Xt @ w[1:]
+        err = 1.0 / (1.0 + np.exp(-z)) - yt
+        w = np.array(
+            [_round6_away(w[0] - _GATE_TRAIN_ETA * err.mean())]
+            + [
+                _round6_away(w[j + 1] - _GATE_TRAIN_ETA * (err * Xt[:, j]).mean())
+                for j in range(4)
+            ]
+        )
+    Xe = ev[["f1", "f2", "f3", "f4"]].to_numpy(dtype=float)
+    ye = ev["label"].to_numpy(dtype=int)
+    models = {
+        "trained": w[0] + (Xe * np.array([w[1], w[2], w[3] / 10.0, w[4]])).sum(axis=1),
+        "pinned": -2.2 + Xe @ np.array([8.0, -6.0, 0.25, 1.5]),
+    }
+    for model, z in models.items():
+        score = np.array([_round6_away(v) for v in 1.0 / (1.0 + np.exp(-z))])
+        n, n_pos, n_neg, auc, tp, fp, fn, tn = _auc_confusion_ref(
+            score, ye, z >= 0
+        )
+        r = got[model]
+        assert (r.n, r.n_pos, r.n_neg, r.tp, r.fp, r.fn, r.tn) == (
+            n, n_pos, n_neg, tp, fp, fn, tn,
+        ), model
+        assert r.auc == pytest.approx(auc, abs=2e-6), model
+        if tp + fp:
+            assert r.precision == pytest.approx(tp / (tp + fp), abs=1e-6)
+        if n:
+            assert r.accuracy == pytest.approx((tp + tn) / n, abs=1e-6)
+    # the split is real: train + eval partition the corpus
+    assert len(tr) + len(ev) == len(pdf) and len(tr) and len(ev)
+
+
+def test_gate_trained_eval_empty_corpus(spark, tmp_path):
+    """An empty corpus yields one zero-count row per model with NULL
+    ratio metrics (binary_auc's coalesced-empty contract), no raise."""
+    from employee_data_management_system_data_engineering_solution_spark.plans.registry import REGISTRY
+
+    df = spark.createDataFrame([], "doc_id LONG, text STRING")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    rows = REGISTRY["gate_trained_eval"].fn(spark, str(tmp_path)).collect()
+    assert sorted(r.model for r in rows) == ["pinned", "trained"]
+    for r in rows:
+        assert (r.n, r.n_pos, r.n_neg, r.tp, r.fp, r.fn, r.tn) == (
+            0, 0, 0, 0, 0, 0, 0,
+        )
+        assert r.auc is None and r.precision is None
+
+
+def test_dedup_recall_sampled_agrees_with_full_on_planted_corpus(spark, tmp_path):
+    """The verdict-required agreement pin: on a planted-duplicate
+    corpus smaller than the sample budget the seeded sample IS the
+    whole corpus, so the sampled scorecard must reproduce the full
+    scorecard's numbers exactly (and report the corpus size as
+    n_sample)."""
+    from employee_data_management_system_data_engineering_solution_spark.plans import llm as _llm
+    from employee_data_management_system_data_engineering_solution_spark.plans.registry import REGISTRY
+
+    dup_a = "the quick brown fox jumps over the lazy dog again and again"
+    dup_b = "colorless green ideas sleep furiously in the warm summer night"
+    rows = [(0, dup_a), (1, dup_a), (2, dup_a), (3, dup_b), (4, dup_b)]
+    rows += [
+        (5, "completely different content about spark partitions and shuffles"),
+        (6, "yet another unrelated document discussing parquet column pruning"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    try:
+        full = {
+            r.method: r
+            for r in REGISTRY["dedup_recall_report"].fn(spark, str(tmp_path)).collect()
+        }
+        samp = {
+            r.method: r
+            for r in REGISTRY["dedup_recall_sampled"].fn(spark, str(tmp_path)).collect()
+        }
+    finally:
+        _llm.clear_pairs_cache()
+        _llm.clear_ppjoin_cache()
+    assert set(samp) == set(full)
+    for m in full:
+        assert samp[m].n_sample == len(rows)
+        assert (samp[m].n_pred, samp[m].n_true, samp[m].n_hit) == (
+            full[m].n_pred, full[m].n_true, full[m].n_hit,
+        ), m
+        assert samp[m].recall == full[m].recall
+        assert samp[m].precision == full[m].precision
+    assert samp["minhash_lsh_j90"].recall == 1.0
+
+
+def test_dedup_recall_sampled_caps_at_sample_budget(spark, tmp_path):
+    """Above the budget the md5-rank sample caps at 2000 documents and
+    the whole measurement is bounded by the sample (n_pred/n_true can
+    never exceed sample-pair counts; here the planted duplicate pair
+    ids are verified against a python md5 replay of the sample rule)."""
+    import hashlib
+
+    from employee_data_management_system_data_engineering_solution_spark.plans.llm import _RECALL_SAMPLE_N
+    from employee_data_management_system_data_engineering_solution_spark.plans.registry import REGISTRY
+
+    n_docs = _RECALL_SAMPLE_N + 100
+    rows = [
+        (i, f"unique filler document {i} about topic {i * 7} number {i * 13}")
+        for i in range(n_docs)
+    ]
+    # plant one exact duplicate pair and compute, via the same md5
+    # rule, whether BOTH endpoints fall inside the sample
+    dup = "an exactly duplicated sentence that the truth set must catch twice over"
+    rows[10] = (10, dup)
+    rows[20] = (20, dup)
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        r.method: r
+        for r in REGISTRY["dedup_recall_sampled"].fn(spark, str(tmp_path)).collect()
+    }
+    ranked = sorted(
+        range(n_docs),
+        key=lambda i: (hashlib.md5(f"drs:{i}".encode()).hexdigest(), i),
+    )[:_RECALL_SAMPLE_N]
+    in_sample = {10, 20} <= set(ranked)
+    want_true = 1 if in_sample else 0
+    for r in got.values():
+        assert r.n_sample == _RECALL_SAMPLE_N
+        assert r.n_true == want_true
+    assert got["minhash_lsh_j90"].n_hit == want_true
+
+
+def test_dedup_recall_curve_matches_python_replay(spark, tmp_path):
+    """Band rows equal a python replay over the engine's own verified
+    pairs and truth pairs: integer banding, descending cumulative
+    sums, recall against |truth|."""
+    from collections import Counter
+
+    from employee_data_management_system_data_engineering_solution_spark.plans import llm as _llm
+    from employee_data_management_system_data_engineering_solution_spark.plans.registry import REGISTRY
+
+    dup_a = "the quick brown fox jumps over the lazy dog again and again"
+    near = dup_a + " extra"
+    rows = [(0, dup_a), (1, dup_a), (2, near),
+            (3, "some moderately similar text about foxes and dogs running"),
+            (4, "entirely unrelated content regarding database partitioning")]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    try:
+        vp = REGISTRY["ngram_jaccard_pairs"].fn(spark, str(tmp_path)).collect()
+        truth = {
+            (r.id_a, r.id_b)
+            for r in REGISTRY["ppjoin_neardup_pairs"].fn(spark, str(tmp_path)).collect()
+        }
+        got = [
+            (r.band_low, r.n_pairs, r.n_hit, r.cum_pairs, r.cum_hit,
+             r.cum_recall, r.cum_precision)
+            for r in REGISTRY["dedup_recall_curve"].fn(spark, str(tmp_path)).collect()
+        ]
+    finally:
+        _llm.clear_pairs_cache()
+        _llm.clear_ppjoin_cache()
+    assert vp and truth  # the corpus actually exercises both pipelines
+    bands = Counter()
+    hits = Counter()
+    for r in vp:
+        b = int(round(r.jaccard * 10000)) // 500
+        bands[b] += 1
+        hits[b] += (r.id_a, r.id_b) in truth
+    want = []
+    cp = ch = 0
+    for b in sorted(bands, reverse=True):
+        cp += bands[b]
+        ch += hits[b]
+        want.append((
+            round(b * 0.05, 2), bands[b], hits[b], cp, ch,
+            round(ch / len(truth), 6) if truth else None,
+            round(ch / cp, 6) if cp else None,
+        ))
+    assert got == [pytest.approx(w) for w in want]
+    # the curve is a curve: more than one band, recall non-decreasing
+    assert len(got) >= 2
+    recalls = [g[5] for g in got]
+    assert recalls == sorted(recalls)
+
+
+def test_pair_memos_invalidate_on_corpus_rewrite(spark, tmp_path):
+    """Advisor r12: the session memos fold a file fingerprint into
+    their keys, so REWRITING documents.parquet under the same sf_dir
+    within one application serves fresh pairs, not stale ones."""
+    import time
+
+    from employee_data_management_system_data_engineering_solution_spark.plans import llm as _llm
+
+    dup = "the very same duplicated sentence appearing in two documents here"
+    df = spark.createDataFrame(
+        [(0, dup), (1, dup)], "doc_id LONG, text STRING"
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    try:
+        first = _llm._verified_pairs(spark, str(tmp_path)).count()
+        assert first == 1
+        time.sleep(0.01)  # ensure a distinct mtime_ns on rewrite
+        df2 = spark.createDataFrame(
+            [(0, "totally unrelated alpha"), (1, "different content beta")],
+            "doc_id LONG, text STRING",
+        )
+        df2.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+        assert _llm._verified_pairs(spark, str(tmp_path)).count() == 0
+    finally:
+        _llm.clear_pairs_cache()
+
+
 def test_dedup_recall_report_planted_duplicates(spark, tmp_path):
     """On a corpus with planted exact duplicate cliques every detector
     recalls the full truth set; counting invariants hold."""

@@ -218,6 +218,38 @@ def test_flagged_event_with_null_ts_counts_without_reset(spark, tmp_path):
     assert batch[10] == 3
 
 
+def test_timeless_strike_with_month_transition_in_one_batch(spark, tmp_path):
+    """Within-batch ordering contract for timeless strikes (advisor
+    r12, documented at _strike_state_fn): a NULL-ts strike is credited
+    AFTER the batch's dated months — to the month the state ENDS the
+    batch in — even when the NULL-ts row physically precedes the month
+    transition in the feed, and once credited it is ordinary state for
+    later cooldowns. Here: 2 Jan strikes, a timeless strike placed
+    between them and a Feb strike. Feb's cooldown wipes the Jan
+    strikes (threshold not hit), then the timeless strike lands in
+    Feb: final count 1 (Feb) + 1 (timeless) = 2, month 2024-02."""
+    import datetime as dt
+
+    from employee_data_management_system_data_engineering_solution_spark.streaming.strikes import (
+        run_strike_stream,
+    )
+
+    _write_events_file(
+        f"{tmp_path}/events.parquet",
+        [
+            (1, dt.datetime(2024, 1, 5), 10, "error", 1.0, "{}"),
+            (2, dt.datetime(2024, 1, 6), 10, "error", 1.0, "{}"),
+            (3, None, 10, "error", 1.0, "{}"),  # timeless, mid-feed
+            (4, dt.datetime(2024, 2, 2), 10, "error", 1.0, "{}"),
+        ],
+    )
+    got = {
+        r.emp_id: r.strike_count
+        for r in run_strike_stream(spark, str(tmp_path)).collect()
+    }
+    assert got[10] == 2
+
+
 def test_null_event_id_row_is_staged_not_dropped(spark, tmp_path):
     """The micro-batch staging keyed on event_id must route a NULL (or
     negative) event_id into a real batch — a plain % would send it to

@@ -39,54 +39,46 @@ def test_check_window_covers_every_operator_family():
     elsewhere)."""
     window = list(queries())[:50]
     carriers = {
-        # Round-12 window (see the rotation narrative in
-        # plans/__init__.py): (a) the three r12 newcomers, never
-        # driver-checked; (b) the rows-only trio, ordered in by the
-        # r11 verdict for rows>0 driver evidence; (c) the COMPLETE
-        # 34-query r8-green block without driver evidence since r8
-        # (PROGRESS.jsonl final r12 entry); (d) 10 of the 50 r9-green
-        # queries, picked for family coverage and newcomer pairing:
-        # the gate the X177 trainer learns (quality_gate_logistic),
-        # the exact truth set X176 scores against
-        # (ppjoin_neardup_pairs), dedup via minhash_lsh_groups +
-        # simhash_hamming_pairs + exact_dedup, stateful streaming via
-        # strike_stream_stateful (stream_purchase_view_join +
-        # strike_window_counts ride the r8 block), ANN via
-        # embedding_topk + ivf_topk, graph via supplier_pagerank
-        # (re-green after its r11 top-k rework), multimodal via
-        # multimodal_decode + the r8 block's multimodal_profile;
-        # everything rotated out is r9/r10/r11 driver-green, guarded
-        # by the committed full local run, and the 40 remaining
-        # r9-green queries queue FIRST for r13 (PROGRESS.jsonl).
+        # Round-13 window (see the rotation narrative in
+        # plans/__init__.py): (a) the four r13 newcomers, never
+        # driver-checked; (b) the COMPLETE 40-query r9-green cohort
+        # the r12 verdict ordered in first (PROGRESS.jsonl final r13
+        # entry); (c) 6 of the 50 r10-green queries, picked for family
+        # coverage: the reference clean path (epoch_status_clean),
+        # MERGE upsert (keyed_upsert), stateful streaming + checkpoint
+        # recovery (checkpoint_restart_strikes), quantized ANN
+        # (pq_ivf_search), winnowing dedup (winnow_fingerprint_pairs),
+        # and graph (supplier_communities — the one family with no
+        # other r13-window carrier). Everything rotated out is
+        # r10/r11/r12 driver-green, guarded by the committed full
+        # local runs, and the 44 remaining r10-green queries queue
+        # FIRST for r14 (PROGRESS.jsonl r14 schedule entry).
         #
-        # new in r12 — never driver-checked:
-        "bpe_encode_stats", "dedup_recall_report",
-        "gate_training_rounds",
-        # rows-only trio (driver rows-only verdicts):
-        "simhash_signatures", "column_profile_approx",
-        "salary_percentiles_approx",
-        # re-confirmation: the complete 34-query r8-green block
-        "benford_digit_audit", "brand_price_regression",
-        "calendar_completeness_report", "cluster_safe_split",
-        "column_entropy_profile", "customers_with_urgent_orders",
-        "dedup_last_write_wins", "doc_fingerprint",
-        "fd_violation_report", "feature_drift_psi", "feature_woe_iv",
-        "frequent_shingles", "incremental_agg_refresh_minmax",
-        "lineitem_corr_matrix", "longest_leave_streak",
-        "multimodal_profile", "neardup_admission", "orc_roundtrip",
-        "purchase_error_overlap", "q3_shipping_priority",
-        "revenue_cusum_shift", "rolling_user_features",
-        "salary_change_deltas", "salted_revenue_join",
-        "snapshot_vacuum", "staging_promote_roundtrip",
-        "stream_purchase_view_join", "strike_window_counts",
-        "text_stats", "union_entities", "user_path_topk",
-        "value_outliers_mad", "weighted_median_by_flag",
-        "weighted_sample_topk",
-        # re-confirmation: 10 of the 50 r9-green (family coverage)
-        "quality_gate_logistic", "ppjoin_neardup_pairs",
-        "minhash_lsh_groups", "simhash_hamming_pairs",
-        "strike_stream_stateful", "exact_dedup", "embedding_topk",
-        "ivf_topk", "supplier_pagerank", "multimodal_decode",
+        # new in r13 — never driver-checked:
+        "gate_trained_eval", "bpe_merge_batched",
+        "dedup_recall_sampled", "dedup_recall_curve",
+        # re-confirmation: the complete 40-query r9-green cohort
+        "balanced_strata_sample", "benchmark_contamination",
+        "bloom_pruned_join", "bm25_topk", "brand_price_theilsen",
+        "bucketed_colocated_join", "column_profile", "dedup_keep_best",
+        "discount_quantity_ab", "domain_mixture_sample",
+        "embedding_neardup_pairs", "event_sessions",
+        "events_in_error_windows", "format_roundtrips",
+        "forward_fill_values", "funnel_conversion_report",
+        "fuzzy_name_pairs", "gate_calibration_bins", "gate_eval_report",
+        "hourly_interpolated_series", "hybrid_rrf_topk",
+        "hyperplane_lsh_groups", "kmeans_ivf_assign",
+        "order_price_ks_drift", "phash_neardup_pairs", "pii_scrub",
+        "price_decile_stats", "quality_weighted_sample",
+        "repeated_passages", "revenue_cube_report",
+        "revenue_forecast_mase", "schema_evolution_read",
+        "snapshot_diff_orders", "strike_report_rlike",
+        "supplier_golden_record", "text_profile", "tfidf_top_terms",
+        "train_test_split", "upcoming_leave_pct", "user_value_trend",
+        # re-confirmation: 6 of the 50 r10-green (family coverage)
+        "epoch_status_clean", "keyed_upsert",
+        "checkpoint_restart_strikes", "pq_ivf_search",
+        "winnow_fingerprint_pairs", "supplier_communities",
     }
     assert carriers <= set(window), sorted(carriers - set(window))
 
