@@ -159,13 +159,13 @@ _DECILE_PS = tuple(i / 10 for i in range(1, 10))
 _DECILE_ORACLE = f"""
     WITH cuts AS (
       SELECT {", ".join(f"round(quantile_cont(o_totalprice, {p}), 4) AS c{i}" for i, p in enumerate(_DECILE_PS, 1))}
-      FROM orders
+      FROM orders WHERE o_totalprice IS NOT NULL
     ),
     binned AS (
       SELECT o_totalprice,
              CAST(CASE {" ".join(f"WHEN o_totalprice <= c{i} THEN {i}" for i in range(1, 10))}
                   ELSE 10 END AS INT) AS decile
-      FROM orders CROSS JOIN cuts
+      FROM orders CROSS JOIN cuts WHERE o_totalprice IS NOT NULL
     )
     SELECT decile,
            count(*)                        AS n,
@@ -196,7 +196,15 @@ def price_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     than exactly n/10, which is what any cut-point decile gives."""
     from ..operators.quality import quantile_buckets
 
-    orders = read_table(spark, sf_dir, "orders").select("o_totalprice")
+    # NULL contract: an unpriceable order has no decile — excluded on
+    # both engines (the oracle's CASE would otherwise dump NULL prices
+    # into the TOP bucket via its ELSE arm: a malformed row polluting
+    # the report; probed by tools/null_parity_probe.py)
+    orders = (
+        read_table(spark, sf_dir, "orders")
+        .select("o_totalprice")
+        .filter(F.col("o_totalprice").isNotNull())
+    )
     binned = quantile_buckets(orders, "o_totalprice", n=10, bucket_col="decile")
     return (
         binned.groupBy("decile")
@@ -1629,7 +1637,12 @@ def priority_price_mwu(spark: SparkSession, sf_dir: str) -> DataFrame:
                     FILTER (WHERE l_discount <= 0.05), 0) AS BIGINT) AS s_b,
              CAST(coalesce(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
                     FILTER (WHERE l_discount <= 0.05), 0) AS BIGINT) AS q_b
-      FROM lineitem GROUP BY 1
+      FROM lineitem
+      -- mirrors operators/stats.welch_ttest's flag_a.isNotNull()
+      -- guard: a row whose assignment predicate is NULL belongs to
+      -- neither arm of the experiment
+      WHERE l_discount IS NOT NULL
+      GROUP BY 1
     ),
     v AS (
       SELECT l_returnflag, n_a, n_b,
@@ -2168,7 +2181,7 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, event_type,
              row_number() OVER (PARTITION BY user_id
                                 ORDER BY ts, event_id) AS rn
-      FROM events
+      FROM events WHERE event_type IS NOT NULL
     ),
     p AS (
       SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
@@ -2198,8 +2211,14 @@ def user_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     never ``collect_list`` ordering luck."""
     from pyspark.sql import Window
 
-    ev = read_table(spark, sf_dir, "events").select(
-        "user_id", "event_type", "ts", "event_id"
+    # NULL contract: a typeless event is no path step (Spark's
+    # array_join would silently skip it mid-path while DuckDB's
+    # string_agg NULLs the whole path — probed divergence); users with
+    # no typed events have no opening path on either engine
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .select("user_id", "event_type", "ts", "event_id")
+        .filter(F.col("event_type").isNotNull())
     )
     r = ev.withColumn(
         "rn",

@@ -208,8 +208,13 @@ _GATE_STATS_CTE = r"""
              length(text) AS nc,
              length(regexp_replace(text, '\s+', '', 'g')) AS nsp,
              CASE WHEN regexp_matches(text, '\bspark\b') THEN 1 ELSE 0 END AS lab
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     )"""
+# NULL contract (gate family, both engines): a NULL-text document has
+# no features and no label — it is excluded AT THE STATS CTE / feature
+# scan. Without the guard the engines diverge on a malformed row:
+# DuckDB's CASE gives lab = 0 (ELSE) while Spark's rlike().cast gives
+# NULL. Probed by tools/null_parity_probe.py.
 
 # Shared oracle fragment for the X143 gate and its X144/X145 eval
 # reports: heuristic text features → fixed-order logistic dot product,
@@ -236,7 +241,9 @@ def _gate_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     the relevance label, shared by the X143-X145 serving/eval stack and
     the X177 trainer (which re-scales f3 into [0, 1] before descending
     on it)."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()  # gate-family NULL contract (see CTE)
+    )
     t = F.col("text")
     wc = tx.word_count(t)
     return docs.select(
@@ -1283,7 +1290,9 @@ def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard path (``operators/dedup.containment_pairs``). Verification
     is the exact distinct-gram intersection; containment is ONE
     rounded division of exact integers over min(|A|, |B|)."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()  # dedup-family NULL contract
+    )
     base = docs.select("doc_id", "text")
     shift = F.broadcast(base.agg((F.max("doc_id") + 1).alias("__shift")))
     half_len = (
@@ -1400,7 +1409,9 @@ def _ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     if cached is None:
         from ..operators.dedup import char_ngram_rows, prefix_filter_pairs
 
-        docs = read_table(spark, sf_dir, "documents")
+        docs = read_table(spark, sf_dir, "documents").filter(
+            F.col("text").isNotNull()  # dedup-family NULL contract
+        )
         toks = char_ngram_rows(docs, "doc_id", "text", 5).distinct()
         cached = prefix_filter_pairs(
             toks, "doc_id", "gram", 9, 10
@@ -1491,7 +1502,9 @@ def neardup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hub fallback, and verifies candidates with exact n-gram
     Jaccard. Output: the admission-reject report (new_id, corpus_id,
     jaccard ≥ 0.5)."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()  # dedup-family NULL contract
+    )
     batch = docs.filter(F.col("doc_id") % 10 == 0)
     corpus = docs.filter(F.col("doc_id") % 10 != 0)
     return dedup.incremental_neardup_pairs(
@@ -1955,7 +1968,9 @@ def dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair-set-bounded frames, and the report itself is 3 rows."""
     pairs = _verified_pairs(spark, sf_dir).filter(F.col("jaccard") >= 0.9)
     truth = _ppjoin_pairs(spark, sf_dir).select("id_a", "id_b")
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()  # dedup-family NULL contract
+    )
     base = docs.select("doc_id", "text")
     detectors = {
         "containment_c90": dedup.containment_pairs(
@@ -2036,7 +2051,11 @@ def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cached = _PAIRS_CACHE.get(key)
     if cached is None:
-        docs = read_table(spark, sf_dir, "documents")
+        # dedup-family NULL contract: a NULL-text doc participates in
+        # no pairs (oracle side: the mechanical rewrite at module end)
+        docs = read_table(spark, sf_dir, "documents").filter(
+            F.col("text").isNotNull()
+        )
         cached = dedup.ngram_jaccard_pairs(
             docs, "doc_id", "text", n=5, min_jaccard=0.5
         ).localCheckpoint(eager=True)
@@ -2140,7 +2159,9 @@ def dedup_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample, so the 10× corpus shape is ~flat (BENCH_SCALE.md)."""
     docs = read_table(spark, sf_dir, "documents")
     sample = (
-        docs.filter(F.col("doc_id").isNotNull())
+        # NULL ids can't key pairs; NULL text is the dedup-family
+        # NULL contract (mirrored in the sdocs CTE)
+        docs.filter(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
         .select(
             "doc_id",
             "text",
@@ -2497,6 +2518,25 @@ _COS = (
 )
 
 
+def _live_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings scan under the similarity-family NULL contract: a
+    row whose ``embedding`` is NULL carries no geometry and
+    participates in NO similarity / index / quantization operator —
+    it is filtered AT THE SCAN, and every such query's DuckDB oracle
+    applies the identical guard (the mechanical rewrite at the bottom
+    of this module), so one malformed row diverges neither engine.
+    DuckDB's list_inner_product otherwise REFUSES lists with NULL
+    components (the fixed-dim re-slicing of a NULL embedding produces
+    exactly those), where Spark's aggregate/zip_with silently
+    propagates NULL — the same row would crash one engine and skew
+    the other. QA profiles that must SEE missing embeddings
+    (embedding_dim_profile, column profiles) deliberately bypass this
+    helper and read the raw table."""
+    return read_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+
+
 @register(
     "embedding_topk",
     f"""
@@ -2518,7 +2558,7 @@ _COS = (
     """,
 )
 def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = _live_embeddings(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 5)
     return similarity.cosine_topk_bruteforce(queries, emb, k=10)
 
@@ -2560,7 +2600,7 @@ def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = _live_embeddings(spark, sf_dir)
     pivots = emb.filter(F.col("vec_id") < 8)
     queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105))
     return similarity.ivf_topk(queries, emb, pivots, k=10)
@@ -2612,7 +2652,7 @@ def ivf_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     invariant), so (query, neighbor) pairs arise at most once and need
     no dedup; the oracle's only change from ivf_topk is rn <= 2 on the
     QUERY-side assignment window."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = _live_embeddings(spark, sf_dir)
     pivots = emb.filter(F.col("vec_id") < 8)
     queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105))
     return similarity.ivf_topk_multiprobe(queries, emb, pivots, k=10, nprobe=2)
@@ -2725,7 +2765,7 @@ def ann_incremental_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     touches ONLY the admitted batch's inverted lists; the brute-force
     ground truth is the deliberate cost of MEASURING recall (the
     X79 ann_recall_report contract), not part of the serving path."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = _live_embeddings(spark, sf_dir)
     base = emb.filter(F.col("vec_id") % 10 != 0)
     batch = emb.filter(F.col("vec_id") % 10 == 0)
     pivots = base.filter(F.col("vec_id") < 8)
@@ -2811,7 +2851,7 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     typically <1% for cosine). Pure narrow map (max-abs fold +
     transform), no UDF, no shuffle; the driver surface stringifies the
     int array and rounds the scale to 6 dp on both engines."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = _live_embeddings(spark, sf_dir)
     q = similarity.quantize_int8(emb)
     return q.select(
         "vec_id",
@@ -2873,7 +2913,7 @@ def quantized_topk_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines), then full-precision rescoring of only those candidates.
     The coarse stage reads the 4x-smaller code table; the float vectors
     are touched for ~30 rows per query instead of the whole corpus."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = _live_embeddings(spark, sf_dir)
     queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105))
     return similarity.quantized_topk_rescore(queries, emb, k=10, rescore_factor=3)
 
@@ -2966,7 +3006,7 @@ def quantized_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact float rescoring of the ~30 survivors per query. Composes the
     two halves that ivf_topk_multiprobe and quantized_topk_rescore
     exercise separately — P× scan reduction × 4× compression."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = _live_embeddings(spark, sf_dir)
     pivots = emb.filter(F.col("vec_id") < 8)
     queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105))
     return similarity.quantized_ivf_topk(
@@ -3147,7 +3187,7 @@ def _ann_truth_and_ranked_methods(spark: SparkSession, sf_dir: str):
     cached = _ANN_EVAL_CACHE.get(key)
     if cached is not None:
         return cached
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = _live_embeddings(spark, sf_dir)
     pivots = emb.filter(F.col("vec_id") < 8)
     queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105))
     truth = (
@@ -3457,7 +3497,7 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs). The corpus is the embeddings table plus an id-shifted
     copy, planting exact duplicates so the operator's output is
     non-trivial on this corpus (natural max pairwise cosine ≈ 0.51)."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = _live_embeddings(spark, sf_dir)
     corpus = _planted_dup_corpus(emb, "vec_id", "embedding")
     pivots = emb.filter(F.col("vec_id") < 32).select("vec_id", "embedding")
     return similarity.cosine_neardup_pairs(corpus, pivots, threshold=0.999)
@@ -3490,7 +3530,7 @@ def pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     billion-vector indexes, where the scan reads m bytes per vector
     instead of 4·dim. The oracle unrolls training, encoding, and the
     j-ordered ADC summation in SQL."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = _live_embeddings(spark, sf_dir)
     cbs = similarity.pq_train_codebooks(emb, m=8)
     queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105))
     return similarity.pq_adc_topk(queries, emb, cbs, m=8, k=10, rescore_factor=10)
@@ -3525,7 +3565,7 @@ def pq_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment scan via ``pq_encode(keep=("cluster_id",))``); the
     oracle reuses the shared IVF CTEs + trained-PQ CTEs with the
     cluster-restricted ADC search."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = _live_embeddings(spark, sf_dir)
     pivots = emb.filter(F.col("vec_id") < 8)
     cbs = similarity.pq_train_codebooks(emb, m=8)
     queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105))
@@ -3696,8 +3736,19 @@ def multimodal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_bytes",
             "media_type",
-            F.coalesce("n_frames", F.lit(0)).cast("long").alias("n_frames"),
-            F.coalesce("frame_bytes_total", F.lit(0))
+            # coalesce only for EMPTY payloads (0 frames); a NULL
+            # payload NULL-propagates — the uniform multimodal NULL
+            # contract (decode_features already does; r13 probe)
+            F.when(
+                F.col("n_bytes").isNotNull(),
+                F.coalesce("n_frames", F.lit(0)),
+            )
+            .cast("long")
+            .alias("n_frames"),
+            F.when(
+                F.col("n_bytes").isNotNull(),
+                F.coalesce("frame_bytes_total", F.lit(0)),
+            )
             .cast("long")
             .alias("frame_bytes_total"),
         )
@@ -3724,9 +3775,15 @@ def multimodal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
            n_bytes,
            'application/octet-stream' AS media_type,
            CAST(n_bytes AS BIGINT) AS f_len,
-           CAST(coalesce(list_sum(bytes), 0) AS BIGINT) AS f_sum,
-           CAST(coalesce(bytes[1], 0) AS BIGINT) AS f_first,
-           CAST(coalesce(bytes[-1], 0) AS BIGINT) AS f_last
+           -- coalesce is the EMPTY-payload zero; NULL payloads
+           -- NULL-propagate (n_bytes IS NULL ⟺ payload IS NULL) —
+           -- the uniform multimodal NULL contract
+           CASE WHEN n_bytes IS NOT NULL
+                THEN CAST(coalesce(list_sum(bytes), 0) AS BIGINT) END AS f_sum,
+           CASE WHEN n_bytes IS NOT NULL
+                THEN CAST(coalesce(bytes[1], 0) AS BIGINT) END AS f_first,
+           CASE WHEN n_bytes IS NOT NULL
+                THEN CAST(coalesce(bytes[-1], 0) AS BIGINT) END AS f_last
     FROM b
     """,
 )
@@ -4191,7 +4248,7 @@ def hyperplane_lsh_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cosine-LSH candidate groups over the embedding corpus — the
     vector-space twin of `minhash_lsh_groups`: same one-shuffle bucket
     pattern, hyperplane sign bits instead of MinHash bands."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = _live_embeddings(spark, sf_dir)
     banded = hyperplane_lsh(emb, "vec_id", "embedding", planes=_PLANES, bands=2)
     return (
         banded.groupBy("band_no", "bucket")
@@ -4368,7 +4425,11 @@ def context_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     differs."""
     from ..operators.prefix import prefix_sum
 
-    docs = read_table(spark, sf_dir, "documents")
+    # packing NULL contract: a NULL-text doc has no tokens and is not
+    # packable — excluded on both engines (oracle rewrite at module end)
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
     toks = docs.select("doc_id", tx.word_count(F.col("text")).alias("n_tokens"))
     capacity = 2048
     scanned = prefix_sum(toks, "doc_id", "n_tokens", out_col="__run")
@@ -4687,7 +4748,7 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: both runs are existing bounded shapes (inverted-index probe
     + broadcast brute-force over the bounded query set); fusion is a
     full-outer join on (query, doc) over ≤ 40 rows per query."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = _live_embeddings(spark, sf_dir)
     lex = (
         _bm25_ranked(spark, sf_dir)
         .filter(F.col("rank") <= 20)
@@ -6151,7 +6212,7 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank window, so the top-k never wastes slots on same-label
     neighbors. The IVF/PQ index paths (X74-X92) are the scale
     substitute for the scan, exactly as with the recall queries."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = _live_embeddings(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("q_label"),
@@ -6463,3 +6524,121 @@ def token_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "boost"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Embeddings NULL contract — oracle side (see _live_embeddings).
+# The similarity / index / quantization family reads only rows whose
+# embedding is non-NULL on BOTH engines: the Spark plans filter at the
+# scan via _live_embeddings; here the SAME guard is applied to their
+# oracles mechanically (one definition instead of 15 hand-edited
+# fragments that could silently drift). Queries that must SEE missing
+# embeddings (embedding_dim_profile, the column profiles) are not
+# listed. No effect at any driver SF (no NULL embeddings there) —
+# this is the one-malformed-row-in-100TB contract, probed by
+# tools/null_parity_probe.py and pinned in tests/test_empty_inputs.py.
+# ---------------------------------------------------------------------------
+_EMB_NULL_CONTRACT = (
+    "embedding_topk",
+    "ivf_topk",
+    "ivf_topk_multiprobe",
+    "ann_incremental_admission",
+    "embedding_quantize",
+    "quantized_topk_rescore",
+    "quantized_ivf_topk",
+    "ann_recall_report",
+    "ann_rank_quality",
+    "embedding_neardup_pairs",
+    "pq_adc_search",
+    "pq_ivf_search",
+    "hyperplane_lsh_groups",
+    "hybrid_rrf_topk",
+    "hard_negative_mining",
+)
+
+for _q in _EMB_NULL_CONTRACT:
+    _spec = REGISTRY[_q]
+    assert _spec.oracle_sql and "FROM embeddings" in _spec.oracle_sql, _q
+    _sql = _spec.oracle_sql.replace(
+        "FROM embeddings",
+        "FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL)"
+        " embeddings",
+    )
+    if _q == "hyperplane_lsh_groups":
+        # this oracle applies list_dot_product IN THE FIRST PROJECTION
+        # over the scan, and DuckDB's projection pushdown evaluates it
+        # before the inline-subquery filter (probed: even CASE does not
+        # short-circuit it) — a MATERIALIZED CTE is the one reliable
+        # barrier between the NULL filter and the dot products.
+        _sql = _sql.replace(
+            "FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL)"
+            " embeddings",
+            "FROM __live_embeddings embeddings",
+        )
+        _sql = _sql.replace(
+            "WITH sig AS (",
+            "WITH __live_embeddings AS MATERIALIZED (\n"
+            "      SELECT * FROM embeddings WHERE embedding IS NOT NULL\n"
+            "    ),\n    sig AS (",
+            1,
+        )
+    REGISTRY[_q] = type(_spec)(fn=_spec.fn, oracle_sql=_sql)
+del _q, _spec, _sql
+
+# ---------------------------------------------------------------------------
+# Documents NULL contract — oracle side (dedup pair family + packing).
+# A NULL-text document participates in NO pair pipeline (its
+# normalization is NULL on both engines, but the downstream
+# signature/bucket behavior of a NULL norm is engine-specific — Spark
+# MinHash signatures of a NULL text would bucket the malformed rows
+# together where DuckDB's NULL propagation drops them) and is not
+# packable. The Spark plans filter at the scan (see _verified_pairs /
+# _ppjoin_pairs / the per-query filters); here the SAME guard lands in
+# the oracles. _N_READS pins how many `FROM documents` reads each
+# oracle has and HOW MANY OF THE FIRST ones carry the pair/packing
+# contract — e.g. neardup_prune's and cross_split_leakage's final
+# spine reads deliberately KEEP NULL-text docs (a doc with no text
+# still survives dedup / still belongs to a split).
+# ---------------------------------------------------------------------------
+_DOC_NULL_CONTRACT: dict[str, tuple[int, int]] = {
+    # name: (total `FROM documents` reads, leading reads to guard)
+    "ngram_jaccard_pairs": (1, 1),
+    "ppjoin_neardup_pairs": (1, 1),
+    "shingle_containment_pairs": (1, 1),
+    "neardup_admission": (1, 1),
+    "dedup_clusters": (1, 1),
+    "dedup_clusters_star": (1, 1),
+    "neardup_prune": (2, 1),  # 2nd read = the surviving-docs spine
+    "dedup_recall_report": (4, 4),
+    "dedup_recall_curve": (2, 2),
+    "cross_split_leakage": (2, 1),  # 2nd read = the eval-doc spine
+    "context_pack_bins": (1, 1),
+}
+
+_GUARDED = (
+    "FROM (SELECT * FROM documents WHERE text IS NOT NULL) documents"
+)
+
+for _q, (_total, _lead) in _DOC_NULL_CONTRACT.items():
+    _spec = REGISTRY[_q]
+    assert _spec.oracle_sql.count("FROM documents") == _total, _q
+    _parts = _spec.oracle_sql.split("FROM documents")
+    _sql = _GUARDED.join(_parts[: _lead + 1]) + "".join(
+        "FROM documents" + t for t in _parts[_lead + 1 :]
+    )
+    REGISTRY[_q] = type(_spec)(fn=_spec.fn, oracle_sql=_sql)
+del _q, _spec, _total, _lead, _parts, _sql
+
+# dedup_recall_sampled carries the guard inside its sdocs CTE instead
+# (one read, already filtered on doc_id) — patch the WHERE in place.
+_spec = REGISTRY["dedup_recall_sampled"]
+assert "WHERE doc_id IS NOT NULL" in _spec.oracle_sql
+REGISTRY["dedup_recall_sampled"] = type(_spec)(
+    fn=_spec.fn,
+    oracle_sql=_spec.oracle_sql.replace(
+        "WHERE doc_id IS NOT NULL",
+        "WHERE doc_id IS NOT NULL AND text IS NOT NULL",
+        1,
+    ),
+)
+del _spec

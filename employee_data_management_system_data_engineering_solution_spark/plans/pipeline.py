@@ -477,7 +477,12 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT user_id,
            count(*)               AS n_events,
-           CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
+           -- coalesce mirrors the incremental accumulator: the
+           -- cross-batch merge seeds state at 0.00, so a user whose
+           -- every value is NULL holds total_value 0, not NULL
+           CAST(round(coalesce(sum(CAST(value AS DECIMAL(12,2))),
+                               CAST(0.00 AS DECIMAL(12,2))), 2) AS DOUBLE)
+             AS total_value
     FROM events
     GROUP BY user_id
     """,
@@ -1217,7 +1222,11 @@ def _stage_split_events(spark: SparkSession, sf_dir: str, base: str) -> str:
     ev = read_table(spark, sf_dir, "events")
     work = os.path.join(base, "__writer")
     for name, half in (
-        ("a_early", ev.filter(F.col("ts") < _TS_CUT)),
+        # NULL-ts rows ride the EARLY half: `ts < cut` and `ts >= cut`
+        # are both false for NULL, so without the isNull arm a
+        # malformed row would fall into NEITHER file — silent row loss
+        # in the staging split (the r12 event_id%n lesson again)
+        ("a_early", ev.filter((F.col("ts") < _TS_CUT) | F.col("ts").isNull())),
         ("b_late", ev.filter(F.col("ts") >= _TS_CUT)),
     ):
         half.coalesce(1).write.mode("overwrite").parquet(work)
@@ -1426,7 +1435,13 @@ def strike_stream_from_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(stage)
     work = os.path.join(base, "__writer")
     for name, half in (
-        ("seg_00", wire.filter(F.col("timestamp") < _TS_CUT)),
+        # NULL-timestamp frames ride segment 0 (see _stage_split_events)
+        (
+            "seg_00",
+            wire.filter(
+                (F.col("timestamp") < _TS_CUT) | F.col("timestamp").isNull()
+            ),
+        ),
         ("seg_01", wire.filter(F.col("timestamp") >= _TS_CUT)),
     ):
         half.coalesce(1).write.mode("overwrite").parquet(work)

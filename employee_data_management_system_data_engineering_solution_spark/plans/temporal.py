@@ -682,11 +682,18 @@ def weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "value_winsorized_stats",
     """
-    WITH b AS (
+    WITH live AS (
+      -- NULL contract: a row with NULL group key or NULL metric
+      -- carries no winsorizable signal (NULL type would silently form
+      -- its own Spark group while the USING join drops it here)
+      SELECT event_type, value FROM events
+      WHERE event_type IS NOT NULL AND value IS NOT NULL
+    ),
+    b AS (
       SELECT event_type,
              quantile_cont(value, 0.01) AS lo,
              quantile_cont(value, 0.99) AS hi
-      FROM events GROUP BY event_type
+      FROM live GROUP BY event_type
     )
     SELECT e.event_type,
            count(*) AS n,
@@ -696,7 +703,7 @@ def weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(avg(CASE WHEN value < lo THEN lo
                           WHEN value > hi THEN hi
                           ELSE value END), 4) AS mean_winsorized
-    FROM events e JOIN b USING (event_type)
+    FROM live e JOIN b USING (event_type)
     GROUP BY e.event_type
     """,
 )
@@ -713,7 +720,11 @@ def value_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus passes, no corpus shuffle."""
     from ..operators.cleaning import winsorize
 
-    ev = read_table(spark, sf_dir, "events").select("event_type", "value")
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .select("event_type", "value")
+        .filter(F.col("event_type").isNotNull() & F.col("value").isNotNull())
+    )
     w = winsorize(ev, "event_type", "value", lo=0.01, hi=0.99)
     return w.groupBy("event_type").agg(
         F.count("*").alias("n"),
@@ -804,9 +815,12 @@ def rolling_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "revenue_cusum_shift",
     """
     WITH daily AS (
+      -- NULL contract: an order with no date sits nowhere on the time
+      -- axis (Spark sorts NULL first, DuckDB last — the cumulative
+      -- chain would diverge on a single malformed row)
       SELECT CAST(o_orderdate AS DATE) AS d,
              sum(CAST(o_totalprice AS DECIMAL(12,2))) AS x
-      FROM orders GROUP BY 1
+      FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
     ),
     c AS (
       SELECT d, x,
@@ -853,7 +867,9 @@ def revenue_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded heap."""
     from pyspark.sql import Window
 
-    orders = read_table(spark, sf_dir, "orders")
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()  # time-axis NULL contract
+    )
     daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
         F.sum(money("o_totalprice")).alias("x")
     )
@@ -974,10 +990,12 @@ def revenue_forecast_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (deterministic cumulative order), one exp at the end.
     """
     WITH ue AS (
+      -- time-axis NULL contract: a user whose every event is
+      -- timestamp-less has no duration and no censoring status
       SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts
-      FROM events GROUP BY 1
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
     ),
-    se AS (SELECT max(ts) AS study_end FROM events),
+    se AS (SELECT max(ts) AS study_end FROM events WHERE ts IS NOT NULL),
     u AS (
       SELECT datediff('day', first_ts, last_ts) AS t,
              CASE WHEN datediff('day', last_ts, study_end) > 14
@@ -1044,7 +1062,9 @@ def user_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate only; the study-end scalar rides a lazy broadcast."""
     from pyspark.sql import Window
 
-    ev = read_table(spark, sf_dir, "events")
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()  # time-axis NULL contract (see module doc)
+    )
     ue = ev.groupBy("user_id").agg(
         F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
     )

@@ -86,13 +86,25 @@ def test_training_preconditions_raise_explicit_errors(spark, empty_wh):
 
 @pytest.fixture(scope="module")
 def nullrow_wh(tmp_path_factory):
-    """sf0.001 documents/events plus two appended rows per table with
-    every NON-KEY column NULL (keys = max+1/max+2) — the one-malformed-
-    row-in-100TB scenario."""
+    """sf0.001 with two appended rows per table in which every NON-KEY
+    column is NULL (keys = max+1/max+2) — the one-malformed-row-in-
+    100TB scenario, all ten tables (the r13 NULL-parity campaign's
+    probe warehouse; see tools/null_parity_probe.py)."""
     import pyarrow as pa
 
     d = tmp_path_factory.mktemp("nullrow_wh")
-    keys = {"documents": {"doc_id"}, "events": {"event_id", "user_id"}}
+    keys = {
+        "region": {"r_regionkey"},
+        "nation": {"n_nationkey", "n_regionkey"},
+        "customer": {"c_custkey", "c_nationkey"},
+        "supplier": {"s_suppkey", "s_nationkey"},
+        "part": {"p_partkey"},
+        "orders": {"o_orderkey", "o_custkey"},
+        "lineitem": {"l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"},
+        "events": {"event_id", "user_id"},
+        "documents": {"doc_id"},
+        "embeddings": {"vec_id"},
+    }
     for t in TABLES:
         tbl = pq.read_table(f"/root/testdata/sf0.001/{t}.parquet")
         if t in keys:
@@ -275,3 +287,66 @@ def test_null_event_id_row_is_staged_not_dropped(spark, tmp_path):
         for r in run_upsert_stream(spark, str(tmp_path)).collect()
     }
     assert got == {10: (3, 7.0), 20: (1, 8.0)}
+
+
+# ---------------------------------------------------------------------------
+# Round-13 NULL-parity campaign pins (tools/null_parity_probe.py): the
+# per-family NULL contracts applied identically on BOTH engines.
+# ---------------------------------------------------------------------------
+def test_null_embedding_excluded_from_similarity(spark, nullrow_wh):
+    """Similarity-family contract: a NULL embedding participates in no
+    index/search — the injected vec_ids never appear on either side of
+    a top-k pair, and the query still runs (DuckDB's oracle twin would
+    otherwise refuse NULL components outright)."""
+    base_max = 499  # sf0.001 embeddings: vec_id 0..499
+    rows = REGISTRY["embedding_topk"].fn(spark, nullrow_wh).collect()
+    assert rows
+    for r in rows:
+        assert r.query_id <= base_max and r.neighbor_id <= base_max
+
+
+def test_null_text_excluded_from_gate_and_dedup(spark, nullrow_wh):
+    """Gate + dedup family contract: a NULL-text document has no
+    features, no label, and no pairs — the gate report drops it and
+    the two injected docs never pair with each other."""
+    from employee_data_management_system_data_engineering_solution_spark.plans import llm as _llm
+
+    gate = REGISTRY["quality_gate_logistic"].fn(spark, nullrow_wh).collect()
+    assert len(gate) == 500  # the two NULL-text docs are not scorable
+    try:
+        pairs = REGISTRY["ngram_jaccard_pairs"].fn(spark, nullrow_wh).collect()
+    finally:
+        _llm.clear_pairs_cache()
+    injected = {500, 501}
+    for r in pairs:
+        assert r.id_a not in injected and r.id_b not in injected
+
+
+def test_null_ts_event_survives_staging_split(spark, nullrow_wh):
+    """The two-phase checkpoint-restart staging splits events on
+    ``ts < cut`` / ``ts >= cut`` — a NULL ts fails BOTH predicates, so
+    without the isNull arm the injected employees would silently
+    vanish from the stream (the r12 event_id%n lesson). They must
+    appear in the final state with 0 strikes (their only event has
+    NULL event_type = not flagged)."""
+    got = {
+        r.emp_id: r.strike_count
+        for r in REGISTRY["checkpoint_restart_strikes"].fn(spark, nullrow_wh).collect()
+    }
+    ev = pq.read_table(f"{nullrow_wh}/events.parquet").to_pandas()
+    injected = set(ev["user_id"].tail(2).astype(int))
+    for emp in injected:
+        assert got.get(emp) == 0, (emp, got.get(emp))
+
+
+def test_null_rows_excluded_from_stats_reports(spark, nullrow_wh):
+    """Stats-family contracts: NULL price rows get no decile (the
+    oracle's CASE would dump them into the top bucket), NULL group
+    keys/metrics get no winsorization group, NULL dates sit nowhere on
+    the CUSUM time axis."""
+    deciles = REGISTRY["price_decile_stats"].fn(spark, nullrow_wh).collect()
+    assert sorted(r.decile for r in deciles) == list(range(1, 11))
+    wins = REGISTRY["value_winsorized_stats"].fn(spark, nullrow_wh).collect()
+    assert all(r.event_type is not None for r in wins)
+    cusum = REGISTRY["revenue_cusum_shift"].fn(spark, nullrow_wh).collect()
+    assert all(r.day is not None for r in cusum)

@@ -93,6 +93,11 @@ TARGETS = [
     "hard_negative_mining",
     "k_anonymity_report",
     "column_entropy_profile",
+    # round-13 additions (X178-X181)
+    "gate_trained_eval",
+    "bpe_merge_batched",
+    "dedup_recall_sampled",
+    "dedup_recall_curve",
     # round-11 additions (X167-X174)
     "bpe_merge_table",
     "unicode_script_profile",
