@@ -1125,3 +1125,307 @@ def user_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").alias("c_censored"),
         survival.alias("survival"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Weekly seasonal decomposition of daily revenue (X182)
+# ---------------------------------------------------------------------------
+@register(
+    "seasonal_decompose_report",
+    """
+    WITH daily AS (
+      -- time-axis NULL contract: an undated order sits nowhere on the
+      -- series (same guard as revenue_cusum_shift)
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             sum(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+      FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
+    ),
+    t AS (
+      SELECT d, rev,
+             datediff('day', DATE '1970-01-01', d) AS di
+      FROM daily
+    ),
+    w AS (
+      SELECT d, rev,
+             sum(rev)  OVER (ORDER BY di RANGE BETWEEN 3 PRECEDING
+                             AND 3 FOLLOWING) AS trend_sum,
+             count(*)  OVER (ORDER BY di RANGE BETWEEN 3 PRECEDING
+                             AND 3 FOLLOWING) AS trend_n
+      FROM t
+    ),
+    det AS (
+      -- float-free detrending: det7 = 7*rev - trend_sum equals
+      -- 7*(rev - trend) exactly in DECIMAL; only full, gap-free
+      -- centered weeks carry a trend estimate
+      SELECT isodow(d) AS dow, rev,
+             -- clamp to DECIMAL(18,2) so det7*det7 fits DECIMAL(37,4)
+             -- EXACTLY in both engines (unclamped inference overflows
+             -- 38 digits and each engine rounds differently)
+             CAST(7 * rev - trend_sum AS DECIMAL(18,2)) AS det7
+      FROM w WHERE trend_n = 7
+    )
+    SELECT CAST(dow AS INT) AS dow,
+           CAST(count(*) AS BIGINT) AS n_days,
+           round(CAST(sum(rev) AS DOUBLE) / count(*), 6) AS avg_revenue,
+           round(CAST(sum(det7) AS DOUBLE) / (7 * count(*)), 6) AS seasonal,
+           -- widen ONE factor to DECIMAL(19,2): DuckDB's 18-digit
+           -- multiply stays in INT64 and overflows; 19+18=37 digits
+           -- rides INT128 and stays exact (Spark's (18,2)x(18,2) is
+           -- (37,4) — the same exact product). The sum carries ~20
+           -- significant digits, and DuckDB's direct DECIMAL→DOUBLE
+           -- double-rounds (INT128→double, then /10^4) — one ulp off
+           -- Java's correctly-rounded BigDecimal cast — so the cast
+           -- routes through VARCHAR (decimal→string is exact, and
+           -- string→double correctly rounds ONCE in both engines)
+           -- greatest(.,0): cancellation can leave an epsilon-negative
+           -- variance when the true residual spread is ~0
+           round(sqrt(greatest((CAST(CAST(sum(CAST(det7 AS DECIMAL(19,2))
+                                            * det7)
+                            AS VARCHAR) AS DOUBLE)
+                  - CAST(sum(det7) AS DOUBLE) * CAST(sum(det7) AS DOUBLE)
+                    / count(*))
+                 / (49.0 * count(*)), 0.0)), 6) AS resid_stddev
+    FROM det
+    GROUP BY 1
+    """,
+)
+def seasonal_decompose_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X182: classical additive seasonal decomposition of the daily
+    revenue series on a weekly period — per ISO day-of-week: the mean
+    seasonal component (average deviation from the centered 7-day
+    trend) and the within-dow residual STDDEV (the spread of the
+    detrended values around their dow mean — exactly the residual
+    variance of the trend+seasonal model, since the seasonal component
+    IS the dow mean of the detrended series).
+
+    Exactness discipline: the decomposition never divides early.
+    ``det7 = 7*rev − Σ₍₋₃..₊₃₎rev`` is exact DECIMAL (equal to 7× the
+    detrended value), computed only where the centered window holds a
+    FULL gap-free week (count==7 over an integer-day RANGE frame, so
+    calendar holes disqualify a day rather than skewing its trend).
+    Sums and the variance numerator stay DECIMAL; doubles appear only
+    in the final per-dow divisions, rounded 6 dp. Day-of-week parity:
+    Spark ``weekday(d)+1`` ≡ DuckDB ``isodow(d)`` (Mon=1..Sun=7).
+
+    Scale: one map-side-combined daily rollup (|days| rows); the
+    ordered RANGE window runs over the tiny series, not the fact
+    table; output is ≤7 rows. At 100 TB the rollup is the only
+    corpus-sized shuffle — identical shape to revenue_cusum_shift."""
+    from pyspark.sql import Window
+
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    )
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(money("o_totalprice")).alias("rev")
+    )
+    t = daily.withColumn(
+        "di", F.datediff(F.col("d"), F.lit("1970-01-01").cast("date"))
+    )
+    win = Window.orderBy("di").rangeBetween(-3, 3)
+    w = t.select(
+        "d",
+        "rev",
+        F.sum("rev").over(win).alias("trend_sum"),
+        F.count("*").over(win).alias("trend_n"),
+    )
+    det = w.filter(F.col("trend_n") == 7).select(
+        (F.expr("weekday(d)") + F.lit(1)).alias("dow"),
+        "rev",
+        (F.lit(7) * F.col("rev") - F.col("trend_sum"))
+        .cast("decimal(18,2)")
+        .alias("det7"),
+    )
+    n = F.count("*")
+    sdet = F.sum("det7").cast("double")
+    return det.groupBy(F.col("dow").cast("int").alias("dow")).agg(
+        n.cast("long").alias("n_days"),
+        F.round(F.sum("rev").cast("double") / n, 6).alias("avg_revenue"),
+        F.round(sdet / (F.lit(7) * n), 6).alias("seasonal"),
+        F.round(
+            F.sqrt(
+                F.greatest(
+                    (
+                        # string-routed cast: see the oracle comment —
+                        # the 20-digit exact decimal must round ONCE
+                        F.sum(F.col("det7") * F.col("det7"))
+                        .cast("string")
+                        .cast("double")
+                        - sdet * sdet / n
+                    )
+                    / (F.lit(49.0) * n),
+                    F.lit(0.0),
+                )
+            ),
+            6,
+        ).alias("resid_stddev"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall monotone-trend test per nation (X183)
+# ---------------------------------------------------------------------------
+@register(
+    "mann_kendall_trend",
+    """
+    WITH monthly AS (
+      SELECT n.n_name,
+             CAST(date_trunc('month', o.o_orderdate) AS DATE) AS m,
+             sum(CAST(o.o_totalprice AS DECIMAL(12,2))) AS rev
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n   ON n.n_nationkey = c.c_nationkey
+      WHERE o.o_orderdate IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT a.n_name,
+             CAST(sum(CASE WHEN b.rev > a.rev THEN 1
+                           WHEN b.rev < a.rev THEN -1
+                           ELSE 0 END) AS BIGINT) AS s_stat
+      FROM monthly a
+      JOIN monthly b ON a.n_name = b.n_name AND a.m < b.m
+      GROUP BY 1
+    ),
+    ties AS (
+      SELECT n_name,
+             sum(tc * (tc - 1) * (2 * tc + 5)) AS tie_term
+      FROM (SELECT n_name, rev, CAST(count(*) AS BIGINT) AS tc
+            FROM monthly GROUP BY 1, 2)
+      GROUP BY 1
+    ),
+    nn AS (
+      SELECT n_name, CAST(count(*) AS BIGINT) AS n_months FROM monthly
+      GROUP BY 1
+    )
+    SELECT nn.n_name,
+           CAST(nn.n_months AS INT) AS n_months,
+           coalesce(s.s_stat, 0) AS s_stat,
+           round((nn.n_months * (nn.n_months - 1) * (2 * nn.n_months + 5)
+                  - ties.tie_term) / 18.0, 4) AS var_s,
+           CASE WHEN nn.n_months >= 3
+                 AND (nn.n_months * (nn.n_months - 1) * (2 * nn.n_months + 5)
+                      - ties.tie_term) > 0
+                THEN round(
+                  (coalesce(s.s_stat, 0)
+                   - CASE WHEN coalesce(s.s_stat, 0) > 0 THEN 1
+                          WHEN coalesce(s.s_stat, 0) < 0 THEN -1
+                          ELSE 0 END)
+                  / sqrt((nn.n_months * (nn.n_months - 1)
+                          * (2 * nn.n_months + 5) - ties.tie_term) / 18.0),
+                  4) END AS z_stat,
+           CASE WHEN nn.n_months < 3
+                 OR (nn.n_months * (nn.n_months - 1) * (2 * nn.n_months + 5)
+                     - ties.tie_term) <= 0 THEN 'insufficient'
+                WHEN abs((coalesce(s.s_stat, 0)
+                   - CASE WHEN coalesce(s.s_stat, 0) > 0 THEN 1
+                          WHEN coalesce(s.s_stat, 0) < 0 THEN -1
+                          ELSE 0 END)
+                  / sqrt((nn.n_months * (nn.n_months - 1)
+                          * (2 * nn.n_months + 5) - ties.tie_term) / 18.0))
+                  <= 1.96 THEN 'no trend'
+                WHEN coalesce(s.s_stat, 0) > 0 THEN 'increasing'
+                ELSE 'decreasing' END AS trend
+    FROM nn
+    JOIN ties ON ties.n_name = nn.n_name
+    LEFT JOIN s ON s.n_name = nn.n_name
+    """,
+)
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X183: the Mann-Kendall monotone-trend test (Mann 1945 /
+    Kendall 1975) on each nation's monthly revenue series —
+    S = Σ_{i<j} sign(x_j − x_i), the tie-corrected variance
+    Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)]/18, and the
+    continuity-corrected normal statistic z = (S∓1)/√Var(S); verdict
+    at the two-sided 5% level (|z| > 1.96). The standard
+    distribution-free "is this metric drifting?" monitor — no
+    linearity or normality assumption, exactly what a per-segment
+    revenue/quality drift gate wants (complements revenue_cusum_shift,
+    which LOCATES a level shift, and brand_price_theilsen, which fits
+    a slope).
+
+    Exactness: sign comparisons on exact DECIMAL monthly sums; S and
+    the tie/variance terms are pure integer arithmetic; doubles appear
+    only in the final z (÷18, sqrt), rounded 4 dp, and the verdict
+    re-derives z from the same integers so no engine compares against
+    a differently-rounded intermediate.
+
+    Scale: one map-side-combined nation×month rollup is the only
+    corpus-sized shuffle; the pairwise sign join is within-nation over
+    the |months|-row series (n≈24 ⇒ ~276 pairs per nation), bounded by
+    |nations|·n² regardless of fact-table size."""
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    )
+    customer = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    monthly = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            "n_name",
+            F.date_trunc("month", "o_orderdate").cast("date").alias("m"),
+        )
+        .agg(F.sum(money("o_totalprice")).alias("rev"))
+    )
+    a = monthly.alias("a")
+    b = monthly.alias("b")
+    s = (
+        a.join(
+            b,
+            (F.col("a.n_name") == F.col("b.n_name"))
+            & (F.col("a.m") < F.col("b.m")),
+        )
+        .groupBy(F.col("a.n_name").alias("n_name"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.rev") > F.col("a.rev"), 1)
+                .when(F.col("b.rev") < F.col("a.rev"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s_stat")
+        )
+    )
+    tc = F.col("tc")
+    ties = (
+        monthly.groupBy("n_name", "rev")
+        .agg(F.count("*").cast("long").alias("tc"))
+        .groupBy("n_name")
+        .agg(F.sum(tc * (tc - 1) * (2 * tc + 5)).alias("tie_term"))
+    )
+    nn = monthly.groupBy("n_name").agg(
+        F.count("*").cast("long").alias("n_months")
+    )
+    j = (
+        nn.join(ties, "n_name")
+        .join(s, "n_name", "left")
+        .select(
+            "n_name",
+            "n_months",
+            F.coalesce(F.col("s_stat"), F.lit(0).cast("long")).alias("s0"),
+            (
+                F.col("n_months")
+                * (F.col("n_months") - 1)
+                * (2 * F.col("n_months") + 5)
+                - F.col("tie_term")
+            ).alias("var18"),
+        )
+    )
+    sgn = (
+        F.when(F.col("s0") > 0, 1).when(F.col("s0") < 0, -1).otherwise(0)
+    )
+    z = (F.col("s0") - sgn) / F.sqrt(F.col("var18") / F.lit(18.0))
+    ok = (F.col("n_months") >= 3) & (F.col("var18") > 0)
+    return j.select(
+        "n_name",
+        F.col("n_months").cast("int").alias("n_months"),
+        F.col("s0").alias("s_stat"),
+        F.round(F.col("var18") / F.lit(18.0), 4).alias("var_s"),
+        F.when(ok, F.round(z, 4)).alias("z_stat"),
+        F.when(~ok, F.lit("insufficient"))
+        .when(F.abs(z) <= 1.96, F.lit("no trend"))
+        .when(F.col("s0") > 0, F.lit("increasing"))
+        .otherwise(F.lit("decreasing"))
+        .alias("trend"),
+    )
