@@ -2370,3 +2370,103 @@ def column_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p_ in parts[1:]:
         out = out.unionByName(p_)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit across the warehouse FK graph (X184)
+# ---------------------------------------------------------------------------
+#: (child table, fk column, parent table, pk column) — the complete
+#: star-schema FK edge set of the warehouse.
+_FK_EDGES: tuple[tuple[str, str, str, str], ...] = (
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+def _ri_audit_oracle() -> str:
+    blocks = []
+    for child, fk, parent, pk in _FK_EDGES:
+        blocks.append(
+            f"""
+    SELECT '{child}.{fk}->{parent}.{pk}' AS edge,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN c.{fk} IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_null_fk,
+           CAST(sum(CASE WHEN c.{fk} IS NOT NULL AND p.{pk} IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan_rows,
+           CAST(count(DISTINCT CASE WHEN c.{fk} IS NOT NULL
+                                     AND p.{pk} IS NULL
+                                    THEN c.{fk} END)
+                AS BIGINT) AS n_orphan_keys,
+           CASE WHEN count(c.{fk}) > 0
+                THEN round(CAST(sum(CASE WHEN c.{fk} IS NOT NULL
+                                          AND p.{pk} IS NULL
+                                         THEN 1 ELSE 0 END) AS DOUBLE)
+                           / count(c.{fk}), 6) END AS orphan_pct
+    FROM {child} c
+    LEFT JOIN (SELECT DISTINCT {pk} FROM {parent}) p
+           ON c.{fk} = p.{pk}"""
+        )
+    return "\nUNION ALL\n".join(blocks)
+
+
+@register("referential_integrity_audit", _ri_audit_oracle())
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X184: orphan-FK audit over every foreign-key edge of the
+    warehouse star schema — the ingest-time integrity report a 100 TB
+    load runs before promoting a snapshot (a fact row pointing at a
+    missing dimension row silently vanishes from every inner-join
+    report downstream; this surfaces the loss BEFORE the joins do).
+    Per edge: row count, NULL-FK rows (unknown parentage — counted
+    separately, NOT as orphans, per the warehouse NULL contract),
+    orphan rows, distinct orphan keys, and the orphan share of
+    non-NULL-FK rows.
+
+    Scale: each edge is one left join against the parent's DISTINCT
+    key set followed by a map-side-combined 1-row aggregate. The dim
+    edges (nation, region, customer, supplier, part) broadcast their
+    key sets; the one fact-fact edge (lineitem->orders) shuffles on
+    the join key exactly once — and AQE's skew handling applies
+    because the join is declarative. Key-set dedup keeps the join
+    side minimal: |distinct keys|, not |parent rows|."""
+    frames = []
+    for child, fk, parent, pk in _FK_EDGES:
+        c = read_table(spark, sf_dir, child)
+        keys = read_table(spark, sf_dir, parent).select(pk).distinct()
+        if parent in ("nation", "region", "customer", "supplier", "part"):
+            keys = F.broadcast(keys)
+        joined = c.join(keys, c[fk] == keys[pk], "left")
+        orphan = F.col(fk).isNotNull() & F.col(pk).isNull()
+        n_live = F.count(F.col(fk))
+        frames.append(
+            joined.agg(
+                F.lit(f"{child}.{fk}->{parent}.{pk}").alias("edge"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.when(F.col(fk).isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_null_fk"),
+                F.sum(F.when(orphan, 1).otherwise(0))
+                .cast("long")
+                .alias("n_orphan_rows"),
+                F.countDistinct(F.when(orphan, F.col(fk)))
+                .cast("long")
+                .alias("n_orphan_keys"),
+                F.when(
+                    n_live > 0,
+                    F.round(
+                        F.sum(F.when(orphan, 1).otherwise(0)).cast("double")
+                        / n_live,
+                        6,
+                    ),
+                ).alias("orphan_pct"),
+            )
+        )
+    out = frames[0]
+    for f_ in frames[1:]:
+        out = out.unionByName(f_)
+    return out

@@ -6526,6 +6526,218 @@ def token_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# ---------------------------------------------------------------------------
+# MMR-diversified retrieval (X186)
+# ---------------------------------------------------------------------------
+def _mmr_oracle(k: int = 5) -> str:
+    """Unrolled greedy MMR rounds. Every per-round CTE is MATERIALIZED:
+    sel/selupto chains are each referenced by two later CTEs and DuckDB
+    re-derives inlined chains exponentially otherwise."""
+    pair_cos = (
+        "round(list_dot_product(a.cv, b.cv)"
+        " / (sqrt(list_dot_product(a.cv, a.cv))"
+        " * sqrt(list_dot_product(b.cv, b.cv))), 6)"
+    )
+    rounds = []
+    for r in range(2, k + 1):
+        prev = f"selupto{r - 1}"
+        rounds.append(f"""
+    cand{r} AS (
+      SELECT p.query_id, p.neighbor_id, p.rel, max(pr.sim) AS maxsim
+      FROM pool p
+      JOIN pairs pr ON pr.query_id = p.query_id
+                   AND pr.ca = p.neighbor_id
+      JOIN {prev} s ON s.query_id = pr.query_id
+                   AND s.neighbor_id = pr.cb
+      WHERE NOT EXISTS (SELECT 1 FROM {prev} s2
+                        WHERE s2.query_id = p.query_id
+                          AND s2.neighbor_id = p.neighbor_id)
+      GROUP BY 1, 2, 3
+    ),
+    sel{r} AS MATERIALIZED (
+      SELECT query_id, neighbor_id, rel, {r} AS mmr_rank,
+             CAST(round(CAST(0.7 AS DECIMAL(2,1))
+                          * CAST(rel AS DECIMAL(8,6))
+                        - CAST(0.3 AS DECIMAL(2,1))
+                          * CAST(maxsim AS DECIMAL(8,6)), 6)
+                  AS DOUBLE) AS mmr_score
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id
+              ORDER BY round(CAST(0.7 AS DECIMAL(2,1))
+                               * CAST(rel AS DECIMAL(8,6))
+                             - CAST(0.3 AS DECIMAL(2,1))
+                               * CAST(maxsim AS DECIMAL(8,6)), 6) DESC,
+                       neighbor_id ASC) AS rn
+            FROM cand{r}) WHERE rn = 1
+    ),
+    selupto{r} AS MATERIALIZED (
+      SELECT * FROM {prev} UNION ALL SELECT * FROM sel{r}
+    )""")
+    return f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id >= 100 AND vec_id < 105
+    ),
+    c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+          FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id, {{_COS}} AS rel
+      FROM q, c WHERE neighbor_id <> query_id
+    ),
+    pool AS MATERIALIZED (
+      SELECT query_id, neighbor_id, rel FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY rel DESC, neighbor_id ASC) AS rn
+        FROM scored) WHERE rn <= 10
+    ),
+    pv AS (SELECT p.query_id, p.neighbor_id, p.rel, c.cv
+           FROM pool p JOIN c ON c.neighbor_id = p.neighbor_id),
+    pairs AS MATERIALIZED (
+      SELECT a.query_id, a.neighbor_id AS ca, b.neighbor_id AS cb,
+             {pair_cos} AS sim
+      FROM pv a JOIN pv b ON a.query_id = b.query_id
+                         AND a.neighbor_id <> b.neighbor_id
+    ),
+    selupto1 AS MATERIALIZED (
+      SELECT query_id, neighbor_id, rel, 1 AS mmr_rank,
+             CAST(round(CAST(0.7 AS DECIMAL(2,1))
+                          * CAST(rel AS DECIMAL(8,6)), 6)
+                  AS DOUBLE) AS mmr_score
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY round(CAST(0.7 AS DECIMAL(2,1))
+                               * CAST(rel AS DECIMAL(8,6)), 6) DESC,
+                       neighbor_id ASC) AS rn
+            FROM pool) WHERE rn = 1
+    ),{",".join(rounds)}
+    SELECT query_id, CAST(mmr_rank AS INT) AS mmr_rank, neighbor_id,
+           rel AS relevance, mmr_score
+    FROM selupto{k}
+    """
+
+
+@register("mmr_diversified_topk", _mmr_oracle().replace("{_COS}", _COS.replace("cosine_sim", "rel")))
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X186: maximal-marginal-relevance re-ranking (Carbonell &
+    Goldstein 1998) of the brute-force top-10 cosine candidates —
+    5 greedy rounds of ``argmax λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s)``
+    with λ = 0.7, the standard diversification pass a retrieval stack
+    runs between ANN search and the context window so near-duplicate
+    passages don't crowd out coverage (round 1 reduces to argmax rel:
+    the max over an empty selected set is 0).
+
+    Exactness: rel and every pairwise sim are 6 dp-rounded doubles —
+    hence EXACT as DECIMAL(8,6) — and each round's score
+    0.7·rel − 0.3·maxsim is computed in DECIMAL and rounded 6 dp
+    BEFORE the argmax window (ties break on neighbor_id): the double
+    form can land on an exact 6 dp half where the engines' rounding
+    modes disagree, the decimal form cannot.
+
+    Scale: diversification is bounded post-processing — the pool is
+    top-10 per query, pairwise sims are ≤ 90 rows per query, and the
+    five unrolled rounds join only those bounded frames (pool and
+    pairs are localCheckpointed once so round r doesn't re-run the
+    brute-force scan r times). The candidate generator upstream is
+    whatever ANN index the pipeline uses; MMR's cost is O(k·pool²)
+    per query regardless of corpus size."""
+    emb = _live_embeddings(spark, sf_dir)
+    queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105))
+    pool = (
+        similarity.cosine_topk_bruteforce(queries, emb, k=10)
+        .select("query_id", "neighbor_id", F.col("cosine_sim").alias("rel"))
+        .localCheckpoint(eager=True)
+    )
+    vecs = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    pv = pool.join(vecs, "neighbor_id").select(
+        "query_id", "neighbor_id", "rel", "embedding"
+    )
+    a = pv.alias("a")
+    b = pv.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.query_id") == F.col("b.query_id"))
+            & (F.col("a.neighbor_id") != F.col("b.neighbor_id")),
+        )
+        .select(
+            F.col("a.query_id").alias("query_id"),
+            F.col("a.neighbor_id").alias("ca"),
+            F.col("b.neighbor_id").alias("cb"),
+            F.round(
+                similarity.cosine(F.col("a.embedding"), F.col("b.embedding")), 6
+            ).alias("sim"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("mmr_score").desc(), F.col("neighbor_id").asc()
+    )
+    lam = F.lit(0.7).cast("decimal(2,1)")
+    one_m_lam = F.lit(0.3).cast("decimal(2,1)")
+
+    def _score(rel, maxsim=None):
+        # rel/maxsim are 6 dp-rounded doubles, hence EXACT as
+        # DECIMAL(8,6); the lambda blend computed in decimal rounds
+        # identically in both engines (a double 0.7*rel - 0.3*maxsim
+        # can land on an exact 6 dp half, where Spark's BigDecimal
+        # HALF_UP and DuckDB's multiply-trick round disagree by 1e-6)
+        d = lam * rel.cast("decimal(8,6)")
+        if maxsim is not None:
+            d = d - one_m_lam * maxsim.cast("decimal(8,6)")
+        return F.round(d, 6).cast("double")
+
+    sel = (
+        pool.withColumn("mmr_score", _score(F.col("rel")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rel",
+            F.lit(1).alias("mmr_rank"),
+            "mmr_score",
+        )
+    )
+    for r in range(2, 6):
+        rem = pool.join(
+            sel.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_anti",
+        )
+        maxs = (
+            pairs.join(
+                sel.select("query_id", F.col("neighbor_id").alias("cb")),
+                ["query_id", "cb"],
+            )
+            .groupBy("query_id", F.col("ca").alias("neighbor_id"))
+            .agg(F.max("sim").alias("maxsim"))
+        )
+        cand = rem.join(maxs, ["query_id", "neighbor_id"]).withColumn(
+            "mmr_score", _score(F.col("rel"), F.col("maxsim"))
+        )
+        win = (
+            cand.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "query_id",
+                "neighbor_id",
+                "rel",
+                F.lit(r).alias("mmr_rank"),
+                "mmr_score",
+            )
+        )
+        sel = sel.unionByName(win)
+    return sel.select(
+        "query_id",
+        F.col("mmr_rank").cast("int").alias("mmr_rank"),
+        "neighbor_id",
+        F.col("rel").alias("relevance"),
+        "mmr_score",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Embeddings NULL contract — oracle side (see _live_embeddings).
 # The similarity / index / quantization family reads only rows whose
@@ -6554,6 +6766,7 @@ _EMB_NULL_CONTRACT = (
     "hyperplane_lsh_groups",
     "hybrid_rrf_topk",
     "hard_negative_mining",
+    "mmr_diversified_topk",
 )
 
 for _q in _EMB_NULL_CONTRACT:

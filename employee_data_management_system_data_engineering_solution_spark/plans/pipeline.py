@@ -1525,3 +1525,131 @@ def supplier_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("community"),
         "community_size",
     )
+
+
+# --------------------------------------------------------------------------
+# Range-partition planner over l_extendedprice (X185)
+# --------------------------------------------------------------------------
+_RANGE_BUCKETS = 8
+
+
+def _range_plan_oracle() -> str:
+    b = _RANGE_BUCKETS
+    return f"""
+    WITH vals AS (
+      -- planning happens over the DISTINCT-value histogram, never the
+      -- raw rows; NULL keys carry no position in a range layout
+      SELECT l_extendedprice AS v, CAST(count(*) AS BIGINT) AS cnt
+      FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1
+    ),
+    cum AS (
+      SELECT v, cnt,
+             sum(cnt) OVER (ORDER BY v) AS c,
+             sum(cnt) OVER ()           AS n
+      FROM vals
+    ),
+    ks AS (SELECT unnest(generate_series(1, {b - 1})) AS k),
+    cuts AS (
+      -- cut_k = the smallest value whose cumulative count reaches the
+      -- exact rank ceil(n*k/{b}) — pure integer arithmetic, no
+      -- interpolated quantile whose float form could differ per engine
+      SELECT k, min(v) AS cut
+      FROM cum, ks
+      WHERE c >= (n * k + {b - 1}) // {b}
+      GROUP BY k
+    ),
+    assigned AS (
+      SELECT vals.v, vals.cnt,
+             1 + count(cuts.cut) AS bucket
+      FROM vals LEFT JOIN cuts ON cuts.cut < vals.v
+      GROUP BY vals.v, vals.cnt
+    ),
+    tot AS (SELECT sum(cnt) AS n FROM vals)
+    SELECT CAST(bucket AS INT) AS bucket,
+           CAST(sum(cnt) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           round(min(v), 2) AS min_key,
+           round(max(v), 2) AS max_key,
+           round(CAST(sum(cnt) AS DOUBLE) / tot.n, 6) AS row_share,
+           round(CAST(sum(cnt) AS DOUBLE) * {b} / tot.n, 4) AS skew_ratio
+    FROM assigned, tot
+    GROUP BY bucket, tot.n
+    """
+
+
+@register("range_partition_plan", _range_plan_oracle())
+def range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X185: the exact range-partition plan for a global sort/write of
+    ``lineitem`` on ``l_extendedprice`` into 8 buckets — boundary
+    values at the exact ranks ceil(n*k/8) plus, per resulting bucket,
+    the row count, distinct-key count, key min/max, row share, and
+    skew ratio (bucket rows x 8 / n; 1.0 = perfectly balanced). This
+    is the planning pass behind every ``repartitionByRange``/sorted
+    parquet write: whether the chosen key range-partitions evenly or
+    some boundary swallows a hot value (a value spanning multiple
+    octile ranks yields EMPTY buckets here — the report surfaces the
+    skew instead of hiding it, exactly what you must know before
+    sorting 100 TB by that key).
+
+    Exactness: boundaries are DATA VALUES at integer ranks over the
+    distinct-value histogram (ceil via (n*k+7)//8) — no interpolated
+    quantile whose float arithmetic could differ per engine; bucket
+    assignment counts strict cuts below each value; doubles appear
+    only in the two reported shares, rounded.
+
+    Scale: the histogram is one map-side-combined groupBy (|distinct
+    values| rows, not |rows|); the cumulative window orders that
+    histogram only. At 100 TB you'd feed the same plan a per-partition
+    sample (Spark's RangePartitioner discipline: reservoir-sample,
+    weight, same rank arithmetic) — the operator IS the planner, and
+    the exact variant doubles as the sampled one's oracle."""
+    from pyspark.sql import Window
+
+    b = _RANGE_BUCKETS
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice").isNotNull()
+    )
+    vals = li.groupBy(F.col("l_extendedprice").alias("v")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    cum = vals.select(
+        "v",
+        "cnt",
+        F.sum("cnt").over(Window.orderBy("v")).alias("c"),
+        F.sum("cnt").over(Window.partitionBy()).alias("n"),
+    )
+    ks = spark.range(1, b).select(F.col("id").alias("k"))
+    cuts = (
+        cum.crossJoin(F.broadcast(ks))
+        .filter(
+            # ceil(n*k/b) via (n*k + b-1) div b — Spark's `/` is double
+            # division; `div` is the exact integral quotient (the
+            # oracle's `//`) at any magnitude
+            F.col("c") >= F.expr(f"(n * k + {b - 1}) div {b}")
+        )
+        .groupBy("k")
+        .agg(F.min("v").alias("cut"))
+    )
+    assigned = (
+        vals.join(F.broadcast(cuts), F.col("cut") < F.col("v"), "left")
+        .groupBy("v", "cnt")
+        .agg((F.lit(1) + F.count("cut")).alias("bucket"))
+    )
+    tot = vals.agg(F.sum("cnt").alias("n"))
+    return (
+        assigned.crossJoin(F.broadcast(tot))
+        .groupBy(F.col("bucket").cast("int").alias("bucket"), "n")
+        .agg(
+            F.sum("cnt").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.round(F.min("v"), 2).alias("min_key"),
+            F.round(F.max("v"), 2).alias("max_key"),
+            F.round(F.sum("cnt").cast("double") / F.col("n"), 6).alias(
+                "row_share"
+            ),
+            F.round(
+                F.sum("cnt").cast("double") * F.lit(b) / F.col("n"), 4
+            ).alias("skew_ratio"),
+        )
+        .drop("n")
+    )
