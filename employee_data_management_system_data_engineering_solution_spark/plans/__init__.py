@@ -52,10 +52,12 @@ from .registry import REGISTRY, register
 # Round 13 rotation (r12 narrative preserved below). The r12 window
 # re-greened the complete 34-query r8 block + the rows-only trio; the
 # r12 verdict (item 1) ordered in FIRST the complete 40-query r9-green
-# cohort (the final r13 entry in PROGRESS.jsonl). Newcomers are capped
-# at four (verdict items 2-5), leaving 6 slots to start draining the
-# 50-query r10-green cohort (stale by r14/r15; the 44 leftovers are
-# scheduled FIRST for r14 in PROGRESS.jsonl — plan a 2-round drain).
+# cohort (the final r13 entry in PROGRESS.jsonl). Nine newcomers hold
+# the head (verdict items 2-5 plus the five r13 build-outs: seasonal
+# decomposition, Mann-Kendall, RI audit, range-partition planner,
+# MMR), leaving ONE slot for the r10-green cohort (stale by r14/r15;
+# the 49 leftovers are scheduled FIRST for r14 in PROGRESS.jsonl —
+# plan a 2-round drain).
 #   IN (never green — new in r13, full hash oracles):
 #       gate_trained_eval (X178 held-out AUC/confusion of the
 #       X177-TRAINED weights vs the pinned X143 weights on a doc_id%5
@@ -65,9 +67,17 @@ from .registry import REGISTRY, register
 #       (X180 fixed-n seeded-sample scorecard — the scale-safe recall
 #       measurement; item 4), dedup_recall_curve (X181 cumulative
 #       recall/precision by Jaccard band over the pair memos; item 5).
+#   IN (never green — the five r13 build-outs, full hash oracles):
+#       seasonal_decompose_report (X182 weekly additive decomposition
+#       of daily revenue), mann_kendall_trend (X183 tie-corrected MK
+#       monotone-trend test per nation), referential_integrity_audit
+#       (X184 orphan-FK audit over the 7-edge star schema),
+#       range_partition_plan (X185 exact-rank range-partition
+#       boundaries + skew), mmr_diversified_topk (X186 greedy MMR
+#       re-rank of the brute-force top-10).
 #   IN (re-confirmation — the COMPLETE 40-query r9-green cohort):
 #       balanced_strata_sample … user_value_trend (see _PRIORITY).
-#   IN (re-confirmation — 6 of the 50 r10-green, family coverage):
+#   IN (re-confirmation — 1 of the 50 r10-green, family coverage):
 #       epoch_status_clean (reference core clean path), keyed_upsert
 #       (MERGE upsert), checkpoint_restart_strikes (stateful streaming
 #       + checkpoint recovery), pq_ivf_search (quantized ANN),
@@ -239,6 +249,11 @@ _PRIORITY: tuple[str, ...] = (
     "bpe_merge_batched",
     "dedup_recall_sampled",
     "dedup_recall_curve",
+    "seasonal_decompose_report",
+    "mann_kendall_trend",
+    "referential_integrity_audit",
+    "range_partition_plan",
+    "mmr_diversified_topk",
     # re-confirmation: the complete 40-query r9-green cohort
     # (PROGRESS.jsonl final r13 entry; r12 verdict item 1)
     "balanced_strata_sample",
@@ -281,13 +296,12 @@ _PRIORITY: tuple[str, ...] = (
     "train_test_split",
     "upcoming_leave_pct",
     "user_value_trend",
-    # re-confirmation: 6 of the 50 r10-green (family coverage)
-    "epoch_status_clean",
-    "keyed_upsert",
+    # re-confirmation: 1 of the 50 r10-green — stateful streaming +
+    # checkpoint recovery, the one family with no other in-window
+    # carrier after the nine never-green newcomers took the slots
+    # (graph, MERGE-upsert, quantized-ANN and winnowing re-greens ride
+    # the r14 drain of the 49 remaining r10-green queries)
     "checkpoint_restart_strikes",
-    "pq_ivf_search",
-    "winnow_fingerprint_pairs",
-    "supplier_communities",
 )
 
 #: Queries whose driver check is rows-only BY CONTRACT (no SQL oracle

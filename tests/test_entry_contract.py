@@ -43,20 +43,21 @@ def test_check_window_covers_every_operator_family():
         # plans/__init__.py): (a) the four r13 newcomers, never
         # driver-checked; (b) the COMPLETE 40-query r9-green cohort
         # the r12 verdict ordered in first (PROGRESS.jsonl final r13
-        # entry); (c) 6 of the 50 r10-green queries, picked for family
-        # coverage: the reference clean path (epoch_status_clean),
-        # MERGE upsert (keyed_upsert), stateful streaming + checkpoint
-        # recovery (checkpoint_restart_strikes), quantized ANN
-        # (pq_ivf_search), winnowing dedup (winnow_fingerprint_pairs),
-        # and graph (supplier_communities — the one family with no
-        # other r13-window carrier). Everything rotated out is
+        # entry); (c) five more r13 newcomers (seasonal decomposition,
+        # Mann-Kendall, RI audit, range-partition planner, MMR) took
+        # the remaining slots, so exactly ONE r10-green keeper fits:
+        # stateful streaming + checkpoint recovery
+        # (checkpoint_restart_strikes). Everything rotated out is
         # r10/r11/r12 driver-green, guarded by the committed full
-        # local runs, and the 44 remaining r10-green queries queue
+        # local runs, and the 49 remaining r10-green queries queue
         # FIRST for r14 (PROGRESS.jsonl r14 schedule entry).
         #
         # new in r13 — never driver-checked:
         "gate_trained_eval", "bpe_merge_batched",
         "dedup_recall_sampled", "dedup_recall_curve",
+        "seasonal_decompose_report", "mann_kendall_trend",
+        "referential_integrity_audit", "range_partition_plan",
+        "mmr_diversified_topk",
         # re-confirmation: the complete 40-query r9-green cohort
         "balanced_strata_sample", "benchmark_contamination",
         "bloom_pruned_join", "bm25_topk", "brand_price_theilsen",
@@ -75,10 +76,11 @@ def test_check_window_covers_every_operator_family():
         "snapshot_diff_orders", "strike_report_rlike",
         "supplier_golden_record", "text_profile", "tfidf_top_terms",
         "train_test_split", "upcoming_leave_pct", "user_value_trend",
-        # re-confirmation: 6 of the 50 r10-green (family coverage)
-        "epoch_status_clean", "keyed_upsert",
-        "checkpoint_restart_strikes", "pq_ivf_search",
-        "winnow_fingerprint_pairs", "supplier_communities",
+        # re-confirmation: 1 of the 50 r10-green — stateful streaming
+        # (the one family with no other in-window carrier; graph,
+        # MERGE-upsert, quantized ANN and winnowing ride the r14
+        # drain of the remaining 49 r10-green queries)
+        "checkpoint_restart_strikes",
     }
     assert carriers <= set(window), sorted(carriers - set(window))
 
