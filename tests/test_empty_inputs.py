@@ -350,3 +350,72 @@ def test_null_rows_excluded_from_stats_reports(spark, nullrow_wh):
     assert all(r.event_type is not None for r in wins)
     cusum = REGISTRY["revenue_cusum_shift"].fn(spark, nullrow_wh).collect()
     assert all(r.day is not None for r in cusum)
+
+
+# ---------------------------------------------------------------------------
+# Round-13 build-outs (X182-X186): empty-warehouse and one-malformed-
+# row behavior.
+# ---------------------------------------------------------------------------
+def test_r13_ops_on_empty_warehouse(spark, empty_wh):
+    """Series/plan/retrieval newcomers return well-typed empties; the
+    RI audit still reports all 7 edges with zero counts and a NULL
+    orphan share (0/0 is undefined, not 0)."""
+    for name in (
+        "seasonal_decompose_report",
+        "mann_kendall_trend",
+        "range_partition_plan",
+        "mmr_diversified_topk",
+    ):
+        assert REGISTRY[name].fn(spark, empty_wh).collect() == [], name
+    rows = REGISTRY["referential_integrity_audit"].fn(spark, empty_wh).collect()
+    assert len(rows) == 7
+    for r in rows:
+        assert (r.n_rows, r.n_null_fk, r.n_orphan_rows, r.n_orphan_keys) == (
+            0, 0, 0, 0)
+        assert r.orphan_pct is None
+
+
+def test_r13_ops_on_nullrow_warehouse(spark, nullrow_wh):
+    """One malformed row must not crash or skew the newcomers: NULL
+    dates sit on no series axis, NULL prices get no range bucket, NULL
+    embeddings join no MMR pool, and the RI audit REPORTS the NULL FKs
+    instead of calling them orphans."""
+    seas = REGISTRY["seasonal_decompose_report"].fn(spark, nullrow_wh).collect()
+    # sf0.001's calendar is sparse — only SOME dows hold a full
+    # gap-free week; the contract is merely that the NULL-date row
+    # crashed nothing and landed nowhere
+    assert seas and all(1 <= r.dow <= 7 and r.n_days > 0 for r in seas)
+    mk = REGISTRY["mann_kendall_trend"].fn(spark, nullrow_wh).collect()
+    assert mk and all(r.n_name is not None for r in mk)
+
+    from employee_data_management_system_data_engineering_solution_spark.sources.io import read_table
+    from pyspark.sql import functions as F
+
+    live = (
+        read_table(spark, nullrow_wh, "lineitem")
+        .filter(F.col("l_extendedprice").isNotNull())
+        .count()
+    )
+    plan = REGISTRY["range_partition_plan"].fn(spark, nullrow_wh).collect()
+    assert sum(r.n_rows for r in plan) == live
+    assert all(1 <= r.bucket <= 8 for r in plan)
+
+    emb = read_table(spark, nullrow_wh, "embeddings")
+    injected = {
+        r.vec_id for r in emb.filter(F.col("embedding").isNull()).collect()
+    }
+    assert injected
+    mmr = REGISTRY["mmr_diversified_topk"].fn(spark, nullrow_wh).collect()
+    assert len(mmr) == 25
+    assert not ({r.neighbor_id for r in mmr} & injected)
+
+    audit = {
+        r.edge: r
+        for r in REGISTRY["referential_integrity_audit"].fn(spark, nullrow_wh).collect()
+    }
+    # every FK column is a KEY column in the probe (keys get max+1/+2,
+    # never NULL), and each parent got the matching injected keys — so
+    # the audit sees the two extra rows per child and stays orphan-free
+    assert len(audit) == 7
+    assert audit["supplier.s_nationkey->nation.n_nationkey"].n_rows == 12
+    assert all(r.n_null_fk == 0 for r in audit.values())
