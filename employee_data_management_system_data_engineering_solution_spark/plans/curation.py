@@ -2395,10 +2395,12 @@ def _ri_audit_oracle() -> str:
             f"""
     SELECT '{child}.{fk}->{parent}.{pk}' AS edge,
            CAST(count(*) AS BIGINT) AS n_rows,
-           CAST(sum(CASE WHEN c.{fk} IS NULL THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_null_fk,
-           CAST(sum(CASE WHEN c.{fk} IS NOT NULL AND p.{pk} IS NULL
-                         THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan_rows,
+           CAST(coalesce(sum(CASE WHEN c.{fk} IS NULL THEN 1 ELSE 0 END),
+                         0) AS BIGINT) AS n_null_fk,
+           CAST(coalesce(sum(CASE WHEN c.{fk} IS NOT NULL
+                                   AND p.{pk} IS NULL
+                                  THEN 1 ELSE 0 END),
+                         0) AS BIGINT) AS n_orphan_rows,
            CAST(count(DISTINCT CASE WHEN c.{fk} IS NOT NULL
                                      AND p.{pk} IS NULL
                                     THEN c.{fk} END)
@@ -2447,10 +2449,17 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             joined.agg(
                 F.lit(f"{child}.{fk}->{parent}.{pk}").alias("edge"),
                 F.count(F.lit(1)).alias("n_rows"),
-                F.sum(F.when(F.col(fk).isNull(), 1).otherwise(0))
+                # empty-warehouse contract: sums over zero rows are
+                # NULL in both engines — count columns report 0
+                F.coalesce(
+                    F.sum(F.when(F.col(fk).isNull(), 1).otherwise(0)),
+                    F.lit(0),
+                )
                 .cast("long")
                 .alias("n_null_fk"),
-                F.sum(F.when(orphan, 1).otherwise(0))
+                F.coalesce(
+                    F.sum(F.when(orphan, 1).otherwise(0)), F.lit(0)
+                )
                 .cast("long")
                 .alias("n_orphan_rows"),
                 F.countDistinct(F.when(orphan, F.col(fk)))

@@ -6634,12 +6634,15 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     modes disagree, the decimal form cannot.
 
     Scale: diversification is bounded post-processing — the pool is
-    top-10 per query, pairwise sims are ≤ 90 rows per query, and the
-    five unrolled rounds join only those bounded frames (pool and
-    pairs are localCheckpointed once so round r doesn't re-run the
-    brute-force scan r times). The candidate generator upstream is
-    whatever ANN index the pipeline uses; MMR's cost is O(k·pool²)
-    per query regardless of corpus size."""
+    top-10 per query and pairwise sims are ≤ 90 rows per query, both
+    JVM-computed (the corpus-sized work); the greedy selection then
+    runs driver-side over those ≤ 500 collected rows (the BPE-winner /
+    GD-gradient bounded-collect discipline — five rounds of
+    join+window over 50-row frames cost ~3 s of pure scheduler
+    overhead at ANY corpus size, where the collect is O(1) in the
+    corpus). The candidate generator upstream is whatever ANN index
+    the pipeline uses; MMR's cost is O(k·pool²) per query regardless
+    of corpus size."""
     emb = _live_embeddings(spark, sf_dir)
     queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105))
     pool = (
@@ -6667,74 +6670,52 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 similarity.cosine(F.col("a.embedding"), F.col("b.embedding")), 6
             ).alias("sim"),
         )
-        .localCheckpoint(eager=True)
     )
-    from pyspark.sql import Window
+    # BOUNDED driver-side greedy (the BPE-winner / GD-gradient collect
+    # discipline): relevance and every pairwise sim are JVM-computed
+    # and 6 dp-rounded above — the distributed, corpus-sized work —
+    # while the selection itself touches <= |queries| x pool rows
+    # (50) + pool^2 pair rows (450). Five unrolled rounds of
+    # join+window over those frames cost ~3 s of scheduler overhead
+    # per run at any SF; the collect is O(1) in corpus size.
+    from decimal import ROUND_HALF_UP, Decimal
 
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("mmr_score").desc(), F.col("neighbor_id").asc()
-    )
-    lam = F.lit(0.7).cast("decimal(2,1)")
-    one_m_lam = F.lit(0.3).cast("decimal(2,1)")
-
-    def _score(rel, maxsim=None):
-        # rel/maxsim are 6 dp-rounded doubles, hence EXACT as
-        # DECIMAL(8,6); the lambda blend computed in decimal rounds
-        # identically in both engines (a double 0.7*rel - 0.3*maxsim
-        # can land on an exact 6 dp half, where Spark's BigDecimal
-        # HALF_UP and DuckDB's multiply-trick round disagree by 1e-6)
-        d = lam * rel.cast("decimal(8,6)")
-        if maxsim is not None:
-            d = d - one_m_lam * maxsim.cast("decimal(8,6)")
-        return F.round(d, 6).cast("double")
-
-    sel = (
-        pool.withColumn("mmr_score", _score(F.col("rel")))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "query_id",
-            "neighbor_id",
-            "rel",
-            F.lit(1).alias("mmr_rank"),
-            "mmr_score",
-        )
-    )
-    for r in range(2, 6):
-        rem = pool.join(
-            sel.select("query_id", "neighbor_id"),
-            ["query_id", "neighbor_id"],
-            "left_anti",
-        )
-        maxs = (
-            pairs.join(
-                sel.select("query_id", F.col("neighbor_id").alias("cb")),
-                ["query_id", "cb"],
+    pool_rows = pool.collect()
+    pair_sim = {
+        (r["query_id"], r["ca"], r["cb"]): r["sim"] for r in pairs.collect()
+    }
+    by_q: dict = {}
+    for r in pool_rows:
+        by_q.setdefault(r["query_id"], []).append((r["neighbor_id"], r["rel"]))
+    lam, mu, grain = Decimal("0.7"), Decimal("0.3"), Decimal("0.000001")
+    out_rows = []
+    for qid, cands in sorted(by_q.items()):
+        rel_of = dict(cands)
+        selected: list = []
+        for rank in range(1, min(5, len(cands)) + 1):
+            best = None
+            for nid, rel in cands:
+                if nid in selected:
+                    continue
+                maxsim = max(
+                    (pair_sim[(qid, nid, s)] for s in selected), default=0.0
+                )
+                # the same decimal blend the oracle uses: 6 dp inputs
+                # are exact DECIMAL(8,6); HALF_UP quantize matches both
+                # engines where a double blend can land on a 6 dp half
+                score = (
+                    lam * Decimal(f"{rel:.6f}") - mu * Decimal(f"{maxsim:.6f}")
+                ).quantize(grain, rounding=ROUND_HALF_UP)
+                if best is None or (-score, nid) < (-best[1], best[0]):
+                    best = (nid, score)
+            selected.append(best[0])
+            out_rows.append(
+                (qid, rank, best[0], rel_of[best[0]], float(best[1]))
             )
-            .groupBy("query_id", F.col("ca").alias("neighbor_id"))
-            .agg(F.max("sim").alias("maxsim"))
-        )
-        cand = rem.join(maxs, ["query_id", "neighbor_id"]).withColumn(
-            "mmr_score", _score(F.col("rel"), F.col("maxsim"))
-        )
-        win = (
-            cand.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(
-                "query_id",
-                "neighbor_id",
-                "rel",
-                F.lit(r).alias("mmr_rank"),
-                "mmr_score",
-            )
-        )
-        sel = sel.unionByName(win)
-    return sel.select(
-        "query_id",
-        F.col("mmr_rank").cast("int").alias("mmr_rank"),
-        "neighbor_id",
-        F.col("rel").alias("relevance"),
-        "mmr_score",
+    return spark.createDataFrame(
+        out_rows,
+        "query_id LONG, mmr_rank INT, neighbor_id LONG, "
+        "relevance DOUBLE, mmr_score DOUBLE",
     )
 
 
