@@ -522,3 +522,54 @@ def test_dedup_recall_report_no_allpairs_no_python(spark):
     for line in plan.splitlines():
         if "BroadcastNestedLoopJoin" in line:
             assert "Cross" in line
+
+
+def test_seasonal_decompose_pushdown_and_rollup_windows(spark):
+    """The NULL-date guard reaches the parquet scan; all windows run
+    over the |days|-row daily rollup, JVM-side throughout."""
+    plan = plan_of(REGISTRY["seasonal_decompose_report"].fn(spark, SF))
+    assert "PushedFilters" in plan
+    assert "IsNotNull(o_orderdate)" in plan.split("PushedFilters", 1)[1][:400]
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_mann_kendall_broadcasts_nation_no_python(spark):
+    """The dim chain broadcasts (nation); the pairwise sign join is an
+    equi-join on n_name over the monthly rollup, never a cartesian."""
+    plan = plan_of(REGISTRY["mann_kendall_trend"].fn(spark, SF), mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ri_audit_broadcasts_dim_key_sets(spark):
+    """Five of the seven FK edges broadcast the parent's distinct key
+    set; everything stays JVM-side with no cartesian."""
+    plan = plan_of(REGISTRY["referential_integrity_audit"].fn(spark, SF), mode="simple")
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_range_partition_plan_histogram_first(spark):
+    """The key-NULL guard reaches the scan, the distinct-value
+    histogram aggregate runs before any window/join, and the only
+    nested-loop joins are the bounded broadcast cut/total joins."""
+    plan = plan_of(REGISTRY["range_partition_plan"].fn(spark, SF))
+    assert "PushedFilters" in plan
+    assert "IsNotNull(l_extendedprice)" in plan.split("PushedFilters", 1)[1][:400]
+    assert "Python" not in plan
+    for line in plan.splitlines():
+        if "NestedLoopJoin" in line.replace("BroadcastNestedLoopJoin", "NestedLoopJoin"):
+            assert "Broadcast" in line
+
+
+def test_mmr_result_is_bounded_local_rows(spark):
+    """The returned frame is driver-built (<= 5 x 5 rows): the
+    corpus-sized work (pool scoring, pairwise sims) executed inside
+    the call on JVM frames, and the greedy ran over the bounded
+    collect — the plan must be a local scan, not a recomputation."""
+    plan = plan_of(REGISTRY["mmr_diversified_topk"].fn(spark, SF), mode="simple")
+    assert "LocalTableScan" in plan or "ExistingRDD" in plan
+    assert "FileScan" not in plan
