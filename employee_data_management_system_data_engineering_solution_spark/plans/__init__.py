@@ -77,6 +77,27 @@ from .registry import REGISTRY, register
 #       re-rank of the brute-force top-10).
 #   IN (re-confirmation — the COMPLETE 40-query r9-green cohort):
 #       balanced_strata_sample … user_value_trend (see _PRIORITY).
+# R14 QUEUE (planned drain, 2 rounds): the 49 r10-green queries left
+# after checkpoint_restart_strikes re-greens in the r13 window —
+# schedule FIRST for r14 (≈40 fit; the remainder plus any r11-green
+# staleness rides r15):
+#   active_count_by_designation bigram_collocations binary_metadata
+#   boilerplate_scrub_stats bpe_merge_candidates char_bigram_entropy
+#   cluster_topic_terms compact_parquet_roundtrip context_pack_bins
+#   decile_lift_report dedup_clusters dsir_importance_weights
+#   embedding_quantize epoch_status_clean except_all_dupes
+#   ivf_topk_multiprobe keyed_upsert lm_doc_score
+#   multimodal_frame_stats nation_revenue_gini ndcg_mrr_report
+#   ordered_designation_report part_link_prediction pct_of_quota
+#   pq_adc_search pq_ivf_search price_qty_elasticity
+#   priority_price_mwu published_report_roundtrip purchase_asof_view
+#   quantized_ivf_topk quantized_topk_rescore repeated_substring_spans
+#   salted_skew_join segment_nation_chi2 session_window_counts
+#   shingle_containment_pairs snapshot_time_travel stream_dedup_counts
+#   stream_left_join_events streaming_upsert_dim supplier_communities
+#   supplier_triangles user_survival_km value_outliers
+#   weekly_cohort_retention winnow_fingerprint_pairs word_freq_topk
+#   zorder_layout_stats
 #   IN (re-confirmation — 1 of the 50 r10-green, family coverage):
 #       epoch_status_clean (reference core clean path), keyed_upsert
 #       (MERGE upsert), checkpoint_restart_strikes (stateful streaming
