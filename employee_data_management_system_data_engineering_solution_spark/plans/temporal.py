@@ -1351,7 +1351,9 @@ def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     a differently-rounded intermediate.
 
     Scale: one map-side-combined nation×month rollup is the only
-    corpus-sized shuffle; the pairwise sign join is within-nation over
+    corpus-sized shuffle, localCheckpointed so its four consumers
+    (sign pairs, ties, n) read the tiny series instead of re-deriving
+    the corpus join; the pairwise sign join is within-nation over
     the |months|-row series (n≈24 ⇒ ~276 pairs per nation), bounded by
     |nations|·n² regardless of fact-table size."""
     orders = read_table(spark, sf_dir, "orders").filter(
@@ -1367,6 +1369,10 @@ def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_trunc("month", "o_orderdate").cast("date").alias("m"),
         )
         .agg(F.sum(money("o_totalprice")).alias("rev"))
+        # four consumers (pairwise a/b, ties, n) would each re-derive
+        # the corpus join+rollup — pin the |nations x months|-row
+        # series once so the fact table is scanned exactly once
+        .localCheckpoint(eager=True)
     )
     a = monthly.alias("a")
     b = monthly.alias("b")

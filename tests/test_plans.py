@@ -534,11 +534,13 @@ def test_seasonal_decompose_pushdown_and_rollup_windows(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_mann_kendall_broadcasts_nation_no_python(spark):
-    """The dim chain broadcasts (nation); the pairwise sign join is an
-    equi-join on n_name over the monthly rollup, never a cartesian."""
+def test_mann_kendall_single_corpus_pass_no_python(spark):
+    """The monthly rollup is localCheckpointed, so the returned plan's
+    four consumers (sign pairs, ties, n) read the tiny series — no
+    FileScan may appear (a re-derived corpus join would put one back),
+    and everything stays JVM-side with no cartesian."""
     plan = plan_of(REGISTRY["mann_kendall_trend"].fn(spark, SF), mode="simple")
-    assert "BroadcastHashJoin" in plan
+    assert "FileScan" not in plan  # one corpus pass, paid at build time
     assert "Python" not in plan
     assert "CartesianProduct" not in plan
 
