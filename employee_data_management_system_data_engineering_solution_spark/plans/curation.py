@@ -2429,50 +2429,84 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     orphan rows, distinct orphan keys, and the orphan share of
     non-NULL-FK rows.
 
-    Scale: each edge is one left join against the parent's DISTINCT
-    key set followed by a map-side-combined 1-row aggregate. The dim
-    edges (nation, region, customer, supplier, part) broadcast their
-    key sets; the one fact-fact edge (lineitem->orders) shuffles on
-    the join key exactly once — and AQE's skew handling applies
-    because the join is declarative. Key-set dedup keeps the join
-    side minimal: |distinct keys|, not |parent rows|."""
-    frames = []
-    for child, fk, parent, pk in _FK_EDGES:
-        c = read_table(spark, sf_dir, child)
+    Scale: the three lineitem edges share ONE fact pass — their
+    parent key sets chain as successive left joins (each key set is
+    distinct, so no fan-out) and a single 1-row aggregate carries all
+    three edges' counters, so the 100 TB fact is read once, not three
+    times (one shuffle on l_orderkey; the part/supplier key sets
+    broadcast). Every other edge is one left join against the
+    parent's DISTINCT key set + a map-side-combined 1-row aggregate,
+    with dim key sets broadcast. AQE's skew handling applies
+    throughout because the joins are declarative."""
+
+    def _edge_aggs(fk: str, pk: str, prefix: str) -> list:
+        orphan = F.col(fk).isNotNull() & F.col(pk).isNull()
+        n_live = F.count(F.col(fk))
+        return [
+            F.count(F.lit(1)).alias(f"{prefix}n_rows"),
+            # empty-warehouse contract: sums over zero rows are NULL
+            # in both engines — count columns report 0
+            F.coalesce(
+                F.sum(F.when(F.col(fk).isNull(), 1).otherwise(0)), F.lit(0)
+            )
+            .cast("long")
+            .alias(f"{prefix}n_null_fk"),
+            F.coalesce(F.sum(F.when(orphan, 1).otherwise(0)), F.lit(0))
+            .cast("long")
+            .alias(f"{prefix}n_orphan_rows"),
+            F.countDistinct(F.when(orphan, F.col(fk)))
+            .cast("long")
+            .alias(f"{prefix}n_orphan_keys"),
+            F.when(
+                n_live > 0,
+                F.round(
+                    F.sum(F.when(orphan, 1).otherwise(0)).cast("double")
+                    / n_live,
+                    6,
+                ),
+            ).alias(f"{prefix}orphan_pct"),
+        ]
+
+    def _keys(parent: str, pk: str):
         keys = read_table(spark, sf_dir, parent).select(pk).distinct()
         if parent in ("nation", "region", "customer", "supplier", "part"):
             keys = F.broadcast(keys)
-        joined = c.join(keys, c[fk] == keys[pk], "left")
-        orphan = F.col(fk).isNotNull() & F.col(pk).isNull()
-        n_live = F.count(F.col(fk))
+        return keys
+
+    _METRICS = (
+        "n_rows", "n_null_fk", "n_orphan_rows", "n_orphan_keys", "orphan_pct"
+    )
+    fact_edges = [e for e in _FK_EDGES if e[0] == "lineitem"]
+    other_edges = [e for e in _FK_EDGES if e[0] != "lineitem"]
+
+    # ONE pass over the fact table: chain the three parent key-set
+    # left joins (distinct keys — no fan-out) and aggregate all three
+    # edges' counters in a single 1-row frame
+    chained = read_table(spark, sf_dir, "lineitem")
+    for _, fk, parent, pk in fact_edges:
+        k = _keys(parent, pk)
+        chained = chained.join(k, chained[fk] == k[pk], "left")
+    wide = chained.agg(
+        *[
+            a
+            for i, (_, fk, _, pk) in enumerate(fact_edges)
+            for a in _edge_aggs(fk, pk, f"e{i}_")
+        ]
+    ).localCheckpoint(eager=True)  # 1-row; three selects read it below
+    frames = [
+        wide.select(
+            F.lit(f"{child}.{fk}->{parent}.{pk}").alias("edge"),
+            *[F.col(f"e{i}_{m}").alias(m) for m in _METRICS],
+        )
+        for i, (child, fk, parent, pk) in enumerate(fact_edges)
+    ]
+    for child, fk, parent, pk in other_edges:
+        c = read_table(spark, sf_dir, child)
+        k = _keys(parent, pk)
         frames.append(
-            joined.agg(
+            c.join(k, c[fk] == k[pk], "left").agg(
                 F.lit(f"{child}.{fk}->{parent}.{pk}").alias("edge"),
-                F.count(F.lit(1)).alias("n_rows"),
-                # empty-warehouse contract: sums over zero rows are
-                # NULL in both engines — count columns report 0
-                F.coalesce(
-                    F.sum(F.when(F.col(fk).isNull(), 1).otherwise(0)),
-                    F.lit(0),
-                )
-                .cast("long")
-                .alias("n_null_fk"),
-                F.coalesce(
-                    F.sum(F.when(orphan, 1).otherwise(0)), F.lit(0)
-                )
-                .cast("long")
-                .alias("n_orphan_rows"),
-                F.countDistinct(F.when(orphan, F.col(fk)))
-                .cast("long")
-                .alias("n_orphan_keys"),
-                F.when(
-                    n_live > 0,
-                    F.round(
-                        F.sum(F.when(orphan, 1).otherwise(0)).cast("double")
-                        / n_live,
-                        6,
-                    ),
-                ).alias("orphan_pct"),
+                *_edge_aggs(fk, pk, ""),
             )
         )
     out = frames[0]

@@ -545,11 +545,16 @@ def test_mann_kendall_single_corpus_pass_no_python(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_ri_audit_broadcasts_dim_key_sets(spark):
-    """Five of the seven FK edges broadcast the parent's distinct key
-    set; everything stays JVM-side with no cartesian."""
+def test_ri_audit_single_fact_pass_broadcast_dims(spark):
+    """The three lineitem edges ride ONE checkpointed fact pass (their
+    rows surface as scans of the 1-row aggregate, so at most four
+    FileScans — the four non-fact children — appear in the returned
+    plan); the dim edges broadcast their key sets; JVM-side, no
+    cartesian."""
     plan = plan_of(REGISTRY["referential_integrity_audit"].fn(spark, SF), mode="simple")
-    assert plan.count("BroadcastHashJoin") >= 5
+    assert plan.count("BroadcastHashJoin") >= 4  # the non-fact edges
+    assert plan.count("FileScan") <= 8  # 4 children + 4 parent key sets
+    assert "Relation [e0_n_rows" in plan or "ExistingRDD" in plan or "LocalTableScan" in plan
     assert "Python" not in plan
     assert "CartesianProduct" not in plan
 
