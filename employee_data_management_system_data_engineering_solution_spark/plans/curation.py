@@ -2433,11 +2433,14 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     parent key sets chain as successive left joins (each key set is
     distinct, so no fan-out) and a single 1-row aggregate carries all
     three edges' counters, so the 100 TB fact is read once, not three
-    times (one shuffle on l_orderkey; the part/supplier key sets
-    broadcast). Every other edge is one left join against the
-    parent's DISTINCT key set + a map-side-combined 1-row aggregate,
-    with dim key sets broadcast. AQE's skew handling applies
-    throughout because the joins are declarative."""
+    times (one shuffle on l_orderkey). Every other edge is one left
+    join against the parent's DISTINCT key set + a map-side-combined
+    1-row aggregate. Broadcast hints go ONLY to the genuinely bounded
+    dims (nation=25, region=5 — constant at any SF); the customer/
+    supplier/part key sets grow linearly with the warehouse, and an
+    explicit hint cannot be demoted by AQE, so those joins are left
+    declarative for AQE/statistics to pick broadcast-vs-shuffle at
+    the actual SF. AQE's skew handling applies throughout."""
 
     def _edge_aggs(fk: str, pk: str, prefix: str) -> list:
         orphan = F.col(fk).isNotNull() & F.col(pk).isNull()
@@ -2469,7 +2472,11 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _keys(parent: str, pk: str):
         keys = read_table(spark, sf_dir, parent).select(pk).distinct()
-        if parent in ("nation", "region", "customer", "supplier", "part"):
+        # Hint only the bounded dims: nation/region are constant-size
+        # at any SF. customer/supplier/part key cardinality scales
+        # with the fact table, and F.broadcast cannot be demoted by
+        # AQE — a forced billion-key broadcast would OOM at 100 TB.
+        if parent in ("nation", "region"):
             keys = F.broadcast(keys)
         return keys
 

@@ -6616,7 +6616,7 @@ def _mmr_oracle(k: int = 5) -> str:
     """
 
 
-@register("mmr_diversified_topk", _mmr_oracle().replace("{_COS}", _COS.replace("cosine_sim", "rel")))
+@register("mmr_diversified_topk", _mmr_oracle().replace("{_COS}", _COS))
 def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X186: maximal-marginal-relevance re-ranking (Carbonell &
     Goldstein 1998) of the brute-force top-10 cosine candidates —
