@@ -6582,8 +6582,84 @@ def token_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# MMR-diversified retrieval (X186)
+# MMR-diversified retrieval (X186 bounded-collect + X187 grouped)
 # ---------------------------------------------------------------------------
+def _mmr_greedy_select(
+    cands: list, pair_sim: dict, k: int = 5
+) -> list:
+    """The ONE greedy MMR selection both variants run: k rounds of
+    ``argmax 0.7·rel − 0.3·max_{s∈S} sim(c, s)`` with the score blended
+    in HALF_UP DECIMAL(8,6) (6 dp inputs are exact decimals — a double
+    blend can land on an exact 6 dp half where engine rounding modes
+    split) and ties broken on the smaller neighbor_id. ``cands`` is
+    ``[(neighbor_id, rel)]`` for one query (any order — the argmax
+    comparator is total); ``pair_sim`` maps ``(ca, cb) -> sim`` for
+    that query's pool pairs. Returns
+    ``[(mmr_rank, neighbor_id, relevance, mmr_score)]``.
+
+    Shared by the bounded driver-side X186 and the grouped
+    applyInPandas X187 so the two variants cannot drift."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    lam, mu = Decimal("0.7"), Decimal("0.3")
+    grain = Decimal("0.000001")
+    rel_of = dict(cands)
+    selected: list = []
+    out = []
+    for rank in range(1, min(k, len(cands)) + 1):
+        best = None
+        for nid, rel in cands:
+            if nid in selected:
+                continue
+            maxsim = max(
+                (pair_sim[(nid, s)] for s in selected), default=0.0
+            )
+            score = (
+                lam * Decimal(f"{rel:.6f}") - mu * Decimal(f"{maxsim:.6f}")
+            ).quantize(grain, rounding=ROUND_HALF_UP)
+            if best is None or (-score, nid) < (-best[1], best[0]):
+                best = (nid, score)
+        selected.append(best[0])
+        out.append((rank, best[0], rel_of[best[0]], float(best[1])))
+    return out
+
+
+def _mmr_pool_pairs(spark: SparkSession, sf_dir: str):
+    """The JVM-computed (corpus-sized) half of MMR, shared by X186 and
+    X187: the brute-force top-10 relevance pool per query (checkpointed
+    — the pairs branch must not re-run the scan) and the 6 dp-rounded
+    pairwise cosine sims within each query's pool (≤ 90 rows/query)."""
+    emb = _live_embeddings(spark, sf_dir)
+    queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105))
+    pool = (
+        similarity.cosine_topk_bruteforce(queries, emb, k=10)
+        .select("query_id", "neighbor_id", F.col("cosine_sim").alias("rel"))
+        .localCheckpoint(eager=True)
+    )
+    vecs = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    pv = pool.join(vecs, "neighbor_id").select(
+        "query_id", "neighbor_id", "rel", "embedding"
+    )
+    a = pv.alias("a")
+    b = pv.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.query_id") == F.col("b.query_id"))
+            & (F.col("a.neighbor_id") != F.col("b.neighbor_id")),
+        )
+        .select(
+            F.col("a.query_id").alias("query_id"),
+            F.col("a.neighbor_id").alias("ca"),
+            F.col("b.neighbor_id").alias("cb"),
+            F.round(
+                similarity.cosine(F.col("a.embedding"), F.col("b.embedding")), 6
+            ).alias("sim"),
+        )
+    )
+    return pool, pairs
+
+
 def _mmr_oracle(k: int = 5) -> str:
     """Unrolled greedy MMR rounds. Every per-round CTE is MATERIALIZED:
     sel/selupto chains are each referenced by two later CTEs and DuckDB
@@ -6696,80 +6772,91 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     overhead at ANY corpus size, where the collect is O(1) in the
     corpus). The candidate generator upstream is whatever ANN index
     the pipeline uses; MMR's cost is O(k·pool²) per query regardless
-    of corpus size."""
-    emb = _live_embeddings(spark, sf_dir)
-    queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105))
-    pool = (
-        similarity.cosine_topk_bruteforce(queries, emb, k=10)
-        .select("query_id", "neighbor_id", F.col("cosine_sim").alias("rel"))
-        .localCheckpoint(eager=True)
-    )
-    vecs = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
-    pv = pool.join(vecs, "neighbor_id").select(
-        "query_id", "neighbor_id", "rel", "embedding"
-    )
-    a = pv.alias("a")
-    b = pv.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.query_id") == F.col("b.query_id"))
-            & (F.col("a.neighbor_id") != F.col("b.neighbor_id")),
-        )
-        .select(
-            F.col("a.query_id").alias("query_id"),
-            F.col("a.neighbor_id").alias("ca"),
-            F.col("b.neighbor_id").alias("cb"),
-            F.round(
-                similarity.cosine(F.col("a.embedding"), F.col("b.embedding")), 6
-            ).alias("sim"),
-        )
-    )
+    of corpus size. For UNBOUNDED query sets see the grouped twin
+    mmr_diversified_topk_grouped (X187) — same greedy, one
+    applyInPandas group per query."""
+    pool, pairs = _mmr_pool_pairs(spark, sf_dir)
     # BOUNDED driver-side greedy (the BPE-winner / GD-gradient collect
     # discipline): relevance and every pairwise sim are JVM-computed
     # and 6 dp-rounded above — the distributed, corpus-sized work —
     # while the selection itself touches <= |queries| x pool rows
-    # (50) + pool^2 pair rows (450). Five unrolled rounds of
-    # join+window over those frames cost ~3 s of scheduler overhead
-    # per run at any SF; the collect is O(1) in corpus size.
-    from decimal import ROUND_HALF_UP, Decimal
-
+    # (50) + pool^2 pair rows (450); the collect is O(1) in corpus
+    # size.
     pool_rows = pool.collect()
-    pair_sim = {
-        (r["query_id"], r["ca"], r["cb"]): r["sim"] for r in pairs.collect()
-    }
+    sim_by_q: dict = {}
+    for r in pairs.collect():
+        sim_by_q.setdefault(r["query_id"], {})[(r["ca"], r["cb"])] = r["sim"]
     by_q: dict = {}
     for r in pool_rows:
         by_q.setdefault(r["query_id"], []).append((r["neighbor_id"], r["rel"]))
-    lam, mu, grain = Decimal("0.7"), Decimal("0.3"), Decimal("0.000001")
-    out_rows = []
-    for qid, cands in sorted(by_q.items()):
-        rel_of = dict(cands)
-        selected: list = []
-        for rank in range(1, min(5, len(cands)) + 1):
-            best = None
-            for nid, rel in cands:
-                if nid in selected:
-                    continue
-                maxsim = max(
-                    (pair_sim[(qid, nid, s)] for s in selected), default=0.0
-                )
-                # the same decimal blend the oracle uses: 6 dp inputs
-                # are exact DECIMAL(8,6); HALF_UP quantize matches both
-                # engines where a double blend can land on a 6 dp half
-                score = (
-                    lam * Decimal(f"{rel:.6f}") - mu * Decimal(f"{maxsim:.6f}")
-                ).quantize(grain, rounding=ROUND_HALF_UP)
-                if best is None or (-score, nid) < (-best[1], best[0]):
-                    best = (nid, score)
-            selected.append(best[0])
-            out_rows.append(
-                (qid, rank, best[0], rel_of[best[0]], float(best[1]))
-            )
+    out_rows = [
+        (qid, rank, nid, rel, score)
+        for qid, cands in sorted(by_q.items())
+        for rank, nid, rel, score in _mmr_greedy_select(
+            cands, sim_by_q.get(qid, {})
+        )
+    ]
     return spark.createDataFrame(
         out_rows,
         "query_id LONG, mmr_rank INT, neighbor_id LONG, "
         "relevance DOUBLE, mmr_score DOUBLE",
+    )
+
+
+@register("mmr_diversified_topk_grouped", _mmr_oracle().replace("{_COS}", _COS))
+def mmr_diversified_topk_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X187: the SCALE-OUT twin of mmr_diversified_topk — identical
+    semantics (same pool/pairs frames, same _mmr_greedy_select, same
+    oracle), but the greedy selection runs JVM-side as one cogrouped
+    applyInPandas group per query_id instead of a driver-side loop
+    over collected rows. The bounded-collect X186 is O(1) in corpus
+    size but serial in |queries|; a production re-ranker serves
+    thousands of queries per batch, and here selection parallelizes
+    with query count: pool and pairs cogroup on query_id (one shuffle
+    each, ≤ 10 + 90 Arrow rows per group), and each group's greedy is
+    O(k·pool²) pure Python over those rows — no driver participation,
+    no corpus-sized Python.
+
+    Exactness: identical to X186 by construction — the shared helper
+    does the HALF_UP DECIMAL(8,6) blend; driver-vs-grouped parity is
+    pinned in tests/test_round14_ops.py."""
+    pool, pairs = _mmr_pool_pairs(spark, sf_dir)
+
+    def greedy(key, pool_pdf, pairs_pdf):
+        import pandas as pd
+
+        cands = [
+            (int(n), float(r))
+            for n, r in zip(pool_pdf["neighbor_id"], pool_pdf["rel"])
+        ]
+        pair_sim = {
+            (int(a_), int(b_)): float(s)
+            for a_, b_, s in zip(
+                pairs_pdf["ca"], pairs_pdf["cb"], pairs_pdf["sim"]
+            )
+        }
+        qid = int(key[0])
+        return pd.DataFrame(
+            [
+                (qid, rank, nid, rel, score)
+                for rank, nid, rel, score in _mmr_greedy_select(
+                    cands, pair_sim
+                )
+            ],
+            columns=[
+                "query_id", "mmr_rank", "neighbor_id",
+                "relevance", "mmr_score",
+            ],
+        )
+
+    return (
+        pool.groupBy("query_id")
+        .cogroup(pairs.groupBy("query_id"))
+        .applyInPandas(
+            greedy,
+            "query_id LONG, mmr_rank INT, neighbor_id LONG, "
+            "relevance DOUBLE, mmr_score DOUBLE",
+        )
     )
 
 
@@ -6802,6 +6889,7 @@ _EMB_NULL_CONTRACT = (
     "hybrid_rrf_topk",
     "hard_negative_mining",
     "mmr_diversified_topk",
+    "mmr_diversified_topk_grouped",
 )
 
 for _q in _EMB_NULL_CONTRACT:
