@@ -6861,6 +6861,244 @@ def mmr_diversified_topk_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Semantic-tier dedup prune (X188 SemDeDup shape + X189 scorecard)
+# ---------------------------------------------------------------------------
+def _semantic_cc_ctes(pairs_cte: str, prefix: str) -> str:
+    """Min-label connected components over a pair CTE as recursive SQL
+    (the neardup_prune pattern): emits ``{prefix}removed`` (every
+    non-representative member) and ``{prefix}labeled``."""
+    return f"""
+    {prefix}edges AS (
+      SELECT id_a AS src, id_b AS dst FROM {pairs_cte}
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM {pairs_cte}
+    ),
+    {prefix}nodes AS (SELECT DISTINCT src AS node FROM {prefix}edges),
+    {prefix}reach AS (
+      SELECT node, node AS r FROM {prefix}nodes
+      UNION
+      SELECT re.node, e2.dst AS r
+      FROM {prefix}reach re JOIN {prefix}edges e2 ON e2.src = re.r
+    ),
+    {prefix}labeled AS (
+      SELECT node, min(r) AS rep FROM {prefix}reach GROUP BY node
+    ),
+    {prefix}removed AS (
+      SELECT node AS doc_id FROM {prefix}labeled WHERE node <> rep
+    )"""
+
+
+def _kmeans_trained_ctes() -> str:
+    """The two unrolled Lloyd's iterations every semantic-prune oracle
+    shares (identical to _KMEANS_ORACLE's training half): seeds c1,
+    rounds a1/c2/a2, trained centroids c3."""
+    return f"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    {_km_seed_cte()},
+    {_km_assign_cte("v", "c1", "a1")},
+    {_km_recompute_cte("a1", "c2")},
+    {_km_assign_cte("v", "c2", "a2")},
+    {_km_recompute_cte("a2", "c3")}"""
+
+
+_SEM_PAIR_COS = _COS.replace("qv", "a.e").replace("cv", "b.e")
+
+_SEMANTIC_PRUNE_ORACLE = f"""
+    WITH RECURSIVE {_kmeans_trained_ctes()},
+    corpus AS (
+      SELECT vec_id, e FROM v
+      UNION ALL
+      SELECT vec_id + (SELECT max(vec_id) + 1 FROM v) AS vec_id, e
+      FROM v  -- planted exact dups, shifted past the live id domain
+    ),
+    {_km_assign_cte("corpus", "c3", "af")},
+    sp AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM af a JOIN af b
+        ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+      WHERE {_SEM_PAIR_COS} >= 0.999
+    ),
+    {_semantic_cc_ctes("sp", "s_")}
+    SELECT c.vec_id,
+           coalesce(l.node IS NOT NULL, FALSE) AS is_semantic_rep
+    FROM corpus c
+    LEFT JOIN (SELECT node FROM s_labeled WHERE node = rep) l
+      ON c.vec_id = l.node
+    WHERE c.vec_id NOT IN (SELECT doc_id FROM s_removed)
+    """
+
+
+@register("semantic_prune", _SEMANTIC_PRUNE_ORACLE)
+def semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X188: semantic-tier dedup prune — the SemDeDup shape (Abbas et
+    al. 2023): k-means cluster the embedding space with TRAINED
+    centroids (the X67 Lloyd's machinery, two iterations), verify
+    cosine near-duplicates ONLY within each cluster (never all-pairs —
+    the embedding twin of the text stack's LSH bucketing), connect the
+    verified pairs into semantic groups, and keep the smallest-id
+    representative per group. The embedding twin of neardup_prune
+    (X75): lexical dedup cannot see a paraphrase that embeds onto the
+    same point; this tier prunes it. The corpus is the live embeddings
+    plus an id-shifted exact copy (known duplicates), so the prune's
+    output is non-trivial on this data (natural max pairwise cosine
+    ≈ 0.51 < the 0.999 admission threshold).
+
+    Output: every surviving vec_id plus whether it survived as a
+    semantic-group representative (vs never having a semantic dup).
+
+    Scale: training is two zero-shuffle assignment passes + k×dim
+    partial-sum aggregates (X67's shape); pair verification shuffles
+    once on cluster_id with per-cluster pair work (the IVF ~P× cut,
+    recall lost only across Voronoi boundaries — the standard SemDeDup
+    trade); components via the duplicate-bounded min-label CC; the
+    prune is two AQE-sized joins of the corpus against the membership
+    table, exactly neardup_prune's end shape."""
+    emb = _live_embeddings(spark, sf_dir)
+    corpus = _planted_dup_corpus(emb, "vec_id", "embedding")
+    cents = similarity.kmeans_iterate(emb, k=8, iters=2, dim=64)
+    pairs = similarity.cosine_neardup_pairs(corpus, cents, threshold=0.999)
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    non_reps = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("vec_id")
+    )
+    reps = comp.filter(F.col("node") == F.col("component")).select(
+        F.col("node").alias("vec_id"), F.lit(True).alias("is_semantic_rep")
+    )
+    return (
+        corpus.select("vec_id")
+        .join(non_reps, "vec_id", "left_anti")
+        .join(reps, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("is_semantic_rep", F.lit(False)).alias(
+                "is_semantic_rep"
+            ),
+        )
+    )
+
+
+_SEM_SCORECARD_ORACLE = f"""
+    WITH RECURSIVE lp AS (
+      SELECT id_a, id_b FROM ({_PAIRS_ORACLE})
+    ),
+    {_kmeans_trained_ctes()},
+    {_km_assign_cte("v", "c3", "af")},
+    sp AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM af a JOIN af b
+        ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+      WHERE {_SEM_PAIR_COS} >= 0.4
+    ),
+    {_semantic_cc_ctes("sp", "s_")},
+    {_semantic_cc_ctes("lp", "l_")},
+    bothr AS (
+      -- INTERSECT is rejected inside WITH RECURSIVE; the removal sets
+      -- are distinct node lists, so an equi-join is the same set
+      SELECT s.doc_id FROM s_removed s JOIN l_removed l USING (doc_id)
+    ),
+    m AS (
+      SELECT 'lexical_jaccard_j50' AS method,
+             (SELECT count(*) FROM documents) AS n_docs,
+             (SELECT count(*) FROM l_removed) AS n_removed
+      UNION ALL
+      SELECT 'semantic_cosine_c40' AS method,
+             (SELECT count(*) FROM v) AS n_docs,
+             (SELECT count(*) FROM s_removed) AS n_removed
+    )
+    SELECT method,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_removed AS BIGINT) AS n_removed,
+           CAST((SELECT count(*) FROM bothr) AS BIGINT) AS n_removed_both,
+           CAST(n_removed - (SELECT count(*) FROM bothr) AS BIGINT)
+             AS n_removed_only,
+           CASE WHEN n_docs > 0
+                THEN round(CAST(n_removed AS DOUBLE) / n_docs, 6)
+           END AS removal_rate
+    FROM m
+    ORDER BY method
+    """
+
+
+@register("semantic_prune_scorecard", _SEM_SCORECARD_ORACLE)
+def semantic_prune_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X189: what the semantic tier removes vs the lexical tier — the
+    measurement row a curation pipeline reads before stacking SemDeDup
+    on top of MinHash dedup (the tiers must be COMPLEMENTARY: if the
+    semantic prune only re-finds lexical duplicates, it is paying a
+    clustering pass for nothing). Both detectors run on their natural
+    corpora over the SAME id domain (vec_id ≡ doc_id in this
+    warehouse): lexical = the verified n-gram-Jaccard ≥ 0.5 components
+    (the X75 prune's membership), semantic = within-cluster cosine
+    ≥ 0.4 components under the TRAINED centroids (0.4 admits natural
+    neighbors on this corpus — the exact-dup 0.999 tier would remove
+    nothing natural and measure nothing). Per method: corpus size,
+    docs removed, docs both tiers remove, docs ONLY this tier removes,
+    removal rate — n_removed_only on the semantic row is SemDeDup's
+    headline number (what embeddings catch that lexical overlap
+    cannot).
+
+    Scale: everything corpus-sized is the two detector pipelines
+    themselves (cluster-bucketed / LSH-bucketed — never all-pairs);
+    the removal sets are duplicate-bounded, their intersection and the
+    five counters are 1-row aggregates."""
+    emb = _live_embeddings(spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents")
+    cents = similarity.kmeans_iterate(emb, k=8, iters=2, dim=64)
+    sem_removed = (
+        connected_components(
+            similarity.cosine_neardup_pairs(emb, cents, threshold=0.4),
+            src="id_a",
+            dst="id_b",
+        )
+        .filter(F.col("node") != F.col("component"))
+        .select(F.col("node").alias("doc_id"))
+    )
+    lex_removed = (
+        connected_components(
+            _verified_pairs(spark, sf_dir), src="id_a", dst="id_b"
+        )
+        .filter(F.col("node") != F.col("component"))
+        .select(F.col("node").alias("doc_id"))
+    )
+    both = F.broadcast(
+        sem_removed.join(lex_removed, "doc_id").agg(
+            F.count(F.lit(1)).alias("n_removed_both")
+        )
+    )
+
+    def method_row(method: str, universe: DataFrame, removed: DataFrame):
+        return (
+            removed.agg(F.count(F.lit(1)).alias("n_removed"))
+            .crossJoin(both)
+            .crossJoin(
+                F.broadcast(universe.agg(F.count(F.lit(1)).alias("n_docs")))
+            )
+            .select(
+                F.lit(method).alias("method"),
+                F.col("n_docs").cast("long").alias("n_docs"),
+                F.col("n_removed").cast("long").alias("n_removed"),
+                F.col("n_removed_both").cast("long").alias("n_removed_both"),
+                (F.col("n_removed") - F.col("n_removed_both"))
+                .cast("long")
+                .alias("n_removed_only"),
+                F.when(
+                    F.col("n_docs") > 0,
+                    F.round(
+                        F.col("n_removed").cast("double") / F.col("n_docs"), 6
+                    ),
+                ).alias("removal_rate"),
+            )
+        )
+
+    return (
+        method_row("lexical_jaccard_j50", docs.select("doc_id"), lex_removed)
+        .unionByName(
+            method_row("semantic_cosine_c40", emb.select("vec_id"), sem_removed)
+        )
+        .orderBy("method")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Embeddings NULL contract — oracle side (see _live_embeddings).
 # The similarity / index / quantization family reads only rows whose
 # embedding is non-NULL on BOTH engines: the Spark plans filter at the
@@ -6890,6 +7128,8 @@ _EMB_NULL_CONTRACT = (
     "hard_negative_mining",
     "mmr_diversified_topk",
     "mmr_diversified_topk_grouped",
+    "semantic_prune",
+    "semantic_prune_scorecard",
 )
 
 for _q in _EMB_NULL_CONTRACT:
@@ -6949,6 +7189,9 @@ _DOC_NULL_CONTRACT: dict[str, tuple[int, int]] = {
     "dedup_recall_curve": (2, 2),
     "cross_split_leakage": (2, 1),  # 2nd read = the eval-doc spine
     "context_pack_bins": (1, 1),
+    # 2nd read = the lexical-universe count (ALL docs — a NULL-text doc
+    # is still corpus mass the removal rate is measured against)
+    "semantic_prune_scorecard": (2, 1),
 }
 
 _GUARDED = (
