@@ -49,6 +49,32 @@ from .registry import REGISTRY, register
 # exempt). driver_green_rounds()/never_green() below are the audit's
 # data source.
 #
+# Round 14 rotation (r13 narrative preserved below). The r13 window
+# re-greened the nine r13 newcomers + the complete 40-query r9 cohort
+# + checkpoint_restart_strikes (CORRECTNESS_r13.json: 50/50
+# hash-green). This round executes the r13 verdict's planned drain:
+#   IN (never green — r14 build-outs, full hash oracles):
+#       semantic_prune (X188 SemDeDup-shape prune: trained-centroid
+#       k-means bucket → within-cluster cosine ≥ 0.999 verify →
+#       keep-one representative; verdict item 2),
+#       semantic_prune_scorecard (X189 semantic-vs-lexical removal
+#       complementarity; item 2), mmr_diversified_topk_grouped (X187
+#       cogrouped applyInPandas greedy — re-ranking parallel in query
+#       count; item 3).
+#   IN (the r14 drain — 46 of the 49 r10-green queries, verdict
+#       item 1): active_count_by_designation … zorder_layout_stats
+#       (see _PRIORITY).
+#   IN (re-confirmation keeper): checkpoint_restart_strikes — the
+#       timeless-strike ordering contract changed this round (verdict
+#       item 4), so stateful streaming + checkpoint recovery
+#       re-verifies in-window.
+# R15 QUEUE: the 3 deferred quantized/IVF-ANN r10-green queries
+# (ivf_topk_multiprobe, quantized_ivf_topk, quantized_topk_rescore)
+# FIRST, then the stalest r11-green cohort by driver_history.json.
+#   OUT (rotated to the tail; every one driver-green ≤3 rounds ago and
+#       guarded by the committed full local runs): the whole r13
+#       window except the keeper.
+#
 # Round 13 rotation (r12 narrative preserved below). The r12 window
 # re-greened the complete 34-query r8 block + the rows-only trio; the
 # r12 verdict (item 1) ordered in FIRST the complete 40-query r9-green
@@ -265,63 +291,67 @@ from .registry import REGISTRY, register
 #       newcomers.
 # ---------------------------------------------------------------------------
 _PRIORITY: tuple[str, ...] = (
-    # new in r13: never driver-checked
-    "gate_trained_eval",
-    "bpe_merge_batched",
-    "dedup_recall_sampled",
-    "dedup_recall_curve",
-    "seasonal_decompose_report",
-    "mann_kendall_trend",
-    "referential_integrity_audit",
-    "range_partition_plan",
-    "mmr_diversified_topk",
-    # re-confirmation: the complete 40-query r9-green cohort
-    # (PROGRESS.jsonl final r13 entry; r12 verdict item 1)
-    "balanced_strata_sample",
-    "benchmark_contamination",
-    "bloom_pruned_join",
-    "bm25_topk",
-    "brand_price_theilsen",
-    "bucketed_colocated_join",
-    "column_profile",
-    "dedup_keep_best",
-    "discount_quantity_ab",
-    "domain_mixture_sample",
-    "embedding_neardup_pairs",
-    "event_sessions",
-    "events_in_error_windows",
-    "format_roundtrips",
-    "forward_fill_values",
-    "funnel_conversion_report",
-    "fuzzy_name_pairs",
-    "gate_calibration_bins",
-    "gate_eval_report",
-    "hourly_interpolated_series",
-    "hybrid_rrf_topk",
-    "hyperplane_lsh_groups",
-    "kmeans_ivf_assign",
-    "order_price_ks_drift",
-    "phash_neardup_pairs",
-    "pii_scrub",
-    "price_decile_stats",
-    "quality_weighted_sample",
-    "repeated_passages",
-    "revenue_cube_report",
-    "revenue_forecast_mase",
-    "schema_evolution_read",
-    "snapshot_diff_orders",
-    "strike_report_rlike",
-    "supplier_golden_record",
-    "text_profile",
-    "tfidf_top_terms",
-    "train_test_split",
-    "upcoming_leave_pct",
-    "user_value_trend",
-    # re-confirmation: 1 of the 50 r10-green — stateful streaming +
-    # checkpoint recovery, the one family with no other in-window
-    # carrier after the nine never-green newcomers took the slots
-    # (graph, MERGE-upsert, quantized-ANN and winnowing re-greens ride
-    # the r14 drain of the 49 remaining r10-green queries)
+    # new in r14: never driver-checked (r13 verdict items 2-3 — the
+    # SemDeDup-shape semantic prune + its tier-complementarity
+    # scorecard, and the grouped applyInPandas MMR twin)
+    "semantic_prune",
+    "semantic_prune_scorecard",
+    "mmr_diversified_topk_grouped",
+    # r14 drain: 46 of the 49 r10-green queries (r13 verdict item 1).
+    # The three quantized/IVF-ANN leftovers (ivf_topk_multiprobe,
+    # quantized_ivf_topk, quantized_topk_rescore) ride the R15 QUEUE —
+    # their family stays covered in-window by pq_adc_search /
+    # pq_ivf_search / embedding_quantize.
+    "active_count_by_designation",
+    "bigram_collocations",
+    "binary_metadata",
+    "boilerplate_scrub_stats",
+    "bpe_merge_candidates",
+    "char_bigram_entropy",
+    "cluster_topic_terms",
+    "compact_parquet_roundtrip",
+    "context_pack_bins",
+    "decile_lift_report",
+    "dedup_clusters",
+    "dsir_importance_weights",
+    "embedding_quantize",
+    "epoch_status_clean",
+    "except_all_dupes",
+    "keyed_upsert",
+    "lm_doc_score",
+    "multimodal_frame_stats",
+    "nation_revenue_gini",
+    "ndcg_mrr_report",
+    "ordered_designation_report",
+    "part_link_prediction",
+    "pct_of_quota",
+    "pq_adc_search",
+    "pq_ivf_search",
+    "price_qty_elasticity",
+    "priority_price_mwu",
+    "published_report_roundtrip",
+    "purchase_asof_view",
+    "repeated_substring_spans",
+    "salted_skew_join",
+    "segment_nation_chi2",
+    "session_window_counts",
+    "shingle_containment_pairs",
+    "snapshot_time_travel",
+    "stream_dedup_counts",
+    "stream_left_join_events",
+    "streaming_upsert_dim",
+    "supplier_communities",
+    "supplier_triangles",
+    "user_survival_km",
+    "value_outliers",
+    "weekly_cohort_retention",
+    "winnow_fingerprint_pairs",
+    "word_freq_topk",
+    "zorder_layout_stats",
+    # re-confirmation keeper: stateful streaming + checkpoint recovery.
+    # The timeless-strike within-batch ordering contract changed this
+    # round (r13 verdict item 4), so the strike machine re-verifies
+    # in-window rather than riding stale evidence.
     "checkpoint_restart_strikes",
 )
 

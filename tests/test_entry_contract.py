@@ -31,58 +31,124 @@ def test_oracle_keys_subset_of_queries(spark):
     }
 
 
+#: Operator family → the registry queries that can carry it in a
+#: driver check window. The rotation invariant is: EVERY family below
+#: keeps at least one carrier inside the 50-slot window, every round —
+#: asserted mechanically, so a rotation reshuffle can never silently
+#: drop a family from driver coverage (the r13 rotation did exactly
+#: that for five families, caught only by the judge). Carrier sets
+#: are deliberately generous: any member windowed satisfies the
+#: family.
+FAMILY_CARRIERS: dict[str, set[str]] = {
+    "reference_clean_path": {"epoch_status_clean", "strike_report_rlike"},
+    "reference_reports": {
+        "active_count_by_designation", "ordered_designation_report",
+        "pct_of_quota", "upcoming_leave_pct",
+    },
+    "sinks_roundtrip": {
+        "published_report_roundtrip", "compact_parquet_roundtrip",
+        "format_roundtrips", "snapshot_time_travel",
+        "schema_evolution_read",
+    },
+    "merge_upsert_scd": {
+        "keyed_upsert", "streaming_upsert_dim", "scd2_merge",
+        "supplier_golden_record",
+    },
+    "window_dedup_rank": {
+        "except_all_dupes", "dedup_keep_best", "value_outliers",
+    },
+    "streaming_stateful_checkpoint": {
+        "checkpoint_restart_strikes", "checkpoint_restart_windowed",
+        "strike_stream_stateful",
+    },
+    "streaming_windows_joins": {
+        "session_window_counts", "stream_dedup_counts",
+        "stream_left_join_events", "streaming_upsert_dim",
+        "events_in_error_windows",
+    },
+    "temporal": {
+        "purchase_asof_view", "user_survival_km",
+        "weekly_cohort_retention", "forward_fill_values",
+        "hourly_interpolated_series", "event_sessions",
+    },
+    "text_analysis": {
+        "word_freq_topk", "char_bigram_entropy", "lm_doc_score",
+        "boilerplate_scrub_stats", "bigram_collocations",
+        "text_profile", "tfidf_top_terms", "pii_scrub",
+    },
+    "lexical_dedup": {
+        "winnow_fingerprint_pairs", "repeated_substring_spans",
+        "shingle_containment_pairs", "dedup_clusters",
+        "ngram_jaccard_pairs", "ppjoin_neardup_pairs",
+        "dedup_recall_sampled", "dedup_recall_curve",
+    },
+    "graph": {
+        "supplier_communities", "supplier_triangles",
+        "part_link_prediction",
+    },
+    "ann_quantized_ivf": {
+        "pq_adc_search", "pq_ivf_search", "embedding_quantize",
+        "ivf_topk_multiprobe", "quantized_ivf_topk",
+        "quantized_topk_rescore", "kmeans_ivf_assign",
+    },
+    "retrieval_rank_eval": {
+        "ndcg_mrr_report", "cluster_topic_terms", "bm25_topk",
+        "hybrid_rrf_topk",
+    },
+    "mmr_diversification": {
+        "mmr_diversified_topk", "mmr_diversified_topk_grouped",
+    },
+    "semantic_dedup": {"semantic_prune", "semantic_prune_scorecard"},
+    "learned_gate_curation": {
+        "decile_lift_report", "dsir_importance_weights",
+        "context_pack_bins", "quality_weighted_sample",
+        "gate_trained_eval", "gate_eval_report",
+        "balanced_strata_sample", "domain_mixture_sample",
+    },
+    "multimodal": {
+        "binary_metadata", "multimodal_frame_stats",
+        "multimodal_profile", "phash_neardup_pairs",
+    },
+    "analytics_stats": {
+        "segment_nation_chi2", "priority_price_mwu",
+        "nation_revenue_gini", "price_qty_elasticity",
+        "order_price_ks_drift", "mann_kendall_trend",
+        "seasonal_decompose_report", "brand_price_theilsen",
+    },
+    "scale_layout": {
+        "salted_skew_join", "zorder_layout_stats",
+        "bucketed_colocated_join", "bloom_pruned_join",
+        "range_partition_plan",
+    },
+    "bpe_tokenizer": {
+        "bpe_merge_candidates", "bpe_merge_batched", "bpe_merge_table",
+    },
+    "ingest_gates": {
+        "referential_integrity_audit", "column_profile",
+        "epoch_status_clean",
+    },
+}
+
+
 def test_check_window_covers_every_operator_family():
     """External harnesses verify a bounded prefix of queries() (first
-    50 entries); the curated priority order must keep one carrier per
-    operator family inside that window, and everything outside it must
-    be a deliberate overflow (rows-only or multiply-covered/unit-tested
-    elsewhere)."""
-    window = list(queries())[:50]
-    carriers = {
-        # Round-13 window (see the rotation narrative in
-        # plans/__init__.py): (a) the four r13 newcomers, never
-        # driver-checked; (b) the COMPLETE 40-query r9-green cohort
-        # the r12 verdict ordered in first (PROGRESS.jsonl final r13
-        # entry); (c) five more r13 newcomers (seasonal decomposition,
-        # Mann-Kendall, RI audit, range-partition planner, MMR) took
-        # the remaining slots, so exactly ONE r10-green keeper fits:
-        # stateful streaming + checkpoint recovery
-        # (checkpoint_restart_strikes). Everything rotated out is
-        # r10/r11/r12 driver-green, guarded by the committed full
-        # local runs, and the 49 remaining r10-green queries queue
-        # FIRST for r14 (PROGRESS.jsonl r14 schedule entry).
-        #
-        # new in r13 — never driver-checked:
-        "gate_trained_eval", "bpe_merge_batched",
-        "dedup_recall_sampled", "dedup_recall_curve",
-        "seasonal_decompose_report", "mann_kendall_trend",
-        "referential_integrity_audit", "range_partition_plan",
-        "mmr_diversified_topk",
-        # re-confirmation: the complete 40-query r9-green cohort
-        "balanced_strata_sample", "benchmark_contamination",
-        "bloom_pruned_join", "bm25_topk", "brand_price_theilsen",
-        "bucketed_colocated_join", "column_profile", "dedup_keep_best",
-        "discount_quantity_ab", "domain_mixture_sample",
-        "embedding_neardup_pairs", "event_sessions",
-        "events_in_error_windows", "format_roundtrips",
-        "forward_fill_values", "funnel_conversion_report",
-        "fuzzy_name_pairs", "gate_calibration_bins", "gate_eval_report",
-        "hourly_interpolated_series", "hybrid_rrf_topk",
-        "hyperplane_lsh_groups", "kmeans_ivf_assign",
-        "order_price_ks_drift", "phash_neardup_pairs", "pii_scrub",
-        "price_decile_stats", "quality_weighted_sample",
-        "repeated_passages", "revenue_cube_report",
-        "revenue_forecast_mase", "schema_evolution_read",
-        "snapshot_diff_orders", "strike_report_rlike",
-        "supplier_golden_record", "text_profile", "tfidf_top_terms",
-        "train_test_split", "upcoming_leave_pct", "user_value_trend",
-        # re-confirmation: 1 of the 50 r10-green — stateful streaming
-        # (the one family with no other in-window carrier; graph,
-        # MERGE-upsert, quantized ANN and winnowing ride the r14
-        # drain of the remaining 49 r10-green queries)
-        "checkpoint_restart_strikes",
-    }
-    assert carriers <= set(window), sorted(carriers - set(window))
+    50 entries); the rotation invariant is that every operator family
+    in FAMILY_CARRIERS keeps at least one carrier inside that window.
+    This is the mechanical form of the old narrative claim — a
+    rotation that drops a family now fails here instead of waiting for
+    a judge audit."""
+    qs = queries()
+    window = set(list(qs)[:50])
+    # the map must stay honest: every listed carrier is a real query
+    for family, carriers in FAMILY_CARRIERS.items():
+        ghosts = carriers - set(qs)
+        assert not ghosts, f"{family}: unknown carriers {sorted(ghosts)}"
+    uncovered = sorted(
+        family
+        for family, carriers in FAMILY_CARRIERS.items()
+        if not (carriers & window)
+    )
+    assert not uncovered, f"families with no in-window carrier: {uncovered}"
 
 
 def test_rotation_policy_is_mechanically_satisfied():
