@@ -3976,14 +3976,24 @@ def phash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # state is < 10, and accumulate forever once a single month reaches
     # >= 10 (the cooldown stops applying). Hence the final state is
     #   sum(c_i for months >= the FIRST month with c >= 10)  if any,
-    #   else c_k (the last month's count).
+    #   else c_k (the last month's count),
+    # PLUS the employee's NULL-ts flagged count: a month-less strike is
+    # PERMANENT (the r14 timeless-strike contract at
+    # streaming/strikes._strike_state_fn) — it belongs to no month, so
+    # no month's cooldown can reset it, and only that choice gives the
+    # fold a batch-order-independent closed form at all.
     # Employees present in the stream with no flagged messages hold
     # state 0 / ACTIVE.
     """
     WITH f AS (
       SELECT user_id AS emp_id, strftime(ts, '%Y-%m') AS month, count(*) AS c
-      FROM events WHERE event_type = 'error'
+      FROM events WHERE event_type = 'error' AND ts IS NOT NULL
       GROUP BY 1, 2
+    ),
+    tl AS (
+      SELECT user_id AS emp_id, count(*) AS t
+      FROM events WHERE event_type = 'error' AND ts IS NULL
+      GROUP BY 1
     ),
     fb AS (
       SELECT emp_id, min(month) AS m0 FROM f WHERE c >= 10 GROUP BY emp_id
@@ -3999,10 +4009,13 @@ def phash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     everyone AS (SELECT DISTINCT user_id AS emp_id FROM events)
     SELECT e.emp_id,
-           CAST(coalesce(a.strikes, 0) AS INT) AS strike_count,
-           CASE WHEN coalesce(a.strikes, 0) >= 10 THEN 'INACTIVE' ELSE 'ACTIVE' END
+           CAST(coalesce(a.strikes, 0) + coalesce(tl.t, 0) AS INT) AS strike_count,
+           CASE WHEN coalesce(a.strikes, 0) + coalesce(tl.t, 0) >= 10
+                THEN 'INACTIVE' ELSE 'ACTIVE' END
              AS status
-    FROM everyone e LEFT JOIN agg a ON e.emp_id = a.emp_id
+    FROM everyone e
+    LEFT JOIN agg a ON e.emp_id = a.emp_id
+    LEFT JOIN tl ON e.emp_id = tl.emp_id
     """,
 )
 def strike_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:

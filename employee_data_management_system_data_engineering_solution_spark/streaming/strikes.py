@@ -82,6 +82,7 @@ _STATE_SCHEMA = StructType(
     [
         StructField("strikes", IntegerType()),
         StructField("month", StringType()),
+        StructField("timeless", IntegerType()),
     ]
 )
 _OUTPUT_SCHEMA = StructType(
@@ -101,7 +102,7 @@ def _strike_state_fn(
     reset at a new month unless the INACTIVE threshold was already hit
     (``README.md:105``)."""
     (emp_id,) = key
-    strikes, month = state.get if state.exists else (0, "")
+    strikes, month, timeless = state.get if state.exists else (0, "", 0)
     for pdf in pdfs:
         # NULL robustness: a NULL flagged (NULL event_type upstream) is
         # "not flagged" — the batch twin's filter(flagged_expr()) drops
@@ -111,31 +112,38 @@ def _strike_state_fn(
         # wipe accumulated strikes); one malformed row can never kill
         # the streaming query.
         #
-        # Within-batch ordering contract (deliberate, advisor r12): a
-        # timeless strike has no position in event time, so it is
-        # credited AFTER the batch's dated months — i.e. to the month
-        # the state ENDS the batch in — even when the NULL-ts row
-        # physically preceded a month transition in the feed. Once
-        # credited it is ordinary state: a LATER month's cooldown
-        # resets it like any other strike of that month. Pinned by
-        # test_timeless_strike_with_month_transition_in_one_batch
-        # (tests/test_empty_inputs.py); batch/stream parity holds
-        # because the batch twin counts flagged rows unconditionally
-        # (no cooldown), so only the monthly-reset path — which a
-        # month-less row by definition cannot drive — could diverge.
+        # TIMELESS-STRIKE ORDERING CONTRACT (r14, closes advisor r12's
+        # open item): a month-less strike is PERMANENT. It carries no
+        # position in event time, so no month's cooldown can claim it —
+        # it accumulates in its own state counter, immune to the
+        # monthly reset, and the reported strike_count/status are
+        # computed on dated + timeless. This is the one choice whose
+        # final state is independent of how the feed is split into
+        # micro-batches (crediting the strike to any month makes the
+        # answer depend on WHICH batch the malformed row lands in
+        # relative to a month transition); the closed-form oracle adds
+        # the per-employee NULL-ts flagged count the same way. The
+        # monthly reset itself keys on the DATED count only — also
+        # batch-order-independence: a reset gated on the total would
+        # fire or not depending on how early the timeless rows arrive.
+        # Pinned by test_timeless_strike_survives_cross_batch_reset
+        # (tests/test_streaming.py) and the single-batch cases in
+        # tests/test_empty_inputs.py; the batch twin counts flagged
+        # rows unconditionally (no cooldown), so dated-vs-timeless
+        # cannot diverge there.
         flagged = pdf[pdf["flagged"].eq(True)]
-        timeless = int(flagged["month"].isna().sum())
+        timeless += int(flagged["month"].isna().sum())
         flagged = flagged[flagged["month"].notna()]
         for m in sorted(flagged["month"].unique()):
             if m != month and strikes < STRIKE_LIMIT:
                 strikes = 0  # cooldown: new month, threshold not hit
             month = max(month, m)
             strikes += int((flagged["month"] == m).sum())
-        strikes += timeless
-    state.update((strikes, month))
-    status = "INACTIVE" if strikes >= STRIKE_LIMIT else "ACTIVE"
+    state.update((strikes, month, timeless))
+    total = strikes + timeless
+    status = "INACTIVE" if total >= STRIKE_LIMIT else "ACTIVE"
     yield pd.DataFrame(
-        [{"emp_id": emp_id, "strike_count": strikes, "status": status, "month": month}]
+        [{"emp_id": emp_id, "strike_count": total, "status": status, "month": month}]
     )
 
 

@@ -231,15 +231,17 @@ def test_flagged_event_with_null_ts_counts_without_reset(spark, tmp_path):
 
 
 def test_timeless_strike_with_month_transition_in_one_batch(spark, tmp_path):
-    """Within-batch ordering contract for timeless strikes (advisor
-    r12, documented at _strike_state_fn): a NULL-ts strike is credited
-    AFTER the batch's dated months — to the month the state ENDS the
-    batch in — even when the NULL-ts row physically precedes the month
-    transition in the feed, and once credited it is ordinary state for
-    later cooldowns. Here: 2 Jan strikes, a timeless strike placed
-    between them and a Feb strike. Feb's cooldown wipes the Jan
-    strikes (threshold not hit), then the timeless strike lands in
-    Feb: final count 1 (Feb) + 1 (timeless) = 2, month 2024-02."""
+    """Timeless-strike contract (r14, documented at _strike_state_fn):
+    a NULL-ts strike is PERMANENT — it accumulates in its own state
+    counter, immune to every monthly cooldown, so its survival does
+    not depend on where the malformed row sits relative to a month
+    transition in the feed. Here: 2 Jan strikes, a timeless strike
+    placed between them and a Feb strike. Feb's cooldown wipes the Jan
+    strikes (threshold not hit) but cannot touch the timeless one:
+    final count 1 (Feb) + 1 (timeless) = 2. The cross-batch half of
+    the contract is pinned by
+    test_timeless_strike_survives_cross_batch_reset
+    (tests/test_streaming.py)."""
     import datetime as dt
 
     from employee_data_management_system_data_engineering_solution_spark.streaming.strikes import (

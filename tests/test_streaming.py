@@ -78,19 +78,32 @@ def _run_state(months_flags, state=None):
 def test_state_fn_accumulates_within_month(erase=None):
     row, state = _run_state([("2021-01", True)] * 4)
     assert row.strike_count == 4 and row.status == "ACTIVE"
-    assert state == (4, "2021-01")
+    assert state == (4, "2021-01", 0)
 
 
 def test_state_fn_monthly_cooldown_resets_below_limit():
     # 4 strikes in Jan, then 2 in Feb → Feb starts fresh (cooldown)
-    row, state = _run_state([("2021-02", True)] * 2, state=(4, "2021-01"))
+    row, state = _run_state([("2021-02", True)] * 2, state=(4, "2021-01", 0))
     assert row.strike_count == 2 and row.status == "ACTIVE"
 
 
 def test_state_fn_no_reset_once_inactive():
     # ≥10 strikes: the INACTIVE flag survives the month rollover
-    row, state = _run_state([("2021-02", True)] * 1, state=(11, "2021-01"))
+    row, state = _run_state([("2021-02", True)] * 1, state=(11, "2021-01", 0))
     assert row.strike_count == 12 and row.status == "INACTIVE"
+
+
+def test_state_fn_timeless_counter_is_reset_immune():
+    # r14 contract: the timeless counter survives a month rollover that
+    # resets the dated count, and both feed the reported total/status
+    row, state = _run_state([("2021-02", True)] * 2, state=(4, "2021-01", 3))
+    assert state == (2, "2021-02", 3)
+    assert row.strike_count == 5 and row.status == "ACTIVE"
+    # the dated reset keys on the DATED count only: dated 8 < 10 resets
+    # even though the total (8 + 3) crossed the threshold
+    row, state = _run_state([("2021-03", True)] * 7, state=(8, "2021-02", 3))
+    assert state == (7, "2021-03", 3)
+    assert row.strike_count == 10 and row.status == "INACTIVE"
 
 
 def test_state_fn_ignores_unflagged():
@@ -228,6 +241,46 @@ def test_strike_pass_checkpoint_recovery(spark, tmp_path):
     assert {k: (v.strike_count, v.status) for k, v in got.items()} == {
         k: (v.strike_count, v.status) for k, v in ref.items()
     }
+
+
+def test_timeless_strike_survives_cross_batch_reset(spark, tmp_path):
+    """The r14 timeless-strike contract (closes the advisor-r12 item):
+    a month-less (NULL-ts) strike is PERMANENT — it accumulates in its
+    own state counter and no later month's cooldown can wipe it, so
+    the final state is independent of which micro-batch the malformed
+    row lands in. Batch 1: 2 Jan strikes + 1 NULL-ts strike; batch 2:
+    1 Feb strike. Feb's cooldown resets the dated count (2 → 1) but
+    not the timeless strike: final 1 + 1 = 2. (Under the pre-r14
+    'join the current open month' rule the timeless strike became
+    ordinary Jan-credited state and Feb's reset wiped it → 1, making
+    the answer depend on batch assignment.)"""
+    from employee_data_management_system_data_engineering_solution_spark.streaming.strikes import (
+        run_strike_pass,
+        strike_final_state,
+    )
+
+    batch1 = [
+        Row(user_id=1, event_type="error", ts=dt.datetime(2021, 1, 5)),
+        Row(user_id=1, event_type="error", ts=dt.datetime(2021, 1, 6)),
+        Row(user_id=1, event_type="error", ts=None),  # timeless
+    ]
+    batch2 = [Row(user_id=1, event_type="error", ts=dt.datetime(2021, 2, 5))]
+    stage_dir = tmp_path / "stage"
+    stage_dir.mkdir()
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+
+    _stage_file(spark, tmp_path, batch1, str(stage_dir / "a.parquet"))
+    run_strike_pass(spark, str(stage_dir), ckpt, out, state_partitions=2)
+    p1 = {
+        r.emp_id: r.strike_count
+        for r in strike_final_state(spark, out).collect()
+    }
+    assert p1[1] == 3  # 2 dated + 1 timeless
+
+    _stage_file(spark, tmp_path, batch2, str(stage_dir / "b.parquet"))
+    run_strike_pass(spark, str(stage_dir), ckpt, out, state_partitions=2)
+    got = {r.emp_id: r for r in strike_final_state(spark, out).collect()}
+    assert got[1].strike_count == 2 and got[1].status == "ACTIVE"
 
 
 def test_strike_stream_rocksdb_provider_matches_default(spark, tmp_path):
