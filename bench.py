@@ -156,6 +156,7 @@ def main() -> int:
             _llm.clear_ann_eval_cache()
             _llm.clear_bpe_cache()
             _llm.clear_ppjoin_cache()
+            _llm.clear_kmeans_cache()
             _pipeline.clear_backbone_cache()
             # _llm._SAMPLED_CACHE is deliberately NOT cleared — see the
             # module docstring: the sampled-scorecard frames are a

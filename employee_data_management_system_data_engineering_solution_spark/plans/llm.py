@@ -6915,6 +6915,34 @@ def _kmeans_trained_ctes() -> str:
 
 _SEM_PAIR_COS = _COS.replace("qv", "a.e").replace("cv", "b.e")
 
+#: Trained-centroid memo for the semantic-dedup family: both X188 and
+#: X189 train the SAME k=8 / iters=2 Lloyd's centroids on the live
+#: embeddings; the result is a k-row driver-materialized frame, so the
+#: memo stores it directly (no checkpoint blocks to free). Payer in a
+#: bench pass is deterministic: semantic_prune precedes the scorecard
+#: in the registry order.
+_KMEANS_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def clear_kmeans_cache() -> None:
+    """Drop the memoized trained centroids (bench resets per pass)."""
+    _KMEANS_CACHE.clear()
+
+
+def _trained_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        table_fingerprint(sf_dir, "embeddings"),
+    )
+    cached = _KMEANS_CACHE.get(key)
+    if cached is None:
+        cached = similarity.kmeans_iterate(
+            _live_embeddings(spark, sf_dir), k=8, iters=2, dim=64
+        )
+        _KMEANS_CACHE[key] = cached
+    return cached
+
 _SEMANTIC_PRUNE_ORACLE = f"""
     WITH RECURSIVE {_kmeans_trained_ctes()},
     corpus AS (
@@ -6967,7 +6995,7 @@ def semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     table, exactly neardup_prune's end shape."""
     emb = _live_embeddings(spark, sf_dir)
     corpus = _planted_dup_corpus(emb, "vec_id", "embedding")
-    cents = similarity.kmeans_iterate(emb, k=8, iters=2, dim=64)
+    cents = _trained_centroids(spark, sf_dir)
     pairs = similarity.cosine_neardup_pairs(corpus, cents, threshold=0.999)
     comp = connected_components(pairs, src="id_a", dst="id_b")
     non_reps = comp.filter(F.col("node") != F.col("component")).select(
@@ -7055,7 +7083,7 @@ def semantic_prune_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     five counters are 1-row aggregates."""
     emb = _live_embeddings(spark, sf_dir)
     docs = read_table(spark, sf_dir, "documents")
-    cents = similarity.kmeans_iterate(emb, k=8, iters=2, dim=64)
+    cents = _trained_centroids(spark, sf_dir)
     sem_removed = (
         connected_components(
             similarity.cosine_neardup_pairs(emb, cents, threshold=0.4),
