@@ -95,56 +95,74 @@ _OUTPUT_SCHEMA = StructType(
 )
 
 
+def _fold_flagged_batch(
+    pdf: pd.DataFrame, strikes: int, month: str, timeless: int
+) -> tuple[int, str, int]:
+    """One micro-batch of prepared rows folded into the strike state —
+    the ONE fold every stateful API tier runs
+    (``applyInPandasWithState`` via :func:`_strike_state_fn`, the
+    Spark-4 ``transformWithStateInPandas`` twin via
+    :class:`StrikeProcessor`), so the tiers cannot drift.
+
+    NULL robustness: a NULL flagged (NULL event_type upstream) is
+    "not flagged" — the batch twin's filter(flagged_expr()) drops it
+    the same way. A flagged row with NULL ts has no month, so it
+    counts as a strike WITHOUT touching the cooldown machine (feeding
+    a sentinel month into the reset comparison would wipe accumulated
+    strikes); one malformed row can never kill the streaming query.
+
+    TIMELESS-STRIKE ORDERING CONTRACT (r14, closes advisor r12's open
+    item): a month-less strike is PERMANENT. It carries no position in
+    event time, so no month's cooldown can claim it — it accumulates
+    in its own state counter, immune to the monthly reset, and the
+    reported strike_count/status are computed on dated + timeless.
+    This is the one choice whose final state is independent of how the
+    feed is split into micro-batches (crediting the strike to any
+    month makes the answer depend on WHICH batch the malformed row
+    lands in relative to a month transition); the closed-form oracle
+    adds the per-employee NULL-ts flagged count the same way. The
+    monthly reset itself keys on the DATED count only — also
+    batch-order-independence: a reset gated on the total would fire or
+    not depending on how early the timeless rows arrive. Pinned by
+    test_timeless_strike_survives_cross_batch_reset
+    (tests/test_streaming.py) and the single-batch cases in
+    tests/test_empty_inputs.py; the batch twin counts flagged rows
+    unconditionally (no cooldown), so dated-vs-timeless cannot diverge
+    there."""
+    flagged = pdf[pdf["flagged"].eq(True)]
+    timeless += int(flagged["month"].isna().sum())
+    flagged = flagged[flagged["month"].notna()]
+    for m in sorted(flagged["month"].unique()):
+        if m != month and strikes < STRIKE_LIMIT:
+            strikes = 0  # cooldown: new month, threshold not hit
+        month = max(month, m)
+        strikes += int((flagged["month"] == m).sum())
+    return strikes, month, timeless
+
+
+def _emit_state_row(emp_id, strikes: int, month: str, timeless: int) -> pd.DataFrame:
+    total = strikes + timeless
+    status = "INACTIVE" if total >= STRIKE_LIMIT else "ACTIVE"
+    return pd.DataFrame(
+        [{"emp_id": emp_id, "strike_count": total, "status": status, "month": month}]
+    )
+
+
 def _strike_state_fn(
     key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     """Per-employee strike accumulator with monthly cooldown: strikes
     reset at a new month unless the INACTIVE threshold was already hit
-    (``README.md:105``)."""
+    (``README.md:105``); contract details at
+    :func:`_fold_flagged_batch`."""
     (emp_id,) = key
     strikes, month, timeless = state.get if state.exists else (0, "", 0)
     for pdf in pdfs:
-        # NULL robustness: a NULL flagged (NULL event_type upstream) is
-        # "not flagged" — the batch twin's filter(flagged_expr()) drops
-        # it the same way. A flagged row with NULL ts has no month, so
-        # it counts as a strike WITHOUT touching the cooldown machine
-        # (feeding a sentinel month into the reset comparison would
-        # wipe accumulated strikes); one malformed row can never kill
-        # the streaming query.
-        #
-        # TIMELESS-STRIKE ORDERING CONTRACT (r14, closes advisor r12's
-        # open item): a month-less strike is PERMANENT. It carries no
-        # position in event time, so no month's cooldown can claim it —
-        # it accumulates in its own state counter, immune to the
-        # monthly reset, and the reported strike_count/status are
-        # computed on dated + timeless. This is the one choice whose
-        # final state is independent of how the feed is split into
-        # micro-batches (crediting the strike to any month makes the
-        # answer depend on WHICH batch the malformed row lands in
-        # relative to a month transition); the closed-form oracle adds
-        # the per-employee NULL-ts flagged count the same way. The
-        # monthly reset itself keys on the DATED count only — also
-        # batch-order-independence: a reset gated on the total would
-        # fire or not depending on how early the timeless rows arrive.
-        # Pinned by test_timeless_strike_survives_cross_batch_reset
-        # (tests/test_streaming.py) and the single-batch cases in
-        # tests/test_empty_inputs.py; the batch twin counts flagged
-        # rows unconditionally (no cooldown), so dated-vs-timeless
-        # cannot diverge there.
-        flagged = pdf[pdf["flagged"].eq(True)]
-        timeless += int(flagged["month"].isna().sum())
-        flagged = flagged[flagged["month"].notna()]
-        for m in sorted(flagged["month"].unique()):
-            if m != month and strikes < STRIKE_LIMIT:
-                strikes = 0  # cooldown: new month, threshold not hit
-            month = max(month, m)
-            strikes += int((flagged["month"] == m).sum())
+        strikes, month, timeless = _fold_flagged_batch(
+            pdf, strikes, month, timeless
+        )
     state.update((strikes, month, timeless))
-    total = strikes + timeless
-    status = "INACTIVE" if total >= STRIKE_LIMIT else "ACTIVE"
-    yield pd.DataFrame(
-        [{"emp_id": emp_id, "strike_count": total, "status": status, "month": month}]
-    )
+    yield _emit_state_row(emp_id, strikes, month, timeless)
 
 
 def run_windowed_flag_stream(
@@ -364,6 +382,102 @@ def run_strike_stream(
         out = run(result, "strikes_stream_sink")
 
     # latest state per employee (update mode may emit once per batch)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("emp_id").orderBy(
+        F.col("month").desc(), F.col("strike_count").desc()
+    )
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("emp_id", "strike_count", "status")
+    )
+
+
+class StrikeProcessor:
+    """The strike machine on Spark 4's ``transformWithStateInPandas``
+    (StatefulProcessor) — the successor API to
+    ``applyInPandasWithState``: typed state handles (ValueState /
+    ListState / MapState) with per-state TTL, timers, and schema
+    evolution, instead of one opaque state tuple. Runs the SAME fold
+    (:func:`_fold_flagged_batch`) as the legacy-API machine, so the
+    two tiers cannot drift; tier parity is pinned in
+    tests/test_streaming.py by driving this processor's
+    init/handleInputRows against a fake typed-state handle.
+
+    Deployment notes: transformWithState requires (a) the RocksDB
+    state-store provider (``replay.ROCKSDB_PROVIDER`` — the at-scale
+    choice anyway) and (b) the ``protobuf`` python package on workers
+    (its state-server protocol is protobuf-framed). This sandbox ships
+    neither a broker nor protobuf, so :func:`run_strike_stream_tws`
+    gates on the import — same discipline as the Kafka source
+    (``streaming/kafka.py``): the plumbing is real and unit-tested,
+    the ``.start()`` is cluster-only."""
+
+    def init(self, handle) -> None:  # StatefulProcessorHandle
+        self._state = handle.getValueState("strike", _STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):
+        strikes, month, timeless = self._state.get() or (0, "", 0)
+        for pdf in rows:
+            strikes, month, timeless = _fold_flagged_batch(
+                pdf, strikes, month, timeless
+            )
+        self._state.update((strikes, month, timeless))
+        yield _emit_state_row(key[0], strikes, month, timeless)
+
+    def close(self) -> None:
+        pass
+
+
+def run_strike_stream_tws(
+    spark: SparkSession,
+    sf_dir: str,
+    state_partitions: int = 4,
+) -> DataFrame:
+    """:func:`run_strike_stream` on the Spark-4 transformWithState API
+    — identical topology and output contract, with the stateful
+    operator swapped for :class:`StrikeProcessor` and the state store
+    pinned to RocksDB (a transformWithState requirement). Kept as a
+    separate runner so both API tiers stay first-class: the legacy
+    tier is what most deployed 3.x pipelines run; this is the forward
+    path (typed state, timers, TTL, state schema evolution). Raises
+    ``ImportError`` where the ``protobuf`` package is absent (the TWS
+    state protocol needs it on every worker) — see
+    :class:`StrikeProcessor` for the gating rationale."""
+    import importlib.util
+
+    if importlib.util.find_spec("google.protobuf") is None:
+        raise ImportError(
+            "transformWithStateInPandas requires the 'protobuf' package "
+            "(its state-server protocol is protobuf-framed); install it "
+            "on the cluster. The processor logic itself is unit-tested "
+            "without it (tests/test_streaming.py)."
+        )
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    # subclass dynamically so importing this module never hard-depends
+    # on the Spark-4-only ABC (the class body above is plain Python)
+    proc = type("_StrikeTWS", (StatefulProcessor,), dict(StrikeProcessor.__dict__))()
+
+    from .replay import ROCKSDB_PROVIDER, replayed_events
+
+    with replayed_events(
+        spark, sf_dir, state_partitions, state_store_provider=ROCKSDB_PROVIDER
+    ) as (stream, run):
+        prepared = stream.select(
+            F.col("user_id").alias("emp_id"),
+            flagged_expr().alias("flagged"),
+            F.date_format("ts", "yyyy-MM").alias("month"),
+        )
+        result = prepared.groupBy("emp_id").transformWithStateInPandas(
+            proc,
+            outputStructType=_OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+        out = run(result, "strikes_tws_sink")
+
     from pyspark.sql import Window
 
     w = Window.partitionBy("emp_id").orderBy(

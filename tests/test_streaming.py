@@ -243,6 +243,68 @@ def test_strike_pass_checkpoint_recovery(spark, tmp_path):
     }
 
 
+class _FakeValueState:
+    """Typed-state stand-in for the transformWithState handle."""
+
+    def __init__(self):
+        self._v = None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+
+class _FakeHandle:
+    def __init__(self):
+        self.states = {}
+
+    def getValueState(self, name, schema, ttlDurationMs=None):
+        return self.states.setdefault(name, _FakeValueState())
+
+
+def test_tws_processor_matches_legacy_state_fn_across_batches():
+    """API-tier parity: Spark 4's transformWithState StrikeProcessor
+    and the applyInPandasWithState fold share _fold_flagged_batch —
+    this drives both through the same three-batch feed (two months, a
+    timeless strike, an INACTIVE latch) and pins identical emissions
+    and state. The full streaming run is cluster-only (TWS needs the
+    protobuf package on workers — gated in run_strike_stream_tws)."""
+    from employee_data_management_system_data_engineering_solution_spark.streaming.strikes import (
+        StrikeProcessor,
+    )
+
+    batches = [
+        pd.DataFrame({"flagged": [True] * 3, "month": ["2021-01"] * 3}),
+        pd.DataFrame({"flagged": [True, True], "month": [None, "2021-02"]}),
+        pd.DataFrame({"flagged": [True] * 11, "month": ["2021-03"] * 11}),
+    ]
+    proc = StrikeProcessor()
+    proc.init(_FakeHandle())
+    tws_rows = [
+        next(iter(proc.handleInputRows((7,), iter([pdf]), None))).iloc[0]
+        for pdf in batches
+    ]
+    proc.close()
+
+    legacy_state = None
+    legacy_rows = []
+    for pdf in batches:
+        row, legacy_state = _run_state(
+            list(zip(pdf["month"], pdf["flagged"])), state=legacy_state
+        )
+        legacy_rows.append(row)
+    for t, l in zip(tws_rows, legacy_rows):
+        assert (t.strike_count, t.status, t.month) == (
+            l.strike_count, l.status, l.month,
+        )
+    # the walked feed: Jan 3 → Feb reset (1 dated + 1 timeless = 2) →
+    # Mar reset then 11 dated (latch) + the permanent timeless one
+    assert [r.strike_count for r in tws_rows] == [3, 2, 12]
+    assert [r.status for r in tws_rows] == ["ACTIVE", "ACTIVE", "INACTIVE"]
+
+
 def test_timeless_strike_survives_cross_batch_reset(spark, tmp_path):
     """The r14 timeless-strike contract (closes the advisor-r12 item):
     a month-less (NULL-ts) strike is PERMANENT — it accumulates in its
