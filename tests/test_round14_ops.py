@@ -74,6 +74,57 @@ def test_mmr_greedy_pool_smaller_than_k():
 
 
 # ---------------------------------------------------------------------------
+# X188 semantic prune — the k scale knob
+# ---------------------------------------------------------------------------
+def test_semantic_prune_k_invariance(spark):
+    """The 100 TB discipline holds cluster SIZE constant by growing k
+    with the corpus (BENCH_SCALE.md r14: k=64 on the 10× replica runs
+    5× faster than the pinned k=8 with identical survivors). This pins
+    the invariance the discipline relies on: exact duplicates embed
+    identically, so they co-cluster under ANY k and the prune's
+    survivor set does not depend on the cluster count — only the
+    near-boundary NEAR-dup recall does, and this corpus has none above
+    the 0.999 admission threshold."""
+    import pyspark.sql.functions as F
+
+    from employee_data_management_system_data_engineering_solution_spark.operators import similarity
+    from employee_data_management_system_data_engineering_solution_spark.operators.graph import (
+        connected_components,
+    )
+
+    base = {
+        tuple(r)
+        for r in REGISTRY["semantic_prune"].fn(spark, SF_SMOKE).collect()
+    }
+    emb = llm._live_embeddings(spark, SF_SMOKE)
+    corpus = llm._planted_dup_corpus(emb, "vec_id", "embedding")
+    for k in (3, 32):
+        cents = similarity.kmeans_iterate(emb, k=k, iters=2, dim=64)
+        pairs = similarity.cosine_neardup_pairs(corpus, cents, threshold=0.999)
+        comp = connected_components(pairs, src="id_a", dst="id_b")
+        non_reps = comp.filter(F.col("node") != F.col("component")).select(
+            F.col("node").alias("vec_id")
+        )
+        reps = comp.filter(F.col("node") == F.col("component")).select(
+            F.col("node").alias("vec_id"), F.lit(True).alias("is_semantic_rep")
+        )
+        got = {
+            tuple(r)
+            for r in corpus.select("vec_id")
+            .join(non_reps, "vec_id", "left_anti")
+            .join(reps, "vec_id", "left")
+            .select(
+                "vec_id",
+                F.coalesce("is_semantic_rep", F.lit(False)).alias(
+                    "is_semantic_rep"
+                ),
+            )
+            .collect()
+        }
+        assert got == base, f"survivor set changed at k={k}"
+
+
+# ---------------------------------------------------------------------------
 # sampled-scorecard memo (_SAMPLED_CACHE)
 # ---------------------------------------------------------------------------
 def test_sampled_scorecard_warm_read_is_identical(spark):
