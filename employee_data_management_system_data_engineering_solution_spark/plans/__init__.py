@@ -60,17 +60,21 @@ from .registry import REGISTRY, register
 #       semantic_prune_scorecard (X189 semantic-vs-lexical removal
 #       complementarity; item 2), mmr_diversified_topk_grouped (X187
 #       cogrouped applyInPandas greedy — re-ranking parallel in query
-#       count; item 3).
-#   IN (the r14 drain — 46 of the 49 r10-green queries, verdict
+#       count; item 3), matryoshka_recall_report (X190 truncation
+#       recall@10 vs the full-dim exact top-10 — the dimension-axis
+#       twin of X79).
+#   IN (the r14 drain — 45 of the 49 r10-green queries, verdict
 #       item 1): active_count_by_designation … zorder_layout_stats
 #       (see _PRIORITY).
 #   IN (re-confirmation keeper): checkpoint_restart_strikes — the
 #       timeless-strike ordering contract changed this round (verdict
 #       item 4), so stateful streaming + checkpoint recovery
 #       re-verifies in-window.
-# R15 QUEUE: the 3 deferred quantized/IVF-ANN r10-green queries
-# (ivf_topk_multiprobe, quantized_ivf_topk, quantized_topk_rescore)
-# FIRST, then the stalest r11-green cohort by driver_history.json.
+# R15 QUEUE: the 4 deferred r10-green queries (ivf_topk_multiprobe,
+# quantized_ivf_topk, quantized_topk_rescore — quantized/IVF-ANN, and
+# binary_metadata — multimodal, whose family keeps
+# multimodal_frame_stats in-window) FIRST, then the stalest r11-green
+# cohort by driver_history.json.
 #   OUT (rotated to the tail; every one driver-green ≤3 rounds ago and
 #       guarded by the committed full local runs): the whole r13
 #       window except the keeper.
@@ -297,14 +301,15 @@ _PRIORITY: tuple[str, ...] = (
     "semantic_prune",
     "semantic_prune_scorecard",
     "mmr_diversified_topk_grouped",
-    # r14 drain: 46 of the 49 r10-green queries (r13 verdict item 1).
-    # The three quantized/IVF-ANN leftovers (ivf_topk_multiprobe,
-    # quantized_ivf_topk, quantized_topk_rescore) ride the R15 QUEUE —
-    # their family stays covered in-window by pq_adc_search /
-    # pq_ivf_search / embedding_quantize.
+    "matryoshka_recall_report",
+    # r14 drain: 45 of the 49 r10-green queries (r13 verdict item 1).
+    # Four leftovers ride the R15 QUEUE: the three quantized/IVF-ANN
+    # (ivf_topk_multiprobe, quantized_ivf_topk, quantized_topk_rescore
+    # — family covered in-window by pq_adc_search / pq_ivf_search /
+    # embedding_quantize) and binary_metadata (multimodal — family
+    # covered by multimodal_frame_stats).
     "active_count_by_designation",
     "bigram_collocations",
-    "binary_metadata",
     "boilerplate_scrub_stats",
     "bpe_merge_candidates",
     "char_bigram_entropy",

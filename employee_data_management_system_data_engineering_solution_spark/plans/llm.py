@@ -7140,6 +7140,104 @@ def semantic_prune_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Matryoshka truncation recall (X190)
+# ---------------------------------------------------------------------------
+_MATRYOSHKA_DIMS = (8, 16, 32)
+
+_MATRYOSHKA_ORACLE = f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    q AS (SELECT vec_id AS query_id, e AS qv FROM v
+          WHERE vec_id >= 100 AND vec_id < 105),
+    truth AS MATERIALIZED (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY {_COS.replace('cv', 'c.e')} DESC,
+                          c.vec_id ASC) AS rn
+        FROM q CROSS JOIN v c WHERE c.vec_id <> q.query_id)
+      WHERE rn <= 10
+    ),
+    dims AS (SELECT unnest([{", ".join(str(d) for d in _MATRYOSHKA_DIMS)}]) AS dim),
+    trunc AS MATERIALIZED (
+      SELECT dim, query_id, neighbor_id FROM (
+        SELECT d.dim, q.query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY d.dim, q.query_id
+                 ORDER BY round(list_dot_product(q.qv[1:d.dim], c.e[1:d.dim])
+                            / (sqrt(list_dot_product(q.qv[1:d.dim], q.qv[1:d.dim]))
+                               * sqrt(list_dot_product(c.e[1:d.dim], c.e[1:d.dim]))), 6) DESC,
+                          c.vec_id ASC) AS rn
+        FROM dims d CROSS JOIN q CROSS JOIN v c
+        WHERE c.vec_id <> q.query_id)
+      WHERE rn <= 10
+    )
+    SELECT CAST(t.dim AS INT) AS dim, t.query_id,
+           CAST(count(g.neighbor_id) AS BIGINT) AS hits,
+           round(count(g.neighbor_id) / 10.0, 4) AS recall_at_10
+    FROM trunc t LEFT JOIN truth g USING (query_id, neighbor_id)
+    GROUP BY 1, 2
+    """
+
+
+@register("matryoshka_recall_report", _MATRYOSHKA_ORACLE)
+def matryoshka_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X190: Matryoshka truncation recall — recall@10 of brute-force
+    search over PREFIX-truncated embeddings (dims 8/16/32 of 64)
+    against the full-dimension exact top-10 (Kusupati et al. 2022,
+    "Matryoshka Representation Learning"). MRL-trained encoders pack
+    the most information into leading dimensions, so serving stacks
+    truncate stored vectors to cut memory/scan cost by dim/64 and
+    re-rank survivors at full width; this report is the MEASUREMENT
+    that decides how far a given embedding column can be truncated —
+    the dimension-axis twin of the ANN stack's recall report (X79:
+    index approximation; here: representation approximation). On this
+    synthetic corpus (uniform random vectors, information spread
+    evenly) truncation recall is LOW by construction — exactly what
+    the report should say about a non-MRL embedding.
+
+    Exactness: every cosine (full and truncated) is 6 dp-rounded with
+    vec-id tiebreaks — both engines fold the dot product in index
+    order, so prefixes agree bit-for-bit. Scale: one corpus pass per
+    dim over broadcast queries (the brute-force baseline contract; the
+    ANN ladder owns the indexed path), and the truncated passes read
+    dim/64 of the vector bytes — at 100 TB the 8-dim pass scans ~1/8
+    of the embedding payload with column pruning intact."""
+    emb = _live_embeddings(spark, sf_dir)
+    queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105))
+    truth = (
+        similarity.cosine_topk_bruteforce(queries, emb, k=10)
+        .select("query_id", "neighbor_id", F.lit(1).alias("__hit"))
+        .localCheckpoint(eager=False)  # joined once per dim below
+    )
+    per_dim = []
+    for d in _MATRYOSHKA_DIMS:
+        qd = queries.select(
+            "vec_id", F.slice("embedding", 1, d).alias("embedding")
+        )
+        cd = emb.select(
+            "vec_id", F.slice("embedding", 1, d).alias("embedding")
+        )
+        per_dim.append(
+            similarity.cosine_topk_bruteforce(qd, cd, k=10).select(
+                F.lit(d).cast("int").alias("dim"), "query_id", "neighbor_id"
+            )
+        )
+    un = per_dim[0]
+    for f_ in per_dim[1:]:
+        un = un.unionByName(f_)
+    return (
+        un.join(F.broadcast(truth), ["query_id", "neighbor_id"], "left")
+        .groupBy("dim", "query_id")
+        .agg(F.count("__hit").cast("long").alias("hits"))
+        .select(
+            "dim",
+            "query_id",
+            "hits",
+            F.round(F.col("hits") / 10.0, 4).alias("recall_at_10"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Embeddings NULL contract — oracle side (see _live_embeddings).
 # The similarity / index / quantization family reads only rows whose
 # embedding is non-NULL on BOTH engines: the Spark plans filter at the
@@ -7171,6 +7269,7 @@ _EMB_NULL_CONTRACT = (
     "mmr_diversified_topk_grouped",
     "semantic_prune",
     "semantic_prune_scorecard",
+    "matryoshka_recall_report",
 )
 
 for _q in _EMB_NULL_CONTRACT:

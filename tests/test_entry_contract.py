@@ -93,7 +93,7 @@ FAMILY_CARRIERS: dict[str, set[str]] = {
     },
     "retrieval_rank_eval": {
         "ndcg_mrr_report", "cluster_topic_terms", "bm25_topk",
-        "hybrid_rrf_topk",
+        "hybrid_rrf_topk", "matryoshka_recall_report",
     },
     "mmr_diversification": {
         "mmr_diversified_topk", "mmr_diversified_topk_grouped",
