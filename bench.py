@@ -247,6 +247,16 @@ def main() -> int:
     timings = {
         n: (min(ts) if ts else -1.0) for n, ts in runs.items()
     }  # best-of-all-runs, the headline numbers
+
+    # Queries backed by a memo that per-pass resets deliberately skip
+    # (the once-per-corpus-snapshot _SAMPLED_CACHE family): their min
+    # is the warm steady-state read, so the pass-1 cold time is
+    # reported alongside — cross-round per-query deltas stay
+    # interpretable (cold vs cold, warm vs warm), per ADVICE r14.
+    _MEMO_EXEMPT = ("dedup_recall_sampled", "dedup_recall_report")
+    memo_exempt_cold = {
+        n: first[n] for n in _MEMO_EXEMPT if n in first and first[n] >= 0
+    }
     failed = sorted(name for name, t in timings.items() if t < 0)
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     slowest = dict(
@@ -292,6 +302,7 @@ def main() -> int:
         "n_queries": len(timings),
         "n_failed": len(failed),
         "failed": failed,
+        "memo_exempt_cold": memo_exempt_cold,
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     with open(detail_path, "w") as fh:
@@ -312,6 +323,7 @@ def main() -> int:
         # with pre-r4 single-pass rounds
         "pass1_total_sec": None if failed else detail["pass_totals"]["pass1"],
         "queries": slowest,
+        "memo_exempt_cold": memo_exempt_cold,
     }
     line = json.dumps(compact)
     if len(line) > 1500:  # hard guard: never exceed the capture window

@@ -4107,7 +4107,11 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents d
     LEFT JOIN (SELECT doc_id FROM labeled WHERE doc_id = cluster_id) l
       ON d.doc_id = l.doc_id
-    WHERE d.doc_id NOT IN (SELECT doc_id FROM labeled WHERE doc_id <> cluster_id)
+    WHERE NOT EXISTS (
+      SELECT 1 FROM labeled x
+      WHERE x.doc_id = d.doc_id AND x.doc_id <> x.cluster_id
+    )  -- anti-join semantics (same engine/left_anti parity note as
+       -- the semantic_prune oracle)
     """,
 )
 def neardup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6964,7 +6968,11 @@ _SEMANTIC_PRUNE_ORACLE = f"""
     FROM corpus c
     LEFT JOIN (SELECT node FROM s_labeled WHERE node = rep) l
       ON c.vec_id = l.node
-    WHERE c.vec_id NOT IN (SELECT doc_id FROM s_removed)
+    WHERE NOT EXISTS (
+      SELECT 1 FROM s_removed r WHERE r.doc_id = c.vec_id
+    )  -- NOT EXISTS = anti-join semantics, matching the engine's
+       -- left_anti: a NULL vec_id row would be KEPT by both sides,
+       -- where NOT IN's NULL semantics would drop every row
     """
 
 

@@ -95,6 +95,31 @@ _OUTPUT_SCHEMA = StructType(
 )
 
 
+def _coerce_state(raw) -> tuple[int, str, int]:
+    """Normalize a stored strike-state tuple to the 3-field r14 shape.
+
+    ``_STATE_SCHEMA`` widened from 2 fields (strikes, month) to 3
+    (+timeless) in r14. A checkpoint written under the old schema
+    cannot be restored by the state store itself — Spark's
+    schema-compatibility check rejects it before Python sees a row
+    (observed as STRUCT_ARRAY_LENGTH_MISMATCH when old/new trees were
+    mixed in the r14 A/B), so pre-r14 strike checkpoints MUST be
+    discarded and the stream replayed from the source. This coercion
+    is defense-in-depth for the tiers whose state handle is not
+    schema-checked by a JVM state store (the fake typed-state handle
+    in the transformWithState parity tests, any future handle that
+    round-trips python tuples): a legacy 2-tuple loads as
+    (strikes, month, timeless=0) instead of failing to unpack.
+    """
+    if raw is None:
+        return 0, "", 0
+    vals = tuple(raw)
+    if len(vals) == 2:  # pre-r14 checkpoint shape: no timeless counter
+        return int(vals[0]), vals[1], 0
+    strikes, month, timeless = vals
+    return int(strikes), month, int(timeless)
+
+
 def _fold_flagged_batch(
     pdf: pd.DataFrame, strikes: int, month: str, timeless: int
 ) -> tuple[int, str, int]:
@@ -156,7 +181,7 @@ def _strike_state_fn(
     (``README.md:105``); contract details at
     :func:`_fold_flagged_batch`."""
     (emp_id,) = key
-    strikes, month, timeless = state.get if state.exists else (0, "", 0)
+    strikes, month, timeless = _coerce_state(state.get if state.exists else None)
     for pdf in pdfs:
         strikes, month, timeless = _fold_flagged_batch(
             pdf, strikes, month, timeless
@@ -418,7 +443,7 @@ class StrikeProcessor:
         self._state = handle.getValueState("strike", _STATE_SCHEMA)
 
     def handleInputRows(self, key, rows, timerValues):
-        strikes, month, timeless = self._state.get() or (0, "", 0)
+        strikes, month, timeless = _coerce_state(self._state.get())
         for pdf in rows:
             strikes, month, timeless = _fold_flagged_batch(
                 pdf, strikes, month, timeless

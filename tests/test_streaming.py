@@ -15,11 +15,28 @@ from pyspark.sql import functions as F
 
 from employee_data_management_system_data_engineering_solution_spark.streaming.strikes import (
     STRIKE_LIMIT,
+    _coerce_state,
     _strike_state_fn,
     flag_messages,
     run_strike_stream,
     strike_report,
 )
+
+
+def test_coerce_state_pads_legacy_two_field_checkpoint():
+    """r14 widened _STATE_SCHEMA 2→3 fields (timeless). A JVM state
+    store rejects an old-schema checkpoint outright (documented in
+    _coerce_state), but any handle that round-trips python tuples must
+    load a legacy (strikes, month) pair as timeless=0 rather than fail
+    to unpack — ADVICE r14 item 1."""
+    assert _coerce_state(None) == (0, "", 0)
+    assert _coerce_state((4, "2021-02")) == (4, "2021-02", 0)
+    assert _coerce_state((4, "2021-02", 2)) == (4, "2021-02", 2)
+    # a legacy tuple resumes correctly through the state fn itself
+    st = _FakeState((3, "2021-01"))
+    pdf = pd.DataFrame({"flagged": [True], "month": ["2021-01"]})
+    row = list(_strike_state_fn((7,), iter([pdf]), st))[0].iloc[0]
+    assert row.strike_count == 4 and st._v == (4, "2021-01", 0)
 
 
 def test_flag_messages_word_boundary(spark):
