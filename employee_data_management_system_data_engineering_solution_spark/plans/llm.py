@@ -6905,12 +6905,43 @@ def _semantic_cc_ctes(pairs_cte: str, prefix: str) -> str:
     )"""
 
 
+#: Corpus-driven cluster-count for the semantic-dedup family (r14
+#: verdict ask 2): k = clamp(ceil(n / TARGET), MIN, MAX) holds the
+#: EXPECTED CLUSTER SIZE ~constant as the corpus grows, so the
+#: within-cluster pair verification stays ~linear in n instead of
+#: n²/(2k) at a pinned k (the r14 10× shape was 9.7× for exactly this
+#: reason). Safe by the pinned survivor-set k-invariance
+#: (tests/test_round14_ops.py, k=3/8/32): exact dups embed
+#: identically, so they co-cluster under ANY k. MAX bounds the
+#: assignment pass (n×k dots) and the driver-held centroid table; on
+#: a 100 TB corpus the same formula is applied to a training SAMPLE
+#: and MAX rises with executor count, not data.
+_SEM_TARGET_CLUSTER = 64
+_SEM_K_MIN = 8
+_SEM_K_MAX = 256
+
+
+def _semantic_k(n_vectors: int) -> int:
+    return max(_SEM_K_MIN, min(_SEM_K_MAX, -(-n_vectors // _SEM_TARGET_CLUSTER)))
+
+
 def _kmeans_trained_ctes() -> str:
     """The two unrolled Lloyd's iterations every semantic-prune oracle
-    shares (identical to _KMEANS_ORACLE's training half): seeds c1,
-    rounds a1/c2/a2, trained centroids c3."""
+    shares (the _KMEANS_ORACLE training half, with the seed count k
+    computed from the live corpus size exactly as :func:`_semantic_k`
+    — GREATEST/LEAST/CEIL over count(*), so the oracle's k moves in
+    lockstep with the engine at every SF): seeds c1, rounds a1/c2/a2,
+    trained centroids c3."""
     return f"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-    {_km_seed_cte()},
+    kparam AS (
+      SELECT GREATEST({_SEM_K_MIN}, LEAST({_SEM_K_MAX},
+               CAST(CEIL(count(*) / {_SEM_TARGET_CLUSTER}.0) AS INTEGER))) AS kk
+      FROM v
+    ),
+    c1 AS (SELECT pivot_id, pv FROM (
+      SELECT vec_id AS pivot_id, e AS pv,
+             row_number() OVER (ORDER BY vec_id) AS rn FROM v)
+      WHERE rn <= (SELECT kk FROM kparam)),
     {_km_assign_cte("v", "c1", "a1")},
     {_km_recompute_cte("a1", "c2")},
     {_km_assign_cte("v", "c2", "a2")},
@@ -6920,11 +6951,11 @@ def _kmeans_trained_ctes() -> str:
 _SEM_PAIR_COS = _COS.replace("qv", "a.e").replace("cv", "b.e")
 
 #: Trained-centroid memo for the semantic-dedup family: both X188 and
-#: X189 train the SAME k=8 / iters=2 Lloyd's centroids on the live
-#: embeddings; the result is a k-row driver-materialized frame, so the
-#: memo stores it directly (no checkpoint blocks to free). Payer in a
-#: bench pass is deterministic: semantic_prune precedes the scorecard
-#: in the registry order.
+#: X189 train the SAME corpus-k (:func:`_semantic_k`) / iters=2
+#: Lloyd's centroids on the live embeddings; the result is a k-row
+#: driver-materialized frame, so the memo stores it directly (no
+#: checkpoint blocks to free). Payer in a bench pass is deterministic:
+#: semantic_prune precedes the scorecard in the registry order.
 _KMEANS_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
@@ -6941,9 +6972,12 @@ def _trained_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cached = _KMEANS_CACHE.get(key)
     if cached is None:
-        cached = similarity.kmeans_iterate(
-            _live_embeddings(spark, sf_dir), k=8, iters=2, dim=64
-        )
+        emb = _live_embeddings(spark, sf_dir)
+        # one bounded count per corpus snapshot (memoized with the
+        # centroids): k tracks corpus size so cluster size stays
+        # ~_SEM_TARGET_CLUSTER as the data grows
+        k = _semantic_k(emb.count())
+        cached = similarity.kmeans_iterate(emb, k=k, iters=2, dim=64)
         _KMEANS_CACHE[key] = cached
     return cached
 

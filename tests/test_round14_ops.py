@@ -76,6 +76,20 @@ def test_mmr_greedy_pool_smaller_than_k():
 # ---------------------------------------------------------------------------
 # X188 semantic prune — the k scale knob
 # ---------------------------------------------------------------------------
+def test_semantic_k_tracks_corpus_size():
+    """r14 verdict ask 2: k is CHOSEN from corpus size (expected
+    cluster size ~= _SEM_TARGET_CLUSTER), clamped to [MIN, MAX]; the
+    oracle computes the identical GREATEST/LEAST/CEIL over count(*).
+    The driver corpus (500 embeddings at sf0.01) still lands on k=8,
+    so the r14 hash evidence carries over unchanged."""
+    assert llm._semantic_k(1) == 8      # floor: tiny corpora
+    assert llm._semantic_k(500) == 8    # sf0.001 / sf0.01 — unchanged
+    assert llm._semantic_k(513) == 9    # ceil, not floor
+    assert llm._semantic_k(2000) == 32  # sf0.1
+    assert llm._semantic_k(20000) == 256  # 10x replica hits the clamp
+    assert llm._semantic_k(10**9) == 256  # ceiling: bounded driver state
+
+
 def test_semantic_prune_k_invariance(spark):
     """The 100 TB discipline holds cluster SIZE constant by growing k
     with the corpus (BENCH_SCALE.md r14: k=64 on the 10× replica runs
