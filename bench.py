@@ -158,10 +158,11 @@ def main() -> int:
             _llm.clear_ppjoin_cache()
             _llm.clear_kmeans_cache()
             _pipeline.clear_backbone_cache()
-            # _llm._SAMPLED_CACHE is deliberately NOT cleared — see the
-            # module docstring: the sampled-scorecard frames are a
-            # once-per-corpus-snapshot artifact, so the warm read is
-            # the steady-state cost being measured.
+            # _llm._SAMPLED_CACHE and _llm._FULL_RECALL_CACHE are
+            # deliberately NOT cleared — see their docstrings: the
+            # scorecard frames are once-per-corpus-snapshot artifacts,
+            # so the warm read is the steady-state cost being measured;
+            # their pass-1 cold times are reported as memo_exempt_cold.
         except Exception as exc:
             print(f"bench: cache reset failed: {exc}", file=sys.stderr)
 

@@ -1941,6 +1941,68 @@ def _dedup_recall_sql() -> str:
     """
 
 
+#: Full-scorecard memo (r14 verdict ask 3 — the _SAMPLED_CACHE
+#: pattern applied to the #1 suite cost): the exact PPJoin truth and
+#: the three detector pair frames over the FULL corpus, each
+#: localCheckpointed once per (application, corpus snapshot). Like
+#: _SAMPLED_CACHE — and unlike _PAIRS_CACHE/_PPJOIN_CACHE — this memo
+#: is deliberately NOT reset between bench passes: the frames are a
+#: fixed deterministic artifact of the documents table (thresholds
+#: and band parameters are constants), so at 100 TB they are computed
+#: once per snapshot and every scorecard pass after that is a warm
+#: read of four duplicate-bounded pair frames; bench.py charges the
+#: one-time computation to pass 1 and reports it as memo_exempt_cold.
+_FULL_RECALL_CACHE: dict[tuple[str, str, str], dict[str, DataFrame]] = {}
+
+
+def clear_full_recall_cache() -> None:
+    """Drop the full-scorecard frames and free their checkpoint blocks
+    (long-lived sessions juggling many sf dirs)."""
+    for frames in _FULL_RECALL_CACHE.values():
+        for df in frames.values():
+            try:
+                df.unpersist()
+            except Exception:
+                pass  # session already stopped; blocks died with it
+    _FULL_RECALL_CACHE.clear()
+
+
+def _full_recall_frames(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """The X176 truth + detector pair pipelines over the full corpus,
+    memoized: keys ``truth`` and one per detector method."""
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        table_fingerprint(sf_dir, "documents"),
+    )
+    cached = _FULL_RECALL_CACHE.get(key)
+    if cached is None:
+        docs = read_table(spark, sf_dir, "documents").filter(
+            F.col("text").isNotNull()  # dedup-family NULL contract
+        )
+        base = docs.select("doc_id", "text")
+        cached = {
+            "truth": _ppjoin_pairs(spark, sf_dir)
+            .select("id_a", "id_b")
+            .localCheckpoint(eager=True),
+            "containment_c90": dedup.containment_pairs(
+                base, "doc_id", "text", n=5, min_containment=0.9,
+                n_hashes=16, bands=8,
+            )
+            .select("id_a", "id_b")
+            .localCheckpoint(eager=True),
+            "minhash_lsh_j90": _verified_pairs(spark, sf_dir)
+            .filter(F.col("jaccard") >= 0.9)
+            .select("id_a", "id_b")
+            .localCheckpoint(eager=True),
+            "simhash_h3": dedup.simhash_hamming_pairs(base, "doc_id", "text")
+            .select("id_a", "id_b")
+            .localCheckpoint(eager=True),
+        }
+        _FULL_RECALL_CACHE[key] = cached
+    return cached
+
+
 @register("dedup_recall_report", _dedup_recall_sql())
 def dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X176: the dedup twin of ann_recall_report — every approximate
@@ -1960,27 +2022,19 @@ def dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-J≥0.9 pairs); MinHash recall < 1 measures band misses plus
     star-capped bucket pairs.
 
-    Plan shape: the truth set is the session-memoized PPJoin frame
-    (``_ppjoin_pairs`` — ppjoin_neardup_pairs is the pinned bench
-    payer), checkpointed and read 4× (one count + three hit joins);
-    each detector contributes
-    one bucketed pair pipeline; hit joins and counts run over
-    pair-set-bounded frames, and the report itself is 3 rows."""
-    pairs = _verified_pairs(spark, sf_dir).filter(F.col("jaccard") >= 0.9)
-    truth = _ppjoin_pairs(spark, sf_dir).select("id_a", "id_b")
-    docs = read_table(spark, sf_dir, "documents").filter(
-        F.col("text").isNotNull()  # dedup-family NULL contract
-    )
-    base = docs.select("doc_id", "text")
+    Plan shape: the truth set and the three detector pair frames are
+    checkpointed ONCE per corpus snapshot in the _FULL_RECALL_CACHE
+    session memo (thresholds and band parameters are constants, so the
+    frames are a fixed deterministic artifact of the documents table —
+    the 100 TB shape computes them once per snapshot and every
+    scorecard read after that is warm, the same discipline as the
+    sampled twin); hit joins and counts run over pair-set-bounded
+    frames, and the report itself is 3 rows."""
+    frames = _full_recall_frames(spark, sf_dir)
+    truth = frames["truth"]
     detectors = {
-        "containment_c90": dedup.containment_pairs(
-            base, "doc_id", "text", n=5, min_containment=0.9,
-            n_hashes=16, bands=8,
-        ).select("id_a", "id_b"),
-        "minhash_lsh_j90": pairs.select("id_a", "id_b"),
-        "simhash_h3": dedup.simhash_hamming_pairs(
-            base, "doc_id", "text"
-        ).select("id_a", "id_b"),
+        m: frames[m]
+        for m in ("containment_c90", "minhash_lsh_j90", "simhash_h3")
     }
     n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
     scored = None
