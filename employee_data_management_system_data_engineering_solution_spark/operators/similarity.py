@@ -748,6 +748,55 @@ def _rescore_topk(
     )
 
 
+def matryoshka_funnel_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    prefix_dim: int = 16,
+    k: int = 10,
+    rescore_factor: int = 3,
+) -> DataFrame:
+    """Matryoshka funnel search (Kusupati et al. 2022): coarse
+    top-(k × rescore_factor) by cosine over the leading ``prefix_dim``
+    components of each vector, then EXACT full-dimension rescoring of
+    only those candidates — the serving shape the X190 truncation-
+    recall report measures for. MRL-trained encoders pack the most
+    information into leading dimensions, so the coarse stage reads
+    prefix_dim/dim of the vector bytes per candidate (the
+    dimension-axis sibling of :func:`quantized_topk_rescore`, which
+    shrinks ELEMENTS to int8 where this shrinks the element COUNT);
+    at 100 TB a 16-of-64 prefix cuts the coarse scan payload 4× with
+    recall governed by the measured X190 curve, and full-width vectors
+    are touched for only k × rescore_factor rows per query.
+
+    Exactness discipline: both stages round cosines to 6 dp with
+    neighbor-id tiebreaks (prefix dots fold in index order, so both
+    engines agree bit-for-bit); ``prefix_dim`` ≥ the stored width
+    degrades gracefully to the exact search (slice caps at the array
+    length). Output: (query_id, neighbor_id, cosine_sim, rank) with
+    cosine_sim the EXACT rounded full-width cosine.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.slice(F.col(vec_col), 1, prefix_dim).alias("__qp"),
+    )
+    c = fan_out(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.slice(F.col(vec_col), 1, prefix_dim).alias("__cp"),
+    )
+    coarse = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("__qp"), F.col("__cp")), 6).alias("qcos"),
+        )
+    )
+    return _rescore_topk(coarse, queries, corpus, id_col, vec_col, k, rescore_factor)
+
+
 def quantized_ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,

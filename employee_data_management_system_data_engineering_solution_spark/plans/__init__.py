@@ -49,6 +49,53 @@ from .registry import REGISTRY, register
 # exempt). driver_green_rounds()/never_green() below are the audit's
 # data source.
 #
+# Round 15 rotation (r14 narrative preserved below). Executes the r14
+# verdict's recorded r15 queue:
+#   IN (never green — the r15 build-out, full hash oracle):
+#       matryoshka_funnel_topk (X191 — truncated-prefix coarse search
+#       + exact full-dim rescore, the serving operator X190 measures
+#       for; verdict ask 4).
+#   IN (the recorded r15 queue head — the 4 deferred r10-green
+#       queries, verdict ask 1): ivf_topk_multiprobe,
+#       quantized_ivf_topk, quantized_topk_rescore, binary_metadata.
+#   IN (rows-only trio — rows>0 driver evidence refresh, verdict ask
+#       5): simhash_signatures, column_profile_approx,
+#       salary_percentiles_approx.
+#   IN (changed-contract keepers — r14-green but their machinery
+#       changed this round, so they re-verify in-window rather than
+#       riding stale evidence): semantic_prune +
+#       semantic_prune_scorecard (k now derives from corpus size,
+#       verdict ask 2 — sf0.01 output unchanged by the survivor-set
+#       k-invariance), dedup_recall_report (_FULL_RECALL_CACHE memo,
+#       verdict ask 3 — hash unchanged).
+#   IN (family keepers — the FAMILY_CARRIERS audit requires every
+#       operator family in-window and the r11 cohort carries none of
+#       these): epoch_status_clean (reference clean path + ingest
+#       gates), pct_of_quota (reference reports), mann_kendall_trend
+#       (analytics/stats), mmr_diversified_topk_grouped (MMR).
+#   IN (the r15 drain — 35 of the 50-query r11-green cohort, verdict
+#       ask 1; includes ann_recall_report + ann_rank_quality, whose
+#       HASH CHANGED this round with the mrl_funnel_p16 method row,
+#       and neardup_prune, whose oracle moved to NOT EXISTS):
+#       ann_incremental_admission … value_winsorized_stats (see
+#       _PRIORITY).
+# R16 QUEUE: the 15 deferred r11-green queries (8 of them re-proven
+# green by the judge's own out-of-window r14 oracle run:
+# quality_score, benchmark_decontamination, daily_pipeline,
+# status_pivot_report, cube_order_stats, salary_rank_analytics,
+# trailing_revenue_90d, region_supplier_volume; plus
+# top_earner_per_designation, promo_revenue_share,
+# distinct_order_supp_pairs, customers_without_urgent_orders,
+# multi_touch_attribution, incremental_agg_refresh, json_props_stats
+# — families covered in-window by salary_percentiles/
+# top3_orders_per_customer, rollup_revenue/q1_pricing_summary,
+# event_transitions, corpus_curation_pipeline/cdc_log_replay, and
+# json_lines_roundtrip) FIRST, then the stalest r12-green cohort by
+# driver_history.json (47 queries — plan a 2-round drain).
+#   OUT (rotated to the tail; every one driver-green ≤3 rounds ago
+#       and guarded by the committed full local runs): the whole r14
+#       window except the three changed-contract keepers.
+#
 # Round 14 rotation (r13 narrative preserved below). The r13 window
 # re-greened the nine r13 newcomers + the complete 40-query r9 cohort
 # + checkpoint_restart_strikes (CORRECTNESS_r13.json: 50/50
@@ -295,69 +342,72 @@ from .registry import REGISTRY, register
 #       newcomers.
 # ---------------------------------------------------------------------------
 _PRIORITY: tuple[str, ...] = (
-    # new in r14: never driver-checked (r13 verdict items 2-3 — the
-    # SemDeDup-shape semantic prune + its tier-complementarity
-    # scorecard, and the grouped applyInPandas MMR twin)
+    # new in r15: never driver-checked (r14 verdict ask 4 — the
+    # Matryoshka funnel serving operator)
+    "matryoshka_funnel_topk",
+    # the recorded r15 queue head: the 4 r10-green deferrals (ask 1)
+    "ivf_topk_multiprobe",
+    "quantized_ivf_topk",
+    "quantized_topk_rescore",
+    "binary_metadata",
+    # rows-only trio: rows>0 driver evidence refresh (ask 5)
+    "simhash_signatures",
+    "column_profile_approx",
+    "salary_percentiles_approx",
+    # changed-contract keepers (r14-green, machinery changed in r15):
+    # corpus-driven k (ask 2) and the full-scorecard memo (ask 3)
     "semantic_prune",
     "semantic_prune_scorecard",
-    "mmr_diversified_topk_grouped",
-    "matryoshka_recall_report",
-    # r14 drain: 45 of the 49 r10-green queries (r13 verdict item 1).
-    # Four leftovers ride the R15 QUEUE: the three quantized/IVF-ANN
-    # (ivf_topk_multiprobe, quantized_ivf_topk, quantized_topk_rescore
-    # — family covered in-window by pq_adc_search / pq_ivf_search /
-    # embedding_quantize) and binary_metadata (multimodal — family
-    # covered by multimodal_frame_stats).
-    "active_count_by_designation",
-    "bigram_collocations",
-    "boilerplate_scrub_stats",
-    "bpe_merge_candidates",
-    "char_bigram_entropy",
-    "cluster_topic_terms",
-    "compact_parquet_roundtrip",
-    "context_pack_bins",
-    "decile_lift_report",
-    "dedup_clusters",
-    "dsir_importance_weights",
-    "embedding_quantize",
-    "epoch_status_clean",
-    "except_all_dupes",
-    "keyed_upsert",
-    "lm_doc_score",
-    "multimodal_frame_stats",
-    "nation_revenue_gini",
-    "ndcg_mrr_report",
-    "ordered_designation_report",
-    "part_link_prediction",
-    "pct_of_quota",
-    "pq_adc_search",
-    "pq_ivf_search",
-    "price_qty_elasticity",
-    "priority_price_mwu",
-    "published_report_roundtrip",
-    "purchase_asof_view",
-    "repeated_substring_spans",
-    "salted_skew_join",
-    "segment_nation_chi2",
-    "session_window_counts",
-    "shingle_containment_pairs",
-    "snapshot_time_travel",
-    "stream_dedup_counts",
-    "stream_left_join_events",
-    "streaming_upsert_dim",
-    "supplier_communities",
-    "supplier_triangles",
-    "user_survival_km",
-    "value_outliers",
-    "weekly_cohort_retention",
-    "winnow_fingerprint_pairs",
-    "word_freq_topk",
-    "zorder_layout_stats",
-    # re-confirmation keeper: stateful streaming + checkpoint recovery.
-    # The timeless-strike within-batch ordering contract changed this
-    # round (r13 verdict item 4), so the strike machine re-verifies
-    # in-window rather than riding stale evidence.
-    "checkpoint_restart_strikes",
+    "dedup_recall_report",
+    # family keepers: the FAMILY_CARRIERS audit
+    # (tests/test_entry_contract.py) requires every operator family to
+    # hold a window slot, and the r11 cohort carries none of these
+    # four families' named carriers — one cheap keeper each
+    "epoch_status_clean",  # reference_clean_path + ingest_gates
+    "pct_of_quota",  # reference_reports
+    "mann_kendall_trend",  # analytics_stats
+    "mmr_diversified_topk_grouped",  # mmr_diversification
+    # r15 drain: 35 of the 50-query r11-green cohort (ask 1).
+    # ann_recall_report / ann_rank_quality carry the NEW
+    # mrl_funnel_p16 method row (hash changed this round);
+    # neardup_prune carries the NOT EXISTS oracle rewrite. The 15
+    # deferrals ride the R16 QUEUE (families covered in-window —
+    # see the rotation comment).
+    "ann_incremental_admission",
+    "ann_rank_quality",
+    "ann_recall_report",
+    "bpe_merge_table",
+    "cdc_log_replay",
+    "checkpoint_restart_windowed",
+    "constraint_quarantine",
+    "corpus_curation_pipeline",
+    "cross_split_leakage",
+    "dedup_clusters_star",
+    "doc_chunks",
+    "embedding_dim_profile",
+    "event_transitions",
+    "gopher_repetition_report",
+    "hard_negative_mining",
+    "join_key_skew_report",
+    "json_lines_roundtrip",
+    "k_anonymity_report",
+    "lang_id",
+    "neardup_prune",
+    "ngram_jaccard_pairs",
+    "part_covisitation_topk",
+    "partition_pruned_report",
+    "q1_pricing_summary",
+    "rollup_revenue",
+    "salary_percentiles",
+    "scd2_merge",
+    "stratified_sample",
+    "stream_static_enrich",
+    "strike_report_batch",
+    "strike_stream_from_wire",
+    "token_mixture_plan",
+    "top3_orders_per_customer",
+    "unicode_script_profile",
+    "value_winsorized_stats",
 )
 
 #: Queries whose driver check is rows-only BY CONTRACT (no SQL oracle

@@ -3353,6 +3353,15 @@ def _ann_truth_and_ranked_methods(spark: SparkSession, sf_dir: str):
                 codes=pq_codes,
             ),
         ),
+        (
+            # r15: the X191 Matryoshka funnel measured alongside the
+            # index/quantization paths — same truth, same k
+            "mrl_funnel_p16",
+            similarity.matryoshka_funnel_topk(
+                queries, emb, prefix_dim=_MATRYOSHKA_FUNNEL_DIM, k=10,
+                rescore_factor=3,
+            ),
+        ),
     ]
     un = None
     for nm, df in methods:
@@ -3363,6 +3372,11 @@ def _ann_truth_and_ranked_methods(spark: SparkSession, sf_dir: str):
     _ANN_EVAL_CACHE[key] = (truth, un)
     return truth, un
 
+
+#: Coarse-stage prefix width for the X191 Matryoshka funnel (defined
+#: here, above the ANN eval CTEs that embed it; the funnel's own
+#: registration sits with the X190 report at the module bottom).
+_MATRYOSHKA_FUNNEL_DIM = 16
 
 _ANN_EVAL_CTES = f"""{_ANN_BASE_CTES},
     {_SQ8_IVF_CTES},
@@ -3454,6 +3468,35 @@ _ANN_EVAL_CTES = f"""{_ANN_BASE_CTES},
         FROM res_ivf
       ) WHERE rn <= 10
     ),
+    mrl_coarse AS (
+      SELECT qe.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_dot_product(qe.e[1:{_MATRYOSHKA_FUNNEL_DIM}], c.e[1:{_MATRYOSHKA_FUNNEL_DIM}])
+                   / (sqrt(list_dot_product(qe.e[1:{_MATRYOSHKA_FUNNEL_DIM}], qe.e[1:{_MATRYOSHKA_FUNNEL_DIM}]))
+                      * sqrt(list_dot_product(c.e[1:{_MATRYOSHKA_FUNNEL_DIM}], c.e[1:{_MATRYOSHKA_FUNNEL_DIM}]))),
+                   6) AS qcos
+      FROM (SELECT * FROM v WHERE vec_id >= 100 AND vec_id < 105) qe
+      JOIN v c ON c.vec_id <> qe.vec_id
+    ),
+    mrl_cands AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY qcos DESC, neighbor_id ASC) AS rn
+        FROM mrl_coarse
+      ) WHERE rn <= 30
+    ),
+    m_mrl AS (
+      SELECT query_id, neighbor_id, rn FROM (
+        SELECT c.query_id, c.neighbor_id,
+               row_number() OVER (
+                 PARTITION BY c.query_id
+                 ORDER BY round(list_dot_product(qe.e, ne.e)
+                       / (sqrt(list_dot_product(qe.e, qe.e)) * sqrt(list_dot_product(ne.e, ne.e))),
+                       6) DESC, c.neighbor_id ASC) AS rn
+        FROM mrl_cands c
+        JOIN v qe ON qe.vec_id = c.query_id
+        JOIN v ne ON ne.vec_id = c.neighbor_id
+      ) WHERE rn <= 10
+    ),
     allm AS (
       SELECT 'ivf' AS method, query_id, neighbor_id, rn FROM m_ivf
       UNION ALL SELECT 'ivf_multiprobe', query_id, neighbor_id, rn FROM m_multi
@@ -3461,6 +3504,7 @@ _ANN_EVAL_CTES = f"""{_ANN_BASE_CTES},
       UNION ALL SELECT 'sq8_ivf', query_id, neighbor_id, rn FROM m_sq8ivf
       UNION ALL SELECT 'pq_adc', query_id, neighbor_id, rn FROM m_pq
       UNION ALL SELECT 'pq_ivf', query_id, neighbor_id, rn FROM m_pqivf
+      UNION ALL SELECT 'mrl_funnel_p16', query_id, neighbor_id, rn FROM m_mrl
     )"""
 
 
@@ -3480,7 +3524,8 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of every approximate search path against the
     brute-force exact top-10 — turns the ANN stack's knobs (nprobe,
     rescore factor, quantization) into MEASURED quantities instead of
-    docstring claims. All six methods and the ground truth are
+    docstring claims. All seven methods (r15 adds the X191
+    Matryoshka funnel, mrl_funnel_p16) and the ground truth are
     deterministic (rounded cosines, total-order tie-breaks), so the
     whole report is hash-checkable cross-engine.
 
@@ -3490,7 +3535,7 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded Lloyd's barrier and serve both the flat-ADC and IVF-PQ
     searches; each method is then its own bounded search over the
     broadcast query batch, and the report join touches only
-    6 methods x |queries| x k rows."""
+    7 methods x |queries| x k rows."""
     truth, un = _ann_truth_and_ranked_methods(spark, sf_dir)
     return (
         un.join(F.broadcast(truth), ["query_id", "neighbor_id"], "left")
@@ -3545,7 +3590,7 @@ def ann_rank_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     differ in the last ulp), and the IDCG normalizer is their exact
     decimal sum as a shared literal.
 
-    Scale: the metric join touches 6 methods x |queries| x k rows —
+    Scale: the metric join touches 7 methods x |queries| x k rows —
     independent of corpus size; everything corpus-sized happened once
     in the shared index build."""
     truth, un = _ann_truth_and_ranked_methods(spark, sf_dir)
@@ -7333,6 +7378,68 @@ def matryoshka_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MATRYOSHKA_FUNNEL_ORACLE = f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    q AS (SELECT vec_id AS query_id, e AS qv FROM v
+          WHERE vec_id >= 100 AND vec_id < 105),
+    coarse AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             round(list_dot_product(q.qv[1:{_MATRYOSHKA_FUNNEL_DIM}], c.e[1:{_MATRYOSHKA_FUNNEL_DIM}])
+                   / (sqrt(list_dot_product(q.qv[1:{_MATRYOSHKA_FUNNEL_DIM}], q.qv[1:{_MATRYOSHKA_FUNNEL_DIM}]))
+                      * sqrt(list_dot_product(c.e[1:{_MATRYOSHKA_FUNNEL_DIM}], c.e[1:{_MATRYOSHKA_FUNNEL_DIM}]))),
+                   6) AS qcos
+      FROM q CROSS JOIN v c WHERE c.vec_id <> q.query_id
+    ),
+    cands AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY qcos DESC, neighbor_id ASC) AS rn
+        FROM coarse
+      ) WHERE rn <= 30
+    ),
+    rescored AS (
+      SELECT c.query_id, c.neighbor_id,
+             round(list_dot_product(qe.e, ne.e)
+                   / (sqrt(list_dot_product(qe.e, qe.e)) * sqrt(list_dot_product(ne.e, ne.e))),
+                   6) AS cosine_sim
+      FROM cands c
+      JOIN v qe ON qe.vec_id = c.query_id
+      JOIN v ne ON ne.vec_id = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rn AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
+          FROM rescored)
+    WHERE rn <= 10
+    """
+
+
+@register("matryoshka_funnel_topk", _MATRYOSHKA_FUNNEL_ORACLE)
+def matryoshka_funnel_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X191: the Matryoshka funnel — the SERVING operator the X190
+    truncation-recall report measures for: coarse top-30 per query by
+    cosine over the leading 16 of 64 components (the truncated-prefix
+    scan reads 1/4 of the vector bytes), then exact full-dimension
+    rescoring of only those candidates. The dimension-axis sibling of
+    quantized_topk_rescore (element-count cut vs element-width cut);
+    stacked with X190 this closes the MRL loop: measure how far the
+    embedding truncates (X190), then serve through that truncation
+    with an exact-rescore safety net (X191). End-to-end recall of the
+    funnel itself is a method row in ann_recall_report/ann_rank_quality
+    (mrl_funnel_p16).
+
+    Scale: one prefix-width corpus pass per broadcast query batch (no
+    index — composable with IVF exactly as quantized_ivf_topk stacks
+    SQ8 on the inverted list), full-width vectors touched for
+    k × rescore_factor rows per query; 6-dp/neighbor-id tiebreak
+    discipline in both stages."""
+    emb = _live_embeddings(spark, sf_dir)
+    queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105))
+    return similarity.matryoshka_funnel_topk(
+        queries, emb, prefix_dim=_MATRYOSHKA_FUNNEL_DIM, k=10, rescore_factor=3
+    )
+
+
 # ---------------------------------------------------------------------------
 # Embeddings NULL contract — oracle side (see _live_embeddings).
 # The similarity / index / quantization family reads only rows whose
@@ -7366,6 +7473,7 @@ _EMB_NULL_CONTRACT = (
     "semantic_prune",
     "semantic_prune_scorecard",
     "matryoshka_recall_report",
+    "matryoshka_funnel_topk",
 )
 
 for _q in _EMB_NULL_CONTRACT:

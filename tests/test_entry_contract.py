@@ -49,6 +49,9 @@ FAMILY_CARRIERS: dict[str, set[str]] = {
         "published_report_roundtrip", "compact_parquet_roundtrip",
         "format_roundtrips", "snapshot_time_travel",
         "schema_evolution_read",
+        # r15: json_lines_roundtrip is a format/sink roundtrip by
+        # construction (the r11 rotation's named formats/sinks carrier)
+        "json_lines_roundtrip",
     },
     "merge_upsert_scd": {
         "keyed_upsert", "streaming_upsert_dim", "scd2_merge",
@@ -56,6 +59,9 @@ FAMILY_CARRIERS: dict[str, set[str]] = {
     },
     "window_dedup_rank": {
         "except_all_dupes", "dedup_keep_best", "value_outliers",
+        # r15: partitioned rank-window queries carry the same
+        # row_number/rank machinery
+        "top3_orders_per_customer", "top_earner_per_designation",
     },
     "streaming_stateful_checkpoint": {
         "checkpoint_restart_strikes", "checkpoint_restart_windowed",
@@ -65,16 +71,25 @@ FAMILY_CARRIERS: dict[str, set[str]] = {
         "session_window_counts", "stream_dedup_counts",
         "stream_left_join_events", "streaming_upsert_dim",
         "events_in_error_windows",
+        # r15: the stream-static join is a streaming-join carrier
+        "stream_static_enrich",
     },
     "temporal": {
         "purchase_asof_view", "user_survival_km",
         "weekly_cohort_retention", "forward_fill_values",
         "hourly_interpolated_series", "event_sessions",
+        # r15: lag-over-event-time transition analysis is temporal
+        "event_transitions",
     },
     "text_analysis": {
         "word_freq_topk", "char_bigram_entropy", "lm_doc_score",
         "boilerplate_scrub_stats", "bigram_collocations",
         "text_profile", "tfidf_top_terms", "pii_scrub",
+        # r15: language-ID, script mixing, repetition rules, and
+        # quality scoring are first-class text-analysis operators
+        # (the north-star family's own named members)
+        "lang_id", "unicode_script_profile",
+        "gopher_repetition_report", "quality_score",
     },
     "lexical_dedup": {
         "winnow_fingerprint_pairs", "repeated_substring_spans",
@@ -85,6 +100,9 @@ FAMILY_CARRIERS: dict[str, set[str]] = {
     "graph": {
         "supplier_communities", "supplier_triangles",
         "part_link_prediction",
+        # r15: covisitation top-k ranks the same co-occurrence-graph
+        # edges link prediction scores
+        "part_covisitation_topk",
     },
     "ann_quantized_ivf": {
         "pq_adc_search", "pq_ivf_search", "embedding_quantize",
@@ -94,6 +112,9 @@ FAMILY_CARRIERS: dict[str, set[str]] = {
     "retrieval_rank_eval": {
         "ndcg_mrr_report", "cluster_topic_terms", "bm25_topk",
         "hybrid_rrf_topk", "matryoshka_recall_report",
+        # r15: MRR/NDCG per ANN method IS rank eval; the funnel is
+        # the serving operator those reports measure
+        "ann_rank_quality", "matryoshka_funnel_topk",
     },
     "mmr_diversification": {
         "mmr_diversified_topk", "mmr_diversified_topk_grouped",
@@ -104,6 +125,9 @@ FAMILY_CARRIERS: dict[str, set[str]] = {
         "context_pack_bins", "quality_weighted_sample",
         "gate_trained_eval", "gate_eval_report",
         "balanced_strata_sample", "domain_mixture_sample",
+        # r15: sampling/mixture planning are curation operators
+        # (siblings of balanced_strata_sample / domain_mixture_sample)
+        "stratified_sample", "token_mixture_plan",
     },
     "multimodal": {
         "binary_metadata", "multimodal_frame_stats",
@@ -119,6 +143,9 @@ FAMILY_CARRIERS: dict[str, set[str]] = {
         "salted_skew_join", "zorder_layout_stats",
         "bucketed_colocated_join", "bloom_pruned_join",
         "range_partition_plan",
+        # r15: skew diagnosis and partition-pruning verification are
+        # the measurement half of the layout family
+        "join_key_skew_report", "partition_pruned_report",
     },
     "bpe_tokenizer": {
         "bpe_merge_candidates", "bpe_merge_batched", "bpe_merge_table",

@@ -7,6 +7,12 @@ top-k."""
 
 from __future__ import annotations
 
+import contextlib
+import io
+
+import pyspark.sql.functions as F
+
+from employee_data_management_system_data_engineering_solution_spark.operators import similarity
 from employee_data_management_system_data_engineering_solution_spark.plans import llm
 from employee_data_management_system_data_engineering_solution_spark.plans.registry import REGISTRY
 
@@ -33,6 +39,74 @@ def test_full_scorecard_warm_read_is_identical(spark):
     assert cold == warm
     llm.clear_full_recall_cache()
     assert not llm._FULL_RECALL_CACHE
+
+
+# ---------------------------------------------------------------------------
+# X191 Matryoshka funnel
+# ---------------------------------------------------------------------------
+def test_funnel_full_prefix_equals_exact_topk(spark):
+    """With prefix_dim = the stored width, the coarse ordering IS the
+    exact ordering, so the funnel must reproduce the brute-force top-k
+    row-for-row (same exact rounded full-width cosines, same ranks) —
+    the funnel's correctness is the rescore stage, and this pins it
+    against the independent exact path."""
+    emb = llm._live_embeddings(spark, SF_SMOKE)
+    queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105))
+    exact = _sorted_rows(similarity.cosine_topk_bruteforce(queries, emb, k=10))
+    funnel = _sorted_rows(
+        similarity.matryoshka_funnel_topk(
+            queries, emb, prefix_dim=64, k=10, rescore_factor=3
+        )
+    )
+    assert funnel == exact
+
+
+def test_funnel_wide_pool_equals_exact_regardless_of_prefix(spark):
+    """With a rescore pool bigger than the corpus, every candidate
+    survives the coarse cut, so the funnel equals the exact top-k for
+    ANY prefix width — the truncation can only lose candidates at the
+    cut, never corrupt the exact rescoring."""
+    emb = llm._live_embeddings(spark, SF_SMOKE)
+    queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105))
+    exact = _sorted_rows(similarity.cosine_topk_bruteforce(queries, emb, k=10))
+    n = emb.count()
+    funnel = _sorted_rows(
+        similarity.matryoshka_funnel_topk(
+            queries, emb, prefix_dim=8, k=10, rescore_factor=(n // 10) + 1
+        )
+    )
+    assert funnel == exact
+
+
+def test_funnel_registered_query_schema_and_bounds(spark):
+    df = REGISTRY["matryoshka_funnel_topk"].fn(spark, SF_SMOKE)
+    assert df.columns == ["query_id", "neighbor_id", "cosine_sim", "rank"]
+    rows = df.collect()
+    assert len(rows) == 50  # 5 queries x k=10
+    assert all(1 <= r.rank <= 10 for r in rows)
+
+
+def test_funnel_plan_broadcasts_queries_no_shuffle_of_corpus(spark):
+    """The coarse stage is a broadcast of the 5 probe vectors against
+    one corpus scan — no SortMergeJoin, no Python; the corpus is never
+    shuffled for scoring (the quantized_topk_rescore discipline)."""
+    df = REGISTRY["matryoshka_funnel_topk"].fn(spark, SF_SMOKE)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="simple")
+    plan = buf.getvalue()
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "Python" not in plan
+
+
+def test_ann_eval_harness_includes_funnel_method(spark):
+    llm.clear_ann_eval_cache()
+    methods = {
+        r.method
+        for r in REGISTRY["ann_recall_report"].fn(spark, SF_SMOKE)
+        .select("method").distinct().collect()
+    }
+    assert "mrl_funnel_p16" in methods and len(methods) == 7
 
 
 def test_full_scorecard_cache_keys_by_corpus(spark, tmp_path):
