@@ -876,6 +876,69 @@ def quantized_ivf_topk(
     return _rescore_topk(coarse, queries, corpus, id_col, vec_col, k, rescore_factor)
 
 
+def matryoshka_ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    pivots: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    prefix_dim: int = 16,
+    k: int = 10,
+    rescore_factor: int = 3,
+    nprobe: int = 2,
+    assigned: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-MRL: the Matryoshka funnel stacked on the inverted list —
+    coarse search by truncated-prefix cosine restricted to each
+    query's ``nprobe`` nearest IVF clusters, then exact
+    full-dimension rescoring of the survivors. Exactly how
+    :func:`quantized_ivf_topk` stacks SQ8 on the list, with the
+    element-COUNT cut (prefix_dim/dim of the bytes) in place of the
+    element-WIDTH cut (int8): at 100 TB the coarse stage reads
+    ~nprobe/P of the corpus at prefix_dim/dim of the vector payload —
+    a P/nprobe × dim/prefix_dim scan-volume cut (4 × 4 = 16× at the
+    defaults) before any float is touched at full width.
+
+    ``assigned`` optionally reuses a prebuilt inverted list; plan
+    shape, tiebreaks, and the exact-rescore tail are shared verbatim
+    with the other IVF searches (one pinned assignment pass, broadcast
+    query fan-out to nprobe lists, cluster-pruned join,
+    :func:`_rescore_topk`).
+
+    Output: (query_id, neighbor_id, cosine_sim, rank) — cosine_sim is
+    the EXACT rounded full-width cosine over rescored candidates.
+    """
+    if assigned is None:
+        assigned = assign_clusters(corpus, pivots, id_col, vec_col).localCheckpoint(eager=False)
+    cp = assigned.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.slice(F.col(vec_col), 1, prefix_dim).alias("__cp"),
+        "cluster_id",
+    )
+    qsub = assigned.join(
+        queries.select(F.col(id_col).alias("__qid")),
+        assigned[id_col] == F.col("__qid"),
+    ).select(id_col, vec_col)
+    qprobe = assign_clusters_multi(qsub, pivots, nprobe, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), "cluster_id"
+    )
+    qp = qsub.select(
+        F.col(id_col).alias("query_id"),
+        F.slice(F.col(vec_col), 1, prefix_dim).alias("__qp"),
+    )
+    qside = qp.join(qprobe, "query_id")
+    coarse = (
+        cp.join(F.broadcast(qside), on="cluster_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("__qp"), F.col("__cp")), 6).alias("qcos"),
+        )
+    )
+    return _rescore_topk(coarse, queries, corpus, id_col, vec_col, k, rescore_factor)
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (PQ) + asymmetric-distance (ADC) search
 # ---------------------------------------------------------------------------

@@ -3362,6 +3362,15 @@ def _ann_truth_and_ranked_methods(spark: SparkSession, sf_dir: str):
                 rescore_factor=3,
             ),
         ),
+        (
+            # r15: the X192 IVF-composed funnel on the SAME pinned
+            # inverted list as the other index-based methods
+            "mrl_ivf_p16",
+            similarity.matryoshka_ivf_topk(
+                queries, emb, pivots, prefix_dim=_MATRYOSHKA_FUNNEL_DIM,
+                k=10, rescore_factor=3, nprobe=2, assigned=index,
+            ),
+        ),
     ]
     un = None
     for nm, df in methods:
@@ -3497,6 +3506,37 @@ _ANN_EVAL_CTES = f"""{_ANN_BASE_CTES},
         JOIN v ne ON ne.vec_id = c.neighbor_id
       ) WHERE rn <= 10
     ),
+    mivf_coarse_h AS (
+      SELECT qp.query_id, a.vec_id AS neighbor_id,
+             round(list_dot_product(qe.e[1:{_MATRYOSHKA_FUNNEL_DIM}], a.e[1:{_MATRYOSHKA_FUNNEL_DIM}])
+                   / (sqrt(list_dot_product(qe.e[1:{_MATRYOSHKA_FUNNEL_DIM}], qe.e[1:{_MATRYOSHKA_FUNNEL_DIM}]))
+                      * sqrt(list_dot_product(a.e[1:{_MATRYOSHKA_FUNNEL_DIM}], a.e[1:{_MATRYOSHKA_FUNNEL_DIM}]))),
+                   6) AS qcos
+      FROM qprobe qp
+      JOIN assigned a ON a.cluster_id = qp.cluster_id
+      JOIN v qe ON qe.vec_id = qp.query_id
+      WHERE a.vec_id <> qp.query_id
+    ),
+    mivf_cands_h AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY qcos DESC, neighbor_id ASC) AS rn
+        FROM mivf_coarse_h
+      ) WHERE rn <= 30
+    ),
+    m_mivf AS (
+      SELECT query_id, neighbor_id, rn FROM (
+        SELECT c.query_id, c.neighbor_id,
+               row_number() OVER (
+                 PARTITION BY c.query_id
+                 ORDER BY round(list_dot_product(qe.e, ne.e)
+                       / (sqrt(list_dot_product(qe.e, qe.e)) * sqrt(list_dot_product(ne.e, ne.e))),
+                       6) DESC, c.neighbor_id ASC) AS rn
+        FROM mivf_cands_h c
+        JOIN v qe ON qe.vec_id = c.query_id
+        JOIN v ne ON ne.vec_id = c.neighbor_id
+      ) WHERE rn <= 10
+    ),
     allm AS (
       SELECT 'ivf' AS method, query_id, neighbor_id, rn FROM m_ivf
       UNION ALL SELECT 'ivf_multiprobe', query_id, neighbor_id, rn FROM m_multi
@@ -3505,6 +3545,7 @@ _ANN_EVAL_CTES = f"""{_ANN_BASE_CTES},
       UNION ALL SELECT 'pq_adc', query_id, neighbor_id, rn FROM m_pq
       UNION ALL SELECT 'pq_ivf', query_id, neighbor_id, rn FROM m_pqivf
       UNION ALL SELECT 'mrl_funnel_p16', query_id, neighbor_id, rn FROM m_mrl
+      UNION ALL SELECT 'mrl_ivf_p16', query_id, neighbor_id, rn FROM m_mivf
     )"""
 
 
@@ -3524,8 +3565,9 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of every approximate search path against the
     brute-force exact top-10 — turns the ANN stack's knobs (nprobe,
     rescore factor, quantization) into MEASURED quantities instead of
-    docstring claims. All seven methods (r15 adds the X191
-    Matryoshka funnel, mrl_funnel_p16) and the ground truth are
+    docstring claims. All eight methods (r15 adds the X191/X192
+    Matryoshka funnels, mrl_funnel_p16 + mrl_ivf_p16) and the ground
+    truth are
     deterministic (rounded cosines, total-order tie-breaks), so the
     whole report is hash-checkable cross-engine.
 
@@ -3535,7 +3577,7 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded Lloyd's barrier and serve both the flat-ADC and IVF-PQ
     searches; each method is then its own bounded search over the
     broadcast query batch, and the report join touches only
-    7 methods x |queries| x k rows."""
+    8 methods x |queries| x k rows."""
     truth, un = _ann_truth_and_ranked_methods(spark, sf_dir)
     return (
         un.join(F.broadcast(truth), ["query_id", "neighbor_id"], "left")
@@ -3590,7 +3632,7 @@ def ann_rank_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     differ in the last ulp), and the IDCG normalizer is their exact
     decimal sum as a shared literal.
 
-    Scale: the metric join touches 7 methods x |queries| x k rows —
+    Scale: the metric join touches 8 methods x |queries| x k rows —
     independent of corpus size; everything corpus-sized happened once
     in the shared index build."""
     truth, un = _ann_truth_and_ranked_methods(spark, sf_dir)
@@ -7440,6 +7482,67 @@ def matryoshka_funnel_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MATRYOSHKA_IVF_ORACLE = f"""
+    WITH {_ANN_BASE_CTES},
+    mivf_coarse AS (
+      SELECT qp.query_id, a.vec_id AS neighbor_id,
+             round(list_dot_product(qe.e[1:{_MATRYOSHKA_FUNNEL_DIM}], a.e[1:{_MATRYOSHKA_FUNNEL_DIM}])
+                   / (sqrt(list_dot_product(qe.e[1:{_MATRYOSHKA_FUNNEL_DIM}], qe.e[1:{_MATRYOSHKA_FUNNEL_DIM}]))
+                      * sqrt(list_dot_product(a.e[1:{_MATRYOSHKA_FUNNEL_DIM}], a.e[1:{_MATRYOSHKA_FUNNEL_DIM}]))),
+                   6) AS qcos
+      FROM qprobe qp
+      JOIN assigned a ON a.cluster_id = qp.cluster_id
+      JOIN v qe ON qe.vec_id = qp.query_id
+      WHERE a.vec_id <> qp.query_id
+    ),
+    mivf_cands AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY qcos DESC, neighbor_id ASC) AS rn
+        FROM mivf_coarse
+      ) WHERE rn <= 30
+    ),
+    mivf_rescored AS (
+      SELECT c.query_id, c.neighbor_id,
+             round(list_dot_product(qe.e, ne.e)
+                   / (sqrt(list_dot_product(qe.e, qe.e)) * sqrt(list_dot_product(ne.e, ne.e))),
+                   6) AS cosine_sim
+      FROM mivf_cands c
+      JOIN v qe ON qe.vec_id = c.query_id
+      JOIN v ne ON ne.vec_id = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rn AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
+          FROM mivf_rescored)
+    WHERE rn <= 10
+    """
+
+
+@register("matryoshka_ivf_topk", _MATRYOSHKA_IVF_ORACLE)
+def matryoshka_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X192: IVF-MRL — the X191 funnel stacked on the IVF inverted
+    list, exactly how quantized_ivf_topk stacks SQ8 on it (the
+    element-count cut in place of the element-width cut): coarse
+    truncated-prefix cosine restricted to each query's nprobe=2
+    nearest clusters, then exact full-dimension rescore of the
+    survivors. Makes X191's composability claim a measured operator:
+    the coarse stage reads ~nprobe/P of the corpus at prefix/dim of
+    the vector payload (P/nprobe × dim/prefix ≈ 4 × 4 = 16× scan cut
+    at the defaults) — the same pruning arithmetic as IVF-SQ8 with
+    recall governed by the X190 truncation curve instead of the
+    quantization error. Also an eval-harness method row
+    (mrl_ivf_p16), so its recall/rank quality is measured against all
+    other paths on the shared truth."""
+    emb = _live_embeddings(spark, sf_dir)
+    pivots = emb.filter(F.col("vec_id") < 8)
+    queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105))
+    return similarity.matryoshka_ivf_topk(
+        queries, emb, pivots, prefix_dim=_MATRYOSHKA_FUNNEL_DIM,
+        k=10, rescore_factor=3, nprobe=2,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Embeddings NULL contract — oracle side (see _live_embeddings).
 # The similarity / index / quantization family reads only rows whose
@@ -7474,6 +7577,7 @@ _EMB_NULL_CONTRACT = (
     "semantic_prune_scorecard",
     "matryoshka_recall_report",
     "matryoshka_funnel_topk",
+    "matryoshka_ivf_topk",
 )
 
 for _q in _EMB_NULL_CONTRACT:

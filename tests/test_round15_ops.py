@@ -99,14 +99,35 @@ def test_funnel_plan_broadcasts_queries_no_shuffle_of_corpus(spark):
     assert "Python" not in plan
 
 
-def test_ann_eval_harness_includes_funnel_method(spark):
+def test_ann_eval_harness_includes_funnel_methods(spark):
     llm.clear_ann_eval_cache()
     methods = {
         r.method
         for r in REGISTRY["ann_recall_report"].fn(spark, SF_SMOKE)
         .select("method").distinct().collect()
     }
-    assert "mrl_funnel_p16" in methods and len(methods) == 7
+    assert {"mrl_funnel_p16", "mrl_ivf_p16"} <= methods and len(methods) == 8
+
+
+def test_mrl_ivf_candidates_subset_of_probed_clusters(spark):
+    """The IVF-composed funnel must never return a neighbor outside
+    the query's nprobe probed clusters — the inverted-list pruning
+    invariant (the recall/scan-cut trade is the PRUNING, so a leak
+    here would silently un-prune the scan)."""
+    emb = llm._live_embeddings(spark, SF_SMOKE)
+    pivots = emb.filter(F.col("vec_id") < 8)
+    queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105))
+    assigned = similarity.assign_clusters(emb, pivots)
+    out = REGISTRY["matryoshka_ivf_topk"].fn(spark, SF_SMOKE)
+    probed = {
+        (r.vec_id, r.cluster_id)
+        for r in similarity.assign_clusters_multi(
+            queries, pivots, nprobe=2
+        ).collect()
+    }
+    member = {r.vec_id: r.cluster_id for r in assigned.collect()}
+    for r in out.collect():
+        assert (r.query_id, member[r.neighbor_id]) in probed
 
 
 def test_full_scorecard_cache_keys_by_corpus(spark, tmp_path):
