@@ -56,7 +56,9 @@ from .registry import REGISTRY, register
 #       + exact full-dim rescore, the serving operator X190 measures
 #       for; verdict ask 4), matryoshka_ivf_topk (X192 — the funnel
 #       stacked on the IVF inverted list, making X191's composability
-#       claim a measured operator).
+#       claim a measured operator), semantic_prune_sampled_train
+#       (X193 — sampled centroid training, the bounded 100 TB
+#       training barrier; survivor set pinned identical to X188).
 #   IN (the recorded r15 queue head — the 4 deferred r10-green
 #       queries, verdict ask 1): ivf_topk_multiprobe,
 #       quantized_ivf_topk, quantized_topk_rescore, binary_metadata.
@@ -75,13 +77,13 @@ from .registry import REGISTRY, register
 #       these): epoch_status_clean (reference clean path + ingest
 #       gates), pct_of_quota (reference reports), mann_kendall_trend
 #       (analytics/stats), mmr_diversified_topk_grouped (MMR).
-#   IN (the r15 drain — 34 of the 50-query r11-green cohort, verdict
+#   IN (the r15 drain — 33 of the 50-query r11-green cohort, verdict
 #       ask 1; includes ann_recall_report + ann_rank_quality, whose
 #       HASH CHANGED this round with the mrl_funnel_p16 method row,
 #       and neardup_prune, whose oracle moved to NOT EXISTS):
 #       ann_incremental_admission … unicode_script_profile (see
 #       _PRIORITY).
-# R16 QUEUE: the 16 deferred r11-green queries (8 of them re-proven
+# R16 QUEUE: the 17 deferred r11-green queries (8 of them re-proven
 # green by the judge's own out-of-window r14 oracle run:
 # quality_score, benchmark_decontamination, daily_pipeline,
 # status_pivot_report, cube_order_stats, salary_rank_analytics,
@@ -89,7 +91,7 @@ from .registry import REGISTRY, register
 # top_earner_per_designation, promo_revenue_share,
 # distinct_order_supp_pairs, customers_without_urgent_orders,
 # multi_touch_attribution, incremental_agg_refresh, json_props_stats,
-# value_winsorized_stats — families covered in-window by salary_percentiles/
+# value_winsorized_stats, strike_report_batch — families covered in-window by salary_percentiles/
 # top3_orders_per_customer, rollup_revenue/q1_pricing_summary,
 # event_transitions, corpus_curation_pipeline/cdc_log_replay, and
 # json_lines_roundtrip) FIRST, then the stalest r12-green cohort by
@@ -348,6 +350,7 @@ _PRIORITY: tuple[str, ...] = (
     # Matryoshka funnel serving operator and its IVF composition)
     "matryoshka_funnel_topk",
     "matryoshka_ivf_topk",
+    "semantic_prune_sampled_train",
     # the recorded r15 queue head: the 4 r10-green deferrals (ask 1)
     "ivf_topk_multiprobe",
     "quantized_ivf_topk",
@@ -405,7 +408,6 @@ _PRIORITY: tuple[str, ...] = (
     "scd2_merge",
     "stratified_sample",
     "stream_static_enrich",
-    "strike_report_batch",
     "strike_stream_from_wire",
     "token_mixture_plan",
     "top3_orders_per_customer",

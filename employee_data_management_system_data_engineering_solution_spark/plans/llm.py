@@ -7322,6 +7322,125 @@ def semantic_prune_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Training-sample width per cluster for the sampled-training prune:
+#: the sample is 16·k vectors (clamped to the corpus), so training
+#: cost is bounded by k — the 100 TB discipline where Lloyd's runs on
+#: a seeded fixed-rate draw and only the ASSIGNMENT pass touches the
+#: full corpus. 16 vectors/cluster is the demo knob; production sizes
+#: the multiplier to the sampling error it can afford.
+_SEM_SAMPLE_PER_K = 16
+
+_SEM_SAMPLED_ORACLE = f"""
+    WITH RECURSIVE v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    kparam AS (
+      SELECT GREATEST({_SEM_K_MIN}, LEAST({_SEM_K_MAX},
+               CAST(CEIL(count(*) / {_SEM_TARGET_CLUSTER}.0) AS INTEGER))) AS kk,
+             count(*) AS n FROM v
+    ),
+    samp AS (
+      SELECT vec_id, e FROM (
+        SELECT vec_id, e, row_number() OVER (
+          ORDER BY md5('spt:' || CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        FROM v)
+      WHERE rn <= (SELECT LEAST(n, {_SEM_SAMPLE_PER_K} * kk) FROM kparam)
+    ),
+    c1 AS (SELECT pivot_id, pv FROM (
+      SELECT vec_id AS pivot_id, e AS pv,
+             row_number() OVER (ORDER BY vec_id) AS rn FROM samp)
+      WHERE rn <= (SELECT kk FROM kparam)),
+    {_km_assign_cte("samp", "c1", "a1")},
+    {_km_recompute_cte("a1", "c2")},
+    {_km_assign_cte("samp", "c2", "a2")},
+    {_km_recompute_cte("a2", "c3")},
+    corpus AS (
+      SELECT vec_id, e FROM v
+      UNION ALL
+      SELECT vec_id + (SELECT max(vec_id) + 1 FROM v) AS vec_id, e
+      FROM v
+    ),
+    {_km_assign_cte("corpus", "c3", "af")},
+    sp AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM af a JOIN af b
+        ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+      WHERE {_SEM_PAIR_COS} >= 0.999
+    ),
+    {_semantic_cc_ctes("sp", "s_")}
+    SELECT c.vec_id,
+           coalesce(l.node IS NOT NULL, FALSE) AS is_semantic_rep
+    FROM corpus c
+    LEFT JOIN (SELECT node FROM s_labeled WHERE node = rep) l
+      ON c.vec_id = l.node
+    WHERE NOT EXISTS (
+      SELECT 1 FROM s_removed r WHERE r.doc_id = c.vec_id
+    )
+    """
+
+
+@register("semantic_prune_sampled_train", _SEM_SAMPLED_ORACLE)
+def semantic_prune_sampled_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X193: the semantic prune with SAMPLED centroid training — the
+    100 TB discipline the corpus-k docstrings reference, made a
+    measured operator: Lloyd's runs on a seeded 16·k-vector draw (the
+    X126 md5-rank rule — order by ``md5('spt:' || vec_id)``, vec_id
+    tiebreak — a deterministic uniform sample both engines compute
+    identically), and only the single ASSIGNMENT pass touches the full
+    corpus. k still derives from the FULL corpus size
+    (:func:`_semantic_k`), so cluster count scales with the data while
+    training cost is bounded by 16·k vectors regardless of corpus
+    size — at 100 TB the training barrier reads ~4k vectors for
+    k=256 instead of the whole embedding column.
+
+    Same prune semantics as semantic_prune (X188): planted-dup corpus,
+    within-cluster cosine ≥ 0.999 verify, min-label CC, keep-one.
+    The survivor SET is identical to the full-training prune by the
+    pinned k/centroid invariance (exact dups embed identically and
+    co-cluster under ANY centroids); what the sampling changes is only
+    WHERE the Voronoi boundaries fall — the same recall trade SemDeDup
+    already accepts across cluster boundaries, now bounded-cost.
+
+    Scale: the sample is one global top-(16·k) TakeOrdered of
+    (vec_id, 32-hex rank); two Lloyd's rounds over ≤ 16·k rows; then
+    one zero-shuffle full-corpus assignment + the cluster-bucketed
+    pair stage — the only corpus-sized work, unchanged from X188."""
+    emb = _live_embeddings(spark, sf_dir)
+    n = emb.count()
+    k = _semantic_k(n)
+    sample = (
+        emb.select(
+            "vec_id",
+            "embedding",
+            F.md5(
+                F.concat(F.lit("spt:"), F.col("vec_id").cast("string"))
+            ).alias("__rk"),
+        )
+        .orderBy(F.col("__rk").asc(), F.col("vec_id").asc())
+        .limit(min(n, _SEM_SAMPLE_PER_K * k))
+        .drop("__rk")
+    )
+    cents = similarity.kmeans_iterate(sample, k=k, iters=2, dim=64)
+    corpus = _planted_dup_corpus(emb, "vec_id", "embedding")
+    pairs = similarity.cosine_neardup_pairs(corpus, cents, threshold=0.999)
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    non_reps = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("vec_id")
+    )
+    reps = comp.filter(F.col("node") == F.col("component")).select(
+        F.col("node").alias("vec_id"), F.lit(True).alias("is_semantic_rep")
+    )
+    return (
+        corpus.select("vec_id")
+        .join(non_reps, "vec_id", "left_anti")
+        .join(reps, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("is_semantic_rep", F.lit(False)).alias(
+                "is_semantic_rep"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Matryoshka truncation recall (X190)
 # ---------------------------------------------------------------------------
@@ -7575,6 +7694,7 @@ _EMB_NULL_CONTRACT = (
     "mmr_diversified_topk_grouped",
     "semantic_prune",
     "semantic_prune_scorecard",
+    "semantic_prune_sampled_train",
     "matryoshka_recall_report",
     "matryoshka_funnel_topk",
     "matryoshka_ivf_topk",

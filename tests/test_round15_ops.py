@@ -130,6 +130,28 @@ def test_mrl_ivf_candidates_subset_of_probed_clusters(spark):
         assert (r.query_id, member[r.neighbor_id]) in probed
 
 
+# ---------------------------------------------------------------------------
+# X193 sampled-training semantic prune
+# ---------------------------------------------------------------------------
+def test_sampled_training_prune_matches_full_training_survivors(spark):
+    """Training on the 16·k seeded sample must not change the survivor
+    set: exact duplicates embed identically and co-cluster under ANY
+    centroids (the same invariance pinned for k), so the sampled and
+    full trainings differ only in where Voronoi boundaries fall —
+    invisible at the 0.999 admission threshold on this corpus."""
+    full = _sorted_rows(REGISTRY["semantic_prune"].fn(spark, SF_SMOKE))
+    sampled = _sorted_rows(
+        REGISTRY["semantic_prune_sampled_train"].fn(spark, SF_SMOKE)
+    )
+    assert sampled == full
+
+
+def test_sampled_training_sample_is_bounded_by_k():
+    """The training-sample bound is 16·k, not corpus-sized — the knob
+    that makes the 100 TB training barrier constant per cluster."""
+    assert llm._SEM_SAMPLE_PER_K * llm._semantic_k(10**9) == 16 * 256
+
+
 def test_full_scorecard_cache_keys_by_corpus(spark, tmp_path):
     """Two different corpora must not share frames: a 3-doc planted
     corpus after a real-smoke pass gets its own entry, its own truth
