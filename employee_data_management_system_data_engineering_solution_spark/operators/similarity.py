@@ -748,6 +748,102 @@ def _rescore_topk(
     )
 
 
+def _pow32() -> Column:
+    """Exact integer powers-of-two literals for sign-bit packing — bits
+    0..31 only, so every packed word stays inside the non-negative
+    32-bit range and NO engine ever shifts into the BIGINT sign bit
+    (DuckDB raises Out of Range on ``1::BIGINT << 63``; two 32-bit
+    halves sidestep the hazard on both sides). Built lazily: Column
+    construction needs an active session, so no module-level literal."""
+    return F.array(*[F.lit(1 << j).cast("long") for j in range(32)])
+
+
+def binary_quantize(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """1-bit (sign) quantization: component j contributes bit j iff
+    x_j > 0, packed into ``dim/32`` BIGINT words (``bq_w0``,
+    ``bq_w1``, ...). A 64-dim float32 vector (256 bytes) collapses to
+    8 bytes — a 32x storage/bandwidth cut, the most aggressive point
+    on the quantization axis (SQ8 is 4x, PQ m=8 is 32x with codebook
+    lookups; binary needs NO codebook and its distance is two CPU
+    instructions).
+
+    Pure narrow map (slice + zip_with + aggregate inside codegen), no
+    UDF, no shuffle; exactly reproducible cross-engine because the bit
+    values are integer literals OR-folded — no float, no shift into
+    the sign bit. ``keep`` carries extra columns through (e.g. an IVF
+    ``cluster_id``)."""
+    v = _as_double(F.col(vec_col))
+
+    pow32 = _pow32()
+
+    def _word(w: int) -> Column:
+        bits = F.zip_with(
+            F.slice(v, w * 32 + 1, 32),
+            pow32,
+            lambda x, p: F.when(x > 0, p).otherwise(F.lit(0).cast("long")),
+        )
+        return F.aggregate(
+            bits, F.lit(0).cast("long"), lambda acc, x: acc.bitwiseOR(x)
+        )
+
+    words = [_word(w).alias(f"bq_w{w}") for w in range(dim // 32)]
+    return corpus.select(F.col(id_col), F.col(vec_col), *keep, *words)
+
+
+def binary_hamming_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 10,
+    rescore_factor: int = 3,
+) -> DataFrame:
+    """Two-stage search over the sign-bit-quantized corpus: coarse
+    top-(k x rescore_factor) by Hamming similarity on the packed words
+    (``bit_count(w_q XOR w_c)`` per 32-bit half — integer-exact on
+    both engines), then EXACT float rescoring of only those
+    candidates. The binary-quantization point of the
+    compress-search-rescore family (SQ8 = quantized_topk_rescore,
+    PQ = pq_adc_topk): the coarse scan reads 8 bytes/vector instead
+    of 256, so at 100 TB of vectors the coarse stage touches ~3 TB.
+
+    For sign bits, Hamming distance is a monotone proxy for angular
+    distance (each agreeing sign bit is a quadrant agreement), so the
+    coarse similarity is ``dim - hamming`` ranked DESC with the
+    neighbor-id ASC tiebreak — integer-exact, no rounding needed
+    until the full-precision rescore."""
+    nwords = dim // 32
+    q = binary_quantize(queries, id_col, vec_col, dim).select(
+        F.col(id_col).alias("query_id"),
+        *[F.col(f"bq_w{w}").alias(f"__qw{w}") for w in range(nwords)],
+    )
+    c = binary_quantize(corpus, id_col, vec_col, dim).select(
+        F.col(id_col).alias("neighbor_id"),
+        *[F.col(f"bq_w{w}").alias(f"__cw{w}") for w in range(nwords)],
+    )
+    hamming = None
+    for w in range(nwords):
+        h = F.bit_count(F.col(f"__qw{w}").bitwiseXOR(F.col(f"__cw{w}")))
+        hamming = h if hamming is None else hamming + h
+    coarse = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.lit(dim) - hamming).cast("long").alias("qcos"),
+        )
+    )
+    return _rescore_topk(coarse, queries, corpus, id_col, vec_col, k, rescore_factor)
+
+
 def matryoshka_funnel_topk(
     queries: DataFrame,
     corpus: DataFrame,

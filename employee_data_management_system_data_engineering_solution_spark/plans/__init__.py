@@ -58,7 +58,10 @@ from .registry import REGISTRY, register
 #       stacked on the IVF inverted list, making X191's composability
 #       claim a measured operator), semantic_prune_sampled_train
 #       (X193 — sampled centroid training, the bounded 100 TB
-#       training barrier; survivor set pinned identical to X188).
+#       training barrier; survivor set pinned identical to X188),
+#       binary_quantized_topk (X194 — sign-bit 32x quantization,
+#       Hamming coarse over packed 32-bit words + exact rescore;
+#       also the ninth eval-harness method row, bq_hamming).
 #   IN (the recorded r15 queue head — the 4 deferred r10-green
 #       queries, verdict ask 1): ivf_topk_multiprobe,
 #       quantized_ivf_topk, quantized_topk_rescore, binary_metadata.
@@ -77,13 +80,13 @@ from .registry import REGISTRY, register
 #       these): epoch_status_clean (reference clean path + ingest
 #       gates), pct_of_quota (reference reports), mann_kendall_trend
 #       (analytics/stats), mmr_diversified_topk_grouped (MMR).
-#   IN (the r15 drain — 33 of the 50-query r11-green cohort, verdict
+#   IN (the r15 drain — 32 of the 50-query r11-green cohort, verdict
 #       ask 1; includes ann_recall_report + ann_rank_quality, whose
 #       HASH CHANGED this round with the mrl_funnel_p16 method row,
 #       and neardup_prune, whose oracle moved to NOT EXISTS):
-#       ann_incremental_admission … unicode_script_profile (see
+#       ann_incremental_admission … top3_orders_per_customer (see
 #       _PRIORITY).
-# R16 QUEUE: the 17 deferred r11-green queries (8 of them re-proven
+# R16 QUEUE: the 18 deferred r11-green queries (8 of them re-proven
 # green by the judge's own out-of-window r14 oracle run:
 # quality_score, benchmark_decontamination, daily_pipeline,
 # status_pivot_report, cube_order_stats, salary_rank_analytics,
@@ -91,7 +94,8 @@ from .registry import REGISTRY, register
 # top_earner_per_designation, promo_revenue_share,
 # distinct_order_supp_pairs, customers_without_urgent_orders,
 # multi_touch_attribution, incremental_agg_refresh, json_props_stats,
-# value_winsorized_stats, strike_report_batch — families covered in-window by salary_percentiles/
+# value_winsorized_stats, strike_report_batch, unicode_script_profile
+# — families covered in-window by salary_percentiles/
 # top3_orders_per_customer, rollup_revenue/q1_pricing_summary,
 # event_transitions, corpus_curation_pipeline/cdc_log_replay, and
 # json_lines_roundtrip) FIRST, then the stalest r12-green cohort by
@@ -347,10 +351,12 @@ from .registry import REGISTRY, register
 # ---------------------------------------------------------------------------
 _PRIORITY: tuple[str, ...] = (
     # new in r15: never driver-checked (r14 verdict ask 4 — the
-    # Matryoshka funnel serving operator and its IVF composition)
+    # Matryoshka funnel serving operator and its IVF composition;
+    # plus the X194 sign-bit quantization search)
     "matryoshka_funnel_topk",
     "matryoshka_ivf_topk",
     "semantic_prune_sampled_train",
+    "binary_quantized_topk",
     # the recorded r15 queue head: the 4 r10-green deferrals (ask 1)
     "ivf_topk_multiprobe",
     "quantized_ivf_topk",
@@ -373,12 +379,14 @@ _PRIORITY: tuple[str, ...] = (
     "pct_of_quota",  # reference_reports
     "mann_kendall_trend",  # analytics_stats
     "mmr_diversified_topk_grouped",  # mmr_diversification
-    # r15 drain: 35 of the 50-query r11-green cohort (ask 1).
+    # r15 drain: 32 of the 50-query r11-green cohort (ask 1).
     # ann_recall_report / ann_rank_quality carry the NEW
-    # mrl_funnel_p16 method row (hash changed this round);
-    # neardup_prune carries the NOT EXISTS oracle rewrite. The 15
-    # deferrals ride the R16 QUEUE (families covered in-window —
-    # see the rotation comment).
+    # mrl_funnel_p16 + bq_hamming method rows (hash changed this
+    # round); neardup_prune carries the NOT EXISTS oracle rewrite.
+    # The 18 deferrals (incl. unicode_script_profile, which yielded
+    # its slot to the X194 newcomer — text_analysis stays covered
+    # in-window by lang_id + gopher_repetition_report) ride the R16
+    # QUEUE (families covered in-window — see the rotation comment).
     "ann_incremental_admission",
     "ann_rank_quality",
     "ann_recall_report",
@@ -411,7 +419,6 @@ _PRIORITY: tuple[str, ...] = (
     "strike_stream_from_wire",
     "token_mixture_plan",
     "top3_orders_per_customer",
-    "unicode_script_profile",
 )
 
 #: Queries whose driver check is rows-only BY CONTRACT (no SQL oracle

@@ -3026,6 +3026,84 @@ def quantized_topk_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.quantized_topk_rescore(queries, emb, k=10, rescore_factor=3)
 
 
+# Sign-bit packed words, mirrored verbatim in the standalone X194
+# oracle and the eval-harness CTEs: bits 0..31 per 32-bit half so no
+# engine shifts into the BIGINT sign bit (DuckDB raises on 1<<63).
+_BQ_WORDS_CTE = """
+    bqw AS (
+      SELECT vec_id,
+             bit_or(CASE WHEN x > 0 AND i <= 32
+                         THEN (1::BIGINT << (i-1)) ELSE 0 END) AS w0,
+             bit_or(CASE WHEN x > 0 AND i > 32
+                         THEN (1::BIGINT << (i-33)) ELSE 0 END) AS w1
+      FROM (SELECT vec_id, unnest(e) AS x, generate_subscripts(e, 1) AS i
+            FROM v)
+      GROUP BY vec_id
+    )"""
+
+_BQ_HAMMING_SIM = (
+    "64 - (bit_count(xor(q.w0, c.w0)) + bit_count(xor(q.w1, c.w1)))"
+)
+
+
+@register(
+    "binary_quantized_topk",
+    f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    {_BQ_WORDS_CTE},
+    coarse AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_BQ_HAMMING_SIM} AS qcos
+      FROM (SELECT * FROM bqw WHERE vec_id >= 100 AND vec_id < 105) q
+      JOIN bqw c ON c.vec_id <> q.vec_id
+    ),
+    cands AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY qcos DESC, neighbor_id ASC) AS rn
+        FROM coarse
+      ) WHERE rn <= 30
+    ),
+    rescored AS (
+      SELECT c.query_id, c.neighbor_id,
+             round(list_dot_product(qe.e, ne.e)
+                   / (sqrt(list_dot_product(qe.e, qe.e)) * sqrt(list_dot_product(ne.e, ne.e))),
+                   6) AS cosine_sim
+      FROM cands c
+      JOIN v qe ON qe.vec_id = c.query_id
+      JOIN v ne ON ne.vec_id = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rn AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
+          FROM rescored)
+    WHERE rn <= 10
+    """,
+)
+def binary_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X194: 1-bit (sign) quantization search — the most aggressive
+    point on the quantization axis (32x vs SQ8's 4x): each 64-dim
+    vector packs to ONE 8-byte word pair, the coarse stage ranks by
+    Hamming similarity (two xor+popcount instructions per candidate,
+    integer-exact on both engines — no rounding until the rescore),
+    and the full-precision vectors are touched only for the top-30
+    candidates per query. Completes the compression ladder measured by
+    the eval harness: SQ8 (element width 32→8 bits), PQ (subspace
+    codes), MRL (element count), and now binary (width 32→1 bit); the
+    harness row is ``bq_hamming``.
+
+    Scale: at 100 TB of float32 embeddings the binary index is
+    ~3.1 TB and the coarse scan is memory-bandwidth-bound popcount —
+    the reason every serving stack (FAISS binary, Lucene/Elasticsearch
+    BBQ, Weaviate BQ) ships this path; the exact-rescore tail restores
+    full-precision ordering for the survivors."""
+    emb = _live_embeddings(spark, sf_dir)
+    queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105))
+    return similarity.binary_hamming_topk(
+        queries, emb, dim=64, k=10, rescore_factor=3
+    )
+
+
 # Shared CTE fragments for the composed ANN oracles (IVF-SQ8 and the
 # recall report). Every fragment mirrors the corresponding Spark
 # operator step with identical rounding, so the composed oracles stay
@@ -3371,6 +3449,14 @@ def _ann_truth_and_ranked_methods(spark: SparkSession, sf_dir: str):
                 k=10, rescore_factor=3, nprobe=2, assigned=index,
             ),
         ),
+        (
+            # r15: the X194 sign-bit point of the compression ladder —
+            # Hamming coarse over the 32x-packed words + exact rescore
+            "bq_hamming",
+            similarity.binary_hamming_topk(
+                queries, emb, dim=64, k=10, rescore_factor=3
+            ),
+        ),
     ]
     un = None
     for nm, df in methods:
@@ -3537,6 +3623,33 @@ _ANN_EVAL_CTES = f"""{_ANN_BASE_CTES},
         JOIN v ne ON ne.vec_id = c.neighbor_id
       ) WHERE rn <= 10
     ),
+    {_BQ_WORDS_CTE},
+    bq_coarse AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_BQ_HAMMING_SIM} AS qcos
+      FROM (SELECT * FROM bqw WHERE vec_id >= 100 AND vec_id < 105) q
+      JOIN bqw c ON c.vec_id <> q.vec_id
+    ),
+    bq_cands AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY qcos DESC, neighbor_id ASC) AS rn
+        FROM bq_coarse
+      ) WHERE rn <= 30
+    ),
+    m_bq AS (
+      SELECT query_id, neighbor_id, rn FROM (
+        SELECT c.query_id, c.neighbor_id,
+               row_number() OVER (
+                 PARTITION BY c.query_id
+                 ORDER BY round(list_dot_product(qe.e, ne.e)
+                       / (sqrt(list_dot_product(qe.e, qe.e)) * sqrt(list_dot_product(ne.e, ne.e))),
+                       6) DESC, c.neighbor_id ASC) AS rn
+        FROM bq_cands c
+        JOIN v qe ON qe.vec_id = c.query_id
+        JOIN v ne ON ne.vec_id = c.neighbor_id
+      ) WHERE rn <= 10
+    ),
     allm AS (
       SELECT 'ivf' AS method, query_id, neighbor_id, rn FROM m_ivf
       UNION ALL SELECT 'ivf_multiprobe', query_id, neighbor_id, rn FROM m_multi
@@ -3546,6 +3659,7 @@ _ANN_EVAL_CTES = f"""{_ANN_BASE_CTES},
       UNION ALL SELECT 'pq_ivf', query_id, neighbor_id, rn FROM m_pqivf
       UNION ALL SELECT 'mrl_funnel_p16', query_id, neighbor_id, rn FROM m_mrl
       UNION ALL SELECT 'mrl_ivf_p16', query_id, neighbor_id, rn FROM m_mivf
+      UNION ALL SELECT 'bq_hamming', query_id, neighbor_id, rn FROM m_bq
     )"""
 
 
@@ -3565,9 +3679,9 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of every approximate search path against the
     brute-force exact top-10 — turns the ANN stack's knobs (nprobe,
     rescore factor, quantization) into MEASURED quantities instead of
-    docstring claims. All eight methods (r15 adds the X191/X192
-    Matryoshka funnels, mrl_funnel_p16 + mrl_ivf_p16) and the ground
-    truth are
+    docstring claims. All nine methods (r15 adds the X191/X192
+    Matryoshka funnels, mrl_funnel_p16 + mrl_ivf_p16, and the X194
+    binary-quantization path, bq_hamming) and the ground truth are
     deterministic (rounded cosines, total-order tie-breaks), so the
     whole report is hash-checkable cross-engine.
 
@@ -3577,7 +3691,7 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded Lloyd's barrier and serve both the flat-ADC and IVF-PQ
     searches; each method is then its own bounded search over the
     broadcast query batch, and the report join touches only
-    8 methods x |queries| x k rows."""
+    9 methods x |queries| x k rows."""
     truth, un = _ann_truth_and_ranked_methods(spark, sf_dir)
     return (
         un.join(F.broadcast(truth), ["query_id", "neighbor_id"], "left")
@@ -3632,7 +3746,7 @@ def ann_rank_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     differ in the last ulp), and the IDCG normalizer is their exact
     decimal sum as a shared literal.
 
-    Scale: the metric join touches 8 methods x |queries| x k rows —
+    Scale: the metric join touches 9 methods x |queries| x k rows —
     independent of corpus size; everything corpus-sized happened once
     in the shared index build."""
     truth, un = _ann_truth_and_ranked_methods(spark, sf_dir)
@@ -7698,6 +7812,7 @@ _EMB_NULL_CONTRACT = (
     "matryoshka_recall_report",
     "matryoshka_funnel_topk",
     "matryoshka_ivf_topk",
+    "binary_quantized_topk",
 )
 
 for _q in _EMB_NULL_CONTRACT:

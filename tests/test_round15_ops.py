@@ -106,7 +106,8 @@ def test_ann_eval_harness_includes_funnel_methods(spark):
         for r in REGISTRY["ann_recall_report"].fn(spark, SF_SMOKE)
         .select("method").distinct().collect()
     }
-    assert {"mrl_funnel_p16", "mrl_ivf_p16"} <= methods and len(methods) == 8
+    assert {"mrl_funnel_p16", "mrl_ivf_p16", "bq_hamming"} <= methods
+    assert len(methods) == 9
 
 
 def test_mrl_ivf_candidates_subset_of_probed_clusters(spark):
@@ -172,3 +173,65 @@ def test_full_scorecard_cache_keys_by_corpus(spark, tmp_path):
     assert len(llm._FULL_RECALL_CACHE) == 2
     assert all(r["n_true"] == 1 and r["n_hit"] == 1 for r in small)
     llm.clear_full_recall_cache()
+
+
+# ---------------------------------------------------------------------------
+# X194 binary (sign-bit) quantization search
+# ---------------------------------------------------------------------------
+def test_binary_quantize_words_match_numpy_reference(spark):
+    """The packed words must equal an independent bit-exact numpy
+    recomputation: bit j of word w set iff component 32w+j > 0. This
+    pins the packing layout (bit order, word split, the x>0-not->=0
+    sign rule) that the DuckDB oracle mirrors with unnest ordinals."""
+    import numpy as np
+
+    emb = llm._live_embeddings(spark, SF_SMOKE).limit(50)
+    got = {
+        r.vec_id: (r.bq_w0, r.bq_w1)
+        for r in similarity.binary_quantize(emb).collect()
+    }
+    for r in emb.collect():
+        e = np.asarray(r.embedding, dtype=np.float64)
+        bits = (e > 0).astype(np.uint64)
+        w0 = int((bits[:32] << np.arange(32, dtype=np.uint64)).sum())
+        w1 = int((bits[32:] << np.arange(32, dtype=np.uint64)).sum())
+        assert got[r.vec_id] == (w0, w1), r.vec_id
+        assert 0 <= w0 < 2**32 and 0 <= w1 < 2**32  # never the sign bit
+
+
+def test_binary_hamming_wide_pool_equals_exact(spark):
+    """With a rescore pool bigger than the corpus every candidate
+    survives the Hamming cut, so the two-stage search equals the
+    brute-force exact top-k — binary quantization can only lose
+    candidates at the cut, never corrupt the exact rescore."""
+    emb = llm._live_embeddings(spark, SF_SMOKE)
+    queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105))
+    exact = _sorted_rows(similarity.cosine_topk_bruteforce(queries, emb, k=10))
+    n = emb.count()
+    bq = _sorted_rows(
+        similarity.binary_hamming_topk(
+            queries, emb, k=10, rescore_factor=(n // 10) + 1
+        )
+    )
+    assert bq == exact
+
+
+def test_binary_quantized_query_schema_and_bounds(spark):
+    df = REGISTRY["binary_quantized_topk"].fn(spark, SF_SMOKE)
+    assert df.columns == ["query_id", "neighbor_id", "cosine_sim", "rank"]
+    rows = df.collect()
+    assert len(rows) == 50  # 5 queries x k=10
+    assert all(1 <= r.rank <= 10 for r in rows)
+
+
+def test_binary_hamming_plan_broadcasts_queries_no_python(spark):
+    """The coarse stage broadcasts the 5 packed query words against one
+    corpus scan — no SortMergeJoin of the corpus, no Python in the
+    plan (popcount and xor are codegen'd JVM intrinsics)."""
+    df = REGISTRY["binary_quantized_topk"].fn(spark, SF_SMOKE)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="simple")
+    plan = buf.getvalue()
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "Python" not in plan
