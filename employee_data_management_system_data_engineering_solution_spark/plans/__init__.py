@@ -61,7 +61,15 @@ from .registry import REGISTRY, register
 #       training barrier; survivor set pinned identical to X188),
 #       binary_quantized_topk (X194 — sign-bit 32x quantization,
 #       Hamming coarse over packed 32-bit words + exact rescore;
-#       also the ninth eval-harness method row, bq_hamming).
+#       also the ninth eval-harness method row, bq_hamming),
+#       epoch_shuffle_shards (X195 — seeded hash-shard plan, the
+#       pre-training global shuffle), source_divergence_report
+#       (X196 — log-free Bhattacharyya/Hellinger/TV divergence matrix
+#       between per-source unigram distributions),
+#       perplexity_partition_report (X197 — CCNet per-language
+#       head/middle/tail terciles over the X68 LM score),
+#       cross_source_dup_matrix (X198 — directional exact-dup
+#       containment between sources, planted mirror source).
 #   IN (the recorded r15 queue head — the 4 deferred r10-green
 #       queries, verdict ask 1): ivf_topk_multiprobe,
 #       quantized_ivf_topk, quantized_topk_rescore, binary_metadata.
@@ -80,13 +88,13 @@ from .registry import REGISTRY, register
 #       these): epoch_status_clean (reference clean path + ingest
 #       gates), pct_of_quota (reference reports), mann_kendall_trend
 #       (analytics/stats), mmr_diversified_topk_grouped (MMR).
-#   IN (the r15 drain — 32 of the 50-query r11-green cohort, verdict
+#   IN (the r15 drain — 28 of the 50-query r11-green cohort, verdict
 #       ask 1; includes ann_recall_report + ann_rank_quality, whose
-#       HASH CHANGED this round with the mrl_funnel_p16 method row,
-#       and neardup_prune, whose oracle moved to NOT EXISTS):
-#       ann_incremental_admission … top3_orders_per_customer (see
-#       _PRIORITY).
-# R16 QUEUE: the 18 deferred r11-green queries (8 of them re-proven
+#       HASH CHANGED this round with the mrl_funnel_p16 + bq_hamming
+#       method rows, and neardup_prune, whose oracle moved to NOT
+#       EXISTS): ann_incremental_admission …
+#       top3_orders_per_customer (see _PRIORITY).
+# R16 QUEUE: the 22 deferred r11-green queries (8 of them re-proven
 # green by the judge's own out-of-window r14 oracle run:
 # quality_score, benchmark_decontamination, daily_pipeline,
 # status_pivot_report, cube_order_stats, salary_rank_analytics,
@@ -94,8 +102,12 @@ from .registry import REGISTRY, register
 # top_earner_per_designation, promo_revenue_share,
 # distinct_order_supp_pairs, customers_without_urgent_orders,
 # multi_touch_attribution, incremental_agg_refresh, json_props_stats,
-# value_winsorized_stats, strike_report_batch, unicode_script_profile
-# — families covered in-window by salary_percentiles/
+# value_winsorized_stats, strike_report_batch, unicode_script_profile,
+# gopher_repetition_report, join_key_skew_report, ngram_jaccard_pairs,
+# stratified_sample — the last four yielded their slots to the
+# X195–X198 newcomers; families stay covered in-window by lang_id,
+# partition_pruned_report, dedup_clusters_star, and token_mixture_plan
+# respectively — and otherwise by salary_percentiles/
 # top3_orders_per_customer, rollup_revenue/q1_pricing_summary,
 # event_transitions, corpus_curation_pipeline/cdc_log_replay, and
 # json_lines_roundtrip) FIRST, then the stalest r12-green cohort by
@@ -357,6 +369,10 @@ _PRIORITY: tuple[str, ...] = (
     "matryoshka_ivf_topk",
     "semantic_prune_sampled_train",
     "binary_quantized_topk",
+    "epoch_shuffle_shards",
+    "source_divergence_report",
+    "perplexity_partition_report",
+    "cross_source_dup_matrix",
     # the recorded r15 queue head: the 4 r10-green deferrals (ask 1)
     "ivf_topk_multiprobe",
     "quantized_ivf_topk",
@@ -379,13 +395,16 @@ _PRIORITY: tuple[str, ...] = (
     "pct_of_quota",  # reference_reports
     "mann_kendall_trend",  # analytics_stats
     "mmr_diversified_topk_grouped",  # mmr_diversification
-    # r15 drain: 32 of the 50-query r11-green cohort (ask 1).
+    # r15 drain: 28 of the 50-query r11-green cohort (ask 1).
     # ann_recall_report / ann_rank_quality carry the NEW
     # mrl_funnel_p16 + bq_hamming method rows (hash changed this
     # round); neardup_prune carries the NOT EXISTS oracle rewrite.
-    # The 18 deferrals (incl. unicode_script_profile, which yielded
-    # its slot to the X194 newcomer — text_analysis stays covered
-    # in-window by lang_id + gopher_repetition_report) ride the R16
+    # The 22 deferrals (incl. unicode_script_profile,
+    # gopher_repetition_report, join_key_skew_report,
+    # ngram_jaccard_pairs, stratified_sample — which yielded their
+    # slots to the X194–X198 newcomers; their families stay covered
+    # in-window by lang_id, partition_pruned_report,
+    # dedup_clusters_star, and token_mixture_plan) ride the R16
     # QUEUE (families covered in-window — see the rotation comment).
     "ann_incremental_admission",
     "ann_rank_quality",
@@ -400,21 +419,17 @@ _PRIORITY: tuple[str, ...] = (
     "doc_chunks",
     "embedding_dim_profile",
     "event_transitions",
-    "gopher_repetition_report",
     "hard_negative_mining",
-    "join_key_skew_report",
     "json_lines_roundtrip",
     "k_anonymity_report",
     "lang_id",
     "neardup_prune",
-    "ngram_jaccard_pairs",
     "part_covisitation_topk",
     "partition_pruned_report",
     "q1_pricing_summary",
     "rollup_revenue",
     "salary_percentiles",
     "scd2_merge",
-    "stratified_sample",
     "stream_static_enrich",
     "strike_stream_from_wire",
     "token_mixture_plan",

@@ -2520,3 +2520,97 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f_ in frames[1:]:
         out = out.unionByName(f_)
     return out
+
+
+# ---------------------------------------------------------------------------
+# X195: global epoch-shuffle shard plan — the pre-training shuffle
+# ---------------------------------------------------------------------------
+_N_SHARDS = 8
+
+
+@register(
+    "epoch_shuffle_shards",
+    f"""
+    WITH s AS (
+      SELECT e.epoch,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+                                         || ':ep' || e.epoch || '-v1'), 1, 15))::BIGINT
+                  % {_N_SHARDS} AS INT) AS shard_id,
+             source, n_chars
+      FROM documents
+      CROSS JOIN (SELECT 1 AS epoch UNION ALL SELECT 2) e
+    ),
+    per_src AS (
+      SELECT epoch, shard_id, source,
+             count(*) AS c, sum(n_chars) AS ch
+      FROM s GROUP BY epoch, shard_id, source
+    )
+    SELECT epoch, shard_id,
+           CAST(sum(c) AS BIGINT) AS n_docs,
+           CAST(sum(ch) AS BIGINT) AS total_chars,
+           count(source) AS n_sources,
+           round(max(CASE WHEN source IS NOT NULL THEN c END)
+                 / CAST(sum(c) AS DOUBLE), 6) AS top_source_share
+    FROM per_src
+    GROUP BY epoch, shard_id
+    """,
+)
+def epoch_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X195: the global shuffle every pretraining run needs before the
+    data loader sees a shard — each document is assigned a training
+    shard by a SEEDED hash of its key (seed = the epoch, so epoch 2 is
+    a fresh permutation with zero coordination), and the report grades
+    the assignment per (epoch, shard): document count, character mass,
+    source diversity, and the dominant source's share (a shard that
+    over-concentrates one source produces correlated gradient batches
+    — the thing the shuffle exists to prevent).
+
+    Scale: shard assignment is a pure narrow map of the key (NO global
+    sort, NO row_number over the corpus — at 100 TB a total-order
+    permutation is a full-data sort, while hash-sharding is free and
+    binomially tight: shard-size deviation is O(sqrt(n)) at n docs per
+    shard); the report is a two-level map-side-combinable aggregation
+    whose first level has |epochs| x |shards| x |sources| groups. A
+    loader that needs EXACT equal shard files composes this with the
+    X185 range-partition planner over the same hash key. Deterministic
+    across engines/executors/reruns: the md5-hex-to-BIGINT idiom
+    (operators/cdc.py) on both sides, no rand()."""
+    docs = read_table(spark, sf_dir, "documents")
+    epoch = F.explode(F.array(F.lit(1), F.lit(2))).alias("epoch")
+    withe = docs.select("doc_id", "source", "n_chars", epoch)
+    hnum = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit(":ep"),
+                    F.col("epoch").cast("string"),
+                    F.lit("-v1"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    per_src = (
+        withe.select(
+            "epoch",
+            (hnum % _N_SHARDS).cast("int").alias("shard_id"),
+            "source",
+            "n_chars",
+        )
+        .groupBy("epoch", "shard_id", "source")
+        .agg(F.count("*").alias("c"), F.sum("n_chars").alias("ch"))
+    )
+    return per_src.groupBy("epoch", "shard_id").agg(
+        F.sum("c").alias("n_docs"),
+        F.sum("ch").alias("total_chars"),
+        F.count("source").alias("n_sources"),
+        F.round(
+            F.max(F.when(F.col("source").isNotNull(), F.col("c")))
+            / F.sum("c").cast("double"),
+            6,
+        ).alias("top_source_share"),
+    )

@@ -6329,6 +6329,88 @@ def lm_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# X197: CCNet-style per-language perplexity partition (head/middle/tail)
+# ---------------------------------------------------------------------------
+#: The X68 oracle embedded verbatim as a CTE body so the partition's
+#: oracle can never drift from the score it buckets (one definition).
+_LM_SCORE_SQL = REGISTRY["lm_doc_score"].oracle_sql
+
+
+@register(
+    "perplexity_partition_report",
+    f"""
+    WITH lm AS ({_LM_SCORE_SQL}),
+    t AS (
+      SELECT d.lang, lm.doc_id, lm.lm_score,
+             ntile(3) OVER (PARTITION BY d.lang
+                            ORDER BY lm.lm_score DESC, lm.doc_id ASC) AS b
+      FROM lm JOIN documents d ON d.doc_id = lm.doc_id
+    )
+    SELECT lang,
+           CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                  ELSE 'tail' END AS bucket,
+           count(*) AS n_docs,
+           round(avg(lm_score), 4) AS mean_lm_score,
+           min(lm_score) AS min_lm_score,
+           max(lm_score) AS max_lm_score
+    FROM t GROUP BY lang, b
+    """,
+)
+def perplexity_partition_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X197: the CCNet partition (Wenzek et al. 2020) — every scored
+    document lands in its LANGUAGE's head/middle/tail perplexity
+    tercile (CCNet trains a KenLM per language, scores each doc, and
+    keeps head+middle as the quality cut; here the LM is the X68
+    corpus bigram model, whose mean log-likelihood orders docs exactly
+    like negative perplexity). Per-language terciles matter because
+    fluency scores are not comparable across languages — a global cut
+    would silently drop whole low-resource languages, the failure mode
+    CCNet exists to avoid.
+
+    Determinism: the tercile is ntile(3) over (rounded lm_score DESC,
+    doc_id ASC) — a total order on both engines, and SQL-standard
+    ntile splits identically; the bucketed report then carries only
+    counts and rounded means. Unscorable docs (empty text, <2 words)
+    have no perplexity and are not partitioned, exactly as CCNet
+    drops unscorable lines.
+
+    Scale: everything corpus-sized is the X68 score itself (vocab-
+    sized model tables + one doc-keyed agg); the partition adds ONE
+    lang-keyed window over doc-cardinality rows and a tiny group-by.
+    At 100 TB the ntile window is the only new shuffle and its key
+    (lang) is low-cardinality — skew-safe because the per-row payload
+    is (doc_id, score), not text."""
+    lm = lm_doc_score(spark, sf_dir)
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("lm_score").desc(), F.col("doc_id").asc()
+    )
+    t = lm.join(d, "doc_id").withColumn("b", F.ntile(3).over(w))
+    bucket = (
+        F.when(F.col("b") == 1, "head")
+        .when(F.col("b") == 2, "middle")
+        .otherwise("tail")
+    )
+    return (
+        t.groupBy("lang", F.col("b"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("lm_score"), 4).alias("mean_lm_score"),
+            F.min("lm_score").alias("min_lm_score"),
+            F.max("lm_score").alias("max_lm_score"),
+        )
+        .select(
+            "lang",
+            bucket.alias("bucket"),
+            "n_docs",
+            "mean_lm_score",
+            "min_lm_score",
+            "max_lm_score",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Boilerplate removal: corpus-wide block dedup + document reassembly
 # ---------------------------------------------------------------------------
 @register(
@@ -7773,6 +7855,206 @@ def matryoshka_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.matryoshka_ivf_topk(
         queries, emb, pivots, prefix_dim=_MATRYOSHKA_FUNNEL_DIM,
         k=10, rescore_factor=3, nprobe=2,
+    )
+
+
+# ---------------------------------------------------------------------------
+# X196: pairwise source-divergence matrix — log-free divergences
+# ---------------------------------------------------------------------------
+@register(
+    "source_divergence_report",
+    r"""
+    WITH w AS (
+      SELECT source,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+      FROM documents WHERE length(trim(text)) > 0 AND source IS NOT NULL
+    ),
+    wf AS (SELECT source, word, count(*) AS c FROM w GROUP BY source, word),
+    tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS t FROM wf GROUP BY source),
+    p AS (
+      SELECT wf.source, wf.word, wf.c / CAST(tot.t AS DOUBLE) AS p
+      FROM wf JOIN tot USING (source)
+    ),
+    pr AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             count(*) AS n_shared_words,
+             sum(sqrt(a.p * b.p)) AS bc,
+             sum(a.p) AS sa, sum(b.p) AS sb,
+             sum(abs(a.p - b.p)) AS tvin
+      FROM p a JOIN p b ON a.word = b.word AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT source_a, source_b, n_shared_words,
+           round(bc, 4) AS bhattacharyya,
+           round(sqrt(greatest(1 - bc, 0)), 4) AS hellinger,
+           round(0.5 * (tvin + (1 - sa) + (1 - sb)), 4) AS tv_distance
+    FROM pr
+    """,
+)
+def source_divergence_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X196: pairwise divergence between the per-source unigram word
+    distributions — the corpus-mixing diagnostic that tells a training
+    pipeline which domains are near-duplicates of each other
+    (candidates for down-weighting in the X150/X174 mixture) and which
+    contribute genuinely distinct text. Three measures per source
+    pair, all LOG-FREE by design: Bhattacharyya coefficient
+    BC = Σ√(p·q) over the shared vocabulary, Hellinger distance
+    √(1−BC) (sqrt is IEEE-correctly-rounded, so unlike ln/log2 it
+    carries no cross-engine libm drift — the DCG-literal discipline
+    applied to a whole divergence family), and total variation
+    ½Σ|p−q| folded from the shared part plus the disjoint mass
+    (Σ_disjoint p = 1 − Σ_shared p exactly, since each side's
+    probabilities sum to 1).
+
+    Scale: ONE explode pass into a map-side-combined (source, word)
+    count (the shuffle carries distinct words per task, not
+    occurrences); everything after is vocabulary-sized — the pair
+    join keys on word over |sources|² · |shared vocab| rows and never
+    touches the corpus again. 4-dp rounding on the final float sums
+    (the lm_doc_score cross-row summation precedent)."""
+    docs = read_table(spark, sf_dir, "documents")
+    words = docs.filter(
+        (F.length(F.trim("text")) > 0) & F.col("source").isNotNull()
+    ).select(
+        "source", F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("word")
+    )
+    wf = words.groupBy("source", "word").agg(F.count("*").alias("c"))
+    tot = wf.groupBy("source").agg(F.sum("c").alias("t"))
+    p = wf.join(F.broadcast(tot), "source").select(
+        "source", "word", (F.col("c") / F.col("t").cast("double")).alias("p")
+    )
+    a, b = p.alias("a"), p.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.word") == F.col("b.word"))
+        & (F.col("a.source") < F.col("b.source")),
+    )
+    agg = pairs.groupBy(
+        F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+    ).agg(
+        F.count("*").alias("n_shared_words"),
+        F.sum(F.sqrt(F.col("a.p") * F.col("b.p"))).alias("bc"),
+        F.sum("a.p").alias("sa"),
+        F.sum("b.p").alias("sb"),
+        F.sum(F.abs(F.col("a.p") - F.col("b.p"))).alias("tvin"),
+    )
+    return agg.select(
+        "source_a",
+        "source_b",
+        "n_shared_words",
+        F.round(F.col("bc"), 4).alias("bhattacharyya"),
+        F.round(F.sqrt(F.greatest(F.lit(1.0) - F.col("bc"), F.lit(0.0))), 4).alias(
+            "hellinger"
+        ),
+        F.round(
+            0.5 * (F.col("tvin") + (1 - F.col("sa")) + (1 - F.col("sb"))), 4
+        ).alias("tv_distance"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X198: directional cross-source duplication matrix
+# ---------------------------------------------------------------------------
+@register(
+    "cross_source_dup_matrix",
+    """
+    WITH live AS (
+      SELECT doc_id, source, text FROM documents
+      WHERE text IS NOT NULL AND source IS NOT NULL
+    ),
+    corpus AS (
+      SELECT source, text FROM live
+      UNION ALL
+      SELECT 'mirror' AS source, text FROM live
+      WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':xsrc-v1'),
+                               1, 15))::BIGINT % 10 = 0
+    ),
+    ds AS (SELECT DISTINCT source, md5(text) AS dig FROM corpus),
+    tot AS (SELECT source, count(*) AS n_dig FROM ds GROUP BY source),
+    shared AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             count(*) AS n_shared_digests
+      FROM ds a JOIN ds b ON a.dig = b.dig AND a.source <> b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT s.source_a, s.source_b, s.n_shared_digests,
+           round(s.n_shared_digests / CAST(t.n_dig AS DOUBLE), 6)
+             AS containment
+    FROM shared s JOIN tot t ON t.source = s.source_a
+    """,
+)
+def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X198: the cross-source contamination matrix — for every ordered
+    source pair (a, b), how many of a's DISTINCT document texts also
+    appear verbatim in b, and what share of a's unique content that is
+    (directional containment, so "crawl-v2 contains 80% of crawl-v1"
+    and "crawl-v1 contains 12% of crawl-v2" are both visible — the
+    asymmetry IS the lineage signal). This is the per-pair rollup of
+    exact dedup (X7): dedup answers "which rows do I drop", this
+    answers "which SOURCES are re-publications of each other", the
+    question a 100 TB mixture designer asks before setting X150/X174
+    weights (double-counted sources silently over-weight their text).
+
+    Pairs that share nothing emit no row (the matrix is sparse by
+    construction — materializing |sources|² zero rows at a 10k-source
+    crawl would dwarf the signal). A deterministic 'mirror' source
+    (a seeded-md5 ~10% draw of docs, re-published verbatim — hashed,
+    not doc_id-modular, because source correlates with doc_id mod 20
+    in this corpus) is planted per the _planted_dup_corpus
+    discipline, so the matrix carries known-true rows from EVERY
+    source at every SF — at sf0.1 the corpus ALSO has 8 natural
+    multi-source digests, which surface alongside.
+
+    Scale: one narrow scan to (source, md5) + a distinct (one
+    shuffle); the pair join keys on the DIGEST, so co-published
+    content meets in one partition and unique content joins nothing —
+    never a source×source cross join; per-source totals broadcast.
+    The digest join's hot key is a text shared by MANY sources, whose
+    fan-out is bounded by |sources| per digest, not corpus size."""
+    docs = read_table(spark, sf_dir, "documents")
+    live = docs.filter(
+        F.col("text").isNotNull() & F.col("source").isNotNull()
+    ).select("doc_id", "source", "text")
+    mirror_pick = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":xsrc-v1"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10
+        == 0
+    )
+    corpus = live.select("source", "text").unionByName(
+        live.filter(mirror_pick).select(F.lit("mirror").alias("source"), "text")
+    )
+    ds = corpus.select("source", F.md5("text").alias("dig")).distinct()
+    tot = ds.groupBy("source").agg(F.count(F.lit(1)).alias("n_dig"))
+    a, b = ds.alias("a"), ds.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.dig") == F.col("b.dig"))
+            & (F.col("a.source") != F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_digests"))
+    )
+    return shared.join(
+        F.broadcast(tot.withColumnRenamed("source", "source_a")), "source_a"
+    ).select(
+        "source_a",
+        "source_b",
+        "n_shared_digests",
+        F.round(
+            F.col("n_shared_digests") / F.col("n_dig").cast("double"), 6
+        ).alias("containment"),
     )
 
 

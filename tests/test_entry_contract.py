@@ -96,6 +96,9 @@ FAMILY_CARRIERS: dict[str, set[str]] = {
         "shingle_containment_pairs", "dedup_clusters",
         "ngram_jaccard_pairs", "ppjoin_neardup_pairs",
         "dedup_recall_sampled", "dedup_recall_curve",
+        # r15: the large-star/small-star CC variant and the detector
+        # scorecard exercise the same pair pipelines end-to-end
+        "dedup_clusters_star", "dedup_recall_report",
     },
     "graph": {
         "supplier_communities", "supplier_triangles",

@@ -235,3 +235,144 @@ def test_binary_hamming_plan_broadcasts_queries_no_python(spark):
     plan = buf.getvalue()
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
     assert "Python" not in plan
+
+
+# ---------------------------------------------------------------------------
+# X195 epoch-shuffle shard plan
+# ---------------------------------------------------------------------------
+def test_epoch_shuffle_shards_partitions_every_doc_each_epoch(spark):
+    """Each epoch's shards partition the corpus: per-epoch n_docs sums
+    to the live doc count, every shard id is in [0, 8), and both
+    epochs are present — and the two epochs are genuinely different
+    permutations (shard-size vectors differ OR the per-shard char
+    masses differ; identical vectors for both would mean the epoch
+    seed is dead)."""
+    from employee_data_management_system_data_engineering_solution_spark.plans import curation
+    from employee_data_management_system_data_engineering_solution_spark.sources.io import read_table
+
+    rows = REGISTRY["epoch_shuffle_shards"].fn(spark, SF_SMOKE).collect()
+    n_live = read_table(spark, SF_SMOKE, "documents").count()
+    by_epoch = {}
+    for r in rows:
+        assert r.epoch in (1, 2) and 0 <= r.shard_id < curation._N_SHARDS
+        by_epoch.setdefault(r.epoch, []).append(r)
+    assert set(by_epoch) == {1, 2}
+    for e, shard_rows in by_epoch.items():
+        assert sum(r.n_docs for r in shard_rows) == n_live, e
+    sig = {
+        e: sorted((r.shard_id, r.n_docs, r.total_chars) for r in v)
+        for e, v in by_epoch.items()
+    }
+    assert sig[1] != sig[2]  # epoch 2 is a fresh permutation
+
+
+# ---------------------------------------------------------------------------
+# X196 source divergence matrix
+# ---------------------------------------------------------------------------
+def test_source_divergence_bounds_and_orientation(spark):
+    """Every divergence lands in its mathematical range and the pair
+    orientation is canonical (source_a < source_b, no pair twice)."""
+    rows = REGISTRY["source_divergence_report"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        assert r.source_a < r.source_b
+        assert (r.source_a, r.source_b) not in seen
+        seen.add((r.source_a, r.source_b))
+        assert 0.0 <= r.bhattacharyya <= 1.0001
+        assert 0.0 <= r.hellinger <= 1.0
+        assert 0.0 <= r.tv_distance <= 1.0
+
+
+def test_source_divergence_identical_sources_are_zero_distance(spark, tmp_path):
+    """Two sources publishing the identical text must measure as
+    indistinguishable: BC = 1, Hellinger = 0, TV = 0 — and a third
+    disjoint-vocabulary source shares no words with either (no row,
+    since the inner join finds no shared vocabulary)."""
+    rows = [
+        (1, "alpha beta gamma alpha", "same_x"),
+        (2, "alpha beta gamma alpha", "same_y"),
+        (3, "zeta eta theta", "other"),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, source STRING"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = {
+        (r.source_a, r.source_b): r
+        for r in REGISTRY["source_divergence_report"].fn(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {("same_x", "same_y")}
+    r = out[("same_x", "same_y")]
+    assert r.bhattacharyya == 1.0 and r.hellinger == 0.0 and r.tv_distance == 0.0
+
+
+# ---------------------------------------------------------------------------
+# X197 CCNet perplexity partition
+# ---------------------------------------------------------------------------
+def test_perplexity_partition_terciles_balanced_and_ordered(spark):
+    """Per language: ntile(3) bucket sizes differ by at most 1, all
+    three buckets exist when a language has >= 3 scored docs, and the
+    bucket means are monotone (head >= middle >= tail — head is the
+    HIGH-log-likelihood = LOW-perplexity cut CCNet keeps)."""
+    rows = REGISTRY["perplexity_partition_report"].fn(spark, SF_SMOKE).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, {})[r.bucket] = r
+    assert by_lang
+    for lang, buckets in by_lang.items():
+        sizes = [b.n_docs for b in buckets.values()]
+        if sum(sizes) >= 3:
+            assert set(buckets) == {"head", "middle", "tail"}, lang
+            assert max(sizes) - min(sizes) <= 1, lang
+            assert (
+                buckets["head"].mean_lm_score
+                >= buckets["middle"].mean_lm_score
+                >= buckets["tail"].mean_lm_score
+            ), lang
+        for b in buckets.values():
+            assert b.min_lm_score <= b.mean_lm_score <= b.max_lm_score
+
+
+# ---------------------------------------------------------------------------
+# X198 cross-source duplication matrix
+# ---------------------------------------------------------------------------
+def test_cross_source_dup_matrix_known_overlap(spark, tmp_path):
+    """A corpus with a KNOWN overlap measures exactly: source A has 2
+    distinct texts, B re-publishes 1 of them, so A→B containment is
+    1/2 and B→A is 1/1; doc_ids are chosen so the seeded mirror draw
+    (md5 % 10 == 0) picks nothing and the planted mirror stays empty."""
+    import hashlib
+
+    def picked(doc_id):
+        h = hashlib.md5(f"{doc_id}:xsrc-v1".encode()).hexdigest()
+        return int(h[:15], 16) % 10 == 0
+
+    ids = [i for i in range(1, 200) if not picked(i)][:3]
+    rows = [
+        (ids[0], "shared text one two three", "A"),
+        (ids[1], "unique to a four five six", "A"),
+        (ids[2], "shared text one two three", "B"),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, source STRING"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = {
+        (r.source_a, r.source_b): (r.n_shared_digests, r.containment)
+        for r in REGISTRY["cross_source_dup_matrix"].fn(spark, str(tmp_path)).collect()
+    }
+    assert out == {("A", "B"): (1, 0.5), ("B", "A"): (1, 1.0)}
+
+
+def test_cross_source_dup_matrix_mirror_containment_is_total(spark):
+    """At the smoke SF the corpus has no natural cross-source dups, so
+    every mirror digest traces to exactly one real source: the
+    mirror→* shared counts sum to the mirror's distinct-digest total
+    (containments sum to 1), and each *→mirror row is bounded by 1."""
+    rows = REGISTRY["cross_source_dup_matrix"].fn(spark, SF_SMOKE).collect()
+    from_mirror = [r for r in rows if r.source_a == "mirror"]
+    assert from_mirror
+    # each share is independently rounded to 6 dp, so the sum can
+    # deviate by up to |sources| x 5e-7
+    assert abs(sum(r.containment for r in from_mirror) - 1.0) < 1e-4
+    for r in rows:
+        assert 0.0 < r.containment <= 1.0
