@@ -580,3 +580,53 @@ def test_mmr_result_is_bounded_local_rows(spark):
     plan = plan_of(REGISTRY["mmr_diversified_topk"].fn(spark, SF), mode="simple")
     assert "LocalTableScan" in plan or "ExistingRDD" in plan
     assert "FileScan" not in plan
+
+
+def test_binary_quantized_topk_one_shuffle_no_python(spark):
+    """The sign-bit coarse stage broadcasts the 5 packed query words
+    (xor+popcount inside codegen — no Python, no UDF) and the single
+    hash exchange is the per-query rank window; the corpus is never
+    sort-merge-joined."""
+    plan = plan_of(REGISTRY["binary_quantized_topk"].fn(spark, SF), mode="simple")
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Python" not in plan
+
+
+def test_epoch_shuffle_shards_two_level_aggregation(spark):
+    """The shard plan is the two-level map-side-combinable shape: shard
+    assignment is a narrow map (no global sort, no window, no join —
+    at 100 TB a row_number permutation would be a full-data sort), and
+    the only exchanges are the two aggregation shuffles."""
+    plan = plan_of(REGISTRY["epoch_shuffle_shards"].fn(spark, SF), mode="simple")
+    assert "Sort " not in plan and "Window" not in plan and "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Python" not in plan
+
+
+def test_source_divergence_word_join_no_cartesian(spark):
+    """The divergence pair join must key on the WORD (hash join), with
+    the tiny per-source totals broadcast — never a source×source
+    cartesian of corpus-sized frames."""
+    plan = plan_of(REGISTRY["source_divergence_report"].fn(spark, SF), mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+    assert "Python" not in plan
+
+
+def test_perplexity_partition_lang_window_over_scores_only(spark):
+    """The partition adds ONE lang-keyed ntile window on top of the
+    X68 score (the window's input is (doc_id, score, lang) rows, not
+    text), and everything stays JVM-side."""
+    plan = plan_of(REGISTRY["perplexity_partition_report"].fn(spark, SF), mode="simple")
+    assert plan.count("Window") == 1
+    assert "Python" not in plan
+
+
+def test_cross_source_dup_matrix_digest_join(spark):
+    """The matrix joins on the digest (equi hash join) with broadcast
+    totals — no cartesian, no window, no Python."""
+    plan = plan_of(REGISTRY["cross_source_dup_matrix"].fn(spark, SF), mode="simple")
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert "BroadcastExchange" in plan
+    assert "Window" not in plan and "Python" not in plan
