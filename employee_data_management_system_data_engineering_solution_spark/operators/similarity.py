@@ -844,6 +844,69 @@ def binary_hamming_topk(
     return _rescore_topk(coarse, queries, corpus, id_col, vec_col, k, rescore_factor)
 
 
+def binary_ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    pivots: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 10,
+    rescore_factor: int = 3,
+    nprobe: int = 2,
+    assigned: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-BQ: sign-bit Hamming coarse search restricted to each
+    query's ``nprobe`` nearest IVF clusters, then exact full-precision
+    rescoring — the binary tier's composition with the inverted list,
+    exactly how :func:`quantized_ivf_topk` stacks SQ8 on it and
+    :func:`matryoshka_ivf_topk` stacks the prefix cut. At 100 TB the
+    coarse stage reads ~nprobe/P of the corpus at 8 bytes/vector — a
+    P/nprobe × 32 scan-volume cut (128× at the defaults), the deepest
+    pruning point in the ladder; recall is governed by the IVF probe
+    and the sign-bit angular proxy jointly, which is why the harness
+    measures it against the shared exact truth (method row
+    ``bq_ivf``).
+
+    ``assigned`` optionally reuses the pinned inverted list; the
+    cluster-pruned join, tiebreaks, and :func:`_rescore_topk` tail are
+    shared verbatim with the other IVF searches."""
+    if assigned is None:
+        assigned = assign_clusters(corpus, pivots, id_col, vec_col).localCheckpoint(eager=False)
+    nwords = dim // 32
+    cw = binary_quantize(assigned, id_col, vec_col, dim, keep=("cluster_id",)).select(
+        F.col(id_col).alias("neighbor_id"),
+        "cluster_id",
+        *[F.col(f"bq_w{w}").alias(f"__cw{w}") for w in range(nwords)],
+    )
+    qsub = assigned.join(
+        queries.select(F.col(id_col).alias("__qid")),
+        assigned[id_col] == F.col("__qid"),
+    ).select(id_col, vec_col)
+    qprobe = assign_clusters_multi(qsub, pivots, nprobe, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), "cluster_id"
+    )
+    qw = binary_quantize(qsub, id_col, vec_col, dim).select(
+        F.col(id_col).alias("query_id"),
+        *[F.col(f"bq_w{w}").alias(f"__qw{w}") for w in range(nwords)],
+    )
+    qside = qw.join(qprobe, "query_id")
+    hamming = None
+    for w in range(nwords):
+        h = F.bit_count(F.col(f"__qw{w}").bitwiseXOR(F.col(f"__cw{w}")))
+        hamming = h if hamming is None else hamming + h
+    coarse = (
+        cw.join(F.broadcast(qside), on="cluster_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.lit(dim) - hamming).cast("long").alias("qcos"),
+        )
+    )
+    return _rescore_topk(coarse, queries, corpus, id_col, vec_col, k, rescore_factor)
+
+
 def matryoshka_funnel_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -3200,6 +3200,69 @@ def quantized_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Sign-bit Hamming coarse restricted to the probed inverted lists —
+# shared verbatim by the standalone X199 oracle and the eval-harness
+# CTEs (caller provides v, assigned, qprobe from _ANN_BASE_CTES and
+# bqw from _BQ_WORDS_CTE).
+_BQ_IVF_CTES = f"""
+    bqivf_coarse AS (
+      SELECT qp.query_id, a.vec_id AS neighbor_id,
+             {_BQ_HAMMING_SIM} AS qcos
+      FROM qprobe qp
+      JOIN assigned a ON a.cluster_id = qp.cluster_id
+      JOIN bqw q ON q.vec_id = qp.query_id
+      JOIN bqw c ON c.vec_id = a.vec_id
+      WHERE a.vec_id <> qp.query_id
+    ),
+    bqivf_cands AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY qcos DESC, neighbor_id ASC) AS rn
+        FROM bqivf_coarse
+      ) WHERE rn <= 30
+    ),
+    bqivf_rescored AS (
+      SELECT c.query_id, c.neighbor_id,
+             round(list_dot_product(qe.e, ne.e)
+                   / (sqrt(list_dot_product(qe.e, qe.e)) * sqrt(list_dot_product(ne.e, ne.e))),
+                   6) AS cosine_sim
+      FROM bqivf_cands c
+      JOIN v qe ON qe.vec_id = c.query_id
+      JOIN v ne ON ne.vec_id = c.neighbor_id
+    )"""
+
+
+@register(
+    "binary_ivf_topk",
+    f"""
+    WITH {_ANN_BASE_CTES},
+    {_BQ_WORDS_CTE},
+    {_BQ_IVF_CTES}
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rn AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
+          FROM bqivf_rescored)
+    WHERE rn <= 10
+    """,
+)
+def binary_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X199: IVF-BQ — the sign-bit tier composed with the inverted
+    list, completing the flat/IVF pairing for every compression point
+    the harness measures (SQ8: X77/X78, PQ: X85/X92, MRL: X191/X192,
+    binary: X194/X199). The Hamming coarse search runs only inside
+    each query's nprobe=2 nearest lists, reading 8 bytes/vector —
+    P/nprobe × 32 ≈ 128× scan-volume cut at the defaults, the deepest
+    pruning in the ladder — then exact full-precision rescoring of
+    the ~30 survivors. Harness method row ``bq_ivf`` measures its
+    recall/rank quality against the shared pinned truth."""
+    emb = _live_embeddings(spark, sf_dir)
+    pivots = emb.filter(F.col("vec_id") < 8)
+    queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105))
+    return similarity.binary_ivf_topk(
+        queries, emb, pivots, dim=64, k=10, rescore_factor=3, nprobe=2
+    )
+
+
 def _pq_ctes(m: int = 8, ksub: int = 16, dim: int = 64, k: int = 10, rf: int = 10) -> str:
     """DuckDB mirror of ``similarity.pq_train_codebooks`` +
     ``pq_encode`` + ``pq_adc_topk`` as a CTE chain (caller provides
@@ -3457,6 +3520,15 @@ def _ann_truth_and_ranked_methods(spark: SparkSession, sf_dir: str):
                 queries, emb, dim=64, k=10, rescore_factor=3
             ),
         ),
+        (
+            # r15: the X199 IVF composition of the sign-bit tier, on
+            # the SAME pinned inverted list as the other index methods
+            "bq_ivf",
+            similarity.binary_ivf_topk(
+                queries, emb, pivots, dim=64, k=10, rescore_factor=3,
+                nprobe=2, assigned=index,
+            ),
+        ),
     ]
     un = None
     for nm, df in methods:
@@ -3650,6 +3722,14 @@ _ANN_EVAL_CTES = f"""{_ANN_BASE_CTES},
         JOIN v ne ON ne.vec_id = c.neighbor_id
       ) WHERE rn <= 10
     ),
+    {_BQ_IVF_CTES},
+    m_bqivf AS (
+      SELECT query_id, neighbor_id, rn FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
+        FROM bqivf_rescored
+      ) WHERE rn <= 10
+    ),
     allm AS (
       SELECT 'ivf' AS method, query_id, neighbor_id, rn FROM m_ivf
       UNION ALL SELECT 'ivf_multiprobe', query_id, neighbor_id, rn FROM m_multi
@@ -3660,6 +3740,7 @@ _ANN_EVAL_CTES = f"""{_ANN_BASE_CTES},
       UNION ALL SELECT 'mrl_funnel_p16', query_id, neighbor_id, rn FROM m_mrl
       UNION ALL SELECT 'mrl_ivf_p16', query_id, neighbor_id, rn FROM m_mivf
       UNION ALL SELECT 'bq_hamming', query_id, neighbor_id, rn FROM m_bq
+      UNION ALL SELECT 'bq_ivf', query_id, neighbor_id, rn FROM m_bqivf
     )"""
 
 
@@ -3679,9 +3760,10 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of every approximate search path against the
     brute-force exact top-10 — turns the ANN stack's knobs (nprobe,
     rescore factor, quantization) into MEASURED quantities instead of
-    docstring claims. All nine methods (r15 adds the X191/X192
-    Matryoshka funnels, mrl_funnel_p16 + mrl_ivf_p16, and the X194
-    binary-quantization path, bq_hamming) and the ground truth are
+    docstring claims. All ten methods (r15 adds the X191/X192
+    Matryoshka funnels, mrl_funnel_p16 + mrl_ivf_p16, and the
+    X194/X199 binary-quantization pair, bq_hamming + bq_ivf) and the
+    ground truth are
     deterministic (rounded cosines, total-order tie-breaks), so the
     whole report is hash-checkable cross-engine.
 
@@ -3691,7 +3773,7 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded Lloyd's barrier and serve both the flat-ADC and IVF-PQ
     searches; each method is then its own bounded search over the
     broadcast query batch, and the report join touches only
-    9 methods x |queries| x k rows."""
+    10 methods x |queries| x k rows."""
     truth, un = _ann_truth_and_ranked_methods(spark, sf_dir)
     return (
         un.join(F.broadcast(truth), ["query_id", "neighbor_id"], "left")
@@ -3746,7 +3828,7 @@ def ann_rank_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     differ in the last ulp), and the IDCG normalizer is their exact
     decimal sum as a shared literal.
 
-    Scale: the metric join touches 9 methods x |queries| x k rows —
+    Scale: the metric join touches 10 methods x |queries| x k rows —
     independent of corpus size; everything corpus-sized happened once
     in the shared index build."""
     truth, un = _ann_truth_and_ranked_methods(spark, sf_dir)
@@ -8095,6 +8177,7 @@ _EMB_NULL_CONTRACT = (
     "matryoshka_funnel_topk",
     "matryoshka_ivf_topk",
     "binary_quantized_topk",
+    "binary_ivf_topk",
 )
 
 for _q in _EMB_NULL_CONTRACT:

@@ -106,8 +106,8 @@ def test_ann_eval_harness_includes_funnel_methods(spark):
         for r in REGISTRY["ann_recall_report"].fn(spark, SF_SMOKE)
         .select("method").distinct().collect()
     }
-    assert {"mrl_funnel_p16", "mrl_ivf_p16", "bq_hamming"} <= methods
-    assert len(methods) == 9
+    assert {"mrl_funnel_p16", "mrl_ivf_p16", "bq_hamming", "bq_ivf"} <= methods
+    assert len(methods) == 10
 
 
 def test_mrl_ivf_candidates_subset_of_probed_clusters(spark):
@@ -376,3 +376,48 @@ def test_cross_source_dup_matrix_mirror_containment_is_total(spark):
     assert abs(sum(r.containment for r in from_mirror) - 1.0) < 1e-4
     for r in rows:
         assert 0.0 < r.containment <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# X199 IVF-composed binary quantization
+# ---------------------------------------------------------------------------
+def test_binary_ivf_candidates_subset_of_probed_clusters(spark):
+    """IVF-BQ must never return a neighbor outside the query's nprobe
+    probed clusters — the same inverted-list pruning invariant pinned
+    for the MRL composition (a leak silently un-prunes the scan)."""
+    emb = llm._live_embeddings(spark, SF_SMOKE)
+    pivots = emb.filter(F.col("vec_id") < 8)
+    queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105))
+    assigned = similarity.assign_clusters(emb, pivots)
+    out = REGISTRY["binary_ivf_topk"].fn(spark, SF_SMOKE)
+    probed = {
+        (r.vec_id, r.cluster_id)
+        for r in similarity.assign_clusters_multi(
+            queries, pivots, nprobe=2
+        ).collect()
+    }
+    member = {r.vec_id: r.cluster_id for r in assigned.collect()}
+    for r in out.collect():
+        assert (r.query_id, member[r.neighbor_id]) in probed
+
+
+def test_binary_ivf_wide_pool_equals_exact_multiprobe(spark):
+    """With a rescore pool bigger than the corpus, every probed-cluster
+    candidate survives the Hamming cut and gets the exact rescore, so
+    IVF-BQ must equal the exact-cosine multiprobe IVF search over the
+    same lists — binary quantization inside the probe can only lose
+    candidates at the cut, never corrupt the rescored ordering."""
+    emb = llm._live_embeddings(spark, SF_SMOKE)
+    pivots = emb.filter(F.col("vec_id") < 8)
+    queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105))
+    n = emb.count()
+    exact = _sorted_rows(
+        similarity.ivf_topk_multiprobe(queries, emb, pivots, k=10, nprobe=2)
+        .select("query_id", "neighbor_id", "cosine_sim")
+    )
+    bq = _sorted_rows(
+        similarity.binary_ivf_topk(
+            queries, emb, pivots, k=10, rescore_factor=(n // 10) + 1, nprobe=2
+        ).select("query_id", "neighbor_id", "cosine_sim")
+    )
+    assert bq == exact
