@@ -72,7 +72,11 @@ from .registry import REGISTRY, register
 #       containment between sources, planted mirror source),
 #       binary_ivf_topk (X199 — the sign-bit tier composed with the
 #       inverted list, completing the flat/IVF pairing for every
-#       compression point; tenth eval-harness method row, bq_ivf).
+#       compression point; tenth eval-harness method row, bq_ivf),
+#       l_diversity_report (X200 — distinct l-diversity release gate,
+#       the homogeneity-attack audit k-anonymity misses),
+#       embedding_class_separation (X201 — centroid pseudo-silhouette
+#       per label, decimal-exact end to end).
 #   IN (the recorded r15 queue head — the 4 deferred r10-green
 #       queries, verdict ask 1): ivf_topk_multiprobe,
 #       quantized_ivf_topk, quantized_topk_rescore, binary_metadata.
@@ -91,13 +95,13 @@ from .registry import REGISTRY, register
 #       these): epoch_status_clean (reference clean path + ingest
 #       gates), pct_of_quota (reference reports), mann_kendall_trend
 #       (analytics/stats), mmr_diversified_topk_grouped (MMR).
-#   IN (the r15 drain — 27 of the 50-query r11-green cohort, verdict
+#   IN (the r15 drain — 25 of the 50-query r11-green cohort, verdict
 #       ask 1; includes ann_recall_report + ann_rank_quality, whose
 #       HASH CHANGED this round with the mrl_funnel_p16 + bq_hamming +
 #       bq_ivf method rows, and neardup_prune, whose oracle moved to
 #       NOT EXISTS): ann_incremental_admission …
 #       top3_orders_per_customer (see _PRIORITY).
-# R16 QUEUE: the 23 deferred r11-green queries (8 of them re-proven
+# R16 QUEUE: the 25 deferred r11-green queries (8 of them re-proven
 # green by the judge's own out-of-window r14 oracle run:
 # quality_score, benchmark_decontamination, daily_pipeline,
 # status_pivot_report, cube_order_stats, salary_rank_analytics,
@@ -107,12 +111,13 @@ from .registry import REGISTRY, register
 # multi_touch_attribution, incremental_agg_refresh, json_props_stats,
 # value_winsorized_stats, strike_report_batch, unicode_script_profile,
 # gopher_repetition_report, join_key_skew_report, ngram_jaccard_pairs,
-# stratified_sample, hard_negative_mining — the last five yielded
-# their slots to the X195–X199 newcomers; families stay covered
-# in-window by lang_id, partition_pruned_report, dedup_clusters_star,
-# and token_mixture_plan respectively (hard_negative_mining carries no
-# FAMILY_CARRIERS slot; retrieval stays covered by ann_rank_quality +
-# matryoshka_funnel_topk) — and otherwise by salary_percentiles/
+# stratified_sample, hard_negative_mining, embedding_dim_profile,
+# cross_split_leakage — the last seven yielded their slots to the
+# X195–X201 newcomers; families stay covered in-window by lang_id,
+# partition_pruned_report, dedup_clusters_star, and token_mixture_plan
+# respectively (hard_negative_mining / embedding_dim_profile /
+# cross_split_leakage carry no FAMILY_CARRIERS slot; retrieval stays
+# covered by ann_rank_quality + matryoshka_funnel_topk) — and otherwise by salary_percentiles/
 # top3_orders_per_customer, rollup_revenue/q1_pricing_summary,
 # event_transitions, corpus_curation_pipeline/cdc_log_replay, and
 # json_lines_roundtrip) FIRST, then the stalest r12-green cohort by
@@ -375,6 +380,8 @@ _PRIORITY: tuple[str, ...] = (
     "semantic_prune_sampled_train",
     "binary_quantized_topk",
     "binary_ivf_topk",
+    "l_diversity_report",
+    "embedding_class_separation",
     "epoch_shuffle_shards",
     "source_divergence_report",
     "perplexity_partition_report",
@@ -401,14 +408,15 @@ _PRIORITY: tuple[str, ...] = (
     "pct_of_quota",  # reference_reports
     "mann_kendall_trend",  # analytics_stats
     "mmr_diversified_topk_grouped",  # mmr_diversification
-    # r15 drain: 27 of the 50-query r11-green cohort (ask 1).
+    # r15 drain: 25 of the 50-query r11-green cohort (ask 1).
     # ann_recall_report / ann_rank_quality carry the NEW
     # mrl_funnel_p16 + bq_hamming method rows (hash changed this
     # round); neardup_prune carries the NOT EXISTS oracle rewrite.
-    # The 23 deferrals (incl. unicode_script_profile,
+    # The 25 deferrals (incl. unicode_script_profile,
     # gopher_repetition_report, join_key_skew_report,
-    # ngram_jaccard_pairs, stratified_sample, hard_negative_mining —
-    # which yielded their slots to the X194–X199 newcomers; their families stay covered
+    # ngram_jaccard_pairs, stratified_sample, hard_negative_mining,
+    # embedding_dim_profile, cross_split_leakage —
+    # which yielded their slots to the X194–X201 newcomers; their families stay covered
     # in-window by lang_id, partition_pruned_report,
     # dedup_clusters_star, and token_mixture_plan) ride the R16
     # QUEUE (families covered in-window — see the rotation comment).
@@ -420,10 +428,8 @@ _PRIORITY: tuple[str, ...] = (
     "checkpoint_restart_windowed",
     "constraint_quarantine",
     "corpus_curation_pipeline",
-    "cross_split_leakage",
     "dedup_clusters_star",
     "doc_chunks",
-    "embedding_dim_profile",
     "event_transitions",
     "json_lines_roundtrip",
     "k_anonymity_report",

@@ -2303,6 +2303,72 @@ def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X200: l-diversity audit — the sensitive-attribute sibling of X139
+# --------------------------------------------------------------------------
+@register(
+    "l_diversity_report",
+    """
+    WITH sizes AS (
+      SELECT count(*) AS n,
+             count(DISTINCT least(floor(CAST(c_acctbal AS DECIMAL(12,2))
+                                        / 2000), 5)) AS ldiv
+      FROM customer
+      GROUP BY c_nationkey, c_mktsegment
+    ),
+    ls AS (
+      SELECT l, n, ldiv FROM sizes, (VALUES (2), (3), (4)) AS t(l)
+    )
+    SELECT l,
+           count(*)                                   AS n_groups,
+           count(*) FILTER (WHERE ldiv < l)           AS n_weak_groups,
+           CAST(coalesce(sum(n) FILTER (WHERE ldiv < l), 0) AS BIGINT)
+                                                      AS rows_at_risk,
+           round(coalesce(sum(n) FILTER (WHERE ldiv < l), 0) / sum(n), 6)
+                                                      AS risk_rate
+    FROM ls
+    GROUP BY l
+    """,
+)
+def l_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X200: distinct l-diversity audit (Machanavajjhala et al. 2007)
+    — k-anonymity's known blind spot made a measured gate: a
+    QI group can be large (k-safe) yet carry only ONE sensitive value,
+    so linkage still discloses the attribute (the homogeneity attack).
+    For each threshold l, how many quasi-identifier groups — (nation,
+    market segment) — carry fewer than l DISTINCT sensitive values
+    (the coarse account-balance bucket, exact decimal floor-division
+    per the X124/X139 discipline), and how many rows sit exposed in
+    them. Distinct l-diversity is the log-free variant (entropy
+    l-diversity needs ln — the libm hazard the X196 divergences also
+    avoid) and the one release gates actually enforce.
+
+    Scale: ONE map-side-combined groupBy to |QI-groups| rows (the
+    distinct-count rides the same shuffle); the thresholds explode
+    against that tiny table, never the corpus. Integer-exact except
+    the rounded rate."""
+    from ..functions.money import money
+
+    cust = read_table(spark, sf_dir, "customer")
+    bucket = F.least(F.floor(money("c_acctbal") / 2000), F.lit(5))
+    sizes = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.countDistinct(bucket).alias("ldiv"),
+    )
+    ls = sizes.select(
+        F.explode(F.array(F.lit(2), F.lit(3), F.lit(4))).alias("l"), "n", "ldiv"
+    )
+    weak = F.when(F.col("ldiv") < F.col("l"), F.col("n"))
+    return ls.groupBy("l").agg(
+        F.count("*").alias("n_groups"),
+        F.count(weak).alias("n_weak_groups"),
+        F.coalesce(F.sum(weak), F.lit(0)).alias("rows_at_risk"),
+        F.round(F.coalesce(F.sum(weak), F.lit(0)) / F.sum("n"), 6).alias(
+            "risk_rate"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
 # Column entropy profile (X140): distribution informativeness audit
 # --------------------------------------------------------------------------
 _ENTROPY_COLS = ("o_orderstatus", "o_orderpriority", "o_custkey")

@@ -7941,6 +7941,140 @@ def matryoshka_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# X201: embedding class-separation report (centroid pseudo-silhouette)
+# ---------------------------------------------------------------------------
+@register(
+    "embedding_class_separation",
+    """
+    WITH v AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings WHERE label IS NOT NULL
+    ),
+    comp AS (
+      SELECT label, CAST(i AS INT) AS dim,
+             CAST(round(e[i], 6) AS DECIMAL(12,6)) AS xv
+      FROM v, unnest(generate_series(1, len(e))) AS t(i)
+    ),
+    cent_comp AS (
+      SELECT label, dim,
+             round(CAST(sum(xv) AS DOUBLE) / count(*), 6) AS cv
+      FROM comp GROUP BY label, dim
+    ),
+    cent AS (
+      SELECT label AS clabel, list(cv ORDER BY dim) AS c
+      FROM cent_comp GROUP BY label
+    ),
+    scored AS (
+      SELECT v.vec_id, v.label, cent.clabel,
+             round(list_dot_product(v.e, cent.c)
+                   / (sqrt(list_dot_product(v.e, v.e))
+                      * sqrt(list_dot_product(cent.c, cent.c))),
+                   6) AS cos
+      FROM v CROSS JOIN cent
+    ),
+    per_vec AS (
+      SELECT vec_id, label,
+             CAST(max(CASE WHEN label = clabel THEN cos END)
+                  AS DECIMAL(12,6)) AS own,
+             CAST(max(CASE WHEN label <> clabel THEN cos END)
+                  AS DECIMAL(12,6)) AS best_other
+      FROM scored GROUP BY vec_id, label
+    )
+    SELECT label,
+           count(*) AS n_vecs,
+           round(CAST(sum(own) AS DOUBLE) / count(*), 6) AS mean_own_cos,
+           round(CAST(sum(best_other) AS DOUBLE) / count(*), 6)
+             AS mean_other_cos,
+           round(CAST(sum(own - best_other) AS DOUBLE) / count(*), 6)
+             AS mean_margin,
+           CAST(count(CASE WHEN own > best_other THEN 1 END) AS BIGINT)
+             AS n_separated
+    FROM per_vec GROUP BY label
+    """,
+)
+def embedding_class_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X201: centroid pseudo-silhouette per label — the embedding-QA
+    question the dim profile (X173) cannot answer: does the space
+    actually SEPARATE the classes the labels claim? Per vector:
+    cosine to its OWN label centroid vs the best cosine to any OTHER
+    centroid; per label: the means, the margin, and how many vectors
+    sit closer to their own centroid than to any rival
+    (``n_separated`` — the linear-probe-accuracy proxy). Exact
+    silhouette is O(n²) pairwise; the centroid form is the standard
+    linear-time substitute and the one that scales.
+
+    Determinism (the X173 decimal discipline end-to-end): centroid
+    components round into DECIMAL(12,6) and accumulate EXACTLY in any
+    partition order; one double division, rounded 6 dp — so the
+    centroids are bit-identical cross-engine; the per-vector cosines
+    are index-ordered folds rounded 6 dp; the report means again sum
+    DECIMAL(12,6) values exactly before one rounded division. No
+    cross-row float summation anywhere.
+
+    Scale: one posexplode to |labels|×|dim| centroid cells (map-side
+    combined), one corpus pass against the ~10-row broadcast centroid
+    table, one vec-keyed max-fold, one label-keyed report agg — all
+    linear, nothing pairwise."""
+    emb = _live_embeddings(spark, sf_dir).filter(F.col("label").isNotNull())
+    comp = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "__d0", "__x"
+        ),
+    ).select(
+        "label",
+        (F.col("__d0") + 1).cast("int").alias("dim"),
+        F.round(F.col("__x"), 6).cast("decimal(12,6)").alias("xv"),
+    )
+    cent_comp = comp.groupBy("label", "dim").agg(
+        F.round(
+            F.sum("xv").cast("double") / F.count(F.lit(1)), 6
+        ).alias("cv")
+    )
+    cent = cent_comp.groupBy(F.col("label").alias("clabel")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "cv"))),
+            lambda s: s.getField("cv"),
+        ).alias("c")
+    )
+    scored = emb.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    ).crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "label",
+        "clabel",
+        F.round(
+            similarity.dot(F.col("e"), F.col("c"))
+            / (similarity.norm(F.col("e")) * similarity.norm(F.col("c"))),
+            6,
+        ).alias("cos"),
+    )
+    own = F.max(
+        F.when(F.col("label") == F.col("clabel"), F.col("cos"))
+    ).cast("decimal(12,6)")
+    other = F.max(
+        F.when(F.col("label") != F.col("clabel"), F.col("cos"))
+    ).cast("decimal(12,6)")
+    per_vec = scored.groupBy("vec_id", "label").agg(
+        own.alias("own"), other.alias("best_other")
+    )
+    n = F.count(F.lit(1))
+    return per_vec.groupBy("label").agg(
+        n.alias("n_vecs"),
+        F.round(F.sum("own").cast("double") / n, 6).alias("mean_own_cos"),
+        F.round(F.sum("best_other").cast("double") / n, 6).alias(
+            "mean_other_cos"
+        ),
+        F.round(
+            F.sum(F.col("own") - F.col("best_other")).cast("double") / n, 6
+        ).alias("mean_margin"),
+        F.count(
+            F.when(F.col("own") > F.col("best_other"), F.lit(1))
+        ).alias("n_separated"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # X196: pairwise source-divergence matrix — log-free divergences
 # ---------------------------------------------------------------------------
 @register(
@@ -8178,6 +8312,7 @@ _EMB_NULL_CONTRACT = (
     "matryoshka_ivf_topk",
     "binary_quantized_topk",
     "binary_ivf_topk",
+    "embedding_class_separation",
 )
 
 for _q in _EMB_NULL_CONTRACT:

@@ -421,3 +421,82 @@ def test_binary_ivf_wide_pool_equals_exact_multiprobe(spark):
         ).select("query_id", "neighbor_id", "cosine_sim")
     )
     assert bq == exact
+
+
+# ---------------------------------------------------------------------------
+# X200 l-diversity audit
+# ---------------------------------------------------------------------------
+def test_l_diversity_monotone_in_threshold(spark):
+    """Raising l can only expose more groups: n_weak_groups and
+    rows_at_risk are monotone non-decreasing in l, group totals are
+    constant across thresholds, and every count is consistent
+    (weak <= total, risk rows <= corpus rows)."""
+    rows = {r.l: r for r in REGISTRY["l_diversity_report"].fn(spark, SF_SMOKE).collect()}
+    assert set(rows) == {2, 3, 4}
+    assert len({r.n_groups for r in rows.values()}) == 1
+    for l in (2, 3, 4):
+        r = rows[l]
+        assert 0 <= r.n_weak_groups <= r.n_groups
+        assert 0.0 <= r.risk_rate <= 1.0
+    assert rows[2].n_weak_groups <= rows[3].n_weak_groups <= rows[4].n_weak_groups
+    assert rows[2].rows_at_risk <= rows[3].rows_at_risk <= rows[4].rows_at_risk
+
+
+def test_l_diversity_homogeneous_group_is_weak(spark, tmp_path):
+    """A large-but-homogeneous QI group (k-safe, l-unsafe) must be
+    flagged at every threshold — the homogeneity attack X139 cannot
+    see. 10 customers share one QI and ONE sensitive bucket; a second
+    QI group carries 4 distinct buckets and stays safe up to l=4."""
+    rows = [
+        # (custkey, nationkey, mktsegment, acctbal)
+        *[(i, 1, "SEG_A", 100.0) for i in range(10)],      # ldiv=1
+        *[(20 + j, 2, "SEG_B", 2000.0 * j + 50) for j in range(4)],  # ldiv=4
+    ]
+    spark.createDataFrame(
+        rows, "c_custkey LONG, c_nationkey INT, c_mktsegment STRING, c_acctbal DOUBLE"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/customer.parquet")
+    out = {r.l: r for r in REGISTRY["l_diversity_report"].fn(spark, str(tmp_path)).collect()}
+    for l in (2, 3, 4):
+        assert out[l].n_groups == 2
+    assert out[2].n_weak_groups == 1 and out[2].rows_at_risk == 10
+    assert out[4].n_weak_groups == 1  # the 4-bucket group is safe even at l=4
+
+
+# ---------------------------------------------------------------------------
+# X201 embedding class separation
+# ---------------------------------------------------------------------------
+def test_class_separation_report_shape_and_bounds(spark):
+    rows = REGISTRY["embedding_class_separation"].fn(spark, SF_SMOKE).collect()
+    assert {r.label for r in rows} == set(range(10))
+    for r in rows:
+        assert r.n_vecs > 0
+        assert -1.0001 <= r.mean_other_cos <= 1.0001
+        assert -1.0001 <= r.mean_own_cos <= 1.0001
+        assert 0 <= r.n_separated <= r.n_vecs
+        assert abs((r.mean_own_cos - r.mean_other_cos) - r.mean_margin) < 2e-6
+
+
+def test_class_separation_detects_planted_clusters(spark, tmp_path):
+    """Two orthogonal planted clusters must separate perfectly: every
+    vector is closer to its own centroid than to the rival's
+    (n_separated == n_vecs, margin > 0 for both labels)."""
+    import numpy as np
+
+    rng_vecs = []
+    for i in range(20):
+        e = [0.0] * 64
+        if i % 2 == 0:
+            e[0] = 1.0
+            e[1] = 0.01 * (i % 5)   # within-cluster jitter
+        else:
+            e[32] = 1.0
+            e[33] = 0.01 * (i % 5)
+        rng_vecs.append((i, e, i % 2))
+    spark.createDataFrame(
+        rng_vecs, "vec_id LONG, embedding ARRAY<FLOAT>, label INT"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    rows = REGISTRY["embedding_class_separation"].fn(spark, str(tmp_path)).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r.n_separated == r.n_vecs
+        assert r.mean_margin > 0.5
