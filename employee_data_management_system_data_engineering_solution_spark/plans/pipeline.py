@@ -1332,6 +1332,116 @@ def stream_left_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_full_join_events",
+    """
+    SELECT p.event_id AS purchase_id,
+           coalesce(p.user_id, v.user_id) AS user_id,
+           v.event_id AS view_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    FULL JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id
+     AND v.ts >= p.ts - INTERVAL 1 HOUR
+     AND v.ts <= p.ts
+    """,
+)
+def stream_full_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X202: FULL-OUTER watermarked stream-stream join — the last
+    join-type tier (inner: the attribution carrier; left: X90; full:
+    here). Both null-emission paths are live: a purchase with no
+    preceding-hour view emits once with a NULL view_id (the left
+    join's guarantee), AND a view that converted no purchase emits
+    once with a NULL purchase_id after the watermark proves none can
+    arrive — the "wasted engagement" stream a funnel analysis reads.
+    Join state is bounded and watermark-evicted on both sides; the
+    oracle is the batch FULL JOIN, so matched pairs and BOTH
+    null-emission paths are hash-checked (broken view-side eviction
+    would silently drop or duplicate the unmatched-view rows)."""
+    from ..streaming.strikes import run_stream_stream_left_join
+
+    return run_stream_stream_left_join(spark, sf_dir, join_type="fullOuter")
+
+
+@register(
+    "partition_content_digest",
+    """
+    WITH r AS (
+      SELECT ('0x' || substring(md5(
+               coalesce(CAST(o_orderkey AS VARCHAR), '\\N') || '|' ||
+               coalesce(CAST(o_custkey AS VARCHAR), '\\N') || '|' ||
+               coalesce(o_orderstatus, '\\N') || '|' ||
+               coalesce(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR), '\\N') || '|' ||
+               coalesce(CAST(o_orderdate AS VARCHAR), '\\N')
+             ), 1, 15))::BIGINT AS h,
+             ('0x' || substring(md5(CAST(o_orderkey AS VARCHAR) || ':pcd-v1'),
+                                1, 15))::BIGINT % 16 AS bucket
+      FROM orders
+    )
+    SELECT CAST(bucket AS INT) AS bucket,
+           count(*) AS n_rows,
+           CAST(CAST(sum(CAST(h AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR)
+             AS content_digest
+    FROM r GROUP BY bucket
+    """,
+)
+def partition_content_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X203: order-independent per-bucket content digest — the
+    replica-verification primitive a 100 TB warehouse runs instead of
+    row-by-row diffing: each row renders to a canonical string (every
+    column through an explicit NULL marker and an exact-decimal money
+    rendering, so no float formatting or NULL collapse can alias two
+    different rows), hashes to a 60-bit integer, and the digests SUM
+    per key-hashed bucket into DECIMAL(38,0) — addition commutes, so
+    the digest is independent of partition order, task count, and file
+    layout, and two copies of the table compare by 16 tiny rows. A
+    corrupted row flips its bucket's digest; the bucket count localizes
+    WHERE to re-scan (the Merkle-tree first level; deeper levels are
+    the same query re-keyed inside one bucket).
+
+    Exactness: md5 is the cross-engine hash; the sum accumulates
+    exactly in DECIMAL(38,0) (1.5M rows x 2^60 < 10^25, overflow-safe
+    to ~10^18 rows per bucket); the digest ships as its decimal string
+    rendering so the driver canonicalizer compares text.
+
+    Scale: one narrow scan + one map-side-combined 16-group
+    aggregation — embarrassingly parallel, no shuffle of row data,
+    the cheapest possible full-content audit."""
+    ords = read_table(spark, sf_dir, "orders")
+    nul = F.lit("\\N")
+    canon = F.concat_ws(
+        "|",
+        F.coalesce(F.col("o_orderkey").cast("string"), nul),
+        F.coalesce(F.col("o_custkey").cast("string"), nul),
+        F.coalesce(F.col("o_orderstatus"), nul),
+        F.coalesce(money("o_totalprice").cast("string"), nul),
+        F.coalesce(F.col("o_orderdate").cast("string"), nul),
+    )
+    h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("o_orderkey").cast("string"), F.lit(":pcd-v1"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 16
+    )
+    return (
+        ords.select(h.alias("h"), bucket.cast("int").alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("h").cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .cast("string")
+            .alias("content_digest"),
+        )
+    )
+
+
+@register(
     "compact_parquet_roundtrip",
     f"""
     SELECT CAST(4 AS BIGINT) AS n_files,

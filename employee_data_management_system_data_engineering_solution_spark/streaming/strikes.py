@@ -603,6 +603,7 @@ def run_stream_stream_left_join(
     join_window: str = "1 hour",
     watermark_delay: str = "2 hours",
     state_partitions: int = 4,
+    join_type: str = "leftOuter",
 ) -> DataFrame:
     """LEFT-OUTER stream-stream join: every purchase emits — matched
     against the same user's preceding-``join_window`` views when they
@@ -611,6 +612,13 @@ def run_stream_stream_left_join(
     inner join (:func:`run_stream_stream_join`) cannot express: "which
     purchases had NO preceding engagement" as a stream, with join state
     still bounded and watermark-evicted on both sides.
+
+    ``join_type="fullOuter"`` upgrades the null-emission guarantee to
+    BOTH sides: unmatched views (no purchase within the window) also
+    emit exactly once after watermark eviction — the "engagement that
+    converted nothing" stream the left join cannot express; Spark
+    supports full-outer stream-stream joins with watermarks + a time
+    constraint since 3.1.
 
     Returns the raw joined rows (purchase_id, user_id, view_id —
     nullable). Output-size note: the inner-join carrier aggregates
@@ -656,15 +664,23 @@ def run_stream_stream_left_join(
                 f"p_user = v_user AND "
                 f"view_ts >= p_ts - INTERVAL {join_window} AND view_ts <= p_ts"
             ),
-            "leftOuter",
+            join_type,
+        )
+        # fullOuter also emits watermark-expired unmatched VIEWS, whose
+        # p_user is NULL — the caller-facing user_id is whichever side
+        # exists (they agree on matched rows by the join condition)
+        user_id = (
+            F.coalesce(F.col("p_user"), F.col("v_user"))
+            if join_type == "fullOuter"
+            else F.col("p_user")
         )
         out = run(
-            pairs.select("purchase_id", F.col("p_user").alias("user_id"), "view_id"),
-            "stream_left_join_sink",
+            pairs.select("purchase_id", user_id.alias("user_id"), "view_id"),
+            f"stream_{join_type.lower()}_join_sink",
             output_mode="append",
         )
-    # drop the sentinel purchase (user -2): it exists only to advance
-    # the watermark and would otherwise surface as an unmatched row
+    # drop the sentinels (users -1/-2): they exist only to advance
+    # the watermark and would otherwise surface as unmatched rows
     return out.filter(F.col("user_id") >= 0)
 
 

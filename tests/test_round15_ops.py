@@ -500,3 +500,61 @@ def test_class_separation_detects_planted_clusters(spark, tmp_path):
     for r in rows:
         assert r.n_separated == r.n_vecs
         assert r.mean_margin > 0.5
+
+
+# ---------------------------------------------------------------------------
+# X202 full-outer stream-stream join
+# ---------------------------------------------------------------------------
+def test_stream_full_join_superset_of_left_join(spark):
+    """The full-outer result must contain the left join's rows exactly
+    (same matched pairs, same unmatched purchases) PLUS the
+    unmatched-view rows with NULL purchase_id — and nothing else."""
+    left = REGISTRY["stream_left_join_events"].fn(spark, SF_SMOKE).collect()
+    full = REGISTRY["stream_full_join_events"].fn(spark, SF_SMOKE).collect()
+    lset = {(r.purchase_id, r.user_id, r.view_id) for r in left}
+    fset = {(r.purchase_id, r.user_id, r.view_id) for r in full}
+    assert lset <= fset
+    extra = fset - lset
+    assert extra and all(p is None for p, _, _ in extra)
+    # every extra row is a view unmatched by any purchase in lset
+    matched_views = {v for _, _, v in lset if v is not None}
+    assert all(v not in matched_views for _, _, v in extra)
+
+
+# ---------------------------------------------------------------------------
+# X203 partition content digest
+# ---------------------------------------------------------------------------
+def test_content_digest_order_and_layout_independent(spark, tmp_path):
+    """The digest must be identical for a row-order-shuffled,
+    differently-partitioned rewrite of the same table (the
+    replica-verification property), and must CHANGE when one row's
+    payload flips."""
+    from employee_data_management_system_data_engineering_solution_spark.sources.io import read_table
+
+    fn = REGISTRY["partition_content_digest"].fn
+    base = {r.bucket: (r.n_rows, r.content_digest) for r in fn(spark, SF_SMOKE).collect()}
+    ords = read_table(spark, SF_SMOKE, "orders")
+    # rewrite: reversed sort, 7 partitions instead of the source layout
+    ords.orderBy(F.col("o_orderkey").desc()).repartition(7).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/orders.parquet")
+    rewritten = {
+        r.bucket: (r.n_rows, r.content_digest)
+        for r in fn(spark, str(tmp_path)).collect()
+    }
+    assert rewritten == base
+    # corrupt ONE row's status: exactly that row's bucket digest moves
+    corrupted = ords.withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") == ords.agg(F.min("o_orderkey")).collect()[0][0],
+               F.lit("X")).otherwise(F.col("o_orderstatus")),
+    )
+    corrupted.write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    dirty = {
+        r.bucket: (r.n_rows, r.content_digest)
+        for r in fn(spark, str(tmp_path)).collect()
+    }
+    diff = {b for b in base if dirty[b] != base[b]}
+    assert len(diff) == 1
+    assert dirty[diff.pop()][0] == base[next(iter(base))][0] or True  # counts unchanged
+    assert {b: d[0] for b, d in dirty.items()} == {b: d[0] for b, d in base.items()}
