@@ -3441,7 +3441,7 @@ def _ann_truth_and_ranked_methods(spark: SparkSession, sf_dir: str):
     queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105))
     truth = (
         similarity.cosine_topk_bruteforce(queries, emb, k=10)
-        .select("query_id", "neighbor_id")
+        .select("query_id", "neighbor_id", F.col("rank").alias("__trank"))
         .withColumn("__hit", F.lit(1))
     )
     index = similarity.assign_clusters(emb, pivots).localCheckpoint(eager=False)
@@ -3848,6 +3848,66 @@ def ann_rank_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("rr"), 4).alias("mrr_at_10"),
         F.round(F.avg("dcg") / F.lit(_IDCG_10), 4).alias("ndcg_at_10"),
         F.count("*").alias("n_queries"),
+    )
+
+
+@register(
+    "ann_recall_curve",
+    f"""
+    WITH {_ANN_EVAL_CTES},
+    ks AS (SELECT unnest([1, 5, 10]) AS k),
+    j AS (
+      SELECT m.method, m.query_id, ks.k,
+             sum(CASE WHEN m.rn <= ks.k AND t.rn <= ks.k
+                      THEN 1 ELSE 0 END) AS hits
+      FROM allm m
+      CROSS JOIN ks
+      LEFT JOIN truth t
+        ON t.query_id = m.query_id AND t.neighbor_id = m.neighbor_id
+      GROUP BY m.method, m.query_id, ks.k
+    )
+    SELECT method, CAST(k AS INT) AS k,
+           count(*) AS n_queries,
+           round(avg(hits / CAST(k AS DOUBLE)), 4) AS recall_at_k
+    FROM j GROUP BY method, k
+    """,
+)
+def ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X204: recall@k CURVE (k = 1, 5, 10) per ANN method — the
+    depth axis the @10-only report flattens: recall@1 is "is the
+    single served answer right" (what a RAG system retrieving one
+    passage cares about), recall@10 is "is the right answer anywhere
+    on the page"; two methods equal at @10 routinely split at @1
+    because quantization error reorders the head of the list.
+    recall@k = |method top-k ∩ exact top-k| / k, on the SAME pinned
+    harness frames as the other two measurements (an index is built
+    once, measured three ways — the memo makes the third measurement
+    nearly free).
+
+    Scale: the curve join touches methods × |queries| × k rows ×
+    3 thresholds — independent of corpus size; everything
+    corpus-sized happened once in the shared index build."""
+    truth, un = _ann_truth_and_ranked_methods(spark, sf_dir)
+    ks = F.explode(F.array(F.lit(1), F.lit(5), F.lit(10))).alias("k")
+    j = (
+        un.join(F.broadcast(truth), ["query_id", "neighbor_id"], "left")
+        .select("method", "query_id", "rank", "__trank", ks)
+        .groupBy("method", "query_id", "k")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("rank") <= F.col("k"))
+                    & (F.col("__trank") <= F.col("k")),
+                    1,
+                ).otherwise(0)
+            ).alias("hits")
+        )
+    )
+    return j.groupBy("method", "k").agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.round(F.avg(F.col("hits") / F.col("k").cast("double")), 4).alias(
+            "recall_at_k"
+        ),
     )
 
 
@@ -8296,6 +8356,7 @@ _EMB_NULL_CONTRACT = (
     "quantized_ivf_topk",
     "ann_recall_report",
     "ann_rank_quality",
+    "ann_recall_curve",
     "embedding_neardup_pairs",
     "pq_adc_search",
     "pq_ivf_search",

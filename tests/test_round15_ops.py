@@ -558,3 +558,28 @@ def test_content_digest_order_and_layout_independent(spark, tmp_path):
     assert len(diff) == 1
     assert dirty[diff.pop()][0] == base[next(iter(base))][0] or True  # counts unchanged
     assert {b: d[0] for b, d in dirty.items()} == {b: d[0] for b, d in base.items()}
+
+
+# ---------------------------------------------------------------------------
+# X204 ANN recall curve
+# ---------------------------------------------------------------------------
+def test_recall_curve_consistent_with_recall_report(spark):
+    """The curve's k=10 row must equal the @10 report's per-method
+    mean recall (same harness frames, same truth), every method holds
+    all three k rows, and recall@k is monotone-safe in bounds."""
+    llm.clear_ann_eval_cache()
+    curve = REGISTRY["ann_recall_curve"].fn(spark, SF_SMOKE).collect()
+    report = REGISTRY["ann_recall_report"].fn(spark, SF_SMOKE).collect()
+    by_m = {}
+    for r in curve:
+        by_m.setdefault(r.method, {})[r.k] = r
+    assert len(by_m) == 10
+    mean10 = {}
+    for r in report:
+        mean10.setdefault(r.method, []).append(r.recall_at_10)
+    for m, ks in by_m.items():
+        assert set(ks) == {1, 5, 10}
+        for r in ks.values():
+            assert 0.0 <= r.recall_at_k <= 1.0 and r.n_queries == 5
+        want = round(sum(mean10[m]) / len(mean10[m]), 4)
+        assert abs(ks[10].recall_at_k - want) < 2e-4, m
