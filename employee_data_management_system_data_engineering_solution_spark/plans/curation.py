@@ -15,7 +15,7 @@ and row order, because the assignment is a pure function of the key.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as tx
@@ -2679,4 +2679,131 @@ def epoch_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("c").cast("double"),
             6,
         ).alias("top_source_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X205: token-budget waterfill allocation — the mixture EXECUTION step
+# ---------------------------------------------------------------------------
+@register(
+    "token_budget_waterfill",
+    r"""
+    WITH avail AS (
+      SELECT source, count(*) AS a
+      FROM (
+        SELECT source,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        FROM documents WHERE length(trim(text)) > 0 AND source IS NOT NULL
+      ) GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(a) AS BIGINT) AS total,
+                   count(*) AS n FROM avail),
+    ranked AS (
+      SELECT source, a,
+             row_number() OVER (ORDER BY a ASC, source ASC) AS i,
+             CAST(coalesce(sum(a) OVER (ORDER BY a ASC, source ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS cuma_prev
+      FROM avail
+    ),
+    flagged AS (
+      SELECT r.source, r.a, r.i, r.cuma_prev,
+             (r.a * (t.n - r.i + 1)) <= ((t.total * 95) // 100 - r.cuma_prev)
+               AS capped,
+             (t.total * 95) // 100 AS budget, t.n AS n
+      FROM ranked r CROSS JOIN tot t
+    ),
+    cut AS (
+      SELECT count(*) FILTER (WHERE capped) AS n_capped,
+             CAST(coalesce(sum(a) FILTER (WHERE capped), 0) AS BIGINT)
+               AS capped_mass
+      FROM flagged
+    )
+    SELECT f.source,
+           f.a AS available_tokens,
+           CAST(CASE WHEN f.capped THEN f.a
+                ELSE (f.budget - c.capped_mass) // (f.n - c.n_capped)
+           END AS BIGINT) AS allocated_tokens,
+           f.capped
+    FROM flagged f CROSS JOIN cut c
+    """,
+)
+def token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X205: closed-form waterfilling of a token budget across sources
+    — the EXECUTION step after the mixture plan (X174 decides target
+    proportions; this decides how many tokens to actually take when
+    sources run out): allocate budget T (here 95% of the corpus,
+    uniform target weights — the rebalance-a-skewed-crawl case)
+    equally per source, but a source smaller than the waterline caps
+    at its capacity and its shortfall redistributes to the rest. The
+    classic algorithm: sort sources by capacity ascending; row i caps
+    iff a_i·(n−i+1) ≤ T − Σ_{j<i} a_j (the one-shot prefix test, valid
+    because capacities are sorted); the survivors split the remaining
+    budget evenly. Arbitrary X174 weights plug into the same machinery
+    (capacity ratio a/w replaces a in the sort and test).
+
+    INTEGER-EXACT end to end — capacities are counts, the cap test is
+    an integer cross-multiplication, the waterline share is integer
+    floor division: no float ever enters, so no rounding discipline is
+    even needed (the strongest form of the X126 no-float-in-the-sort
+    -key rule).
+
+    Scale: the corpus pass is ONE map-side-combined per-source count;
+    everything after runs on |sources| rows (window over ~20 rows,
+    two scalar aggregates broadcast back). The allocation for a 10k-
+    source crawl is a driver-trivial 10k-row frame."""
+    docs = read_table(spark, sf_dir, "documents")
+    words = docs.filter(
+        (F.length(F.trim("text")) > 0) & F.col("source").isNotNull()
+    ).select(
+        "source", F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w")
+    )
+    avail = words.groupBy("source").agg(F.count(F.lit(1)).alias("a"))
+    tot = F.broadcast(
+        avail.agg(
+            F.sum("a").cast("long").alias("total"), F.count(F.lit(1)).alias("n")
+        )
+    )
+    w = Window.orderBy(F.col("a").asc(), F.col("source").asc())
+    ranked = avail.select(
+        "source",
+        "a",
+        F.row_number().over(w).alias("i"),
+        F.coalesce(
+            F.sum("a").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("cuma_prev"),
+    )
+    flagged = ranked.crossJoin(tot).select(
+        "source",
+        "a",
+        "i",
+        "cuma_prev",
+        (
+            F.col("a") * (F.col("n") - F.col("i") + 1)
+            <= (F.col("total") * 95).cast("long") / 100 - F.col("cuma_prev")
+        ).alias("capped"),
+        F.expr("total * 95 div 100").alias("budget"),
+        "n",
+    )
+    cut = F.broadcast(
+        flagged.agg(
+            F.count(F.when(F.col("capped"), 1)).alias("n_capped"),
+            F.coalesce(F.sum(F.when(F.col("capped"), F.col("a"))), F.lit(0))
+            .cast("long")
+            .alias("capped_mass"),
+        )
+    )
+    return flagged.crossJoin(cut).select(
+        "source",
+        F.col("a").alias("available_tokens"),
+        F.when(F.col("capped"), F.col("a"))
+        .otherwise(
+            F.expr("(budget - capped_mass) div (n - n_capped)")
+        )
+        .cast("long")
+        .alias("allocated_tokens"),
+        "capped",
     )

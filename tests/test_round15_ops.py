@@ -583,3 +583,53 @@ def test_recall_curve_consistent_with_recall_report(spark):
             assert 0.0 <= r.recall_at_k <= 1.0 and r.n_queries == 5
         want = round(sum(mean10[m]) / len(mean10[m]), 4)
         assert abs(ks[10].recall_at_k - want) < 2e-4, m
+
+
+# ---------------------------------------------------------------------------
+# X205 token-budget waterfill
+# ---------------------------------------------------------------------------
+def test_waterfill_invariants_on_corpus(spark):
+    """Feasibility and optimality invariants: nothing exceeds its
+    capacity, the capped set is exactly the sources below the
+    waterline, every uncapped source gets the same share, and the
+    total allocation exhausts the budget up to integer floor slack
+    (< n tokens)."""
+    from employee_data_management_system_data_engineering_solution_spark.sources.io import read_table
+
+    rows = REGISTRY["token_budget_waterfill"].fn(spark, SF_SMOKE).collect()
+    total = sum(r.available_tokens for r in rows)
+    budget = total * 95 // 100
+    n = len(rows)
+    assert all(r.allocated_tokens <= r.available_tokens for r in rows)
+    uncapped = sorted({r.allocated_tokens for r in rows if not r.capped})
+    assert len(uncapped) <= 1  # one waterline
+    if uncapped:
+        line = uncapped[0]
+        assert all(r.available_tokens <= line or not r.capped for r in rows) \
+            or all(r.allocated_tokens == r.available_tokens for r in rows if r.capped)
+        assert all(r.available_tokens >= line for r in rows if not r.capped)
+    got = sum(r.allocated_tokens for r in rows)
+    assert budget - n < got <= budget
+
+
+def test_waterfill_known_allocation(spark, tmp_path):
+    """A hand-computable corpus: capacities 2/10/10 words, budget
+    floor(22*.95)=20 → the 2-word source caps, the other two split
+    (20-2)//2 = 9 each."""
+    rows = [
+        (1, "a b", "tiny"),
+        (2, " ".join(["w"] * 10), "big1"),
+        (3, " ".join(["v"] * 10), "big2"),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, source STRING"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = {
+        r.source: (r.available_tokens, r.allocated_tokens, r.capped)
+        for r in REGISTRY["token_budget_waterfill"].fn(spark, str(tmp_path)).collect()
+    }
+    assert out == {
+        "tiny": (2, 2, True),
+        "big1": (10, 9, False),
+        "big2": (10, 9, False),
+    }
