@@ -394,7 +394,6 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_class_separation",
     "stream_full_join_events",
     "partition_content_digest",
-    "ann_recall_curve",
     "token_budget_waterfill",
     "epoch_shuffle_shards",
     "source_divergence_report",
@@ -438,6 +437,9 @@ _PRIORITY: tuple[str, ...] = (
     # QUEUE (families covered in-window — see the rotation comment).
     "ann_rank_quality",
     "ann_recall_report",
+    # curve AFTER the report so the report remains the harness-build
+    # payer in registry order (bench per-query cross-round stability)
+    "ann_recall_curve",
     "bpe_merge_table",
     "checkpoint_restart_windowed",
     "corpus_curation_pipeline",
