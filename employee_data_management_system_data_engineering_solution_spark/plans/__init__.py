@@ -84,7 +84,9 @@ from .registry import REGISTRY, register
 #       primitive), ann_recall_curve (X204 — recall@1/5/10 per
 #       method on the shared pinned harness), token_budget_waterfill
 #       (X205 — integer-exact closed-form waterfilling of a token
-#       budget across sources, the mixture EXECUTION step).
+#       budget across sources, the mixture EXECUTION step),
+#       rho_loss_selection (X206 — reducible-loss batch selection,
+#       deployed-vs-trained log-loss difference over the gate stack).
 #   IN (the recorded r15 queue head — the 4 deferred r10-green
 #       queries, verdict ask 1): ivf_topk_multiprobe,
 #       quantized_ivf_topk, quantized_topk_rescore, binary_metadata.
@@ -103,13 +105,13 @@ from .registry import REGISTRY, register
 #       these): epoch_status_clean (reference clean path + ingest
 #       gates), pct_of_quota (reference reports), mann_kendall_trend
 #       (analytics/stats), mmr_diversified_topk_grouped (MMR).
-#   IN (the r15 drain — 21 of the 50-query r11-green cohort, verdict
+#   IN (the r15 drain — 20 of the 50-query r11-green cohort, verdict
 #       ask 1; includes ann_recall_report + ann_rank_quality, whose
 #       HASH CHANGED this round with the mrl_funnel_p16 + bq_hamming +
 #       bq_ivf method rows, and neardup_prune, whose oracle moved to
 #       NOT EXISTS): ann_incremental_admission …
 #       top3_orders_per_customer (see _PRIORITY).
-# R16 QUEUE: the 29 deferred r11-green queries (8 of them re-proven
+# R16 QUEUE: the 30 deferred r11-green queries (8 of them re-proven
 # green by the judge's own out-of-window r14 oracle run:
 # quality_score, benchmark_decontamination, daily_pipeline,
 # status_pivot_report, cube_order_stats, salary_rank_analytics,
@@ -121,8 +123,8 @@ from .registry import REGISTRY, register
 # gopher_repetition_report, join_key_skew_report, ngram_jaccard_pairs,
 # stratified_sample, hard_negative_mining, embedding_dim_profile,
 # cross_split_leakage, ann_incremental_admission, cdc_log_replay,
-# constraint_quarantine, salary_percentiles —
-# the last eleven yielded their slots to the X195–X205 newcomers;
+# constraint_quarantine, salary_percentiles, rollup_revenue —
+# the last twelve yielded their slots to the X195–X206 newcomers;
 # families stay covered in-window by lang_id, partition_pruned_report,
 # dedup_clusters_star, and token_mixture_plan respectively (the other
 # five carry no FAMILY_CARRIERS slot; retrieval stays covered by
@@ -395,6 +397,7 @@ _PRIORITY: tuple[str, ...] = (
     "stream_full_join_events",
     "partition_content_digest",
     "token_budget_waterfill",
+    "rho_loss_selection",
     "epoch_shuffle_shards",
     "source_divergence_report",
     "perplexity_partition_report",
@@ -421,17 +424,17 @@ _PRIORITY: tuple[str, ...] = (
     "pct_of_quota",  # reference_reports
     "mann_kendall_trend",  # analytics_stats
     "mmr_diversified_topk_grouped",  # mmr_diversification
-    # r15 drain: 21 of the 50-query r11-green cohort (ask 1).
+    # r15 drain: 20 of the 50-query r11-green cohort (ask 1).
     # ann_recall_report / ann_rank_quality carry the NEW
     # mrl_funnel_p16 + bq_hamming method rows (hash changed this
     # round); neardup_prune carries the NOT EXISTS oracle rewrite.
-    # The 29 deferrals (incl. unicode_script_profile,
+    # The 30 deferrals (incl. unicode_script_profile,
     # gopher_repetition_report, join_key_skew_report,
     # ngram_jaccard_pairs, stratified_sample, hard_negative_mining,
     # embedding_dim_profile, cross_split_leakage,
     # ann_incremental_admission, cdc_log_replay,
-    # constraint_quarantine, salary_percentiles —
-    # which yielded their slots to the X194–X205 newcomers; their families stay covered
+    # constraint_quarantine, salary_percentiles, rollup_revenue —
+    # which yielded their slots to the X194–X206 newcomers; their families stay covered
     # in-window by lang_id, partition_pruned_report,
     # dedup_clusters_star, and token_mixture_plan) ride the R16
     # QUEUE (families covered in-window — see the rotation comment).
@@ -453,7 +456,6 @@ _PRIORITY: tuple[str, ...] = (
     "part_covisitation_topk",
     "partition_pruned_report",
     "q1_pricing_summary",
-    "rollup_revenue",
     "scd2_merge",
     "stream_static_enrich",
     "strike_stream_from_wire",

@@ -792,6 +792,152 @@ def gate_trained_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("model")
 
 
+def _rho_loss_sql(k: int = _GATE_TRAIN_ROUNDS, eta: float = _GATE_TRAIN_ETA) -> str:
+    """X206 oracle: the shared trainer round CTEs fit on the train
+    split, then BOTH models score that same split per doc and the
+    top-20 by reducible loss (pinned − trained, clamped log-loss,
+    6 dp) is selected with the doc_id tiebreak."""
+    sql = _GATE_STATS_CTE + r""",
+    f AS MATERIALIZED (
+      SELECT hits / greatest(wc, 1) AS f1,
+             np / greatest(nc, 1) AS f2,
+             nsp / greatest(wc, 1) / 10.0 AS f3,
+             least(wc / 100.0, 1.0) AS f4,
+             lab
+      FROM stats WHERE doc_id % 5 <> 0
+    ),
+    wt0 AS (SELECT 0 AS step, 0.0 AS b0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3,
+                   0.0 AS w4, 0.0 AS loss, 0.0 AS acc)"""
+    sql += _gd_round_ctes(k, eta)
+    sql += f""",
+    fd AS (
+      SELECT doc_id, lab,
+             hits / greatest(wc, 1) AS f1,
+             np / greatest(nc, 1) AS f2,
+             nsp / greatest(wc, 1) AS f3r,
+             nsp / greatest(wc, 1) / 10.0 AS f3s,
+             least(wc / 100.0, 1.0) AS f4
+      FROM stats WHERE doc_id % 5 <> 0
+    ),
+    zz AS (
+      SELECT doc_id, lab,
+             -2.2 + 8.0 * f1 + -6.0 * f2 + 0.25 * f3r + 1.5 * f4 AS zp,
+             w.b0 + w.w1 * f1 + w.w2 * f2 + w.w3 * f3s + w.w4 * f4 AS zt
+      FROM fd CROSS JOIN wt{k} w
+    ),
+    ll AS (
+      SELECT doc_id, lab,
+             round(-(lab * ln(greatest(least(1 / (1 + exp(-zp)), 1 - 1e-12), 1e-12))
+                     + (1 - lab) * ln(1 - greatest(least(1 / (1 + exp(-zp)), 1 - 1e-12), 1e-12))),
+                   6) AS loss_pinned,
+             round(-(lab * ln(greatest(least(1 / (1 + exp(-zt)), 1 - 1e-12), 1e-12))
+                     + (1 - lab) * ln(1 - greatest(least(1 / (1 + exp(-zt)), 1 - 1e-12), 1e-12))),
+                   6) AS loss_trained
+      FROM zz
+    )
+    SELECT doc_id, lab AS label, loss_pinned, loss_trained,
+           round(loss_pinned - loss_trained, 6) AS selectability,
+           CAST(rn AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (
+            ORDER BY round(loss_pinned - loss_trained, 6) DESC, doc_id ASC) AS rn
+          FROM ll)
+    WHERE rn <= 20
+    """
+    return sql
+
+
+@register("rho_loss_selection", _rho_loss_sql())
+def rho_loss_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X206: reducible-loss data selection (the RHO-loss shape,
+    Mindermann et al. 2022, adapted to the gate stack's two models):
+    per training candidate, the DEPLOYED model's log-loss (pinned X143
+    weights) minus a freshly-TRAINED reference model's log-loss (the
+    X177 fixed-round GD fit on the train split); the top-20 by that
+    difference are the docs the deployed model gets most wrong AMONG
+    those that are actually learnable — high deployed loss alone
+    selects noise and mislabels (both models fail them, difference ≈
+    0), which is precisely the failure mode loss-based selection has
+    and RHO-loss fixes. The batch-selection primitive of
+    curriculum/active-learning pipelines, composed entirely from the
+    existing gate machinery (X143 serving weights, X177 trainer,
+    X178's split discipline).
+
+    Determinism: the trained weights arrive 6-dp-rounded bit-equal
+    (the X177 pin); both logits are fixed-order IEEE chains; losses
+    clamp p into [1e-12, 1−1e-12] exactly like the trainer and round
+    at 6 dp before the difference, and the selection ranks the
+    ROUNDED selectability with the doc_id tiebreak — no unrounded
+    libm value ever reaches an ordering.
+
+    Scale: training is the X177 shape (one 5-avg map-side aggregate +
+    a 1-row collect per round over a localCheckpointed feature
+    frame); selection is ONE narrow double-scoring projection over
+    the candidate split and a top-20 rank — at 100 TB the rank is a
+    TakeOrdered-style bounded heap, never a global sort
+    materialization."""
+    feats = _gate_features(spark, sf_dir).filter(F.col("doc_id") % 5 != 0)
+    train = (
+        feats.select(
+            F.col("label").alias("lab"),
+            "f1",
+            "f2",
+            (F.col("f3") / 10.0).alias("f3"),
+            "f4",
+        )
+        .localCheckpoint()
+    )
+    rows = _gd_rounds(train)
+    train.unpersist()
+    _, b0, w1, w2, w3, w4, _, _ = rows[-1]
+    z_p = (
+        F.lit(-2.2)
+        + F.lit(8.0) * F.col("f1")
+        + F.lit(-6.0) * F.col("f2")
+        + F.lit(0.25) * F.col("f3")
+        + F.lit(1.5) * F.col("f4")
+    )
+    z_t = (
+        F.lit(b0)
+        + F.lit(w1) * F.col("f1")
+        + F.lit(w2) * F.col("f2")
+        + F.lit(w3) * (F.col("f3") / F.lit(10.0))
+        + F.lit(w4) * F.col("f4")
+    )
+
+    def loss(z):
+        p = F.greatest(
+            F.least(
+                F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), F.lit(1.0 - 1e-12)
+            ),
+            F.lit(1e-12),
+        )
+        y = F.col("label")
+        return F.round(-(y * F.log(p) + (1 - y) * F.log(F.lit(1.0) - p)), 6)
+
+    scored = feats.select(
+        "doc_id",
+        "label",
+        loss(z_p).alias("loss_pinned"),
+        loss(z_t).alias("loss_trained"),
+    ).withColumn(
+        "selectability",
+        F.round(F.col("loss_pinned") - F.col("loss_trained"), 6),
+    )
+    w = Window.orderBy(F.col("selectability").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select(
+            "doc_id",
+            "label",
+            "loss_pinned",
+            "loss_trained",
+            "selectability",
+            "rank",
+        )
+    )
+
+
 @register(
     "decile_lift_report",
     # Score-group bucketing replayed: below-counts from a DESC RANGE
