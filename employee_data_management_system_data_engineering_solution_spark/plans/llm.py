@@ -923,18 +923,20 @@ def rho_loss_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "selectability",
         F.round(F.col("loss_pinned") - F.col("loss_trained"), 6),
     )
+    # TakeOrderedAndProject bounded heap FIRST (the supplier_pagerank
+    # top-k discipline — a global rank window would single-partition
+    # the candidate split), then the rank stamp runs over 20 rows
+    cut = scored.orderBy(
+        F.col("selectability").desc(), F.col("doc_id").asc()
+    ).limit(20)
     w = Window.orderBy(F.col("selectability").desc(), F.col("doc_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 20)
-        .select(
-            "doc_id",
-            "label",
-            "loss_pinned",
-            "loss_trained",
-            "selectability",
-            "rank",
-        )
+    return cut.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id",
+        "label",
+        "loss_pinned",
+        "loss_trained",
+        "selectability",
+        "rank",
     )
 
 

@@ -630,3 +630,13 @@ def test_cross_source_dup_matrix_digest_join(spark):
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
     assert "BroadcastExchange" in plan
     assert "Window" not in plan and "Python" not in plan
+
+
+def test_rho_loss_selection_bounded_topk_heap(spark):
+    """The top-20 cut must be TakeOrderedAndProject (bounded heap);
+    the rank window runs only over the 20-row result — a global rank
+    window over the candidate split would single-partition it (the
+    supplier_pagerank discipline)."""
+    plan = plan_of(REGISTRY["rho_loss_selection"].fn(spark, SF), mode="simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "Python" not in plan
