@@ -86,7 +86,9 @@ from .registry import REGISTRY, register
 #       (X205 — integer-exact closed-form waterfilling of a token
 #       budget across sources, the mixture EXECUTION step),
 #       rho_loss_selection (X206 — reducible-loss batch selection,
-#       deployed-vs-trained log-loss difference over the gate stack).
+#       deployed-vs-trained log-loss difference over the gate stack),
+#       sliding_window_counts (X207 — watermarked sliding-window
+#       counts, the overlap tier tumbling windows cannot express).
 #   IN (the recorded r15 queue head — the 4 deferred r10-green
 #       queries, verdict ask 1): ivf_topk_multiprobe,
 #       quantized_ivf_topk, quantized_topk_rescore, binary_metadata.
@@ -105,13 +107,13 @@ from .registry import REGISTRY, register
 #       these): epoch_status_clean (reference clean path + ingest
 #       gates), pct_of_quota (reference reports), mann_kendall_trend
 #       (analytics/stats), mmr_diversified_topk_grouped (MMR).
-#   IN (the r15 drain — 20 of the 50-query r11-green cohort, verdict
+#   IN (the r15 drain — 19 of the 50-query r11-green cohort, verdict
 #       ask 1; includes ann_recall_report + ann_rank_quality, whose
 #       HASH CHANGED this round with the mrl_funnel_p16 + bq_hamming +
 #       bq_ivf method rows, and neardup_prune, whose oracle moved to
 #       NOT EXISTS): ann_incremental_admission …
 #       top3_orders_per_customer (see _PRIORITY).
-# R16 QUEUE: the 30 deferred r11-green queries (8 of them re-proven
+# R16 QUEUE: the 31 deferred r11-green queries (8 of them re-proven
 # green by the judge's own out-of-window r14 oracle run:
 # quality_score, benchmark_decontamination, daily_pipeline,
 # status_pivot_report, cube_order_stats, salary_rank_analytics,
@@ -123,8 +125,9 @@ from .registry import REGISTRY, register
 # gopher_repetition_report, join_key_skew_report, ngram_jaccard_pairs,
 # stratified_sample, hard_negative_mining, embedding_dim_profile,
 # cross_split_leakage, ann_incremental_admission, cdc_log_replay,
-# constraint_quarantine, salary_percentiles, rollup_revenue —
-# the last twelve yielded their slots to the X195–X206 newcomers;
+# constraint_quarantine, salary_percentiles, rollup_revenue,
+# corpus_curation_pipeline —
+# the last thirteen yielded their slots to the X195–X207 newcomers;
 # families stay covered in-window by lang_id, partition_pruned_report,
 # dedup_clusters_star, and token_mixture_plan respectively (the other
 # five carry no FAMILY_CARRIERS slot; retrieval stays covered by
@@ -398,6 +401,7 @@ _PRIORITY: tuple[str, ...] = (
     "partition_content_digest",
     "token_budget_waterfill",
     "rho_loss_selection",
+    "sliding_window_counts",
     "epoch_shuffle_shards",
     "source_divergence_report",
     "perplexity_partition_report",
@@ -424,17 +428,18 @@ _PRIORITY: tuple[str, ...] = (
     "pct_of_quota",  # reference_reports
     "mann_kendall_trend",  # analytics_stats
     "mmr_diversified_topk_grouped",  # mmr_diversification
-    # r15 drain: 20 of the 50-query r11-green cohort (ask 1).
+    # r15 drain: 19 of the 50-query r11-green cohort (ask 1).
     # ann_recall_report / ann_rank_quality carry the NEW
     # mrl_funnel_p16 + bq_hamming method rows (hash changed this
     # round); neardup_prune carries the NOT EXISTS oracle rewrite.
-    # The 30 deferrals (incl. unicode_script_profile,
+    # The 31 deferrals (incl. unicode_script_profile,
     # gopher_repetition_report, join_key_skew_report,
     # ngram_jaccard_pairs, stratified_sample, hard_negative_mining,
     # embedding_dim_profile, cross_split_leakage,
     # ann_incremental_admission, cdc_log_replay,
-    # constraint_quarantine, salary_percentiles, rollup_revenue —
-    # which yielded their slots to the X194–X206 newcomers; their families stay covered
+    # constraint_quarantine, salary_percentiles, rollup_revenue,
+    # corpus_curation_pipeline —
+    # which yielded their slots to the X194–X207 newcomers; their families stay covered
     # in-window by lang_id, partition_pruned_report,
     # dedup_clusters_star, and token_mixture_plan) ride the R16
     # QUEUE (families covered in-window — see the rotation comment).
@@ -445,7 +450,6 @@ _PRIORITY: tuple[str, ...] = (
     "ann_recall_curve",
     "bpe_merge_table",
     "checkpoint_restart_windowed",
-    "corpus_curation_pipeline",
     "dedup_clusters_star",
     "doc_chunks",
     "event_transitions",

@@ -309,6 +309,36 @@ def strike_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sliding_window_counts",
+    """
+    WITH f AS (SELECT ts FROM events WHERE event_type = 'error'),
+    w AS (
+      SELECT time_bucket(INTERVAL 15 MINUTE, ts) - k * INTERVAL 15 MINUTE
+               AS wstart
+      FROM f CROSS JOIN (VALUES (0), (1), (2), (3)) t(k)
+    )
+    SELECT CAST(CAST(wstart AS TIMESTAMP) AS VARCHAR) AS window_start,
+           CAST(CAST(wstart + INTERVAL 1 HOUR AS TIMESTAMP) AS VARCHAR)
+             AS window_end,
+           count(*) AS n_flagged
+    FROM w GROUP BY 1, 2
+    """,
+)
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X207: watermarked SLIDING-window counts (1-hour windows every
+    15 minutes) through real Structured Streaming — the overlap tier
+    the tumbling carrier (strike_window_counts) cannot express: each
+    flagged event lands in exactly duration/slide = 4 windows, giving
+    the smooth trend surface an alerting monitor reads. The oracle is
+    the batch multi-assignment: every event exploded onto its 4
+    epoch-aligned window starts (time_bucket − k·slide, the same
+    alignment Spark's window() computes) and counted."""
+    from ..streaming.strikes import run_sliding_window_counts
+
+    return run_sliding_window_counts(spark, sf_dir)
+
+
+@register(
     "partition_pruned_report",
     """
     SELECT l_returnflag,

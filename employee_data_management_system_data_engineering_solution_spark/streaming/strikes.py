@@ -230,6 +230,47 @@ def run_windowed_flag_stream(
     )
 
 
+def run_sliding_window_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    window_duration: str = "1 hour",
+    slide_duration: str = "15 minutes",
+    watermark_delay: str = "1 day",
+    state_partitions: int = 4,
+) -> DataFrame:
+    """Watermarked SLIDING-window flagged-event counts — the window
+    tier the tumbling carrier cannot express: each event contributes
+    to duration/slide (= 4) overlapping windows, so the count surface
+    is a smooth 15-minute-granularity trend instead of disjoint
+    buckets (the shape an alerting monitor reads). Spark implements
+    the multi-assignment with the same Expand machinery as CUBE;
+    state is one row per open (window, key) and watermark eviction
+    closes duration/slide windows per slide tick.
+
+    Returns (window_start, window_end, n_flagged) as a batch frame;
+    the post-stream MAX collapse keeps the latest emission per window
+    should the replay split into micro-batches."""
+    from .replay import replayed_events
+
+    with replayed_events(spark, sf_dir, state_partitions) as (stream, run):
+        flagged = stream.filter(flagged_expr()).select("ts")
+        agg = (
+            flagged.withWatermark("ts", watermark_delay)
+            .groupBy(F.window("ts", window_duration, slide_duration).alias("w"))
+            .agg(F.count("*").alias("n_flagged"))
+        )
+        out = run(agg, "sliding_window_sink")
+    return (
+        out.groupBy("w")
+        .agg(F.max("n_flagged").alias("n_flagged"))
+        .select(
+            F.col("w.start").cast("string").alias("window_start"),
+            F.col("w.end").cast("string").alias("window_end"),
+            "n_flagged",
+        )
+    )
+
+
 def run_dedup_stream(
     spark: SparkSession,
     sf_dir: str,

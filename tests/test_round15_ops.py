@@ -673,3 +673,30 @@ def test_rho_loss_separates_learnable_from_noise(spark):
     n = feats.count()
     assert n > 20
     assert sel_mean > 0  # the trained model beats pinned on the selected docs
+
+
+# ---------------------------------------------------------------------------
+# X207 sliding-window counts
+# ---------------------------------------------------------------------------
+def test_sliding_window_multiplicity_and_span(spark):
+    """Every flagged event contributes to exactly duration/slide = 4
+    overlapping windows (Σ counts = 4 × flagged events), every window
+    spans exactly 1 hour on a 15-minute-aligned start, and no window
+    is empty (only materialized groups emit)."""
+    from datetime import datetime
+
+    from employee_data_management_system_data_engineering_solution_spark.sources.io import read_table
+
+    rows = REGISTRY["sliding_window_counts"].fn(spark, SF_SMOKE).collect()
+    n_flagged = (
+        read_table(spark, SF_SMOKE, "events")
+        .filter(F.col("event_type") == "error")
+        .count()
+    )
+    assert sum(r.n_flagged for r in rows) == 4 * n_flagged
+    for r in rows:
+        assert r.n_flagged > 0
+        ws = datetime.fromisoformat(r.window_start)
+        we = datetime.fromisoformat(r.window_end)
+        assert (we - ws).total_seconds() == 3600
+        assert ws.minute % 15 == 0 and ws.second == 0
