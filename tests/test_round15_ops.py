@@ -700,3 +700,58 @@ def test_sliding_window_multiplicity_and_span(spark):
         we = datetime.fromisoformat(r.window_end)
         assert (we - ws).total_seconds() == 3600
         assert ws.minute % 15 == 0 and ws.second == 0
+
+
+def test_waterfill_matches_iterative_reference_on_random_capacities(spark, tmp_path):
+    """The one-shot sorted-prefix cap test must agree with the naive
+    ITERATIVE waterfilling algorithm (repeatedly cap any source whose
+    capacity is below the current even share and redistribute) on a
+    batch of seeded random capacity profiles — including all-capped,
+    none-capped, and tie-heavy shapes."""
+    import random
+
+    def reference(caps: dict, budget: int) -> dict:
+        # iterative waterfill with integer floor shares
+        alloc = {}
+        live = dict(caps)
+        b = budget
+        while live:
+            share = b // len(live)
+            capped = {s: a for s, a in live.items() if a <= share}
+            if not capped:
+                # final even split among survivors (floor)
+                for s in live:
+                    alloc[s] = share
+                return alloc
+            for s, a in capped.items():
+                alloc[s] = a
+                b -= a
+                del live[s]
+        return alloc
+
+    rng = random.Random(1517)
+    for trial in range(6):
+        n_src = rng.randint(2, 7)
+        caps = {}
+        rows = []
+        doc_id = 0
+        for i in range(n_src):
+            # tie-heavy: draw from a tiny support so equal capacities occur
+            c = rng.choice([1, 2, 3, 5, 8, 20, 40])
+            caps[f"s{i}"] = c
+            words = " ".join(f"w{j}" for j in range(c))
+            rows.append((doc_id, words, f"s{i}"))
+            doc_id += 1
+        spark.createDataFrame(
+            rows, "doc_id LONG, text STRING, source STRING"
+        ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+        total = sum(caps.values())
+        budget = total * 95 // 100
+        want = reference(caps, budget)
+        got = {
+            r.source: r.allocated_tokens
+            for r in REGISTRY["token_budget_waterfill"].fn(
+                spark, str(tmp_path)
+            ).collect()
+        }
+        assert got == want, (trial, caps, budget, got, want)
