@@ -71,8 +71,10 @@ FAMILY_CARRIERS: dict[str, set[str]] = {
         "session_window_counts", "stream_dedup_counts",
         "stream_left_join_events", "streaming_upsert_dim",
         "events_in_error_windows",
-        # r15: the stream-static join is a streaming-join carrier
-        "stream_static_enrich",
+        # r15: the stream-static join is a streaming-join carrier,
+        # the full-outer join and sliding windows are window/join tiers
+        "stream_static_enrich", "stream_full_join_events",
+        "sliding_window_counts",
     },
     "temporal": {
         "purchase_asof_view", "user_survival_km",
@@ -90,6 +92,9 @@ FAMILY_CARRIERS: dict[str, set[str]] = {
         # (the north-star family's own named members)
         "lang_id", "unicode_script_profile",
         "gopher_repetition_report", "quality_score",
+        # r15: per-source divergence and the CCNet perplexity
+        # partition are corpus-level text-analysis reports
+        "source_divergence_report", "perplexity_partition_report",
     },
     "lexical_dedup": {
         "winnow_fingerprint_pairs", "repeated_substring_spans",
@@ -99,6 +104,9 @@ FAMILY_CARRIERS: dict[str, set[str]] = {
         # r15: the large-star/small-star CC variant and the detector
         # scorecard exercise the same pair pipelines end-to-end
         "dedup_clusters_star", "dedup_recall_report",
+        # r15: the cross-source matrix is the per-pair rollup of
+        # exact dedup
+        "cross_source_dup_matrix",
     },
     "graph": {
         "supplier_communities", "supplier_triangles",
@@ -111,6 +119,9 @@ FAMILY_CARRIERS: dict[str, set[str]] = {
         "pq_adc_search", "pq_ivf_search", "embedding_quantize",
         "ivf_topk_multiprobe", "quantized_ivf_topk",
         "quantized_topk_rescore", "kmeans_ivf_assign",
+        # r15: the binary (sign-bit) and MRL compression tiers ride
+        # the same inverted list / coarse-rescore machinery
+        "binary_quantized_topk", "binary_ivf_topk", "matryoshka_ivf_topk",
     },
     "retrieval_rank_eval": {
         "ndcg_mrr_report", "cluster_topic_terms", "bm25_topk",
@@ -129,8 +140,12 @@ FAMILY_CARRIERS: dict[str, set[str]] = {
         "gate_trained_eval", "gate_eval_report",
         "balanced_strata_sample", "domain_mixture_sample",
         # r15: sampling/mixture planning are curation operators
-        # (siblings of balanced_strata_sample / domain_mixture_sample)
+        # (siblings of balanced_strata_sample / domain_mixture_sample);
+        # the shard plan, waterfill allocator, and RHO-loss selection
+        # are the execution half of the same family
         "stratified_sample", "token_mixture_plan",
+        "epoch_shuffle_shards", "token_budget_waterfill",
+        "rho_loss_selection",
     },
     "multimodal": {
         "binary_metadata", "multimodal_frame_stats",
