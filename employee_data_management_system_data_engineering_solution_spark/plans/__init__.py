@@ -127,16 +127,21 @@ from .registry import REGISTRY, register
 # cross_split_leakage, ann_incremental_admission, cdc_log_replay,
 # constraint_quarantine, salary_percentiles, rollup_revenue,
 # corpus_curation_pipeline —
-# the last thirteen yielded their slots to the X195–X207 newcomers;
-# families stay covered in-window by lang_id, partition_pruned_report,
-# dedup_clusters_star, and token_mixture_plan respectively (the other
-# five carry no FAMILY_CARRIERS slot; retrieval stays covered by
-# ann_rank_quality + matryoshka_funnel_topk, ANN by the eight
-# in-window index/quantization carriers, CDC/merge by scd2_merge) — and otherwise by salary_percentiles/
-# top3_orders_per_customer, rollup_revenue/q1_pricing_summary,
-# event_transitions, corpus_curation_pipeline/cdc_log_replay, and
-# json_lines_roundtrip) FIRST, then the stalest r12-green cohort by
-# driver_history.json (47 queries — plan a 2-round drain).
+# the last FOURTEEN yielded their slots to the X195–X207 newcomers.
+# Their families stayed covered in-window as follows:
+# unicode_script_profile + gopher_repetition_report (text_analysis) by
+# lang_id; join_key_skew_report (scale_layout) by
+# partition_pruned_report; ngram_jaccard_pairs (lexical_dedup) by
+# dedup_clusters_star; stratified_sample (learned_gate_curation) by
+# token_mixture_plan; hard_negative_mining (retrieval) by
+# ann_rank_quality + matryoshka_funnel_topk; embedding_dim_profile +
+# ann_incremental_admission (ANN) by the eight in-window
+# index/quantization carriers; cdc_log_replay (CDC/merge) by
+# scd2_merge; the remaining five (cross_split_leakage,
+# constraint_quarantine, salary_percentiles, rollup_revenue,
+# corpus_curation_pipeline) carry no FAMILY_CARRIERS slot of their
+# own) FIRST, then the stalest r12-green cohort by
+# driver_history.json (46 queries — plan a 2-round drain).
 #   OUT (rotated to the tail; every one driver-green ≤3 rounds ago
 #       and guarded by the committed full local runs): the whole r14
 #       window except the three changed-contract keepers.

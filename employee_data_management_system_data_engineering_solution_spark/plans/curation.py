@@ -2783,7 +2783,7 @@ def token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cuma_prev",
         (
             F.col("a") * (F.col("n") - F.col("i") + 1)
-            <= (F.col("total") * 95).cast("long") / 100 - F.col("cuma_prev")
+            <= F.expr("total * 95 div 100") - F.col("cuma_prev")
         ).alias("capped"),
         F.expr("total * 95 div 100").alias("budget"),
         "n",

@@ -556,7 +556,9 @@ def test_content_digest_order_and_layout_independent(spark, tmp_path):
     }
     diff = {b for b in base if dirty[b] != base[b]}
     assert len(diff) == 1
-    assert dirty[diff.pop()][0] == base[next(iter(base))][0] or True  # counts unchanged
+    moved = diff.pop()
+    # only the digest moved — the corrupted bucket's row count is intact
+    assert dirty[moved][0] == base[moved][0]
     assert {b: d[0] for b, d in dirty.items()} == {b: d[0] for b, d in base.items()}
 
 
