@@ -7927,6 +7927,209 @@ def semantic_prune_sampled_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Fixed sample width for the SAMPLED complementarity scorecard: the
+#: shared-id spine is a seeded 1 000-row draw, so BOTH detector tiers
+#: and all five counters are bounded by the sample regardless of
+#: corpus size. 1 000 is the demo knob; production sizes it to the
+#: confidence interval it needs on the removal rates.
+_SEM_SCORECARD_SAMPLE_N = 1000
+
+
+def _sem_scorecard_sampled_sql(n: int = _SEM_SCORECARD_SAMPLE_N) -> str:
+    """Sampled-scorecard oracle: one seeded md5-rank spine over the
+    ids BOTH tiers can score (text and embedding present), then the
+    SAME two removal pipelines as the full scorecard — the lexical
+    n-gram-Jaccard pairs re-pointed at the sample docs (the X180
+    substitution, asserted so fragment drift fails at import) and the
+    within-cluster cosine pairs under centroids TRAINED ON THE SAMPLE
+    (k from the sample size, the corpus-k formula)."""
+    assert _PAIRS_ORACLE.count("FROM documents") == 1, "fragment drifted"
+    lex = _PAIRS_ORACLE.replace("FROM documents", "FROM ssdocs")
+    return f"""
+    WITH RECURSIVE spine AS (
+      SELECT doc_id, text, emb FROM (
+        SELECT d.doc_id, d.text, CAST(e.embedding AS DOUBLE[]) AS emb
+        FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+        WHERE d.doc_id IS NOT NULL AND d.text IS NOT NULL
+          AND e.embedding IS NOT NULL
+        ORDER BY md5('ssc:' || CAST(d.doc_id AS VARCHAR)), d.doc_id
+        LIMIT {n})
+    ),
+    ssdocs AS (SELECT doc_id, text FROM spine),
+    sv AS (SELECT doc_id AS vec_id, emb AS e FROM spine),
+    kparam AS (
+      SELECT GREATEST({_SEM_K_MIN}, LEAST({_SEM_K_MAX},
+               CAST(CEIL(count(*) / {_SEM_TARGET_CLUSTER}.0) AS INTEGER))) AS kk
+      FROM sv
+    ),
+    c1 AS (SELECT pivot_id, pv FROM (
+      SELECT vec_id AS pivot_id, e AS pv,
+             row_number() OVER (ORDER BY vec_id) AS rn FROM sv)
+      WHERE rn <= (SELECT kk FROM kparam)),
+    {_km_assign_cte("sv", "c1", "a1")},
+    {_km_recompute_cte("a1", "c2")},
+    {_km_assign_cte("sv", "c2", "a2")},
+    {_km_recompute_cte("a2", "c3")},
+    {_km_assign_cte("sv", "c3", "af")},
+    sp AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM af a JOIN af b
+        ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+      WHERE {_SEM_PAIR_COS} >= 0.4
+    ),
+    lp AS (SELECT id_a, id_b FROM ({lex})),
+    {_semantic_cc_ctes("sp", "s_")},
+    {_semantic_cc_ctes("lp", "l_")},
+    bothr AS (
+      SELECT s.doc_id FROM s_removed s JOIN l_removed l USING (doc_id)
+    ),
+    m AS (
+      SELECT 'lexical_jaccard_j50' AS method,
+             (SELECT count(*) FROM spine) AS n_docs,
+             (SELECT count(*) FROM l_removed) AS n_removed
+      UNION ALL
+      SELECT 'semantic_cosine_c40' AS method,
+             (SELECT count(*) FROM spine) AS n_docs,
+             (SELECT count(*) FROM s_removed) AS n_removed
+    )
+    SELECT method,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_removed AS BIGINT) AS n_removed,
+           CAST((SELECT count(*) FROM bothr) AS BIGINT) AS n_removed_both,
+           CAST(n_removed - (SELECT count(*) FROM bothr) AS BIGINT)
+             AS n_removed_only,
+           CASE WHEN n_docs > 0
+                THEN round(CAST(n_removed AS DOUBLE) / n_docs, 6)
+           END AS removal_rate
+    FROM m
+    ORDER BY method
+    """
+
+
+@register("semantic_scorecard_sampled", _sem_scorecard_sampled_sql())
+def semantic_scorecard_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X208: the SCALE-SAFE complementarity scorecard — the same
+    semantic-vs-lexical removal measurement as semantic_prune_scorecard
+    (X189), run on a seeded fixed-n id sample instead of the full
+    corpus (the X180 pattern the full dedup scorecard already has).
+    The full scorecard's residual superlinearity is the lexical tier's
+    verified-pairs payer on duplicate-heavy corpora (its 10x replica
+    shape is 5.3x — pair output grows with duplicate density); at
+    100 TB the COMPLEMENTARITY measurement must be runnable without
+    paying both full dedup tiers, and a fixed-size sample makes its
+    cost independent of corpus size while still exercising both
+    detector pipelines end to end.
+
+    Sample rule (the X126 md5-rank discipline): one spine over the ids
+    BOTH tiers can score — text present AND embedding present, the
+    same id domain the full scorecard intersects implicitly — ordered
+    by ``md5('ssc:' || doc_id)`` (doc_id tiebreak) and cut at 1 000.
+    Both tiers then run ON the sample: lexical = n-gram-Jaccard ≥ 0.5
+    verified pairs → min-label CC → non-representatives; semantic =
+    centroids TRAINED ON THE SAMPLE (k from the sample size via the
+    corpus-k formula — the X193 bounded-training discipline), cosine
+    ≥ 0.4 within-cluster pairs → CC → non-representatives. Counters
+    and column names match the full scorecard exactly, so
+    full-vs-sampled agreement is a join on `method`.
+
+    Caveat stated where the number is read: a fixed-n sample measures
+    removal rates on pair density AS SAMPLED — duplicate clusters
+    larger than the sample are truncated, which is the standard
+    corpus-size-independent-QA trade. Agreement with the full
+    scorecard's direction on a planted-duplicate corpus is pinned in
+    tests/test_round16_ops.py.
+
+    Plan shape: ONE global top-1000 TakeOrdered over the joined id
+    spine (ids + 32-hex ranks — the only corpus-sized work); the
+    spine is localCheckpointed once and every downstream frame —
+    Lloyd's rounds, both pair generators, both CC passes, the five
+    1-row counters — is bounded by the sample, so the 10x corpus
+    shape is ~flat (BENCH_SCALE.md)."""
+    docs = read_table(spark, sf_dir, "documents")
+    emb = _live_embeddings(spark, sf_dir)
+    spine = (
+        docs.filter(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+        .select("doc_id", "text")
+        .join(
+            emb.select(F.col("vec_id").alias("doc_id"), "embedding"),
+            "doc_id",
+        )
+        .select(
+            "doc_id",
+            "text",
+            "embedding",
+            F.md5(
+                F.concat(F.lit("ssc:"), F.col("doc_id").cast("string"))
+            ).alias("__rk"),
+        )
+        .orderBy(F.col("__rk").asc(), F.col("doc_id").asc())
+        .limit(_SEM_SCORECARD_SAMPLE_N)
+        .drop("__rk")
+        .localCheckpoint(eager=True)
+    )
+    sample_emb = spine.select(F.col("doc_id").alias("vec_id"), "embedding")
+    k = _semantic_k(spine.count())
+    cents = similarity.kmeans_iterate(sample_emb, k=k, iters=2, dim=64)
+    sem_removed = (
+        connected_components(
+            similarity.cosine_neardup_pairs(sample_emb, cents, threshold=0.4),
+            src="id_a",
+            dst="id_b",
+        )
+        .filter(F.col("node") != F.col("component"))
+        .select(F.col("node").alias("doc_id"))
+    )
+    lex_removed = (
+        connected_components(
+            dedup.ngram_jaccard_pairs(
+                spine.select("doc_id", "text"),
+                "doc_id",
+                "text",
+                n=5,
+                min_jaccard=0.5,
+            ),
+            src="id_a",
+            dst="id_b",
+        )
+        .filter(F.col("node") != F.col("component"))
+        .select(F.col("node").alias("doc_id"))
+    )
+    both = F.broadcast(
+        sem_removed.join(lex_removed, "doc_id").agg(
+            F.count(F.lit(1)).alias("n_removed_both")
+        )
+    )
+    n_docs = F.broadcast(spine.agg(F.count(F.lit(1)).alias("n_docs")))
+
+    def method_row(method: str, removed: DataFrame) -> DataFrame:
+        return (
+            removed.agg(F.count(F.lit(1)).alias("n_removed"))
+            .crossJoin(both)
+            .crossJoin(n_docs)
+            .select(
+                F.lit(method).alias("method"),
+                F.col("n_docs").cast("long").alias("n_docs"),
+                F.col("n_removed").cast("long").alias("n_removed"),
+                F.col("n_removed_both").cast("long").alias("n_removed_both"),
+                (F.col("n_removed") - F.col("n_removed_both"))
+                .cast("long")
+                .alias("n_removed_only"),
+                F.when(
+                    F.col("n_docs") > 0,
+                    F.round(
+                        F.col("n_removed").cast("double") / F.col("n_docs"), 6
+                    ),
+                ).alias("removal_rate"),
+            )
+        )
+
+    return (
+        method_row("lexical_jaccard_j50", lex_removed)
+        .unionByName(method_row("semantic_cosine_c40", sem_removed))
+        .orderBy("method")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Matryoshka truncation recall (X190)
 # ---------------------------------------------------------------------------
