@@ -4059,6 +4059,197 @@ def ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: (method, nprobe, coarse bytes/vector, rescore shortlist cap) for
+#: every harness method — the exact knobs the ten searches run with
+#: (nprobe 0 = flat scan; caps are k x rescore_factor; bytes model the
+#: production layout: full f32 = 64x4, SQ8/MRL-p16 = 64, PQ m=8 codes
+#: = 8, sign-bit = 64/8). A pytest pin asserts this table stays in
+#: lockstep with the harness method list.
+_ANN_COST_SPEC: tuple[tuple[str, int, int, int], ...] = (
+    ("ivf", 1, 256, 0),
+    ("ivf_multiprobe", 2, 256, 0),
+    ("sq8_flat", 0, 64, 30),
+    ("sq8_ivf", 2, 64, 30),
+    ("pq_adc", 0, 8, 100),
+    ("pq_ivf", 2, 8, 100),
+    ("mrl_funnel_p16", 0, 64, 30),
+    ("mrl_ivf_p16", 2, 64, 30),
+    ("bq_hamming", 0, 8, 30),
+    ("bq_ivf", 2, 8, 30),
+)
+
+_ANN_COST_SPEC_SQL = ",\n    ".join(
+    f"('{m}', {np}, {cb}, {cap})" for m, np, cb, cap in _ANN_COST_SPEC
+)
+
+
+@register(
+    "ann_cost_frontier",
+    f"""
+    WITH {_ANN_EVAL_CTES},
+    nstat AS (SELECT count(*) AS n FROM v),
+    csize AS (SELECT cluster_id, count(*) AS cn FROM assigned GROUP BY 1),
+    pqc AS (
+      SELECT qp.query_id,
+             sum(CASE WHEN qp.probe_rank = 1 THEN cs.cn ELSE 0 END) - 1 AS c1,
+             sum(cs.cn) - 1 AS c2
+      FROM qprobe qp JOIN csize cs USING (cluster_id)
+      GROUP BY qp.query_id
+    ),
+    spec AS (
+      SELECT * FROM (VALUES
+        {_ANN_COST_SPEC_SQL}
+      ) AS t(method, np, coarse_b, cap)
+    ),
+    cands AS (
+      SELECT s.method, s.np, s.coarse_b, s.cap, p.query_id,
+             CASE s.np WHEN 0 THEN (SELECT n FROM nstat) - 1
+                       WHEN 1 THEN p.c1 ELSE p.c2 END AS cc
+      FROM spec s CROSS JOIN pqc p
+    ),
+    cost AS (
+      SELECT method, np, coarse_b,
+             CAST(count(*) AS BIGINT) AS nq,
+             CAST(sum(cc) AS BIGINT) AS coarse_cands,
+             CAST(sum(LEAST(cc, cap)) AS BIGINT) AS rescore_cands,
+             CAST(sum(cc * coarse_b + LEAST(cc, cap) * 256) AS BIGINT)
+               AS total_bytes
+      FROM cands GROUP BY method, np, coarse_b
+    ),
+    rec AS (
+      SELECT m.method, count(t.neighbor_id) AS hits
+      FROM allm m LEFT JOIN truth t
+        ON t.query_id = m.query_id AND t.neighbor_id = m.neighbor_id
+      GROUP BY m.method
+    )
+    SELECT c.method,
+           CAST(c.np AS INT) AS nprobe,
+           CAST(c.coarse_b AS INT) AS coarse_bytes_per_vec,
+           c.nq AS n_queries,
+           c.coarse_cands,
+           c.rescore_cands,
+           CAST(c.total_bytes // c.nq AS BIGINT) AS bytes_per_query,
+           round(r.hits / (10.0 * c.nq), 4) AS recall_at_10,
+           round(round(r.hits / (10.0 * c.nq), 4) * 1000000000
+                 / (c.total_bytes // c.nq), 4) AS recall_per_gb
+    FROM cost c JOIN rec r ON r.method = c.method
+    ORDER BY c.method
+    """,
+)
+def ann_cost_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X209: the accuracy-vs-cost FRONTIER over the ten-method eval
+    harness — per method, the exact bytes a query scans (the number a
+    100 TB serving config is actually sized by) joined against its
+    measured recall@10, ranked as recall-per-gigabyte-scanned. The
+    recall reports say which method is most accurate; this says which
+    is most accurate PER BYTE, which is the decision axis once the
+    index no longer fits in memory.
+
+    The cost axis is computed EXACTLY, not sampled: coarse candidates
+    per query are the corpus size minus self for flat methods and the
+    probed inverted-list sizes minus self for IVF methods (the same
+    qprobe x cluster-size join the searches themselves run); rescore
+    candidates are min(coarse, k x rescore_factor); bytes follow the
+    production storage widths per vector touched — full f32 256 B,
+    SQ8/MRL-prefix 64 B, PQ codes 8 B, sign-bit words 8 B — with the
+    exact rescore always reading full 256 B vectors. Constant
+    per-query costs shared by every method (pivot scoring, the PQ
+    query LUT) are excluded; recall comes from the same memoized
+    truth/ranked frames as the other three measurements, so the
+    frontier is near-free warm.
+
+    Everything is integer arithmetic until the two final rounded
+    ratios (recall and recall/GB), so the report hashes exactly
+    cross-engine.
+
+    Scale: ONE corpus assignment pass for the cluster-size table (at
+    100 TB this is the index's existing metadata, not new work), a
+    |queries| x nprobe join against it, and 10 x |queries| rows of
+    arithmetic — the frontier costs nothing beyond the harness it
+    measures."""
+    truth, un = _ann_truth_and_ranked_methods(spark, sf_dir)
+    emb = _live_embeddings(spark, sf_dir)
+    pivots = emb.filter(F.col("vec_id") < 8)
+    queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105))
+    nstat = F.broadcast(emb.agg(F.count(F.lit(1)).alias("n")))
+    sizes = (
+        similarity.assign_clusters(emb, pivots)
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    pqc = (
+        similarity.assign_clusters_multi(queries, pivots, nprobe=2)
+        .select(
+            F.col("vec_id").alias("query_id"), "cluster_id", "probe_rank"
+        )
+        .join(F.broadcast(sizes), "cluster_id")
+        .groupBy("query_id")
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("probe_rank") == 1, F.col("cn")).otherwise(
+                        F.lit(0)
+                    )
+                )
+                - 1
+            ).alias("c1"),
+            (F.sum("cn") - 1).alias("c2"),
+        )
+    )
+    spec = spark.createDataFrame(
+        list(_ANN_COST_SPEC), "method string, np int, coarse_b int, cap int"
+    )
+    cc = (
+        F.when(F.col("np") == 0, F.col("n") - 1)
+        .when(F.col("np") == 1, F.col("c1"))
+        .otherwise(F.col("c2"))
+    )
+    cost = (
+        F.broadcast(spec)
+        .crossJoin(pqc)
+        .crossJoin(nstat)
+        .select("method", "np", "coarse_b", "cap", cc.alias("cc"))
+        .groupBy("method", "np", "coarse_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("nq"),
+            F.sum("cc").cast("long").alias("coarse_cands"),
+            F.sum(F.least(F.col("cc"), F.col("cap")))
+            .cast("long")
+            .alias("rescore_cands"),
+            F.sum(
+                F.col("cc") * F.col("coarse_b")
+                + F.least(F.col("cc"), F.col("cap")) * 256
+            )
+            .cast("long")
+            .alias("total_bytes"),
+        )
+    )
+    rec = (
+        un.join(F.broadcast(truth), ["query_id", "neighbor_id"], "left")
+        .groupBy("method")
+        .agg(F.count("__hit").alias("hits"))
+    )
+    recall = F.round(F.col("hits") / (F.lit(10.0) * F.col("nq")), 4)
+    bpq = F.expr("total_bytes div nq")
+    return (
+        cost.join(F.broadcast(rec), "method")
+        .select(
+            "method",
+            F.col("np").cast("int").alias("nprobe"),
+            F.col("coarse_b").cast("int").alias("coarse_bytes_per_vec"),
+            F.col("nq").alias("n_queries"),
+            "coarse_cands",
+            "rescore_cands",
+            bpq.cast("long").alias("bytes_per_query"),
+            recall.alias("recall_at_10"),
+            F.round(recall * F.lit(1000000000) / bpq, 4).alias(
+                "recall_per_gb"
+            ),
+        )
+        .orderBy("method")
+    )
+
+
 @register(
     "embedding_neardup_pairs",
     f"""
@@ -8708,6 +8899,7 @@ _EMB_NULL_CONTRACT = (
     "ann_recall_report",
     "ann_rank_quality",
     "ann_recall_curve",
+    "ann_cost_frontier",
     "embedding_neardup_pairs",
     "pq_adc_search",
     "pq_ivf_search",
