@@ -940,6 +940,240 @@ def rho_loss_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: DoReMi update temperature: weights move as share x exp(eta x
+#: excess). 0.5 keeps exp() comfortably inside DECIMAL(18,6) for any
+#: clamped log-loss excess (<= e^13.8 ~ 1e6) and is the
+#: one-step-update demo knob; production tunes it per round.
+_DOREMI_ETA = 0.5
+
+
+def _doremi_sql(k: int = _GATE_TRAIN_ROUNDS, eta: float = _GATE_TRAIN_ETA) -> str:
+    """X210 oracle: the shared trainer-round CTEs fit on the train
+    split, both models score that split per doc (the X206 loss chain),
+    per-doc clamped excess loss rolls up per SOURCE in exact
+    DECIMAL(12,6), and the one-step multiplicative reweight
+    n_tokens x round(exp(eta x mean_excess), 6) normalizes over the
+    exact decimal total."""
+    sql = _GATE_STATS_CTE + r""",
+    f AS MATERIALIZED (
+      SELECT hits / greatest(wc, 1) AS f1,
+             np / greatest(nc, 1) AS f2,
+             nsp / greatest(wc, 1) / 10.0 AS f3,
+             least(wc / 100.0, 1.0) AS f4,
+             lab
+      FROM stats WHERE doc_id % 5 <> 0
+    ),
+    wt0 AS (SELECT 0 AS step, 0.0 AS b0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3,
+                   0.0 AS w4, 0.0 AS loss, 0.0 AS acc)"""
+    sql += _gd_round_ctes(k, eta)
+    sql += f""",
+    fd AS (
+      SELECT doc_id, lab, wc,
+             hits / greatest(wc, 1) AS f1,
+             np / greatest(nc, 1) AS f2,
+             nsp / greatest(wc, 1) AS f3r,
+             nsp / greatest(wc, 1) / 10.0 AS f3s,
+             least(wc / 100.0, 1.0) AS f4
+      FROM stats WHERE doc_id % 5 <> 0
+    ),
+    zz AS (
+      SELECT doc_id, lab, wc,
+             -2.2 + 8.0 * f1 + -6.0 * f2 + 0.25 * f3r + 1.5 * f4 AS zp,
+             w.b0 + w.w1 * f1 + w.w2 * f2 + w.w3 * f3s + w.w4 * f4 AS zt
+      FROM fd CROSS JOIN wt{k} w
+    ),
+    ll AS (
+      SELECT doc_id, wc,
+             round(-(lab * ln(greatest(least(1 / (1 + exp(-zp)), 1 - 1e-12), 1e-12))
+                     + (1 - lab) * ln(1 - greatest(least(1 / (1 + exp(-zp)), 1 - 1e-12), 1e-12))),
+                   6) AS loss_pinned,
+             round(-(lab * ln(greatest(least(1 / (1 + exp(-zt)), 1 - 1e-12), 1e-12))
+                     + (1 - lab) * ln(1 - greatest(least(1 / (1 + exp(-zt)), 1 - 1e-12), 1e-12))),
+                   6) AS loss_trained
+      FROM zz
+    ),
+    src AS (SELECT doc_id, source FROM documents),
+    ex AS (
+      SELECT s.source, l.wc,
+             CAST(greatest(round(l.loss_pinned - l.loss_trained, 6), 0)
+                  AS DECIMAL(12,6)) AS excess
+      FROM ll l JOIN src s USING (doc_id)
+    ),
+    agg AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(wc) AS BIGINT) AS n_tokens,
+             round(CAST(sum(excess) AS DOUBLE) / count(*), 6) AS mean_excess
+      FROM ex GROUP BY 1
+    ),
+    uw AS (
+      SELECT source, n_docs, n_tokens, mean_excess,
+             n_tokens * CAST(round(exp({_DOREMI_ETA} * mean_excess), 6)
+                             AS DECIMAL(18,6)) AS w_raw
+      FROM agg
+    ),
+    tot AS (
+      SELECT CAST(sum(n_tokens) AS BIGINT) AS t_tokens, sum(w_raw) AS t_raw
+      FROM uw
+    )
+    SELECT source, n_docs, n_tokens,
+           mean_excess AS mean_excess_loss,
+           CASE WHEN t_tokens > 0
+                THEN round(CAST(n_tokens AS DOUBLE) / t_tokens, 6)
+           END AS natural_share,
+           CASE WHEN CAST(t_raw AS DOUBLE) > 0
+                THEN round(CAST(w_raw AS DOUBLE) / CAST(t_raw AS DOUBLE), 6)
+           END AS doremi_weight,
+           CASE WHEN n_tokens > 0 AND t_tokens > 0
+                THEN round((CAST(w_raw AS DOUBLE) / CAST(t_raw AS DOUBLE))
+                           / (CAST(n_tokens AS DOUBLE) / t_tokens), 6)
+           END AS boost
+    FROM uw CROSS JOIN tot
+    ORDER BY source
+    """
+    return sql
+
+
+@register("doremi_mixture_weights", _doremi_sql())
+def doremi_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X210: excess-loss-driven domain reweighting — the DoReMi shape
+    (Xie et al. 2023) adapted to the gate stack's proxy/reference
+    pair: per training document, the DEPLOYED model's log-loss (pinned
+    X143 weights) minus the freshly-TRAINED reference model's log-loss
+    (the X177 fixed-round GD fit), clamped at zero — the same
+    reducible-loss signal X206 selects BATCHES by, here rolled up per
+    SOURCE as the domain's mean excess loss. Each source's mixture
+    weight then moves multiplicatively off its natural token share:
+    w_i ∝ n_tokens_i x exp(eta x mean_excess_i), normalized. Domains
+    the deployed model finds hard-but-learnable get upweighted;
+    domains where both models agree (noise, or already mastered) keep
+    their natural share. This is the LEARNED counterpart of the
+    temperature mixture (X174): X174 flattens by corpus statistics
+    alone, X210 listens to the models — together with the waterfill
+    allocator (X205) they form the plan half of the mixture loop.
+
+    Determinism: the trained weights arrive 6-dp-rounded bit-equal
+    (the X177 pin); per-doc losses round at 6 dp (the X206 chain);
+    the clamped excess becomes an exact DECIMAL(12,6) so the
+    per-source sum is order-free; exp() rounds at 6 dp into
+    DECIMAL(18,6) and multiplies the exact integer token count, so
+    the normalizer is an exact decimal sum — the final shares are
+    fixed double chains over exact inputs, rounded 6 dp.
+
+    Scale: training is the X177 shape (bounded 1-row collects per
+    round); scoring is one narrow double-scoring projection over the
+    train split; the rollup is a map-side-combined groupBy to
+    |sources| rows and everything after is arithmetic on that tiny
+    aggregate — at 100 TB the cost IS the one feature scan."""
+    feats = _gate_features(spark, sf_dir).filter(F.col("doc_id") % 5 != 0)
+    train = (
+        feats.select(
+            F.col("label").alias("lab"),
+            "f1",
+            "f2",
+            (F.col("f3") / 10.0).alias("f3"),
+            "f4",
+        )
+        .localCheckpoint()
+    )
+    rows = _gd_rounds(train)
+    train.unpersist()
+    _, b0, w1, w2, w3, w4, _, _ = rows[-1]
+    z_p = (
+        F.lit(-2.2)
+        + F.lit(8.0) * F.col("f1")
+        + F.lit(-6.0) * F.col("f2")
+        + F.lit(0.25) * F.col("f3")
+        + F.lit(1.5) * F.col("f4")
+    )
+    z_t = (
+        F.lit(b0)
+        + F.lit(w1) * F.col("f1")
+        + F.lit(w2) * F.col("f2")
+        + F.lit(w3) * (F.col("f3") / F.lit(10.0))
+        + F.lit(w4) * F.col("f4")
+    )
+
+    def loss(z):
+        p = F.greatest(
+            F.least(
+                F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), F.lit(1.0 - 1e-12)
+            ),
+            F.lit(1e-12),
+        )
+        y = F.col("label")
+        return F.round(-(y * F.log(p) + (1 - y) * F.log(F.lit(1.0) - p)), 6)
+
+    docs = read_table(spark, sf_dir, "documents")
+    src = docs.select(
+        "doc_id", "source", tx.word_count(F.col("text")).alias("wc")
+    )
+    ex = (
+        feats.select(
+            "doc_id",
+            loss(z_p).alias("loss_pinned"),
+            loss(z_t).alias("loss_trained"),
+        )
+        .join(src, "doc_id")
+        .select(
+            "source",
+            "wc",
+            F.greatest(
+                F.round(F.col("loss_pinned") - F.col("loss_trained"), 6),
+                F.lit(0.0),
+            )
+            .cast("decimal(12,6)")
+            .alias("excess"),
+        )
+    )
+    agg = ex.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("wc").cast("long").alias("n_tokens"),
+        F.round(
+            F.sum("excess").cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean_excess"),
+    )
+    uw = agg.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "mean_excess",
+        (
+            F.col("n_tokens")
+            * F.round(F.exp(F.lit(_DOREMI_ETA) * F.col("mean_excess")), 6)
+            .cast("decimal(18,6)")
+        ).alias("w_raw"),
+    )
+    tot = F.broadcast(
+        uw.agg(
+            F.sum("n_tokens").cast("long").alias("t_tokens"),
+            F.sum("w_raw").alias("t_raw"),
+        )
+    )
+    nat = F.col("n_tokens").cast("double") / F.col("t_tokens")
+    wgt = F.col("w_raw").cast("double") / F.col("t_raw").cast("double")
+    return (
+        uw.crossJoin(tot)
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.col("mean_excess").alias("mean_excess_loss"),
+            F.when(F.col("t_tokens") > 0, F.round(nat, 6)).alias(
+                "natural_share"
+            ),
+            F.when(F.col("t_raw").cast("double") > 0, F.round(wgt, 6)).alias(
+                "doremi_weight"
+            ),
+            F.when(
+                (F.col("n_tokens") > 0) & (F.col("t_tokens") > 0),
+                F.round(wgt / nat, 6),
+            ).alias("boost"),
+        )
+        .orderBy("source")
+    )
+
+
 @register(
     "decile_lift_report",
     # Score-group bucketing replayed: below-counts from a DESC RANGE
