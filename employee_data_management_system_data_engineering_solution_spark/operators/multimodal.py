@@ -105,6 +105,33 @@ def frame_sample(df: DataFrame, frame_bytes: int = 32, every_n: int = 1) -> Data
     return df.mapInPandas(_frames, _FRAME_SCHEMA)
 
 
+def image_dims_stub(df: DataFrame) -> DataFrame:
+    """Deterministic stand-in for decoded image dimensions.
+
+    Input: a payload frame from :func:`with_binary_payload`. Output
+    adds typed ``width``/``height`` metadata columns derived from the
+    payload size (256..1216 px in 64-px steps — the step grid real
+    aspect-ratio bucketing snaps to anyway). A production deployment
+    replaces ONLY this derivation with the real decoded header
+    metadata (PIL ``Image.size`` etc., extracted once at ingest); the
+    Spark-side plumbing — typed metadata columns feeding the
+    zero-shuffle bucket argmin — is identical. Rows with a NULL/empty
+    payload carry NULL dims (nothing to bucket)."""
+    usable = F.col("n_bytes").isNotNull() & (F.col("n_bytes") > 0)
+    return df.select(
+        "*",
+        F.when(usable, (F.lit(256) + (F.col("n_bytes") % 16) * 64))
+        .cast("int")
+        .alias("width"),
+        F.when(
+            usable,
+            (F.lit(256) + (F.expr("n_bytes div 16") % 16) * 64),
+        )
+        .cast("int")
+        .alias("height"),
+    )
+
+
 def decode_features(df: DataFrame) -> DataFrame:
     """Arrow-batched decode/feature-extract over a binary column.
 

@@ -4724,6 +4724,191 @@ def multimodal_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Pinned aspect-ratio bucket grid (bucket_id, width, height) — a
+#: compact SDXL-style set spanning square through 2:1 portrait and
+#: landscape. Every bucket height divides _AR_BUCKET_K, so the
+#: nearest-bucket metric |w*bh - h*bw| * (K div bh) compares exact
+#: integers (the cross-multiplied |w/h - bw/bh| ordering with the
+#: per-bucket denominator cleared) — no float ever enters the
+#: assignment.
+_AR_BUCKETS: tuple[tuple[int, int, int], ...] = (
+    (1, 512, 512),
+    (2, 640, 384),
+    (3, 384, 640),
+    (4, 768, 320),
+    (5, 320, 768),
+    (6, 640, 512),
+    (7, 512, 640),
+)
+_AR_BUCKET_K = 7680
+assert all(_AR_BUCKET_K % bh == 0 for _, _, bh in _AR_BUCKETS)
+
+_AR_BUCKETS_SQL = ", ".join(f"({b}, {w}, {h})" for b, w, h in _AR_BUCKETS)
+
+#: Images per training batch for the bucket batch count.
+_AR_BATCH = 32
+
+
+@register(
+    "aspect_ratio_buckets",
+    f"""
+    WITH img AS (
+      SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents
+    ),
+    dims AS (
+      SELECT doc_id,
+             256 + (n_bytes % 16) * 64 AS w,
+             256 + ((n_bytes // 16) % 16) * 64 AS h
+      FROM img WHERE n_bytes IS NOT NULL AND n_bytes > 0
+    ),
+    b AS (SELECT * FROM (VALUES {_AR_BUCKETS_SQL}) AS t(bid, bw, bh)),
+    assigned AS (
+      SELECT doc_id, w, h, bid, bw, bh FROM (
+        SELECT d.doc_id, d.w, d.h, b.bid, b.bw, b.bh,
+               row_number() OVER (PARTITION BY d.doc_id
+                 ORDER BY abs(d.w * b.bh - d.h * b.bw)
+                          * ({_AR_BUCKET_K} // b.bh) ASC, b.bid ASC) AS rn
+        FROM dims d CROSS JOIN b)
+      WHERE rn = 1
+    ),
+    wpd AS (
+      SELECT bid, bw, bh,
+             CAST(round(1 - CAST(least(w * bh, h * bw) AS DOUBLE)
+                            / greatest(w * bh, h * bw), 6)
+                  AS DECIMAL(8,6)) AS waste
+      FROM assigned
+    ),
+    agg AS (
+      SELECT bid, bw, bh,
+             CAST(count(*) AS BIGINT) AS n_images,
+             round(CAST(sum(waste) AS DOUBLE) / count(*), 6) AS avg_pad_waste
+      FROM wpd GROUP BY 1, 2, 3
+    ),
+    tot AS (SELECT CAST(sum(n_images) AS BIGINT) AS t FROM agg)
+    SELECT CAST(bid AS INT) AS bucket_id,
+           CAST(bw AS INT) AS bucket_w,
+           CAST(bh AS INT) AS bucket_h,
+           n_images,
+           CAST((n_images + {_AR_BATCH - 1}) // {_AR_BATCH} AS BIGINT)
+             AS n_batches,
+           round(CAST(n_images AS DOUBLE) / t, 6) AS share,
+           avg_pad_waste
+    FROM agg CROSS JOIN tot
+    ORDER BY bucket_id
+    """,
+)
+def aspect_ratio_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X211: aspect-ratio bucket packing for image-training batches —
+    the NovelAI/SDXL
+    bucketing step (public technique): group images by nearest
+    aspect-ratio bucket from a pinned grid so each batch resizes to
+    ONE shape, and report per bucket the image count, the batch count
+    at the training batch size, the corpus share, and the mean
+    scale-to-fit padding waste the bucket choice leaves (the number
+    the grid itself is tuned by — a high-waste bucket means the grid
+    is missing a shape the corpus has).
+
+    Dims come from the multimodal metadata stand-in
+    (``operators/multimodal.image_dims_stub`` — production swaps in
+    the real decoded header metadata, plumbing unchanged); a NULL /
+    empty payload has no dims and is excluded on both engines.
+
+    Exactness: bucket assignment is an integer argmin — the
+    cross-multiplied AR distance |w*bh - h*bw| with each bucket's
+    denominator cleared via the shared K — evaluated as a
+    zero-shuffle literal-array argmin per row (the assign_clusters
+    discipline: no crossJoin row amplification, no window); the
+    per-image fill ratio min(w*bh, h*bw)/max(w*bh, h*bw) needs ONE
+    double division, rounds at 6 dp into DECIMAL(8,6) so the
+    per-bucket mean is an order-free exact sum.
+
+    Scale: one narrow projection over the corpus (metadata columns
+    only — payload bytes are never read), one map-side-combined
+    groupBy to |buckets| rows; the report after that is arithmetic on
+    a 7-row aggregate."""
+    docs = read_table(spark, sf_dir, "documents")
+    dims = (
+        multimodal.image_dims_stub(
+            multimodal.with_binary_payload(docs, "doc_id", "text")
+        )
+        .filter(F.col("width").isNotNull())
+        .select("doc_id", "width", "height")
+    )
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(bid).alias("bid"),
+                F.lit(bw).alias("bw"),
+                F.lit(bh).alias("bh"),
+                F.lit(_AR_BUCKET_K // bh).alias("kf"),
+            )
+            for bid, bw, bh in _AR_BUCKETS
+        ]
+    )
+    best = F.array_min(
+        F.transform(
+            buckets,
+            lambda b: F.struct(
+                (
+                    F.abs(
+                        F.col("width") * b["bh"] - F.col("height") * b["bw"]
+                    )
+                    * b["kf"]
+                ).alias("metric"),
+                b["bid"].alias("bid"),
+                b["bw"].alias("bw"),
+                b["bh"].alias("bh"),
+            ),
+        )
+    )
+    assigned = dims.select(
+        "width", "height", best.alias("__b")
+    ).select(
+        "width",
+        "height",
+        F.col("__b.bid").alias("bid"),
+        F.col("__b.bw").alias("bw"),
+        F.col("__b.bh").alias("bh"),
+    )
+    num = F.col("width") * F.col("bh")
+    den = F.col("height") * F.col("bw")
+    waste = (
+        F.round(
+            F.lit(1)
+            - F.least(num, den).cast("double") / F.greatest(num, den),
+            6,
+        )
+    ).cast("decimal(8,6)")
+    agg = (
+        assigned.select("bid", "bw", "bh", waste.alias("waste"))
+        .groupBy("bid", "bw", "bh")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_images"),
+            F.round(
+                F.sum("waste").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_pad_waste"),
+        )
+    )
+    tot = F.broadcast(agg.agg(F.sum("n_images").cast("long").alias("t")))
+    return (
+        agg.crossJoin(tot)
+        .select(
+            F.col("bid").cast("int").alias("bucket_id"),
+            F.col("bw").cast("int").alias("bucket_w"),
+            F.col("bh").cast("int").alias("bucket_h"),
+            "n_images",
+            F.expr(f"(n_images + {_AR_BATCH - 1}) div {_AR_BATCH}")
+            .cast("long")
+            .alias("n_batches"),
+            F.round(F.col("n_images").cast("double") / F.col("t"), 6).alias(
+                "share"
+            ),
+            "avg_pad_waste",
+        )
+        .orderBy("bucket_id")
+    )
+
+
 @register(
     "multimodal_profile",
     """
