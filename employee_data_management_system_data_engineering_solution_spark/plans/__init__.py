@@ -49,6 +49,61 @@ from .registry import REGISTRY, register
 # exempt). driver_green_rounds()/never_green() below are the audit's
 # data source.
 #
+# Round 16 rotation (r15 narrative preserved below). Executes the r15
+# verdict's recorded r16 queue:
+#   IN (never green — the r16 build-outs, full hash oracles):
+#       semantic_scorecard_sampled (X208 — fixed-n sampled twin of the
+#       complementarity scorecard, verdict ask 2: both detector tiers
+#       run on one seeded 1000-id spine, counters and columns match
+#       the full scorecard so agreement is a join on method),
+#       ann_cost_frontier (X209 — exact bytes-per-query cost axis over
+#       the ten-method eval harness, verdict ask 3: integer
+#       candidate/byte accounting ranked as recall-per-GB-scanned),
+#       doremi_mixture_weights (X210 — excess-loss domain reweighting
+#       over the gate stack's pinned/trained model pair, the DoReMi
+#       one-step multiplicative update normalized over an exact
+#       decimal total), aspect_ratio_buckets (X211 — SDXL-style AR
+#       bucket packing: integer-exact cross-multiplied argmin as a
+#       zero-shuffle literal-array reduction + padding-waste audit).
+#   IN (the r16 drain head — the COMPLETE 31-query r11-green cohort,
+#       verdict ask 1; 28 hold judge out-of-window re-proofs from the
+#       r14/r15 verdicts): ann_incremental_admission …
+#       value_winsorized_stats (see _PRIORITY).
+#   IN (family keepers — neither the r11 cohort nor the r12 picks
+#       carry these): epoch_status_clean (reference clean path),
+#       pct_of_quota (reference reports), keyed_upsert (MERGE upsert),
+#       mmr_diversified_topk (MMR — the grouped twin carried r15).
+#   IN (the r16 drain tail — 11 of the 46-query r12-green cohort):
+#       eight family-coverage picks, each now a named FAMILY_CARRIERS
+#       member (ivf_topk: ANN inverted list; supplier_pagerank: graph;
+#       bpe_encode_stats: tokenizer; strike_stream_stateful: stateful
+#       streaming; benford_digit_audit: analytics;
+#       rolling_user_features: temporal; orc_roundtrip: sinks;
+#       strike_window_counts: streaming windows) plus three cheap
+#       drains (exact_dedup, doc_fingerprint, text_stats).
+# R17 QUEUE: the 35 remaining r12-green queries FIRST
+# (brand_price_regression, calendar_completeness_report,
+# cluster_safe_split, column_entropy_profile,
+# customers_with_urgent_orders, dedup_last_write_wins, embedding_topk,
+# fd_violation_report, feature_drift_psi, feature_woe_iv,
+# frequent_shingles, gate_training_rounds,
+# incremental_agg_refresh_minmax, lineitem_corr_matrix,
+# longest_leave_streak, minhash_lsh_groups, multimodal_decode,
+# multimodal_profile, neardup_admission, ppjoin_neardup_pairs,
+# purchase_error_overlap, q3_shipping_priority, quality_gate_logistic,
+# revenue_cusum_shift, salary_change_deltas, salted_revenue_join,
+# simhash_hamming_pairs, snapshot_vacuum, staging_promote_roundtrip,
+# stream_purchase_view_join, union_entities, user_path_topk,
+# value_outliers_mad, weighted_median_by_flag, weighted_sample_topk),
+# then begin the 48-query r13-green cohort (stale by r17/r18 —
+# plan a 2-round drain; its families stay covered by the same
+# FAMILY_CARRIERS mechanics that guard every reshuffle).
+#   OUT (rotated to the tail; every one driver-green <= 4 rounds ago
+#       and guarded by the committed full local runs): the whole r15
+#       window except the four family-keeper SLOTS (whose occupants
+#       rotated to fresher same-family twins: keyed_upsert for
+#       scd2_merge, mmr_diversified_topk for the grouped variant).
+#
 # Round 15 rotation (r14 narrative preserved below). Executes the r14
 # verdict's recorded r15 queue:
 #   IN (never green — the r15 build-outs, full hash oracles):
@@ -392,84 +447,71 @@ from .registry import REGISTRY, register
 #       newcomers.
 # ---------------------------------------------------------------------------
 _PRIORITY: tuple[str, ...] = (
-    # new in r15: never driver-checked (r14 verdict ask 4 — the
-    # Matryoshka funnel serving operator and its IVF composition;
-    # plus the X194 sign-bit quantization search)
-    "matryoshka_funnel_topk",
-    "matryoshka_ivf_topk",
-    "semantic_prune_sampled_train",
-    "binary_quantized_topk",
-    "binary_ivf_topk",
-    "l_diversity_report",
-    "embedding_class_separation",
-    "stream_full_join_events",
-    "partition_content_digest",
-    "token_budget_waterfill",
-    "rho_loss_selection",
-    "sliding_window_counts",
-    "epoch_shuffle_shards",
-    "source_divergence_report",
-    "perplexity_partition_report",
-    "cross_source_dup_matrix",
-    # the recorded r15 queue head: the 4 r10-green deferrals (ask 1)
-    "ivf_topk_multiprobe",
-    "quantized_ivf_topk",
-    "quantized_topk_rescore",
-    "binary_metadata",
-    # rows-only trio: rows>0 driver evidence refresh (ask 5)
-    "simhash_signatures",
-    "column_profile_approx",
-    "salary_percentiles_approx",
-    # changed-contract keepers (r14-green, machinery changed in r15):
-    # corpus-driven k (ask 2) and the full-scorecard memo (ask 3)
-    "semantic_prune",
-    "semantic_prune_scorecard",
-    "dedup_recall_report",
-    # family keepers: the FAMILY_CARRIERS audit
-    # (tests/test_entry_contract.py) requires every operator family to
-    # hold a window slot, and the r11 cohort carries none of these
-    # four families' named carriers — one cheap keeper each
-    "epoch_status_clean",  # reference_clean_path + ingest_gates
+    # new in r16: never driver-checked (the r15 verdict's asks 2-3
+    # plus the two r16 build-outs)
+    "semantic_scorecard_sampled",  # X208 — ask 2, sampled twin
+    "ann_cost_frontier",  # X209 — ask 3, recall-per-byte axis
+    "doremi_mixture_weights",  # X210 — excess-loss domain reweight
+    "aspect_ratio_buckets",  # X211 — AR bucket packing audit
+    # r16 drain head: the COMPLETE 31-query r11-green cohort (the r15
+    # verdict's recorded r16 queue, ask 1 — 28 of these hold judge
+    # out-of-window re-proofs from the r14/r15 verdicts)
+    "ann_incremental_admission",
+    "benchmark_decontamination",
+    "cdc_log_replay",
+    "constraint_quarantine",
+    "corpus_curation_pipeline",
+    "cross_split_leakage",
+    "cube_order_stats",
+    "customers_without_urgent_orders",
+    "daily_pipeline",
+    "distinct_order_supp_pairs",
+    "embedding_dim_profile",
+    "gopher_repetition_report",
+    "hard_negative_mining",
+    "incremental_agg_refresh",
+    "join_key_skew_report",
+    "json_props_stats",
+    "multi_touch_attribution",
+    "ngram_jaccard_pairs",
+    "promo_revenue_share",
+    "quality_score",
+    "region_supplier_volume",
+    "rollup_revenue",
+    "salary_percentiles",
+    "salary_rank_analytics",
+    "status_pivot_report",
+    "stratified_sample",
+    "strike_report_batch",
+    "top_earner_per_designation",
+    "trailing_revenue_90d",
+    "unicode_script_profile",
+    "value_winsorized_stats",
+    # family keepers: the FAMILY_CARRIERS audit requires every family
+    # in-window, and neither the r11 cohort nor the r12 picks below
+    # carry these four families — one cheap keeper each
+    "epoch_status_clean",  # reference_clean_path
     "pct_of_quota",  # reference_reports
-    "mann_kendall_trend",  # analytics_stats
-    "mmr_diversified_topk_grouped",  # mmr_diversification
-    # r15 drain: 19 of the 50-query r11-green cohort (ask 1).
-    # ann_recall_report / ann_rank_quality carry the NEW
-    # mrl_funnel_p16 + bq_hamming method rows (hash changed this
-    # round); neardup_prune carries the NOT EXISTS oracle rewrite.
-    # The 31 deferrals (incl. unicode_script_profile,
-    # gopher_repetition_report, join_key_skew_report,
-    # ngram_jaccard_pairs, stratified_sample, hard_negative_mining,
-    # embedding_dim_profile, cross_split_leakage,
-    # ann_incremental_admission, cdc_log_replay,
-    # constraint_quarantine, salary_percentiles, rollup_revenue,
-    # corpus_curation_pipeline —
-    # which yielded their slots to the X194–X207 newcomers; their families stay covered
-    # in-window by lang_id, partition_pruned_report,
-    # dedup_clusters_star, and token_mixture_plan) ride the R16
-    # QUEUE (families covered in-window — see the rotation comment).
-    "ann_rank_quality",
-    "ann_recall_report",
-    # curve AFTER the report so the report remains the harness-build
-    # payer in registry order (bench per-query cross-round stability)
-    "ann_recall_curve",
-    "bpe_merge_table",
-    "checkpoint_restart_windowed",
-    "dedup_clusters_star",
-    "doc_chunks",
-    "event_transitions",
-    "json_lines_roundtrip",
-    "k_anonymity_report",
-    "lang_id",
-    "neardup_prune",
-    "part_covisitation_topk",
-    "partition_pruned_report",
-    "q1_pricing_summary",
-    "scd2_merge",
-    "stream_static_enrich",
-    "strike_stream_from_wire",
-    "token_mixture_plan",
-    "top3_orders_per_customer",
+    "keyed_upsert",  # merge_upsert_scd
+    "mmr_diversified_topk",  # mmr_diversification (grouped twin was r15)
+    # r16 drain tail: 11 of the 46-query r12-green cohort — the eight
+    # family-coverage picks (ivf_topk: the ANN inverted list;
+    # supplier_pagerank: graph; bpe_encode_stats: tokenizer;
+    # strike_stream_stateful: stateful streaming; benford_digit_audit:
+    # analytics; rolling_user_features: temporal; orc_roundtrip:
+    # sinks; strike_window_counts: streaming windows) plus three
+    # cheap drains; the other 35 lead the R17 QUEUE
+    "ivf_topk",
+    "supplier_pagerank",
+    "bpe_encode_stats",
+    "strike_stream_stateful",
+    "benford_digit_audit",
+    "rolling_user_features",
+    "orc_roundtrip",
+    "strike_window_counts",
+    "exact_dedup",
+    "doc_fingerprint",
+    "text_stats",
 )
 
 #: Queries whose driver check is rows-only BY CONTRACT (no SQL oracle

@@ -52,6 +52,8 @@ FAMILY_CARRIERS: dict[str, set[str]] = {
         # r15: json_lines_roundtrip is a format/sink roundtrip by
         # construction (the r11 rotation's named formats/sinks carrier)
         "json_lines_roundtrip",
+        # r16: the ORC roundtrip is the same family's columnar twin
+        "orc_roundtrip",
     },
     "merge_upsert_scd": {
         "keyed_upsert", "streaming_upsert_dim", "scd2_merge",
@@ -75,6 +77,9 @@ FAMILY_CARRIERS: dict[str, set[str]] = {
         # the full-outer join and sliding windows are window/join tiers
         "stream_static_enrich", "stream_full_join_events",
         "sliding_window_counts",
+        # r16: tumbling strike windows and the purchase/view
+        # stream-stream join are window/join-tier members
+        "strike_window_counts", "stream_purchase_view_join",
     },
     "temporal": {
         "purchase_asof_view", "user_survival_km",
@@ -82,6 +87,8 @@ FAMILY_CARRIERS: dict[str, set[str]] = {
         "hourly_interpolated_series", "event_sessions",
         # r15: lag-over-event-time transition analysis is temporal
         "event_transitions",
+        # r16: rolling event-time window features are temporal
+        "rolling_user_features",
     },
     "text_analysis": {
         "word_freq_topk", "char_bigram_entropy", "lm_doc_score",
@@ -111,6 +118,8 @@ FAMILY_CARRIERS: dict[str, set[str]] = {
     "graph": {
         "supplier_communities", "supplier_triangles",
         "part_link_prediction",
+        # r16: PageRank is a first-class member of the graph family
+        "supplier_pagerank",
         # r15: covisitation top-k ranks the same co-occurrence-graph
         # edges link prediction scores
         "part_covisitation_topk",
@@ -122,6 +131,8 @@ FAMILY_CARRIERS: dict[str, set[str]] = {
         # r15: the binary (sign-bit) and MRL compression tiers ride
         # the same inverted list / coarse-rescore machinery
         "binary_quantized_topk", "binary_ivf_topk", "matryoshka_ivf_topk",
+        # r16: the plain inverted-list search is the family's base tier
+        "ivf_topk",
     },
     "retrieval_rank_eval": {
         "ndcg_mrr_report", "cluster_topic_terms", "bm25_topk",
@@ -129,11 +140,19 @@ FAMILY_CARRIERS: dict[str, set[str]] = {
         # r15: MRR/NDCG per ANN method IS rank eval; the funnel is
         # the serving operator those reports measure
         "ann_rank_quality", "matryoshka_funnel_topk",
+        # r16: the cost axis is the fourth measurement on the same
+        # pinned harness
+        "ann_cost_frontier",
     },
     "mmr_diversification": {
         "mmr_diversified_topk", "mmr_diversified_topk_grouped",
     },
-    "semantic_dedup": {"semantic_prune", "semantic_prune_scorecard"},
+    "semantic_dedup": {
+        "semantic_prune", "semantic_prune_scorecard",
+        "semantic_prune_sampled_train",
+        # r16: the sampled complementarity twin
+        "semantic_scorecard_sampled",
+    },
     "learned_gate_curation": {
         "decile_lift_report", "dsir_importance_weights",
         "context_pack_bins", "quality_weighted_sample",
@@ -146,16 +165,24 @@ FAMILY_CARRIERS: dict[str, set[str]] = {
         "stratified_sample", "token_mixture_plan",
         "epoch_shuffle_shards", "token_budget_waterfill",
         "rho_loss_selection",
+        # r16: the DoReMi reweight is the learned half of the mixture
+        # planning family
+        "doremi_mixture_weights",
     },
     "multimodal": {
         "binary_metadata", "multimodal_frame_stats",
         "multimodal_profile", "phash_neardup_pairs",
+        # r16: AR bucket packing rides the same typed-metadata plumbing
+        "aspect_ratio_buckets",
     },
     "analytics_stats": {
         "segment_nation_chi2", "priority_price_mwu",
         "nation_revenue_gini", "price_qty_elasticity",
         "order_price_ks_drift", "mann_kendall_trend",
         "seasonal_decompose_report", "brand_price_theilsen",
+        # r16: digit-law audit and CUSUM change detection are
+        # first-class statistical tests
+        "benford_digit_audit", "revenue_cusum_shift",
     },
     "scale_layout": {
         "salted_skew_join", "zorder_layout_stats",
@@ -167,10 +194,15 @@ FAMILY_CARRIERS: dict[str, set[str]] = {
     },
     "bpe_tokenizer": {
         "bpe_merge_candidates", "bpe_merge_batched", "bpe_merge_table",
+        # r16: the encoder application closes the same tokenizer loop
+        "bpe_encode_stats",
     },
     "ingest_gates": {
         "referential_integrity_audit", "column_profile",
         "epoch_status_clean",
+        # r16: constraint-based quarantine and FD violation checks are
+        # ingest gates by construction
+        "constraint_quarantine", "fd_violation_report",
     },
 }
 
