@@ -85,6 +85,14 @@ def main() -> int:
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.driver.memory", "8g")
+        # Arrow batch sizing (guide §4.2): the Python-boundary operators
+        # (Misra-Gries fold, simhash/phash signatures, media decode)
+        # stream ONE narrow column; 64k-row batches amortize the
+        # per-batch pandas/Arrow overhead ~6x over the 10k default with
+        # negligible per-task memory (a few MB). Results are
+        # batch-size-independent (MG candidates stay a superset and are
+        # exactly rescored; signatures are per-row pure functions).
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -153,10 +161,11 @@ def main() -> int:
             )
 
             _llm.clear_pairs_cache()
-            _llm.clear_ann_eval_cache()
+            _llm.clear_ann_eval_cache()  # also drops the pinned ANN index memo
             _llm.clear_bpe_cache()
             _llm.clear_ppjoin_cache()
             _llm.clear_kmeans_cache()
+            _llm.clear_gate_feats_cache()
             _pipeline.clear_backbone_cache()
             # _llm._SAMPLED_CACHE and _llm._FULL_RECALL_CACHE are
             # deliberately NOT cleared — see their docstrings: the
@@ -178,10 +187,12 @@ def main() -> int:
     # query name every round regardless of registry order.
     _MEMO_PAYERS = (
         "ngram_jaccard_pairs",  # pays plans/llm._PAIRS_CACHE
-        "ann_recall_report",  # pays plans/llm._ANN_EVAL_CACHE
+        "ann_recall_report",  # pays plans/llm._ANN_EVAL_CACHE + _ANN_INDEX_CACHE (r16)
         "supplier_triangles",  # pays plans/pipeline._BACKBONE_CACHE
         "bpe_merge_table",  # pays plans/llm._BPE_CACHE (r12: shared with bpe_encode_stats)
         "ppjoin_neardup_pairs",  # pays plans/llm._PPJOIN_CACHE (r12: shared with dedup_recall_report)
+        "quality_gate_logistic",  # pays plans/llm._GATE_FEATS_CACHE (r16)
+        "semantic_prune",  # pays plans/llm._KMEANS_CACHE (r16: payer made explicit)
     )
     bench_order = [n for n in _MEMO_PAYERS if n in qs] + [
         n for n in qs if n not in _MEMO_PAYERS

@@ -214,12 +214,42 @@ def _pack_bands(bits: list[int], nbands: int) -> list[int]:
     ]
 
 
+def _phash_bands_np(payload: bytes, nbands: int, nblocks: int = 65) -> list[int]:
+    """Vectorized (numpy) twin of ``_pack_bands(phash_signature_py(p))``
+    — the Python-worker hot path of :func:`phash_signatures`. All
+    arithmetic is int64 (codepoints ≤ 0x10FFFF, block sums far under
+    2^63), so the bands are BIT-IDENTICAL to the pure-Python
+    reference; tests/test_multimodal.py pins the equality. The
+    per-character ``ord()`` list and per-block Python sums of the
+    reference were the UDF's dominant cost (guide §4.2: hand whole
+    rows to vectorized native code); here the codepoint stream comes
+    from one utf-32 re-encode and the block sums from one cumsum."""
+    import numpy as np
+
+    text = (bytes(payload) if payload is not None else b"").decode(
+        "utf-8", errors="replace"
+    )
+    codes = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    n = len(codes)
+    bounds = (np.arange(nblocks + 1, dtype=np.int64) * n) // nblocks
+    csum = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(codes, out=csum[1:])
+    sums = csum[bounds[1:]] - csum[bounds[:-1]]
+    lens = bounds[1:] - bounds[:-1]
+    bits = (sums[:-1] * lens[1:] > sums[1:] * lens[:-1]).astype(np.int64)
+    width = (nblocks - 1) // nbands
+    weights = np.int64(1) << np.arange(width - 1, -1, -1, dtype=np.int64)
+    return [int(x) for x in bits.reshape(nbands, width) @ weights]
+
+
 def phash_signatures(df: DataFrame, *, nbands: int = 8) -> DataFrame:
     """Arrow-batched perceptual-hash signatures over a binary column:
     (doc_id, payload) → (doc_id, bands array<int>), ``nbands`` band
     integers of 64/nbands bits each. A narrow map — no shuffle; a real
     image decoder replaces :func:`phash_signature_py`'s byte→pixel
-    step only, the Spark plumbing stays identical.
+    step only, the Spark plumbing stays identical. The worker-side
+    hash is the vectorized :func:`_phash_bands_np` (bit-identical to
+    the pure-Python reference, pinned in tests).
 
     Band-width trade (the scale knob): more bands ⇒ exact recall up to
     a larger Hamming radius (d < nbands) but coarser band values ⇒
@@ -235,8 +265,7 @@ def phash_signatures(df: DataFrame, *, nbands: int = 8) -> DataFrame:
                 {
                     "doc_id": pdf["doc_id"],
                     "bands": [
-                        _pack_bands(phash_signature_py(p), nbands)
-                        for p in pdf["payload"]
+                        _phash_bands_np(p, nbands) for p in pdf["payload"]
                     ],
                 }
             )

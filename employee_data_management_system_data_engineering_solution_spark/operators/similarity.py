@@ -59,12 +59,26 @@ def cosine_topk_bruteforce(
     """Exact top-k by cosine for each query vector.
 
     Output: (query_id, neighbor_id, cosine_sim, rank) — excludes self.
+
+    The double-cast array and the norm are per-ROW invariants of each
+    side, so they materialize in the projections BELOW the join (once
+    per corpus row / once per broadcast query row) instead of inside
+    the per-PAIR score expression — higher-order functions evaluate
+    interpreted, so an in-pair cast+norm multiplies the fold work by
+    |queries| (the assign_clusters lesson). The score keeps the exact
+    operation order of :func:`cosine` (dot / (qnorm * cnorm), then
+    round 6), so every emitted double is bit-identical to the previous
+    formulation.
     """
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("__qvec"),
+        norm(_as_double(F.col(vec_col))).alias("__qnorm"),
     )
     c = fan_out(corpus).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("__cvec"),
+        norm(_as_double(F.col(vec_col))).alias("__cnorm"),
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -72,7 +86,11 @@ def cosine_topk_bruteforce(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("__qvec"), F.col("__cvec")), 6).alias("cosine_sim"),
+            F.round(
+                dot(F.col("__qvec"), F.col("__cvec"))
+                / (F.col("__qnorm") * F.col("__cnorm")),
+                6,
+            ).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -235,16 +253,18 @@ def cosine_neardup_pairs(
     # ANSI index error; a NULL/degenerate band value drops the pair,
     # exactly as its NULL cosine would have
     first_norm = F.get(_as_double(F.col(vec_col)), 0) / F.col("__vnorm")
+    # double-cast once per ROW here (not inside the per-pair dot): an
+    # in-pair transform() re-casts the array per candidate pair
     a = assigned.select(
         F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("__va"),
+        _as_double(F.col(vec_col)).alias("__va"),
         F.col("__vnorm").alias("__na"),
         first_norm.alias("__f1a"),
         "cluster_id",
     )
     b = assigned.select(
         F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("__vb"),
+        _as_double(F.col(vec_col)).alias("__vb"),
         F.col("__vnorm").alias("__nb"),
         first_norm.alias("__f1b"),
         "cluster_id",
@@ -253,8 +273,7 @@ def cosine_neardup_pairs(
     # norms ride along from the assignment, so the per-pair interpreted
     # work is one dot product, not dot + two norms
     sim = F.round(
-        dot(_as_double(F.col("__va")), _as_double(F.col("__vb")))
-        / (F.col("__na") * F.col("__nb")),
+        dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")),
         6,
     )
     return (
@@ -294,18 +313,22 @@ def ivf_topk(
     # reference (same hazard cosine_neardup_pairs pins above)
     if assigned is None:
         assigned = assign_clusters(corpus, pivots, id_col, vec_col).localCheckpoint(eager=False)
+    # double-cast once per ROW in the projections below the join — an
+    # in-pair transform() re-allocates and re-casts the 64-wide array
+    # per (query, neighbor) pair (interpreted HOF; the
+    # cosine_topk_bruteforce / assign_clusters lesson)
     q = assigned.join(
         queries.select(F.col(id_col).alias("query_id")),
         assigned[id_col] == F.col("query_id"),
     ).select(
         "query_id",
-        F.col(vec_col).alias("__qvec"),
+        _as_double(F.col(vec_col)).alias("__qvec"),
         F.col("__vnorm").alias("__qnorm"),
         F.col("cluster_id"),
     )
     c = assigned.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cvec"),
+        _as_double(F.col(vec_col)).alias("__cvec"),
         F.col("__vnorm").alias("__cnorm"),
         "cluster_id",
     )
@@ -316,7 +339,7 @@ def ivf_topk(
             "query_id",
             "neighbor_id",
             F.round(
-                dot(_as_double(F.col("__qvec")), _as_double(F.col("__cvec")))
+                dot(F.col("__qvec"), F.col("__cvec"))
                 / (F.col("__qnorm") * F.col("__cnorm")),
                 6,
             ).alias("cosine_sim"),
@@ -578,13 +601,14 @@ def ivf_topk_multiprobe(
         vec_col,
     ).select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("__qvec"),
+        _as_double(F.col(vec_col)).alias("__qvec"),
         F.col("__vnorm").alias("__qnorm"),
         "cluster_id",
     )
+    # per-ROW double cast below the join (the ivf_topk discipline)
     c = assigned.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cvec"),
+        _as_double(F.col(vec_col)).alias("__cvec"),
         F.col("__vnorm").alias("__cnorm"),
         "cluster_id",
     )
@@ -595,7 +619,7 @@ def ivf_topk_multiprobe(
             "query_id",
             "neighbor_id",
             F.round(
-                dot(_as_double(F.col("__qvec")), _as_double(F.col("__cvec")))
+                dot(F.col("__qvec"), F.col("__cvec"))
                 / (F.col("__qnorm") * F.col("__cnorm")),
                 6,
             ).alias("cosine_sim"),
@@ -646,6 +670,19 @@ def quantize_int8(
     )
 
 
+def _int8_norm(c: Column) -> Column:
+    """Euclidean norm of an int8 code array — exact integer
+    square-sum fold, one double sqrt at the end (shared by the SQ8
+    flat and IVF coarse stages so the expression cannot drift)."""
+    return F.sqrt(
+        F.aggregate(
+            F.transform(c, lambda x: (x * x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).cast("double")
+    )
+
+
 def quantized_topk_rescore(
     queries: DataFrame,
     corpus: DataFrame,
@@ -670,23 +707,23 @@ def quantized_topk_rescore(
     Output: (query_id, neighbor_id, cosine_sim, rank) — cosine_sim is
     the EXACT rounded float cosine, rank over the rescored candidates.
     """
+    # integer norms are per-ROW invariants: compute them once in the
+    # projections below the join instead of per (query, neighbor) pair
+    # (interpreted HOF folds — the cosine_topk_bruteforce discipline)
     q8 = quantize_int8(queries, id_col, vec_col).select(
-        F.col(id_col).alias("query_id"), F.col("qvec").alias("__qq")
+        F.col(id_col).alias("query_id"),
+        F.col("qvec").alias("__qq"),
+        _int8_norm(F.col("qvec")).alias("__qn"),
     )
     c8 = quantize_int8(corpus, id_col, vec_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col("qvec").alias("__qc")
+        F.col(id_col).alias("neighbor_id"),
+        F.col("qvec").alias("__qc"),
+        _int8_norm(F.col("qvec")).alias("__cn"),
     )
     idot = F.aggregate(
         F.zip_with("__qq", "__qc", lambda x, y: (x * y).cast("long")),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
-    )
-    inorm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(
-            F.transform(c, lambda x: (x * x).cast("long")),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        ).cast("double")
     )
     coarse = (
         c8.crossJoin(F.broadcast(q8))
@@ -694,9 +731,7 @@ def quantized_topk_rescore(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(
-                idot / (inorm(F.col("__qq")) * inorm(F.col("__qc"))), 6
-            ).alias("qcos"),
+            F.round(idot / (F.col("__qn") * F.col("__cn")), 6).alias("qcos"),
         )
     )
     return _rescore_topk(coarse, queries, corpus, id_col, vec_col, k, rescore_factor)
@@ -936,13 +971,20 @@ def matryoshka_funnel_topk(
     length). Output: (query_id, neighbor_id, cosine_sim, rank) with
     cosine_sim the EXACT rounded full-width cosine.
     """
+    # prefix double-cast + prefix norm are per-ROW invariants — hoist
+    # them below the join (the cosine_topk_bruteforce discipline); the
+    # score keeps cosine()'s exact operation order, so values are
+    # bit-identical
+    qp = _as_double(F.slice(F.col(vec_col), 1, prefix_dim))
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        F.slice(F.col(vec_col), 1, prefix_dim).alias("__qp"),
+        qp.alias("__qp"),
+        norm(qp).alias("__qpn"),
     )
     c = fan_out(corpus).select(
         F.col(id_col).alias("neighbor_id"),
-        F.slice(F.col(vec_col), 1, prefix_dim).alias("__cp"),
+        qp.alias("__cp"),
+        norm(qp).alias("__cpn"),
     )
     coarse = (
         c.crossJoin(F.broadcast(q))
@@ -950,7 +992,11 @@ def matryoshka_funnel_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("__qp"), F.col("__cp")), 6).alias("qcos"),
+            F.round(
+                dot(F.col("__qp"), F.col("__cp"))
+                / (F.col("__qpn") * F.col("__cpn")),
+                6,
+            ).alias("qcos"),
         )
     )
     return _rescore_topk(coarse, queries, corpus, id_col, vec_col, k, rescore_factor)
@@ -994,9 +1040,14 @@ def quantized_ivf_topk(
     """
     if assigned is None:
         assigned = assign_clusters(corpus, pivots, id_col, vec_col).localCheckpoint(eager=False)
-    # corpus code table doubles as the inverted list: (id, codes, list)
+    # corpus code table doubles as the inverted list: (id, codes, list);
+    # the integer norm is a per-ROW invariant computed below the join
+    # (the quantized_topk_rescore discipline)
     c8 = quantize_int8(assigned, id_col, vec_col, keep=("cluster_id",)).select(
-        F.col(id_col).alias("neighbor_id"), F.col("qvec").alias("__qc"), "cluster_id"
+        F.col(id_col).alias("neighbor_id"),
+        F.col("qvec").alias("__qc"),
+        _int8_norm(F.col("qvec")).alias("__cn"),
+        "cluster_id",
     )
     qsub = assigned.join(
         queries.select(F.col(id_col).alias("__qid")),
@@ -1006,7 +1057,9 @@ def quantized_ivf_topk(
         F.col(id_col).alias("query_id"), "cluster_id"
     )
     q8 = quantize_int8(qsub, id_col, vec_col).select(
-        F.col(id_col).alias("query_id"), F.col("qvec").alias("__qq")
+        F.col(id_col).alias("query_id"),
+        F.col("qvec").alias("__qq"),
+        _int8_norm(F.col("qvec")).alias("__qn"),
     )
     qside = q8.join(qprobe, "query_id")
     idot = F.aggregate(
@@ -1014,22 +1067,13 @@ def quantized_ivf_topk(
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    inorm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(
-            F.transform(c, lambda x: (x * x).cast("long")),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        ).cast("double")
-    )
     coarse = (
         c8.join(F.broadcast(qside), on="cluster_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(
-                idot / (inorm(F.col("__qq")) * inorm(F.col("__qc"))), 6
-            ).alias("qcos"),
+            F.round(idot / (F.col("__qn") * F.col("__cn")), 6).alias("qcos"),
         )
     )
     return _rescore_topk(coarse, queries, corpus, id_col, vec_col, k, rescore_factor)
@@ -1069,9 +1113,13 @@ def matryoshka_ivf_topk(
     """
     if assigned is None:
         assigned = assign_clusters(corpus, pivots, id_col, vec_col).localCheckpoint(eager=False)
+    # prefix double-cast + prefix norm hoisted below the join (the
+    # matryoshka_funnel_topk discipline) — bit-identical score
+    pref = _as_double(F.slice(F.col(vec_col), 1, prefix_dim))
     cp = assigned.select(
         F.col(id_col).alias("neighbor_id"),
-        F.slice(F.col(vec_col), 1, prefix_dim).alias("__cp"),
+        pref.alias("__cp"),
+        norm(pref).alias("__cpn"),
         "cluster_id",
     )
     qsub = assigned.join(
@@ -1083,7 +1131,8 @@ def matryoshka_ivf_topk(
     )
     qp = qsub.select(
         F.col(id_col).alias("query_id"),
-        F.slice(F.col(vec_col), 1, prefix_dim).alias("__qp"),
+        pref.alias("__qp"),
+        norm(pref).alias("__qpn"),
     )
     qside = qp.join(qprobe, "query_id")
     coarse = (
@@ -1092,7 +1141,11 @@ def matryoshka_ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("__qp"), F.col("__cp")), 6).alias("qcos"),
+            F.round(
+                dot(F.col("__qp"), F.col("__cp"))
+                / (F.col("__qpn") * F.col("__cpn")),
+                6,
+            ).alias("qcos"),
         )
     )
     return _rescore_topk(coarse, queries, corpus, id_col, vec_col, k, rescore_factor)

@@ -236,17 +236,48 @@ _GATE_CTE = _GATE_STATS_CTE + r""",
 """
 
 
+#: (applicationId, sf_dir, fingerprint) -> pinned gate feature frame.
+#: EIGHT registered queries consume the identical regex-heavy feature
+#: scan (the X143-X145/X155 serving stack via _gate_scored, the X177
+#: trainer, the X178 eval, the X206 RHO-loss selector, the X210 DoReMi
+#: reweighter) — before this memo each ran its own pass of five regex
+#: evaluations over every document. Same timing semantics as
+#: _PAIRS_CACHE: bench.py clears it before each timed pass and hoists
+#: quality_gate_logistic as the canonical payer.
+_GATE_FEATS_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def clear_gate_feats_cache() -> None:
+    """Drop the memoized gate feature frames and their checkpoint
+    blocks (bench resets per pass)."""
+    for df in _GATE_FEATS_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped; blocks died with it
+    _GATE_FEATS_CACHE.clear()
+
+
 def _gate_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, label, f1..f4) — the four exact-ratio text features and
     the relevance label, shared by the X143-X145 serving/eval stack and
     the X177 trainer (which re-scales f3 into [0, 1] before descending
-    on it)."""
+    on it). Session-memoized + pinned: the regex feature extraction is
+    the family's dominant cost and is identical across all consumers."""
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        table_fingerprint(sf_dir, "documents"),
+    )
+    cached = _GATE_FEATS_CACHE.get(key)
+    if cached is not None:
+        return cached
     docs = read_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull()  # gate-family NULL contract (see CTE)
     )
     t = F.col("text")
     wc = tx.word_count(t)
-    return docs.select(
+    cached = docs.select(
         "doc_id",
         t.rlike(r"\bspark\b").cast("int").alias("label"),
         (tx.stopword_hits(t) / F.greatest(wc, F.lit(1))).alias("f1"),
@@ -258,7 +289,9 @@ def _gate_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length(F.regexp_replace(t, r"\s+", "")) / F.greatest(wc, F.lit(1))
         ).alias("f3"),
         F.least(wc / F.lit(100.0), F.lit(1.0)).alias("f4"),
-    )
+    ).localCheckpoint(eager=True)
+    _GATE_FEATS_CACHE[key] = cached
+    return cached
 
 
 def _gate_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1794,6 +1827,15 @@ def _ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = read_table(spark, sf_dir, "documents").filter(
             F.col("text").isNotNull()  # dedup-family NULL contract
         )
+        # NOTE (r16 optimization round): two restructures were tried
+        # and A/B-REJECTED — (a) map-side array_distinct sets feeding a
+        # pinned set-input PPJoin (drops the distinct() exchange but
+        # loses the collect_set output partitioning the verify joins
+        # reuse: 8.9 s -> 24.7 s at sf0.1) and (b) pinned exploded
+        # token rows (same loss: 24.7 s). The distinct() exchange is
+        # load-bearing: its shuffle output is REUSED by every
+        # downstream reference and keeps the verification frame
+        # id-partitioned.
         toks = char_ngram_rows(docs, "doc_id", "text", 5).distinct()
         cached = prefix_filter_pairs(
             toks, "doc_id", "gram", 9, 10
@@ -3093,7 +3135,9 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _live_embeddings(spark, sf_dir)
     pivots = emb.filter(F.col("vec_id") < 8)
     queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105))
-    return similarity.ivf_topk(queries, emb, pivots, k=10)
+    return similarity.ivf_topk(
+        queries, emb, pivots, k=10, assigned=_ann_assigned(spark, sf_dir)
+    )
 
 
 @register(
@@ -3145,7 +3189,10 @@ def ivf_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _live_embeddings(spark, sf_dir)
     pivots = emb.filter(F.col("vec_id") < 8)
     queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105))
-    return similarity.ivf_topk_multiprobe(queries, emb, pivots, k=10, nprobe=2)
+    return similarity.ivf_topk_multiprobe(
+        queries, emb, pivots, k=10, nprobe=2,
+        assigned=_ann_assigned(spark, sf_dir),
+    )
 
 
 @register(
@@ -3578,7 +3625,8 @@ def quantized_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pivots = emb.filter(F.col("vec_id") < 8)
     queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105))
     return similarity.quantized_ivf_topk(
-        queries, emb, pivots, k=10, rescore_factor=3, nprobe=2
+        queries, emb, pivots, k=10, rescore_factor=3, nprobe=2,
+        assigned=_ann_assigned(spark, sf_dir),
     )
 
 
@@ -3641,7 +3689,8 @@ def binary_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pivots = emb.filter(F.col("vec_id") < 8)
     queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105))
     return similarity.binary_ivf_topk(
-        queries, emb, pivots, dim=64, k=10, rescore_factor=3, nprobe=2
+        queries, emb, pivots, dim=64, k=10, rescore_factor=3, nprobe=2,
+        assigned=_ann_assigned(spark, sf_dir),
     )
 
 
@@ -3788,7 +3837,8 @@ _ANN_EVAL_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
 
 
 def clear_ann_eval_cache() -> None:
-    """Drop memoized ANN-evaluation frames and their checkpoint blocks."""
+    """Drop memoized ANN-evaluation frames and their checkpoint blocks
+    (the shared pinned index memo clears with them — same lifecycle)."""
     for pair in _ANN_EVAL_CACHE.values():
         for df in pair:
             try:
@@ -3796,6 +3846,84 @@ def clear_ann_eval_cache() -> None:
             except Exception:
                 pass  # session already stopped; blocks died with it
     _ANN_EVAL_CACHE.clear()
+    for entry in _ANN_INDEX_CACHE.values():
+        df = entry.get("assigned")
+        cd = entry.get("codes")
+        for frame in (df, cd):
+            if frame is None:
+                continue
+            try:
+                frame.unpersist()
+            except Exception:
+                pass  # session already stopped; blocks died with it
+    _ANN_INDEX_CACHE.clear()
+
+
+#: (applicationId, sf_dir, fingerprint) -> the SHARED PINNED ANN index
+#: pieces over the live embeddings: the vec_id<8 IVF inverted list
+#: ("assigned", eager checkpoint), the m=8 PQ codebooks ("codebooks",
+#: a driver dict), and the PQ code table riding the assignment scan
+#: ("codes", eager checkpoint, carries cluster_id). An ANN index is
+#: built ONCE and served to every search — before this memo the
+#: standalone queries (ivf_topk, ivf_topk_multiprobe,
+#: quantized_ivf_topk, binary_ivf_topk, matryoshka_ivf_topk,
+#: pq_adc_search, pq_ivf_search, ann_cost_frontier) each rebuilt their
+#: own assignment pass and/or retrained the identical PQ codebooks
+#: (3× Lloyd's per bench pass, measured 3.5 s each at sf0.1). Same
+#: timing semantics as _ANN_EVAL_CACHE: bench.py clears it before each
+#: timed pass and the hoisted payer (ann_recall_report) pays the
+#: build; each piece builds lazily on first request.
+_ANN_INDEX_CACHE: dict[tuple[str, str, str], dict] = {}
+
+
+def _ann_index_entry(spark: SparkSession, sf_dir: str) -> dict:
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        table_fingerprint(sf_dir, "embeddings"),
+    )
+    entry = _ANN_INDEX_CACHE.get(key)
+    if entry is None:
+        entry = {}
+        _ANN_INDEX_CACHE[key] = entry
+    return entry
+
+
+def _ann_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pinned vec_id<8 IVF assignment (id, embedding, __vnorm,
+    cluster_id) — eager checkpoint, built once per (session, corpus)."""
+    entry = _ann_index_entry(spark, sf_dir)
+    if "assigned" not in entry:
+        emb = _live_embeddings(spark, sf_dir)
+        pivots = emb.filter(F.col("vec_id") < 8)
+        entry["assigned"] = similarity.assign_clusters(emb, pivots).localCheckpoint(
+            eager=True
+        )
+    return entry["assigned"]
+
+
+def _ann_codebooks(spark: SparkSession, sf_dir: str) -> dict:
+    """The trained m=8 PQ codebooks — one Lloyd's barrier per
+    (session, corpus), shared by every PQ consumer."""
+    entry = _ann_index_entry(spark, sf_dir)
+    if "codebooks" not in entry:
+        emb = _live_embeddings(spark, sf_dir)
+        entry["codebooks"] = similarity.pq_train_codebooks(emb, m=8)
+    return entry["codebooks"]
+
+
+def _ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pinned PQ code table (id, codes, cluster_id) riding the
+    shared assignment scan — eager checkpoint, built once."""
+    entry = _ann_index_entry(spark, sf_dir)
+    if "codes" not in entry:
+        entry["codes"] = similarity.pq_encode(
+            _ann_assigned(spark, sf_dir),
+            _ann_codebooks(spark, sf_dir),
+            m=8,
+            keep=("cluster_id",),
+        ).localCheckpoint(eager=True)
+    return entry["codes"]
 
 
 def _ann_truth_and_ranked_methods(spark: SparkSession, sf_dir: str):
@@ -3826,14 +3954,13 @@ def _ann_truth_and_ranked_methods(spark: SparkSession, sf_dir: str):
         .select("query_id", "neighbor_id", F.col("rank").alias("__trank"))
         .withColumn("__hit", F.lit(1))
     )
-    index = similarity.assign_clusters(emb, pivots).localCheckpoint(eager=False)
-    codebooks = similarity.pq_train_codebooks(emb, m=8)
-    # ONE encoded-corpus table (codes + inverted-list id) pinned and
-    # served to both PQ methods — the PQ index is built once, same as
-    # the IVF inverted list above
-    pq_codes = similarity.pq_encode(
-        index, codebooks, m=8, keep=("cluster_id",)
-    ).localCheckpoint(eager=False)
+    # the three index pieces come from the SHARED pinned-index memo
+    # (_ANN_INDEX_CACHE): the inverted list, the trained PQ codebooks,
+    # and the encoded-corpus table are built once per (session, corpus)
+    # and served to this harness AND the standalone search queries
+    index = _ann_assigned(spark, sf_dir)
+    codebooks = _ann_codebooks(spark, sf_dir)
+    pq_codes = _ann_pq_codes(spark, sf_dir)
     methods = [
         ("ivf", similarity.ivf_topk(queries, emb, pivots, k=10, assigned=index)),
         (
@@ -4407,7 +4534,7 @@ def ann_cost_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105))
     nstat = F.broadcast(emb.agg(F.count(F.lit(1)).alias("n")))
     sizes = (
-        similarity.assign_clusters(emb, pivots)
+        _ann_assigned(spark, sf_dir)
         .groupBy("cluster_id")
         .agg(F.count(F.lit(1)).alias("cn"))
     )
@@ -4555,9 +4682,12 @@ def pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of 4·dim. The oracle unrolls training, encoding, and the
     j-ordered ADC summation in SQL."""
     emb = _live_embeddings(spark, sf_dir)
-    cbs = similarity.pq_train_codebooks(emb, m=8)
+    cbs = _ann_codebooks(spark, sf_dir)
     queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105))
-    return similarity.pq_adc_topk(queries, emb, cbs, m=8, k=10, rescore_factor=10)
+    return similarity.pq_adc_topk(
+        queries, emb, cbs, m=8, k=10, rescore_factor=10,
+        codes=_ann_pq_codes(spark, sf_dir),
+    )
 
 
 def _pq_ivf_oracle(m: int = 8, ksub: int = 16, dim: int = 64, k: int = 10, rf: int = 10) -> str:
@@ -4591,10 +4721,11 @@ def pq_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster-restricted ADC search."""
     emb = _live_embeddings(spark, sf_dir)
     pivots = emb.filter(F.col("vec_id") < 8)
-    cbs = similarity.pq_train_codebooks(emb, m=8)
+    cbs = _ann_codebooks(spark, sf_dir)
     queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105))
     return similarity.pq_ivf_topk(
-        queries, emb, pivots, cbs, m=8, k=10, rescore_factor=10, nprobe=2
+        queries, emb, pivots, cbs, m=8, k=10, rescore_factor=10, nprobe=2,
+        codes=_ann_pq_codes(spark, sf_dir),
     )
 
 
@@ -5115,7 +5246,13 @@ def phash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = base.unionByName(perturbed)
     payloads = multimodal.with_binary_payload(corpus, "doc_id", "text")
-    sig = multimodal.phash_signatures(payloads, nbands=8)
+    # pin the signature frame: the pair generator references it FOUR
+    # times (both sides of the band self-join + the two verify
+    # lookups), and each unpinned reference re-runs the Python decode
+    # map over the whole corpus — the file-wide pair-set discipline
+    sig = multimodal.phash_signatures(payloads, nbands=8).localCheckpoint(
+        eager=True
+    )
     return multimodal.phash_neardup_pairs(sig, max_dist=6)
 
 
@@ -7521,15 +7658,21 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighbors. The IVF/PQ index paths (X74-X92) are the scale
     substitute for the scan, exactly as with the recall queries."""
     emb = _live_embeddings(spark, sf_dir)
+    # double-cast + norm hoisted below the join: per-ROW invariants,
+    # not per-pair work (the cosine_topk_bruteforce discipline); the
+    # score keeps cosine()'s exact operation order — bit-identical
+    vd = similarity._as_double(F.col("embedding"))
     q = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("q_label"),
-        F.col("embedding").alias("__qvec"),
+        vd.alias("__qvec"),
+        similarity.norm(vd).alias("__qnorm"),
     )
     c = similarity.fan_out(emb).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("label").alias("n_label"),
-        F.col("embedding").alias("__cvec"),
+        vd.alias("__cvec"),
+        similarity.norm(vd).alias("__cnorm"),
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -7543,7 +7686,9 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             "neighbor_id",
             "n_label",
             F.round(
-                similarity.cosine(F.col("__qvec"), F.col("__cvec")), 6
+                similarity.dot(F.col("__qvec"), F.col("__cvec"))
+                / (F.col("__qnorm") * F.col("__cnorm")),
+                6,
             ).alias("cosine_sim"),
         )
     )
@@ -8958,6 +9103,7 @@ def matryoshka_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.matryoshka_ivf_topk(
         queries, emb, pivots, prefix_dim=_MATRYOSHKA_FUNNEL_DIM,
         k=10, rescore_factor=3, nprobe=2,
+        assigned=_ann_assigned(spark, sf_dir),
     )
 
 
