@@ -193,6 +193,7 @@ def main() -> int:
         "ppjoin_neardup_pairs",  # pays plans/llm._PPJOIN_CACHE (r12: shared with dedup_recall_report)
         "quality_gate_logistic",  # pays plans/llm._GATE_FEATS_CACHE (r16)
         "semantic_prune",  # pays plans/llm._KMEANS_CACHE (r16: payer made explicit)
+        "kmeans_ivf_assign",  # pays plans/llm._KMEANS8_CACHE (r16)
     )
     bench_order = [n for n in _MEMO_PAYERS if n in qs] + [
         n for n in qs if n not in _MEMO_PAYERS

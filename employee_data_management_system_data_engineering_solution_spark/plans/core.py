@@ -1987,10 +1987,13 @@ def part_covisitation_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≥2-count floor keeps the report from being dominated by
     singleton-pair noise.
     """
+    # ok-clustered dedup: one exchange serves both the distinct and the
+    # within-order self-join (the part_link_prediction r16 pattern)
     b = (
         read_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
-        .distinct()
+        .repartition(F.col("l_orderkey"))
+        .dropDuplicates(["l_orderkey", "l_partkey"])
     )
     support = b.groupBy("l_partkey").agg(F.count("*").alias("n_part"))
     n_orders = b.agg(

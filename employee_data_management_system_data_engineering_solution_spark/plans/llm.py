@@ -2405,24 +2405,35 @@ def _full_recall_frames(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame
             F.col("text").isNotNull()  # dedup-family NULL contract
         )
         base = docs.select("doc_id", "text")
-        cached = {
-            "truth": _ppjoin_pairs(spark, sf_dir)
+        # the four pair pipelines are mutually independent (they touch
+        # disjoint session memos) — overlap their materializations
+        # (guide §2.6): each is a multi-stage job with idle tails, and
+        # sequential eager checkpoints were the dominant cold cost
+        from concurrent.futures import ThreadPoolExecutor
+
+        builders = {
+            "truth": lambda: _ppjoin_pairs(spark, sf_dir)
             .select("id_a", "id_b")
             .localCheckpoint(eager=True),
-            "containment_c90": dedup.containment_pairs(
+            "containment_c90": lambda: dedup.containment_pairs(
                 base, "doc_id", "text", n=5, min_containment=0.9,
                 n_hashes=16, bands=8,
             )
             .select("id_a", "id_b")
             .localCheckpoint(eager=True),
-            "minhash_lsh_j90": _verified_pairs(spark, sf_dir)
+            "minhash_lsh_j90": lambda: _verified_pairs(spark, sf_dir)
             .filter(F.col("jaccard") >= 0.9)
             .select("id_a", "id_b")
             .localCheckpoint(eager=True),
-            "simhash_h3": dedup.simhash_hamming_pairs(base, "doc_id", "text")
+            "simhash_h3": lambda: dedup.simhash_hamming_pairs(
+                base, "doc_id", "text"
+            )
             .select("id_a", "id_b")
             .localCheckpoint(eager=True),
         }
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            futures = {k: pool.submit(fn) for k, fn in builders.items()}
+            cached = {k: f.result() for k, f in futures.items()}
         _FULL_RECALL_CACHE[key] = cached
     return cached
 
@@ -2600,27 +2611,37 @@ def _sampled_frames(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
             .localCheckpoint(eager=True)
         )
         toks = dedup.char_ngram_rows(sample, "doc_id", "text", 5).distinct()
-        cached = {
-            "sample": sample,
-            "truth": dedup.prefix_filter_pairs(toks, "doc_id", "gram", 9, 10)
+        # overlap the four independent detector materializations over
+        # the pinned sample (guide §2.6; the _full_recall_frames twin)
+        from concurrent.futures import ThreadPoolExecutor
+
+        builders = {
+            "truth": lambda: dedup.prefix_filter_pairs(
+                toks, "doc_id", "gram", 9, 10
+            )
             .select("id_a", "id_b")
             .localCheckpoint(eager=True),
-            "containment_c90": dedup.containment_pairs(
+            "containment_c90": lambda: dedup.containment_pairs(
                 sample, "doc_id", "text", n=5, min_containment=0.9,
                 n_hashes=16, bands=8,
             )
             .select("id_a", "id_b")
             .localCheckpoint(eager=True),
-            "minhash_lsh_j90": dedup.ngram_jaccard_pairs(
+            "minhash_lsh_j90": lambda: dedup.ngram_jaccard_pairs(
                 sample, "doc_id", "text", n=5, min_jaccard=0.5
             )
             .filter(F.col("jaccard") >= 0.9)
             .select("id_a", "id_b")
             .localCheckpoint(eager=True),
-            "simhash_h3": dedup.simhash_hamming_pairs(sample, "doc_id", "text")
+            "simhash_h3": lambda: dedup.simhash_hamming_pairs(
+                sample, "doc_id", "text"
+            )
             .select("id_a", "id_b")
             .localCheckpoint(eager=True),
         }
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            futures = {k: pool.submit(fn) for k, fn in builders.items()}
+            cached = {"sample": sample, **{k: f.result() for k, f in futures.items()}}
         _SAMPLED_CACHE[key] = cached
     return cached
 
@@ -3847,9 +3868,8 @@ def clear_ann_eval_cache() -> None:
                 pass  # session already stopped; blocks died with it
     _ANN_EVAL_CACHE.clear()
     for entry in _ANN_INDEX_CACHE.values():
-        df = entry.get("assigned")
-        cd = entry.get("codes")
-        for frame in (df, cd):
+        for piece in ("assigned", "codes", "truth"):
+            frame = entry.get(piece)
             if frame is None:
                 continue
             try:
@@ -3926,6 +3946,23 @@ def _ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return entry["codes"]
 
 
+def _ann_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pinned EXACT brute-force top-10 for the shared query batch
+    (vec_id 100–105 over the live embeddings): (query_id, neighbor_id,
+    cosine_sim, rank), eager checkpoint, built once per (session,
+    corpus). FOUR measurement consumers graded against this identical
+    frame (the harness truth, the MMR relevance pool, the Matryoshka
+    truncation baseline) each re-ran the corpus scan before r16."""
+    entry = _ann_index_entry(spark, sf_dir)
+    if "truth" not in entry:
+        emb = _live_embeddings(spark, sf_dir)
+        queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105))
+        entry["truth"] = similarity.cosine_topk_bruteforce(
+            queries, emb, k=10
+        ).localCheckpoint(eager=True)
+    return entry["truth"]
+
+
 def _ann_truth_and_ranked_methods(spark: SparkSession, sf_dir: str):
     """Shared ANN evaluation harness: the exact top-10 ground truth
     (``__hit`` marker) and the union of every method's RANKED top-10
@@ -3949,18 +3986,28 @@ def _ann_truth_and_ranked_methods(spark: SparkSession, sf_dir: str):
     emb = _live_embeddings(spark, sf_dir)
     pivots = emb.filter(F.col("vec_id") < 8)
     queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105))
-    truth = (
-        similarity.cosine_topk_bruteforce(queries, emb, k=10)
-        .select("query_id", "neighbor_id", F.col("rank").alias("__trank"))
-        .withColumn("__hit", F.lit(1))
-    )
-    # the three index pieces come from the SHARED pinned-index memo
-    # (_ANN_INDEX_CACHE): the inverted list, the trained PQ codebooks,
-    # and the encoded-corpus table are built once per (session, corpus)
-    # and served to this harness AND the standalone search queries
-    index = _ann_assigned(spark, sf_dir)
-    codebooks = _ann_codebooks(spark, sf_dir)
+    # the index pieces come from the SHARED pinned-index memo
+    # (_ANN_INDEX_CACHE): the exact truth, the inverted list, the
+    # trained PQ codebooks, and the encoded-corpus table are built once
+    # per (session, corpus) and served to this harness AND the
+    # standalone search queries. Truth, assignment, and PQ training are
+    # mutually independent — overlap their builds (guide §2.6); the
+    # code table needs the latter two and builds after.
+    from concurrent.futures import ThreadPoolExecutor as _TPE
+
+    with _TPE(max_workers=3) as _pool:
+        _ft = _pool.submit(_ann_truth, spark, sf_dir)
+        _fa = _pool.submit(_ann_assigned, spark, sf_dir)
+        _fc = _pool.submit(_ann_codebooks, spark, sf_dir)
+        truth_pinned = _ft.result()
+        index = _fa.result()
+        codebooks = _fc.result()
     pq_codes = _ann_pq_codes(spark, sf_dir)
+    # the MMR pool and the Matryoshka baseline grade against this SAME
+    # pinned frame
+    truth = truth_pinned.select(
+        "query_id", "neighbor_id", F.col("rank").alias("__trank")
+    ).withColumn("__hit", F.lit(1))
     methods = [
         ("ivf", similarity.ivf_topk(queries, emb, pivots, k=10, assigned=index)),
         (
@@ -4039,12 +4086,32 @@ def _ann_truth_and_ranked_methods(spark: SparkSession, sf_dir: str):
             ),
         ),
     ]
-    un = None
-    for nm, df in methods:
-        cur = df.select(F.lit(nm).alias("method"), "query_id", "neighbor_id", "rank")
-        un = cur if un is None else un.unionByName(cur)
-    truth = truth.localCheckpoint(eager=True)
-    un = un.localCheckpoint(eager=True)
+    # OVERLAP the ten independent searches (guide §2.6): each search is
+    # a short, mostly stage-latency-bound job over the pinned index
+    # pieces (built above, so threads never race a memo build). Run as
+    # one sequential union these took ~12 s of mostly-idle executors;
+    # four jobs in flight back-fill each other's tails. Results are
+    # deterministic per method, so concurrency cannot change a row;
+    # job descriptions are thread-local, so the UI keeps one label per
+    # method.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _materialize(nm_df):
+        nm, df = nm_df
+        spark.sparkContext.setJobDescription(f"ann-harness: {nm}")
+        out = df.select(
+            F.lit(nm).alias("method"), "query_id", "neighbor_id", "rank"
+        ).localCheckpoint(eager=True)
+        spark.sparkContext.setJobDescription(None)
+        return out
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        mats = list(pool.map(_materialize, methods))
+    un = mats[0]
+    for cur in mats[1:]:
+        un = un.unionByName(cur)
+    # truth and every method frame are already pinned; the union of ten
+    # ~50-row checkpoints needs no further materialization
     _ANN_EVAL_CACHE[key] = (truth, un)
     return truth, un
 
@@ -4802,7 +4869,7 @@ def kmeans_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     holds the k x dim centroid table between iterations. The oracle
     unrolls both iterations in SQL (same rounding at every step)."""
     emb = read_table(spark, sf_dir, "embeddings")
-    cents = similarity.kmeans_iterate(emb, k=8, iters=2, dim=64)
+    cents = _trained_centroids_k8(spark, sf_dir)
     return similarity.assign_clusters(emb, cents).select("vec_id", "cluster_id")
 
 
@@ -7592,7 +7659,7 @@ def cluster_topic_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     group-limit optimized. Joining embeddings to documents on id is a
     plain co-keyed equi-join."""
     emb = read_table(spark, sf_dir, "embeddings")
-    cents = similarity.kmeans_iterate(emb, k=8, iters=2, dim=64)
+    cents = _trained_centroids_k8(spark, sf_dir)
     assigned = similarity.assign_clusters(emb, cents).select("vec_id", "cluster_id")
     docs = read_table(spark, sf_dir, "documents").filter(
         F.length(F.trim(F.col("text"))) > 0
@@ -8029,11 +8096,11 @@ def _mmr_pool_pairs(spark: SparkSession, sf_dir: str):
     — the pairs branch must not re-run the scan) and the 6 dp-rounded
     pairwise cosine sims within each query's pool (≤ 90 rows/query)."""
     emb = _live_embeddings(spark, sf_dir)
-    queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105))
-    pool = (
-        similarity.cosine_topk_bruteforce(queries, emb, k=10)
-        .select("query_id", "neighbor_id", F.col("cosine_sim").alias("rel"))
-        .localCheckpoint(eager=True)
+    # the relevance pool IS the shared pinned exact truth (same query
+    # batch, same k) — read it from the index memo instead of paying
+    # another brute-force corpus pass (r16)
+    pool = _ann_truth(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.col("cosine_sim").alias("rel")
     )
     vecs = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
     pv = pool.join(vecs, "neighbor_id").select(
@@ -8344,6 +8411,30 @@ _KMEANS_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 def clear_kmeans_cache() -> None:
     """Drop the memoized trained centroids (bench resets per pass)."""
     _KMEANS_CACHE.clear()
+    _KMEANS8_CACHE.clear()
+
+
+#: (applicationId, sf_dir, fingerprint) -> the k=8/iters=2 trained IVF
+#: centroids over the RAW embeddings table — shared by
+#: kmeans_ivf_assign and cluster_topic_terms, which trained the
+#: identical Lloyd's rounds twice per bench pass (r16). The result is
+#: a k-row driver-materialized frame (no checkpoint blocks); cleared
+#: with the corpus-k memo above.
+_KMEANS8_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _trained_centroids_k8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        table_fingerprint(sf_dir, "embeddings"),
+    )
+    cached = _KMEANS8_CACHE.get(key)
+    if cached is None:
+        emb = read_table(spark, sf_dir, "embeddings")
+        cached = similarity.kmeans_iterate(emb, k=8, iters=2, dim=64)
+        _KMEANS8_CACHE[key] = cached
+    return cached
 
 
 def _trained_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8508,22 +8599,36 @@ def semantic_prune_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _live_embeddings(spark, sf_dir)
     docs = read_table(spark, sf_dir, "documents")
     cents = _trained_centroids(spark, sf_dir)
-    sem_removed = (
-        connected_components(
-            similarity.cosine_neardup_pairs(emb, cents, threshold=0.4),
-            src="id_a",
-            dst="id_b",
+
+    # the two detector pipelines are independent (disjoint memos:
+    # k-means centroids vs the verified-pair frame) and each drives an
+    # ITERATIVE CC machine with driver barriers — overlap them
+    # (guide §2.6) instead of serializing two convergence loops
+    def _sem() -> DataFrame:
+        return (
+            connected_components(
+                similarity.cosine_neardup_pairs(emb, cents, threshold=0.4),
+                src="id_a",
+                dst="id_b",
+            )
+            .filter(F.col("node") != F.col("component"))
+            .select(F.col("node").alias("doc_id"))
         )
-        .filter(F.col("node") != F.col("component"))
-        .select(F.col("node").alias("doc_id"))
-    )
-    lex_removed = (
-        connected_components(
-            _verified_pairs(spark, sf_dir), src="id_a", dst="id_b"
+
+    def _lex() -> DataFrame:
+        return (
+            connected_components(
+                _verified_pairs(spark, sf_dir), src="id_a", dst="id_b"
+            )
+            .filter(F.col("node") != F.col("component"))
+            .select(F.col("node").alias("doc_id"))
         )
-        .filter(F.col("node") != F.col("component"))
-        .select(F.col("node").alias("doc_id"))
-    )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fs, fl = pool.submit(_sem), pool.submit(_lex)
+        sem_removed, lex_removed = fs.result(), fl.result()
     both = F.broadcast(
         sem_removed.join(lex_removed, "doc_id").agg(
             F.count(F.lit(1)).alias("n_removed_both")
@@ -8824,31 +8929,47 @@ def semantic_scorecard_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sample_emb = spine.select(F.col("doc_id").alias("vec_id"), "embedding")
     k = _semantic_k(spine.count())
-    cents = similarity.kmeans_iterate(sample_emb, k=k, iters=2, dim=64)
-    sem_removed = (
-        connected_components(
-            similarity.cosine_neardup_pairs(sample_emb, cents, threshold=0.4),
-            src="id_a",
-            dst="id_b",
+
+    # overlap the two independent detector pipelines over the pinned
+    # spine (guide §2.6; the semantic_prune_scorecard discipline): the
+    # semantic arm pays the Lloyd's barriers + a CC machine, the
+    # lexical arm the LSH pair pipeline + its own CC machine
+    def _sem() -> DataFrame:
+        cents = similarity.kmeans_iterate(sample_emb, k=k, iters=2, dim=64)
+        return (
+            connected_components(
+                similarity.cosine_neardup_pairs(
+                    sample_emb, cents, threshold=0.4
+                ),
+                src="id_a",
+                dst="id_b",
+            )
+            .filter(F.col("node") != F.col("component"))
+            .select(F.col("node").alias("doc_id"))
         )
-        .filter(F.col("node") != F.col("component"))
-        .select(F.col("node").alias("doc_id"))
-    )
-    lex_removed = (
-        connected_components(
-            dedup.ngram_jaccard_pairs(
-                spine.select("doc_id", "text"),
-                "doc_id",
-                "text",
-                n=5,
-                min_jaccard=0.5,
-            ),
-            src="id_a",
-            dst="id_b",
+
+    def _lex() -> DataFrame:
+        return (
+            connected_components(
+                dedup.ngram_jaccard_pairs(
+                    spine.select("doc_id", "text"),
+                    "doc_id",
+                    "text",
+                    n=5,
+                    min_jaccard=0.5,
+                ),
+                src="id_a",
+                dst="id_b",
+            )
+            .filter(F.col("node") != F.col("component"))
+            .select(F.col("node").alias("doc_id"))
         )
-        .filter(F.col("node") != F.col("component"))
-        .select(F.col("node").alias("doc_id"))
-    )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fs, fl = pool.submit(_sem), pool.submit(_lex)
+        sem_removed, lex_removed = fs.result(), fl.result()
     both = F.broadcast(
         sem_removed.join(lex_removed, "doc_id").agg(
             F.count(F.lit(1)).alias("n_removed_both")
@@ -8949,10 +9070,10 @@ def matryoshka_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the embedding payload with column pruning intact."""
     emb = _live_embeddings(spark, sf_dir)
     queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105))
-    truth = (
-        similarity.cosine_topk_bruteforce(queries, emb, k=10)
-        .select("query_id", "neighbor_id", F.lit(1).alias("__hit"))
-        .localCheckpoint(eager=False)  # joined once per dim below
+    # the exact full-dim baseline comes from the shared pinned truth
+    # (same query batch, same k) — no separate brute-force pass (r16)
+    truth = _ann_truth(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("__hit")
     )
     per_dim = []
     for d in _MATRYOSHKA_DIMS:
