@@ -316,3 +316,65 @@ def test_simhash_reference_digest_holds_at_sf01(spark):
     want = {r.doc_id: ref(r.text) for r in docs.select("doc_id", "text").collect()}
     assert len(got) >= 5
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# r16 optimization round: the shared pinned ANN index memo
+# ---------------------------------------------------------------------------
+def test_ann_index_memo_shares_one_pinned_frame_and_clears(spark):
+    """The r16 optimization memoizes the ANN index pieces (exact truth,
+    IVF assignment, PQ codebooks/codes) once per (session, corpus) and
+    serves every consumer the SAME pinned frame — this pins (a) the
+    sharing is real (second request returns the identical object, so
+    no consumer can silently rebuild the index), (b) the truth frame's
+    values equal a fresh brute-force pass (the memo changes cost, not
+    results), and (c) clear_ann_eval_cache() really drops the memo so
+    a bench pass can never read a stale index."""
+    from employee_data_management_system_data_engineering_solution_spark.operators import (
+        similarity,
+    )
+
+    llm.clear_ann_eval_cache()
+    t1 = llm._ann_truth(spark, SF_SMOKE)
+    a1 = llm._ann_assigned(spark, SF_SMOKE)
+    assert llm._ann_truth(spark, SF_SMOKE) is t1  # shared, not rebuilt
+    assert llm._ann_assigned(spark, SF_SMOKE) is a1
+
+    emb = llm._live_embeddings(spark, SF_SMOKE)
+    queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105))
+    fresh = similarity.cosine_topk_bruteforce(queries, emb, k=10)
+    got = {tuple(r) for r in t1.collect()}
+    want = {tuple(r) for r in fresh.collect()}
+    assert got == want  # memoization changes cost, never values
+
+    llm.clear_ann_eval_cache()
+    assert llm._ann_truth(spark, SF_SMOKE) is not t1  # genuinely cleared
+
+
+def test_full_recall_frames_parallel_build_matches_oracle_keys(spark):
+    """The r16 thread-pooled _full_recall_frames build must produce the
+    same four detector frames (keys and per-frame pair sets) as the
+    detectors run directly — concurrency must not change a row."""
+    from employee_data_management_system_data_engineering_solution_spark.operators import (
+        dedup,
+    )
+
+    llm.clear_full_recall_cache()
+    llm.clear_ppjoin_cache()
+    llm.clear_pairs_cache()
+    frames = llm._full_recall_frames(spark, SF_SMOKE)
+    assert set(frames) == {
+        "truth", "containment_c90", "minhash_lsh_j90", "simhash_h3",
+    }
+    docs = read_table(spark, SF_SMOKE, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    base = docs.select("doc_id", "text")
+    direct = {
+        (r.id_a, r.id_b)
+        for r in dedup.simhash_hamming_pairs(base, "doc_id", "text")
+        .select("id_a", "id_b")
+        .collect()
+    }
+    pooled = {(r.id_a, r.id_b) for r in frames["simhash_h3"].collect()}
+    assert pooled == direct
