@@ -317,8 +317,16 @@ def main() -> int:
         "failed": failed,
         "memo_exempt_cold": memo_exempt_cold,
     }
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    here = os.path.dirname(os.path.abspath(__file__))
+    detail_path = os.path.join(here, "BENCH_DETAIL.json")
     with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1)
+    # additions-only (r16 verdict item 4): the driver re-runs the bench
+    # at a lower core count, and a single BENCH_DETAIL.json meant the
+    # scaling run OVERWROTE the main run's per-query history. A per-cpu
+    # copy preserves both so round-over-round per-query regression scans
+    # stay possible at the main core count.
+    with open(os.path.join(here, f"BENCH_DETAIL_c{cpus}.json"), "w") as fh:
         json.dump(detail, fh, indent=1)
     print(json.dumps(detail), file=sys.stderr)
 

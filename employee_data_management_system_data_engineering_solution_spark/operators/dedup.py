@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import MINHASH_PRIME, minhash_signature, normalized
-from ..sources.io import fan_out
+from ..sources.io import arrow_batch_defaults, fan_out
 
 
 def char_ngram_rows(df: DataFrame, id_col: str, text_col: str, n: int = 5) -> DataFrame:
@@ -877,6 +877,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             sigs = u64.view(np.int64)  # two's-complement reinterpret
             yield pd.DataFrame({"doc_id": pdf[id_col].to_numpy(), "simhash": sigs})
 
+    arrow_batch_defaults(df.sparkSession)
     return fan_out(df.select(F.col(id_col), F.col(text_col))).mapInPandas(_batches, _SIMHASH_SCHEMA)
 
 

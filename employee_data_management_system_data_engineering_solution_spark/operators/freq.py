@@ -36,6 +36,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..sources.io import arrow_batch_defaults
+
 #: marker value in the ``kind`` column of a totals-bearing summary
 CAND, TOTAL = "cand", "total"
 
@@ -92,6 +94,7 @@ def misra_gries_candidates(
             out["kind"].append(TOTAL)
         yield pd.DataFrame(out)
 
+    arrow_batch_defaults(df.sparkSession)
     return df.select(F.col(col).alias(col)).mapInPandas(mg, schema)
 
 

@@ -22,6 +22,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..sources.io import arrow_batch_defaults
+
 FEATURE_DIM = 4
 
 _DECODE_SCHEMA = (
@@ -102,6 +104,7 @@ def frame_sample(df: DataFrame, frame_bytes: int = 32, every_n: int = 1) -> Data
                 {"doc_id": ids, "frame_no": nos, "frame": frames, "frame_bytes": sizes}
             )
 
+    arrow_batch_defaults(df.sparkSession)
     return df.mapInPandas(_frames, _FRAME_SCHEMA)
 
 
@@ -156,6 +159,7 @@ def decode_features(df: DataFrame) -> DataFrame:
                 }
             )
 
+    arrow_batch_defaults(df.sparkSession)
     return df.mapInPandas(_decode, _DECODE_SCHEMA)
 
 
@@ -214,6 +218,16 @@ def _pack_bands(bits: list[int], nbands: int) -> list[int]:
     ]
 
 
+#: Payload-size bound for the numpy pHash fast path: the bit comparison
+#: multiplies an int64 block sum (≤ n·0x10FFFF/nblocks) by an int64
+#: block length (≤ n/nblocks + 1), which stays under 2^63 only while
+#: n²·0x10FFFF/nblocks² < 2^63 — n below ~1.5e9 chars at nblocks=65.
+#: Past this conservative guard _phash_bands_np falls back to the
+#: pure-Python reference (arbitrary-precision ints) instead of silently
+#: diverging from the bit-identity its docstring claims (ADVICE r16).
+_NP_SAFE_MAX_CHARS = 10**9
+
+
 def _phash_bands_np(payload: bytes, nbands: int, nblocks: int = 65) -> list[int]:
     """Vectorized (numpy) twin of ``_pack_bands(phash_signature_py(p))``
     — the Python-worker hot path of :func:`phash_signatures`. All
@@ -226,9 +240,20 @@ def _phash_bands_np(payload: bytes, nbands: int, nblocks: int = 65) -> list[int]
     from one utf-32 re-encode and the block sums from one cumsum."""
     import numpy as np
 
+    if (nblocks - 1) % nbands:
+        # the numpy reshape would raise a shape error; the pure-Python
+        # _pack_bands silently truncated trailing bits — fail loudly
+        # instead of silently changing non-default-nbands behavior
+        # (ADVICE r16)
+        raise ValueError(
+            f"nbands={nbands} must divide nblocks-1={nblocks - 1} bits evenly"
+        )
+
     text = (bytes(payload) if payload is not None else b"").decode(
         "utf-8", errors="replace"
     )
+    if len(text) > _NP_SAFE_MAX_CHARS:
+        return _pack_bands(phash_signature_py(payload, nblocks), nbands)
     codes = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
     n = len(codes)
     bounds = (np.arange(nblocks + 1, dtype=np.int64) * n) // nblocks
@@ -270,6 +295,7 @@ def phash_signatures(df: DataFrame, *, nbands: int = 8) -> DataFrame:
                 }
             )
 
+    arrow_batch_defaults(df.sparkSession)
     return df.select("doc_id", "payload").mapInPandas(
         _sig, "doc_id long, bands array<int>"
     )

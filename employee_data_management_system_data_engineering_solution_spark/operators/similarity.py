@@ -1290,16 +1290,26 @@ def pq_encode(
     compression). One narrow map: all m argmins evaluate in a single
     projection over the codebook literal; no explode, no shuffle.
     ``keep`` carries extra columns (e.g. an IVF ``cluster_id``) through
-    the same scan so an IVF-PQ index never needs a second corpus pass."""
+    the same scan so an IVF-PQ index never needs a second corpus pass.
+
+    The m per-subspace argmins run inside ONE ``transform`` over
+    ``sequence(0, m-1)`` so the codebook literal is embedded ONCE in
+    the plan — the previous ``F.array`` of m separate argmin columns
+    re-embedded the full m×ksub×dsub-double literal per subspace
+    (~8×1024 doubles at m=8), and the DRIVER re-analyzed every copy on
+    every job (r16 verdict item 1). Same arithmetic per element, same
+    ascending subspace order, so the emitted codes are bit-identical;
+    the sliced subvector start is a per-element expression now, which
+    the interpreted HOF evaluated per row either way."""
     dsub = dim // m
     cblit = _pq_codebook_literal(codebooks, m)
-    codes = F.array(*[
-        _pq_assign_code(
+    codes = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda j: _pq_assign_code(
             F.slice(_as_double(F.col(vec_col)), j * dsub + 1, dsub),
             F.element_at(cblit, j + 1),
-        )
-        for j in range(m)
-    ])
+        ),
+    )
     return corpus.select(F.col(id_col), codes.alias("codes"), *[F.col(c) for c in keep])
 
 
@@ -1338,14 +1348,14 @@ def pq_adc_topk(
     if codes is None:
         codes = pq_encode(corpus, codebooks, m, id_col, vec_col, dim)
     codes = codes.select(F.col(id_col).alias("neighbor_id"), "codes")
-    qside = _pq_query_lut(queries, dense_lit, m, dsub, id_col, vec_col)
+    qside = _pq_query_lut(queries, dense_lit, normlit, m, dsub, id_col, vec_col)
     coarse = (
         codes.crossJoin(F.broadcast(qside))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            _pq_adc_qcos(m, normlit).alias("qcos"),
+            _pq_adc_qcos(m, F.col("__norms")).alias("qcos"),
         )
     )
     return _rescore_topk(coarse, queries, corpus, id_col, vec_col, k, rescore_factor)
@@ -1393,11 +1403,18 @@ def _pq_dense_tables(
 
 
 def _pq_query_lut(
-    queries: DataFrame, dense_lit: Column, m: int, dsub: int, id_col: str, vec_col: str
+    queries: DataFrame,
+    dense_lit: Column,
+    normlit: Column,
+    m: int,
+    dsub: int,
+    id_col: str,
+    vec_col: str,
 ) -> DataFrame:
-    """(query_id, __lut, __qnorm): per-query ADC lookup table
+    """(query_id, __lut, __qnorm, __norms): per-query ADC lookup table
     lut[j][c] = dot(q_j, codeword c) — computed once per (tiny) query
-    row and broadcast with it into the coarse join."""
+    row and broadcast with it into the coarse join, alongside the
+    codeword reconstruction-norm table."""
     qv = _as_double(F.col(vec_col))
     lut = F.transform(
         dense_lit,
@@ -1409,6 +1426,11 @@ def _pq_query_lut(
         F.col(id_col).alias("query_id"),
         lut.alias("__lut"),
         norm(qv).alias("__qnorm"),
+        # the reconstruction-norm table rides the (tiny) query side as
+        # ONE literal projection — the ADC score used to re-embed it m
+        # times (m copies of an m×ksub-double literal per search plan,
+        # r16 verdict item 1); downstream references are attributes now
+        normlit.alias("__norms"),
     )
 
 
@@ -1483,7 +1505,7 @@ def pq_ivf_topk(
     qprobe = assign_clusters_multi(queries, pivots, nprobe, id_col, vec_col).select(
         F.col(id_col).alias("query_id"), "cluster_id"
     )
-    qside = _pq_query_lut(queries, dense_lit, m, dsub, id_col, vec_col).join(
+    qside = _pq_query_lut(queries, dense_lit, normlit, m, dsub, id_col, vec_col).join(
         qprobe, "query_id"
     )
     coarse = (
@@ -1492,7 +1514,7 @@ def pq_ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            _pq_adc_qcos(m, normlit).alias("qcos"),
+            _pq_adc_qcos(m, F.col("__norms")).alias("qcos"),
         )
     )
     return _rescore_topk(coarse, queries, corpus, id_col, vec_col, k, rescore_factor)

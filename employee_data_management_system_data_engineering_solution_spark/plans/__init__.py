@@ -49,6 +49,59 @@ from .registry import REGISTRY, register
 # exempt). driver_green_rounds()/never_green() below are the audit's
 # data source.
 #
+# Round 17 rotation (r16 narrative preserved below). Executes the r16
+# verdict's recorded r17 queue (ask 8: the 35 remaining r12-green
+# queries first, then begin the r13 cohort):
+#   IN (the r17 drain head — 34 of the 35 remaining r12-green
+#       queries): brand_price_regression … weighted_sample_topk (see
+#       _PRIORITY). calendar_completeness_report (the 35th) DEFERS to
+#       lead the r18 queue: the window holds 50 slots, the other 34
+#       plus the family mechanics below need all of them, and it is
+#       the one r12-green query that carries no FAMILY_CARRIERS slot
+#       of its own, so deferring it costs no coverage.
+#   IN (the r17 drain tail — 12 of the 47-query r13-green cohort,
+#       chosen so each also restores a family the r12 drain leaves
+#       uncovered): kmeans_ivf_assign (ann_quantized_ivf; its
+#       assignment machinery was de-literalized this round — the r15
+#       changed-contract-keeper discipline), bpe_merge_batched
+#       (bpe_tokenizer), gate_trained_eval (learned_gate_curation),
+#       supplier_golden_record (merge_upsert_scd), strike_report_rlike
+#       (reference_clean_path), upcoming_leave_pct
+#       (reference_reports), hybrid_rrf_topk (retrieval_rank_eval;
+#       r16 §1 hoist touched it), bloom_pruned_join (scale_layout),
+#       format_roundtrips (sinks_roundtrip), event_sessions
+#       (temporal), text_profile (text_analysis), dedup_keep_best
+#       (window_dedup_rank).
+#   IN (family keepers — four families have NO r13-green member, so
+#       their stalest members hold the slots): supplier_communities
+#       (graph, r14), checkpoint_restart_strikes
+#       (streaming_stateful_checkpoint, r14),
+#       mmr_diversified_topk_grouped (mmr_diversification, r15),
+#       semantic_prune (semantic_dedup, r15 — and its centroid
+#       machinery was de-literalized this round, so it re-verifies
+#       in-window rather than riding stale evidence).
+# R18 QUEUE: calendar_completeness_report FIRST, then the remaining
+# 35 r13-green queries (balanced_strata_sample, benchmark_contamination,
+# bm25_topk, brand_price_theilsen, bucketed_colocated_join,
+# column_profile, dedup_recall_curve, dedup_recall_sampled,
+# discount_quantity_ab, domain_mixture_sample, embedding_neardup_pairs,
+# events_in_error_windows, forward_fill_values,
+# funnel_conversion_report, fuzzy_name_pairs, gate_calibration_bins,
+# gate_eval_report, hourly_interpolated_series, hyperplane_lsh_groups,
+# order_price_ks_drift, phash_neardup_pairs, pii_scrub,
+# price_decile_stats, quality_weighted_sample, range_partition_plan,
+# referential_integrity_audit, repeated_passages, revenue_cube_report,
+# revenue_forecast_mase, schema_evolution_read,
+# seasonal_decompose_report, snapshot_diff_orders, tfidf_top_terms,
+# train_test_split, user_value_trend — snapshot_vacuum and
+# staging_promote_roundtrip drained this round), then begin the
+# r14-green cohort; FAMILY_CARRIERS mechanics guard the reshuffle as
+# always.
+#   OUT (rotated to the tail; every one driver-green ≤ 5 rounds ago
+#       and guarded by the committed full local runs): the whole r16
+#       window — the four r16 newcomers, the 31-query r11 drain, the
+#       r16 keepers and drain tail.
+#
 # Round 16 rotation (r15 narrative preserved below). Executes the r15
 # verdict's recorded r16 queue:
 #   IN (never green — the r16 build-outs, full hash oracles):
@@ -447,71 +500,66 @@ from .registry import REGISTRY, register
 #       newcomers.
 # ---------------------------------------------------------------------------
 _PRIORITY: tuple[str, ...] = (
-    # new in r16: never driver-checked (the r15 verdict's asks 2-3
-    # plus the two r16 build-outs)
-    "semantic_scorecard_sampled",  # X208 — ask 2, sampled twin
-    "ann_cost_frontier",  # X209 — ask 3, recall-per-byte axis
-    "doremi_mixture_weights",  # X210 — excess-loss domain reweight
-    "aspect_ratio_buckets",  # X211 — AR bucket packing audit
-    # r16 drain head: the COMPLETE 31-query r11-green cohort (the r15
-    # verdict's recorded r16 queue, ask 1 — 28 of these hold judge
-    # out-of-window re-proofs from the r14/r15 verdicts)
-    "ann_incremental_admission",
-    "benchmark_decontamination",
-    "cdc_log_replay",
-    "constraint_quarantine",
-    "corpus_curation_pipeline",
-    "cross_split_leakage",
-    "cube_order_stats",
-    "customers_without_urgent_orders",
-    "daily_pipeline",
-    "distinct_order_supp_pairs",
-    "embedding_dim_profile",
-    "gopher_repetition_report",
-    "hard_negative_mining",
-    "incremental_agg_refresh",
-    "join_key_skew_report",
-    "json_props_stats",
-    "multi_touch_attribution",
-    "ngram_jaccard_pairs",
-    "promo_revenue_share",
-    "quality_score",
-    "region_supplier_volume",
-    "rollup_revenue",
-    "salary_percentiles",
-    "salary_rank_analytics",
-    "status_pivot_report",
-    "stratified_sample",
-    "strike_report_batch",
-    "top_earner_per_designation",
-    "trailing_revenue_90d",
-    "unicode_script_profile",
-    "value_winsorized_stats",
-    # family keepers: the FAMILY_CARRIERS audit requires every family
-    # in-window, and neither the r11 cohort nor the r12 picks below
-    # carry these four families — one cheap keeper each
-    "epoch_status_clean",  # reference_clean_path
-    "pct_of_quota",  # reference_reports
-    "keyed_upsert",  # merge_upsert_scd
-    "mmr_diversified_topk",  # mmr_diversification (grouped twin was r15)
-    # r16 drain tail: 11 of the 46-query r12-green cohort — the eight
-    # family-coverage picks (ivf_topk: the ANN inverted list;
-    # supplier_pagerank: graph; bpe_encode_stats: tokenizer;
-    # strike_stream_stateful: stateful streaming; benford_digit_audit:
-    # analytics; rolling_user_features: temporal; orc_roundtrip:
-    # sinks; strike_window_counts: streaming windows) plus three
-    # cheap drains; the other 35 lead the R17 QUEUE
-    "ivf_topk",
-    "supplier_pagerank",
-    "bpe_encode_stats",
-    "strike_stream_stateful",
-    "benford_digit_audit",
-    "rolling_user_features",
-    "orc_roundtrip",
-    "strike_window_counts",
-    "exact_dedup",
-    "doc_fingerprint",
-    "text_stats",
+    # r17 drain head: 34 of the 35 remaining r12-green queries (the
+    # r16 verdict's recorded r17 queue, ask 8;
+    # calendar_completeness_report defers to lead r18 — see the
+    # rotation narrative above)
+    "brand_price_regression",
+    "cluster_safe_split",
+    "column_entropy_profile",
+    "customers_with_urgent_orders",
+    "dedup_last_write_wins",
+    "embedding_topk",
+    "fd_violation_report",
+    "feature_drift_psi",
+    "feature_woe_iv",
+    "frequent_shingles",
+    "gate_training_rounds",
+    "incremental_agg_refresh_minmax",
+    "lineitem_corr_matrix",
+    "longest_leave_streak",
+    "minhash_lsh_groups",
+    "multimodal_decode",
+    "multimodal_profile",
+    "neardup_admission",
+    "ppjoin_neardup_pairs",
+    "purchase_error_overlap",
+    "q3_shipping_priority",
+    "quality_gate_logistic",
+    "revenue_cusum_shift",
+    "salary_change_deltas",
+    "salted_revenue_join",
+    "simhash_hamming_pairs",
+    "snapshot_vacuum",
+    "staging_promote_roundtrip",
+    "stream_purchase_view_join",
+    "union_entities",
+    "user_path_topk",
+    "value_outliers_mad",
+    "weighted_median_by_flag",
+    "weighted_sample_topk",
+    # r17 drain tail: 12 r13-green picks, each restoring a family the
+    # r12 drain leaves uncovered (one per family; see narrative)
+    "kmeans_ivf_assign",
+    "bpe_merge_batched",
+    "gate_trained_eval",
+    "supplier_golden_record",
+    "strike_report_rlike",
+    "upcoming_leave_pct",
+    "hybrid_rrf_topk",
+    "bloom_pruned_join",
+    "format_roundtrips",
+    "event_sessions",
+    "text_profile",
+    "dedup_keep_best",
+    # family keepers: these four families have no r13-green member —
+    # their stalest members hold the coverage slots (semantic_prune
+    # and kmeans_ivf_assign above also re-verify this round's
+    # de-literalized centroid machinery in-window)
+    "supplier_communities",
+    "checkpoint_restart_strikes",
+    "mmr_diversified_topk_grouped",
+    "semantic_prune",
 )
 
 #: Queries whose driver check is rows-only BY CONTRACT (no SQL oracle

@@ -10,13 +10,15 @@ double precision on both sides and rounded to 6 dp before ranking.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as tx
 from ..operators import dedup, modeleval, multimodal, quality, similarity
 from ..operators.graph import connected_components
-from ..sources.io import read_table, table_fingerprint
+from ..sources.io import read_table, table_fingerprint, unpersist_checkpoint
 from ..streaming.strikes import run_strike_stream
 from .registry import REGISTRY, register
 
@@ -249,12 +251,10 @@ _GATE_FEATS_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 def clear_gate_feats_cache() -> None:
     """Drop the memoized gate feature frames and their checkpoint
-    blocks (bench resets per pass)."""
+    blocks (bench resets per pass; unpersist_checkpoint frees the
+    LogicalRDD blocks df.unpersist() silently left to GC — r17)."""
     for df in _GATE_FEATS_CACHE.values():
-        try:
-            df.unpersist()
-        except Exception:
-            pass  # session already stopped; blocks died with it
+        unpersist_checkpoint(df)
     _GATE_FEATS_CACHE.clear()
 
 
@@ -1801,14 +1801,21 @@ def ppjoin_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: canonical payer); keyed by (application, data dir).
 _PPJOIN_CACHE: dict[tuple[str, str], DataFrame] = {}
 
+#: Per-memo build locks (ADVICE r16): the §2.6 thread pools submit
+#: builders that populate module-level memos; today's builders touch
+#: disjoint memos, but nothing ENFORCED that — a future builder pair
+#: sharing a memo would race get→build→store, duplicating the build
+#: and leaking the losing eager checkpoint. Double-checked locking per
+#: memo keeps same-memo first requests single-build while leaving
+#: cross-memo parallelism (the whole point of the pools) untouched.
+_PPJOIN_LOCK = threading.Lock()
+_PAIRS_LOCK = threading.Lock()
+
 
 def clear_ppjoin_cache() -> None:
     """Drop the memoized exact pair frames and their checkpoint blocks."""
     for df in _PPJOIN_CACHE.values():
-        try:
-            df.unpersist()
-        except Exception:
-            pass  # session already stopped; blocks died with it
+        unpersist_checkpoint(df)
     _PPJOIN_CACHE.clear()
 
 
@@ -1822,25 +1829,29 @@ def _ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cached = _PPJOIN_CACHE.get(key)
     if cached is None:
-        from ..operators.dedup import char_ngram_rows, prefix_filter_pairs
+        with _PPJOIN_LOCK:
+            cached = _PPJOIN_CACHE.get(key)
+            if cached is None:
+                from ..operators.dedup import char_ngram_rows, prefix_filter_pairs
 
-        docs = read_table(spark, sf_dir, "documents").filter(
-            F.col("text").isNotNull()  # dedup-family NULL contract
-        )
-        # NOTE (r16 optimization round): two restructures were tried
-        # and A/B-REJECTED — (a) map-side array_distinct sets feeding a
-        # pinned set-input PPJoin (drops the distinct() exchange but
-        # loses the collect_set output partitioning the verify joins
-        # reuse: 8.9 s -> 24.7 s at sf0.1) and (b) pinned exploded
-        # token rows (same loss: 24.7 s). The distinct() exchange is
-        # load-bearing: its shuffle output is REUSED by every
-        # downstream reference and keeps the verification frame
-        # id-partitioned.
-        toks = char_ngram_rows(docs, "doc_id", "text", 5).distinct()
-        cached = prefix_filter_pairs(
-            toks, "doc_id", "gram", 9, 10
-        ).localCheckpoint(eager=True)
-        _PPJOIN_CACHE[key] = cached
+                docs = read_table(spark, sf_dir, "documents").filter(
+                    F.col("text").isNotNull()  # dedup-family NULL contract
+                )
+                # NOTE (r16 optimization round): two restructures were
+                # tried and A/B-REJECTED — (a) map-side array_distinct
+                # sets feeding a pinned set-input PPJoin (drops the
+                # distinct() exchange but loses the collect_set output
+                # partitioning the verify joins reuse: 8.9 s -> 24.7 s
+                # at sf0.1) and (b) pinned exploded token rows (same
+                # loss: 24.7 s). The distinct() exchange is
+                # load-bearing: its shuffle output is REUSED by every
+                # downstream reference and keeps the verification frame
+                # id-partitioned.
+                toks = char_ngram_rows(docs, "doc_id", "text", 5).distinct()
+                cached = prefix_filter_pairs(
+                    toks, "doc_id", "gram", 9, 10
+                ).localCheckpoint(eager=True)
+                _PPJOIN_CACHE[key] = cached
     return cached
 
 
@@ -2384,10 +2395,7 @@ def clear_full_recall_cache() -> None:
     (long-lived sessions juggling many sf dirs)."""
     for frames in _FULL_RECALL_CACHE.values():
         for df in frames.values():
-            try:
-                df.unpersist()
-            except Exception:
-                pass  # session already stopped; blocks died with it
+            unpersist_checkpoint(df)
     _FULL_RECALL_CACHE.clear()
 
 
@@ -2525,10 +2533,7 @@ _PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
 def clear_pairs_cache() -> None:
     """Drop every memoized pair frame and free its checkpoint blocks."""
     for df in _PAIRS_CACHE.values():
-        try:
-            df.unpersist()
-        except Exception:
-            pass  # session already stopped; blocks died with it
+        unpersist_checkpoint(df)
     _PAIRS_CACHE.clear()
 
 
@@ -2540,15 +2545,19 @@ def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cached = _PAIRS_CACHE.get(key)
     if cached is None:
-        # dedup-family NULL contract: a NULL-text doc participates in
-        # no pairs (oracle side: the mechanical rewrite at module end)
-        docs = read_table(spark, sf_dir, "documents").filter(
-            F.col("text").isNotNull()
-        )
-        cached = dedup.ngram_jaccard_pairs(
-            docs, "doc_id", "text", n=5, min_jaccard=0.5
-        ).localCheckpoint(eager=True)
-        _PAIRS_CACHE[key] = cached
+        with _PAIRS_LOCK:
+            cached = _PAIRS_CACHE.get(key)
+            if cached is None:
+                # dedup-family NULL contract: a NULL-text doc
+                # participates in no pairs (oracle side: the mechanical
+                # rewrite at module end)
+                docs = read_table(spark, sf_dir, "documents").filter(
+                    F.col("text").isNotNull()
+                )
+                cached = dedup.ngram_jaccard_pairs(
+                    docs, "doc_id", "text", n=5, min_jaccard=0.5
+                ).localCheckpoint(eager=True)
+                _PAIRS_CACHE[key] = cached
     return cached
 
 
@@ -2573,10 +2582,7 @@ def clear_sampled_cache() -> None:
     blocks (long-lived sessions juggling many sf dirs)."""
     for frames in _SAMPLED_CACHE.values():
         for df in frames.values():
-            try:
-                df.unpersist()
-            except Exception:
-                pass  # session already stopped; blocks died with it
+            unpersist_checkpoint(df)
     _SAMPLED_CACHE.clear()
 
 
@@ -3854,28 +3860,26 @@ _DCG_W_SQL = "[" + ", ".join(str(w) for w in _DCG_W) + "]::DOUBLE[]"
 #: once per (session, sf); same discipline as _PAIRS_CACHE and the
 #: co-supply backbone memo. bench.py clears it before each timed pass
 #: so whichever measurement query runs first pays the build.
-_ANN_EVAL_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
+_ANN_EVAL_CACHE: dict[tuple[str, str], tuple] = {}
 
 
 def clear_ann_eval_cache() -> None:
     """Drop memoized ANN-evaluation frames and their checkpoint blocks
-    (the shared pinned index memo clears with them — same lifecycle)."""
-    for pair in _ANN_EVAL_CACHE.values():
-        for df in pair:
-            try:
-                df.unpersist()
-            except Exception:
-                pass  # session already stopped; blocks died with it
+    (the shared pinned index memo clears with them — same lifecycle).
+    Entries are (truth, union, per-method frames): the per-method list
+    holds the actual checkpoint blocks (the union owns none), so each
+    frame unpersists individually (ADVICE r16)."""
+    for entry in _ANN_EVAL_CACHE.values():
+        truth, un, mats = entry
+        for df in (truth, un, *mats):
+            unpersist_checkpoint(df)
     _ANN_EVAL_CACHE.clear()
     for entry in _ANN_INDEX_CACHE.values():
         for piece in ("assigned", "codes", "truth"):
             frame = entry.get(piece)
             if frame is None:
                 continue
-            try:
-                frame.unpersist()
-            except Exception:
-                pass  # session already stopped; blocks died with it
+            unpersist_checkpoint(frame)
     _ANN_INDEX_CACHE.clear()
 
 
@@ -3895,6 +3899,16 @@ def clear_ann_eval_cache() -> None:
 #: build; each piece builds lazily on first request.
 _ANN_INDEX_CACHE: dict[tuple[str, str, str], dict] = {}
 
+#: Pieces an index entry can hold, each with its own build lock: the
+#: harness pool builds truth ∥ assigned ∥ codebooks CONCURRENTLY, so a
+#: single entry-wide lock would serialize them; per-piece
+#: double-checked locks keep concurrent first requests for the SAME
+#: piece single-build (r16 verdict item 5: the unlocked get→create→
+#: store raced and a loser's pinned frames were rebuilt — a duplicate
+#: Lloyd's barrier) while leaving cross-piece overlap intact.
+_ANN_PIECES = ("assigned", "codebooks", "codes", "truth")
+_ANN_ENTRY_LOCK = threading.Lock()
+
 
 def _ann_index_entry(spark: SparkSession, sf_dir: str) -> dict:
     key = (
@@ -3902,11 +3916,12 @@ def _ann_index_entry(spark: SparkSession, sf_dir: str) -> dict:
         sf_dir,
         table_fingerprint(sf_dir, "embeddings"),
     )
-    entry = _ANN_INDEX_CACHE.get(key)
-    if entry is None:
-        entry = {}
-        _ANN_INDEX_CACHE[key] = entry
-    return entry
+    with _ANN_ENTRY_LOCK:
+        entry = _ANN_INDEX_CACHE.get(key)
+        if entry is None:
+            entry = {"__locks": {p: threading.Lock() for p in _ANN_PIECES}}
+            _ANN_INDEX_CACHE[key] = entry
+        return entry
 
 
 def _ann_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3914,11 +3929,13 @@ def _ann_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster_id) — eager checkpoint, built once per (session, corpus)."""
     entry = _ann_index_entry(spark, sf_dir)
     if "assigned" not in entry:
-        emb = _live_embeddings(spark, sf_dir)
-        pivots = emb.filter(F.col("vec_id") < 8)
-        entry["assigned"] = similarity.assign_clusters(emb, pivots).localCheckpoint(
-            eager=True
-        )
+        with entry["__locks"]["assigned"]:
+            if "assigned" not in entry:
+                emb = _live_embeddings(spark, sf_dir)
+                pivots = emb.filter(F.col("vec_id") < 8)
+                entry["assigned"] = similarity.assign_clusters(
+                    emb, pivots
+                ).localCheckpoint(eager=True)
     return entry["assigned"]
 
 
@@ -3927,8 +3944,10 @@ def _ann_codebooks(spark: SparkSession, sf_dir: str) -> dict:
     (session, corpus), shared by every PQ consumer."""
     entry = _ann_index_entry(spark, sf_dir)
     if "codebooks" not in entry:
-        emb = _live_embeddings(spark, sf_dir)
-        entry["codebooks"] = similarity.pq_train_codebooks(emb, m=8)
+        with entry["__locks"]["codebooks"]:
+            if "codebooks" not in entry:
+                emb = _live_embeddings(spark, sf_dir)
+                entry["codebooks"] = similarity.pq_train_codebooks(emb, m=8)
     return entry["codebooks"]
 
 
@@ -3937,12 +3956,14 @@ def _ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared assignment scan — eager checkpoint, built once."""
     entry = _ann_index_entry(spark, sf_dir)
     if "codes" not in entry:
-        entry["codes"] = similarity.pq_encode(
-            _ann_assigned(spark, sf_dir),
-            _ann_codebooks(spark, sf_dir),
-            m=8,
-            keep=("cluster_id",),
-        ).localCheckpoint(eager=True)
+        with entry["__locks"]["codes"]:
+            if "codes" not in entry:
+                entry["codes"] = similarity.pq_encode(
+                    _ann_assigned(spark, sf_dir),
+                    _ann_codebooks(spark, sf_dir),
+                    m=8,
+                    keep=("cluster_id",),
+                ).localCheckpoint(eager=True)
     return entry["codes"]
 
 
@@ -3955,11 +3976,15 @@ def _ann_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncation baseline) each re-ran the corpus scan before r16."""
     entry = _ann_index_entry(spark, sf_dir)
     if "truth" not in entry:
-        emb = _live_embeddings(spark, sf_dir)
-        queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105))
-        entry["truth"] = similarity.cosine_topk_bruteforce(
-            queries, emb, k=10
-        ).localCheckpoint(eager=True)
+        with entry["__locks"]["truth"]:
+            if "truth" not in entry:
+                emb = _live_embeddings(spark, sf_dir)
+                queries = emb.filter(
+                    (F.col("vec_id") >= 100) & (F.col("vec_id") < 105)
+                )
+                entry["truth"] = similarity.cosine_topk_bruteforce(
+                    queries, emb, k=10
+                ).localCheckpoint(eager=True)
     return entry["truth"]
 
 
@@ -3982,7 +4007,7 @@ def _ann_truth_and_ranked_methods(spark: SparkSession, sf_dir: str):
     )
     cached = _ANN_EVAL_CACHE.get(key)
     if cached is not None:
-        return cached
+        return cached[0], cached[1]
     emb = _live_embeddings(spark, sf_dir)
     pivots = emb.filter(F.col("vec_id") < 8)
     queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105))
@@ -4111,8 +4136,12 @@ def _ann_truth_and_ranked_methods(spark: SparkSession, sf_dir: str):
     for cur in mats[1:]:
         un = un.unionByName(cur)
     # truth and every method frame are already pinned; the union of ten
-    # ~50-row checkpoints needs no further materialization
-    _ANN_EVAL_CACHE[key] = (truth, un)
+    # ~50-row checkpoints needs no further materialization. The mats
+    # list rides in the cache entry so clear_ann_eval_cache() can
+    # unpersist the TEN per-method checkpoints deterministically —
+    # unpersisting only the union frees nothing, it owns no blocks
+    # (ADVICE r16).
+    _ANN_EVAL_CACHE[key] = (truth, un, mats)
     return truth, un
 
 

@@ -947,11 +947,10 @@ _BACKBONE_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 def clear_backbone_cache() -> None:
     """Drop memoized backbones and free their checkpoint blocks."""
+    from ..sources.io import unpersist_checkpoint
+
     for df in _BACKBONE_CACHE.values():
-        try:
-            df.unpersist()
-        except Exception:
-            pass  # session already stopped; blocks died with it
+        unpersist_checkpoint(df)
     _BACKBONE_CACHE.clear()
 
 

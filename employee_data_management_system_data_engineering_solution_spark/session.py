@@ -45,6 +45,13 @@ def get_session(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # engine-level Arrow batch sizing (guide §4.2): the
+        # Python-boundary operators stream one narrow column; 64k-row
+        # batches amortize per-batch overhead ~6x over the 10k default
+        # (measured on frequent_shingles, r16). Also applied at
+        # operator entry (sources.io.arrow_batch_defaults) so sessions
+        # built elsewhere get it too.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         # test data carries TIMESTAMP(NANOS) parquet columns, which Spark
         # rejects by default; read them as long and convert in the reader
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

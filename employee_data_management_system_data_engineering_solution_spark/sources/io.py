@@ -161,6 +161,67 @@ def money_native_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame
     return spark.read.parquet(path)
 
 
+def unpersist_checkpoint(df: DataFrame) -> None:
+    """Free a ``localCheckpoint``'d frame's pinned blocks NOW.
+
+    ``Dataset.unpersist()`` only evicts CacheManager entries; a local
+    checkpoint's MEMORY_AND_DISK blocks belong to the UNDERLYING
+    LogicalRDD and are otherwise freed only when the JVM garbage
+    collector reaps the RDD (ContextCleaner) — measured in r17:
+    ``df.unpersist()`` left every checkpoint block pinned, so the
+    per-pass memo clears were GC-dependent no-ops (ADVICE r16). The
+    analyzed plan of a checkpointed frame IS the LogicalRDD; its
+    ``rdd()`` is the handle that actually owns the blocks.
+
+    ONLY call this on frames with no live consumers: a checkpoint has
+    no lineage to recompute from, so a reader that still references
+    the RDD fails hard ("checkpoint block not found") rather than
+    recomputing. The memo clear functions qualify (every consumer
+    rebuilds through the memo getter); mid-pipeline frames must prove
+    the returned plan no longer references them. Py4j internals are
+    version-fragile, so any failure falls back to the old
+    (GC-dependent) path silently."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped; blocks died with it
+
+
+#: Arrow batch sizing for the engine's Python-boundary operators
+#: (guide §4.2 "keep batch sizes large enough for vectorization to pay
+#: off"): every mapInPandas operator here streams ONE narrow column
+#: (grams/signature payloads/values), so 64k-row batches amortize the
+#: per-batch pandas/Arrow overhead ~6× over the 10k default with a few
+#: MB of per-task memory. Results are batch-size-independent
+#: (Misra-Gries candidates stay a superset and are exactly rescored;
+#: signatures are per-row pure functions) — proven by the unchanged
+#: oracle in r16. At cluster scale size this to executor memory; on
+#: Spark 4 ``spark.sql.execution.arrow.maxBytesPerBatch`` is the more
+#: direct control for wide/binary rows.
+ARROW_BATCH_ROWS = 65536
+
+_ARROW_BATCH_CONF = "spark.sql.execution.arrow.maxRecordsPerBatch"
+
+
+def arrow_batch_defaults(spark: SparkSession) -> None:
+    """Apply the engine's Arrow batch-size default to ``spark`` unless
+    the session carries an explicit non-default value (a deployment
+    that tuned the knob keeps its setting). Called at the entry of
+    every Python-boundary operator so the optimization is a property
+    of the ENGINE, not of whichever harness built the session (r16
+    verdict item 2 — previously only bench.py's session had it, and
+    any other deployment ran 10k-row batches). Runtime-settable SQL
+    conf; idempotent."""
+    try:
+        if spark.conf.get(_ARROW_BATCH_CONF, "10000") == "10000":
+            spark.conf.set(_ARROW_BATCH_CONF, str(ARROW_BATCH_ROWS))
+    except Exception:
+        pass  # a read-only/conf-locked session keeps its defaults
+
+
 def table_fingerprint(sf_dir: str, *names: str) -> str:
     """Cheap content fingerprint of one or more warehouse tables —
     (relative path, size, mtime_ns) of every data file, hashed. The

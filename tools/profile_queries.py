@@ -72,7 +72,10 @@ def main() -> int:
             pipeline as _pipeline,
         )
 
-        for mod, names in (
+        # clear_fns, not `names`: the outer query list is also called
+        # `names`, and shadowing it here was an easy future footgun
+        # (ADVICE r16)
+        for mod, clear_fns in (
             (
                 _llm,
                 (
@@ -86,7 +89,7 @@ def main() -> int:
             ),
             (_pipeline, ("clear_backbone_cache",)),
         ):
-            for n in names:
+            for n in clear_fns:
                 fn = getattr(mod, n, None)  # tolerate older trees in A/B runs
                 if fn is not None:
                     fn()
