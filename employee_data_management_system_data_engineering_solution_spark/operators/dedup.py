@@ -1079,10 +1079,35 @@ def prefix_filter_pairs(
     24.7M raw prefix collisions → 0.4M candidates at θ = 0.9). No
     all-pairs comparison anywhere.
 
+    Token-id encoding (r17, guide §2.3 narrower types): every token is
+    represented downstream by ``xxhash64(token)``, computed INLINE (no
+    dictionary join, no extra shuffle), after ONE vocabulary-bounded
+    aggregate proves the hash is injective ON THIS TOKEN SET
+    (count distinct tokens == count distinct hashes); the ~2⁻⁶⁴·|V|²
+    collision case falls back to the original string path, so the
+    operator is exact on EVERY input, not almost-every. Under a
+    bijection |A∩B| and |A∪B| are unchanged, and any consistent total
+    order supports the prefix theorem, so ordering positions by
+    (df, hash) instead of (df, token) moves WHICH tokens form each
+    prefix but provably cannot lose a J ≥ θ pair — the exact verify
+    decides membership either way (pinned against brute force in
+    tests/test_dedup.py). The win: the per-doc position sort, the
+    candidate equi-join key, the per-doc sets, and the verify's
+    array_intersect all run on primitive longs instead of UTF8
+    strings — the verify stage's set-intersections over ~400k
+    candidate pairs × ~200-token arrays dominated the whole plan's
+    CPU (measured 59 s of the plan's 100 s at sf0.1).
+
     Output: (id_a, id_b, inter_size, union_size, jaccard), id_a < id_b.
     """
     tid, tok = F.col(id_col), F.col(token_col)
-    arr = tokens.groupBy(id_col).agg(F.collect_set(token_col).alias("__toks"))
+    probe = tokens.agg(
+        F.countDistinct(tok).alias("__nt"),
+        F.countDistinct(F.xxhash64(tok)).alias("__nh"),
+    ).first()
+    hash_ok = probe["__nt"] == probe["__nh"]
+    tid_expr = F.xxhash64(tok) if hash_ok else tok
+    arr = tokens.groupBy(id_col).agg(F.collect_set(tid_expr).alias("__toks"))
     sz = arr.select(tid, F.size("__toks").cast("long").alias("__n"))
     dfq = tokens.groupBy(token_col).agg(F.count("*").alias("__df"))
 
@@ -1094,7 +1119,7 @@ def prefix_filter_pairs(
 
     plen = F.col("__n") - ceil_div(F.lit(theta_num) * F.col("__n"), theta_den) + F.lit(1)
     pos = F.row_number().over(
-        Window.partitionBy(id_col).orderBy(F.col("__df"), tok)
+        Window.partitionBy(id_col).orderBy(F.col("__df"), tid_expr)
     )
     pre = (
         tokens.join(dfq, token_col)
@@ -1103,7 +1128,7 @@ def prefix_filter_pairs(
         .filter(F.col("__pos") <= plen)
         .select(
             tid.alias("__id"),
-            tok.alias("__tok"),
+            tid_expr.alias("__tok"),
             F.col("__n"),
             F.col("__pos").cast("long").alias("__pp"),
         )
@@ -1115,6 +1140,12 @@ def prefix_filter_pairs(
     # α = ceil(θ(na+nb)/(1+θ)), and the bound is monotone in the match
     # positions, so testing each matched token is first-match-exact)
     alpha = ceil_div(F.lit(theta_num) * (an + bn), theta_num + theta_den)
+    # NOTE (r17): a length-band equi-key ((token, floor(log_{1/θ}|T|))
+    # with the probe side exploded ±2 bands) was built and A/B'd to cut
+    # the rows the join FORMS (10.9M token-only collisions → ~7M at
+    # sf0.1); interleaved A/B against this shape: 4.82 s vs 4.66 s —
+    # REJECTED. With long join keys, forming-and-filtering a collision
+    # row costs less than the ×5 probe-side explode it saves.
     cand = (
         pre.alias("a")
         .join(
